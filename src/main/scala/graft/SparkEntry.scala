@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.BatchQueries
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +17,10 @@ object SparkEntry {
     BatchQueries.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    BatchQueries.queries
+    BatchQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
+      WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries
 
   def oracleSql: Map[String, String] =
-    BatchQueries.oracle
+    BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
+      WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle
 }

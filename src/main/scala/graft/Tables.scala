@@ -12,8 +12,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects outright; read it as raw long nanos and truncate
+    // to micros — the same truncation DuckDB applies, so oracle
+    // comparisons agree.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case (d, _) => d
+    }
+  }
 
   /** Register every table as a temp view named after itself, so
     * `spark.sql` text and the DuckDB oracle read identical relations.

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregation operator family (SURVEY.md §2.4).
+  *
+  * Covers the reference's hash/sort aggregate surface
+  * (BatchExecHashAggregate.java:52), distinct aggregates
+  * (SplitAggregateRule.scala's target semantics), grouping
+  * sets/rollup/cube (DecomposeGroupingSetsRule.scala), the built-in
+  * agg function catalog (BuiltInFunctionDefinitions.java:378-496:
+  * AVG/COUNT/MAX/MIN/SUM/STDDEV/VAR/LISTAGG/COLLECT) and
+  * APPROX_COUNT_DISTINCT (BatchApproxCountDistinctAggFunctions.java:54).
+  *
+  * All of these are single-shuffle plans: Catalyst plans
+  * partial (map-side) + final aggregation automatically, so the
+  * shuffle carries |groups| rows, not |input| rows — the shape that
+  * holds at 100 TB. Distinct aggs expand to a two-level aggregate
+  * (Catalyst RewriteDistinctAggregates ≈ Flink's SplitAggregateRule).
+  */
+object AggQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        sum_distinct(col("l_quantity")).as("sum_dq"),
+        count(lit(1)).as("n"))
+
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+
+  /** Explicit GROUPING SETS with grouping() markers — exercises
+    * Catalyst's Expand operator (≈ Flink BatchExecExpand.java:35).
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  count(*) AS n, avg(l_discount) AS avg_disc
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        stddev_samp(col("c_acctbal")).as("sd_samp"),
+        stddev_pop(col("c_acctbal")).as("sd_pop"),
+        var_samp(col("c_acctbal")).as("var_s"),
+        var_pop(col("c_acctbal")).as("var_p"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        avg(col("c_acctbal")).as("avg_bal"),
+        count(lit(1)).as("n"))
+
+  /** LISTAGG (BuiltInFunctionDefinitions LISTAGG + CollectAggFunction)
+    * — deterministic via sort-before-join of the collected list.
+    */
+  def aggListagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+        size(collect_set(col("c_mktsegment"))).as("nd_seg"))
+
+  /** MAX_BY / MIN_BY (Flink's FirstValue/LastValue-by-order analogs). */
+  def aggMaxBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        max(col("o_totalprice")).as("best_price"))
+
+  /** APPROX_COUNT_DISTINCT — HLL++ (the reference vendors Spark's own
+    * implementation, BatchApproxCountDistinctAggFunctions.java:54);
+    * sketch values are engine-specific so this entry is rows-only
+    * checked (no DuckDB oracle).
+    */
+  def aggApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("apx_part"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("apx_order"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_distinct"     -> (aggDistinct _),
+    "q_agg_rollup"       -> (aggRollup _),
+    "q_agg_cube"         -> (aggCube _),
+    "q_agg_groupingsets" -> (aggGroupingSets _),
+    "q_agg_stats"        -> (aggStats _),
+    "q_agg_listagg"      -> (aggListagg _),
+    "q_agg_maxby"        -> (aggMaxBy _),
+    "q_agg_approx"       -> (aggApprox _))
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  sum(DISTINCT l_quantity) AS sum_dq,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_agg_groupingsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  count(*) AS n, avg(l_discount) AS avg_disc
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT c_mktsegment,
+        |  stddev_samp(c_acctbal) AS sd_samp, stddev_pop(c_acctbal) AS sd_pop,
+        |  var_samp(c_acctbal) AS var_s, var_pop(c_acctbal) AS var_p,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  avg(c_acctbal) AS avg_bal, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_agg_listagg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names,
+        |  count(DISTINCT c_mktsegment) AS nd_seg
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_agg_maxby" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, o_totalprice) AS best_order,
+        |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |  max(o_totalprice) AS best_price
+        |FROM orders GROUP BY o_custkey""".stripMargin)
+}

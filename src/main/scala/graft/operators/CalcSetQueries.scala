@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Calc (fused project+filter), Values, sort/limit, set operations
+  * and UNNEST/correlate (SURVEY.md §2.2, §2.7;
+  * BatchExecCalc.java:38, BatchExecValues.java:37,
+  * BatchExecSortLimit.java:48, BatchExecUnion.java:35,
+  * ReplaceIntersectWithSemiJoinRule / RewriteMinusAllRule,
+  * LogicalUnnestRule.scala → UnnestRowsFunction.java).
+  *
+  * Calc/filter predicates here compile into parquet pushed filters +
+  * whole-stage codegen; `orderBy.limit` plans as
+  * TakeOrderedAndProject (no global sort — each partition keeps k
+  * rows, the driver merges k·|partitions|); set ops plan as
+  * hash-aggregate / semi-anti joins exactly like the reference's
+  * rewrite rules.
+  */
+object CalcSetQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def calc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.02, 0.08) && col("l_returnflag") =!= "A")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
+        when(col("l_quantity") > 25, "big")
+          .when(col("l_quantity") > 10, "mid")
+          .otherwise("small").as("bucket"),
+        concat_ws("/", col("l_returnflag"), col("l_linestatus")).as("rf"))
+
+  def values(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq((1, "a", 1.5), (2, "b", 2.5), (3, "c", -1.0))
+      .toDF("id", "tag", "score")
+      .select(col("id"), upper(col("tag")).as("tag_up"), (col("score") * 2).as("score2"))
+  }
+
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"), lit("cust").as("side"))
+    val sp = t(s, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey"), lit("supp").as("side"))
+    c.unionAll(sp).groupBy(col("nationkey"), col("side")).agg(count(lit(1)).as("n"))
+  }
+
+  def intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  def except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** EXCEPT ALL — multiset minus (RewriteMinusAllRule.scala's
+    * REPLICATE_ROWS shape, which Spark implements natively).
+    */
+  def exceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+
+  def intersectAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("k"))
+      .intersectAll(t(s, dir, "customer").select(col("c_custkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  /** UNNEST / explode (Correlate): token explode of document text. */
+  def unnest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** Correlated explode + re-aggregate: per-doc distinct token count
+    * (LATERAL + grouping — Correlate under Aggregate).
+    */
+  def lateralAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("nd_tok"), count(lit(1)).as("n_tok"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_calc"          -> (calc _),
+    "q_values"        -> (values _),
+    "q_sort_limit"    -> (sortLimit _),
+    "q_union_all"     -> (unionAll _),
+    "q_intersect"     -> (intersect _),
+    "q_except"        -> (except _),
+    "q_except_all"    -> (exceptAll _),
+    "q_intersect_all" -> (intersectAll _),
+    "q_unnest"        -> (unnest _),
+    "q_lateral_agg"   -> (lateralAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "q_calc" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net,
+        |  CASE WHEN l_quantity > 25 THEN 'big'
+        |       WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS bucket,
+        |  l_returnflag || '/' || l_linestatus AS rf
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'A'""".stripMargin,
+    "q_values" ->
+      """SELECT id, upper(tag) AS tag_up, score * 2 AS score2
+        |FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', -1.0)) AS t(id, tag, score)""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_union_all" ->
+      """SELECT nationkey, side, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'cust' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supp' AS side FROM supplier)
+        |GROUP BY nationkey, side""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY nationkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey AS k FROM customer)
+        |GROUP BY k""".stripMargin,
+    "q_unnest" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+    "q_lateral_agg" ->
+      """SELECT doc_id, count(DISTINCT tok) AS nd_tok, count(*) AS n_tok
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id""".stripMargin)
+}
