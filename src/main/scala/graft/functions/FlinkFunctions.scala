@@ -1,0 +1,93 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions._
+
+/** Function registry: the reference's SQL function surface
+  * (BuiltInFunctionDefinitions.java, 2112 LoC) re-expressed over
+  * Spark. ~90% of the catalog maps 1:1 onto
+  * org.apache.spark.sql.functions (SURVEY.md §2.8); this object
+  * provides the gap-fillers — composed from codegen'd built-ins where
+  * semantics allow (preference (a)), native Catalyst expressions
+  * where they don't (preference (b): [[Fingerprint64]],
+  * [[SimHash64]], [[CosineSimilarity]], …).
+  */
+object FlinkFunctions {
+
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(c)
+
+  // ---- native-expression wrappers -----------------------------------
+
+  def fingerprint64(c: Column): Column = toCol(Fingerprint64(toExpr(c)))
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def cosineSimilarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+  def lshBucket(c: Column, nBits: Int): Column = toCol(LshBucket(toExpr(c), nBits))
+  def hamming64(a: Column, b: Column): Column =
+    toCol(HammingDistance64(toExpr(a), toExpr(b)))
+
+  // ---- composed gap-fillers (Flink semantics over Spark built-ins) --
+
+  /** SPLIT_INDEX(str, delim, idx): 0-based element of the split, NULL
+    * when out of range (BuiltInFunctionDefinitions.java:929,
+    * SqlFunctionUtils.splitIndex). `get` gives the same NULL-on-OOB;
+    * the delimiter is a literal, so it is regex-quoted.
+    */
+  def splitIndex(str: Column, delim: String, idx: Int): Column =
+    get(split(str, Pattern.quote(delim)), lit(idx))
+
+  /** COT (BuiltInFunctionDefinitions math block, :966-1431). */
+  def cot(c: Column): Column = lit(1.0) / tan(c)
+
+  def sinh(c: Column): Column = (exp(c) - exp(-c)) / 2.0
+  def cosh(c: Column): Column = (exp(c) + exp(-c)) / 2.0
+  def tanhG(c: Column): Column = sinh(c) / cosh(c)
+
+  /** TEMPORAL_OVERLAPS(s1, e1, s2, e2)
+    * (BuiltInFunctionDefinitions.java:1495): true iff the two periods
+    * share at least one time point (inclusive endpoints).
+    */
+  def temporalOverlaps(s1: Column, e1: Column, s2: Column, e2: Column): Column =
+    greatest(s1, s2) <= least(e1, e2)
+
+  /** TRUNCATE(x, scale) — truncation toward zero at `scale` decimals
+    * (Flink TRUNCATE; Spark's trunc is date-only).
+    */
+  def truncateNum(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    when(c >= 0, floor(c * p) / p).otherwise(-floor(-c * p) / p)
+  }
+
+  def ifNull(a: Column, b: Column): Column = coalesce(a, b)
+  def sha224(c: Column): Column = sha2(c, 224)
+
+  /** Register the SQL-name surface so `spark.sql` text can call the
+    * Flink-only names directly. Registration goes through the
+    * Catalyst function registry (expression builders), not
+    * spark.udf — the registered functions stay codegen'd.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def reg1(name: String)(b: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+
+    reg1("fingerprint64") { es => Fingerprint64(es.head) }
+    reg1("simhash64") { es => SimHash64(es.head) }
+    reg1("cosine_similarity") { es => CosineSimilarity(es(0), es(1)) }
+    reg1("dot_product") { es => DotProduct(es(0), es(1)) }
+    reg1("hamming64") { es => HammingDistance64(es(0), es(1)) }
+    reg1("cot") { es => toExpr(cot(toCol(es.head))) }
+    reg1("split_index") { es =>
+      toExpr(get(split(toCol(es(0)), toCol(es(1))), toCol(es(2))))
+    }
+  }
+}

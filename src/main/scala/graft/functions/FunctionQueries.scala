@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{FlinkFunctions => F}
+
+/** Scalar-function batteries (SURVEY.md §2.8 — the reference's
+  * BuiltInFunctionDefinitions.java catalog). One query per function
+  * family, each column exercising one function, hash-checked against
+  * DuckDB computing the same value in its own dialect.
+  *
+  * Everything here is a narrow projection over one scan — the plan is
+  * a single WholeStageCodegen span with the filter pushed to parquet.
+  */
+object FunctionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** String functions (BuiltInFunctionDefinitions.java:507-961). */
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      length(col("p_name")).as("len"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_name")).as("lo"),
+      substring(col("p_name"), 3, 5).as("sub"),
+      regexp_replace(col("p_name"), "a", "X").as("rep"),
+      trim(col("p_name")).as("tr"),
+      lpad(col("p_name"), 15, "*").as("lp"),
+      rpad(col("p_name"), 15, "*").as("rp"),
+      instr(col("p_name"), "an").as("pos"),
+      substring(col("p_name"), 1, 4).as("lft"),
+      reverse(col("p_name")).as("rev"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("re1"),
+      translate(col("p_name"), "ae", "43").as("tl"),
+      F.splitIndex(col("p_name"), " ", 1).as("spl"),
+      base64(col("p_name").cast("binary")).as("b64"),
+      ascii(col("p_name")).as("asc"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+      repeat(substring(col("p_name"), 1, 3), 2).as("rpt"))
+
+  /** Math functions (:966-1431), incl. composed COT / SINH / COSH /
+    * TANH / TRUNCATE gap-fillers.
+    */
+  def fnMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25).as("ab"),
+      ceil(col("l_quantity") / 7).as("cl"),
+      floor(col("l_quantity") / 7).as("fl"),
+      exp(col("l_quantity") / 50).as("ex"),
+      log(col("l_quantity") + 1).as("lnv"),
+      log10(col("l_quantity") + 1).as("lg10"),
+      log2(col("l_quantity") + 1).as("lg2"),
+      sqrt(col("l_quantity")).as("sq"),
+      pow(col("l_quantity"), 2).as("pw"),
+      (col("l_linenumber") % 3).as("md"),
+      signum(col("l_quantity") - 25).as("sg"),
+      sin(col("l_quantity")).as("snv"),
+      cos(col("l_quantity")).as("csv"),
+      atan2(col("l_quantity"), lit(10.0)).as("at2"),
+      degrees(col("l_discount")).as("dg"),
+      radians(col("l_quantity")).as("rd"),
+      F.cot(col("l_quantity") + 1).as("ctv"),
+      F.sinh(col("l_discount")).as("snh"),
+      F.cosh(col("l_discount")).as("csh"),
+      F.truncateNum(col("l_extendedprice") / 7, 1).as("tc1"))
+
+  /** Temporal functions (:1445-1618). */
+  def fnDatetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      quarter(col("o_orderdate")).as("qtr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dy"),
+      weekofyear(col("o_orderdate")).as("wk"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_trunc("month", col("o_orderdate")).as("mstart"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"),
+      unix_timestamp(col("o_orderdate")).as("ep"),
+      (col("o_orderdate") + expr("INTERVAL '3' DAY")).as("dplus"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("dd"))
+
+  /** Conditionals (:192-364): CASE/COALESCE/NULLIF/GREATEST/LEAST/IN. */
+  def fnCond(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high").as("bal_bucket"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+      least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+      col("c_mktsegment").isin("MACHINERY", "AUTOMOBILE").cast("int").as("is_mach_auto"),
+      col("c_acctbal").between(100, 200).cast("int").as("in_band"),
+      col("c_name").isNull.cast("int").as("name_null"))
+
+  /** Crypto/hash (:1699-1755): MD5 / SHA-256 (SHA-224/384/512 exist
+    * via sha2 but DuckDB 1.0 lacks them, so they are spec-tested
+    * instead).
+    */
+  def fnHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("h_md5"),
+      sha2(col("text").cast("binary"), 256).as("h_sha256"))
+
+  /** JSON functions (:1883-2017) over the events.props JSON column. */
+  def fnJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+      get_json_object(col("props"), "$.missing").as("miss"),
+      get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string"   -> (fnString _),
+    "q_fn_math"     -> (fnMath _),
+    "q_fn_datetime" -> (fnDatetime _),
+    "q_fn_cond"     -> (fnCond _),
+    "q_fn_hash"     -> (fnHash _),
+    "q_fn_json"     -> (fnJson _))
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        |  length(p_name) AS len, upper(p_name) AS up, lower(p_name) AS lo,
+        |  substring(p_name, 3, 5) AS sub,
+        |  regexp_replace(p_name, 'a', 'X', 'g') AS rep,
+        |  trim(p_name) AS tr,
+        |  CASE WHEN length(p_name) >= 15 THEN p_name[:15]
+        |       ELSE repeat('*', 15 - length(p_name)) || p_name END AS lp,
+        |  CASE WHEN length(p_name) >= 15 THEN p_name[:15]
+        |       ELSE p_name || repeat('*', 15 - length(p_name)) END AS rp,
+        |  instr(p_name, 'an') AS pos,
+        |  substring(p_name, 1, 4) AS lft,
+        |  reverse(p_name) AS rev,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS re1,
+        |  translate(p_name, 'ae', '43') AS tl,
+        |  split_part(p_name, ' ', 2) AS spl,
+        |  base64(p_name::BLOB) AS b64,
+        |  ascii(p_name) AS asc,
+        |  p_brand || '-' || p_type AS cw,
+        |  repeat(substring(p_name, 1, 3), 2) AS rpt
+        |FROM part""".stripMargin,
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS ab,
+        |  ceil(l_quantity / 7)::BIGINT AS cl,
+        |  floor(l_quantity / 7)::BIGINT AS fl,
+        |  exp(l_quantity / 50) AS ex,
+        |  ln(l_quantity + 1) AS lnv,
+        |  log10(l_quantity + 1) AS lg10,
+        |  log2(l_quantity + 1) AS lg2,
+        |  sqrt(l_quantity) AS sq,
+        |  pow(l_quantity, 2) AS pw,
+        |  l_linenumber % 3 AS md,
+        |  sign(l_quantity - 25)::DOUBLE AS sg,
+        |  sin(l_quantity) AS snv,
+        |  cos(l_quantity) AS csv,
+        |  atan2(l_quantity, 10.0) AS at2,
+        |  degrees(l_discount) AS dg,
+        |  radians(l_quantity) AS rd,
+        |  cot(l_quantity + 1) AS ctv,
+        |  (exp(l_discount) - exp(-l_discount)) / 2 AS snh,
+        |  (exp(l_discount) + exp(-l_discount)) / 2 AS csh,
+        |  floor(l_extendedprice / 7 * 10) / 10 AS tc1
+        |FROM lineitem""".stripMargin,
+    "q_fn_datetime" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  quarter(o_orderdate) AS qtr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dy,
+        |  weekofyear(o_orderdate) AS wk,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+        |  epoch(o_orderdate)::BIGINT AS ep,
+        |  o_orderdate + INTERVAL '3 days' AS dplus,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS dd
+        |FROM orders""".stripMargin,
+    "q_fn_cond" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  greatest(c_acctbal, 0.0) AS bal_floor,
+        |  least(c_acctbal, 1000.0) AS bal_cap,
+        |  CAST(c_mktsegment IN ('MACHINERY', 'AUTOMOBILE') AS INT) AS is_mach_auto,
+        |  CAST(c_acctbal BETWEEN 100 AND 200 AS INT) AS in_band,
+        |  CAST(c_name IS NULL AS INT) AS name_null
+        |FROM customer""".stripMargin,
+    "q_fn_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents""".stripMargin,
+    "q_fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS miss,
+        |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS has_k
+        |FROM events""".stripMargin)
+}

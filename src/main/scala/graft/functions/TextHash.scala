@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text-hashing kernels, called from generated code by
+  * the expressions in [[expressions]] (static-style calls keep the
+  * whole-stage-codegen path allocation-free apart from the byte-array
+  * copy).
+  *
+  * FNV-1a is used as the base 64-bit hash: public-domain algorithm,
+  * stable across JVMs, cheap in a tight loop.
+  */
+object TextHash {
+  final val FnvOffset: Long = 0xcbf29ce484222325L
+  final val FnvPrime: Long = 0x100000001b3L
+
+  def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit content fingerprint of a document (rolling FNV-1a over
+    * the UTF-8 bytes). Analog of a dedup fingerprint column in a
+    * training-data pipeline.
+    */
+  def fingerprint64(s: UTF8String): Long = {
+    val b = s.getBytes
+    fnv1a(b, 0, b.length)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: each token votes its
+    * hash bits up/down; the sign of each bit's vote forms the
+    * signature. Near-duplicate texts differ in few bits (small
+    * Hamming distance).
+    */
+  def simhash64(s: UTF8String): Long = {
+    val b = s.getBytes
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      val atEnd = i == b.length
+      if (atEnd || b(i) == ' '.toByte || b(i) == '\n'.toByte || b(i) == '\t'.toByte) {
+        if (i > start) {
+          val h = fnv1a(b, start, i)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

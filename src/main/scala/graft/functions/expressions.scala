@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for operators Spark's function library
+  * lacks. Each participates in whole-stage codegen via a static call
+  * into [[TextHash]] / [[VectorOps]] — no UDF boxing, no interpreted
+  * fallback in the hot path. This mirrors how the reference codegens
+  * its scalar calls (flink-table-planner codegen/calls/StringCallGen
+  * .scala → static runtime methods in SqlFunctionUtils.java).
+  */
+
+/** 64-bit FNV-1a content fingerprint of a string. */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.fingerprint64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fingerprint64($c)")
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
+  override def prettyName: String = "fingerprint64"
+}
+
+/** 64-bit SimHash signature over whitespace tokens. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Cosine similarity of two ARRAY<FLOAT> embedding columns. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** Dot product of two ARRAY<FLOAT> embedding columns. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Random-hyperplane LSH bucket id for an ARRAY<FLOAT> vector. */
+case class LshBucket(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.lshBucket(v.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.lshBucket($c, $nBits)")
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** Hamming distance between two 64-bit signatures (for SimHash
+  * near-dup thresholds).
+  */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}

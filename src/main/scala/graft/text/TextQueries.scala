@@ -1,0 +1,206 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{FlinkFunctions => F}
+
+/** Training-data-pipeline text operators over the `documents` table
+  * (north-star ops beyond the reference's own surface): quality
+  * scoring, language ID, token counting, fingerprinting and
+  * deduplication. Everything is a projection or a single-shuffle
+  * aggregate — the shapes that scale linearly to 100 TB of text.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Per-document quality statistics: length, token counts, mean
+    * token length, stopword ratio, punctuation ratio.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_char"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("nd_tok"),
+        (aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).cast("double")
+          / size(col("toks"))).as("avg_tok_len"),
+        (size(filter(col("toks"), x => x.isin(stopwords.map(lit): _*).cast("boolean")))
+          .cast("double") / size(col("toks"))).as("stop_ratio"),
+        (size(regexp_extract_all(col("text"), lit("[.,!?]"), lit(0))).cast("double")
+          / length(col("text"))).as("punct_ratio"))
+
+  /** N-gram-profile language ID: score each language by marker-token
+    * hits plus a CJK-codepoint check, pick the argmax
+    * (deterministic tie-break by score order). On real corpora the
+    * marker lists would be the usual top-k character n-grams per
+    * language; the mechanism (score columns + greatest + chained
+    * when) is the scalable part — one projection, no shuffle.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    def hits(markers: Seq[String]) =
+      size(filter(split(col("text"), " "),
+        x => x.isin(markers.map(lit): _*).cast("boolean")))
+    val enS = hits(Seq("the", "a", "of", "and"))
+    val deS = hits(Seq("der", "und", "die", "das"))
+    val frS = hits(Seq("le", "la", "et", "les"))
+    val esS = hits(Seq("el", "los", "y", "que"))
+    val zhS = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        enS.as("s_en"), deS.as("s_de"), frS.as("s_fr"), esS.as("s_es"), zhS.as("s_zh"))
+      .withColumn("best",
+        greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh")))
+      .withColumn("lang_guess",
+        when(col("best") === 0, "und")
+          .when(col("s_zh") === col("best"), "zh")
+          .when(col("s_en") === col("best"), "en")
+          .when(col("s_de") === col("best"), "de")
+          .when(col("s_fr") === col("best"), "fr")
+          .otherwise("es"))
+      .drop("best")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single punctuation).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe"))
+
+  /** Document fingerprints: rolling-hash content fingerprint +
+    * SimHash signature (native codegen'd expressions — see
+    * graft.functions.Fingerprint64/SimHash64). No SQL oracle (DuckDB
+    * cannot fold over bytes); exact values are spec-tested in
+    * TextOpsSpec.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      F.fingerprint64(col("text")).as("fp64"),
+      F.simhash64(col("text")).as("sh64"))
+
+  /** Exact deduplication: group identical texts by content hash, keep
+    * the lowest doc_id as canonical (hash-groupBy — one shuffle on
+    * the hash, the standard exact-dedup at any scale).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dup"))
+
+  /** SimHash near-dup candidate pairs: signatures within Hamming
+    * distance 16, blocked by the signature's top byte so comparison
+    * stays within buckets instead of all-pairs. Rows-only (no SQL
+    * oracle); mechanism spec-tested.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), F.simhash64(col("text")).as("sig"),
+        shiftrightunsigned(F.simhash64(col("text")), 56).as("block"))
+    val a = sigs.select(col("block"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("block").as("block_b"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("block") === col("block_b") && col("id_a") < col("id_b"))
+      .withColumn("hd", F.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hd") <= 16)
+      .select(col("id_a"), col("id_b"), col("hd"))
+  }
+
+  /** Word-3-gram Jaccard similarity of adjacent doc_id pairs —
+    * SQL-expressible slice of n-gram near-dup detection, exact
+    * oracle in DuckDB.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x")
+      .join(sh.withColumn("doc_id", col("doc_id") - 1).as("y"), Seq("doc_id", "sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_inter"))
+    sizes.as("sa")
+      .join(sizes.withColumn("doc_id", col("doc_id") - 1).as("sb"), Seq("doc_id"))
+      .join(inter, Seq("doc_id"), "left")
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - coalesce(col("n_inter"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"       -> (textStats _),
+    "q_text_langid"      -> (langId _),
+    "q_text_tokens"      -> (tokenCount _),
+    "q_text_fingerprint" -> (fingerprint _),
+    "q_dedup_exact"      -> (dedupExact _),
+    "q_dedup_simhash"    -> (dedupSimhash _),
+    "q_dedup_ngram"      -> (ngramJaccard _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_char,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  len(list_distinct(string_split(text, ' '))) AS nd_tok,
+        |  list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |    / len(string_split(text, ' ')) AS avg_tok_len,
+        |  len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  len(regexp_extract_all(text, '[.,!?]'))::DOUBLE / length(text) AS punct_ratio
+        |FROM documents""".stripMargin,
+    "q_text_langid" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('der','und','die','das'))) AS s_de,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('le','la','et','les'))) AS s_fr,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('el','los','y','que'))) AS s_es,
+        |  len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+        |       WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        |       ELSE 'es' END AS lang_guess
+        |FROM s""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dup
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |         generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id, count(*) AS n_inter
+        |          FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1 AND y.sh = x.sh
+        |          GROUP BY x.doc_id)
+        |SELECT sa.doc_id AS id_a, sa.doc_id + 1 AS id_b,
+        |  coalesce(n_inter, 0)::DOUBLE / (sa.n_sh + sb.n_sh - coalesce(n_inter, 0)) AS jaccard
+        |FROM sizes sa
+        |JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+        |LEFT JOIN inter ON inter.doc_id = sa.doc_id""".stripMargin)
+}
