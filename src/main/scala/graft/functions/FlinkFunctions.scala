@@ -75,6 +75,7 @@ object FlinkFunctions {
     * spark.udf — the registered functions stay codegen'd.
     */
   def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.{expressions => expressions}
     val reg = spark.sessionState.functionRegistry
     def reg1(name: String)(b: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
         => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
@@ -85,9 +86,14 @@ object FlinkFunctions {
     reg1("cosine_similarity") { es => CosineSimilarity(es(0), es(1)) }
     reg1("dot_product") { es => DotProduct(es(0), es(1)) }
     reg1("hamming64") { es => HammingDistance64(es(0), es(1)) }
-    reg1("cot") { es => toExpr(cot(toCol(es.head))) }
+    // raw catalyst trees here: Column-built trees would smuggle
+    // unresolved ColumnNodes past the analyzer
+    reg1("cot") { es =>
+      expressions.Divide(expressions.Literal(1.0), expressions.Tan(es.head))
+    }
     reg1("split_index") { es =>
-      toExpr(get(split(toCol(es(0)), toCol(es(1))), toCol(es(2))))
+      expressions.GetArrayItem(
+        expressions.StringSplit(es(0), es(1), expressions.Literal(-1)), es(2))
     }
   }
 }

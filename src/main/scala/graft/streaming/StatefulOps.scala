@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators with no Structured Streaming native,
+  * on `flatMapGroupsWithState` — the Spark analog of the reference's
+  * KeyedProcessFunction + keyed state + timers
+  * (flink-core KeyedProcessFunction.java:52).
+  *
+  * State is per key, partitioned by the stream's groupBy key — each
+  * executor holds only its key range's state, which is what lets
+  * these run on a 1000-executor cluster: state size scales with
+  * |keys|·k, never with |events|.
+  */
+object StatefulOps {
+
+  // ---- streaming TopN ------------------------------------------------
+
+  /** Event for TopN: key, sort value, payload id. */
+  case class ScoredEvent(key: Long, score: Double, id: Long)
+  case class TopNState(entries: List[(Double, Long)])
+  case class TopNEmit(key: Long, rank: Int, score: Double, id: Long)
+
+  /** Incremental streaming TopN (StreamExecRank — the
+    * AppendOnlyTopNFunction.java:52 strategy): keeps the best N per
+    * key in state; on every update that changes the TopN, re-emits
+    * the key's current ranking (update semantics, like the
+    * reference's retract-then-emit).
+    */
+  def topNPerKey(ds: Dataset[ScoredEvent], n: Int): Dataset[TopNEmit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[ScoredEvent], state: GroupState[TopNState]) => {
+          val prev = state.getOption.map(_.entries).getOrElse(Nil)
+          val merged = rows.foldLeft(prev) { (acc, e) =>
+            ((e.score, e.id) :: acc)
+              .sortBy { case (s, i) => (-s, i) }
+              .take(n)
+          }
+          state.update(TopNState(merged))
+          if (merged != prev)
+            merged.zipWithIndex.iterator.map { case ((s, i), r) =>
+              TopNEmit(key, r + 1, s, i)
+            }
+          else Iterator.empty
+        })
+  }
+
+  // ---- streaming as-of join -----------------------------------------
+
+  /** Tagged union input for the as-of join: side 0 = build
+    * (versioned), side 1 = probe.
+    */
+  case class AsOfEvent(key: Long, tsMillis: Long, side: Int, id: Long)
+  case class AsOfState(versions: List[(Long, Long)], buffered: List[(Long, Long)])
+  case class AsOfMatch(key: Long, probeId: Long, probeTs: Long,
+      buildId: Option[Long], buildTs: Option[Long])
+
+  /** Temporal as-of join of two keyed streams
+    * (TemporalRowTimeJoinOperator.java's semantics): each probe row
+    * matches the latest build row with ts <= probe ts. Probe rows are
+    * buffered until the event-time watermark passes their timestamp
+    * (so late build versions can still win), then emitted and
+    * dropped; build versions older than the watermark keep only the
+    * latest — bounded state, watermark-driven cleanup.
+    */
+  def asOfJoin(ds: Dataset[AsOfEvent]): Dataset[AsOfMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) => {
+          val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          var versions = st.versions
+          var buffered = st.buffered
+          rows.foreach { e =>
+            if (e.side == 0) versions = (e.tsMillis, e.id) :: versions
+            else buffered = (e.tsMillis, e.id) :: buffered
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, stillBuffered) = buffered.partition(_._1 <= wm)
+          val out = ready.sortBy(_._1).iterator.map { case (pts, pid) =>
+            val m = versions.filter(_._1 <= pts).sortBy(v => (v._1, v._2)).lastOption
+            AsOfMatch(key, pid, pts, m.map(_._2), m.map(_._1))
+          }.toList
+          // keep only the newest version at or below the watermark,
+          // plus everything newer (a later probe may still need them)
+          val (old, recent) = versions.partition(_._1 <= wm)
+          val kept = recent ++ old.sortBy(v => (v._1, v._2)).lastOption.toList
+          state.update(AsOfState(kept, stillBuffered))
+          // without a timeout the function is only invoked for keys
+          // with fresh input — arm an event-time timer so buffered
+          // probes flush once the watermark passes them, exactly the
+          // reference's registered-cleanup-timer pattern
+          // (TemporalRowTimeJoinOperator.registerTimer)
+          if (stillBuffered.nonEmpty)
+            state.setTimeoutTimestamp(math.max(stillBuffered.map(_._1).min, wm + 1))
+          out.iterator
+        })
+  }
+
+  // ---- CEP-lite: A followed-by B within a gap ------------------------
+
+  case class PatternEvent(key: Long, tsMillis: Long, kind: String, id: Long)
+  case class PatternState(pendingA: List[(Long, Long)])
+  case class PatternMatch(key: Long, aId: Long, bId: Long, aTs: Long, bTs: Long)
+
+  /** MATCH_RECOGNIZE-lite (StreamExecMatch / CEP NFA subset): emit a
+    * match whenever a `kindB` event arrives within `gapMillis` of an
+    * unconsumed earlier `kindA` event of the same key — the 2-state
+    * NFA with AFTER MATCH SKIP PAST LAST ROW semantics. Pending A
+    * state older than the gap is pruned on every trigger.
+    */
+  def followedBy(ds: Dataset[PatternEvent], kindA: String, kindB: String,
+      gapMillis: Long): Dataset[PatternMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[PatternEvent], state: GroupState[PatternState]) => {
+          var pending = state.getOption.map(_.pendingA).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[PatternMatch]
+          rows.toSeq.sortBy(e => (e.tsMillis, e.id)).foreach { e =>
+            if (e.kind == kindA) pending = (e.tsMillis, e.id) :: pending
+            else if (e.kind == kindB) {
+              val candidates = pending
+                .filter(a => a._1 <= e.tsMillis && e.tsMillis - a._1 <= gapMillis)
+              candidates.sortBy(a => (a._1, a._2)).lastOption.foreach { a =>
+                out += PatternMatch(key, a._2, e.id, a._1, e.tsMillis)
+                pending = pending.filterNot(_ == a)
+              }
+            }
+            // prune state older than the newest event minus gap
+            pending = pending.filter(a => e.tsMillis - a._1 <= gapMillis)
+          }
+          state.update(PatternState(pending))
+          out.iterator
+        })
+  }
+}

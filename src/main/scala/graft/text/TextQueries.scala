@@ -141,7 +141,16 @@ object TextQueries {
           .as("jaccard"))
   }
 
+  /** MinHash+LSH near-dup candidate pairs (see [[MinHashDedup]]).
+    * Rows-only driver check; the estimator's accuracy is spec-tested
+    * against exact Jaccard on known near-dups.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.candidatePairs(
+      t(s, dir, "documents"), "doc_id", "text", k = 32, bands = 8, threshold = 0.4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash"    -> (dedupMinhash _),
     "q_text_stats"       -> (textStats _),
     "q_text_langid"      -> (langId _),
     "q_text_tokens"      -> (tokenCount _),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FlinkFunctions => F, TextHash, VectorOps}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Expression-semantics tests (analog of the reference's
+  * flink-table-planner expressions test suites): exact values, null
+  * behavior, and algebraic properties of the custom expressions.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint64 is deterministic and content-sensitive") {
+    val a = TextHash.fingerprint64(UTF8String.fromString("hello world"))
+    val b = TextHash.fingerprint64(UTF8String.fromString("hello world"))
+    val c = TextHash.fingerprint64(UTF8String.fromString("hello worlD"))
+    assert(a === b)
+    assert(a !== c)
+    // catalyst expression path returns the same value as the kernel
+    val viaExpr = Seq("hello world").toDF("t")
+      .select(F.fingerprint64($"t")).first().getLong(0)
+    assert(viaExpr === a)
+  }
+
+  test("simhash64: identical texts => distance 0; near-dups close, distinct far") {
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val near = base.replace("lazy", "sleepy")
+    val far = "completely different words entirely unrelated content " * 5
+    val h0 = TextHash.simhash64(UTF8String.fromString(base))
+    val h1 = TextHash.simhash64(UTF8String.fromString(near))
+    val h2 = TextHash.simhash64(UTF8String.fromString(far))
+    assert(TextHash.hamming64(h0, h0) === 0)
+    assert(TextHash.hamming64(h0, h1) < TextHash.hamming64(h0, h2))
+  }
+
+  test("cosine similarity: identity 1, orthogonal 0, scale-invariant") {
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(2f, 4f, 6f))
+    ).toDF("a", "b").select(F.cosineSimilarity($"a", $"b").as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) === 0.0)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("split_index: 0-based, NULL out of range (Flink SPLIT_INDEX semantics)") {
+    val df = Seq("a,b,c").toDF("s").select(
+      F.splitIndex($"s", ",", 1).as("mid"),
+      F.splitIndex($"s", ",", 5).as("oob"))
+    val r = df.first()
+    assert(r.getString(0) === "b")
+    assert(r.isNullAt(1))
+  }
+
+  test("truncateNum truncates toward zero on both signs") {
+    val df = Seq((3.19, -3.19)).toDF("p", "n").select(
+      F.truncateNum($"p", 1), F.truncateNum($"n", 1))
+    val r = df.first()
+    assert(math.abs(r.getDouble(0) - 3.1) < 1e-9)
+    assert(math.abs(r.getDouble(1) - -3.1) < 1e-9)
+  }
+
+  test("temporal_overlaps: overlapping and disjoint periods") {
+    val df = Seq((1, 5, 4, 9), (1, 2, 3, 4)).toDF("s1", "e1", "s2", "e2")
+      .select(F.temporalOverlaps($"s1", $"e1", $"s2", $"e2").as("o"))
+    val got = df.collect().map(_.getBoolean(0))
+    assert(got(0) === true)
+    assert(got(1) === false)
+  }
+
+  test("lsh bucket: deterministic, within bit range") {
+    val v = Array.fill(8)(0.5f)
+    val b1 = VectorOps.lshBucket(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), 8)
+    val b2 = VectorOps.lshBucket(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), 8)
+    assert(b1 === b2)
+    assert(b1 >= 0 && b1 < 256)
+  }
+
+  test("SQL registration exposes flink-name functions") {
+    graft.functions.FlinkFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT split_index('x|y|z', '\\\\|', 2) AS a, fingerprint64('abc') AS b, cot(1.0) AS c")
+      .first()
+    assert(r.getString(0) === "z")
+    assert(r.getLong(1) === TextHash.fingerprint64(UTF8String.fromString("abc")))
+    assert(math.abs(r.getDouble(2) - 1.0 / math.tan(1.0)) < 1e-12)
+  }
+}

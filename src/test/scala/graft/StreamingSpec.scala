@@ -1,0 +1,158 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{StatefulOps, StreamingOps}
+
+/** Structured Streaming harness tests (analog of the reference's
+  * runtime/harness operator tests): drive MemoryStream batches with
+  * controlled event times and assert per-batch state/output.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"graft_stream_$qn" }
+
+  test("tumbling window agg with watermark drops late data") {
+    val input = MemoryStream[(Timestamp, Long, Double)](1, spark, None)
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingOps.tumbleAgg(events, "ts", "5 minutes", "10 minutes", "user_id")
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, 1.0), (ts(4), 1L, 2.0), (ts(11), 1L, 3.0))
+      q.processAllAvailable()
+      // advance watermark past 10:10 + 5min lateness => window [10:00,10:10) closes
+      input.addData((ts(21), 2L, 9.0))
+      q.processAllAvailable()
+      // this event is behind the watermark (10:16) => dropped
+      input.addData((ts(2), 1L, 100.0))
+      q.processAllAvailable()
+      input.addData((ts(40), 2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("wstart", "user_id", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", 1L, 2L, 3.0)),
+        s"closed window missing or late row leaked: $rows")
+      assert(!rows.exists { case (_, _, _, s) => s == 103.0 },
+        "late data behind watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("session window agg merges within gap") {
+    val input = MemoryStream[(Timestamp, Long, Double)](2, spark, None)
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingOps.sessionAgg(events, "ts", "0 seconds", "10 minutes", "user_id")
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(30), 1L, 4.0))
+      q.processAllAvailable()
+      input.addData((ts(59), 9L, 0.0)) // push watermark, close sessions
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .filter($"user_id" === 1L)
+        .select("wstart", "wend", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0", 2L, 3.0),
+        ("2024-01-01 10:30:00.0", "2024-01-01 10:40:00.0", 1L, 4.0)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by key") {
+    val input = MemoryStream[(Timestamp, Long, Double)](3, spark, None)
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val dedup = StreamingOps.dedupWithinWatermark(events, "ts", "30 minutes", "user_id")
+    val name = nextName()
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, 1.0), (ts(2), 1L, 2.0), (ts(3), 2L, 3.0))
+      q.processAllAvailable()
+      val n = spark.table(name).count()
+      assert(n === 2, s"expected 2 distinct users, got $n")
+    } finally q.stop()
+  }
+
+  test("stateful TopN re-emits ranking on improvement") {
+    val input = MemoryStream[StatefulOps.ScoredEvent](4, spark, None)
+    val top = StatefulOps.topNPerKey(input.toDS(), 2)
+    val name = nextName()
+    val q = top.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(StatefulOps.ScoredEvent(1, 10.0, 100))
+      q.processAllAvailable()
+      input.addData(StatefulOps.ScoredEvent(1, 5.0, 101))   // enters at rank 2
+      q.processAllAvailable()
+      input.addData(StatefulOps.ScoredEvent(1, 7.0, 102))   // displaces 101
+      q.processAllAvailable()
+      input.addData(StatefulOps.ScoredEvent(1, 1.0, 103))   // below topN => no emit
+      q.processAllAvailable()
+      val batches = spark.table(name).as[StatefulOps.TopNEmit].collect()
+      val finalTop = batches.takeRight(2).map(e => (e.rank, e.id)).toSet
+      assert(finalTop === Set((1, 100L), (2, 102L)), batches.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming as-of join matches latest version at or before probe") {
+    val input = MemoryStream[StatefulOps.AsOfEvent](5, spark, None)
+    val tagged = input.toDF()
+      .withColumn("eventTime", timestamp_millis($"tsMillis"))
+      .withWatermark("eventTime", "0 seconds")
+      .as[StatefulOps.AsOfEvent]
+    val joined = StatefulOps.asOfJoin(tagged)
+    val name = nextName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // build versions at t=1000, 3000; probe at t=2500
+      input.addData(
+        StatefulOps.AsOfEvent(1, 1000, 0, 11),
+        StatefulOps.AsOfEvent(1, 3000, 0, 13),
+        StatefulOps.AsOfEvent(1, 2500, 1, 99))
+      q.processAllAvailable()
+      // advance watermark beyond 2500 so the probe emits
+      input.addData(StatefulOps.AsOfEvent(2, 10000, 0, 0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.AsOfEvent(2, 20000, 0, 0))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[StatefulOps.AsOfMatch].collect()
+      val m = rows.find(_.probeId == 99).getOrElse(fail(s"probe not emitted: ${rows.mkString}"))
+      assert(m.buildId === Some(11L), s"wrong version: $m")
+    } finally q.stop()
+  }
+
+  test("CEP followed-by matches within gap only") {
+    val input = MemoryStream[StatefulOps.PatternEvent](6, spark, None)
+    val matches = StatefulOps.followedBy(input.toDS(), "view", "purchase", gapMillis = 5000)
+    val name = nextName()
+    val q = matches.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StatefulOps.PatternEvent(1, 1000, "view", 1),
+        StatefulOps.PatternEvent(1, 3000, "purchase", 2), // within 5s => match
+        StatefulOps.PatternEvent(2, 1000, "view", 3))
+      q.processAllAvailable()
+      input.addData(
+        StatefulOps.PatternEvent(2, 90000, "purchase", 4)) // 89s later => no match
+      q.processAllAvailable()
+      val rows = spark.table(name).as[StatefulOps.PatternMatch].collect()
+      assert(rows.map(m => (m.key, m.aId, m.bId)).toSet === Set((1L, 1L, 2L)), rows.mkString(","))
+    } finally q.stop()
+  }
+}
