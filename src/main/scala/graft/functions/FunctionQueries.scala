@@ -109,13 +109,20 @@ object FunctionQueries {
       md5(col("text").cast("binary")).as("h_md5"),
       sha2(col("text").cast("binary"), 256).as("h_sha256"))
 
-  /** JSON functions (:1883-2017) over the events.props JSON column. */
+  /** JSON functions (:1883-2017) over the events.props JSON column.
+    * One from_json parse feeds all extractions (3 separate
+    * get_json_object calls would re-parse the document per column —
+    * 3× the CPU on the 100 TB path).
+    */
   def fnJson(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
-      col("event_id"),
-      get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-      get_json_object(col("props"), "$.missing").as("miss"),
-      get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
+    t(s, dir, "events")
+      .withColumn("__j", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT, missing STRING")))
+      .select(
+        col("event_id"),
+        col("__j.k").as("k_int"),
+        col("__j.missing").as("miss"),
+        col("__j.k").isNotNull.cast("int").as("has_k"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string"   -> (fnString _),
