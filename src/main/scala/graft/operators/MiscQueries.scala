@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Remaining operator-inventory entries (SURVEY.md §2):
+  * window join (StreamExecWindowJoin), lookup join
+  * (BatchExecLookupJoin / LookupJoinRunner), positional UNNEST
+  * (UnnestRowsFunction WITH ORDINALITY), changelog upsert
+  * materialization (SinkUpsertMaterializer / ChangelogNormalize) and
+  * temporal sort (StreamExecTemporalSort).
+  */
+object MiscQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Window join (WindowJoinOperator.java: join rows of two streams
+    * that fall in the SAME tumbling window): both sides get their
+    * window assigned first, then an equi-join on (window, key). State
+    * for a window is droppable at window end — in batch this is a
+    * plain co-partitioned join on (wstart, user).
+    */
+  def windowJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), window(col("ts"), "1 hour").as("w"), col("event_id").as("click_id"))
+      .select(col("user_id"), col("w.start").as("wstart"), col("click_id"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("u2"), window(col("ts"), "1 hour").as("w"), col("event_id").as("error_id"))
+      .select(col("u2"), col("w.start").as("wstart2"), col("error_id"))
+    clicks.join(errors,
+        col("user_id") === col("u2") && col("wstart") === col("wstart2"))
+      .groupBy(col("user_id"), col("wstart"))
+      .agg(countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("error_id")).as("n_errors"))
+  }
+
+  /** Lookup join (LookupJoinRunner): per-record enrichment against a
+    * dimension table — in Spark the dimension snapshot is broadcast
+    * once per micro-batch/stage instead of per-record RPCs; the probe
+    * side streams through unshuffled.
+    */
+  def lookupJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "nation").join(t(s, dir, "region"),
+      col("n_regionkey") === col("r_regionkey"))
+    t(s, dir, "supplier")
+      .join(broadcast(dim), col("s_nationkey") === col("n_nationkey"), "left")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("r_name"))
+  }
+
+  /** UNNEST WITH ORDINALITY (posexplode). */
+  def unnestPos(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "tok_pos")
+      .withColumnRenamed("col", "tok")
+
+  /** Changelog upsert materialization (SinkUpsertMaterializer /
+    * ChangelogNormalize): treat the event stream as an upsert
+    * changelog keyed by user_id and materialize the latest value per
+    * key — keep-last-row by event time. The streaming twin is
+    * flatMapGroupsWithState keep-last; in batch it is a window-prune
+    * that Spark executes as WindowGroupLimit (no full sort).
+    */
+  def upsertLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
+
+  /** Temporal sort (StreamExecTemporalSort: event-time ordered
+    * emission): batch shape = global sort by (ts, id) — Spark range-
+    * partitions via sampling, so the sort scales out instead of
+    * single-threading.
+    */
+  def temporalSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 90)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  /** Multimodal pipeline (graft.multimodal): binary media column →
+    * stub decode → per-media metadata joined with stub features.
+    * Rows-only driver check; kernels and shapes are spec-tested.
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MultimodalOps
+    val media = MultimodalOps.syntheticMedia(t(s, dir, "documents"))
+    val dec = MultimodalOps.decode(media).toDF()
+    val feats = MultimodalOps.extractFeatures(media, dim = 16).toDF()
+    dec.join(feats, Seq("media_id"))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"), col("n_bytes"), size(col("embedding")).as("feat_dim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_decode" -> (multimodalDecode _),
+    "q_window_join"  -> (windowJoin _),
+    "q_lookup_join"  -> (lookupJoin _),
+    "q_unnest_pos"   -> (unnestPos _),
+    "q_upsert_last"  -> (upsertLast _),
+    "q_temporal_sort" -> (temporalSort _))
+
+  val oracle: Map[String, String] = Map(
+    "q_window_join" ->
+      """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS wstart, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id AS u2, date_trunc('hour', ts) AS wstart2, event_id AS error_id
+        |      FROM events WHERE event_type = 'error')
+        |SELECT user_id, wstart,
+        |  count(DISTINCT click_id) AS n_clicks, count(DISTINCT error_id) AS n_errors
+        |FROM c JOIN e ON user_id = u2 AND wstart = wstart2
+        |GROUP BY user_id, wstart""".stripMargin,
+    "q_lookup_join" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier
+        |LEFT JOIN (SELECT * FROM nation JOIN region ON n_regionkey = r_regionkey) d
+        |  ON s_nationkey = n_nationkey""".stripMargin,
+    "q_unnest_pos" ->
+      """SELECT doc_id,
+        |  generate_subscripts(string_split(text, ' '), 1) - 1 AS tok_pos,
+        |  unnest(string_split(text, ' ')) AS tok
+        |FROM documents WHERE doc_id < 20""".stripMargin,
+    "q_upsert_last" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  value AS last_value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_temporal_sort" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 90
+        |ORDER BY ts, event_id""".stripMargin)
+}
