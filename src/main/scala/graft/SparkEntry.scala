@@ -19,14 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BatchQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
-      MiscQueries.queries ++
+      MiscQueries.queries ++ TpchQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.sim.SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
-      MiscQueries.oracle ++
+      MiscQueries.oracle ++ TpchQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.sim.SimilarityQueries.oracle
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-H-shaped end-to-end queries (the reference's e2e battery:
+  * flink-end-to-end-tests/test-scripts/test_tpch.sh) adapted to the
+  * driver's star-schema columns. These are the multi-join bench
+  * headliners — each one exercises join order, broadcast selection,
+  * partial aggregation and top-k in a single plan.
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  /** Q3 shape — shipping priority. */
+  def q3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1996-03-15")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Q5 shape — local supplier volume per nation. */
+  def q5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  /** Q10 shape — returned-item revenue per customer. */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Q18 shape — large-volume customers (agg-in-semijoin). */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val big = l.groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(col("l_quantity")).as("tot_qty"))
+      .filter(col("tot_qty") > 150)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("bk"), "left_semi")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3"  -> (q3 _),
+    "q_tpch_q5"  -> (q5 _),
+    "q_tpch_q10" -> (q10 _),
+    "q_tpch_q18" -> (q18 _))
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 150)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice""".stripMargin)
+}
