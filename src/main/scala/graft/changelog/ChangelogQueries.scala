@@ -1,0 +1,52 @@
+package graft.changelog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Changelog-tier queries. The events table is interpreted as an
+  * upsert history keyed by user_id (each event = the user's new
+  * current row). Semantic gate: retract-aggregating the DERIVED
+  * changelog must equal directly aggregating the FINAL state — which
+  * is exactly what the DuckDB oracle computes, so the oracle checks
+  * the retraction algebra end-to-end.
+  */
+object ChangelogQueries {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+
+  def changelogAgg(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromUpserts(base(s, dir),
+      keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")))
+    Changelog.aggregateRetract(log, Seq("event_type"), Seq("value"))
+  }
+
+  def changelogNormalize(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromUpserts(base(s, dir),
+      keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")))
+    Changelog.normalize(log, Seq("user_id"), Seq(col("ts"), col("event_id")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changelog_agg"       -> (changelogAgg _),
+    "q_changelog_normalize" -> (changelogNormalize _))
+
+  val oracle: Map[String, String] = Map(
+    // retract-agg over the changelog == aggregate of final state
+    "q_changelog_agg" ->
+      """SELECT event_type, count(*) AS cnt, sum(value) AS sum_value
+        |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 GROUP BY event_type""".stripMargin,
+    "q_changelog_normalize" ->
+      """SELECT user_id, ts, event_id, event_type, value
+        |FROM (SELECT user_id, ts, event_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin)
+}
