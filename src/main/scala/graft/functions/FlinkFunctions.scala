@@ -24,6 +24,12 @@ object FlinkFunctions {
 
   // ---- native-expression wrappers -----------------------------------
 
+  // AbstractDataType/ImplicitCastInputTypes are private[sql], so the
+  // wrappers coerce explicitly with Cast nodes.
+  private def asLong(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    if (e.dataType == org.apache.spark.sql.types.LongType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.LongType)
+
   def fingerprint64(c: Column): Column = toCol(Fingerprint64(toExpr(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -32,7 +38,7 @@ object FlinkFunctions {
     toCol(DotProduct(toExpr(a), toExpr(b)))
   def lshBucket(c: Column, nBits: Int): Column = toCol(LshBucket(toExpr(c), nBits))
   def hamming64(a: Column, b: Column): Column =
-    toCol(HammingDistance64(toExpr(a), toExpr(b)))
+    toCol(HammingDistance64(asLong(toExpr(a)), asLong(toExpr(b))))
 
   // ---- composed gap-fillers (Flink semantics over Spark built-ins) --
 
@@ -85,7 +91,7 @@ object FlinkFunctions {
     reg1("simhash64") { es => SimHash64(es.head) }
     reg1("cosine_similarity") { es => CosineSimilarity(es(0), es(1)) }
     reg1("dot_product") { es => DotProduct(es(0), es(1)) }
-    reg1("hamming64") { es => HammingDistance64(es(0), es(1)) }
+    reg1("hamming64") { es => HammingDistance64(asLong(es(0)), asLong(es(1))) }
     // raw catalyst trees here: Column-built trees would smuggle
     // unresolved ColumnNodes past the analyzer
     reg1("cot") { es =>
