@@ -101,5 +101,27 @@ object FlinkFunctions {
       expressions.GetArrayItem(
         expressions.StringSplit(es(0), es(1), expressions.Literal(-1)), es(2))
     }
+    // Flink spellings of functions Spark has under other names
+    // (BuiltInFunctionDefinitions TO_BASE64/FROM_BASE64/SHA224/TRUNCATE)
+    reg1("to_base64") { es => expressions.Base64(expressions.Cast(es.head,
+      org.apache.spark.sql.types.BinaryType)) }
+    reg1("from_base64") { es => expressions.Cast(expressions.UnBase64(es.head),
+      org.apache.spark.sql.types.StringType) }
+    reg1("sha224") { es => expressions.Sha2(expressions.Cast(es.head,
+      org.apache.spark.sql.types.BinaryType), expressions.Literal(224)) }
+    reg1("truncate") { es =>
+      val x = expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType)
+      val p = expressions.Pow(expressions.Literal(10.0),
+        expressions.Cast(es(1), org.apache.spark.sql.types.DoubleType))
+      val scaled = expressions.Multiply(x, p)
+      // toward-zero truncation: floor(x*p)/p for x>=0, -floor(-x*p)/p otherwise
+      expressions.Divide(
+        expressions.If(
+          expressions.GreaterThanOrEqual(x, expressions.Literal(0.0)),
+          expressions.Cast(expressions.Floor(scaled), org.apache.spark.sql.types.DoubleType),
+          expressions.UnaryMinus(expressions.Cast(expressions.Floor(
+            expressions.UnaryMinus(scaled)), org.apache.spark.sql.types.DoubleType))),
+        p)
+    }
   }
 }

@@ -106,8 +106,8 @@ object TextQueries {
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = t(s, dir, "documents")
-      .select(col("doc_id"), F.simhash64(col("text")).as("sig"),
-        shiftrightunsigned(F.simhash64(col("text")), 56).as("block"))
+      .select(col("doc_id"), F.simhash64(col("text")).as("sig"))
+      .withColumn("block", shiftrightunsigned(col("sig"), 56))
     val a = sigs.select(col("block"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("block").as("block_b"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, col("block") === col("block_b") && col("id_a") < col("id_b"))

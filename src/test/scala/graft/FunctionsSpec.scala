@@ -89,5 +89,12 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(0) === "z")
     assert(r.getLong(1) === TextHash.fingerprint64(UTF8String.fromString("abc")))
     assert(math.abs(r.getDouble(2) - 1.0 / math.tan(1.0)) < 1e-12)
+    val r2 = spark.sql(
+      """SELECT to_base64('hi') AS b, from_base64(to_base64('hi')) AS rt,
+        |  truncate(-3.19, 1) AS tn, sha224('x') AS sh""".stripMargin).first()
+    assert(r2.getString(0) === "aGk=")
+    assert(r2.getString(1) === "hi")
+    assert(math.abs(r2.getDouble(2) - -3.1) < 1e-9)
+    assert(r2.getString(3).length === 56)
   }
 }
