@@ -72,13 +72,106 @@ object TpchQueries {
       .agg(sum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Q4 shape — EXISTS with correlated range condition (semi join
+    * with residual predicate).
+    */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(
+      col("o_orderdate") >= ts("1996-07-01") && col("o_orderdate") < ts("1996-10-01"))
+    val l = t(s, dir, "lineitem")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q6 shape — pure filter + global aggregate (the pushdown
+    * benchmark: every predicate reaches the parquet scan).
+    */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Q14 shape — conditional aggregation (promo revenue share). */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0))
+        / sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("promo_revenue"))
+
+  /** Q2 shape — correlated scalar subquery (max balance supplier per
+    * nation; exercises Catalyst decorrelation, SURVEY §4).
+    */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier s
+        |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin)
+  }
+
+  /** Q22 shape — above-average balance and no orders (scalar avg
+    * subquery + anti join).
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2"  -> (q2 _),
     "q_tpch_q3"  -> (q3 _),
+    "q_tpch_q4"  -> (q4 _),
     "q_tpch_q5"  -> (q5 _),
+    "q_tpch_q6"  -> (q6 _),
     "q_tpch_q10" -> (q10 _),
-    "q_tpch_q18" -> (q18 _))
+    "q_tpch_q14" -> (q14 _),
+    "q_tpch_q18" -> (q18 _),
+    "q_tpch_q22" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier s
+        |WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
