@@ -21,12 +21,14 @@ object SparkEntry {
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
       MiscQueries.queries ++ TpchQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
-      graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries
+      graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
+      graft.cep.CepOps.queries
 
   def oracleSql: Map[String, String] =
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
       MiscQueries.oracle ++ TpchQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
-      graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle
+      graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++
+      graft.cep.CepOps.oracle
 }
