@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,7 +34,8 @@ class DatagenSource extends TableProvider {
     new DatagenTable(
       opts.getInt("partitions", 4),
       opts.getLong("rowsPerPartition", 1000L),
-      opts.getLong("seed", 42L))
+      opts.getLong("seed", 42L),
+      opts.getLong("maxRows", Long.MaxValue))
   }
 }
 
@@ -53,12 +55,12 @@ object DatagenSource {
   }
 }
 
-private class DatagenTable(partitions: Int, rowsPerPartition: Long, seed: Long)
+private class DatagenTable(partitions: Int, rowsPerPartition: Long, seed: Long, maxRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"datagen($partitions x $rowsPerPartition, seed=$seed)"
   override def schema(): StructType = DatagenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -73,8 +75,86 @@ private class DatagenTable(partitions: Int, rowsPerPartition: Long, seed: Long)
                 new DatagenReader(p.asInstanceOf[DatagenPartition])
             }
         }
+        // unbounded micro-batch stream: each trigger advances the
+        // global row offset by partitions × rowsPerPartition
+        // (rowsPerPartition acts as rows-per-trigger-per-split,
+        // like the reference datagen's rows-per-second)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new DatagenMicroBatchStream(partitions, rowsPerPartition, seed, maxRows)
       }
     }
+}
+
+private case class DatagenOffset(n: Long) extends Offset {
+  override def json(): String = s"""{"n":$n}"""
+}
+
+/** Micro-batch stream over the same deterministic row space: offsets
+  * are global row counts; each trigger emits the next
+  * partitions × rowsPerPartition rows split evenly across readers
+  * (StreamExecTableSourceScan's unbounded-scan analog).
+  */
+private class DatagenMicroBatchStream(partitions: Int, rowsPerTrigger: Long, seed: Long,
+    maxRows: Long)
+    extends MicroBatchStream {
+  private var latest = 0L
+
+  override def initialOffset(): Offset = DatagenOffset(0L)
+  override def latestOffset(): Offset = {
+    // bounded by maxRows so drain-style queries (processAllAvailable)
+    // terminate; unbounded when the option is unset
+    latest = math.min(latest + partitions * rowsPerTrigger, maxRows)
+    DatagenOffset(latest)
+  }
+  override def deserializeOffset(json: String): Offset =
+    DatagenOffset("""\d+""".r.findFirstIn(json).get.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DatagenOffset].n
+    val e = end.asInstanceOf[DatagenOffset].n
+    val total = e - s
+    if (total <= 0) Array.empty
+    else {
+      val per = (total + partitions - 1) / partitions
+      (0 until partitions).flatMap { i =>
+        val from = s + i * per
+        val until = math.min(from + per, e)
+        if (from < until) Some(DatagenRangePartition(from, until, seed): InputPartition)
+        else None
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new DatagenRangeReader(p.asInstanceOf[DatagenRangePartition])
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class DatagenRangePartition(from: Long, until: Long, seed: Long)
+    extends InputPartition
+
+private class DatagenRangeReader(p: DatagenRangePartition)
+    extends PartitionReader[InternalRow] {
+  private var id = p.from - 1
+  private val keys = Array("alpha", "beta", "gamma", "delta").map(UTF8String.fromString)
+  private val baseMicros = 1704067200000000L
+
+  override def next(): Boolean = { id += 1; id < p.until }
+  override def get(): InternalRow = {
+    val h = DatagenSource.mix(p.seed ^ id)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    row.setLong(0, id)
+    row.setLong(1, baseMicros + id * 1000000L)
+    row.update(2, keys(math.floorMod(h, keys.length.toLong).toInt))
+    row.setDouble(3, (h >>> 11).toDouble / (1L << 53).toDouble * 100.0)
+    row
+  }
+  override def close(): Unit = ()
 }
 
 private case class DatagenPartition(idx: Int, rows: Long, seed: Long)

@@ -25,6 +25,21 @@ class DatagenSourceSpec extends SparkSpec {
     assert(df.select("key").distinct().count() === 4)
   }
 
+  test("micro-batch stream emits deterministic rows across triggers") {
+    val stream = spark.readStream.format("graft.sources.DatagenSource")
+      .option("partitions", 2).option("rowsPerPartition", 50)
+      .option("maxRows", 300).load()
+    val q = stream.writeStream.format("memory").queryName("gen_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val df = spark.table("gen_stream")
+      assert(df.count() === 300, s"stream must drain exactly maxRows rows")
+      assert(df.select("id").distinct().count() === 300, "ids must be unique")
+      assert(df.groupBy("key").count().count() === 4)
+    } finally q.stop()
+  }
+
   test("aggregates over generated event time") {
     val n = gen(2, 200)
       .groupBy(window(col("ts"), "1 minute"), col("key"))
