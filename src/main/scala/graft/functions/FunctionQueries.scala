@@ -110,19 +110,17 @@ object FunctionQueries {
       sha2(col("text").cast("binary"), 256).as("h_sha256"))
 
   /** JSON functions (:1883-2017) over the events.props JSON column.
-    * One from_json parse feeds all extractions (3 separate
-    * get_json_object calls would re-parse the document per column —
-    * 3× the CPU on the 100 TB path).
+    * Measured at sf0.1: three get_json_object probes beat one
+    * from_json struct parse on short documents (3.8s vs 7.7s) — the
+    * SIMD-ish path scanner wins until documents grow; revisit if the
+    * corpus carries large JSON payloads.
     */
   def fnJson(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("__j", from_json(col("props"),
-        org.apache.spark.sql.types.StructType.fromDDL("k INT, missing STRING")))
-      .select(
-        col("event_id"),
-        col("__j.k").as("k_int"),
-        col("__j.missing").as("miss"),
-        col("__j.k").isNotNull.cast("int").as("has_k"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+      get_json_object(col("props"), "$.missing").as("miss"),
+      get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string"   -> (fnString _),

@@ -1,0 +1,42 @@
+package graft
+
+/** Remaining §2.8 catalog exceptions that DuckDB 1.0 cannot oracle:
+  * PARSE_URL, OVERLAY, STR_TO_MAP, BIN/HEX/CONV, ENCODE/DECODE —
+  * exact-value spec checks against the Spark built-ins that carry
+  * their semantics.
+  */
+class ExtraFunctionsSpec extends SparkSpec {
+
+  test("parse_url extracts host/path/query parts") {
+    val r = spark.sql(
+      """SELECT parse_url('https://example.com:8080/docs/a?x=1&y=2', 'HOST') AS h,
+        |  parse_url('https://example.com:8080/docs/a?x=1&y=2', 'PATH') AS p,
+        |  parse_url('https://example.com:8080/docs/a?x=1&y=2', 'QUERY', 'y') AS q""".stripMargin)
+      .first()
+    assert(r.getString(0) === "example.com")
+    assert(r.getString(1) === "/docs/a")
+    assert(r.getString(2) === "2")
+  }
+
+  test("overlay replaces a substring in place") {
+    val r = spark.sql("SELECT overlay('SparkSQL' PLACING '_' FROM 6) AS o").first()
+    assert(r.getString(0) === "Spark_QL")
+  }
+
+  test("str_to_map parses delimited pairs") {
+    val r = spark.sql("SELECT str_to_map('a:1,b:2', ',', ':') AS m").first()
+    assert(r.getMap[String, String](0) === Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("bin/hex/conv number bases") {
+    val r = spark.sql("SELECT bin(10) AS b, hex(255) AS h, conv('ff', 16, 10) AS c").first()
+    assert(r.getString(0) === "1010")
+    assert(r.getString(1) === "FF")
+    assert(r.getString(2) === "255")
+  }
+
+  test("encode/decode round-trip") {
+    val r = spark.sql("SELECT decode(encode('héllo', 'UTF-8'), 'UTF-8') AS s").first()
+    assert(r.getString(0) === "héllo")
+  }
+}
