@@ -55,7 +55,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt interleaves its own logging into stdout, which broke the
+    // driver's JSON parse in round 1 — also write the line to a file.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/tmp/graft_bench.json")).foreach { p =>
+      val w = new java.io.PrintWriter(new java.io.File(p))
+      try w.println(json) finally w.close()
+    }
+    println(json)
     spark.stop()
   }
 }

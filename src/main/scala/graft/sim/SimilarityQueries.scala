@@ -81,20 +81,34 @@ object SimilarityQueries {
     "q_sim_lsh_ann"  -> (lshAnn _),
     "q_sim_adjacent" -> (cosineAdjacent _))
 
+  // DuckDB's list_cosine_similarity accumulates in FLOAT; our native
+  // expression upcasts each element and accumulates in DOUBLE. The
+  // ~1e-7 disagreement flipped the driver's 1e-2 rounding at .xx5
+  // boundaries (round-1 hash fails). Oracle therefore computes
+  // dot/norms explicitly in DOUBLE via lambdas — bit-identical math.
+  private val dotD =
+    "list_sum(list_transform(range(1, len(%A)+1), i -> %A[i]::DOUBLE * %B[i]::DOUBLE))"
+  private val normD =
+    "sqrt(list_sum(list_transform(%A, x -> x::DOUBLE * x::DOUBLE)))"
+  private def cosD(a: String, b: String): String =
+    dotD.replace("%A", a).replace("%B", b) +
+      " / (" + normD.replace("%A", a) + " * " + normD.replace("%A", b) + ")"
+
   val oracle: Map[String, String] = Map(
     "q_sim_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id % 50 = 0),
         |scored AS (
-        |  SELECT q_id, vec_id,
-        |    list_cosine_similarity(q_emb, embedding) AS cos,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY list_cosine_similarity(q_emb, embedding) DESC, vec_id) AS rnk
+        |  SELECT q_id, vec_id, ${cosD("q_emb", "embedding")} AS cos
         |  FROM embeddings CROSS JOIN q
-        |  WHERE vec_id <> q_id)
-        |SELECT q_id, vec_id, cos, rnk FROM scored WHERE rnk <= 5""".stripMargin,
+        |  WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
     "q_sim_adjacent" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_cosine_similarity(a.embedding, b.embedding) AS cos
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${cosD("a.embedding", "b.embedding")} AS cos
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin)
 }

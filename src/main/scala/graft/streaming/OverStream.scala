@@ -18,7 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object OverStream {
 
   case class TimedValue(key: Long, tsMillis: Long, id: Long, value: Double)
-  case class OverState(rows: List[(Long, Long, Double)]) // (ts, id, value)
+  /** `rows` = buffered (ts, id, value); `lastEmittedTs` tracks the
+    * emission frontier so rows retained purely as frame context (those
+    * with ts > wm - range) are never re-emitted on a later trigger —
+    * the reference emits each row exactly once from its timer
+    * (RowTimeRangeBoundedPrecedingFunction.java:214).
+    */
+  case class OverState(rows: List[(Long, Long, Double)], lastEmittedTs: Long)
   case class OverEmit(key: Long, id: Long, tsMillis: Long, frameSum: Double, frameCount: Int)
 
   def rangeSumPreceding(ds: Dataset[TimedValue], rangeMillis: Long): Dataset[OverEmit] = {
@@ -26,22 +32,28 @@ object OverStream {
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: Long, rows: Iterator[TimedValue], state: GroupState[OverState]) => {
-          val buffered = state.getOption.map(_.rows).getOrElse(Nil) ++
-            rows.map(r => (r.tsMillis, r.id, r.value))
+          val prior = state.getOption.getOrElse(OverState(Nil, Long.MinValue))
+          val buffered = prior.rows ++ rows.map(r => (r.tsMillis, r.id, r.value))
           val wm = state.getCurrentWatermarkMs()
-          val (ready, pending) = buffered.partition(_._1 <= wm)
+          // emit rows whose frame is complete (ts <= wm) and that were
+          // not already emitted on an earlier trigger (ts > frontier)
+          val ready = buffered.filter(r => r._1 <= wm && r._1 > prior.lastEmittedTs)
           val sortedAll = buffered.sortBy(r => (r._1, r._2))
           val out = ready.sortBy(r => (r._1, r._2)).map { case (ts, id, _) =>
             val frame = sortedAll.filter(r => r._1 <= ts && r._1 > ts - rangeMillis)
             OverEmit(key, id, ts, frame.map(_._3).sum, frame.size)
           }
-          // retain: pending rows + emitted rows still inside a future
-          // row's possible frame (ts > wm - range)
-          val retained = buffered.filter(r => r._1 > wm - rangeMillis) ++
-            pending.filter(r => r._1 <= wm - rangeMillis)
-          state.update(OverState(retained.distinct))
-          if (pending.nonEmpty)
-            state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          // retain rows still inside a future row's possible frame
+          // (this includes every pending row, since pending ts > wm)
+          val retained = buffered.filter(r => r._1 > wm - rangeMillis)
+          // frontier advances with the watermark: everything at or
+          // below wm is now emitted (or late, and dropped — the
+          // reference's cleanup timer drops those too)
+          val frontier = math.max(prior.lastEmittedTs, wm)
+          state.update(OverState(retained.distinct, frontier))
+          val pendingTs = retained.filter(_._1 > wm).map(_._1)
+          if (pendingTs.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pendingTs.min, wm + 1))
           out.iterator
         })
   }
