@@ -1,17 +1,24 @@
 package graft.cep
 
 /** MATCH_RECOGNIZE pattern core (SURVEY.md §2.7 MATCH_RECOGNIZE;
-  * reference engine: flink-cep nfa/NFA.java, 1123 LoC — re-scoped to
-  * the subset the reference's SQL surface uses most: a linear
-  * pattern of quantified steps, greedy matching, AFTER MATCH SKIP
-  * PAST LAST ROW).
+  * reference engine: flink-cep nfa/NFA.java, 1123 LoC, and
+  * AfterMatchSkipStrategy.java).
   *
-  * The automaton runs per key over event-time-ordered rows; state is
-  * a position in the step list plus captured rows, so memory is
-  * O(current match length) — the same bound as the reference's
-  * SharedBuffer for linear patterns.
+  * Round 2 scope: full pattern AST — concatenation, alternation
+  * `(A | B)`, grouping, greedy and reluctant quantifiers
+  * (`+ * ? {m,n}` and `+? *?`), `WITHIN` time bounds, and the four
+  * AFTER MATCH skip strategies (PAST LAST ROW, TO NEXT ROW,
+  * TO FIRST var, TO LAST var).
+  *
+  * The automaton runs per key over event-time-ordered rows via a
+  * backtracking matcher in continuation-passing style; preference
+  * order (greedy/reluctant, alternative order) matches SQL:2016 row
+  * pattern matching. State is O(current match length) — the same
+  * bound as the reference's SharedBuffer for these patterns.
   */
 object Nfa {
+
+  // ---- legacy linear-step surface (round 1), kept as a wrapper ----
 
   sealed trait Quant
   /** exactly one */
@@ -25,59 +32,136 @@ object Nfa {
 
   final case class Step[E](name: String, pred: E => Boolean, quant: Quant = One)
 
-  /** All non-overlapping greedy matches (AFTER MATCH SKIP PAST LAST
-    * ROW): scan left to right; at each position try to match the full
-    * pattern greedily with backtracking; on success emit the captures
-    * and resume after the match's last row.
+  /** Round-1 API: linear steps, greedy, AFTER MATCH SKIP PAST LAST
+    * ROW. Symbols that matched zero rows are present with Nil (the
+    * old contract).
     */
   def matchAll[E](events: IndexedSeq[E], steps: List[Step[E]]): List[Map[String, List[E]]] = {
-    val out = scala.collection.mutable.ListBuffer.empty[Map[String, List[E]]]
+    val pat = Cat(steps.map { s =>
+      val (lo, hi) = s.quant match {
+        case One => (1, 1)
+        case Plus => (1, Int.MaxValue)
+        case Star => (0, Int.MaxValue)
+        case Times(mn, mx) => (mn, mx)
+      }
+      if (lo == 1 && hi == 1) Sym(s.name, s.pred)
+      else Rep(Sym(s.name, s.pred), lo, hi, greedy = true)
+    })
+    val names = steps.map(_.name)
+    matchAllPat(events, pat).map { m =>
+      names.map(n => n -> m.caps.getOrElse(n, Nil)).toMap
+    }
+  }
+
+  // ---- pattern AST ----
+
+  sealed trait Pat[E]
+  /** one row matching `pred`, captured under `name` */
+  final case class Sym[E](name: String, pred: E => Boolean) extends Pat[E]
+  /** concatenation */
+  final case class Cat[E](parts: List[Pat[E]]) extends Pat[E]
+  /** ordered alternation — earlier choices preferred (SQL:2016) */
+  final case class Alt[E](choices: List[Pat[E]]) extends Pat[E]
+  /** quantifier: min..max repetitions; greedy tries more first,
+    * reluctant (`+?`/`*?`) tries fewer first
+    */
+  final case class Rep[E](inner: Pat[E], min: Int, max: Int, greedy: Boolean = true) extends Pat[E]
+
+  // ---- AFTER MATCH skip strategies (AfterMatchSkipStrategy.java) ----
+
+  sealed trait Skip
+  /** resume after the last row of the match (default) */
+  case object SkipPastLastRow extends Skip
+  /** resume at the row after the match's first row — overlapping matches */
+  case object SkipToNextRow extends Skip
+  /** resume at the first row captured by `v` */
+  final case class SkipToFirst(v: String) extends Skip
+  /** resume at the last row captured by `v` */
+  final case class SkipToLast(v: String) extends Skip
+
+  /** One match: [start, end) row indices, per-symbol captured rows,
+    * and per-symbol captured row indices (for skip-to resolution and
+    * positional measures).
+    */
+  final case class PatMatch[E](start: Int, end: Int,
+      caps: Map[String, List[E]], idx: Map[String, List[Int]])
+
+  private type Caps[E] = Map[String, List[(Int, E)]]
+
+  /** All matches of `pat` under `skip`, with optional `within`
+    * (event-time span bound: every row's ts minus the first row's ts
+    * must be <= withinMillis — partial matches exceeding it are
+    * pruned during the scan, like the reference's WITHIN timer).
+    */
+  def matchAllPat[E](events: IndexedSeq[E], pat: Pat[E],
+      skip: Skip = SkipPastLastRow,
+      within: Option[(E => Long, Long)] = None): List[PatMatch[E]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[PatMatch[E]]
     var i = 0
     while (i < events.length) {
-      tryMatch(events, i, steps) match {
+      tryMatch(events, i, pat, within) match {
         case Some((end, caps)) if end > i =>
-          out += caps
-          i = end
-        case Some((_, caps)) => // zero-width match (all-Star pattern): advance one
-          i += 1
-        case None =>
+          val byName = caps.map { case (n, xs) => n -> xs.map(_._2) }
+          val idx = caps.map { case (n, xs) => n -> xs.map(_._1) }
+          out += PatMatch(i, end, byName, idx)
+          val next = skip match {
+            case SkipPastLastRow => end
+            case SkipToNextRow => i + 1
+            case SkipToFirst(v) => idx.get(v).flatMap(_.headOption).getOrElse(end)
+            case SkipToLast(v) => idx.get(v).flatMap(_.lastOption).getOrElse(end)
+          }
+          if (next <= i)
+            // the reference throws for a skip target that cannot
+            // advance (AfterMatchSkipStrategy#isValid); mirror it
+            throw new IllegalStateException(
+              s"AFTER MATCH $skip does not advance past row $i — infinite loop")
+          i = next
+        case _ => // no match or zero-width (all-optional pattern): advance one
           i += 1
       }
     }
     out.toList
   }
 
-  /** Greedy backtracking match of `steps` starting at `from`.
-    * Returns (exclusive end index, captures) on success.
+  /** Backtracking match of `pat` at `from` in SQL:2016 preference
+    * order; first success wins. Returns (exclusive end, captures).
     */
-  private def tryMatch[E](events: IndexedSeq[E], from: Int,
-      steps: List[Step[E]]): Option[(Int, Map[String, List[E]])] = {
+  private def tryMatch[E](events: IndexedSeq[E], from: Int, pat: Pat[E],
+      within: Option[(E => Long, Long)]): Option[(Int, Caps[E])] = {
 
-    def attempt(pos: Int, remaining: List[Step[E]],
-        acc: Map[String, List[E]]): Option[(Int, Map[String, List[E]])] =
-      remaining match {
-        case Nil => Some((pos, acc))
-        case step :: rest =>
-          val (lo, hi) = step.quant match {
-            case One => (1, 1)
-            case Plus => (1, Int.MaxValue)
-            case Star => (0, Int.MaxValue)
-            case Times(mn, mx) => (mn, mx)
-          }
-          // greedy: consume as many as possible, then backtrack down to lo
-          var n = 0
-          while (n < hi && pos + n < events.length && step.pred(events(pos + n))) n += 1
-          var k = n
-          while (k >= lo) {
-            val taken = (0 until k).map(j => events(pos + j)).toList
-            attempt(pos + k, rest, acc + (step.name -> taken)) match {
-              case s @ Some(_) => return s
-              case None => k -= 1
-            }
-          }
-          None
-      }
+    // WITHIN prunes any branch that consumes a row too far from the
+    // match's first row
+    def inWindow(pos: Int): Boolean = within match {
+      case None => true
+      case Some((ts, w)) => ts(events(pos)) - ts(events(from)) <= w
+    }
 
-    attempt(from, steps, Map.empty)
+    def go(p: Pat[E], pos: Int, caps: Caps[E],
+        cont: (Int, Caps[E]) => Option[(Int, Caps[E])]): Option[(Int, Caps[E])] = p match {
+      case Sym(name, pred) =>
+        if (pos < events.length && inWindow(pos) && pred(events(pos)))
+          cont(pos + 1, caps.updated(name,
+            caps.getOrElse(name, Nil) :+ ((pos, events(pos)))))
+        else None
+      case Cat(Nil) => cont(pos, caps)
+      case Cat(h :: t) =>
+        go(h, pos, caps, (p2, c2) => go(Cat(t), p2, c2, cont))
+      case Alt(choices) =>
+        choices.view.flatMap(c => go(c, pos, caps, cont)).headOption
+      case Rep(inner, min, max, greedy) =>
+        def loop(count: Int, pos: Int, caps: Caps[E]): Option[(Int, Caps[E])] = {
+          def more: Option[(Int, Caps[E])] =
+            if (count >= max) None
+            else go(inner, pos, caps, (p2, c2) =>
+              if (p2 == pos) None // zero-width inner: stop recursing
+              else loop(count + 1, p2, c2))
+          def stop: Option[(Int, Caps[E])] =
+            if (count >= min) cont(pos, caps) else None
+          if (greedy) more.orElse(stop) else stop.orElse(more)
+        }
+        loop(0, pos, caps)
+    }
+
+    go(pat, from, Map.empty, (end, caps) => Some((end, caps)))
   }
 }

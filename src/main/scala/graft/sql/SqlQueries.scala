@@ -1,0 +1,90 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Driver queries exercised through the SQL front door — the text a
+  * user of the reference would actually type (Flink SQL dialect),
+  * parsed by [[GraftSql]]/[[MatchRecognizeSql]] and executed on the
+  * same operators the DSL queries use. Each has a DuckDB oracle, so
+  * the SQL path itself is hash-checked, not just the operators.
+  */
+object SqlQueries {
+
+  /** MATCH_RECOGNIZE in SQL:2016 syntax — same semantics as
+    * q_cep_quantified (PATTERN (V+ P), greedy, skip past last row).
+    */
+  def matchRecognizeSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES
+        |    COUNT(V.*) AS n_views,
+        |    FIRST(V.event_id) AS first_view,
+        |    P.event_id AS purchase_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    P AS event_type = 'purchase'
+        |) AS mr""".stripMargin)
+  }
+
+  /** SESSION window TVF in SQL — rewritten onto Spark's
+    * session_window grouping by the pre-parser.
+    */
+  def sessionSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT window_start AS wstart, window_end AS wend, user_id,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end, user_id""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_match_recognize" -> (matchRecognizeSql _),
+    "q_sql_session"         -> (sessionSql _))
+
+  val oracle: Map[String, String] = Map(
+    // identical gaps-and-islands formulation as the DSL twin queries —
+    // the SQL text must land on the same result set
+    "q_sql_match_recognize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ordered),
+        |v AS (SELECT user_id, island, count(*) AS n_views,
+        |        arg_min(event_id, rn) AS first_view, max(rn) AS last_rn
+        |      FROM isl WHERE event_type = 'view' GROUP BY user_id, island),
+        |p AS (SELECT user_id, event_id AS purchase_id, rn FROM isl
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, v.n_views, v.first_view, p.purchase_id
+        |FROM p JOIN v ON v.user_id = p.user_id AND v.last_rn = p.rn - 1""".stripMargin,
+    "q_sql_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT min(ts) AS wstart, max(ts) + INTERVAL '10 minutes' AS wend,
+        |  user_id, count(*) AS n, sum(value) AS sum_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin)
+}

@@ -57,4 +57,78 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getString(0) === "a")
     assert(r.getInt(1) === 2)
   }
+
+  // ---- round-2: tokenizer-based pre-parser (aliased / nested TVF calls) ----
+
+  test("aliased TVF call: TABLE(TUMBLE(...)) AS w with qualified refs") {
+    prep()
+    val viaSql = GraftSql.sql(spark,
+      """SELECT w.window_start, w.window_end, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) AS w
+        |GROUP BY w.window_start, w.window_end""".stripMargin)
+    val expect = operators.TvfQueries.tumble(spark, sfDir)
+      .groupBy(col("wstart"), col("wend")).agg(sum("n").as("n"))
+    assert(viaSql.count() === expect.count())
+  }
+
+  test("nested TVF source: TUMBLE over a parenthesized subquery") {
+    prep()
+    val viaSql = GraftSql.sql(spark,
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE (SELECT * FROM events WHERE event_type = 'view'),
+        |                  DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start""".stripMargin)
+    val expect = GraftSql.sql(spark,
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |WHERE event_type = 'view'
+        |GROUP BY window_start""".stripMargin)
+    assert(viaSql.exceptAll(expect).count() === 0)
+    assert(viaSql.count() === expect.count())
+  }
+
+  test("SESSION TVF rewrites onto session_window grouping") {
+    prep()
+    val viaSql = GraftSql.sql(spark,
+      """SELECT window_start AS wstart, window_end AS wend, user_id,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM TABLE(SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end, user_id""".stripMargin)
+    val viaDsl = operators.TvfQueries.session(spark, sfDir)
+    assert(viaSql.count() === viaDsl.count())
+    assert(viaSql.exceptAll(viaDsl.toDF(viaSql.columns: _*)).count() === 0)
+  }
+
+  test("MATCH_RECOGNIZE SQL matches the DSL CEP query") {
+    prep()
+    val viaSql = GraftSql.sql(spark,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(V.*) AS n_views, FIRST(V.event_id) AS first_view,
+        |           P.event_id AS purchase_id
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V+ P)
+        |  DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+    val viaDsl = graft.cep.CepOps.viewRunsThenPurchase(spark, sfDir)
+    assert(viaSql.count() === viaDsl.count())
+    assert(viaSql.exceptAll(viaDsl.toDF(viaSql.columns: _*)).count() === 0)
+  }
+
+  test("MATCH_RECOGNIZE with alternation, WITHIN and SKIP TO NEXT ROW parses and runs") {
+    prep()
+    val df = GraftSql.sql(spark,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES COUNT(A.*) AS n_actions, LAST(P.ts) AS purchase_ts
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN ((A | B)+ P) WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'click', B AS event_type = 'view',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+    assert(df.columns.toSeq === Seq("user_id", "n_actions", "purchase_ts"))
+    assert(df.count() > 0)
+  }
 }

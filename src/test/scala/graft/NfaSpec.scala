@@ -46,4 +46,71 @@ class NfaSpec extends SparkSpec {
     assert(Nfa.matchAll("aaa".toIndexedSeq,
       steps(("A", 'a', Plus), ("B", 'b', One))).isEmpty)
   }
+
+  // ---- round-2 AST surface: alternation, skip strategies, reluctant, WITHIN ----
+
+  private def sym(n: String, c: Char) = Nfa.Sym[Char](n, _ == c)
+
+  test("alternation: (A | B)+ C prefers earlier choice, captures per symbol") {
+    val pat = Nfa.Cat(List(
+      Nfa.Rep(Nfa.Alt(List(sym("A", 'a'), sym("B", 'b'))), 1, Int.MaxValue),
+      sym("C", 'c')))
+    val m = Nfa.matchAllPat("abbac".toIndexedSeq, pat)
+    assert(m.length === 1)
+    assert(m.head.caps("A") === List('a', 'a'))
+    assert(m.head.caps("B") === List('b', 'b'))
+    assert(m.head.idx("A") === List(0, 3))
+  }
+
+  test("SKIP TO NEXT ROW yields overlapping matches") {
+    // pattern A A over "aaaa": PAST LAST ROW gives 2 matches, TO NEXT ROW gives 3
+    val pat = Nfa.Cat(List(sym("A1", 'a'), sym("A2", 'a')))
+    val past = Nfa.matchAllPat("aaaa".toIndexedSeq, pat, Nfa.SkipPastLastRow)
+    val next = Nfa.matchAllPat("aaaa".toIndexedSeq, pat, Nfa.SkipToNextRow)
+    assert(past.map(m => (m.start, m.end)) === List((0, 2), (2, 4)))
+    assert(next.map(m => (m.start, m.end)) === List((0, 2), (1, 3), (2, 4)))
+  }
+
+  test("SKIP TO LAST var resumes at the last row of that variable") {
+    // A+ B over "aabaab": SKIP TO LAST A resumes at the final 'a' of
+    // the previous match, which then can't complete -> same matches as
+    // PAST LAST ROW here, but the resume position is observable with
+    // pattern A B over "ababab" skipping to LAST A (== start) -> throws
+    val pat = Nfa.Cat(List(Nfa.Rep(sym("A", 'a'), 1, Int.MaxValue), sym("B", 'b')))
+    // first match [0,3) A=[a,a] B=b; resume at idx of last A = 1 -> match [1,3)
+    // A=[a] B=b; resume at last A = 1 again -> no advance -> throws like the
+    // reference's AfterMatchSkipStrategy validation
+    assertThrows[IllegalStateException](
+      Nfa.matchAllPat("aabab".toIndexedSeq, pat, Nfa.SkipToLast("A")))
+  }
+
+  test("SKIP TO FIRST var on a non-stalling pattern") {
+    // A B+ over "abba": SKIP TO FIRST B resumes at first b of the match
+    val pat = Nfa.Cat(List(sym("A", 'a'), Nfa.Rep(sym("B", 'b'), 1, Int.MaxValue)))
+    val m = Nfa.matchAllPat("abba".toIndexedSeq, pat, Nfa.SkipToFirst("B"))
+    assert(m.map(x => (x.start, x.end)) === List((0, 3)))
+  }
+
+  test("reluctant A+? stops at the minimum that lets the rest match") {
+    val greedy = Nfa.Cat(List(Nfa.Rep(sym("A", 'a'), 1, Int.MaxValue, greedy = true), sym("B", 'a')))
+    val reluctant = Nfa.Cat(List(Nfa.Rep(sym("A", 'a'), 1, Int.MaxValue, greedy = false), sym("B", 'a')))
+    val g = Nfa.matchAllPat("aaaa".toIndexedSeq, greedy)
+    val r = Nfa.matchAllPat("aaaa".toIndexedSeq, reluctant)
+    assert(g.head.caps("A").length === 3) // greedy: 3 a's + B takes the 4th
+    assert(r.head.caps("A").length === 1) // reluctant: 1 a + B, twice
+    assert(r.length === 2)
+  }
+
+  test("WITHIN prunes matches that span too much event time") {
+    // events are (char, ts); pattern A B WITHIN 10
+    case class E(c: Char, ts: Long)
+    val pat = Nfa.Cat(List(
+      Nfa.Sym[E]("A", _.c == 'a'), Nfa.Sym[E]("B", _.c == 'b')))
+    val evs = IndexedSeq(E('a', 0), E('b', 5), E('a', 100), E('b', 200))
+    val bounded = Nfa.matchAllPat(evs, pat, Nfa.SkipPastLastRow, Some(((e: E) => e.ts, 10L)))
+    val unbounded = Nfa.matchAllPat(evs, pat)
+    assert(unbounded.length === 2)
+    assert(bounded.length === 1) // (a@100, b@200) spans 100 > 10 -> pruned
+    assert(bounded.head.idx("A") === List(0))
+  }
 }
