@@ -69,6 +69,28 @@ object Changelog {
       .filter(col("cnt") > 0)
   }
 
+  /** Retraction-aware aggregate WITH max/min — the batch twin of the
+    * reference's MaxWithRetractAggFunction.java / MinWithRetract...:
+    * max/min under deletes need the live value multiset, not a signed
+    * scalar. Two-stage: net count per (group, value) — dead values
+    * (net 0) drop out — then max/min/sum/count over live values.
+    * Both stages are partial+final hash aggregates; the multiset
+    * never materializes per group, so skewed groups don't OOM.
+    */
+  def aggregateRetractMinMax(changelog: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val perValue = changelog
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(sign).as("__vcnt"))
+      .filter(col("__vcnt") > 0)
+    perValue
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__vcnt")).as("cnt"),
+        sum(col(valueCol) * col("__vcnt")).as(s"sum_$valueCol"),
+        max(col(valueCol)).as(s"max_$valueCol"),
+        min(col(valueCol)).as(s"min_$valueCol"))
+  }
+
   /** Collapse a changelog to its current state: latest non-retract
     * row per key, deletes removed.
     */

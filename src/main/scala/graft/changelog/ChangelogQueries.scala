@@ -29,9 +29,21 @@ object ChangelogQueries {
     Changelog.normalize(log, Seq("user_id"), Seq(col("ts"), col("event_id")))
   }
 
+  /** Max/min under retraction: the derived changelog (with its -U
+    * rows) must yield the same max/min as the final state — the batch
+    * twin of MaxWithRetractAggFunction (a deleted max falls back to
+    * the next live value).
+    */
+  def changelogMaxRetract(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromUpserts(base(s, dir),
+      keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")))
+    Changelog.aggregateRetractMinMax(log, Seq("event_type"), "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_changelog_agg"       -> (changelogAgg _),
-    "q_changelog_normalize" -> (changelogNormalize _))
+    "q_changelog_agg"        -> (changelogAgg _),
+    "q_changelog_normalize"  -> (changelogNormalize _),
+    "q_changelog_maxretract" -> (changelogMaxRetract _))
 
   val oracle: Map[String, String] = Map(
     // retract-agg over the changelog == aggregate of final state
@@ -48,5 +60,13 @@ object ChangelogQueries {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+    "q_changelog_maxretract" ->
+      """SELECT event_type, count(*) AS cnt, sum(value) AS sum_value,
+        |  max(value) AS max_value, min(value) AS min_value
+        |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 GROUP BY event_type""".stripMargin)
 }
