@@ -68,17 +68,48 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
-/** Random-hyperplane LSH bucket id for an ARRAY<FLOAT> vector. */
-case class LshBucket(child: Expression, nBits: Int)
+/** Random-hyperplane LSH bucket id for an ARRAY<FLOAT> vector.
+  * `seed` picks an independent hyperplane family (multi-table LSH).
+  */
+case class LshBucket(child: Expression, nBits: Int, seed: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    VectorOps.lshBucket(v.asInstanceOf[ArrayData], nBits)
+    VectorOps.lshBucket(v.asInstanceOf[ArrayData], nBits, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.lshBucket($c, $nBits)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.lshBucket($c, $nBits, $seed)")
   override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
   override def prettyName: String = "lsh_bucket"
+}
+
+/** Wide random-hyperplane signature (`nBits` sign bits packed into
+  * ARRAY<BIGINT>) — the popcount-prefilter side of ANN rerank.
+  */
+case class LshSignature(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.lshSignatureData(v.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.lshSignatureData($c, $nBits)")
+  override protected def withNewChildInternal(c: Expression): LshSignature = copy(child = c)
+  override def prettyName: String = "lsh_signature"
+}
+
+/** Hamming distance between two packed signatures (ARRAY<BIGINT>). */
+case class HammingSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.hammingSig(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.hammingSig($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingSignature =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_sig"
 }
 
 /** Hamming distance between two 64-bit signatures (for SimHash

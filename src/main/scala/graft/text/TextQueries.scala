@@ -99,22 +99,42 @@ object TextQueries {
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dup"))
 
-  /** SimHash near-dup candidate pairs: signatures within Hamming
-    * distance 16, blocked by the signature's top byte so comparison
-    * stays within buckets instead of all-pairs. Rows-only (no SQL
-    * oracle); mechanism spec-tested.
+  /** SimHash near-dup candidate pairs via multi-band blocking: the
+    * 64-bit signature splits into `bands` equal slices; a pair is a
+    * candidate if ANY band matches exactly (union of `bands`
+    * bucket-joins, computed as one join on (band, value)). Round 1
+    * blocked on a single top byte, which misses ~3/4 of Hamming-16
+    * pairs; with b bands of 64/b bits a distance-d pair collides
+    * unless every band contains a differing bit — recall rises
+    * steeply with b (spec-tested ≥ 0.9 at d ≤ 16 with 16 bands).
+    * Shuffle volume is |docs|·bands longs; no all-pairs anywhere.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = t(s, dir, "documents")
+  def simhashPairs(docs: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = docs
       .select(col("doc_id"), F.simhash64(col("text")).as("sig"))
-      .withColumn("block", shiftrightunsigned(col("sig"), 56))
-    val a = sigs.select(col("block"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("block").as("block_b"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, col("block") === col("block_b") && col("id_a") < col("id_b"))
-      .withColumn("hd", F.hamming64(col("sig_a"), col("sig_b")))
-      .filter(col("hd") <= 16)
-      .select(col("id_a"), col("id_b"), col("hd"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(bd =>
+          struct(lit(bd).as("band"),
+            shiftrightunsigned(col("sig"), bd * width).bitwiseAND(lit(mask)).as("bval"))): _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"), col("e.bval").as("bval"))
+    val a = sigs.select(col("band"), col("bval"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("bval"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        F.hamming64(col("sig_a"), col("sig_b")).as("hd"))
+      .filter(col("hd") <= maxHamming)
+      .dropDuplicates("id_a", "id_b") // pair may collide in several bands
   }
+
+  /** Driver query: 8 bands (8-bit values — 256+ buckets per band at
+    * scale) at Hamming ≤ 16. Rows-only (no SQL oracle); recall is
+    * spec-tested against brute force.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(t(s, dir, "documents"), bands = 8, maxHamming = 16)
 
   /** Word-3-gram Jaccard similarity of adjacent doc_id pairs —
     * SQL-expressible slice of n-gram near-dup detection, exact
