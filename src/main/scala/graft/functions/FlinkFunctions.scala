@@ -78,6 +78,48 @@ object FlinkFunctions {
   def ifNull(a: Column, b: Column): Column = coalesce(a, b)
   def sha224(c: Column): Column = sha2(c, 224)
 
+  // ---- SQL:2016 JSON surface (BuiltInFunctionDefinitions.java:1883-2017) --
+
+  /** JSON_OBJECT(k VALUE v, ...) with NULL ON NULL (the SQL:2016
+    * default): null values serialize as `"k":null`, hence
+    * ignoreNullFields=false.
+    */
+  def jsonObject(pairs: (String, Column)*): Column =
+    to_json(struct(pairs.map { case (k, c) => c.as(k) }: _*),
+      Map("ignoreNullFields" -> "false"))
+
+  /** JSON_ARRAY(v, ...) with ABSENT ON NULL (the SQL:2016 default):
+    * null elements are dropped.
+    */
+  def jsonArray(vs: Column*): Column =
+    to_json(filter(array(vs: _*), _.isNotNull))
+
+  /** JSON_VALUE(json, path): scalar extraction. */
+  def jsonValue(c: Column, path: String): Column = get_json_object(c, path)
+
+  /** JSON_QUERY(json, path): extraction of objects/arrays as JSON
+    * text (get_json_object returns the serialized subtree for
+    * non-scalar matches).
+    */
+  def jsonQuery(c: Column, path: String): Column = get_json_object(c, path)
+
+  /** JSON_EXISTS(json, path). */
+  def jsonExists(c: Column, path: String): Column =
+    get_json_object(c, path).isNotNull
+
+  /** JSON_OBJECTAGG(k VALUE v): one JSON object per group. SQL leaves
+    * member order implementation-defined; keys sort ascending here so
+    * results are deterministic (and oracle-comparable).
+    */
+  def jsonObjectAgg(k: Column, v: Column): Column =
+    to_json(map_from_entries(sort_array(collect_list(struct(k, v)))))
+
+  /** JSON_ARRAYAGG(v): one JSON array per group, elements sorted
+    * ascending for determinism.
+    */
+  def jsonArrayAgg(v: Column): Column =
+    to_json(sort_array(collect_list(v)))
+
   /** Register the SQL-name surface so `spark.sql` text can call the
     * Flink-only names directly. Registration goes through the
     * Catalyst function registry (expression builders), not
@@ -112,6 +154,34 @@ object FlinkFunctions {
       org.apache.spark.sql.types.StringType) }
     reg1("sha224") { es => expressions.Sha2(expressions.Cast(es.head,
       org.apache.spark.sql.types.BinaryType), expressions.Literal(224)) }
+    // SQL:2016 JSON surface (BuiltInFunctionDefinitions.java:1883-2017).
+    // json_object takes alternating key/value args (the KEY k VALUE v
+    // SQL syntax is Flink-parser-only); aggregates nest a
+    // CollectList AggregateExpression inside scalar JSON shaping,
+    // which Spark plans as agg + project.
+    reg1("json_value") { es => expressions.GetJsonObject(es(0), es(1)) }
+    reg1("json_query") { es => expressions.GetJsonObject(es(0), es(1)) }
+    reg1("json_exists") { es => expressions.IsNotNull(expressions.GetJsonObject(es(0), es(1))) }
+    reg1("json_object") { es =>
+      expressions.StructsToJson(Map("ignoreNullFields" -> "false"),
+        expressions.CreateNamedStruct(es))
+    }
+    reg1("json_array") { es =>
+      expressions.StructsToJson(Map.empty[String, String], expressions.CreateArray(es))
+    }
+    reg1("json_objectagg") { es =>
+      expressions.StructsToJson(Map.empty[String, String],
+        expressions.MapFromEntries(expressions.SortArray(
+          expressions.aggregate.CollectList(
+            expressions.CreateStruct(Seq(es(0), es(1)))).toAggregateExpression(),
+          expressions.Literal(true))))
+    }
+    reg1("json_arrayagg") { es =>
+      expressions.StructsToJson(Map.empty[String, String],
+        expressions.SortArray(
+          expressions.aggregate.CollectList(es.head).toAggregateExpression(),
+          expressions.Literal(true)))
+    }
     reg1("truncate") { es =>
       val x = expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType)
       val p = expressions.Pow(expressions.Literal(10.0),

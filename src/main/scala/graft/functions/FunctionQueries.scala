@@ -122,13 +122,45 @@ object FunctionQueries {
       get_json_object(col("props"), "$.missing").as("miss"),
       get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
 
+  /** SQL:2016 JSON constructors/extractors
+    * (BuiltInFunctionDefinitions.java:1883-1961): JSON_OBJECT with
+    * NULL ON NULL, JSON_ARRAY, JSON_VALUE, JSON_EXISTS over
+    * events.props.
+    */
+  def fnJson2(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{FlinkFunctions => F}
+    t(s, dir, "events").select(
+      col("event_id"),
+      F.jsonObject(
+        "k" -> get_json_object(col("props"), "$.k").cast("int"),
+        "u" -> col("user_id")).as("obj"),
+      F.jsonArray(col("event_id"), col("user_id")).as("arr"),
+      F.jsonValue(col("props"), "$.k").as("jv"),
+      F.jsonExists(col("props"), "$.k").cast("int").as("je"))
+  }
+
+  /** JSON_OBJECTAGG / JSON_ARRAYAGG (:1969-2017): per-user object of
+    * event-type counts and sorted count array.
+    */
+  def fnJsonAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{FlinkFunctions => F}
+    val sub = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    sub.groupBy(col("user_id")).agg(
+      F.jsonObjectAgg(col("event_type"), col("n")).as("obj"),
+      F.jsonArrayAgg(col("n")).as("arr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string"   -> (fnString _),
     "q_fn_math"     -> (fnMath _),
     "q_fn_datetime" -> (fnDatetime _),
     "q_fn_cond"     -> (fnCond _),
     "q_fn_hash"     -> (fnHash _),
-    "q_fn_json"     -> (fnJson _))
+    "q_fn_json"     -> (fnJson _),
+    "q_fn_json2"    -> (fnJson2 _),
+    "q_fn_jsonagg"  -> (fnJsonAgg _))
 
   val oracle: Map[String, String] = Map(
     "q_fn_string" ->
@@ -209,5 +241,25 @@ object FunctionQueries {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         |  json_extract_string(props, '$.missing') AS miss,
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS has_k
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    // DuckDB's json_object emits the same compact text as Spark's
+    // to_json ({"k":3,"u":5}); nulls render as "k":null on both sides
+    "q_fn_json2" ->
+      """SELECT event_id,
+        |  json_object('k', CAST(json_extract_string(props, '$.k') AS INT),
+        |              'u', user_id)::VARCHAR AS obj,
+        |  json_array(event_id, user_id)::VARCHAR AS arr,
+        |  json_extract_string(props, '$.k') AS jv,
+        |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS je
+        |FROM events""".stripMargin,
+    // member order is implementation-defined in SQL:2016; both sides
+    // sort (keys asc / values asc) so the text is deterministic
+    "q_fn_jsonagg" ->
+      """WITH sub AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}' AS obj,
+        |  '[' || string_agg(n::VARCHAR, ',' ORDER BY n) || ']' AS arr
+        |FROM sub GROUP BY user_id""".stripMargin)
 }

@@ -39,4 +39,32 @@ class ExtraFunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT decode(encode('héllo', 'UTF-8'), 'UTF-8') AS s").first()
     assert(r.getString(0) === "héllo")
   }
+
+  test("SQL:2016 JSON scalar functions by SQL name") {
+    graft.functions.FlinkFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT json_value('{"a":{"b":2}}', '$.a.b') AS jv,
+        |  json_query('{"a":{"b":2}}', '$.a') AS jq,
+        |  CAST(json_exists('{"a":1}', '$.a') AS INT) AS je,
+        |  CAST(json_exists('{"a":1}', '$.z') AS INT) AS jn,
+        |  json_object('k', 1, 'm', CAST(NULL AS INT)) AS jo,
+        |  json_array(3, 1, 2) AS ja""".stripMargin).first()
+    assert(r.getString(0) === "2")
+    assert(r.getString(1) === """{"b":2}""")
+    assert(r.getInt(2) === 1)
+    assert(r.getInt(3) === 0)
+    assert(r.getString(4) === """{"k":1,"m":null}""") // NULL ON NULL
+    assert(r.getString(5) === "[3,1,2]")
+  }
+
+  test("SQL:2016 JSON aggregate functions by SQL name") {
+    graft.functions.FlinkFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT g, json_objectagg(k, v) AS jo, json_arrayagg(v) AS ja
+        |FROM VALUES (1, 'b', 20), (1, 'a', 10), (2, 'c', 30) AS t(g, k, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r(0).getString(1) === """{"a":10,"b":20}""") // keys sorted
+    assert(r(0).getString(2) === "[10,20]")
+    assert(r(1).getString(1) === """{"c":30}""")
+  }
 }
