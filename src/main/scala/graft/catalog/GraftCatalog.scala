@@ -21,10 +21,38 @@ object GraftCatalog {
   private val CreateTable: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*""".r
 
+  import graft.operators.ConstraintEnforcer.LengthConstraint
+
+  /** NOT NULL + CHAR/VARCHAR length constraints parsed from DDL,
+    * applied at write time by [[enforced]] (the reference plans its
+    * ConstraintEnforcer in front of every sink — CommonExecSink).
+    */
+  final case class TableConstraints(notNull: Seq[String], lengths: Seq[LengthConstraint])
+
+  private val tableConstraints =
+    scala.collection.concurrent.TrieMap.empty[String, TableConstraints]
+
+  def constraintsOf(table: String): TableConstraints =
+    tableConstraints.getOrElse(table, TableConstraints(Nil, Nil))
+
+  /** Apply the table's DDL constraints to a DataFrame bound for its
+    * sink (ERROR on nulls, TRIM_PAD on lengths — the reference's
+    * defaults are ERROR/ERROR; pass modes explicitly to override).
+    */
+  def enforced(table: String, df: org.apache.spark.sql.DataFrame,
+      notNullMode: graft.operators.ConstraintEnforcer.NotNullMode =
+        graft.operators.ConstraintEnforcer.ErrorOnNull,
+      lengthMode: graft.operators.ConstraintEnforcer.LengthMode =
+        graft.operators.ConstraintEnforcer.TrimPad): org.apache.spark.sql.DataFrame = {
+    val tc = constraintsOf(table)
+    graft.operators.ConstraintEnforcer.enforce(df, tc.notNull, notNullMode, tc.lengths, lengthMode)
+  }
+
+  private val CharType: Regex = """(?i)(VAR)?CHAR\s*\(\s*(\d+)\s*\)""".r
+
   /** Flink type spellings → Spark DDL types. */
   private def mapType(t: String): String = {
     val up = t.trim.toUpperCase
-    val noPrec = up.replaceAll("""\(\s*\d+\s*(,\s*\d+\s*)?\)""", "$0")
     up match {
       case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") => "STRING"
       case s if s.startsWith("TIMESTAMP_LTZ") => "TIMESTAMP"
@@ -38,16 +66,24 @@ object GraftCatalog {
     """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
       .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
 
-  private def parseSchema(cols: String): StructType = {
+  private def parseSchema(cols: String): (StructType, TableConstraints) = {
     // split on top-level commas (no nested generics handled this round)
-    val fields = cols.split(",").map(_.trim).filter(_.nonEmpty)
+    val defs = cols.split(",").map(_.trim).filter(_.nonEmpty)
       // skip computed columns / watermark clauses
       .filterNot(c => c.toUpperCase.startsWith("WATERMARK"))
-      .map { c =>
-        val parts = c.split("\\s+", 2)
-        s"${parts(0)} ${mapType(parts(1))}"
+    val notNull = Seq.newBuilder[String]
+    val lengths = Seq.newBuilder[LengthConstraint]
+    val fields = defs.map { c =>
+      val parts = c.split("\\s+", 2)
+      val (name, typeAndRest) = (parts(0), parts(1))
+      if (typeAndRest.toUpperCase.contains("NOT NULL")) notNull += name
+      CharType.findFirstMatchIn(typeAndRest).foreach { m =>
+        lengths += LengthConstraint(name, m.group(2).toInt, pad = m.group(1) == null)
       }
-    StructType.fromDDL(fields.mkString(", "))
+      val typeOnly = typeAndRest.replaceAll("(?i)\\s*NOT\\s+NULL\\s*", " ").trim
+      s"$name ${mapType(typeOnly)}"
+    }
+    (StructType.fromDDL(fields.mkString(", ")), TableConstraints(notNull.result(), lengths.result()))
   }
 
   /** Execute a CREATE TABLE statement: the table becomes a temp view
@@ -56,13 +92,15 @@ object GraftCatalog {
   def executeDdl(spark: SparkSession, ddl: String): Unit = ddl match {
     case CreateTable(name, cols, opts) =>
       val options = parseOptions(opts)
+      val parsed = if (cols.trim.nonEmpty) Some(parseSchema(cols)) else None
+      parsed.foreach { case (_, tc) => tableConstraints.put(name, tc) }
       val df: DataFrame = options.getOrElse("connector",
           sys.error("missing 'connector' option")) match {
         case "filesystem" =>
           val fmt = options.getOrElse("format", "parquet")
           val reader = spark.read.format(fmt)
           val withSchema =
-            if (cols.trim.nonEmpty) reader.schema(parseSchema(cols)) else reader
+            parsed.map(p => reader.schema(p._1)).getOrElse(reader)
           val r2 = if (fmt == "csv") withSchema.option("header",
             options.getOrElse("csv.header", "false")) else withSchema
           r2.load(options("path"))

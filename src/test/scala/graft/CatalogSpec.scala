@@ -29,4 +29,52 @@ class CatalogSpec extends SparkSpec {
         |WITH ('connector' = 'datagen', 'partitions' = '2', 'rowsPerPartition' = '10')""".stripMargin)
     assert(spark.table("gen_ddl").count() === 20)
   }
+
+  // ---- sink constraint enforcement (ConstraintEnforcer.java) ----
+
+  import org.apache.spark.sql.functions._
+  import graft.operators.ConstraintEnforcer
+  import graft.operators.ConstraintEnforcer._
+
+  test("DDL records NOT NULL and CHAR-length constraints") {
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE con_ddl (
+         |  id BIGINT NOT NULL,
+         |  code CHAR(5),
+         |  name VARCHAR(8)
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$sfDir/nation.parquet', 'format' = 'parquet')""".stripMargin)
+    val tc = GraftCatalog.constraintsOf("con_ddl")
+    assert(tc.notNull === Seq("id"))
+    assert(tc.lengths === Seq(
+      LengthConstraint("code", 5, pad = true),
+      LengthConstraint("name", 8, pad = false)))
+  }
+
+  test("NOT NULL enforcement: ERROR raises, DROP filters") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "x"), (None: Option[Long], "y")).toDF("id", "v")
+    val dropped = ConstraintEnforcer.enforce(df, notNull = Seq("id"), notNullMode = DropRow)
+    assert(dropped.count() === 1)
+    val err = intercept[Exception](
+      ConstraintEnforcer.enforce(df, notNull = Seq("id"), notNullMode = ErrorOnNull).collect())
+    assert(err.getMessage.contains("NOT NULL") ||
+      Option(err.getCause).exists(_.getMessage.contains("NOT NULL")))
+  }
+
+  test("CHAR-length enforcement: TRIM_PAD pads CHAR, trims both; ERROR raises") {
+    import spark.implicits._
+    val df = Seq(("ab", "toolongvalue"), ("abcdefgh", "ok")).toDF("code", "name")
+    val fixed = ConstraintEnforcer.enforce(df,
+      lengths = Seq(LengthConstraint("code", 5, pad = true), LengthConstraint("name", 8, pad = false)),
+      lengthMode = TrimPad)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(fixed === List(("ab   ", "toolongv"), ("abcde", "ok")))
+    val err = intercept[Exception](
+      ConstraintEnforcer.enforce(df,
+        lengths = Seq(LengthConstraint("name", 8, pad = false)),
+        lengthMode = ErrorOnOversize).collect())
+    assert(err.getMessage.contains("VARCHAR") ||
+      Option(err.getCause).exists(_.getMessage.contains("VARCHAR")))
+  }
 }
