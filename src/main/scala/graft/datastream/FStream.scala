@@ -31,7 +31,85 @@ final case class FStream[T](ds: Dataset[T]) {
   def assignWatermark(tsCol: String, delay: String): FStream[T] =
     FStream(ds.withWatermark(tsCol, delay).as[T](ds.encoder))
 
+  /** DataStream.connect (DataStream.java:253): two typed streams, one
+    * downstream operator seeing both. Encoded as a tagged union so the
+    * merged stream shuffles once on the common key.
+    */
+  def connect[B](other: FStream[B])(
+      implicit e: Encoder[CoRecord[T, B]]): FConnectedStream[T, B] =
+    FConnectedStream(
+      ds.map(a => CoRecord[T, B](Some(a), None))
+        .union(other.ds.map(b => CoRecord[T, B](None, Some(b)))))
+
+  /** Broadcast-state pattern (BroadcastProcessFunction): every element
+    * of this stream sees the whole (small) control stream. The control
+    * side is collected and broadcast to executors — the same
+    * replicate-the-small-side plan a broadcast join produces, exposed
+    * imperatively. Control must be bounded (it is the rule/config
+    * stream in the reference's pattern too).
+    */
+  def withBroadcast[C, U: Encoder](control: Dataset[C])(f: (T, Seq[C]) => U): FStream[U] = {
+    val rules = control.sparkSession.sparkContext.broadcast(control.collect().toSeq)
+    FStream(ds.map(t => f(t, rules.value)))
+  }
+
+  /** Side outputs (ProcessFunction ctx.output(tag, ...)): one logical
+    * pass classifies every element to the main (Left) or side (Right)
+    * output. Caller should persist `ds` upstream if recomputation
+    * matters — Spark's DAG re-evaluates per sink, the same trade the
+    * reference's side outputs avoid via its push runtime.
+    */
+  def sideOutput[U: Encoder, V: Encoder](f: T => Either[U, V])(
+      implicit e: Encoder[CoRecord[U, V]]): (FStream[U], FStream[V]) = {
+    val tagged = ds.map(t => f(t) match {
+      case Left(u) => CoRecord[U, V](Some(u), None)
+      case Right(v) => CoRecord[U, V](None, Some(v))
+    })
+    (FStream(tagged.filter(_.left.isDefined).map(_.left.get)),
+      FStream(tagged.filter(_.right.isDefined).map(_.right.get)))
+  }
+
+  /** DataStream.coGroup (DataStream.java:720): per-key iterators of
+    * both inputs — Spark's KeyValueGroupedDataset.cogroup is the
+    * exact operator (one co-partitioned shuffle).
+    */
+  def coGroup[B, K: Encoder, U: Encoder](other: FStream[B])(
+      k1: T => K, k2: B => K)(
+      f: (K, Iterator[T], Iterator[B]) => IterableOnce[U]): FStream[U] =
+    FStream(ds.groupByKey(k1).cogroup(other.ds.groupByKey(k2))(
+      (k: K, a: Iterator[T], b: Iterator[B]) => f(k, a, b).iterator))
+
   def sinkTo(writer: Dataset[T] => Unit): Unit = writer(ds)
+}
+
+/** Tagged union record for [[FStream.connect]] / side outputs. */
+final case class CoRecord[A, B](left: Option[A], right: Option[B])
+
+/** Two connected streams; key both sides to process them with shared
+  * per-key state (the reference's ConnectedStreams → CoProcessFunction).
+  */
+final case class FConnectedStream[A, B](merged: Dataset[CoRecord[A, B]]) {
+
+  def keyBy[K: Encoder](k1: A => K, k2: B => K): FKeyedConnectedStream[K, A, B] =
+    FKeyedConnectedStream(merged.groupByKey {
+      case CoRecord(Some(a), _) => k1(a)
+      case CoRecord(_, Some(b)) => k2(b)
+      case _ => throw new IllegalStateException("empty CoRecord")
+    })
+}
+
+final case class FKeyedConnectedStream[K, A, B](
+    grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, CoRecord[A, B]]) {
+
+  /** CoProcessFunction analog: both elements arrive in one iterator,
+    * tagged; state is shared across the two inputs (the defining
+    * property of the reference's connected streams).
+    */
+  def process[S: Encoder, U: Encoder](
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      mode: OutputMode = OutputMode.Append())(
+      f: (K, Iterator[CoRecord[A, B]], GroupState[S]) => Iterator[U]): Dataset[U] =
+    grouped.flatMapGroupsWithState[S, U](mode, timeout)(f)
 }
 
 final case class FKeyedStream[K, T](grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, T]) {

@@ -93,12 +93,45 @@ object WindowQueries {
       .drop("rn")
   }
 
+  /** Window TopN — rank INSIDE a window TVF
+    * (StreamExecWindowRank.java:77): top-3 events by value per
+    * (1h tumble window, event_type). The rank's partition key includes
+    * window_start, so the WindowGroupLimit pushdown still applies and
+    * per-window state is bounded.
+    */
+  def windowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("wstart"), col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    t(s, dir, "events")
+      .withColumn("wstart", window(col("ts"), "1 hour").getField("start"))
+      .select(col("wstart"), col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Window deduplicate — keep-first per (window, key)
+    * (StreamExecWindowDeduplicate.java:69): the earliest event per
+    * (1h tumble window, user).
+    */
+  def windowDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("wstart"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("wstart", window(col("ts"), "1 hour").getField("start"))
+      .select(col("wstart"), col("user_id"), col("event_id"), col("ts"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_over_rank"    -> (overRank _),
-    "q_over_frames"  -> (overFrames _),
-    "q_over_leadlag" -> (overLeadLag _),
-    "q_topn"         -> (topN _),
-    "q_dedup_first"  -> (dedupFirst _))
+    "q_over_rank"     -> (overRank _),
+    "q_over_frames"   -> (overFrames _),
+    "q_over_leadlag"  -> (overLeadLag _),
+    "q_topn"          -> (topN _),
+    "q_dedup_first"   -> (dedupFirst _),
+    "q_window_topn"   -> (windowTopN _),
+    "q_window_dedup"  -> (windowDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_over_rank" ->
@@ -143,5 +176,17 @@ object WindowQueries {
       """SELECT user_id, event_id, ts, event_type FROM (
         |  SELECT user_id, event_id, ts, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_window_topn" ->
+      """SELECT wstart, event_type, event_id, value, rn FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q_window_dedup" ->
+      """SELECT wstart, user_id, event_id, ts FROM (
+        |  SELECT date_trunc('hour', ts) AS wstart, user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts), user_id
+        |      ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin)
 }

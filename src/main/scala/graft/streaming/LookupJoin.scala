@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Lookup-join function contract with caching and retry — the
+  * reference's per-record dimension lookup stack
+  * (flink-table-runtime functions/table/lookup/CachingLookupFunction
+  * .java:53, LookupCacheManager, and the retryable delegator used by
+  * AsyncLookupJoinRunner). The batch/broadcast snapshot lookup join
+  * stays the Catalyst-planned path (MiscQueries.lookupJoin); this is
+  * the imperative contract for dimension sources that are external
+  * services: per-task LRU caching so hot keys don't re-hit the
+  * service, and bounded fixed-delay retry for transient failures.
+  *
+  * Scale: the cache lives per task (deserialized closure), so memory
+  * is maxEntries·|row| per core and no coordination exists between
+  * executors — the same locality the reference's per-subtask
+  * LookupCache has.
+  */
+object LookupJoin {
+
+  /** User-defined lookup into a dimension source (the reference's
+    * LookupFunction.lookup(RowData)).
+    */
+  trait LookupFunction[K, V] extends Serializable {
+    def lookup(key: K): Seq[V]
+  }
+
+  /** LRU caching wrapper (CachingLookupFunction): delegate hit only
+    * on cache miss; negative results (empty) are cached too, like the
+    * reference's cacheMissingKey=true default.
+    */
+  final class CachingLookup[K, V](delegate: LookupFunction[K, V], maxEntries: Int)
+      extends LookupFunction[K, V] {
+    @transient private lazy val cache =
+      new java.util.LinkedHashMap[K, Seq[V]](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, Seq[V]]): Boolean =
+          size() > maxEntries
+      }
+    override def lookup(key: K): Seq[V] = cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val v = delegate.lookup(key)
+        cache.put(key, v)
+        v
+      }
+    }
+  }
+
+  /** Fixed-delay retry wrapper (the reference's retryable lookup
+    * delegator): retries on exception, and optionally on empty
+    * results (RetryPredicates.EMPTY_RESULT_PREDICATE).
+    */
+  final class RetryingLookup[K, V](delegate: LookupFunction[K, V],
+      maxAttempts: Int, delayMs: Long = 0L, retryOnEmpty: Boolean = false)
+      extends LookupFunction[K, V] {
+    override def lookup(key: K): Seq[V] = {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try {
+          val r = delegate.lookup(key)
+          if (r.nonEmpty || !retryOnEmpty || attempt >= maxAttempts) return r
+        } catch {
+          case e: Exception if attempt < maxAttempts => // retry
+        }
+        if (delayMs > 0) Thread.sleep(delayMs)
+      }
+      Nil // unreachable
+    }
+  }
+
+  /** Per-record lookup join over a (bounded or streaming) dataset:
+    * `combine` receives the probe row and the looked-up dimension
+    * rows (empty Seq = no match, i.e. LEFT join shape).
+    */
+  def lookupJoin[T, K, V, U: Encoder](ds: Dataset[T], fn: LookupFunction[K, V])(
+      key: T => K)(combine: (T, Seq[V]) => U): Dataset[U] =
+    ds.mapPartitions(it => it.map(t => combine(t, fn.lookup(key(t)))))
+}

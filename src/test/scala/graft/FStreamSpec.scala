@@ -23,4 +23,49 @@ class FStreamSpec extends SparkSpec {
       .collect().toSet
     assert(out === Set("a:1", "a:2", "b:5"))
   }
+
+  test("connect + keyed co-process shares state across the two inputs") {
+    // stream A: (key, amount); stream B: (key, limit) — emit amounts
+    // only when the key's most recent limit allows them
+    val amounts = FStream(Seq(("k1", 5L), ("k1", 50L), ("k2", 7L)).toDS())
+    val limits = FStream(Seq(("k1", 10L)).toDS())
+    val out = amounts.connect(limits)
+      .keyBy(_._1, _._1)
+      .process[Long, (String, Long)]() { (key, it, state) =>
+        val rows = it.toSeq
+        rows.collect { case graft.datastream.CoRecord(_, Some((_, lim))) => lim }
+          .foreach(l => state.update(l))
+        val lim = state.getOption.getOrElse(Long.MaxValue)
+        rows.collect {
+          case graft.datastream.CoRecord(Some((k, amt)), _) if amt <= lim => (k, amt)
+        }.iterator
+      }
+      .collect().toSet
+    assert(out === Set(("k1", 5L), ("k2", 7L)))
+  }
+
+  test("withBroadcast applies the control stream to every element") {
+    val data = FStream(spark.range(1, 6).as[Long])
+    val control = Seq(2L, 3L).toDS()
+    val out = data.withBroadcast(control)((v, rules) => v * rules.sum)
+      .ds.collect().toSet
+    assert(out === Set(5L, 10L, 15L, 20L, 25L))
+  }
+
+  test("side outputs split one pass into main and side streams") {
+    val s = FStream(spark.range(1, 7).as[Long])
+    val (evens, odds) = s.sideOutput[Long, String](v =>
+      if (v % 2 == 0) Left(v) else Right(s"odd-$v"))
+    assert(evens.ds.collect().toSet === Set(2L, 4L, 6L))
+    assert(odds.ds.collect().toSet === Set("odd-1", "odd-3", "odd-5"))
+  }
+
+  test("coGroup sees both inputs' iterators per key") {
+    val a = FStream(Seq(("x", 1), ("x", 2), ("y", 3)).toDS())
+    val b = FStream(Seq(("x", 10), ("z", 30)).toDS())
+    val out = a.coGroup(b)(_._1, _._1) { (k, as, bs) =>
+      Iterator.single((k, as.map(_._2).sum, bs.map(_._2).sum))
+    }.ds.collect().toSet
+    assert(out === Set(("x", 3, 10), ("y", 3, 0), ("z", 0, 30)))
+  }
 }

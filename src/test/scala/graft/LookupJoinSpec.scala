@@ -1,0 +1,79 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+
+import graft.streaming.LookupJoin
+import graft.streaming.LookupJoin._
+
+/** Caching + retrying lookup-join contract (CachingLookupFunction /
+  * retryable delegator semantics).
+  */
+object LookupCounters {
+  val calls: TrieMap[String, AtomicLong] = TrieMap.empty
+  def inc(id: String): Long =
+    calls.getOrElseUpdate(id, new AtomicLong).incrementAndGet()
+}
+
+/** top-level so the closure serializes without dragging the suite in */
+class CountingDim(id: String) extends LookupFunction[Long, String] {
+  override def lookup(key: Long): Seq[String] = {
+    LookupCounters.inc(id)
+    if (key % 2 == 0) Seq(s"dim$key") else Nil
+  }
+}
+
+class LookupJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("caching lookup hits the delegate once per distinct key per task") {
+    val id = "cache-test"
+    val fn = new CachingLookup(new CountingDim(id), maxEntries = 100)
+    val probe = spark.createDataset(Seq(2L, 2L, 2L, 4L, 4L, 3L)).repartition(1)
+    val out = LookupJoin.lookupJoin(probe, fn)(identity) {
+      (k, vs) => (k, vs.headOption.getOrElse("none"))
+    }.collect().toSet
+    assert(out === Set((2L, "dim2"), (4L, "dim4"), (3L, "none")))
+    // 6 probe rows, 3 distinct keys, single partition -> 3 delegate calls
+    assert(LookupCounters.calls(id).get() === 3)
+  }
+
+  test("cache evicts least-recently-used beyond maxEntries") {
+    val id = "evict-test"
+    val fn = new CachingLookup(new CountingDim(id), maxEntries = 1)
+    fn.lookup(2L); fn.lookup(4L); fn.lookup(2L) // 2 evicted by 4, re-fetched
+    assert(LookupCounters.calls(id).get() === 3)
+  }
+
+  test("retrying lookup retries failures then succeeds") {
+    val id = "retry-test"
+    val flaky = new LookupFunction[Long, String] {
+      override def lookup(key: Long): Seq[String] = {
+        val n = LookupCounters.inc(id)
+        if (n < 3) throw new RuntimeException(s"transient #$n")
+        Seq("ok")
+      }
+    }
+    val fn = new RetryingLookup(flaky, maxAttempts = 5)
+    assert(fn.lookup(1L) === Seq("ok"))
+    assert(LookupCounters.calls(id).get() === 3)
+  }
+
+  test("retrying lookup rethrows after max attempts") {
+    val fn = new RetryingLookup(new LookupFunction[Long, String] {
+      override def lookup(key: Long): Seq[String] = throw new RuntimeException("down")
+    }, maxAttempts = 3)
+    assertThrows[RuntimeException](fn.lookup(1L))
+  }
+
+  test("retry-on-empty keeps probing until rows appear or attempts end") {
+    val id = "empty-test"
+    val lateDim = new LookupFunction[Long, String] {
+      override def lookup(key: Long): Seq[String] =
+        if (LookupCounters.inc(id) >= 2) Seq("late") else Nil
+    }
+    val fn = new RetryingLookup(lateDim, maxAttempts = 4, retryOnEmpty = true)
+    assert(fn.lookup(1L) === Seq("late"))
+    assert(LookupCounters.calls(id).get() === 2)
+  }
+}
