@@ -100,6 +100,80 @@ object StatefulOps {
         })
   }
 
+  // ---- regular (unbounded) two-stream join with state TTL ------------
+
+  /** Tagged input: side 0 = left, side 1 = right. */
+  case class JoinEvent(key: Long, tsMillis: Long, side: Int, id: Long)
+  case class JoinState(left: List[(Long, Long)], right: List[(Long, Long)])
+  case class JoinEmit(key: Long, leftId: Long, rightId: Long)
+
+  /** Regular two-stream INNER join (StreamExecJoin /
+    * StreamingJoinOperator): no time condition relates the sides —
+    * every left row joins every right row of its key, whenever either
+    * arrives. Unbounded in principle; state is bounded by a TTL (the
+    * reference's table.exec.state.ttl idle-state retention), here
+    * measured against the event-time watermark: rows older than
+    * wm - ttl are evicted and can no longer produce matches.
+    *
+    * Each arriving row emits exactly the pairs it forms with the
+    * opposite side's live buffer — each pair once, like the
+    * reference's associate-and-emit per input record.
+    */
+  def regularJoin(ds: Dataset[JoinEvent], ttlMillis: Long): Dataset[JoinEmit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[JoinEvent], state: GroupState[JoinState]) => {
+          val st = state.getOption.getOrElse(JoinState(Nil, Nil))
+          var left = st.left
+          var right = st.right
+          val wm = state.getCurrentWatermarkMs()
+          val live = wm - ttlMillis
+          val out = scala.collection.mutable.ListBuffer.empty[JoinEmit]
+          rows.toSeq.sortBy(e => (e.tsMillis, e.side, e.id)).foreach { e =>
+            if (e.side == 0) {
+              right.withFilter(_._1 >= live).foreach(r => out += JoinEmit(key, e.id, r._2))
+              left = (e.tsMillis, e.id) :: left
+            } else {
+              left.withFilter(_._1 >= live).foreach(l => out += JoinEmit(key, l._2, e.id))
+              right = (e.tsMillis, e.id) :: right
+            }
+          }
+          val kept = JoinState(left.filter(_._1 >= live), right.filter(_._1 >= live))
+          state.update(kept)
+          out.iterator
+        })
+  }
+
+  // ---- streaming temporal sort ---------------------------------------
+
+  case class SortIn(tsMillis: Long, id: Long, value: Double)
+  case class SortState(rows: List[(Long, Long, Double)], lastEmittedTs: Long)
+
+  /** Streaming temporal sort (StreamExecTemporalSort /
+    * RowTimeSortOperator): emit rows in event-time order (ts, then
+    * id) once the watermark guarantees completeness. Like the
+    * reference, the global time-sort is single-parallelism — ordering
+    * across the whole stream cannot be produced by independent
+    * partitions.
+    */
+  def temporalSortStream(ds: Dataset[SortIn]): Dataset[SortIn] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Int, rows: Iterator[SortIn], state: GroupState[SortState]) => {
+          val st = state.getOption.getOrElse(SortState(Nil, Long.MinValue))
+          val buffered = st.rows ++ rows.map(r => (r.tsMillis, r.id, r.value))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = buffered.partition(r => r._1 <= wm && r._1 > st.lastEmittedTs)
+          val out = ready.sortBy(r => (r._1, r._2)).map(r => SortIn(r._1, r._2, r._3))
+          state.update(SortState(pending.filter(_._1 > wm), math.max(st.lastEmittedTs, wm)))
+          if (pending.exists(_._1 > wm))
+            state.setTimeoutTimestamp(math.max(pending.filter(_._1 > wm).map(_._1).min, wm + 1))
+          out.iterator
+        })
+  }
+
   // ---- CEP-lite: A followed-by B within a gap ------------------------
 
   case class PatternEvent(key: Long, tsMillis: Long, kind: String, id: Long)

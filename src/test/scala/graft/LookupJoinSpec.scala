@@ -66,6 +66,23 @@ class LookupJoinSpec extends SparkSpec {
     assertThrows[RuntimeException](fn.lookup(1L))
   }
 
+  test("async lookup preserves input order with concurrent in-flight requests") {
+    val fn = new AsyncLookupFunction[Long, String] {
+      override def asyncLookup(key: Long)(
+          implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[Seq[String]] =
+        scala.concurrent.Future {
+          Thread.sleep(if (key % 2 == 0) 50 else 1) // evens finish LAST
+          Seq(s"dim$key")
+        }
+    }
+    val probe = spark.createDataset(1L to 8L).repartition(1)
+    val out = LookupJoin.asyncLookupJoin(probe, fn, capacity = 8)(identity) {
+      (k, vs) => s"$k:${vs.head}"
+    }.collect().toList
+    // ORDERED mode: output follows input order despite odd keys completing first
+    assert(out === (1L to 8L).map(k => s"$k:dim$k").toList)
+  }
+
   test("retry-on-empty keeps probing until rows appear or attempts end") {
     val id = "empty-test"
     val lateDim = new LookupFunction[Long, String] {
