@@ -91,6 +91,25 @@ object Changelog {
         min(col(valueCol)).as(s"min_$valueCol"))
   }
 
+  /** ListAgg under retraction (ListAggWithRetractAggFunction.java):
+    * the aggregated list contains exactly the LIVE instances — net
+    * count per (group, value) expanded back into rows, then sorted
+    * listagg. Expansion via `sequence` keeps it a pure Catalyst plan
+    * (no UDF): shuffle volume is live rows, same as the input.
+    */
+  def aggregateRetractListAgg(changelog: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val perValue = changelog
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(sign).as("__vcnt"))
+      .filter(col("__vcnt") > 0)
+    perValue
+      .withColumn("__i", explode(expr("sequence(1, __vcnt)")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(concat_ws(",", sort_array(collect_list(col(valueCol))))
+        .as(s"listagg_$valueCol"))
+  }
+
   /** Collapse a changelog to its current state: latest non-retract
     * row per key, deletes removed.
     */

@@ -40,10 +40,21 @@ object ChangelogQueries {
     Changelog.aggregateRetractMinMax(log, Seq("event_type"), "value")
   }
 
+  /** ListAgg under retraction: the per-type list of live user_ids —
+    * retracted users must vanish from the list, moved users must
+    * appear under their final type only.
+    */
+  def changelogListAgg(s: SparkSession, dir: String): DataFrame = {
+    val log = Changelog.fromUpserts(base(s, dir),
+      keys = Seq("user_id"), orderCols = Seq(col("ts"), col("event_id")))
+    Changelog.aggregateRetractListAgg(log, Seq("event_type"), "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changelog_agg"        -> (changelogAgg _),
     "q_changelog_normalize"  -> (changelogNormalize _),
-    "q_changelog_maxretract" -> (changelogMaxRetract _))
+    "q_changelog_maxretract" -> (changelogMaxRetract _),
+    "q_changelog_listagg"    -> (changelogListAgg _))
 
   val oracle: Map[String, String] = Map(
     // retract-agg over the changelog == aggregate of final state
@@ -65,6 +76,14 @@ object ChangelogQueries {
       """SELECT event_type, count(*) AS cnt, sum(value) AS sum_value,
         |  max(value) AS max_value, min(value) AS min_value
         |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 GROUP BY event_type""".stripMargin,
+    "q_changelog_listagg" ->
+      """SELECT event_type,
+        |  string_agg(user_id::VARCHAR, ',' ORDER BY user_id) AS listagg_user_id
+        |FROM (SELECT user_id, event_type,
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)

@@ -152,7 +152,36 @@ object FunctionQueries {
       F.jsonArrayAgg(col("n")).as("arr"))
   }
 
+  /** Collection functions (BuiltInFunctionDefinitions ARRAY/MAP/ROW
+    * block + AT/CARDINALITY/ELEMENT): constructors, 1-based element
+    * access, cardinality, membership/position, slice, sort/distinct,
+    * map construction + extraction, ROW field access — the dedicated
+    * battery the round-1 coverage exercised only indirectly.
+    */
+  def fnCollections(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      size(toks).as("card"),
+      element_at(toks, 1).as("el1"),
+      array_contains(toks, "green").cast("int").as("has_green"),
+      array_position(toks, "green").as("pos_green"),
+      array_join(sort_array(toks), "|").as("sorted_join"),
+      array_join(slice(toks, 2, 2), "|").as("sl"),
+      array_max(toks).as("tok_max"),
+      array_min(toks).as("tok_min"),
+      array_join(sort_array(array_distinct(toks)), "|").as("dist"),
+      element_at(
+        map_from_arrays(array(lit("a"), lit("b")), array(lit(1.5), col("p_retailprice"))),
+        "b").as("mval"),
+      size(map_from_arrays(array(lit("a"), lit("b")),
+        array(lit(1), lit(2)))).as("mcard"),
+      struct(col("p_brand").as("b"), col("p_size").as("sz"))
+        .getField("sz").as("row_field"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_collections" -> (fnCollections _),
     "q_fn_string"   -> (fnString _),
     "q_fn_math"     -> (fnMath _),
     "q_fn_datetime" -> (fnDatetime _),
@@ -236,6 +265,21 @@ object FunctionQueries {
     "q_fn_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
         |FROM documents""".stripMargin,
+    "q_fn_collections" ->
+      """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS card,
+        |  (string_split(p_name, ' '))[1] AS el1,
+        |  list_contains(string_split(p_name, ' '), 'green')::INT AS has_green,
+        |  list_position(string_split(p_name, ' '), 'green') AS pos_green,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_join,
+        |  array_to_string(list_slice(string_split(p_name, ' '), 2, 3), '|') AS sl,
+        |  list_max(string_split(p_name, ' ')) AS tok_max,
+        |  list_min(string_split(p_name, ' ')) AS tok_min,
+        |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS dist,
+        |  (map(['a','b'], [1.5, p_retailprice])['b'])[1]::DOUBLE AS mval,
+        |  cardinality(map(['a','b'], [1, 2])) AS mcard,
+        |  struct_pack(b := p_brand, sz := p_size).sz AS row_field
+        |FROM part""".stripMargin,
     "q_fn_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,

@@ -94,7 +94,12 @@ object SimilarityQueries {
   def annSigRerank(s: SparkSession, dir: String,
       nBits: Int = 512, candidates: Int = 64): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // repartition = exchange barrier: the 512-bit signature must
+    // materialize ONCE per row; without it Catalyst inlines the
+    // projection into the broadcast NLJ and recomputes the signature
+    // per (corpus, query) PAIR — measured 14s vs 2s at sf0.1
     val sigs = emb.select(col("vec_id"), F.lshSignature(col("embedding"), nBits).as("sig"))
+      .repartition(col("vec_id"))
     val q = sigs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
     val pre = sigs

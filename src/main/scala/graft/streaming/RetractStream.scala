@@ -24,38 +24,52 @@ import graft.changelog.Changelog
 object RetractStream {
 
   case class ChangeEvent(key: String, value: Long, kind: Byte)
-  case class AggState(cnt: Long, sum: Long, counts: Map[Long, Long], live: Boolean)
+  /** `rows` = live instances as (arrival seq, value) — the
+    * instance-level state First/Last/ListAggWithRetract need (a
+    * value→count map cannot say WHICH occurrence arrived first);
+    * `nextSeq` is the arrival counter, `live` marks a group that has
+    * emitted at least once.
+    */
+  case class AggState(nextSeq: Long, rows: List[(Long, Long)], live: Boolean)
   /** kind: 2 = +U (current aggregate), 3 = -D (group vanished) */
   case class AggEmit(key: String, cnt: Long, sum_value: Long,
-      max_value: Long, min_value: Long, kind: Byte)
+      max_value: Long, min_value: Long, first_value: Long, last_value: Long,
+      listagg: String, kind: Byte)
 
   def groupAggRetract(ds: Dataset[ChangeEvent]): Dataset[AggEmit] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[ChangeEvent], state: GroupState[AggState]) => {
-          val st = state.getOption.getOrElse(AggState(0L, 0L, Map.empty, live = false))
-          var cnt = st.cnt
-          var sum = st.sum
-          var counts = st.counts
+          val st = state.getOption.getOrElse(AggState(0L, Nil, live = false))
+          var seq = st.nextSeq
+          var live = st.rows
           rows.foreach { e =>
             val accumulate = e.kind == Changelog.Insert || e.kind == Changelog.UpdateAfter
             if (accumulate) {
-              cnt += 1; sum += e.value
-              counts = counts.updated(e.value, counts.getOrElse(e.value, 0L) + 1)
-            } else { // -U retract or -D delete
-              cnt -= 1; sum -= e.value
-              val c = counts.getOrElse(e.value, 0L) - 1
-              counts = if (c <= 0) counts - e.value else counts.updated(e.value, c)
+              live = (seq, e.value) :: live
+              seq += 1
+            } else {
+              // retract ONE instance of the value — the oldest, like
+              // the reference's *WithRetract functions retract from
+              // their MapState bucket head
+              live.filter(_._2 == e.value).sortBy(_._1).headOption match {
+                case Some(victim) => live = live.filterNot(_ == victim)
+                case None => // retraction for an absent value: ignore (reference logs)
+              }
             }
           }
-          if (cnt > 0) {
-            state.update(AggState(cnt, sum, counts, live = true))
-            Iterator.single(AggEmit(key, cnt, sum,
-              counts.keysIterator.max, counts.keysIterator.min, Changelog.UpdateAfter))
+          if (live.nonEmpty) {
+            state.update(AggState(seq, live, live = true))
+            val values = live.map(_._2)
+            Iterator.single(AggEmit(key, live.size.toLong, values.sum,
+              values.max, values.min,
+              live.minBy(_._1)._2, live.maxBy(_._1)._2,
+              values.sorted.mkString(","), Changelog.UpdateAfter))
           } else {
             state.remove()
-            if (st.live) Iterator.single(AggEmit(key, 0L, 0L, 0L, 0L, Changelog.Delete))
+            if (st.live)
+              Iterator.single(AggEmit(key, 0L, 0L, 0L, 0L, 0L, 0L, "", Changelog.Delete))
             else Iterator.empty
           }
         })
