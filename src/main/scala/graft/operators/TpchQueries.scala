@@ -130,7 +130,70 @@ object TpchQueries {
         |GROUP BY c_nationkey""".stripMargin)
   }
 
+  /** Q7 shape — volume shipping between two nations (nation self-join
+    * ×2 broadcast + OR across the pair + year bucketing).
+    */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(s, dir, "nation"))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = broadcast(t(s, dir, "nation"))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Q8 shape — national market share (conditional share-of-total
+    * aggregation over a 6-way join).
+    */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation"))
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey")),
+        col("c_nationkey") === col("c_nk"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t(s, dir, "nation"))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("s_nk"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", volume).otherwise(0.0))
+        / sum(volume)).as("mkt_share"))
+  }
+
+  /** Q19 shape — disjunction of conjunctive brand/size/quantity
+    * ranges (OR-of-ANDs predicate pushdown across a join).
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity") < 25) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity") >= 25) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(10, 40)))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q7"  -> (q7 _),
+    "q_tpch_q8"  -> (q8 _),
+    "q_tpch_q19" -> (q19 _),
     "q_tpch_q2"  -> (q2 _),
     "q_tpch_q3"  -> (q3 _),
     "q_tpch_q4"  -> (q4 _),
@@ -142,6 +205,40 @@ object TpchQueries {
     "q_tpch_q22" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate)::INT AS l_year,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate)::INT AS o_year,
+        |  sum(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)) AS mkt_share
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity < 25)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity >= 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "q_tpch_q2" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier s

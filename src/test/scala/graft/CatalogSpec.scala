@@ -30,6 +30,29 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("gen_ddl").count() === 20)
   }
 
+  test("csv and json filesystem connectors round-trip the nation table") {
+    val src = Tables.load(spark, sfDir, "nation")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    src.write.option("header", "true").csv(s"$base/nation_csv")
+    src.write.json(s"$base/nation_json")
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE nation_csv (
+         |  n_nationkey BIGINT, n_name VARCHAR(25), n_regionkey BIGINT, n_comment VARCHAR(152)
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/nation_csv',
+         |        'format' = 'csv', 'csv.header' = 'true')""".stripMargin)
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE nation_json (
+         |  n_nationkey BIGINT, n_name VARCHAR(25), n_regionkey BIGINT, n_comment VARCHAR(152)
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/nation_json',
+         |        'format' = 'json')""".stripMargin)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = keyed(src)
+    for (t <- Seq("nation_csv", "nation_json"))
+      assert(keyed(spark.table(t)) === expect, t)
+  }
+
   // ---- sink constraint enforcement (ConstraintEnforcer.java) ----
 
   import org.apache.spark.sql.functions._

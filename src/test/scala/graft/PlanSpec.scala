@@ -49,4 +49,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
     assert(p.contains("EqualTo(l_returnflag,R)"), p)
   }
+
+  test("window-scoped topn keeps the WindowGroupLimit pushdown") {
+    val p = plan(operators.WindowQueries.windowTopN(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("signature-rerank ANN materializes signatures behind one exchange") {
+    val p = plan(graft.sim.SimilarityQueries.annSigRerank(spark, sfDir))
+    // the prefilter join must consume the exchanged (materialized)
+    // signatures, not recompute lsh_signature per joined pair: the
+    // expression appears in projections below the exchange only
+    val nlIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(nlIdx > 0, p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+  }
+
+  test("MATCH_RECOGNIZE SQL plans one shuffle on the partition key") {
+    Tables.registerAll(spark, sfDir)
+    val df = graft.sql.GraftSql.sql(spark,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(V.*) AS n AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V P)
+        |  DEFINE V AS event_type = 'view', P AS event_type = 'purchase')""".stripMargin)
+    val p = plan(df)
+    // DEFINE predicates evaluate below the single exchange
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("MapGroups"), p)
+  }
+
+  test("multi-band simhash joins on (band, value) — an equi-join, not a cartesian") {
+    val p = plan(graft.text.TextQueries.dedupSimhash(spark, sfDir))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
