@@ -123,10 +123,22 @@ object TextQueries {
     val b = sigs.select(col("band"), col("bval"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
+      // a pair colliding in several bands is emitted ONLY by the first
+      // band where the signatures agree — a codegen'd when-chain over
+      // the XOR instead of a dropDuplicates shuffle (higher-order
+      // array functions would fall out of whole-stage codegen here)
+      .filter {
+        val x = col("sig_a").bitwiseXOR(col("sig_b"))
+        val firstEqualBand = (0 until bands).reverse
+          .foldLeft(lit(-1): org.apache.spark.sql.Column) { (acc, bd) =>
+            when(shiftrightunsigned(x, bd * width).bitwiseAND(lit(mask)) === 0, lit(bd))
+              .otherwise(acc)
+          }
+        col("band") === firstEqualBand
+      }
       .select(col("id_a"), col("id_b"),
         F.hamming64(col("sig_a"), col("sig_b")).as("hd"))
       .filter(col("hd") <= maxHamming)
-      .dropDuplicates("id_a", "id_b") // pair may collide in several bands
   }
 
   /** Driver query: 8 bands (8-bit values — 256+ buckets per band at

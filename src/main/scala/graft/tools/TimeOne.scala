@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch single-query timer: runMain graft.tools.TimeOne <query> [sfDir] */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save() // warm
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
