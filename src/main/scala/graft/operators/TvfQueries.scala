@@ -100,6 +100,22 @@ object TvfQueries {
         col("cid"), col("cts"))
   }
 
+  /** The same as-of join through the native Catalyst operator
+    * (graft.plans.AsOfJoinNative: logical node + strategy +
+    * AsOfJoinExec with declared distribution/ordering) — one merge
+    * pass per co-partitioned pair instead of the composed
+    * window-over-union plan.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("b_user"), col("event_id").as("cid"), col("ts").as("cts"))
+    graft.plans.AsOfJoinNative.asOf(p, c, "user_id", "pts", "b_user", "cts")
+      .select(col("pid"), col("user_id"), col("pts"), col("cid"), col("cts"))
+  }
+
   /** MATCH_RECOGNIZE-lite (StreamExecMatch.java:59): the adjacency
     * pattern `view purchase` per user in event-time order, expressed
     * with lead() — the batch shape of a 2-state NFA.
@@ -122,6 +138,7 @@ object TvfQueries {
     "q_tvf_session"   -> (session _),
     "q_interval_join" -> (intervalJoin _),
     "q_asof_join"     -> (asofJoin _),
+    "q_asof_native"   -> (asofJoinNative _),
     "q_cep_pattern"   -> (cepPattern _))
 
   val oracle: Map[String, String] = Map(
@@ -165,6 +182,12 @@ object TvfQueries {
         |  ON p.user_id = v.user_id
         | AND v.ts >= p.ts - INTERVAL '10 minutes' AND v.ts <= p.ts""".stripMargin,
     "q_asof_join" ->
+      """SELECT p.event_id AS pid, p.user_id, p.ts AS pts,
+        |  c.event_id AS cid, c.ts AS cts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q_asof_native" ->
       """SELECT p.event_id AS pid, p.user_id, p.ts AS pts,
         |  c.event_id AS cid, c.ts AS cts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
