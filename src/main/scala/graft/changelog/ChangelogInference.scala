@@ -1,0 +1,119 @@
+package graft.changelog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog-mode inference — the operator-DSL slice of the
+  * reference's FlinkChangelogModeInferenceProgram.scala (896 LoC):
+  * every node declares what changelog mode it PRODUCES and what it
+  * ACCEPTS, and planning walks the tree inserting the adapters the
+  * reference's planner would (ChangelogNormalize in front of
+  * insert-only consumers of updating streams, upsert→retract
+  * derivation in front of retract-input aggregates, DropUpdateBefore
+  * when the consumer doesn't need UPDATE_BEFORE rows) or rejecting
+  * impossible combinations — instead of the user hand-picking
+  * fromUpserts / aggregateRetract / normalize.
+  *
+  * Modes mirror RowKind sets (flink-core types/RowKind.java):
+  *   InsertOnly = {+I}; Upsert = {+I, +U, -D} keyed last-wins;
+  *   Retract = {+I, -U, +U, -D}.
+  */
+object ChangelogInference {
+
+  sealed trait Mode
+  case object InsertOnly extends Mode
+  /** keyed last-wins rows without explicit update-before */
+  case object Upsert extends Mode
+  /** full retract stream (the __rowkind column convention) */
+  case object Retract extends Mode
+
+  sealed trait CNode
+  /** a source with a declared mode; Upsert sources also declare their
+    * key and version order (the reference's PRIMARY KEY + rowtime)
+    */
+  final case class CSource(df: DataFrame, mode: Mode,
+      keys: Seq[String] = Nil, orderCols: Seq[Column] = Nil) extends CNode
+  /** mode-preserving row-level transform (Calc) */
+  final case class CCalc(child: CNode, f: DataFrame => DataFrame) extends CNode
+  /** group aggregate: count + sums, retract-aware when the input updates */
+  final case class CAgg(child: CNode, groupCols: Seq[String],
+      sumCols: Seq[String]) extends CNode
+  /** sink accepting only `accepts`; planning materializes/adapts */
+  final case class CSink(child: CNode, accepts: Mode) extends CNode
+
+  final case class Planned(df: DataFrame, mode: Mode)
+
+  /** Infer modes bottom-up and insert adapters. Throws on
+    * combinations the reference also rejects (e.g. a retract stream
+    * into an insert-only sink with no key to collapse on).
+    */
+  def plan(node: CNode): Planned = node match {
+    case CSource(df, m, _, _) => Planned(df, m)
+
+    case CCalc(child, f) =>
+      val p = plan(child)
+      // an updating stream's rowkind/key columns must survive a Calc —
+      // the reference forbids projecting them away the same way
+      val out = f(p.df)
+      if (p.mode == Retract)
+        require(out.columns.contains(Changelog.RowKindCol),
+          s"Calc over a retract stream must keep ${Changelog.RowKindCol}")
+      Planned(out, p.mode)
+
+    case CAgg(child, groupCols, sumCols) =>
+      child match {
+        // upsert source feeding an aggregate: derive the retract
+        // stream first (the ChangelogNormalize + retraction the
+        // reference plans in front of GroupAggFunction)
+        case CSource(df, Upsert, keys, orderCols) =>
+          require(keys.nonEmpty, "Upsert source needs keys to derive retractions")
+          val log = Changelog.fromUpserts(df, keys, orderCols)
+          Planned(Changelog.aggregateRetract(log, groupCols, sumCols), Retract)
+        case _ =>
+          val p = plan(child)
+          p.mode match {
+            case InsertOnly =>
+              val sums = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+              Planned(p.df.groupBy(groupCols.map(col): _*)
+                .agg(count(lit(1)).as("cnt"), sums: _*), Retract)
+            case Retract =>
+              Planned(Changelog.aggregateRetract(p.df, groupCols, sumCols), Retract)
+            case Upsert =>
+              sys.error("Upsert stream must come from a keyed CSource to aggregate")
+          }
+      }
+
+    case CSink(child, accepts) =>
+      val p = plan(child)
+      (p.mode, accepts) match {
+        case (m, a) if m == a => p
+        case (InsertOnly, _) => p // insert-only satisfies every sink
+        case (Retract, InsertOnly) =>
+          // aggregates' retract output is keyed by the group columns;
+          // generic retract rows need rowkind-aware normalization
+          if (p.df.columns.contains(Changelog.RowKindCol))
+            sys.error("retract stream into an insert-only sink needs keys " +
+              "(wrap in CAgg or normalize explicitly)")
+          else Planned(p.df, InsertOnly) // already materialized (agg output)
+        case (Upsert, InsertOnly) =>
+          sys.error("upsert stream into an insert-only sink needs keys to normalize")
+        case (Retract, Upsert) =>
+          // the reference's DropUpdateBefore: upsert consumers don't
+          // need -U rows
+          if (p.df.columns.contains(Changelog.RowKindCol))
+            Planned(Changelog.dropUpdateBefore(p.df), Upsert)
+          else Planned(p.df, Upsert)
+        case (m, a) => sys.error(s"cannot adapt $m stream to a $a sink")
+      }
+  }
+
+  /** Convenience: plan a keyed upsert source all the way to an
+    * insert-only sink — normalize to current state
+    * (StreamExecChangelogNormalize).
+    */
+  def normalizeToSink(src: CSource): DataFrame = {
+    require(src.mode == Upsert && src.keys.nonEmpty, "keyed upsert source required")
+    val log = Changelog.fromUpserts(src.df, src.keys, src.orderCols)
+    Changelog.normalize(log, src.keys, src.orderCols)
+  }
+}
