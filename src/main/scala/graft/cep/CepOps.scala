@@ -46,6 +46,64 @@ object CepOps {
       }
   }
 
+  /** Streaming MATCH_RECOGNIZE (StreamExecMatch.java:59 event-time
+    * path): per key, rows buffer until the watermark completes them,
+    * then the SAME [[Nfa]] core runs over the ordered complete prefix.
+    * A match is emitted only when at least one complete row exists
+    * after its last row — the matcher's greedy/skip decisions are
+    * then final, because later input cannot reorder before that point
+    * (the reference gets the same guarantee from its watermark-sorted
+    * input feeding the NFA). Consumed rows leave state per the skip
+    * strategy; rows newer than the watermark stay buffered.
+    */
+  def matchPatternStream[E, K, O](
+      ds: org.apache.spark.sql.Dataset[E], key: E => K, order: E => (Long, Long),
+      tsMillis: E => Long, pat: Nfa.Pat[E], skip: Nfa.Skip = Nfa.SkipPastLastRow)(
+      measure: (K, Nfa.PatMatch[E]) => O)(
+      implicit ke: Encoder[K], se: Encoder[CepBuf[E]], oe: Encoder[O]): Dataset[O] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: K, rows: Iterator[E], state: org.apache.spark.sql.streaming.GroupState[CepBuf[E]]) => {
+          val buffered = state.getOption.map(_.rows).getOrElse(List.empty[E]) ++ rows
+          val wm = state.getCurrentWatermarkMs()
+          val (complete, pending) = buffered.partition(tsMillis(_) <= wm)
+          val sorted = complete.sortBy(order).toIndexedSeq
+          val matches = Nfa.matchAllPat(sorted, pat, skip)
+          def resumeOf(m: Nfa.PatMatch[E]): Int = skip match {
+            case Nfa.SkipPastLastRow => m.end
+            case Nfa.SkipToNextRow => m.start + 1
+            case Nfa.SkipToFirst(v) => m.idx.get(v).flatMap(_.headOption).getOrElse(m.end)
+            case Nfa.SkipToLast(v) => m.idx.get(v).flatMap(_.lastOption).getOrElse(m.end)
+          }
+          // emit matches in discovery order until one is OPEN (its last
+          // row is the newest complete row — future input may extend
+          // it, and by skip-strategy precedence everything after it
+          // must re-derive then)
+          val emitted = scala.collection.mutable.ListBuffer.empty[Nfa.PatMatch[E]]
+          var consumed = 0
+          var blockedByOpen = false
+          matches.foreach { m =>
+            if (!blockedByOpen) {
+              if (m.end < sorted.length) { emitted += m; consumed = resumeOf(m) }
+              else blockedByOpen = true
+            }
+          }
+          val out = emitted.map(m => measure(k, m)).toList
+          val retained = sorted.drop(consumed).toList ++ pending
+          if (retained.isEmpty) state.remove()
+          else {
+            state.update(CepBuf(retained))
+            val pendingTs = pending.map(tsMillis)
+            if (pendingTs.nonEmpty)
+              state.setTimeoutTimestamp(math.max(pendingTs.min, wm + 1))
+          }
+          out.iterator
+        })
+  }
+
+  case class CepBuf[E](rows: List[E])
+
   case class Ev(user_id: Long, event_id: Long, tsMillis: Long, event_type: String)
   case class ViewRunMatch(user_id: Long, n_views: Long, first_view: Long, purchase_id: Long)
   case class ActionRunMatch(user_id: Long, n_actions: Long, n_clicks: Long,
