@@ -92,4 +92,28 @@ object MultimodalOps {
       .filter(col("kind") === "video")
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  case class ResizedMedia(media_id: Long, kind: String,
+      width: Int, height: Int, bytes: Array[Byte])
+
+  /** STUB resize: aspect-preserving fit into (maxW, maxH), never
+    * upscaling; the "pixels" are a deterministic byte slice standing
+    * in for the re-encoded image. Real deployments swap the kernel;
+    * the per-partition scaler init and the output contract (dims
+    * within the box, aspect ratio preserved) are the tested part.
+    */
+  def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition scaler/codec init would go here
+      rows.map { m =>
+        val d = decodeOne(m)
+        val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+        val w = math.max(1, math.round(d.width * scale).toInt)
+        val h = math.max(1, math.round(d.height * scale).toInt)
+        val outLen = math.max(1, (m.bytes.length * scale).toInt)
+        ResizedMedia(m.media_id, m.kind, w, h, m.bytes.take(outLen))
+      }
+    }
+  }
 }

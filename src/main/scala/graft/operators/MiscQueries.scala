@@ -101,8 +101,32 @@ object MiscQueries {
         col("n_frames"), col("n_bytes"), size(col("embedding")).as("feat_dim"))
   }
 
+  /** Media near-dup search: stub feature extraction feeding the SAME
+    * similarity operators the text/embedding path uses — every 100th
+    * media item queries for its top-3 cosine neighbors. Rows-only
+    * (the hash-fold features are engine-specific); composition is the
+    * point: multimodal → ARRAY<FLOAT> → graft.sim kernels.
+    */
+  def multimodalAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MultimodalOps
+    import graft.functions.{FlinkFunctions => F}
+    val feats = MultimodalOps.extractFeatures(
+      MultimodalOps.syntheticMedia(t(s, dir, "documents")), dim = 16).toDF()
+    val q = feats.filter(col("media_id") % 100 === 0)
+      .select(col("media_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("media_id"))
+    feats.join(broadcast(q), col("media_id") =!= col("q_id"))
+      .select(col("q_id"), col("media_id"),
+        F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("q_id"), col("media_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (multimodalDecode _),
+    "q_multimodal_ann" -> (multimodalAnn _),
     "q_window_join"  -> (windowJoin _),
     "q_lookup_join"  -> (lookupJoin _),
     "q_unnest_pos"   -> (unnestPos _),

@@ -32,6 +32,28 @@ class MultimodalSpec extends SparkSpec {
     assert(sim > 0.999, "self-similarity must be 1")
   }
 
+  test("resize fits the box, preserves aspect ratio, never upscales") {
+    val resized = MultimodalOps.resize(media, maxW = 256, maxH = 128).collect()
+    val dims = MultimodalOps.decode(media).collect().map(d => d.media_id -> d).toMap
+    resized.foreach { r =>
+      assert(r.width <= 256 && r.height <= 128, s"${r.media_id} out of box")
+      val d = dims(r.media_id)
+      assert(r.width <= d.width && r.height <= d.height, "no upscaling")
+      // aspect preserved within rounding
+      val in = d.width.toDouble / d.height
+      val out = r.width.toDouble / r.height
+      assert(math.abs(in - out) / in < 0.05, s"aspect drift ${in} -> ${out}")
+      assert(r.bytes.nonEmpty)
+    }
+  }
+
+  test("media features feed the similarity operators end to end") {
+    val ann = operators.MiscQueries.multimodalAnn(spark, sfDir).collect()
+    assert(ann.nonEmpty)
+    val perQuery = ann.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery === Set(3), s"each query media should get top-3: $perQuery")
+  }
+
   test("frame sampling explodes only videos, stride respected") {
     val d = MultimodalOps.decode(media)
     val frames = MultimodalOps.sampleFrames(d, stride = 10)
