@@ -101,7 +101,17 @@ object AggQueries {
         approx_count_distinct(col("l_partkey")).as("apx_part"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("apx_order"))
 
+  /** Two-phase salted aggregate on a deliberately skewed key
+    * (l_returnflag has 3 values): the hot key spreads over salt
+    * buckets before the final merge — must equal a direct GROUP BY
+    * (which the DuckDB oracle computes).
+    */
+  def aggSalted(s: SparkSession, dir: String): DataFrame =
+    Salting.saltedCountSum(
+      graft.Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted"       -> (aggSalted _),
     "q_agg_distinct"     -> (aggDistinct _),
     "q_agg_rollup"       -> (aggRollup _),
     "q_agg_cube"         -> (aggCube _),
@@ -112,6 +122,9 @@ object AggQueries {
     "q_agg_approx"       -> (aggApprox _))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_l_quantity
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_part,
