@@ -85,6 +85,23 @@ object FunctionQueries {
       date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"),
       datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("dd"))
 
+  /** Temporal battery 2: day-of-year, day/month names, week
+    * truncation, date construction, month arithmetic with end-of-month
+    * clamping (both engines clamp), date subtraction — date-valued
+    * results emitted as strings so the engines compare textually.
+    */
+  def fnDatetime2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      dayofyear(col("o_orderdate")).as("doy"),
+      date_format(col("o_orderdate"), "EEEE").as("dname"),
+      date_format(col("o_orderdate"), "MMMM").as("mname"),
+      date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("wstart"),
+      date_format(make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)),
+        "yyyy-MM-dd").as("mfirst"),
+      date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("am2"),
+      date_format(date_sub(col("o_orderdate"), 10), "yyyy-MM-dd").as("dsub"))
+
   /** Conditionals (:192-364): CASE/COALESCE/NULLIF/GREATEST/LEAST/IN. */
   def fnCond(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(
@@ -185,6 +202,7 @@ object FunctionQueries {
     "q_fn_string"   -> (fnString _),
     "q_fn_math"     -> (fnMath _),
     "q_fn_datetime" -> (fnDatetime _),
+    "q_fn_datetime2" -> (fnDatetime2 _),
     "q_fn_cond"     -> (fnCond _),
     "q_fn_hash"     -> (fnHash _),
     "q_fn_json"     -> (fnJson _),
@@ -250,6 +268,16 @@ object FunctionQueries {
         |  o_orderdate + INTERVAL '3 days' AS dplus,
         |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld,
         |  date_diff('day', DATE '1995-01-01', o_orderdate) AS dd
+        |FROM orders""".stripMargin,
+    "q_fn_datetime2" ->
+      """SELECT o_orderkey,
+        |  dayofyear(o_orderdate) AS doy,
+        |  dayname(o_orderdate) AS dname,
+        |  monthname(o_orderdate) AS mname,
+        |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wstart,
+        |  strftime(make_date(year(o_orderdate)::INT, month(o_orderdate)::INT, 1), '%Y-%m-%d') AS mfirst,
+        |  strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS am2,
+        |  strftime(o_orderdate - INTERVAL 10 DAY, '%Y-%m-%d') AS dsub
         |FROM orders""".stripMargin,
     "q_fn_cond" ->
       """SELECT c_custkey,
