@@ -104,7 +104,7 @@ object CepOps {
 
   case class CepBuf[E](rows: List[E])
 
-  case class Ev(user_id: Long, event_id: Long, tsMillis: Long, event_type: String)
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long, event_type: String)
   case class ViewRunMatch(user_id: Long, n_views: Long, first_view: Long, purchase_id: Long)
   case class ActionRunMatch(user_id: Long, n_actions: Long, n_clicks: Long,
       first_action: Long, purchase_id: Long)
@@ -118,13 +118,13 @@ object CepOps {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("tsMillis"), // micros: full-precision ordering
+        unix_micros(col("ts")).as("tsMicros"), // micros: full-precision ordering
         col("event_type"))
       .as[Ev]
     val steps = List(
       Nfa.Step[Ev]("V", _.event_type == "view", Nfa.Plus),
       Nfa.Step[Ev]("P", _.event_type == "purchase", Nfa.One))
-    matchPattern(ev, (e: Ev) => e.user_id, (e: Ev) => (e.tsMillis, e.event_id), steps) {
+    matchPattern(ev, (e: Ev) => e.user_id, (e: Ev) => (e.tsMicros, e.event_id), steps) {
       (k, m) =>
         val vs = m("V")
         ViewRunMatch(k, vs.length.toLong, vs.head.event_id, m("P").head.event_id)
@@ -135,7 +135,7 @@ object CepOps {
     import s.implicits._
     Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("tsMillis"),
+        unix_micros(col("ts")).as("tsMicros"),
         col("event_type"))
       .as[Ev]
   }
@@ -153,7 +153,7 @@ object CepOps {
         Nfa.Sym[Ev]("V", _.event_type == "view"))), 1, Int.MaxValue),
       Nfa.Sym[Ev]("P", _.event_type == "purchase")))
     matchPatternFull(evSet(s, dir), (e: Ev) => e.user_id,
-        (e: Ev) => (e.tsMillis, e.event_id), pat) { (k, m) =>
+        (e: Ev) => (e.tsMicros, e.event_id), pat) { (k, m) =>
       val cs = m.idx.getOrElse("C", Nil) zip m.caps.getOrElse("C", Nil)
       val vs = m.idx.getOrElse("V", Nil) zip m.caps.getOrElse("V", Nil)
       val first = (cs ++ vs).minBy(_._1)._2
@@ -173,7 +173,7 @@ object CepOps {
       Nfa.Sym[Ev]("A1", _.event_type == "view"),
       Nfa.Sym[Ev]("A2", _.event_type == "view")))
     matchPatternFull(evSet(s, dir), (e: Ev) => e.user_id,
-        (e: Ev) => (e.tsMillis, e.event_id), pat, Nfa.SkipToNextRow) { (k, m) =>
+        (e: Ev) => (e.tsMicros, e.event_id), pat, Nfa.SkipToNextRow) { (k, m) =>
       ViewPairMatch(k, m.caps("A1").head.event_id, m.caps("A2").head.event_id)
     }.toDF()
   }

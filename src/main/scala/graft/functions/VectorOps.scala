@@ -46,25 +46,31 @@ object VectorOps {
     * LSH (each table is an independent chance to co-bucket true
     * neighbors).
     */
+  /** Sign of the dot product with hyperplane (seed, bit): components
+    * are a deterministic splitmix-style avalanche of (seed, bit, i)
+    * in [-0.5, 0.5). Shared by [[lshBucket]] and [[lshSignature]].
+    */
+  private def hyperplaneSign(a: ArrayData, seed: Int, bit: Int): Boolean = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      var z = ((seed.toLong * 1024 + bit).toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      val r = (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      s += a.getFloat(i).toDouble * r
+      i += 1
+    }
+    s >= 0
+  }
+
   def lshBucket(a: ArrayData, nBits: Int, seed: Int): Int = {
     var code = 0
     var bit = 0
     while (bit < nBits) {
-      var s = 0.0
-      var i = 0
-      val n = a.numElements()
-      while (i < n) {
-        // deterministic pseudo-random component in [-0.5, 0.5):
-        // splitmix-style avalanche of (seed, bit, i)
-        var z = ((seed.toLong * 1024 + bit).toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
-        val r = (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
-        s += a.getFloat(i).toDouble * r
-        i += 1
-      }
-      if (s >= 0) code |= (1 << bit)
+      if (hyperplaneSign(a, seed, bit)) code |= (1 << bit)
       bit += 1
     }
     code
@@ -80,30 +86,20 @@ object VectorOps {
     * structure for buckets to exploit (measured on the test corpus:
     * 64-bit sigs top-64 rerank ≈ 0.66 recall, 512-bit ≈ 1.0).
     */
-  def lshSignature(a: ArrayData, nBits: Int): Array[Long] = {
+  def lshSignature(a: ArrayData, nBits: Int, seed: Int = 0): Array[Long] = {
     val words = new Array[Long]((nBits + 63) / 64)
     var bit = 0
     while (bit < nBits) {
-      var s = 0.0
-      var i = 0
-      val n = a.numElements()
-      while (i < n) {
-        var z = (bit.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z = z ^ (z >>> 31)
-        val r = (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
-        s += a.getFloat(i).toDouble * r
-        i += 1
-      }
-      if (s >= 0) words(bit >> 6) |= 1L << (bit & 63)
+      if (hyperplaneSign(a, seed, bit)) words(bit >> 6) |= 1L << (bit & 63)
       bit += 1
     }
     words
   }
 
-  def lshSignatureData(a: ArrayData, nBits: Int): ArrayData =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(lshSignature(a, nBits))
+  def lshSignatureData(a: ArrayData, nBits: Int): ArrayData = lshSignatureData(a, nBits, 0)
+
+  def lshSignatureData(a: ArrayData, nBits: Int, seed: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lshSignature(a, nBits, seed))
 
   /** Hamming distance between two packed signatures. */
   def hammingSig(a: ArrayData, b: ArrayData): Int = {

@@ -86,14 +86,14 @@ case class LshBucket(child: Expression, nBits: Int, seed: Int = 0)
 /** Wide random-hyperplane signature (`nBits` sign bits packed into
   * ARRAY<BIGINT>) — the popcount-prefilter side of ANN rerank.
   */
-case class LshSignature(child: Expression, nBits: Int)
+case class LshSignature(child: Expression, nBits: Int, seed: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    VectorOps.lshSignatureData(v.asInstanceOf[ArrayData], nBits)
+    VectorOps.lshSignatureData(v.asInstanceOf[ArrayData], nBits, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.lshSignatureData($c, $nBits)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.lshSignatureData($c, $nBits, $seed)")
   override protected def withNewChildInternal(c: Expression): LshSignature = copy(child = c)
   override def prettyName: String = "lsh_signature"
 }

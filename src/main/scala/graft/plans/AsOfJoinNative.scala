@@ -79,7 +79,9 @@ object AsOfJoinNative {
       val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
       val rightArity = right.output.size
       val outAttrs = output
-      val inAttrs = left.output ++ right.output
+      // bind against NULLABLE right attrs: unmatched probes read the
+      // null-padded row, and a non-nullable binding would surface 0s
+      val inAttrs = left.output ++ right.output.map(_.withNullability(true))
 
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val proj = UnsafeProjection.create(outAttrs, inAttrs)

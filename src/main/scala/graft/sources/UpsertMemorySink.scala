@@ -45,7 +45,12 @@ object UpsertMemoryStore {
   private val stores = TrieMap.empty[String, TrieMap[Any, Seq[Any]]]
   def store(name: String): TrieMap[Any, Seq[Any]] =
     stores.getOrElseUpdate(name, TrieMap.empty)
-  def clear(name: String): Unit = stores.remove(name)
+  def clear(name: String): Unit = {
+    stores.remove(name)
+    // drop the committed-epoch markers too, or a fresh query reusing
+    // the store name (epochs restarting at 0) would no-op every commit
+    committed.keys.filter(_._1 == name).foreach(committed.remove)
+  }
   /** committed epochs per store, for idempotent epoch replay */
   private[sources] val committed = TrieMap.empty[(String, Long), Boolean]
 }

@@ -185,8 +185,13 @@ object GraftSql {
     var gStart = -1
     var gEnd = -1 // token range of the grouping item list
     var i = 0
+    var scanDepth = 0
     while (i < toks.length && gStart < 0) {
-      if (toks(i).is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
+      if (toks(i).isPunct("(")) scanDepth += 1
+      else if (toks(i).isPunct(")")) scanDepth -= 1
+      // only the ENCLOSING query's GROUP BY (paren depth 0) — a GROUP
+      // BY inside the SESSION source subquery must stay untouched
+      if (scanDepth == 0 && toks(i).is("GROUP") && i + 1 < toks.length && toks(i + 1).is("BY")) {
         gStart = i + 2
         var depth = 0
         var j = gStart

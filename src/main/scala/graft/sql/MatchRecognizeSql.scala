@@ -328,8 +328,10 @@ object MatchRecognizeSql {
     def vals(pm: Nfa.PatMatch[Row]): List[Any] =
       pm.caps.getOrElse(m.variable, Nil).map(r => if (ci < 0) 1L else r.get(ci))
     m.fn match {
-      case "VAR" | "FIRST" => pm => vals(pm).headOption.orNull
-      case "LAST" => pm => vals(pm).lastOption.orNull
+      case "FIRST" => pm => vals(pm).headOption.orNull
+      // SQL:2016 ONE ROW PER MATCH: a bare `V.col` means the LAST row
+      // mapped to V (same as Flink/Oracle), not the first
+      case "VAR" | "LAST" => pm => vals(pm).lastOption.orNull
       case "COUNT" => pm =>
         if (ci < 0) pm.caps.getOrElse(m.variable, Nil).length.toLong
         else vals(pm).count(_ != null).toLong

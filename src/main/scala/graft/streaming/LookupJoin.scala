@@ -98,10 +98,19 @@ object LookupJoin {
       import scala.concurrent.{Await, Future}
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      // sliding window of `capacity` in-flight futures per task
-      it.grouped(capacity).flatMap { batch =>
-        val inFlight = batch.map(t => fn.asyncLookup(key(t)).map(vs => combine(t, vs)))
-        Await.result(Future.sequence(inFlight), timeout)
+      // true sliding window: a new lookup launches as soon as the
+      // OLDEST completes (ordered emission), so one slow request
+      // stalls only its own slot, not a whole batch barrier
+      val inFlight = scala.collection.mutable.Queue.empty[Future[U]]
+      new Iterator[U] {
+        override def hasNext: Boolean = inFlight.nonEmpty || it.hasNext
+        override def next(): U = {
+          while (inFlight.size < capacity && it.hasNext) {
+            val t = it.next()
+            inFlight.enqueue(fn.asyncLookup(key(t)).map(vs => combine(t, vs)))
+          }
+          Await.result(inFlight.dequeue(), timeout)
+        }
       }
     }
 }

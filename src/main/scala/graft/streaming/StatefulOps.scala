@@ -140,7 +140,14 @@ object StatefulOps {
             }
           }
           val kept = JoinState(left.filter(_._1 >= live), right.filter(_._1 >= live))
-          state.update(kept)
+          if (kept.left.isEmpty && kept.right.isEmpty) state.remove()
+          else {
+            state.update(kept)
+            // arm a TTL timer so idle keys evict without fresh input
+            // (the reference's minIdleStateRetention cleanup timer)
+            val oldest = (kept.left ++ kept.right).map(_._1).min
+            state.setTimeoutTimestamp(math.max(oldest + ttlMillis, wm + 1))
+          }
           out.iterator
         })
   }

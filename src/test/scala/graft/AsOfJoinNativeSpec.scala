@@ -36,9 +36,12 @@ class AsOfJoinNativeSpec extends SparkSpec {
     val build = Seq((1L, 8L, "b8"), (1L, 9L, "b9"), (3L, 1L, "zz"))
       .toDF("k", "t", "v")
       .select(col("k").as("bk"), col("t").as("bt"), col("v"))
-    val out = AsOfJoinNative.asOf(probe, build, "k", "t", "bk", "bt")
-      .select("tag", "v").collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    val rows = AsOfJoinNative.asOf(probe, build, "k", "t", "bk", "bt")
+      .select("tag", "v", "bt").collect()
+    val out = rows.map(r => (r.getString(0), Option(r.getString(1)))).toSet
     // p1@10 matches b9@9 (latest <= 10); p0@5 has no build <= 5; key 2 unmatched
     assert(out === Set(("p1", Some("b9")), ("p0", None), ("px", None)))
+    // non-nullable build columns must surface as NULL (not 0) on misses
+    rows.filter(_.getString(0) != "p1").foreach(r => assert(r.isNullAt(2), r.toString))
   }
 }

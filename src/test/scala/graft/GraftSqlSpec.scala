@@ -116,6 +116,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaDsl.toDF(viaSql.columns: _*)).count() === 0)
   }
 
+  test("bare multi-row variable measure takes the LAST mapped row (SQL:2016)") {
+    prep()
+    val df = GraftSql.sql(spark,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES V.event_id AS bare_v, LAST(V.event_id) AS last_v,
+        |           FIRST(V.event_id) AS first_v
+        |  PATTERN (V+ P)
+        |  DEFINE V AS event_type = 'view', P AS event_type = 'purchase')""".stripMargin)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)), "bare var must equal LAST")
+    assert(rows.exists(r => r.getLong(1) != r.getLong(3)), "multi-row runs must exist")
+  }
+
   test("MATCH_RECOGNIZE with alternation, WITHIN and SKIP TO NEXT ROW parses and runs") {
     prep()
     val df = GraftSql.sql(spark,
