@@ -50,16 +50,50 @@ object GraftCatalog {
 
   private val CharType: Regex = """(?i)(VAR)?CHAR\s*\(\s*(\d+)\s*\)""".r
 
-  /** Flink type spellings → Spark DDL types. */
+  /** Flink type spellings → Spark DDL types; recurses into
+    * ARRAY<...> / MAP<...> / ROW<...> (→ STRUCT<...>) generics.
+    */
   private def mapType(t: String): String = {
-    val up = t.trim.toUpperCase
-    up match {
-      case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") => "STRING"
-      case s if s.startsWith("TIMESTAMP_LTZ") => "TIMESTAMP"
-      case s if s.startsWith("TIMESTAMP") => "TIMESTAMP"
-      case "INT" | "INTEGER" => "INT"
-      case s => s
+    val trimmed = t.trim
+    val up = trimmed.toUpperCase
+    val generic = """(?is)^(ARRAY|MAP|ROW|MULTISET)\s*<(.*)>$""".r
+    trimmed match {
+      case generic(outer, inner) =>
+        val parts = splitTopLevel(inner)
+        outer.toUpperCase match {
+          case "ARRAY" | "MULTISET" => s"ARRAY<${mapType(parts.head)}>"
+          case "MAP" => s"MAP<${mapType(parts(0))}, ${mapType(parts(1))}>"
+          case "ROW" =>
+            // ROW<name TYPE, ...> → STRUCT<name: TYPE, ...>
+            val fields = parts.map { f =>
+              val Array(n, ft) = f.trim.split("\\s+", 2)
+              s"$n: ${mapType(ft)}"
+            }
+            s"STRUCT<${fields.mkString(", ")}>"
+        }
+      case _ => up match {
+        case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") => "STRING"
+        case s if s.startsWith("TIMESTAMP_LTZ") => "TIMESTAMP"
+        case s if s.startsWith("TIMESTAMP") => "TIMESTAMP"
+        case "INT" | "INTEGER" => "INT"
+        case s => s
+      }
     }
+  }
+
+  /** Split on commas at generic-nesting depth 0 ('<>' and parens). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new java.lang.StringBuilder
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; cur.append(c)
+      case c @ ('>' | ')') => depth -= 1; cur.append(c)
+      case ',' if depth == 0 => out += cur.toString; cur.setLength(0)
+      case c => cur.append(c)
+    }
+    if (cur.length > 0) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private def parseOptions(s: String): Map[String, String] =
@@ -67,8 +101,9 @@ object GraftCatalog {
       .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
 
   private def parseSchema(cols: String): (StructType, TableConstraints) = {
-    // split on top-level commas (no nested generics handled this round)
-    val defs = cols.split(",").map(_.trim).filter(_.nonEmpty)
+    // commas split at generic-nesting depth 0, so ROW<a INT, b INT>
+    // and MAP<STRING, INT> column types survive
+    val defs = splitTopLevel(cols)
       // skip computed columns / watermark clauses
       .filterNot(c => c.toUpperCase.startsWith("WATERMARK"))
     val notNull = Seq.newBuilder[String]

@@ -110,8 +110,18 @@ object AggQueries {
     Salting.saltedCountSum(
       graft.Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")
 
+  /** GROUPING_ID over a rollup — the grouping-set indicator function
+    * (BuiltInFunctionDefinitions GROUPING/GROUPING_ID; Spark and
+    * DuckDB use the same bit encoding).
+    */
+  def aggGroupingId(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted"       -> (aggSalted _),
+    "q_agg_groupingid"   -> (aggGroupingId _),
     "q_agg_distinct"     -> (aggDistinct _),
     "q_agg_rollup"       -> (aggRollup _),
     "q_agg_cube"         -> (aggCube _),
@@ -125,6 +135,10 @@ object AggQueries {
     "q_agg_salted" ->
       """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_l_quantity
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_groupingid" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_part,

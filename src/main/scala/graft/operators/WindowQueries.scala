@@ -124,8 +124,25 @@ object WindowQueries {
       .drop("rn")
   }
 
+  /** Forward-looking OVER frames: CURRENT ROW .. n FOLLOWING and
+    * UNBOUNDED FOLLOWING (the frame directions q_over_frames'
+    * PRECEDING battery doesn't cover).
+    */
+  def overFollowing(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      sum(col("o_totalprice")).over(w.rowsBetween(Window.currentRow, 2)).as("sum_fwd3"),
+      sum(col("o_totalprice")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("sum_rest"),
+      count(lit(1)).over(
+        w.rowsBetween(1, Window.unboundedFollowing)).as("n_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_over_rank"     -> (overRank _),
+    "q_over_follow"   -> (overFollowing _),
     "q_over_frames"   -> (overFrames _),
     "q_over_leadlag"  -> (overLeadLag _),
     "q_topn"          -> (topN _),
@@ -177,6 +194,15 @@ object WindowQueries {
         |  SELECT user_id, event_id, ts, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_over_follow" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS sum_fwd3,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sum_rest,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_after
+        |FROM orders""".stripMargin,
     "q_window_topn" ->
       """SELECT wstart, event_type, event_id, value, rn FROM (
         |  SELECT date_trunc('hour', ts) AS wstart, event_type, event_id, value,

@@ -53,6 +53,28 @@ class CatalogSpec extends SparkSpec {
       assert(keyed(spark.table(t)) === expect, t)
   }
 
+  test("DDL parses nested ARRAY/MAP/ROW column types") {
+    val base = java.nio.file.Files.createTempDirectory("graft_nested").toString
+    spark.sql(
+      """SELECT 1L AS id, array(1, 2) AS xs, map('a', 1) AS m,
+        |  named_struct('a', 1, 'b', 'x') AS r""".stripMargin)
+      .write.parquet(s"$base/nested")
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE nested_ddl (
+         |  id BIGINT,
+         |  xs ARRAY<INT>,
+         |  m MAP<VARCHAR(1), INT>,
+         |  r ROW<a INT, b VARCHAR(5)>
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/nested',
+         |        'format' = 'parquet')""".stripMargin)
+    val schema = spark.table("nested_ddl").schema
+    assert(schema("xs").dataType.typeName === "array")
+    assert(schema("m").dataType.typeName === "map")
+    assert(schema("r").dataType.typeName === "struct")
+    val row = spark.table("nested_ddl").first()
+    assert(row.getAs[Seq[Int]]("xs") === Seq(1, 2))
+  }
+
   // ---- sink constraint enforcement (ConstraintEnforcer.java) ----
 
   import org.apache.spark.sql.functions._
