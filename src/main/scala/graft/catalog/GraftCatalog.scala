@@ -32,6 +32,37 @@ object GraftCatalog {
   private val tableConstraints =
     scala.collection.concurrent.TrieMap.empty[String, TableConstraints]
 
+  /** writable filesystem tables: name → (path, format, options) */
+  final case class SinkInfo(path: String, format: String, options: Map[String, String])
+  private val tableSinks =
+    scala.collection.concurrent.TrieMap.empty[String, SinkInfo]
+
+  def sinkOf(table: String): Option[SinkInfo] = tableSinks.get(table)
+
+  /** Append or overwrite rows into a DDL-registered filesystem table
+    * (the write half of the connector, used by INSERT INTO): enforces
+    * the table's declared constraints, writes, and refreshes the view.
+    */
+  def insertInto(spark: SparkSession, table: String, rows: DataFrame,
+      overwrite: Boolean): Unit = {
+    val sink = sinkOf(table).getOrElse(
+      sys.error(s"table '$table' is not a writable filesystem table"))
+    val checked = enforced(table, rows)
+    val writer = checked.write
+      .mode(if (overwrite) "overwrite" else "append")
+      .format(sink.format)
+    val w2 = if (sink.format == "csv")
+      writer.option("header", sink.options.getOrElse("csv.header", "false")) else writer
+    w2.save(sink.path)
+    // refresh the registered view so subsequent reads see the write
+    val reader = spark.read.format(sink.format)
+    val r2 = if (sink.format == "csv")
+      reader.option("header", sink.options.getOrElse("csv.header", "false"))
+        .schema(spark.table(table).schema)
+      else reader
+    r2.load(sink.path).createOrReplaceTempView(table)
+  }
+
   def constraintsOf(table: String): TableConstraints =
     tableConstraints.getOrElse(table, TableConstraints(Nil, Nil))
 
@@ -138,7 +169,13 @@ object GraftCatalog {
             parsed.map(p => reader.schema(p._1)).getOrElse(reader)
           val r2 = if (fmt == "csv") withSchema.option("header",
             options.getOrElse("csv.header", "false")) else withSchema
-          r2.load(options("path"))
+          val path = options("path")
+          tableSinks.put(name, SinkInfo(path, fmt, options))
+          if (new java.io.File(path).exists()) r2.load(path)
+          else // a pure sink table may not exist yet (Flink allows it)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              parsed.map(_._1).getOrElse(sys.error(s"new sink table $name needs a schema")))
         case "datagen" =>
           spark.read.format("graft.sources.DatagenSource")
             .option("partitions", options.getOrElse("partitions", "4"))

@@ -311,9 +311,29 @@ object GraftSql {
     sqlText
   }
 
-  /** Rewrite + register Flink-name functions + execute. */
+  /** Rewrite + register Flink-name functions + execute. Statements:
+    * plain queries; `INSERT INTO|OVERWRITE <table> <query>` writes the
+    * query's rows into a DDL-registered filesystem table (with its
+    * declared constraints enforced) and returns the refreshed table;
+    * `CREATE TABLE ... WITH (...)` delegates to the catalog.
+    */
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.FlinkFunctions.registerAll(spark)
+    val toks = tokenize(text)
+    if (toks.nonEmpty && toks.head.is("CREATE")) {
+      graft.catalog.GraftCatalog.executeDdl(spark, text)
+      return spark.emptyDataFrame
+    }
+    if (toks.nonEmpty && toks.head.is("INSERT")) {
+      require(toks.length > 2 && (toks(1).is("INTO") || toks(1).is("OVERWRITE")),
+        "expected INSERT INTO|OVERWRITE <table> <query>")
+      val overwrite = toks(1).is("OVERWRITE")
+      val table = toks(2).text
+      val query = text.substring(toks(2).end)
+      val rows = sql(spark, query)
+      graft.catalog.GraftCatalog.insertInto(spark, table, rows, overwrite)
+      return spark.table(table)
+    }
     val noMr = extractMatchRecognize(spark, text)
     spark.sql(rewrite(noMr))
   }

@@ -116,6 +116,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaDsl.toDF(viaSql.columns: _*)).count() === 0)
   }
 
+  test("CREATE TABLE + INSERT INTO pipeline through the SQL front door") {
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_ins").toString
+    GraftSql.sql(spark,
+      s"""CREATE TABLE top_nations (
+         |  n_nationkey BIGINT NOT NULL, n_name VARCHAR(25)
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/top_nations',
+         |        'format' = 'parquet')""".stripMargin)
+    assert(spark.table("top_nations").count() === 0) // empty sink table
+    GraftSql.sql(spark,
+      """INSERT INTO top_nations
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation WHERE n_nationkey < 5""".stripMargin)
+    assert(spark.table("top_nations").count() === 5)
+    GraftSql.sql(spark,
+      """INSERT INTO top_nations
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey = 7""".stripMargin)
+    assert(spark.table("top_nations").count() === 6) // append
+    GraftSql.sql(spark,
+      """INSERT OVERWRITE top_nations
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey >= 20""".stripMargin)
+    assert(spark.table("top_nations").count() === 5) // replaced
+  }
+
   test("bare multi-row variable measure takes the LAST mapped row (SQL:2016)") {
     prep()
     val df = GraftSql.sql(spark,
