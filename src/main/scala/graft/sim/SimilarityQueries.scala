@@ -124,6 +124,53 @@ object SimilarityQueries {
       .filter(col("rnk") <= 5)
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus
+    * into cells (MLlib KMeans — trained once, amortized across
+    * queries; at scale on a sample); each query probes its `nProbe`
+    * nearest cells and exact-reranks only those candidates —
+    * ~nProbe/nCells of the corpus per query. Cell assignment and
+    * probing use squared-euclidean via the codegen'd dot-product
+    * kernel (|q|² is constant per query, so -2q·c + |c|² ranks
+    * identically). With nProbe = nCells this degenerates to exact
+    * brute force — the property the spec pins.
+    */
+  def ivfAnn(s: SparkSession, dir: String,
+      nCells: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = t(s, dir, "embeddings")
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }.toSeq
+    val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("d2",
+        F.dotProduct(col("centroid"), col("centroid"))
+          - lit(2.0) * F.dotProduct(col("q_emb"), col("centroid")))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        row_number().over(wCell).as("crnk"))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: adjacent-id pairing
     * (vec_id, vec_id+1) with exact cosine — the SQL-expressible slice
     * of embedding dedup, oracle-checked against DuckDB's
@@ -143,6 +190,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk"     -> (cosineTopK _),
     "q_sim_lsh_ann"  -> ((s: SparkSession, d: String) => annSigRerank(s, d)),
+    "q_sim_ivf_ann"  -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "q_sim_adjacent" -> (cosineAdjacent _))
 
   // DuckDB's list_cosine_similarity accumulates in FLOAT; our native

@@ -41,6 +41,29 @@ class SimRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${(ann intersect brute).size}/${brute.size})")
   }
 
+  test("IVF ANN with nProbe = nCells degenerates to exact brute force") {
+    val brute = graft.sim.SimilarityQueries.cosineTopK(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.sim.SimilarityQueries.ivfAnn(spark, sfDir, nCells = 8, nProbe = 8)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute, "probing every cell must equal exhaustive search")
+  }
+
+  test("IVF ANN partial probing trades recall for a bounded candidate fraction") {
+    val brute = graft.sim.SimilarityQueries.cosineTopK(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val part = graft.sim.SimilarityQueries.ivfAnn(spark, sfDir, nCells = 8, nProbe = 4)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (part intersect brute).size.toDouble / brute.size
+    // half the cells probed: recall must beat the random-fraction floor
+    assert(recall >= 0.4, s"recall $recall")
+    assert(part.size === brute.size, "still top-5 per query")
+  }
+
   test("bucketed multi-table multi-probe ANN yields full top-5 candidate sets") {
     // the bucketed path is the variant for corpora WITH cluster
     // structure; on this near-random corpus its recall is inherently
