@@ -47,7 +47,15 @@ object GraftCatalog {
       overwrite: Boolean): Unit = {
     val sink = sinkOf(table).getOrElse(
       sys.error(s"table '$table' is not a writable filesystem table"))
-    val checked = enforced(table, rows)
+    // SQL INSERT maps columns by POSITION: align names and types to
+    // the target schema so mixed-name files can't silently null out
+    val target = spark.table(table).schema
+    require(rows.schema.length == target.length,
+      s"INSERT INTO $table: query has ${rows.schema.length} columns, table has ${target.length}")
+    val aligned = rows.toDF(target.fieldNames.toSeq: _*)
+      .select(target.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+    val checked = enforced(table, aligned)
     val writer = checked.write
       .mode(if (overwrite) "overwrite" else "append")
       .format(sink.format)
@@ -142,11 +150,30 @@ object GraftCatalog {
     val fields = defs.map { c =>
       val parts = c.split("\\s+", 2)
       val (name, typeAndRest) = (parts(0), parts(1))
-      if (typeAndRest.toUpperCase.contains("NOT NULL")) notNull += name
-      CharType.findFirstMatchIn(typeAndRest).foreach { m =>
-        lengths += LengthConstraint(name, m.group(2).toInt, pad = m.group(1) == null)
+      // split the TYPE text from trailing modifiers at generic depth 0,
+      // so VARCHAR(n)/NOT NULL INSIDE ARRAY/MAP/ROW generics never
+      // register top-level constraints on the complex column
+      val typeEnd = {
+        var depth = 0
+        var i = 0
+        while (i < typeAndRest.length &&
+            (depth > 0 || !typeAndRest.charAt(i).isWhitespace)) {
+          typeAndRest.charAt(i) match {
+            case '<' | '(' => depth += 1
+            case '>' | ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        i
       }
-      val typeOnly = typeAndRest.replaceAll("(?i)\\s*NOT\\s+NULL\\s*", " ").trim
+      val typeOnly = typeAndRest.substring(0, typeEnd)
+      val modifiers = typeAndRest.substring(typeEnd)
+      if (modifiers.toUpperCase.contains("NOT NULL")) notNull += name
+      if (!typeOnly.contains("<"))
+        CharType.findFirstMatchIn(typeOnly).foreach { m =>
+          lengths += LengthConstraint(name, m.group(2).toInt, pad = m.group(1) == null)
+        }
       s"$name ${mapType(typeOnly)}"
     }
     (StructType.fromDDL(fields.mkString(", ")), TableConstraints(notNull.result(), lengths.result()))
@@ -171,7 +198,10 @@ object GraftCatalog {
             options.getOrElse("csv.header", "false")) else withSchema
           val path = options("path")
           tableSinks.put(name, SinkInfo(path, fmt, options))
-          if (new java.io.File(path).exists()) r2.load(path)
+          // Hadoop FS check so URI paths (file://, hdfs://, s3://) work
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
+          if (exists) r2.load(path)
           else // a pure sink table may not exist yet (Flink allows it)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -58,7 +58,8 @@ object CepOps {
     */
   def matchPatternStream[E, K, O](
       ds: org.apache.spark.sql.Dataset[E], key: E => K, order: E => (Long, Long),
-      tsMillis: E => Long, pat: Nfa.Pat[E], skip: Nfa.Skip = Nfa.SkipPastLastRow)(
+      tsMillis: E => Long, pat: Nfa.Pat[E], skip: Nfa.Skip = Nfa.SkipPastLastRow,
+      within: Option[(E => Long, Long)] = None)(
       measure: (K, Nfa.PatMatch[E]) => O)(
       implicit ke: Encoder[K], se: Encoder[CepBuf[E]], oe: Encoder[O]): Dataset[O] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -69,28 +70,39 @@ object CepOps {
           val wm = state.getCurrentWatermarkMs()
           val (complete, pending) = buffered.partition(tsMillis(_) <= wm)
           val sorted = complete.sortBy(order).toIndexedSeq
-          val matches = Nfa.matchAllPat(sorted, pat, skip)
-          def resumeOf(m: Nfa.PatMatch[E]): Int = skip match {
-            case Nfa.SkipPastLastRow => m.end
-            case Nfa.SkipToNextRow => m.start + 1
-            case Nfa.SkipToFirst(v) => m.idx.get(v).flatMap(_.headOption).getOrElse(m.end)
-            case Nfa.SkipToLast(v) => m.idx.get(v).flatMap(_.lastOption).getOrElse(m.end)
-          }
+          val matches = Nfa.matchAllPat(sorted, pat, skip, within)
           // emit matches in discovery order until one is OPEN (its last
           // row is the newest complete row — future input may extend
           // it, and by skip-strategy precedence everything after it
           // must re-derive then)
           val emitted = scala.collection.mutable.ListBuffer.empty[Nfa.PatMatch[E]]
           var consumed = 0
+          var firstOpenIdx = sorted.length
           var blockedByOpen = false
           matches.foreach { m =>
             if (!blockedByOpen) {
-              if (m.end < sorted.length) { emitted += m; consumed = resumeOf(m) }
-              else blockedByOpen = true
+              if (m.end < sorted.length) { emitted += m; consumed = Nfa.resumeIndex(m, skip) }
+              else { blockedByOpen = true; firstOpenIdx = m.start }
             }
           }
           val out = emitted.map(m => measure(k, m)).toList
-          val retained = sorted.drop(consumed).toList ++ pending
+          // WITHIN bounds state: a future match must span <= the window
+          // from its first row, and it ends past the watermark, so rows
+          // at or before wm - within can never join a future match —
+          // evict them (unless inside the open match). Patterns with no
+          // WITHIN keep unconsumed rows, the same unbounded-state
+          // caveat the reference documents.
+          val evictable = within match {
+            case Some((_, w)) =>
+              val horizon = wm - w
+              val firstLive = sorted.indexWhere(r => tsMillis(r) > horizon) match {
+                case -1 => sorted.length
+                case i => i
+              }
+              math.min(firstLive, firstOpenIdx)
+            case None => 0
+          }
+          val retained = sorted.drop(math.max(consumed, evictable)).toList ++ pending
           if (retained.isEmpty) state.remove()
           else {
             state.update(CepBuf(retained))

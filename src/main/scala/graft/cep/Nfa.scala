@@ -88,6 +88,18 @@ object Nfa {
 
   private type Caps[E] = Map[String, List[(Int, E)]]
 
+  /** Scan-resume index after a match per the AFTER MATCH skip
+    * strategy — shared by [[matchAllPat]] and the streaming matcher
+    * (CepOps.matchPatternStream) so batch and stream advance
+    * identically.
+    */
+  def resumeIndex[E](m: PatMatch[E], skip: Skip): Int = skip match {
+    case SkipPastLastRow => m.end
+    case SkipToNextRow => m.start + 1
+    case SkipToFirst(v) => m.idx.get(v).flatMap(_.headOption).getOrElse(m.end)
+    case SkipToLast(v) => m.idx.get(v).flatMap(_.lastOption).getOrElse(m.end)
+  }
+
   /** All matches of `pat` under `skip`, with optional `within`
     * (event-time span bound: every row's ts minus the first row's ts
     * must be <= withinMillis — partial matches exceeding it are
@@ -103,13 +115,9 @@ object Nfa {
         case Some((end, caps)) if end > i =>
           val byName = caps.map { case (n, xs) => n -> xs.map(_._2) }
           val idx = caps.map { case (n, xs) => n -> xs.map(_._1) }
-          out += PatMatch(i, end, byName, idx)
-          val next = skip match {
-            case SkipPastLastRow => end
-            case SkipToNextRow => i + 1
-            case SkipToFirst(v) => idx.get(v).flatMap(_.headOption).getOrElse(end)
-            case SkipToLast(v) => idx.get(v).flatMap(_.lastOption).getOrElse(end)
-          }
+          val pm = PatMatch(i, end, byName, idx)
+          out += pm
+          val next = resumeIndex(pm, skip)
           if (next <= i)
             // the reference throws for a skip target that cannot
             // advance (AfterMatchSkipStrategy#isValid); mirror it

@@ -90,12 +90,19 @@ object FunctionQueries {
     * clamping (both engines clamp), date subtraction — date-valued
     * results emitted as strings so the engines compare textually.
     */
+  private val dayNames = Seq("Sunday", "Monday", "Tuesday", "Wednesday",
+    "Thursday", "Friday", "Saturday")
+  private val monthNames = Seq("January", "February", "March", "April", "May",
+    "June", "July", "August", "September", "October", "November", "December")
+
   def fnDatetime2(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey"),
       dayofyear(col("o_orderdate")).as("doy"),
-      date_format(col("o_orderdate"), "EEEE").as("dname"),
-      date_format(col("o_orderdate"), "MMMM").as("mname"),
+      // array lookups, not date_format EEEE/MMMM: pattern names follow
+      // the JVM default locale, while DuckDB's dayname is English-only
+      element_at(array(dayNames.map(lit): _*), dayofweek(col("o_orderdate"))).as("dname"),
+      element_at(array(monthNames.map(lit): _*), month(col("o_orderdate"))).as("mname"),
       date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("wstart"),
       date_format(make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)),
         "yyyy-MM-dd").as("mfirst"),

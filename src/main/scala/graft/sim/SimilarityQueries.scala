@@ -159,12 +159,14 @@ object SimilarityQueries {
         row_number().over(wCell).as("crnk"))
       .filter(col("crnk") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))
+    // each vector lives in exactly one cell and probes are distinct
+    // per query, so the join cannot duplicate (q_id, vec_id) — no
+    // dedup shuffle needed (unlike the multi-probe LSH path)
     val scored = assigned
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
-      .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.select(col("q_id"), col("vec_id"), col("cos"),
         row_number().over(w).as("rnk"))

@@ -320,13 +320,19 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.FlinkFunctions.registerAll(spark)
     val toks = tokenize(text)
-    if (toks.nonEmpty && toks.head.is("CREATE")) {
+    // only divert the Flink-dialect shapes; anything else (CREATE
+    // TEMPORARY VIEW, INSERT into a Spark-native table, ...) still
+    // goes to spark.sql unchanged
+    val isConnectorDdl = toks.length > 1 && toks.head.is("CREATE") &&
+      toks(1).is("TABLE") && toks.exists(_.is("WITH"))
+    if (isConnectorDdl) {
       graft.catalog.GraftCatalog.executeDdl(spark, text)
       return spark.emptyDataFrame
     }
-    if (toks.nonEmpty && toks.head.is("INSERT")) {
-      require(toks.length > 2 && (toks(1).is("INTO") || toks(1).is("OVERWRITE")),
-        "expected INSERT INTO|OVERWRITE <table> <query>")
+    val isSinkInsert = toks.length > 2 && toks.head.is("INSERT") &&
+      (toks(1).is("INTO") || toks(1).is("OVERWRITE")) &&
+      graft.catalog.GraftCatalog.sinkOf(toks(2).text).isDefined
+    if (isSinkInsert) {
       val overwrite = toks(1).is("OVERWRITE")
       val table = toks(2).text
       val query = text.substring(toks(2).end)
