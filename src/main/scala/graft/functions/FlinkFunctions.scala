@@ -159,6 +159,15 @@ object FlinkFunctions {
     // SQL syntax is Flink-parser-only); aggregates nest a
     // CollectList AggregateExpression inside scalar JSON shaping,
     // which Spark plans as agg + project.
+    // IS_JSON: get_json_object('$') returns null iff the text fails to
+    // parse as a JSON document
+    reg1("is_json") { es =>
+      expressions.IsNotNull(expressions.GetJsonObject(es.head,
+        expressions.Literal(org.apache.spark.unsafe.types.UTF8String.fromString("$"),
+          org.apache.spark.sql.types.StringType)))
+    }
+    // PROCTIME(): processing-time attribute = operator wall clock
+    reg1("proctime") { _ => expressions.CurrentTimestamp() }
     reg1("json_value") { es => expressions.GetJsonObject(es(0), es(1)) }
     reg1("json_query") { es => expressions.GetJsonObject(es(0), es(1)) }
     reg1("json_exists") { es => expressions.IsNotNull(expressions.GetJsonObject(es(0), es(1))) }

@@ -57,6 +57,17 @@ class ExtraFunctionsSpec extends SparkSpec {
     assert(r.getString(5) === "[3,1,2]")
   }
 
+  test("IS_JSON and PROCTIME by SQL name") {
+    graft.functions.FlinkFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT CAST(is_json('{"a":1}') AS INT) AS j1,
+        |  CAST(is_json('not json') AS INT) AS j2,
+        |  proctime() IS NOT NULL AS pt""".stripMargin).first()
+    assert(r.getInt(0) === 1)
+    assert(r.getInt(1) === 0)
+    assert(r.getBoolean(2))
+  }
+
   test("SQL:2016 JSON aggregate functions by SQL name") {
     graft.functions.FlinkFunctions.registerAll(spark)
     val r = spark.sql(
