@@ -108,6 +108,10 @@ object TextQueries {
     * unless every band contains a differing bit — recall rises
     * steeply with b (spec-tested ≥ 0.9 at d ≤ 16 with 16 bands).
     * Shuffle volume is |docs|·bands longs; no all-pairs anywhere.
+    * Candidate count grows with bucket density (|docs| / 2^width per
+    * band) — at larger corpora hold density constant by widening
+    * bands (fewer, wider bands: the classic recall/cost dial;
+    * SCALE.md measures 8.8x time at 16x docs with width fixed).
     */
   def simhashPairs(docs: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
     val width = 64 / bands
