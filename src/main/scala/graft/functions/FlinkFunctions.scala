@@ -160,13 +160,22 @@ object FlinkFunctions {
     // CollectList AggregateExpression inside scalar JSON shaping,
     // which Spark plans as agg + project.
     // IS_JSON: get_json_object('$') returns null iff the text fails to
-    // parse as a JSON document
+    // parse as a JSON document; the literal document `null` is valid
+    // JSON but maps to SQL NULL, so it is special-cased. Known
+    // divergence: trailing garbage after a valid root is accepted
+    // (Spark's scanner stops at the root), where Flink rejects it.
     reg1("is_json") { es =>
-      expressions.IsNotNull(expressions.GetJsonObject(es.head,
-        expressions.Literal(org.apache.spark.unsafe.types.UTF8String.fromString("$"),
-          org.apache.spark.sql.types.StringType)))
+      val strTpe = org.apache.spark.sql.types.StringType
+      def str(s: String) = expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), strTpe)
+      expressions.Or(
+        expressions.IsNotNull(expressions.GetJsonObject(es.head, str("$"))),
+        expressions.EqualTo(expressions.StringTrim(es.head), str("null")))
     }
-    // PROCTIME(): processing-time attribute = operator wall clock
+    // PROCTIME(): processing-time attribute. NOTE: CurrentTimestamp is
+    // batch/micro-batch constant (ComputeCurrentTime folds it), which
+    // matches Flink's per-watermark granularity loosely but is NOT a
+    // per-record wall clock.
     reg1("proctime") { _ => expressions.CurrentTimestamp() }
     reg1("json_value") { es => expressions.GetJsonObject(es(0), es(1)) }
     reg1("json_query") { es => expressions.GetJsonObject(es(0), es(1)) }

@@ -89,6 +89,8 @@ private class UpsertMemoryStreamingWrite(schema: StructType, storeName: String, 
         }
         case _ =>
       }
+      // replays only re-deliver recent epochs; bound the marker set
+      UpsertMemoryStore.committed.remove((storeName, epochId - 1000))
     }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
