@@ -320,6 +320,31 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.FlinkFunctions.registerAll(spark)
     val toks = tokenize(text)
+    // EXECUTE STATEMENT SET BEGIN <insert>; ...; END — the multi-sink
+    // pipeline statement (Flink executes the inserts as one job;
+    // here they run sequentially sharing the session's views)
+    val setStart = toks.indexWhere(_.is("BEGIN"))
+    if (toks.nonEmpty && (toks.head.is("EXECUTE") || toks.head.is("STATEMENT")) &&
+        setStart >= 0) {
+      val endTok = toks.reverse.find(_.is("END")).getOrElse(sys.error("STATEMENT SET needs END"))
+      val body = text.substring(toks(setStart).end, endTok.start)
+      var last: DataFrame = spark.emptyDataFrame
+      body.split(";").map(_.trim).filter(_.nonEmpty).foreach(st => last = sql(spark, st))
+      return last
+    }
+    // CREATE [TEMPORARY] VIEW name AS <flink-dialect query>: the query
+    // goes through THIS front door (TVFs, MATCH_RECOGNIZE...), then
+    // registers as a temp view — Spark's native statement would not
+    // parse the dialect body
+    val viewIdx = toks.indexWhere(_.is("VIEW"))
+    if (toks.nonEmpty && toks.head.is("CREATE") && viewIdx >= 0 && viewIdx <= 2 &&
+        toks.length > viewIdx + 2 && toks(viewIdx + 2).is("AS")) {
+      val name = toks(viewIdx + 1).text
+      val query = text.substring(toks(viewIdx + 2).end)
+      val df = sql(spark, query)
+      df.createOrReplaceTempView(name)
+      return df
+    }
     // only divert the Flink-dialect shapes; anything else (CREATE
     // TEMPORARY VIEW, INSERT into a Spark-native table, ...) still
     // goes to spark.sql unchanged

@@ -140,6 +140,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.table("top_nations").count() === 5) // replaced
   }
 
+  test("CREATE VIEW with dialect body and STATEMENT SET multi-insert") {
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_stmtset").toString
+    GraftSql.sql(spark,
+      """CREATE VIEW hourly_counts AS
+        |SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start""".stripMargin)
+    assert(spark.table("hourly_counts").count() > 0)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE sink_a (n_nationkey BIGINT, n_name VARCHAR(25))
+         |WITH ('connector' = 'filesystem', 'path' = '$base/a', 'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE sink_b (n_nationkey BIGINT, n_name VARCHAR(25))
+         |WITH ('connector' = 'filesystem', 'path' = '$base/b', 'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """EXECUTE STATEMENT SET BEGIN
+        |  INSERT INTO sink_a SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey < 3;
+        |  INSERT INTO sink_b SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey >= 20;
+        |END""".stripMargin)
+    assert(spark.table("sink_a").count() === 3)
+    assert(spark.table("sink_b").count() === 5)
+  }
+
   test("bare multi-row variable measure takes the LAST mapped row (SQL:2016)") {
     prep()
     val df = GraftSql.sql(spark,
