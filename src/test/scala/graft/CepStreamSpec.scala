@@ -64,4 +64,47 @@ class CepStreamSpec extends SparkSpec {
       assert(rows().toSet === Set(M(1, 2, 3), M(1, 1, 6)), rows().toString)
     } finally q.stop()
   }
+
+  test("WITHIN prunes stale matches and bounds state across watermark advances") {
+    val input = MemoryStream[StreamEv](52, spark, None)
+    val withWm = input.toDF()
+      .withColumn("eventTime", timestamp_millis($"tsMillis"))
+      .withWatermark("eventTime", "0 seconds")
+      .as[StreamEv]
+    val pat2 = Nfa.Cat[StreamEv](List(
+      Nfa.Sym[StreamEv]("V", _.event_type == "view"),
+      Nfa.Sym[StreamEv]("P", _.event_type == "purchase")))
+    val out = CepOps.matchPatternStream(withWm,
+      (e: StreamEv) => e.user_id, (e: StreamEv) => (e.tsMillis, e.event_id),
+      (e: StreamEv) => e.tsMillis, pat2, Nfa.SkipPastLastRow,
+      within = Some(((e: StreamEv) => e.tsMillis, 5000L))) {
+      (k: Long, m: Nfa.PatMatch[StreamEv]) =>
+        M(k, 1L, m.caps("P").head.event_id)
+    }
+    val q = out.writeStream.format("memory").queryName("cep_within")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("cep_within").as[M].collect().toList
+      // a view whose purchase arrives a minute later: outside WITHIN,
+      // must never match (and the stale view is evicted from state)
+      input.addData(StreamEv(1, 1, 1000, "view"))
+      q.processAllAvailable()
+      input.addData(StreamEv(2, 9, 30000, "click")) // wm advances past 1s + within
+      q.processAllAvailable()
+      input.addData(StreamEv(1, 2, 60000, "purchase"))
+      q.processAllAvailable()
+      input.addData(StreamEv(2, 10, 90000, "click"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, rows().toString)
+      // a pair inside the window still matches after the eviction
+      input.addData(StreamEv(1, 3, 100000, "view"), StreamEv(1, 4, 101000, "purchase"),
+        StreamEv(1, 5, 102000, "click"))
+      q.processAllAvailable()
+      input.addData(StreamEv(2, 11, 150000, "click"))
+      q.processAllAvailable()
+      input.addData(StreamEv(2, 12, 200000, "click"))
+      q.processAllAvailable()
+      assert(rows() === List(M(1, 1, 4)), rows().toString)
+    } finally q.stop()
+  }
 }
