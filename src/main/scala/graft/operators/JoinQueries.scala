@@ -35,7 +35,12 @@ object JoinQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        // per-term cast to DECIMAL(20,4): the per-row double product is
+        // bit-identical in both engines, and a decimal SUM is exact and
+        // accumulation-order independent — double sums flipped the
+        // driver's 1e-2 rounding at .xx5 boundaries on some SFs
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,4)")).cast("double").as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
 
@@ -125,7 +130,7 @@ object JoinQueries {
   val oracle: Map[String, String] = Map(
     "q_join_inner" ->
       """SELECT n_name,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(20,4))::DOUBLE AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
