@@ -3,66 +3,99 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall
-  * seconds.
+  * SPARK_GRAFT_SF_DIR, writes the full per-query JSON to
+  * SPARK_GRAFT_BENCH_OUT, and prints ONE short JSON line (headline
+  * queries only) on stdout.
   *
-  * Methodology: each query executes fully via a noop-sink write —
-  * `.count()` would let Catalyst prune every computed column and time
-  * an emptier plan than the one users run. One JVM-warmup query runs
-  * first (uncounted) so JIT/classloading is not billed to the first
+  * Methodology (reworked in round 3 — the round-2 numbers were not
+  * trustworthy):
+  *  - each query executes fully via a noop-sink write — `.count()`
+  *    would let Catalyst prune every computed column and time an
+  *    emptier plan than the one users run;
+  *  - a fresh `newSession()` per query (own catalog/conf/UDFs on the
+  *    shared context): round 2 ran 99 queries through one session and
+  *    catalog growth + GC pressure billed 4-6x phantom regressions to
+  *    whichever query ran late (in-run 6.29 s vs 1.63 s isolated for
+  *    q_tpch_q22);
+  *  - `Tables.registerAll` runs once per session BEFORE the timer —
+  *    SQL-path queries re-register defensively and round 2 billed ten
+  *    parquet re-plans to each of them;
+  *  - median of 3 passes per query (pass 1 absorbs plan compile).
+  *
+  * Stdout keeps only a headline subset: the driver retains the last
+  * ~2 kB of stdout, and the full 99-query map (~3.4 kB) got beheaded
+  * there in rounds 1-2 ("parsed": null). The file always holds every
   * query.
   */
 object Bench {
+  /** Queries worth a line in the driver's 2 kB stdout window: the 16
+    * TPC-H shapes plus the heads of each pipeline family.
+    */
+  private val headline = Seq(
+    "q1_agg", "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4",
+    "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q22",
+    "q_dedup_exact", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_minhash",
+    "q_sim_topk", "q_sim_ivf_ann", "q_sim_lsh_ann",
+    "q_over_frames", "q_window_topn", "q_cep_pattern",
+    "q_sql_match_recognize", "q_tvf_session", "q_join_inner")
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val root = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    root.sparkContext.setLogLevel("WARN")
 
-    def execute(name: String): Double = {
+    def timed(s: SparkSession, name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.queries(name)(s, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup (JIT + parquet footer cache), not reported
-    execute("q1_agg")
+    // JVM warmup (JIT, codegen compiler, parquet footers) — uncounted
+    locally {
+      val s = root.newSession()
+      Tables.registerAll(s, sfDir)
+      try timed(s, "q1_agg") catch { case _: Throwable => () }
+    }
 
-    // two timed passes, min per query: transient host contention on a
-    // single pass otherwise reads as a 3x regression
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val pass1 = names.map(n => n -> execute(n)).toMap
     val results = names.map { n =>
-      val t2 = execute(n)
-      val best = (pass1(n), t2) match {
-        case (a, b) if a < 0 => b
-        case (a, b) if b < 0 => a
-        case (a, b) => math.min(a, b)
+      val s = root.newSession()
+      Tables.registerAll(s, sfDir)
+      val ts = (1 to passes).flatMap { _ =>
+        try Some(timed(s, n))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          None
+        }
       }
-      n -> best
+      System.gc()
+      n -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    def fmt(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // sbt interleaves its own logging into stdout, which broke the
-    // driver's JSON parse in round 1 — also write the line to a file.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/tmp/graft_bench.json")).foreach { p =>
-      val w = new java.io.PrintWriter(new java.io.File(p))
-      try w.println(json) finally w.close()
-    }
-    println(json)
-    spark.stop()
+    def line(qs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(qs)},"sf":"$sfDir"}"""
+
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    val w = new java.io.PrintWriter(new java.io.File(out))
+    try w.println(line(results)) finally w.close()
+    println(line(results.filter(r => headline.contains(r._1))))
+    root.stop()
   }
 }

@@ -12,13 +12,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Parquet schemas never change under a run; caching them means the
+  // second and later load of a table skips the footer read entirely
+  // (schema inference is the only reason `spark.read.parquet` touches
+  // the file at plan time). Keyed by path so different sf dirs coexist.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     // reader rejects outright; read it as raw long nanos and truncate
     // to micros — the same truncation DuckDB applies, so oracle
     // comparisons agree.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    val df =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val d = spark.read.parquet(path)
+        schemaCache.put(path, d.schema)
+        d
+      }
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
@@ -28,7 +43,16 @@ object Tables {
 
   /** Register every table as a temp view named after itself, so
     * `spark.sql` text and the DuckDB oracle read identical relations.
+    *
+    * Idempotent per (session, dir): SQL-path queries call this
+    * defensively on every invocation, and re-planning ten table reads
+    * inside a timed region billed ~0.5 s of fake cost to every such
+    * query in round 2's bench. A conf marker skips the re-registration
+    * until the dir changes.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    if (spark.conf.getOption("graft.tables.registered").contains(dir)) return
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    spark.conf.set("graft.tables.registered", dir)
+  }
 }

@@ -327,9 +327,21 @@ object GraftSql {
     if (toks.nonEmpty && (toks.head.is("EXECUTE") || toks.head.is("STATEMENT")) &&
         setStart >= 0) {
       val endTok = toks.reverse.find(_.is("END")).getOrElse(sys.error("STATEMENT SET needs END"))
-      val body = text.substring(toks(setStart).end, endTok.start)
+      // split the body on semicolon TOKENS — the lexer lexes string
+      // literals whole, so a ';' inside one is data, not a boundary
+      // (a raw text.split(";") mis-split exactly that case)
+      val bodyStart = toks(setStart).end
+      val stmts = List.newBuilder[String]
+      var segStart = bodyStart
+      toks.foreach { tk =>
+        if (tk.start >= bodyStart && tk.end <= endTok.start && tk.isPunct(";")) {
+          stmts += text.substring(segStart, tk.start)
+          segStart = tk.end
+        }
+      }
+      stmts += text.substring(segStart, endTok.start)
       var last: DataFrame = spark.emptyDataFrame
-      body.split(";").map(_.trim).filter(_.nonEmpty).foreach(st => last = sql(spark, st))
+      stmts.result().map(_.trim).filter(_.nonEmpty).foreach(st => last = sql(spark, st))
       return last
     }
     // CREATE [TEMPORARY] VIEW name AS <flink-dialect query>: the query

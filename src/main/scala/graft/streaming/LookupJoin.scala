@@ -48,6 +48,32 @@ object LookupJoin {
     }
   }
 
+  /** Full-cache mode (the reference's LookupFullCache.java:36 with
+    * its CacheLoader): the ENTIRE dimension snapshot loads on first
+    * access and re-loads after each `reloadIntervalMs`; lookups
+    * between reloads are pure in-memory hits — the loader (a full
+    * dimension scan) runs once per period, never per record. For
+    * dimensions small enough to hold per task this trades a bounded
+    * staleness (the reload period) for zero per-record service
+    * traffic. The clock is injectable so specs drive the reload
+    * boundary deterministically.
+    */
+  final class FullCachingLookup[K, V](loader: () => Map[K, Seq[V]],
+      reloadIntervalMs: Long,
+      clock: () => Long = () => System.currentTimeMillis())
+      extends LookupFunction[K, V] {
+    @transient private var snapshot: Map[K, Seq[V]] = _
+    @transient private var loadedAt: Long = Long.MinValue
+    override def lookup(key: K): Seq[V] = this.synchronized {
+      val now = clock()
+      if (snapshot == null || now - loadedAt >= reloadIntervalMs) {
+        snapshot = loader()
+        loadedAt = now
+      }
+      snapshot.getOrElse(key, Nil)
+    }
+  }
+
   /** Fixed-delay retry wrapper (the reference's retryable lookup
     * delegator): retries on exception, and optionally on empty
     * results (RetryPredicates.EMPTY_RESULT_PREDICATE).

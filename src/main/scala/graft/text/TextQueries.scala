@@ -145,12 +145,37 @@ object TextQueries {
       .filter(col("hd") <= maxHamming)
   }
 
-  /** Driver query: 8 bands (8-bit values — 256+ buckets per band at
-    * scale) at Hamming ≤ 16. Rows-only (no SQL oracle); recall is
-    * spec-tested against brute force.
+  /** Band count for a corpus of `nDocs`, holding the expected bucket
+    * density (docs per band-value, nDocs / 2^width) at or below
+    * `targetDensity`. Fixed-width bands go quadratic as the corpus
+    * grows — SCALE.md measured 31x wall at 16x rows with 8x8-bit
+    * held constant, 1.3x with width scaled — so the width must be a
+    * function of corpus size: more docs → wider bands → fewer, but
+    * still O(1)-dense, buckets. Narrowest admissible width wins
+    * (more bands = higher recall; width 4 ≙ 16 bands down to
+    * width 32 ≙ 2 bands). By pigeonhole, b bands guarantee recall
+    * 1.0 for pairs at Hamming < b; beyond that recall decays — the
+    * same dial Manku et al. (WWW'07) turn at web scale (64-bit
+    * simhash, d ≤ 3, 4-6 way splits).
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(t(s, dir, "documents"), bands = 8, maxHamming = 16)
+  def adaptiveSimhashBands(nDocs: Long, targetDensity: Double = 2.0): Int = {
+    val width = Seq(4, 8, 16, 32)
+      .find(w => nDocs / math.pow(2.0, w) <= targetDensity)
+      .getOrElse(32)
+    64 / width
+  }
+
+  /** Driver query: width-adaptive multi-band blocking at Hamming ≤ 16
+    * — 8-bit bands at the 500-doc test corpora, widening as the
+    * corpus grows so candidate generation stays near-linear.
+    * Rows-only (no SQL oracle); recall is spec-tested against brute
+    * force and the width dial is spec-pinned in SimRecallSpec.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // parquet row count is metadata-only — not a data scan
+    simhashPairs(docs, bands = adaptiveSimhashBands(docs.count()), maxHamming = 16)
+  }
 
   /** Word-3-gram Jaccard similarity of adjacent doc_id pairs —
     * SQL-expressible slice of n-gram near-dup detection, exact

@@ -122,4 +122,69 @@ class CatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("VARCHAR") ||
       Option(err.getCause).exists(_.getMessage.contains("VARCHAR")))
   }
+
+  test("DDL computed column materializes on the registered view") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+      .write.parquet(s"$base/priced")
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE priced (
+         |  id BIGINT, price DOUBLE,
+         |  cost AS price * 2
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/priced',
+         |        'format' = 'parquet')""".stripMargin)
+    val rows = spark.sql("SELECT id, cost FROM priced ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(rows === List((1L, 20.0), (2L, 40.0)))
+  }
+
+  test("DDL WATERMARK drives late-row drop in a streaming agg over the table") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    val dir = s"$base/clicks"
+    def emit(rows: (Long, Timestamp, Double)*): Unit =
+      rows.toSeq.toDF("user_id", "ts", "price")
+        .coalesce(1).write.mode("append").parquet(dir)
+    emit((1L, ts(1), 1.0), (1L, ts(4), 2.0))
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE clicks (
+         |  user_id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  price DOUBLE,
+         |  cost AS price * 2,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |        'format' = 'parquet')""".stripMargin)
+    // the streaming twin carries the declared watermark + computed col
+    val agg = GraftCatalog.streamOf(spark, "clicks")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("cost")).as("sum_cost"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_cost"))
+    val q = agg.writeStream.format("memory").queryName("ddl_wm_agg")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark -> 10:16, closes window [10:00, 10:10)
+      emit((2L, ts(21), 9.0))
+      q.processAllAvailable()
+      // behind the watermark: silently dropped, exactly like the
+      // reference's WatermarkAssigner + late-data semantics
+      emit((1L, ts(2), 100.0))
+      q.processAllAvailable()
+      // advance further so [10:20, 10:30) also closes
+      emit((2L, ts(40), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ddl_wm_agg")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 6.0)),
+        s"window [10:00,10:10) must close with the 2 on-time rows (cost=2*price): $rows")
+      assert(!rows.exists(_._3 > 200.0), s"late row leaked into a window: $rows")
+      assert(rows.contains(("2024-01-01 10:20:00.0", 1L, 18.0)), s"rows: $rows")
+    } finally q.stop()
+  }
 }

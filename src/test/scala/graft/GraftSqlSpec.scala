@@ -164,6 +164,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.table("sink_b").count() === 5)
   }
 
+  test("STATEMENT SET: a ';' inside a string literal is not a statement boundary") {
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_stmtsemi").toString
+    GraftSql.sql(spark,
+      s"""CREATE TABLE sink_semi (tag VARCHAR(30), n_name VARCHAR(25))
+         |WITH ('connector' = 'filesystem', 'path' = '$base/semi', 'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      """EXECUTE STATEMENT SET BEGIN
+        |  INSERT INTO sink_semi SELECT 'a;b' AS tag, n_name FROM nation WHERE n_nationkey < 2;
+        |  INSERT INTO sink_semi SELECT concat('x;', 'y;z'), n_name FROM nation WHERE n_nationkey = 5;
+        |END""".stripMargin)
+    val rows = spark.table("sink_semi").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getString(0)).toSet === Set("a;b", "x;y;z"))
+  }
+
   test("bare multi-row variable measure takes the LAST mapped row (SQL:2016)") {
     prep()
     val df = GraftSql.sql(spark,

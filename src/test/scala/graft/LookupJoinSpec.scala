@@ -45,6 +45,34 @@ class LookupJoinSpec extends SparkSpec {
     assert(LookupCounters.calls(id).get() === 3)
   }
 
+  test("full-cache lookup: one load serves all keys; reload swaps values; no per-key hits") {
+    val id = "fullcache-test"
+    var version = "v1"
+    var now = 0L
+    val fn = new FullCachingLookup[Long, String](
+      loader = () => {
+        LookupCounters.inc(id)
+        Map(1L -> Seq(s"one-$version"), 2L -> Seq(s"two-$version"))
+      },
+      reloadIntervalMs = 1000L,
+      clock = () => now)
+    // first access loads the snapshot; subsequent keys are pure hits
+    assert(fn.lookup(1L) === Seq("one-v1"))
+    assert(fn.lookup(2L) === Seq("two-v1"))
+    assert(fn.lookup(99L) === Nil) // missing key: no delegate probe either
+    assert(LookupCounters.calls(id).get() === 1)
+    // inside the period: still the stale snapshot, still one load
+    version = "v2"
+    now = 999L
+    assert(fn.lookup(1L) === Seq("one-v1"))
+    assert(LookupCounters.calls(id).get() === 1)
+    // period boundary: reload swaps in the new dimension version
+    now = 1000L
+    assert(fn.lookup(1L) === Seq("one-v2"))
+    assert(fn.lookup(2L) === Seq("two-v2"))
+    assert(LookupCounters.calls(id).get() === 2)
+  }
+
   test("retrying lookup retries failures then succeeds") {
     val id = "retry-test"
     val flaky = new LookupFunction[Long, String] {

@@ -30,6 +30,39 @@ class SimRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${blocked.size}/${brute.size})")
   }
 
+  test("adaptive simhash bands widen with the corpus, holding bucket density") {
+    import graft.text.TextQueries.adaptiveSimhashBands
+    assert(adaptiveSimhashBands(30) === 16)       // tiny: 4-bit bands, max recall
+    assert(adaptiveSimhashBands(500) === 8)       // test corpora: 500/2^8 ~ 2.0
+    assert(adaptiveSimhashBands(8000) === 4)      // 16x corpus -> 16-bit bands
+    assert(adaptiveSimhashBands(1000000) === 2)   // web scale -> 32-bit bands
+    // density never exceeds target across the dial (until the 2^32 floor)
+    for (n <- Seq(100L, 1000L, 100000L, 10000000L)) {
+      val b = adaptiveSimhashBands(n)
+      assert(n / math.pow(2.0, 64 / b) <= 2.0, s"density blown at n=$n")
+    }
+  }
+
+  test("shipped adaptive config recalls ALL pairs under the pigeonhole bound") {
+    // b bands guarantee recall 1.0 at Hamming < b: the 500-doc corpus
+    // ships 8 bands, so every d <= 7 pair must be found exactly.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sigs = docs.select(col("doc_id"), F.simhash64(col("text")).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val close = a.join(b, col("id_a") < col("id_b"))
+      .filter(F.hamming64(col("sig_a"), col("sig_b")) <= 7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = graft.text.TextQueries.adaptiveSimhashBands(docs.count())
+    assert(bands === 8)
+    val blocked = graft.text.TextQueries.simhashPairs(docs, bands, maxHamming = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(close.subsetOf(blocked),
+      s"pigeonhole violated: ${(close -- blocked).take(5)} missing")
+  }
+
   test("signature-prefilter ANN (q_sim_lsh_ann) recalls >= 0.9 of brute-force top-5") {
     val brute = graft.sim.SimilarityQueries.cosineTopK(spark, sfDir)
       .select("q_id", "vec_id").collect()
