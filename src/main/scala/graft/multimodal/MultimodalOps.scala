@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * with decode / feature-extract / resize / frame-sample stages as
   * partition-wise Dataset transforms.
   *
-  * The DECODERS ARE STUBS (this container has no image/audio codecs):
-  * they derive deterministic fake dimensions/features from the bytes.
-  * Everything around them is the real thing — schema contracts,
+  * IMAGES DECODE FOR REAL: `javax.imageio` ships in the JDK
+  * (PNG/BMP/GIF/JPEG), so image rows yield true dimensions and
+  * per-channel pixel means. Audio/video codecs are not in this
+  * container — those kinds fall back to a deterministic stub deriving
+  * fake metadata from the bytes (clearly marked below). Everything
+  * around the kernels is the real thing — schema contracts,
   * mapPartitions batch shape (one decoder init per partition, not per
   * row — the same reason Python pipelines use mapInPandas), and
   * partition sizing so a 100 TB media corpus streams through without
@@ -20,28 +23,117 @@ object MultimodalOps {
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], source: String)
   case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
-      n_frames: Int, n_bytes: Int, source: String)
+      n_frames: Int, n_bytes: Int, mean_r: Double, mean_g: Double, mean_b: Double,
+      source: String)
   case class MediaFeatures(media_id: Long, embedding: Array[Float])
 
-  /** Deterministic synthetic media table derived from `documents`
-    * (text bytes standing in for encoded media) — fixture for the
-    * plumbing until real corpora arrive.
+  /** True pixel statistics from a real decode. */
+  case class ImageStats(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** Cheap container sniff (magic bytes) so the per-row decode never
+    * pays an ImageIO reader probe for obviously-non-image payloads —
+    * at corpus scale that probe is the difference between a straight
+    * scan and per-row reader-registry churn.
+    */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 'B' && b(1) == 'M') ||                                        // BMP
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||                         // GIF
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte))                          // JPEG
+
+  /** Real image decode via javax.imageio: dimensions + per-channel
+    * means (0-255 scale) over the full raster, read in one bulk
+    * `getRGB` per row-stripe rather than per-pixel calls.
+    * None = the bytes are not a decodable image.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
+    if (!looksLikeImage(bytes)) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >>> 16) & 0xff
+        sg += (p >>> 8) & 0xff
+        sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** Deterministic PNG encoder for fixtures: pixel (x, y) gets the
+    * ARGB value `pix(x, y)`; round-trips exactly through
+    * [[decodeImage]] (PNG is lossless).
+    */
+  def encodePng(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pix(x, y)); x += 1 }
+      y += 1
+    }
+    pngBytes(img)
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic media table derived from `documents`:
+    * image-kind rows carry REAL encoded PNG bytes (a deterministic
+    * pattern keyed by doc_id, so the decode stage exercises the real
+    * codec); audio/video rows carry the text bytes as opaque payload.
     */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        col("text").cast("binary").as("bytes"),
-        col("source"))
-      .as[MediaRow]
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, source) =>
+          val kind = syntheticKind(id)
+          val bytes =
+            if (kind == "image") {
+              val (w, h) = syntheticImageDims(id)
+              encodePng(w, h, (x, y) => syntheticArgb(id, x, y))
+            } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaRow(id, kind, bytes, source)
+        }
+      }
   }
 
-  /** STUB decode: dimensions/frame-count derived from byte content.
-    * A real deployment swaps `decodeOne` for a codec call; the
-    * mapPartitions shape (decoder state initialized once per
-    * partition) and the output schema stay identical.
+  def syntheticKind(id: Long): String =
+    Seq("image", "audio", "video")(math.floorMod(id, 3).toInt)
+
+  def syntheticImageDims(id: Long): (Int, Int) =
+    (8 + math.floorMod(id, 16L).toInt, 8 + math.floorMod(id >>> 4, 16L).toInt)
+
+  def syntheticArgb(id: Long, x: Int, y: Int): Int = {
+    val v = graft.functions.TextHash.fnv1a(
+      Array((id & 0xff).toByte, (x & 0xff).toByte, (y & 0xff).toByte), 0, 3)
+    (v & 0xffffff).toInt
+  }
+
+  /** Decode: real `javax.imageio` for image payloads (true dimensions
+    * + channel means); deterministic STUB metadata for audio/video
+    * (no codecs in this container). The mapPartitions shape (decoder
+    * state initialized once per partition) and the output schema are
+    * identical either way.
     */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -51,17 +143,24 @@ object MultimodalOps {
     }
   }
 
-  private def decodeOne(m: MediaRow): DecodedMedia = {
-    // ??? real codec — STUB: deterministic pseudo-dimensions
-    val h = graft.functions.TextHash.fnv1a(m.bytes, 0, m.bytes.length)
-    val width = 64 + math.floorMod(h, 1024L).toInt
-    val height = 64 + math.floorMod(h >>> 20, 1024L).toInt
-    val frames = m.kind match {
-      case "video" => 1 + math.floorMod(h >>> 40, 300L).toInt
-      case _       => 1
+  private def decodeOne(m: MediaRow): DecodedMedia =
+    decodeImage(m.bytes) match {
+      case Some(s) =>
+        DecodedMedia(m.media_id, m.kind, s.width, s.height, 1,
+          m.bytes.length, s.meanR, s.meanG, s.meanB, m.source)
+      case None =>
+        // STUB (audio/video): deterministic pseudo-metadata from bytes
+        val h = graft.functions.TextHash.fnv1a(m.bytes, 0, m.bytes.length)
+        val width = 64 + math.floorMod(h, 1024L).toInt
+        val height = 64 + math.floorMod(h >>> 20, 1024L).toInt
+        val frames = m.kind match {
+          case "video" => 1 + math.floorMod(h >>> 40, 300L).toInt
+          case _       => 1
+        }
+        DecodedMedia(m.media_id, m.kind, width, height, frames, m.bytes.length,
+          math.floorMod(h, 256L).toDouble, math.floorMod(h >>> 8, 256L).toDouble,
+          math.floorMod(h >>> 16, 256L).toDouble, m.source)
     }
-    DecodedMedia(m.media_id, m.kind, width, height, frames, m.bytes.length, m.source)
-  }
 
   /** STUB feature extraction: BINARY -> ARRAY<FLOAT> embedding
     * (hash-fold), feeding the similarity-search operators
@@ -96,23 +195,46 @@ object MultimodalOps {
   case class ResizedMedia(media_id: Long, kind: String,
       width: Int, height: Int, bytes: Array[Byte])
 
-  /** STUB resize: aspect-preserving fit into (maxW, maxH), never
-    * upscaling; the "pixels" are a deterministic byte slice standing
-    * in for the re-encoded image. Real deployments swap the kernel;
-    * the per-partition scaler init and the output contract (dims
-    * within the box, aspect ratio preserved) are the tested part.
+  /** Resize: aspect-preserving fit into (maxW, maxH), never
+    * upscaling. Image payloads rescale FOR REAL (Graphics2D bilinear
+    * draw, PNG re-encode); non-image kinds keep the stub byte-slice
+    * stand-in. The per-partition scaler init and the output contract
+    * (dims within the box, aspect ratio preserved) hold either way.
     */
   def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition scaler/codec init would go here
       rows.map { m =>
-        val d = decodeOne(m)
-        val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
-        val w = math.max(1, math.round(d.width * scale).toInt)
-        val h = math.max(1, math.round(d.height * scale).toInt)
-        val outLen = math.max(1, (m.bytes.length * scale).toInt)
-        ResizedMedia(m.media_id, m.kind, w, h, m.bytes.take(outLen))
+        val img =
+          if (looksLikeImage(m.bytes))
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes)))
+          else None
+        img match {
+          case Some(i) =>
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / i.getWidth, maxH.toDouble / i.getHeight))
+            val w = math.max(1, math.round(i.getWidth * scale).toInt)
+            val h = math.max(1, math.round(i.getHeight * scale).toInt)
+            if (scale >= 1.0) ResizedMedia(m.media_id, m.kind, w, h, m.bytes)
+            else {
+              val scaled = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(i, 0, 0, w, h, null)
+              g.dispose()
+              ResizedMedia(m.media_id, m.kind, w, h, pngBytes(scaled))
+            }
+          case None =>
+            val d = decodeOne(m)
+            val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+            val w = math.max(1, math.round(d.width * scale).toInt)
+            val h = math.max(1, math.round(d.height * scale).toInt)
+            val outLen = math.max(1, (m.bytes.length * scale).toInt)
+            ResizedMedia(m.media_id, m.kind, w, h, m.bytes.take(outLen))
+        }
       }
     }
   }

@@ -88,8 +88,10 @@ object MiscQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
 
   /** Multimodal pipeline (graft.multimodal): binary media column →
-    * stub decode → per-media metadata joined with stub features.
-    * Rows-only driver check; kernels and shapes are spec-tested.
+    * decode (REAL javax.imageio for image rows: true dims + channel
+    * means; stub for audio/video) → per-media metadata joined with
+    * features. Rows-only driver check; the codec is spec-tested
+    * against known fixtures.
     */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.MultimodalOps
@@ -98,7 +100,10 @@ object MiscQueries {
     val feats = MultimodalOps.extractFeatures(media, dim = 16).toDF()
     dec.join(feats, Seq("media_id"))
       .select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("n_frames"), col("n_bytes"), size(col("embedding")).as("feat_dim"))
+        col("n_frames"), col("n_bytes"),
+        round(col("mean_r"), 2).as("mean_r"), round(col("mean_g"), 2).as("mean_g"),
+        round(col("mean_b"), 2).as("mean_b"),
+        size(col("embedding")).as("feat_dim"))
   }
 
   /** Media near-dup search: stub feature extraction feeding the SAME
@@ -124,7 +129,27 @@ object MiscQueries {
       .filter(col("rnk") <= 3)
   }
 
+  /** Avro format round-trip (formats row of SURVEY §2.1): events →
+    * avro container files (graft.sources.AvroFormat, one file per
+    * partition, written distributed) → DSv2 read → aggregate. The
+    * oracle runs the same aggregate over the original parquet, so a
+    * green row proves the round-trip is lossless (timestamps at
+    * micros, strings, doubles, nullable columns).
+    */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_avro/${Integer.toHexString(dir.hashCode)}/events"
+    graft.sources.AvroFormat.write(t(s, dir, "events"), tmp)
+    s.read.format("graft.sources.AvroSource").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal accumulation: exact + order-independent (see q_join_inner)
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"),
+        min(col("event_id")).as("min_event"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
     "q_window_join"  -> (windowJoin _),
@@ -134,6 +159,11 @@ object MiscQueries {
     "q_temporal_sort" -> (temporalSort _))
 
   val oracle: Map[String, String] = Map(
+    "q_avro_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(value::DECIMAL(20,4))::DOUBLE AS sum_value,
+        |  max(ts) AS max_ts, min(event_id) AS min_event
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_window_join" ->
       """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS wstart, event_id AS click_id
         |           FROM events WHERE event_type = 'click'),

@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema => ASchema}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro container-file format built directly on avro-core (the jar
+  * Spark ships; the spark-avro connector module is absent in this
+  * container) — the formats-row analog of the reference's
+  * flink-formats/flink-avro, which is the same composition: avro-core
+  * + connector glue (AvroRowDataDeserializationSchema → here a DSv2
+  * TableProvider/Scan/PartitionReader; AvroWriterFactory → here a
+  * per-partition DataFileWriter).
+  *
+  * Scale notes: one reader per file (the writer emits one file per
+  * input partition, so read parallelism mirrors write parallelism);
+  * column pruning pushes into the reader (unrequested fields are
+  * never converted). Finer-than-file splits would seek avro sync
+  * markers — deferred, files here are partition-sized by
+  * construction.
+  */
+object AvroFormat {
+
+  /** Spark → Avro schema (nullable fields become union(null, T);
+    * timestamps use the timestamp-micros logical type, the same
+    * micros precision Spark carries internally).
+    */
+  def toAvroSchema(st: StructType, name: String = "row"): ASchema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case LongType    => ASchema.create(ASchema.Type.LONG)
+        case IntegerType => ASchema.create(ASchema.Type.INT)
+        case DoubleType  => ASchema.create(ASchema.Type.DOUBLE)
+        case FloatType   => ASchema.create(ASchema.Type.FLOAT)
+        case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+        case StringType  => ASchema.create(ASchema.Type.STRING)
+        case BinaryType  => ASchema.create(ASchema.Type.BYTES)
+        case TimestampType =>
+          LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+        case other => sys.error(s"avro format: unsupported type $other")
+      }
+      val s =
+        if (f.nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
+        else base
+      new ASchema.Field(f.name, s, null, if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    ASchema.createRecord(name, null, "graft.avro", false, util.Arrays.asList(fields: _*))
+  }
+
+  /** Avro → Spark schema (the reader's inference path). */
+  def toSparkSchema(schema: ASchema): StructType = {
+    def field(f: ASchema.Field): StructField = {
+      val (s, nullable) =
+        if (f.schema().getType == ASchema.Type.UNION) {
+          val nonNull = f.schema().getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
+          (nonNull.head, true)
+        } else (f.schema(), false)
+      val dt = s.getType match {
+        case ASchema.Type.LONG =>
+          if (s.getLogicalType != null &&
+              s.getLogicalType.getName.startsWith("timestamp")) TimestampType else LongType
+        case ASchema.Type.INT     => IntegerType
+        case ASchema.Type.DOUBLE  => DoubleType
+        case ASchema.Type.FLOAT   => FloatType
+        case ASchema.Type.BOOLEAN => BooleanType
+        case ASchema.Type.STRING  => StringType
+        case ASchema.Type.BYTES   => BinaryType
+        case other => sys.error(s"avro format: unsupported avro type $other")
+      }
+      StructField(f.name(), dt, nullable)
+    }
+    StructType(schema.getFields.asScala.map(field).toArray)
+  }
+
+  /** Write the DataFrame as avro container files, one file per input
+    * partition (distributed — each task streams its partition through
+    * a DataFileWriter; nothing funnels through the driver).
+    */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schema = df.schema
+    val avroJson = toAvroSchema(schema).toString
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val aSchema = new ASchema.Parser().parse(avroJson)
+        val taskFs = new Path(dir).getFileSystem(new Configuration())
+        val out = taskFs.create(new Path(dir, f"part-$pid%05d.avro"), true)
+        val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](aSchema))
+        writer.create(aSchema, out)
+        try {
+          it.foreach { row =>
+            val rec = new GenericData.Record(aSchema)
+            var i = 0
+            while (i < schema.length) {
+              if (!row.isNullAt(i)) rec.put(i, toAvroValue(schema(i).dataType, row, i))
+              i += 1
+            }
+            writer.append(rec)
+          }
+        } finally writer.close()
+      }
+    }
+  }
+
+  private def toAvroValue(dt: DataType, row: Row, i: Int): AnyRef = dt match {
+    case LongType    => Long.box(row.getLong(i))
+    case IntegerType => Int.box(row.getInt(i))
+    case DoubleType  => Double.box(row.getDouble(i))
+    case FloatType   => Float.box(row.getFloat(i))
+    case BooleanType => Boolean.box(row.getBoolean(i))
+    case StringType  => row.getString(i)
+    case BinaryType  => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+    case TimestampType =>
+      val ts = row.getTimestamp(i)
+      Long.box(ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L)
+    case other => sys.error(s"avro format: unsupported type $other")
+  }
+}
+
+/** DSv2 read side: `spark.read.format("graft.sources.AvroSource")
+  * .load(dir)` — schema inferred from the first file's embedded avro
+  * schema, one InputPartition per file, column pruning pushed down.
+  */
+class AvroSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val dir = Option(options.get("path")).getOrElse(sys.error("avro source needs a path"))
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val first = listFiles(options).headOption.getOrElse(sys.error("no .avro files at path"))
+    val p = new Path(first)
+    val in = p.getFileSystem(new Configuration()).open(p)
+    val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try AvroFormat.toSparkSchema(stream.getSchema)
+    finally stream.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AvroTable(listFiles(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+private class AvroTable(files: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"avro(${files.length} files)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            files.map(f => AvroFilePartition(f): InputPartition).toArray
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val requiredNames = required.fieldNames
+            val requiredTypes = required.fields.map(_.dataType)
+            new PartitionReaderFactory {
+              override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+                new AvroFileReader(p.asInstanceOf[AvroFilePartition].file,
+                  requiredNames, requiredTypes)
+            }
+          }
+        }
+      }
+    }
+}
+
+private case class AvroFilePartition(file: String) extends InputPartition
+
+private class AvroFileReader(file: String, names: Array[String], types: Array[DataType])
+    extends PartitionReader[InternalRow] {
+  private val stream = {
+    val p = new Path(file)
+    new DataFileStream[GenericRecord](
+      p.getFileSystem(new Configuration()).open(p),
+      new GenericDatumReader[GenericRecord]())
+  }
+  private var rec: GenericRecord = _
+
+  override def next(): Boolean = {
+    if (!stream.hasNext) false
+    else { rec = stream.next(rec); true }
+  }
+
+  override def get(): InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(names.length)
+    var i = 0
+    while (i < names.length) {
+      val v = rec.get(names(i))
+      if (v == null) row.setNullAt(i)
+      else types(i) match {
+        case LongType | TimestampType => row.setLong(i, v.asInstanceOf[java.lang.Long])
+        case IntegerType => row.setInt(i, v.asInstanceOf[java.lang.Integer])
+        case DoubleType  => row.setDouble(i, v.asInstanceOf[java.lang.Double])
+        case FloatType   => row.setFloat(i, v.asInstanceOf[java.lang.Float])
+        case BooleanType => row.setBoolean(i, v.asInstanceOf[java.lang.Boolean])
+        case StringType  => row.update(i, UTF8String.fromString(v.toString))
+        case BinaryType  =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer]
+          val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+          row.update(i, arr)
+        case other => sys.error(s"avro reader: unsupported type $other")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = stream.close()
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import graft.sources.AvroFormat
+
+/** Avro container-file format on avro-core (flink-avro analog):
+  * lossless round-trip incl. nulls and micros timestamps, and column
+  * pruning pushed into the DSv2 scan.
+  */
+class AvroFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_avro_spec").toString + "/t"
+    val df = Seq(
+      (1L, Option("alpha"), 1.5, Timestamp.valueOf("2024-01-01 10:00:00.123456")),
+      (2L, None, -2.25, Timestamp.valueOf("2024-06-30 23:59:59.999999")),
+      (3L, Option("gamma"), 0.0, Timestamp.valueOf("1999-12-31 00:00:00")))
+      .toDF("id", "name", "v", "ts")
+      .repartition(2)
+    AvroFormat.write(df, d)
+    d
+  }
+
+  test("round-trip preserves longs, nullable strings, doubles, micros timestamps") {
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)).toSet ===
+      Set(("id", "long"), ("name", "string"), ("v", "double"), ("ts", "timestamp")))
+    val rows = back.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getTimestamp(3)))
+      .toSet
+    assert(rows === Set(
+      (1L, Some("alpha"), 1.5, Timestamp.valueOf("2024-01-01 10:00:00.123456")),
+      (2L, None, -2.25, Timestamp.valueOf("2024-06-30 23:59:59.999999")),
+      (3L, Some("gamma"), 0.0, Timestamp.valueOf("1999-12-31 00:00:00"))))
+  }
+
+  test("one reader per written file; column pruning reaches the scan") {
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+    val pruned = back.select("id")
+    val scan = pruned.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r
+    }.head
+    assert(scan.output.map(_.name) === Seq("id"),
+      s"scan must prune to the requested column: ${scan.output}")
+    assert(pruned.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // written with 2 partitions and 3 rows -> 2 files -> 2 read tasks
+    assert(back.rdd.getNumPartitions === 2)
+  }
+
+  test("events table round-trips byte-for-byte through avro (driver query shape)") {
+    val agg = operators.MiscQueries.avroRoundtrip(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(agg === direct)
+  }
+}

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.multimodal.MultimodalOps
 
-/** Plumbing tests for the multimodal binary-column pipeline (decode /
-  * features / frame sampling are STUB kernels; schema, determinism
-  * and batch shape are the real contract under test).
+/** Multimodal binary-column pipeline: images decode through the REAL
+  * javax.imageio codec (dims + channel means asserted against known
+  * fixtures); audio/video metadata remains a stub kernel whose
+  * schema, determinism and batch shape are the contract under test.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -13,13 +14,55 @@ class MultimodalSpec extends SparkSpec {
   private lazy val media =
     MultimodalOps.syntheticMedia(Tables.load(spark, sfDir, "documents"))
 
-  test("decode emits one row per media item with stable fake dims") {
+  test("decode emits one row per media item with deterministic dims") {
     val d1 = MultimodalOps.decode(media).collect().sortBy(_.media_id)
     val d2 = MultimodalOps.decode(media).collect().sortBy(_.media_id)
     assert(d1.length === media.count())
     assert(d1.map(_.width).toSeq === d2.map(_.width).toSeq, "decode must be deterministic")
-    assert(d1.forall(m => m.width >= 64 && m.height >= 64))
+    assert(d1.filter(_.kind != "image").forall(m => m.width >= 64 && m.height >= 64))
     assert(d1.filter(_.kind != "video").forall(_.n_frames === 1))
+  }
+
+  test("image rows decode REAL dimensions and in-range channel means") {
+    val imgs = MultimodalOps.decode(media).collect().filter(_.kind == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { m =>
+      val (w, h) = MultimodalOps.syntheticImageDims(m.media_id)
+      assert(m.width === w && m.height === h,
+        s"media ${m.media_id}: decoded ${m.width}x${m.height}, encoded ${w}x$h")
+      for (c <- Seq(m.mean_r, m.mean_g, m.mean_b))
+        assert(c >= 0.0 && c <= 255.0, s"channel mean out of range: $c")
+    }
+  }
+
+  test("codec: known 2x2 PNG and BMP fixtures decode exact dims and channel means") {
+    // red, green, blue, white — means are exact (PNG/BMP are lossless)
+    val pix = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    val png = MultimodalOps.encodePng(2, 2, (x, y) => pix(y * 2 + x))
+    val s = MultimodalOps.decodeImage(png).get
+    assert(s.width === 2 && s.height === 2)
+    assert(s.meanR === 127.5 && s.meanG === 127.5 && s.meanB === 127.5)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, pix(y * 2 + x))
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmpOut)
+    val b = MultimodalOps.decodeImage(bmpOut.toByteArray).get
+    assert((b.width, b.height, b.meanR, b.meanG, b.meanB) === ((2, 2, 127.5, 127.5, 127.5)))
+    // non-image payloads are rejected, not mis-decoded
+    assert(MultimodalOps.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("real image resize: 64x32 gray PNG into a 32x16 box keeps pixel content") {
+    val gray = MultimodalOps.encodePng(64, 32, (_, _) => 0x808080)
+    val one = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(1L, "image", gray, "fixture")))
+    val r = MultimodalOps.resize(one, maxW = 32, maxH = 16).collect().head
+    assert(r.width === 32 && r.height === 16)
+    val s = MultimodalOps.decodeImage(r.bytes).get
+    assert(s.width === 32 && s.height === 16)
+    // bilinear resample of a constant image is the same constant
+    assert(s.meanR === 128.0 && s.meanG === 128.0 && s.meanB === 128.0)
   }
 
   test("feature extraction yields fixed-dim float vectors usable by cosine ops") {
