@@ -60,6 +60,19 @@ object GraftCatalog {
   def metaOf(table: String): EventTimeMeta =
     tableMeta.getOrElse(table, EventTimeMeta(Nil, None))
 
+  /** Upsert-table declaration: `PRIMARY KEY (...) NOT ENFORCED` +
+    * `'changelog-mode' = 'upsert'` in WITH — the filesystem analog of
+    * the reference's upsert-kafka table. `'version-by'` names the
+    * column(s) ordering versions per key (what the Kafka offset
+    * provides there). Queries over such a table route through
+    * ChangelogInference in the SQL front door.
+    */
+  final case class UpsertSpec(keys: Seq[String], versionCols: Seq[String])
+  private val tableUpsert =
+    scala.collection.concurrent.TrieMap.empty[String, UpsertSpec]
+
+  def upsertOf(table: String): Option[UpsertSpec] = tableUpsert.get(table)
+
   /** Apply a table's DDL-declared computed columns and watermark to a
     * DataFrame with its physical schema — used on the registered view,
     * on [[streamOf]], and directly by tests driving a MemoryStream as
@@ -216,17 +229,24 @@ object GraftCatalog {
     case other => sys.error(s"unsupported watermark expression: $other")
   }
 
-  private def parseSchema(cols: String): (StructType, TableConstraints, EventTimeMeta) = {
+  private val PrimaryKeyDef: Regex =
+    """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED)?\s*$""".r
+
+  private def parseSchema(cols: String)
+      : (StructType, TableConstraints, EventTimeMeta, Seq[String]) = {
     // commas split at generic-nesting depth 0, so ROW<a INT, b INT>
     // and MAP<STRING, INT> column types survive
     val all = splitTopLevel(cols)
-    // WATERMARK FOR / computed-column defs are virtual — they leave
-    // the physical schema and come back as EventTimeMeta transforms
+    // WATERMARK FOR / computed-column / PRIMARY KEY defs are virtual —
+    // they leave the physical schema and come back as metadata
     var watermark: Option[(String, String)] = None
+    var primaryKey: Seq[String] = Nil
     val computed = Seq.newBuilder[(String, String)]
     val defs = all.filter {
       case WatermarkDef(col, e) =>
         watermark = Some((col, watermarkDelay(col, e))); false
+      case PrimaryKeyDef(ks) =>
+        primaryKey = ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq; false
       case ComputedDef(name, e)
           if !name.equalsIgnoreCase("WATERMARK") && !e.trim.isEmpty =>
         computed += (name -> e.trim); false
@@ -265,7 +285,7 @@ object GraftCatalog {
       s"$name ${mapType(typeOnly)}"
     }
     (StructType.fromDDL(fields.mkString(", ")),
-      TableConstraints(notNull.result(), lengths.result()), meta)
+      TableConstraints(notNull.result(), lengths.result()), meta, primaryKey)
   }
 
   /** Execute a CREATE TABLE statement: the table becomes a temp view
@@ -275,10 +295,18 @@ object GraftCatalog {
     case CreateTable(name, cols, opts) =>
       val options = parseOptions(opts)
       val parsed = if (cols.trim.nonEmpty) Some(parseSchema(cols)) else None
-      parsed.foreach { case (schema, tc, meta) =>
+      parsed.foreach { case (schema, tc, meta, pk) =>
         tableConstraints.put(name, tc)
         tableSchemas.put(name, schema)
         tableMeta.put(name, meta)
+        if (options.get("changelog-mode").contains("upsert")) {
+          require(pk.nonEmpty, s"upsert table $name needs a PRIMARY KEY")
+          val vcols = options.get("version-by")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(sys.error(s"upsert table $name needs 'version-by' " +
+              "(the filesystem analog of the Kafka offset order)"))
+          tableUpsert.put(name, UpsertSpec(pk, vcols))
+        }
       }
       val df: DataFrame = options.getOrElse("connector",
           sys.error("missing 'connector' option")) match {

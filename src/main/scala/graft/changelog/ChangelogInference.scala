@@ -41,46 +41,61 @@ object ChangelogInference {
   /** sink accepting only `accepts`; planning materializes/adapts */
   final case class CSink(child: CNode, accepts: Mode) extends CNode
 
-  final case class Planned(df: DataFrame, mode: Mode)
+  /** `keys`/`orderCols` thread the upsert key + version order through
+    * the plan (the reference's unique-key derivation), so adapters can
+    * be inserted above non-source nodes too.
+    */
+  final case class Planned(df: DataFrame, mode: Mode,
+      keys: Seq[String] = Nil, orderCols: Seq[Column] = Nil)
 
   /** Infer modes bottom-up and insert adapters. Throws on
     * combinations the reference also rejects (e.g. a retract stream
     * into an insert-only sink with no key to collapse on).
     */
   def plan(node: CNode): Planned = node match {
-    case CSource(df, m, _, _) => Planned(df, m)
+    case CSource(df, m, keys, orderCols) => Planned(df, m, keys, orderCols)
 
     case CCalc(child, f) =>
       val p = plan(child)
-      // an updating stream's rowkind/key columns must survive a Calc —
-      // the reference forbids projecting them away the same way
-      val out = f(p.df)
-      if (p.mode == Retract)
-        require(out.columns.contains(Changelog.RowKindCol),
-          s"Calc over a retract stream must keep ${Changelog.RowKindCol}")
-      Planned(out, p.mode)
+      p.mode match {
+        // a calc over an upsert stream first derives the retract
+        // stream (the ChangelogNormalize/retract-derivation the
+        // reference plans at the source boundary): filtering RAW
+        // version history would resurrect superseded versions — the
+        // -U/+U pair must pass the predicate row-by-row instead
+        case Upsert =>
+          require(p.keys.nonEmpty, "Calc over an upsert stream needs keys to derive retractions")
+          val out = f(Changelog.fromUpserts(p.df, p.keys, p.orderCols))
+          require(out.columns.contains(Changelog.RowKindCol),
+            s"Calc over a retract stream must keep ${Changelog.RowKindCol}")
+          Planned(out, Retract)
+        case mode =>
+          // an updating stream's rowkind/key columns must survive a
+          // Calc — the reference forbids projecting them away too
+          val out = f(p.df)
+          if (mode == Retract)
+            require(out.columns.contains(Changelog.RowKindCol),
+              s"Calc over a retract stream must keep ${Changelog.RowKindCol}")
+          Planned(out, mode, p.keys.filter(out.columns.contains), p.orderCols)
+      }
 
     case CAgg(child, groupCols, sumCols) =>
-      child match {
-        // upsert source feeding an aggregate: derive the retract
-        // stream first (the ChangelogNormalize + retraction the
-        // reference plans in front of GroupAggFunction)
-        case CSource(df, Upsert, keys, orderCols) =>
-          require(keys.nonEmpty, "Upsert source needs keys to derive retractions")
-          val log = Changelog.fromUpserts(df, keys, orderCols)
+      val p = plan(child)
+      p.mode match {
+        case InsertOnly =>
+          val sums = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+          Planned(p.df.groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as("cnt"), sums: _*), Retract)
+        case Retract =>
+          Planned(Changelog.aggregateRetract(p.df, groupCols, sumCols), Retract)
+        // upsert feeding an aggregate: derive the retract stream
+        // first (ChangelogNormalize + retraction in front of
+        // GroupAggFunction), using the threaded key/version order
+        case Upsert if p.keys.nonEmpty =>
+          val log = Changelog.fromUpserts(p.df, p.keys, p.orderCols)
           Planned(Changelog.aggregateRetract(log, groupCols, sumCols), Retract)
-        case _ =>
-          val p = plan(child)
-          p.mode match {
-            case InsertOnly =>
-              val sums = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
-              Planned(p.df.groupBy(groupCols.map(col): _*)
-                .agg(count(lit(1)).as("cnt"), sums: _*), Retract)
-            case Retract =>
-              Planned(Changelog.aggregateRetract(p.df, groupCols, sumCols), Retract)
-            case Upsert =>
-              sys.error("Upsert stream must come from a keyed CSource to aggregate")
-          }
+        case Upsert =>
+          sys.error("Upsert stream must come from a keyed CSource to aggregate")
       }
 
     case CSink(child, accepts) =>

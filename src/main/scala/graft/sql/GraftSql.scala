@@ -377,7 +377,14 @@ object GraftSql {
       graft.catalog.GraftCatalog.insertInto(spark, table, rows, overwrite)
       return spark.table(table)
     }
-    val noMr = extractMatchRecognize(spark, text)
-    spark.sql(rewrite(noMr))
+    // SQL over a DDL-declared upsert table: changelog-mode inference
+    // inserts the normalize/retract adapters the reference planner
+    // would (FlinkChangelogModeInferenceProgram), no DSL calls needed
+    UpsertSqlInference.infer(spark, text) match {
+      case Some(df) => df
+      case None =>
+        val noMr = extractMatchRecognize(spark, text)
+        spark.sql(rewrite(noMr))
+    }
   }
 }

@@ -1,0 +1,171 @@
+package graft.sql
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.catalog.GraftCatalog
+import graft.changelog.{Changelog, ChangelogInference => CI}
+import SqlLexer.{Tok, tokenize, Ident}
+
+/** Changelog-mode inference from SQL TEXT — the front-door slice of
+  * FlinkChangelogModeInferenceProgram.scala: a user writing plain SQL
+  * over a DDL-declared upsert table gets the normalize / retract
+  * adapters inserted automatically, without any operator-DSL calls.
+  *
+  * Two paths, both adapter-inserting:
+  *  - the calc→agg slice (`SELECT g, count(*), sum(x) FROM upsert_t
+  *    [WHERE p] GROUP BY g`) builds a CSource→CCalc→CAgg→CSink tree
+  *    and lets [[CI.plan]] insert retract-derivation + retract-aware
+  *    aggregation (GroupAggFunction with the count-sign algebra);
+  *  - every other shape (joins, projections, nested queries)
+  *    substitutes a ChangelogNormalize view for the table reference —
+  *    the current-state materialization the reference plans in front
+  *    of arbitrary consumers of an upsert source — and re-enters the
+  *    front door.
+  */
+object UpsertSqlInference {
+
+  private val viewCounter = new AtomicInteger(0)
+
+  private final case class AggItem(kind: String, arg: String, alias: String)
+
+  /** Returns Some(result) when the text reads a declared upsert table
+    * (adapters inserted), None when it doesn't and the normal front
+    * door should proceed.
+    */
+  def infer(spark: SparkSession, text: String): Option[DataFrame] = {
+    val toks = tokenize(text)
+    if (toks.isEmpty || !toks.head.is("SELECT")) return None
+    // depth-0 FROM and its single table ref
+    var depth = 0
+    var fromIdx = -1
+    var i = 0
+    while (i < toks.length && fromIdx < 0) {
+      val t = toks(i)
+      if (t.isPunct("(")) depth += 1
+      else if (t.isPunct(")")) depth -= 1
+      else if (depth == 0 && t.is("FROM")) fromIdx = i
+      i += 1
+    }
+    if (fromIdx < 0 || fromIdx + 1 >= toks.length) return None
+    val tableTok = toks(fromIdx + 1)
+    if (tableTok.kind != Ident) return None
+    val spec = GraftCatalog.upsertOf(tableTok.text).getOrElse(return None)
+
+    val history = spark.table(tableTok.text)
+    val src = CI.CSource(history, CI.Upsert,
+      keys = spec.keys, orderCols = spec.versionCols.map(col))
+
+    parseAggSlice(text, toks, fromIdx) match {
+      case Some((whereText, groupCols, items)) =>
+        val calc: DataFrame => DataFrame =
+          d => whereText.map(w => d.filter(expr(w))).getOrElse(d)
+        val planned = CI.plan(CI.CSink(
+          CI.CAgg(CI.CCalc(src, calc), groupCols, items.collect {
+            case AggItem("sum", a, _) => a
+          }.distinct), CI.InsertOnly))
+        val out: Seq[Column] = items.map {
+          case AggItem("group", g, alias) => col(g).as(alias)
+          case AggItem("count", _, alias) => col("cnt").as(alias)
+          case AggItem("sum", a, alias)   => col(s"sum_$a").as(alias)
+        }
+        Some(planned.df.select(out: _*))
+      case None =>
+        // general shape: swap in the ChangelogNormalize view and
+        // re-enter the front door (the substituted name is not an
+        // upsert table, so this cannot recurse back here)
+        val view = s"__graft_upsert_norm_${viewCounter.incrementAndGet()}"
+        CI.normalizeToSink(src).createOrReplaceTempView(view)
+        val rewritten = text.substring(0, tableTok.start) + view +
+          text.substring(tableTok.end)
+        Some(GraftSql.sql(spark, rewritten))
+    }
+  }
+
+  /** Parse `SELECT items FROM t [WHERE p] GROUP BY g[, ...]` where
+    * every item is a group column, `count(*) AS a`, or
+    * `sum(col) AS a`. None = shape outside the slice.
+    */
+  private def parseAggSlice(text: String, toks: Vector[Tok], fromIdx: Int)
+      : Option[(Option[String], Seq[String], Seq[AggItem])] = {
+    // depth-0 clause positions after the table ref
+    var whereIdx = -1
+    var groupIdx = -1
+    var depth = 0
+    var i = fromIdx + 2
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.isPunct("(")) depth += 1
+      else if (t.isPunct(")")) depth -= 1
+      else if (depth == 0) {
+        if (t.is("WHERE")) whereIdx = i
+        else if (t.is("GROUP")) groupIdx = i
+        // anything beyond the slice (joins, set ops, HAVING, ORDER...)
+        else if (t.isPunct(",") && groupIdx < 0) return None
+        else if (Seq("JOIN", "HAVING", "ORDER", "LIMIT", "UNION",
+            "EXCEPT", "INTERSECT", "WINDOW").exists(t.is)) return None
+      }
+      i += 1
+    }
+    if (groupIdx < 0) return None
+    val whereText =
+      if (whereIdx >= 0)
+        Some(text.substring(toks(whereIdx).end, toks(groupIdx).start).trim)
+      else None
+    // GROUP BY idents
+    val groupCols = Seq.newBuilder[String]
+    var j = groupIdx + 2 // skip GROUP BY
+    var ok = true
+    while (j < toks.length && ok) {
+      if (toks(j).kind != Ident) return None
+      groupCols += toks(j).text
+      j += 1
+      if (j < toks.length) {
+        if (toks(j).isPunct(",")) j += 1 else ok = false
+      }
+    }
+    if (ok && j < toks.length) return None // trailing tokens after GROUP BY
+    val groups = groupCols.result()
+
+    // SELECT list items (tokens 1 .. fromIdx), split on depth-0 commas
+    val items = Seq.newBuilder[AggItem]
+    var itemStart = 1
+    var d2 = 0
+    var k = 1
+    while (k <= fromIdx) {
+      val atEnd = k == fromIdx
+      if (!atEnd && toks(k).isPunct("(")) d2 += 1
+      else if (!atEnd && toks(k).isPunct(")")) d2 -= 1
+      if (atEnd || (d2 == 0 && toks(k).isPunct(","))) {
+        val span = toks.slice(itemStart, k)
+        parseItem(span, groups) match {
+          case Some(it) => items += it
+          case None => return None
+        }
+        itemStart = k + 1
+      }
+      k += 1
+    }
+    Some((whereText, groups, items.result()))
+  }
+
+  private def parseItem(span: Vector[Tok], groups: Seq[String]): Option[AggItem] =
+    span.toList match {
+      case g :: Nil if g.kind == Ident && groups.exists(g.is) =>
+        Some(AggItem("group", groups.find(g.is).get, g.text))
+      case g :: a :: al :: Nil if g.kind == Ident && groups.exists(g.is) &&
+          a.is("AS") && al.kind == Ident =>
+        Some(AggItem("group", groups.find(g.is).get, al.text))
+      case f :: o :: s :: c :: a :: al :: Nil if f.is("COUNT") &&
+          o.isPunct("(") && s.isPunct("*") && c.isPunct(")") &&
+          a.is("AS") && al.kind == Ident =>
+        Some(AggItem("count", "*", al.text))
+      case f :: o :: arg :: c :: a :: al :: Nil if f.is("SUM") &&
+          o.isPunct("(") && arg.kind == Ident && c.isPunct(")") &&
+          a.is("AS") && al.kind == Ident =>
+        Some(AggItem("sum", arg.text, al.text))
+      case _ => None
+    }
+}

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object UpsertSink {
 
-  /** writeStream.foreachBatch(UpsertSink.merge(keys, orderCol, dir)) */
+  /** writeStream.foreachBatch(UpsertSink.merge(keys, orderCol, dir)).
+    *
+    * Full-table rewrite per micro-batch — O(table), acceptable only
+    * for small dimension tables. Anything that grows with the stream
+    * must use [[mergePartitioned]], which rewrites only the buckets a
+    * batch touches.
+    */
+  @deprecated("full-table rewrite per batch; use mergePartitioned", "round 3")
   def merge(keys: Seq[String], orderCol: String, targetDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

@@ -164,6 +164,49 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.table("sink_b").count() === 5)
   }
 
+  test("SQL over a DDL upsert table gets changelog adapters with no DSL calls") {
+    import spark.implicits._
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_upsql").toString
+    // version history: user 1 moves a->b (amount 10->20), user 2 stays a,
+    // user 3 moves b->a->c (5->7->9)
+    Seq(
+      (1L, 1000L, "a", 10.0), (1L, 2000L, "b", 20.0),
+      (2L, 1000L, "a", 5.0),
+      (3L, 1000L, "b", 5.0), (3L, 2000L, "a", 7.0), (3L, 3000L, "c", 9.0))
+      .toDF("user_id", "version", "status", "amount")
+      .write.parquet(s"$base/user_state")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE user_state (
+         |  user_id BIGINT, version BIGINT, status VARCHAR(10), amount DOUBLE,
+         |  PRIMARY KEY (user_id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/user_state',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'version')""".stripMargin)
+    // calc shape -> ChangelogNormalize inserted: current state only,
+    // not the 6-row raw history
+    val cur = GraftSql.sql(spark,
+      "SELECT user_id, status, amount FROM user_state WHERE amount > 0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(cur === Set((1L, "b", 20.0), (2L, "a", 5.0), (3L, "c", 9.0)))
+    // agg shape -> retract-derivation + retract-aware aggregate:
+    // superseded versions must not count (naive-over-history would
+    // report a:3 rows / sum 22)
+    val agg = GraftSql.sql(spark,
+      """SELECT status, count(*) AS cnt, sum(amount) AS total
+        |FROM user_state GROUP BY status""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg === Set(("b", 1L, 20.0), ("a", 1L, 5.0), ("c", 1L, 9.0)))
+    // a filter over the changelog applies per version row: user 1's
+    // CURRENT row is b/20, so status='a' nets that user away entirely
+    val filtered = GraftSql.sql(spark,
+      """SELECT status, count(*) AS cnt, sum(amount) AS total
+        |FROM user_state WHERE status = 'a' GROUP BY status""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(filtered === Set(("a", 1L, 5.0)),
+      "retracted versions must not resurrect through a filter")
+  }
+
   test("STATEMENT SET: a ';' inside a string literal is not a statement boundary") {
     prep()
     val base = java.nio.file.Files.createTempDirectory("graft_stmtsemi").toString
