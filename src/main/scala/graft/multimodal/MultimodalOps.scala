@@ -49,9 +49,24 @@ object MultimodalOps {
     * None = the bytes are not a decodable image.
     */
   def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
-    if (!looksLikeImage(bytes)) return None
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) return None
+    readImage(bytes) match {
+      case None => None
+      case Some(img) => Some(statsOf(img))
+    }
+  }
+
+  /** ImageIO.read returns null only when NO reader claims the stream;
+    * a reader that claims it by magic ('BM', etc.) and then hits a
+    * garbage header THROWS — so corrupt or false-positive payloads
+    * must degrade to the non-image path, not fail the Spark task.
+    */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  private def statsOf(img: java.awt.image.BufferedImage): ImageStats = {
     val w = img.getWidth
     val h = img.getHeight
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -70,7 +85,7 @@ object MultimodalOps {
       y += 1
     }
     val n = w.toLong * h
-    Some(ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
   /** Deterministic PNG encoder for fixtures: pixel (x, y) gets the
@@ -206,11 +221,7 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       // per-partition scaler/codec init would go here
       rows.map { m =>
-        val img =
-          if (looksLikeImage(m.bytes))
-            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes)))
-          else None
-        img match {
+        readImage(m.bytes) match {
           case Some(i) =>
             val scale = math.min(1.0,
               math.min(maxW.toDouble / i.getWidth, maxH.toDouble / i.getHeight))

@@ -71,8 +71,12 @@ object AvroFormat {
         } else (f.schema(), false)
       val dt = s.getType match {
         case ASchema.Type.LONG =>
+          // timestamp-millis maps too — the reader scales it to the
+          // micros Spark stores (foreign writers use either precision)
           if (s.getLogicalType != null &&
-              s.getLogicalType.getName.startsWith("timestamp")) TimestampType else LongType
+              (s.getLogicalType.getName == "timestamp-micros" ||
+                s.getLogicalType.getName == "timestamp-millis")) TimestampType
+          else LongType
         case ASchema.Type.INT     => IntegerType
         case ASchema.Type.DOUBLE  => DoubleType
         case ASchema.Type.FLOAT   => FloatType
@@ -88,7 +92,9 @@ object AvroFormat {
 
   /** Write the DataFrame as avro container files, one file per input
     * partition (distributed — each task streams its partition through
-    * a DataFileWriter; nothing funnels through the driver).
+    * a DataFileWriter; nothing funnels through the driver). An empty
+    * frame still writes one empty schema-bearing file so the relation
+    * round-trips (the read side infers from the embedded schema).
     */
   def write(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
@@ -97,6 +103,12 @@ object AvroFormat {
     val fs = dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     if (fs.exists(dirPath)) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
+    locally { // schema-only marker file; 0 rows must stay readable
+      val aSchema = new ASchema.Parser().parse(avroJson)
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](aSchema))
+      w.create(aSchema, fs.create(new Path(dirPath, "part-schema.avro"), true))
+      w.close()
+    }
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -130,7 +142,9 @@ object AvroFormat {
     case BinaryType  => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
     case TimestampType =>
       val ts = row.getTimestamp(i)
-      Long.box(ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L)
+      // floorDiv: plain / truncates toward zero and corrupts pre-1970
+      // fractional-second timestamps by one second
+      Long.box(Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
     case other => sys.error(s"avro format: unsupported type $other")
   }
 }
@@ -142,12 +156,22 @@ object AvroFormat {
 class AvroSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
+  // one LIST per load: inferSchema and getTable run on the same
+  // provider instance, so the directory listing is shared (an object
+  // store pays one round-trip, not two)
+  private val listCache =
+    scala.collection.mutable.Map.empty[String, Seq[String]]
+
   private def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
     val dir = Option(options.get("path")).getOrElse(sys.error("avro source needs a path"))
-    val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-      .map(_.getPath.toString).sorted.toSeq
+    listCache.synchronized {
+      listCache.getOrElseUpdate(dir, {
+        val p = new Path(dir)
+        val fs = p.getFileSystem(new Configuration())
+        fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+          .map(_.getPath.toString).sorted.toSeq
+      })
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -160,8 +184,13 @@ class AvroSource extends TableProvider {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new AvroTable(listFiles(new CaseInsensitiveStringMap(properties)), schema)
+      properties: util.Map[String, String]): Table = {
+    // the schema-only marker exists so empty relations stay readable;
+    // it never needs a scan task
+    val files = listFiles(new CaseInsensitiveStringMap(properties))
+      .filterNot(_.endsWith("part-schema.avro"))
+    new AvroTable(files, schema)
+  }
 }
 
 private class AvroTable(files: Seq[String], tableSchema: StructType)
@@ -205,6 +234,21 @@ private class AvroFileReader(file: String, names: Array[String], types: Array[Da
   }
   private var rec: GenericRecord = _
 
+  // micros multiplier per field: foreign files may carry
+  // timestamp-millis; Spark stores micros
+  private val tsScale: Array[Long] = names.indices.map { i =>
+    if (types(i) != TimestampType) 1L
+    else {
+      val f = stream.getSchema.getField(names(i))
+      val s =
+        if (f.schema().getType == ASchema.Type.UNION)
+          f.schema().getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+        else f.schema()
+      if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-millis") 1000L
+      else 1L
+    }
+  }.toArray
+
   override def next(): Boolean = {
     if (!stream.hasNext) false
     else { rec = stream.next(rec); true }
@@ -217,7 +261,9 @@ private class AvroFileReader(file: String, names: Array[String], types: Array[Da
       val v = rec.get(names(i))
       if (v == null) row.setNullAt(i)
       else types(i) match {
-        case LongType | TimestampType => row.setLong(i, v.asInstanceOf[java.lang.Long])
+        case LongType => row.setLong(i, v.asInstanceOf[java.lang.Long])
+        case TimestampType =>
+          row.setLong(i, v.asInstanceOf[java.lang.Long] * tsScale(i))
         case IntegerType => row.setInt(i, v.asInstanceOf[java.lang.Integer])
         case DoubleType  => row.setDouble(i, v.asInstanceOf[java.lang.Double])
         case FloatType   => row.setFloat(i, v.asInstanceOf[java.lang.Float])

@@ -31,57 +31,84 @@ object UpsertSqlInference {
 
   private final case class AggItem(kind: String, arg: String, alias: String)
 
-  /** Returns Some(result) when the text reads a declared upsert table
-    * (adapters inserted), None when it doesn't and the normal front
-    * door should proceed.
+  /** Returns Some(result) when the text references a declared upsert
+    * table anywhere (adapters inserted), None when it doesn't and the
+    * normal front door should proceed.
     */
   def infer(spark: SparkSession, text: String): Option[DataFrame] = {
     val toks = tokenize(text)
-    if (toks.isEmpty || !toks.head.is("SELECT")) return None
-    // depth-0 FROM and its single table ref
-    var depth = 0
-    var fromIdx = -1
-    var i = 0
-    while (i < toks.length && fromIdx < 0) {
+    if (toks.isEmpty) return None
+    // every table-ref occurrence of a declared upsert table: a bare
+    // ident (or qualifier before '.'), not db-qualified itself, not a
+    // call, not an alias being DEFINED — a JOIN side, CTE body,
+    // subquery or UNION branch all count; round-3 review caught the
+    // single-FROM version silently serving raw history to those
+    def isRef(i: Int): Boolean = {
       val t = toks(i)
-      if (t.isPunct("(")) depth += 1
-      else if (t.isPunct(")")) depth -= 1
-      else if (depth == 0 && t.is("FROM")) fromIdx = i
-      i += 1
+      t.kind == Ident && GraftCatalog.upsertOf(t.text).isDefined &&
+        !(i > 0 && toks(i - 1).isPunct(".")) &&
+        !(i > 0 && toks(i - 1).is("AS")) &&
+        !(i + 1 < toks.length && toks(i + 1).isPunct("("))
     }
-    if (fromIdx < 0 || fromIdx + 1 >= toks.length) return None
-    val tableTok = toks(fromIdx + 1)
-    if (tableTok.kind != Ident) return None
-    val spec = GraftCatalog.upsertOf(tableTok.text).getOrElse(return None)
+    val refs = toks.indices.filter(isRef)
+    if (refs.isEmpty) return None
 
-    val history = spark.table(tableTok.text)
-    val src = CI.CSource(history, CI.Upsert,
-      keys = spec.keys, orderCols = spec.versionCols.map(col))
-
-    parseAggSlice(text, toks, fromIdx) match {
-      case Some((whereText, groupCols, items)) =>
-        val calc: DataFrame => DataFrame =
-          d => whereText.map(w => d.filter(expr(w))).getOrElse(d)
-        val planned = CI.plan(CI.CSink(
-          CI.CAgg(CI.CCalc(src, calc), groupCols, items.collect {
-            case AggItem("sum", a, _) => a
-          }.distinct), CI.InsertOnly))
-        val out: Seq[Column] = items.map {
-          case AggItem("group", g, alias) => col(g).as(alias)
-          case AggItem("count", _, alias) => col("cnt").as(alias)
-          case AggItem("sum", a, alias)   => col(s"sum_$a").as(alias)
+    // fast path: `SELECT ... FROM upsert_t [WHERE p] GROUP BY g` with
+    // sum/count items — plan retract adapters through the inference
+    // engine; anything it cannot prove safe falls to the general path
+    if (toks.head.is("SELECT") && refs.length == 1) {
+      val fromIdx = refs.head - 1
+      if (fromIdx > 0 && toks(fromIdx).is("FROM")) {
+        val tableTok = toks(refs.head)
+        val spec = GraftCatalog.upsertOf(tableTok.text).get
+        val src = CI.CSource(spark.table(tableTok.text), CI.Upsert,
+          keys = spec.keys, orderCols = spec.versionCols.map(col))
+        parseAggSlice(text, toks, fromIdx) match {
+          case Some((whereText, groupCols, items)) =>
+            try {
+              val calc: DataFrame => DataFrame =
+                d => whereText.map(w => d.filter(expr(w))).getOrElse(d)
+              val planned = CI.plan(CI.CSink(
+                CI.CAgg(CI.CCalc(src, calc), groupCols, items.collect {
+                  case AggItem("sum", a, _) => a
+                }.distinct), CI.InsertOnly))
+              val out: Seq[Column] = items.map {
+                case AggItem("group", g, alias) => col(g).as(alias)
+                case AggItem("count", _, alias) => col("cnt").as(alias)
+                case AggItem("sum", a, alias)   => col(s"sum_$a").as(alias)
+              }
+              return Some(planned.df.select(out: _*))
+            } catch {
+              // e.g. a WHERE fragment Dataset.filter can't resolve —
+              // the normalize-view path below handles it correctly
+              case scala.util.control.NonFatal(_) =>
+            }
+          case None =>
         }
-        Some(planned.df.select(out: _*))
-      case None =>
-        // general shape: swap in the ChangelogNormalize view and
-        // re-enter the front door (the substituted name is not an
-        // upsert table, so this cannot recurse back here)
-        val view = s"__graft_upsert_norm_${viewCounter.incrementAndGet()}"
-        CI.normalizeToSink(src).createOrReplaceTempView(view)
-        val rewritten = text.substring(0, tableTok.start) + view +
-          text.substring(tableTok.end)
-        Some(GraftSql.sql(spark, rewritten))
+      }
     }
+
+    // general path: substitute a ChangelogNormalize view for EVERY
+    // occurrence and re-enter the front door (the substituted names
+    // are not upsert tables, so this cannot recurse back here).
+    // Column qualifiers (`upsert_t.c`) substitute consistently with
+    // their FROM ref, so qualified predicates still resolve.
+    val views = refs.map(toks(_).text).distinct.map { name =>
+      val spec = GraftCatalog.upsertOf(name).get
+      val view = s"__graft_upsert_norm_${viewCounter.incrementAndGet()}"
+      CI.normalizeToSink(CI.CSource(spark.table(name), CI.Upsert,
+        keys = spec.keys, orderCols = spec.versionCols.map(col)))
+        .createOrReplaceTempView(view)
+      name -> view
+    }.toMap
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    refs.foreach { i =>
+      sb.append(text, pos, toks(i).start).append(views(toks(i).text))
+      pos = toks(i).end
+    }
+    sb.append(text, pos, text.length)
+    Some(GraftSql.sql(spark, sb.toString))
   }
 
   /** Parse `SELECT items FROM t [WHERE p] GROUP BY g[, ...]` where
@@ -90,6 +117,11 @@ object UpsertSqlInference {
     */
   private def parseAggSlice(text: String, toks: Vector[Tok], fromIdx: Int)
       : Option[(Option[String], Seq[String], Seq[AggItem])] = {
+    // the table ref must be followed directly by WHERE / GROUP / end —
+    // a table alias would leave the calc lambda's filter text with a
+    // qualifier Dataset.filter cannot resolve
+    if (fromIdx + 2 < toks.length &&
+        !toks(fromIdx + 2).is("WHERE") && !toks(fromIdx + 2).is("GROUP")) return None
     // depth-0 clause positions after the table ref
     var whereIdx = -1
     var groupIdx = -1
@@ -107,6 +139,9 @@ object UpsertSqlInference {
         else if (Seq("JOIN", "HAVING", "ORDER", "LIMIT", "UNION",
             "EXCEPT", "INTERSECT", "WINDOW").exists(t.is)) return None
       }
+      // qualified columns / subqueries inside WHERE: outside the slice
+      if (whereIdx >= 0 && groupIdx < 0 && i > whereIdx &&
+          (t.isPunct(".") || t.is("SELECT"))) return None
       i += 1
     }
     if (groupIdx < 0) return None

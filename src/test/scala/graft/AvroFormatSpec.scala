@@ -50,6 +50,23 @@ class AvroFormatSpec extends SparkSpec {
     assert(back.rdd.getNumPartitions === 2)
   }
 
+  test("pre-1970 fractional timestamps and empty frames round-trip") {
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files.createTempDirectory("graft_avro_edge").toString
+    // -500 ms epoch: truncating division read this back as +500 ms
+    val neg = Timestamp.valueOf("1969-12-31 23:59:59.5")
+    val df = Seq((1L, neg)).toDF("id", "ts")
+    AvroFormat.write(df, s"$base/neg")
+    val back = spark.read.format("graft.sources.AvroSource").load(s"$base/neg")
+      .collect().map(_.getTimestamp(1))
+    assert(back.toSeq === Seq(neg))
+    // an empty frame must stay a readable empty relation
+    AvroFormat.write(df.filter(lit(false)), s"$base/empty")
+    val empty = spark.read.format("graft.sources.AvroSource").load(s"$base/empty")
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "ts"))
+    assert(empty.count() === 0)
+  }
+
   test("events table round-trips byte-for-byte through avro (driver query shape)") {
     val agg = operators.MiscQueries.avroRoundtrip(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -205,6 +205,22 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(filtered === Set(("a", 1L, 5.0)),
       "retracted versions must not resurrect through a filter")
+    // JOIN / subquery / aliased shapes take the normalize-view path —
+    // they must see current state, never the raw 6-row history
+    val joined = GraftSql.sql(spark,
+      """SELECT u.user_id, u.status, n.n_name FROM user_state u
+        |JOIN nation n ON n.n_nationkey = u.user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(joined === Set((1L, "b"), (2L, "a"), (3L, "c")),
+      "a JOIN over an upsert table must read current state")
+    val sub = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM (SELECT * FROM user_state) t").first().getLong(0)
+    assert(sub === 3L, "a subquery over an upsert table must read current state")
+    val aliased = GraftSql.sql(spark,
+      "SELECT u.user_id, u.amount FROM user_state u WHERE u.amount > 6")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(aliased === Set((1L, 20.0), (3L, 9.0)),
+      "aliased/qualified predicates must resolve on the normalized view")
   }
 
   test("STATEMENT SET: a ';' inside a string literal is not a statement boundary") {

@@ -53,6 +53,19 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  test("a 'BM'-prefixed non-image payload degrades to the stub, not a task failure") {
+    // the JDK BMP reader claims streams on a 2-byte magic and then
+    // throws on the garbage header — decode must fall back, not crash
+    val fake = "BMW is not a bitmap".getBytes
+    assert(MultimodalOps.decodeImage(fake).isEmpty)
+    val one = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(9L, "audio", fake, "fixture")))
+    val d = MultimodalOps.decode(one).collect().head
+    assert(d.width >= 64 && d.height >= 64, "stub metadata path expected")
+    val r = MultimodalOps.resize(one, maxW = 16, maxH = 16).collect().head
+    assert(r.width <= 16 && r.height <= 16)
+  }
+
   test("real image resize: 64x32 gray PNG into a 32x16 box keeps pixel content") {
     val gray = MultimodalOps.encodePng(64, 32, (_, _) => 0x808080)
     val one = spark.createDataset(Seq(
