@@ -20,6 +20,10 @@ object GraftCatalog {
 
   private val CreateTable: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*""".r
+  private val CreateTableLike: Regex =
+    """(?is)CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*(?:WITH\s*\((.*)\))?\s*""".r
+  private val DropTable: Regex =
+    """(?is)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
 
   import graft.operators.ConstraintEnforcer.LengthConstraint
 
@@ -288,8 +292,16 @@ object GraftCatalog {
       TableConstraints(notNull.result(), lengths.result()), meta, primaryKey)
   }
 
-  /** Execute a CREATE TABLE statement: the table becomes a temp view
-    * readable by name in spark.sql / GraftSql.
+  private val tableOptions =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  /** Was this name declared through the connector DDL? (drives DROP
+    * TABLE routing — Spark-native tables stay with spark.sql)
+    */
+  def isRegistered(table: String): Boolean = tableOptions.contains(table)
+
+  /** Execute DDL: CREATE TABLE (+LIKE), DROP TABLE. The table becomes
+    * a temp view readable by name in spark.sql / GraftSql.
     */
   def executeDdl(spark: SparkSession, ddl: String): Unit = ddl match {
     case CreateTable(name, cols, opts) =>
@@ -308,35 +320,62 @@ object GraftCatalog {
           tableUpsert.put(name, UpsertSpec(pk, vcols))
         }
       }
-      val df: DataFrame = options.getOrElse("connector",
-          sys.error("missing 'connector' option")) match {
-        case "filesystem" =>
-          val fmt = options.getOrElse("format", "parquet")
-          val reader = spark.read.format(fmt)
-          val withSchema =
-            parsed.map(p => reader.schema(p._1)).getOrElse(reader)
-          val r2 = if (fmt == "csv") withSchema.option("header",
-            options.getOrElse("csv.header", "false")) else withSchema
-          val path = options("path")
-          tableSinks.put(name, SinkInfo(path, fmt, options))
-          // Hadoop FS check so URI paths (file://, hdfs://, s3://) work
-          val hPath = new org.apache.hadoop.fs.Path(path)
-          val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
-          if (exists) r2.load(path)
-          else // a pure sink table may not exist yet (Flink allows it)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              parsed.map(_._1).getOrElse(sys.error(s"new sink table $name needs a schema")))
-        case "datagen" =>
-          spark.read.format("graft.sources.DatagenSource")
-            .option("partitions", options.getOrElse("partitions", "4"))
-            .option("rowsPerPartition", options.getOrElse("rowsperpartition", "1000"))
-            .option("seed", options.getOrElse("seed", "42"))
-            .load()
-        case other => sys.error(s"unsupported connector: $other")
-      }
-      // computed columns + watermark ride on top of the physical source
-      applyEventTime(name, df).createOrReplaceTempView(name)
-    case other => sys.error(s"unsupported DDL (round 1 supports CREATE TABLE): $other")
+      tableOptions.put(name, options)
+      register(spark, name, options)
+
+    // CREATE TABLE a LIKE b [WITH (...)] — schema, constraints,
+    // event-time metadata and upsert spec copy from the base table;
+    // WITH options override/extend the base's (the common slice of
+    // the reference's LIKE clause with OVERWRITING OPTIONS)
+    case CreateTableLike(name, base, optsOrNull) =>
+      val baseOpts = tableOptions.getOrElse(base,
+        sys.error(s"CREATE TABLE ... LIKE: unknown base table '$base'"))
+      val merged = baseOpts ++ Option(optsOrNull).map(parseOptions).getOrElse(Map.empty)
+      tableSchemas.get(base).foreach(tableSchemas.put(name, _))
+      tableConstraints.get(base).foreach(tableConstraints.put(name, _))
+      tableMeta.get(base).foreach(tableMeta.put(name, _))
+      tableUpsert.get(base).foreach(tableUpsert.put(name, _))
+      tableOptions.put(name, merged)
+      register(spark, name, merged)
+
+    case DropTable(name) =>
+      spark.catalog.dropTempView(name)
+      Seq(tableSinks, tableConstraints, tableSchemas, tableMeta,
+        tableUpsert, tableOptions).foreach(_.remove(name))
+
+    case other => sys.error(s"unsupported DDL: $other")
+  }
+
+  private def register(spark: SparkSession, name: String,
+      options: Map[String, String]): Unit = {
+    val df: DataFrame = options.getOrElse("connector",
+        sys.error("missing 'connector' option")) match {
+      case "filesystem" =>
+        val fmt = options.getOrElse("format", "parquet")
+        val reader = spark.read.format(fmt)
+        val withSchema =
+          tableSchemas.get(name).map(reader.schema).getOrElse(reader)
+        val r2 = if (fmt == "csv") withSchema.option("header",
+          options.getOrElse("csv.header", "false")) else withSchema
+        val path = options("path")
+        tableSinks.put(name, SinkInfo(path, fmt, options))
+        // Hadoop FS check so URI paths (file://, hdfs://, s3://) work
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
+        if (exists) r2.load(path)
+        else // a pure sink table may not exist yet (Flink allows it)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            tableSchemas.getOrElse(name, sys.error(s"new sink table $name needs a schema")))
+      case "datagen" =>
+        spark.read.format("graft.sources.DatagenSource")
+          .option("partitions", options.getOrElse("partitions", "4"))
+          .option("rowsPerPartition", options.getOrElse("rowsperpartition", "1000"))
+          .option("seed", options.getOrElse("seed", "42"))
+          .load()
+      case other => sys.error(s"unsupported connector: $other")
+    }
+    // computed columns + watermark ride on top of the physical source
+    applyEventTime(name, df).createOrReplaceTempView(name)
   }
 }

@@ -361,8 +361,10 @@ object GraftSql {
     // TEMPORARY VIEW, INSERT into a Spark-native table, ...) still
     // goes to spark.sql unchanged
     val isConnectorDdl = toks.length > 1 && toks.head.is("CREATE") &&
-      toks(1).is("TABLE") && toks.exists(_.is("WITH"))
-    if (isConnectorDdl) {
+      toks(1).is("TABLE") && toks.exists(t => t.is("WITH") || t.is("LIKE"))
+    val isDropDdl = toks.length > 2 && toks.head.is("DROP") && toks(1).is("TABLE") &&
+      graft.catalog.GraftCatalog.isRegistered(toks.last.text)
+    if (isConnectorDdl || isDropDdl) {
       graft.catalog.GraftCatalog.executeDdl(spark, text)
       return spark.emptyDataFrame
     }

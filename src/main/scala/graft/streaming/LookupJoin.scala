@@ -116,6 +116,38 @@ object LookupJoin {
         implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[Seq[V]]
   }
 
+  /** UNORDERED async mode (the reference's AsyncWaitOperator in
+    * UNORDERED output mode / AsyncDataStream.unorderedWait):
+    * completions emit as soon as they finish, so one slow request
+    * delays only itself — max throughput when downstream doesn't
+    * need arrival order.
+    */
+  def asyncLookupJoinUnordered[T, K, V, U: Encoder](ds: Dataset[T],
+      fn: AsyncLookupFunction[K, V], capacity: Int = 32,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(5, "min"))(
+      key: T => K)(combine: (T, Seq[V]) => U): Dataset[U] =
+    ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val inFlight = scala.collection.mutable.ArrayBuffer.empty[Future[U]]
+      new Iterator[U] {
+        override def hasNext: Boolean = inFlight.nonEmpty || it.hasNext
+        override def next(): U = {
+          while (inFlight.size < capacity && it.hasNext) {
+            val t = it.next()
+            inFlight += fn.asyncLookup(key(t)).map(vs => combine(t, vs))
+          }
+          // whichever in-flight request finishes first wins its slot
+          val (done, r) = Await.result(
+            Future.firstCompletedOf(inFlight.map(f => f.map(v => (f, v)))), timeout)
+          inFlight -= done
+          r
+        }
+      }
+    }
+
   def asyncLookupJoin[T, K, V, U: Encoder](ds: Dataset[T], fn: AsyncLookupFunction[K, V],
       capacity: Int = 32, timeout: scala.concurrent.duration.Duration =
         scala.concurrent.duration.Duration(5, "min"))(

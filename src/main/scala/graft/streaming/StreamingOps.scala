@@ -54,6 +54,54 @@ object StreamingOps {
         keys.map(col) :+ col("n") :+ col("sum_value"): _*)
   }
 
+  private def durationSeconds(d: String): Long = {
+    val Array(n, unit) = d.trim.split("\\s+", 2)
+    val v = n.toLong
+    unit.toLowerCase match {
+      case u if u.startsWith("second") => v
+      case u if u.startsWith("minute") => v * 60
+      case u if u.startsWith("hour")   => v * 3600
+      case u if u.startsWith("day")    => v * 86400
+      case u => sys.error(s"unsupported duration unit: $u")
+    }
+  }
+
+  /** CUMULATE window aggregate, streaming (StreamExecWindowAggregate
+    * with CumulativeWindowSpec / SliceAssigners): each event explodes
+    * into the cumulative slices containing it (same slice algebra as
+    * the batch TVF), then a tumble over a synthetic per-slice
+    * event-time (slice end - 1ms) fires each slice individually as
+    * the watermark passes its end — the reference's per-slice
+    * incremental emission. The synthetic column leads raw event time
+    * by up to `maxSize`, so its watermark delay is
+    * `lateness + maxSize`: the effective frontier tracks the RAW
+    * watermark and slices never close while in-lateness contributors
+    * can still arrive (they may close up to one maxSize later —
+    * bounded extra latency, never wrong results).
+    */
+  def cumulateAgg(events: DataFrame, tsCol: String, lateness: String,
+      step: String, maxSize: String, keys: String*): DataFrame = {
+    val stepS = durationSeconds(step)
+    val maxS = durationSeconds(maxSize)
+    require(maxS % stepS == 0, "maxSize must be a multiple of step")
+    val slices = maxS / stepS
+    val latS = durationSeconds(lateness)
+    val g = events
+      .withColumn("__ws",
+        expr(s"timestamp_seconds(floor(unix_timestamp($tsCol) / $maxS) * $maxS)"))
+      .withColumn("__j", explode(expr(
+        s"""sequence(
+           |  cast(floor((unix_timestamp($tsCol) - floor(unix_timestamp($tsCol) / $maxS) * $maxS) / $stepS) as int) + 1,
+           |  ${slices}L)""".stripMargin)))
+      .withColumn("__sts", expr(
+        s"__ws + make_interval(0, 0, 0, 0, 0, 0, __j * $stepS) - interval 1 millisecond"))
+      .withWatermark("__sts", s"${latS + maxS} seconds")
+      .groupBy(window(col("__sts"), step).as("w") +: col("__ws") +: keys.map(col): _*)
+    g.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("__ws").as("wstart") +: col("w.end").as("wend") +:
+        keys.map(col) :+ col("n") :+ col("sum_value"): _*)
+  }
+
   /** Streaming deduplicate keep-first within watermark
     * (StreamExecDeduplicate / RowTimeDeduplicateFunction):
     * `dropDuplicatesWithinWatermark` keeps the first row per key and

@@ -158,7 +158,7 @@ object TextQueries {
     * same dial Manku et al. (WWW'07) turn at web scale (64-bit
     * simhash, d ≤ 3, 4-6 way splits).
     */
-  def adaptiveSimhashBands(nDocs: Long, targetDensity: Double = 2.0): Int = {
+  def adaptiveSimhashBands(nDocs: Long, targetDensity: Double = 1.0): Int = {
     val width = Seq(4, 8, 16, 32)
       .find(w => nDocs / math.pow(2.0, w) <= targetDensity)
       .getOrElse(32)
@@ -166,10 +166,11 @@ object TextQueries {
   }
 
   /** Driver query: width-adaptive multi-band blocking at Hamming ≤ 16
-    * — 8-bit bands at the 500-doc test corpora, widening as the
-    * corpus grows so candidate generation stays near-linear.
-    * Rows-only (no SQL oracle); recall is spec-tested against brute
-    * force and the width dial is spec-pinned in SimRecallSpec.
+    * — 16-bit bands at the 500-doc test corpora (Manku et al.'s
+    * production 4-way split), widening as the corpus grows so
+    * candidate generation stays near-linear. Rows-only (no SQL
+    * oracle); recall is spec-tested against brute force and the
+    * width dial is spec-pinned in SimRecallSpec.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -139,6 +139,28 @@ class CatalogSpec extends SparkSpec {
     assert(rows === List((1L, 20.0), (2L, 40.0)))
   }
 
+  test("CREATE TABLE LIKE copies schema/constraints/options; DROP TABLE unregisters") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_like").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "name").write.parquet(s"$base/orig")
+    Seq((7L, "z")).toDF("id", "name").write.parquet(s"$base/other")
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE like_base (
+         |  id BIGINT NOT NULL, name VARCHAR(10)
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/orig',
+         |        'format' = 'parquet')""".stripMargin)
+    // LIKE with a path override: same declared shape, different files
+    GraftCatalog.executeDdl(spark,
+      s"CREATE TABLE like_derived LIKE like_base WITH ('path' = '$base/other')")
+    assert(spark.table("like_derived").collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(spark.table("like_derived").schema === spark.table("like_base").schema)
+    assert(GraftCatalog.constraintsOf("like_derived").notNull === Seq("id"))
+    GraftCatalog.executeDdl(spark, "DROP TABLE like_derived")
+    assert(!GraftCatalog.isRegistered("like_derived"))
+    assert(intercept[Exception](spark.table("like_derived").count()) != null)
+    assert(GraftCatalog.isRegistered("like_base"), "dropping the derived must not touch the base")
+  }
+
   test("DDL WATERMARK drives late-row drop in a streaming agg over the table") {
     import java.sql.Timestamp
     import org.apache.spark.sql.functions._

@@ -111,6 +111,25 @@ class LookupJoinSpec extends SparkSpec {
     assert(out === (1L to 8L).map(k => s"$k:dim$k").toList)
   }
 
+  test("unordered async lookup emits fast completions before a slow one") {
+    val fn = new AsyncLookupFunction[Long, String] {
+      override def asyncLookup(key: Long)(
+          implicit ec: scala.concurrent.ExecutionContext): scala.concurrent.Future[Seq[String]] =
+        scala.concurrent.Future {
+          Thread.sleep(if (key == 100L) 400 else 10) // one straggler
+          Seq(s"dim$key")
+        }
+    }
+    val probe = spark.createDataset(Seq(100L, 1L, 2L, 3L)).repartition(1)
+    val out = LookupJoin.asyncLookupJoinUnordered(probe, fn, capacity = 4)(identity) {
+      (k, vs) => s"$k:${vs.head}"
+    }.collect().toList
+    assert(out.toSet === Set("100:dim100", "1:dim1", "2:dim2", "3:dim3"))
+    // UNORDERED mode: the straggler (first in input) must emit LAST
+    assert(out.last === "100:dim100",
+      s"slow head-of-line request should not block fast ones: $out")
+  }
+
   test("retry-on-empty keeps probing until rows appear or attempts end") {
     val id = "empty-test"
     val lateDim = new LookupFunction[Long, String] {

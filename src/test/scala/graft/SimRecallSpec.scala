@@ -32,30 +32,32 @@ class SimRecallSpec extends SparkSpec {
 
   test("adaptive simhash bands widen with the corpus, holding bucket density") {
     import graft.text.TextQueries.adaptiveSimhashBands
-    assert(adaptiveSimhashBands(30) === 16)       // tiny: 4-bit bands, max recall
-    assert(adaptiveSimhashBands(500) === 8)       // test corpora: 500/2^8 ~ 2.0
-    assert(adaptiveSimhashBands(8000) === 4)      // 16x corpus -> 16-bit bands
+    assert(adaptiveSimhashBands(30) === 8)        // tiny: 8-bit bands
+    assert(adaptiveSimhashBands(500) === 4)       // test corpora: 16-bit bands
+    assert(adaptiveSimhashBands(8000) === 4)
     assert(adaptiveSimhashBands(1000000) === 2)   // web scale -> 32-bit bands
     // density never exceeds target across the dial (until the 2^32 floor)
     for (n <- Seq(100L, 1000L, 100000L, 10000000L)) {
       val b = adaptiveSimhashBands(n)
-      assert(n / math.pow(2.0, 64 / b) <= 2.0, s"density blown at n=$n")
+      assert(n / math.pow(2.0, 64 / b) <= 1.0, s"density blown at n=$n")
     }
   }
 
   test("shipped adaptive config recalls ALL pairs under the pigeonhole bound") {
     // b bands guarantee recall 1.0 at Hamming < b: the 500-doc corpus
-    // ships 8 bands, so every d <= 7 pair must be found exactly.
+    // ships 4 bands (Manku et al.'s production setting: 64-bit
+    // simhash, 4-way split, exact at d <= 3), so every d <= 3 pair
+    // must be found exactly.
     val docs = Tables.load(spark, sfDir, "documents")
     val sigs = docs.select(col("doc_id"), F.simhash64(col("text")).as("sig"))
     val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
     val close = a.join(b, col("id_a") < col("id_b"))
-      .filter(F.hamming64(col("sig_a"), col("sig_b")) <= 7)
+      .filter(F.hamming64(col("sig_a"), col("sig_b")) <= 3)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bands = graft.text.TextQueries.adaptiveSimhashBands(docs.count())
-    assert(bands === 8)
+    assert(bands === 4)
     val blocked = graft.text.TextQueries.simhashPairs(docs, bands, maxHamming = 16)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

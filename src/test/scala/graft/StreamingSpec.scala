@@ -49,6 +49,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUMULATE fires each slice incrementally and drops late rows") {
+    val input = MemoryStream[(Timestamp, Long, Double)](21, spark, None)
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingOps.cumulateAgg(events, "ts", "5 minutes",
+      "10 minutes", "30 minutes", "user_id")
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // 10:01 and 10:04 land in slice 1; 10:11 in slice 2 of [10:00,10:30)
+      input.addData((ts(1), 1L, 1.0), (ts(4), 1L, 2.0), (ts(11), 1L, 3.0))
+      q.processAllAvailable()
+      // an 11:31 event pushes the effective raw frontier past 10:30 —
+      // all three cumulative slices of the 10:00 window close
+      input.addData((Timestamp.valueOf("2024-01-01 11:31:00"), 2L, 9.0))
+      q.processAllAvailable()
+      // behind the frontier: dropped, never re-opens a closed slice
+      input.addData((ts(2), 1L, 100.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("wstart", "wend", "user_id", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      val ws = "2024-01-01 10:00:00.0"
+      assert(rows === Set(
+        (ws, "2024-01-01 10:10:00.0", 1L, 2L, 3.0),
+        (ws, "2024-01-01 10:20:00.0", 1L, 3L, 6.0),
+        (ws, "2024-01-01 10:30:00.0", 1L, 3L, 6.0)),
+        s"cumulative slices wrong: $rows")
+    } finally q.stop()
+  }
+
   test("session window agg merges within gap") {
     val input = MemoryStream[(Timestamp, Long, Double)](2, spark, None)
     val events = input.toDF().toDF("ts", "user_id", "value")
