@@ -276,6 +276,95 @@ object GraftSql {
     sb.toString
   }
 
+  /** Event-time temporal join: `JOIN v FOR SYSTEM_TIME AS OF l.ts
+    * [AS a] ON ...` against a DDL-declared upsert (versioned) table
+    * rewrites to the SCD-2 interval formulation — the version history
+    * becomes validity intervals ([version, next-version)) via one lead
+    * window, and the AS OF point lands in exactly one interval per
+    * key, appended as range predicates on the join condition. That is
+    * the reference's TemporalJoinRewriteRule + event-time temporal
+    * join semantics expressed as a plain (range) equi-join Catalyst
+    * can plan and scale. Non-column AS OF expressions (PROCTIME())
+    * and non-versioned tables keep the snapshot-erasure path in
+    * [[rewrite]].
+    */
+  private def rewriteTemporalJoins(spark: SparkSession, sqlText: String): String = {
+    val toks = tokenize(sqlText)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("FOR") && i + 1 < toks.length && toks(i + 1).is("SYSTEM_TIME") &&
+          i >= 1 && toks(i - 1).kind == Ident) {
+        val table = toks(i - 1).text
+        val upsert = graft.catalog.GraftCatalog.upsertOf(table)
+        // AS OF expression: ident(.ident)* — a column reference
+        var j = i + 2
+        if (j + 1 < toks.length && toks(j).is("AS") && toks(j + 1).is("OF")) {
+          j += 2
+          val exprStart = j
+          if (j < toks.length && toks(j).kind == Ident) {
+            j += 1
+            while (j + 1 < toks.length && toks(j).isPunct(".")) j += 2
+            val isCall = j < toks.length && toks(j).isPunct("(")
+            val asOfExpr = sqlText.substring(toks(exprStart).start, toks(j - 1).end)
+            if (!isCall && upsert.isDefined) {
+              val spec = upsert.get
+              // alias after the FOR clause (Flink places it there)
+              var end = j
+              var alias = ""
+              if (end + 1 < toks.length && toks(end).is("AS") && toks(end + 1).kind == Ident) {
+                alias = toks(end + 1).text; end += 2
+              } else if (end < toks.length && toks(end).kind == Ident && !toks(end).is("ON")) {
+                alias = toks(end).text; end += 1
+              }
+              require(end < toks.length && toks(end).is("ON"),
+                "temporal join needs an ON condition")
+              // ON condition span: to the next depth-0 clause keyword
+              var k = end + 1
+              var depth = 0
+              val stops = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+                "UNION", "EXCEPT", "INTERSECT", "JOIN", "INNER", "LEFT",
+                "RIGHT", "FULL", "CROSS")
+              while (k < toks.length && (depth > 0 || !stops.exists(toks(k).is))) {
+                if (toks(k).isPunct("(")) depth += 1
+                else if (toks(k).isPunct(")")) depth -= 1
+                k += 1
+              }
+              val view = temporalIntervalView(spark, table, spec)
+              val a = if (alias.nonEmpty) alias else view
+              val vcol = spec.versionCols.head
+              val spliced = applySplices(sqlText, List(
+                // `table FOR SYSTEM_TIME AS OF x` -> interval view
+                Splice(toks(i - 1).start, toks(j - 1).end, view),
+                // extend the ON condition with interval containment
+                Splice(toks(k - 1).end, toks(k - 1).end,
+                  s" AND $a.$vcol <= $asOfExpr" +
+                    s" AND ($a.__valid_to IS NULL OR $asOfExpr < $a.__valid_to)")))
+              return rewriteTemporalJoins(spark, spliced)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sqlText
+  }
+
+  /** Version history → validity intervals: one window pass per
+    * version table, registered once per (table) and reused.
+    */
+  private def temporalIntervalView(spark: SparkSession, table: String,
+      spec: graft.catalog.GraftCatalog.UpsertSpec): String = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lead}
+    val view = s"__graft_temporal_$table"
+    val w = Window.partitionBy(spec.keys.map(col): _*)
+      .orderBy(spec.versionCols.map(col): _*)
+    spark.table(table)
+      .withColumn("__valid_to", lead(col(spec.versionCols.head), 1).over(w))
+      .createOrReplaceTempView(view)
+    view
+  }
+
   /** Extract `FROM <table> MATCH_RECOGNIZE (...) [AS alias]`, execute
     * it on the NFA core, and splice a temp-view name into the text.
     */
@@ -379,13 +468,17 @@ object GraftSql {
       graft.catalog.GraftCatalog.insertInto(spark, table, rows, overwrite)
       return spark.table(table)
     }
+    // event-time temporal joins FIRST: they consume the version
+    // HISTORY of an upsert table — the changelog inference below
+    // would normalize it to current state and lose the versions
+    val afterTemporal = rewriteTemporalJoins(spark, text)
     // SQL over a DDL-declared upsert table: changelog-mode inference
     // inserts the normalize/retract adapters the reference planner
     // would (FlinkChangelogModeInferenceProgram), no DSL calls needed
-    UpsertSqlInference.infer(spark, text) match {
+    UpsertSqlInference.infer(spark, afterTemporal) match {
       case Some(df) => df
       case None =>
-        val noMr = extractMatchRecognize(spark, text)
+        val noMr = extractMatchRecognize(spark, afterTemporal)
         spark.sql(rewrite(noMr))
     }
   }

@@ -46,11 +46,52 @@ object SqlQueries {
         |GROUP BY window_start, window_end, user_id""".stripMargin)
   }
 
+  /** Event-time temporal join in SQL (`FOR SYSTEM_TIME AS OF p.ts`
+    * against a DDL-declared versioned table): each purchase reads the
+    * user's state version valid AT its event time — rewritten by
+    * [[GraftSql.rewriteTemporalJoins]] into the SCD-2 interval join,
+    * oracle-checked against DuckDB's lead-window formulation.
+    */
+  def temporalJoinSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    // the version table: the full event history per user, versioned
+    // by (ts, event_id) — written once per sf dir
+    val path = s"/tmp/graft_tempjoin/${Integer.toHexString(dir.hashCode)}/user_versions"
+    val marker = new java.io.File(path)
+    if (!marker.exists())
+      Tables.load(s, dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .write.mode("overwrite").parquet(path)
+    GraftSql.sql(s,
+      s"""CREATE TABLE user_versions (
+         |  user_id BIGINT, ts TIMESTAMP(3), event_id BIGINT, value DOUBLE,
+         |  PRIMARY KEY (user_id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$path',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'ts,event_id')""".stripMargin)
+    GraftSql.sql(s,
+      """SELECT p.event_id, p.ts, v.event_id AS state_event, v.value AS state_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN user_versions FOR SYSTEM_TIME AS OF p.ts AS v
+        |  ON v.user_id = p.user_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_match_recognize" -> (matchRecognizeSql _),
+    "q_sql_temporal_join"   -> (temporalJoinSql _),
     "q_sql_session"         -> (sessionSql _))
 
   val oracle: Map[String, String] = Map(
+    // SCD-2 interval formulation of the event-time temporal join:
+    // the version valid AT the probe's timestamp
+    "q_sql_temporal_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id, value,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT p.event_id, p.ts, v.event_id AS state_event, v.value AS state_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+        |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)""".stripMargin,
     // identical gaps-and-islands formulation as the DSL twin queries —
     // the SQL text must land on the same result set
     "q_sql_match_recognize" ->

@@ -164,6 +164,47 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.table("sink_b").count() === 5)
   }
 
+  test("FOR SYSTEM_TIME AS OF an event-time column joins the version valid then") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    prep()
+    def t(s: String) = Timestamp.valueOf(s)
+    val base = java.nio.file.Files.createTempDirectory("graft_tj").toString
+    // user 1 versions: 10 at 10:00, 20 at 10:30; user 2: 5 at 10:15
+    Seq((1L, t("2024-01-01 10:00:00"), 10.0),
+        (1L, t("2024-01-01 10:30:00"), 20.0),
+        (2L, t("2024-01-01 10:15:00"), 5.0))
+      .toDF("k", "vts", "v").write.parquet(s"$base/vt")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE vt (
+         |  k BIGINT, vts TIMESTAMP(3), v DOUBLE,
+         |  PRIMARY KEY (k) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/vt',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'vts')""".stripMargin)
+    Seq((100L, 1L, t("2024-01-01 10:10:00")),  // before the 10:30 update -> 10
+        (101L, 1L, t("2024-01-01 10:30:00")),  // exactly at the update -> 20
+        (102L, 2L, t("2024-01-01 10:00:00")))  // before user 2 exists -> no row
+      .toDF("id", "k", "ts").createOrReplaceTempView("probes")
+    val out = GraftSql.sql(spark,
+      """SELECT p.id, v.v AS state
+        |FROM probes p
+        |JOIN vt FOR SYSTEM_TIME AS OF p.ts AS v ON v.k = p.k
+        |WHERE p.id < 1000""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === Set((100L, 10.0), (101L, 20.0)),
+      "event-time temporal join must pick the version valid at the probe time")
+    // PROCTIME()-style AS OF: erasure + upsert normalization = a
+    // lookup join against CURRENT state, the reference's proctime
+    // temporal join semantics (user 1's current version is 20)
+    val snap = GraftSql.sql(spark,
+      """SELECT p.id, v.v AS state
+        |FROM probes p JOIN vt FOR SYSTEM_TIME AS OF PROCTIME() AS v ON v.k = p.k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(snap === Set((100L, 20.0), (101L, 20.0), (102L, 5.0)),
+      "proctime AS OF must read the CURRENT version per key")
+  }
+
   test("SQL over a DDL upsert table gets changelog adapters with no DSL calls") {
     import spark.implicits._
     prep()
