@@ -85,4 +85,21 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("SQL temporal join plans as an equi join with interval residual, not a cartesian") {
+    val p = plan(graft.sql.SqlQueries.temporalJoinSql(spark, sfDir))
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval containment must ride the user_id equi-join as a residual: $p")
+  }
+
+  test("avro scan prunes to the referenced columns") {
+    val df = graft.operators.MiscQueries.avroRoundtrip(spark, sfDir)
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    // events has 6 physical columns; the aggregate touches 4
+    assert(scan.output.map(_.name).toSet ===
+      Set("event_id", "ts", "event_type", "value"), scan.output.toString)
+  }
 }
