@@ -132,4 +132,29 @@ final case class FKeyedStream[K, T](grouped: org.apache.spark.sql.KeyValueGroupe
       mode: OutputMode = OutputMode.Append())(
       f: (K, Iterator[T], GroupState[S]) => Iterator[U]): Dataset[U] =
     grouped.flatMapGroupsWithState[S, U](mode, timeout)(f)
+
+  /** KeyedStream.countWindow(n).reduce — tumbling COUNT window: every
+    * n-th element of a key closes a window and emits the reduce of
+    * its n elements; a partial tail window stays buffered in state
+    * (the reference's count-trigger GlobalWindow,
+    * WindowOperator + PurgingTrigger.of(CountTrigger.of(n))). State
+    * per key is at most n-1 buffered elements.
+    */
+  def countWindowReduce(n: Int)(f: (T, T) => T)(
+      implicit eS: Encoder[List[T]], eU: Encoder[(K, T)]): Dataset[(K, T)] =
+    grouped.flatMapGroupsWithState[List[T], (K, T)](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key: K, rows: Iterator[T], state: GroupState[List[T]]) =>
+        var buf = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ListBuffer.empty[(K, T)]
+        rows.foreach { t =>
+          buf = buf :+ t
+          if (buf.length == n) {
+            out += (key -> buf.reduceLeft(f))
+            buf = Nil
+          }
+        }
+        if (buf.isEmpty) state.remove() else state.update(buf)
+        out.iterator
+    }
 }

@@ -16,6 +16,28 @@ class FStreamSpec extends SparkSpec {
     assert(out === Map(0L -> 12L, 1L -> 20L, 2L -> 28L))
   }
 
+  test("countWindow(n) closes a window every n elements, buffers the tail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Long)](81, spark, None)
+    val q = FStream(input.toDS()).keyBy(_._1)
+      .countWindowReduce(2)((a, b) => (a._1, a._2 + b._2))
+      .writeStream.format("memory").queryName("count_win").outputMode("append").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      // a: [1,2] closes -> 3; a:[3] and b:[10] buffered
+      val s1 = spark.table("count_win").as[(String, (String, Long))].collect()
+        .map { case (k, v) => (k, v._2) }.toSet
+      assert(s1 === Set(("a", 3L)))
+      input.addData(("b", 20L), ("a", 4L))
+      q.processAllAvailable()
+      // b: [10,20] -> 30; a: [3,4] -> 7
+      val s2 = spark.table("count_win").as[(String, (String, Long))].collect()
+        .map { case (k, v) => (k, v._2) }.toSet
+      assert(s2 === Set(("a", 3L), ("a", 7L), ("b", 30L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroups emits multiple rows per key (UDTAG shape)") {
     val s = FStream(Seq(("a", 1), ("a", 2), ("b", 5)).toDS())
     val out = s.keyBy(_._1)
