@@ -41,6 +41,38 @@ object FunctionQueries {
       concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
       repeat(substring(col("p_name"), 1, 3), 2).as("rpt"))
 
+  /** String/misc catalog tail (BuiltInFunctionDefinitions 507-961 +
+    * logic rows): OVERLAY, POSITION, LEFT/RIGHT, BIN, HEX,
+    * GREATEST/LEAST, NULLIF, ENCODE/DECODE round-trip, STR_TO_MAP,
+    * PARSE_URL(HOST/QUERY) — each against a DuckDB twin (OVERLAY via
+    * substr splice, PARSE_URL/STR_TO_MAP via their algebraic result).
+    */
+  def fnString2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      overlay(col("p_name"), lit("_"), lit(3)).as("ov"),
+      expr("position('an' in p_name)").as("pos"),
+      expr("left(p_name, 4)").as("lf"),
+      expr("right(p_name, 4)").as("rt"),
+      bin(col("p_partkey")).as("bn"),
+      hex(col("p_partkey")).as("hx"),
+      greatest(col("p_size"), lit(25), (col("p_partkey") % 50).cast("int")).as("gr"),
+      least(col("p_size"), lit(25), (col("p_partkey") % 50).cast("int")).as("ls"),
+      nullif(col("p_size"), lit(25)).as("nf"),
+      decode(encode(col("p_name"), "UTF-8"), "UTF-8").as("ed"),
+      element_at(
+        str_to_map(concat(lit("b:"), col("p_brand"), lit(",t:"), col("p_type")),
+          lit(","), lit(":")),
+        "b").as("m1"),
+      // the query value must be URL-safe: '#' in p_brand would start
+      // a fragment and silently truncate the QUERY component
+      parse_url(
+        concat(lit("https://example.com/p/"), col("p_partkey"), lit("?b="), col("p_partkey")),
+        lit("HOST")).as("uh"),
+      parse_url(
+        concat(lit("https://example.com/p/"), col("p_partkey"), lit("?b="), col("p_partkey")),
+        lit("QUERY"), lit("b")).as("uq"))
+
   /** Math functions (:966-1431), incl. composed COT / SINH / COSH /
     * TANH / TRUNCATE gap-fillers.
     */
@@ -207,6 +239,7 @@ object FunctionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_collections" -> (fnCollections _),
     "q_fn_string"   -> (fnString _),
+    "q_fn_string2"  -> (fnString2 _),
     "q_fn_math"     -> (fnMath _),
     "q_fn_datetime" -> (fnDatetime _),
     "q_fn_datetime2" -> (fnDatetime2 _),
@@ -237,6 +270,22 @@ object FunctionQueries {
         |  ascii(p_name) AS asc,
         |  p_brand || '-' || p_type AS cw,
         |  repeat(substring(p_name, 1, 3), 2) AS rpt
+        |FROM part""".stripMargin,
+    "q_fn_string2" ->
+      """SELECT p_partkey,
+        |  substr(p_name, 1, 2) || '_' || substr(p_name, 4) AS ov,
+        |  position('an' IN p_name) AS pos,
+        |  left(p_name, 4) AS lf,
+        |  right(p_name, 4) AS rt,
+        |  bin(p_partkey) AS bn,
+        |  hex(p_partkey) AS hx,
+        |  greatest(p_size, 25, (p_partkey % 50)::INT) AS gr,
+        |  least(p_size, 25, (p_partkey % 50)::INT) AS ls,
+        |  nullif(p_size, 25) AS nf,
+        |  p_name AS ed,
+        |  p_brand AS m1,
+        |  'example.com' AS uh,
+        |  p_partkey::VARCHAR AS uq
         |FROM part""".stripMargin,
     "q_fn_math" ->
       """SELECT l_orderkey, l_linenumber,
