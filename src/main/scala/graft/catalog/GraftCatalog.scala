@@ -131,20 +131,31 @@ object GraftCatalog {
       .select(target.fields.map(f =>
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
     val checked = enforced(table, aligned)
-    val writer = checked.write
-      .mode(if (overwrite) "overwrite" else "append")
-      .format(sink.format)
-    val w2 = if (sink.format == "csv")
-      writer.option("header", sink.options.getOrElse("csv.header", "false")) else writer
-    w2.save(sink.path)
+    if (sink.format == "avro") {
+      if (overwrite) graft.sources.AvroFormat.write(checked, sink.path)
+      else graft.sources.AvroFormat.append(checked, sink.path)
+    } else {
+      val writer = checked.write
+        .mode(if (overwrite) "overwrite" else "append")
+        .format(sink.format)
+      val w2 = if (sink.format == "csv")
+        writer.option("header", sink.options.getOrElse("csv.header", "false")) else writer
+      w2.save(sink.path)
+    }
     // refresh the registered view so subsequent reads see the write
     // (computed columns/watermark re-applied over the physical files)
-    val reader = spark.read.format(sink.format)
-    val r2 = if (sink.format == "csv")
-      reader.option("header", sink.options.getOrElse("csv.header", "false"))
-        .schema(tableSchemas.getOrElse(table, target))
-      else reader
-    applyEventTime(table, r2.load(sink.path)).createOrReplaceTempView(table)
+    val refreshed =
+      if (sink.format == "avro")
+        spark.read.format("graft.sources.AvroSource").load(sink.path)
+      else {
+        val reader = spark.read.format(sink.format)
+        val r2 = if (sink.format == "csv")
+          reader.option("header", sink.options.getOrElse("csv.header", "false"))
+            .schema(tableSchemas.getOrElse(table, target))
+          else reader
+        r2.load(sink.path)
+      }
+    applyEventTime(table, refreshed).createOrReplaceTempView(table)
   }
 
   def constraintsOf(table: String): TableConstraints =
@@ -352,21 +363,25 @@ object GraftCatalog {
         sys.error("missing 'connector' option")) match {
       case "filesystem" =>
         val fmt = options.getOrElse("format", "parquet")
-        val reader = spark.read.format(fmt)
-        val withSchema =
-          tableSchemas.get(name).map(reader.schema).getOrElse(reader)
-        val r2 = if (fmt == "csv") withSchema.option("header",
-          options.getOrElse("csv.header", "false")) else withSchema
         val path = options("path")
         tableSinks.put(name, SinkInfo(path, fmt, options))
         // Hadoop FS check so URI paths (file://, hdfs://, s3://) work
         val hPath = new org.apache.hadoop.fs.Path(path)
         val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
-        if (exists) r2.load(path)
-        else // a pure sink table may not exist yet (Flink allows it)
+        if (!exists) // a pure sink table may not exist yet (Flink allows it)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             tableSchemas.getOrElse(name, sys.error(s"new sink table $name needs a schema")))
+        else if (fmt == "avro") // graft's own container-file format
+          spark.read.format("graft.sources.AvroSource").load(path)
+        else {
+          val reader = spark.read.format(fmt)
+          val withSchema =
+            tableSchemas.get(name).map(reader.schema).getOrElse(reader)
+          val r2 = if (fmt == "csv") withSchema.option("header",
+            options.getOrElse("csv.header", "false")) else withSchema
+          r2.load(path)
+        }
       case "datagen" =>
         spark.read.format("graft.sources.DatagenSource")
           .option("partitions", options.getOrElse("partitions", "4"))

@@ -96,12 +96,20 @@ object AvroFormat {
     * frame still writes one empty schema-bearing file so the relation
     * round-trips (the read side infers from the embedded schema).
     */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String): Unit = writeImpl(df, dir, append = false)
+
+  /** Append: new files land next to the existing ones (epoch-stamped
+    * names so concurrent batches never collide) — the INSERT INTO
+    * path for avro-format DDL tables.
+    */
+  def append(df: DataFrame, dir: String): Unit = writeImpl(df, dir, append = true)
+
+  private def writeImpl(df: DataFrame, dir: String, append: Boolean): Unit = {
     val schema = df.schema
     val avroJson = toAvroSchema(schema).toString
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    if (!append && fs.exists(dirPath)) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
     locally { // schema-only marker file; 0 rows must stay readable
       val aSchema = new ASchema.Parser().parse(avroJson)
@@ -109,12 +117,13 @@ object AvroFormat {
       w.create(aSchema, fs.create(new Path(dirPath, "part-schema.avro"), true))
       w.close()
     }
+    val stamp = if (append) s"-${System.nanoTime()}" else ""
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val aSchema = new ASchema.Parser().parse(avroJson)
         val taskFs = new Path(dir).getFileSystem(new Configuration())
-        val out = taskFs.create(new Path(dir, f"part-$pid%05d.avro"), true)
+        val out = taskFs.create(new Path(dir, f"part$stamp-$pid%05d.avro"), true)
         val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](aSchema))
         writer.create(aSchema, out)
         try {

@@ -409,6 +409,18 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.FlinkFunctions.registerAll(spark)
     val toks = tokenize(text)
+    // EXPLAIN [PLAN FOR] <statement> (Flink's explain dialect): the
+    // body goes through THIS front door (TVFs, temporal joins,
+    // upsert inference...) so the plan shown is the plan that runs
+    if (toks.nonEmpty && toks.head.is("EXPLAIN")) {
+      val bodyStart =
+        if (toks.length > 2 && toks(1).is("PLAN") && toks(2).is("FOR")) toks(2).end
+        else toks(0).end
+      val df = sql(spark, text.substring(bodyStart))
+      import spark.implicits._
+      return Seq(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).toDF("plan")
+    }
     // EXECUTE STATEMENT SET BEGIN <insert>; ...; END — the multi-sink
     // pipeline statement (Flink executes the inserts as one job;
     // here they run sequentially sharing the session's views)

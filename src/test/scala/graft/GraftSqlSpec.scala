@@ -264,6 +264,43 @@ class GraftSqlSpec extends SparkSpec {
       "aliased/qualified predicates must resolve on the normalized view")
   }
 
+  test("avro-format DDL table: CREATE, INSERT INTO append, INSERT OVERWRITE") {
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_avroddl").toString
+    GraftSql.sql(spark,
+      s"""CREATE TABLE av_nations (n_nationkey BIGINT, n_name VARCHAR(25))
+         |WITH ('connector' = 'filesystem', 'path' = '$base/av',
+         |      'format' = 'avro')""".stripMargin)
+    assert(spark.table("av_nations").count() === 0)
+    GraftSql.sql(spark,
+      """INSERT INTO av_nations
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey < 3""".stripMargin)
+    assert(spark.table("av_nations").count() === 3)
+    GraftSql.sql(spark,
+      """INSERT INTO av_nations
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey = 7""".stripMargin)
+    assert(spark.table("av_nations").count() === 4) // append kept prior files
+    GraftSql.sql(spark,
+      """INSERT OVERWRITE av_nations
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey >= 20""".stripMargin)
+    val rows = spark.table("av_nations").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(0)).toSet === Set(20L, 21L, 22L, 23L, 24L))
+  }
+
+  test("EXPLAIN and EXPLAIN PLAN FOR return the physical plan of the dialect body") {
+    prep()
+    val plan = GraftSql.sql(spark,
+      "EXPLAIN SELECT n_name FROM nation WHERE n_nationkey < 5").first().getString(0)
+    assert(plan.contains("== Physical Plan =="), plan.take(200))
+    val tvf = GraftSql.sql(spark,
+      """EXPLAIN PLAN FOR SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start""".stripMargin).first().getString(0)
+    assert(tvf.contains("== Physical Plan ==") && tvf.contains("HashAggregate"),
+      tvf.take(300))
+  }
+
   test("STATEMENT SET: a ';' inside a string literal is not a statement boundary") {
     prep()
     val base = java.nio.file.Files.createTempDirectory("graft_stmtsemi").toString
