@@ -372,8 +372,11 @@ object GraftCatalog {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             tableSchemas.getOrElse(name, sys.error(s"new sink table $name needs a schema")))
-        else if (fmt == "avro") // graft's own container-file format
-          spark.read.format("graft.sources.AvroSource").load(path)
+        else if (fmt == "avro") { // graft's own container-file format
+          val r = spark.read.format("graft.sources.AvroSource")
+          // the DDL-declared schema wins, like the csv/parquet branches
+          tableSchemas.get(name).map(r.schema).getOrElse(r).load(path)
+        }
         else {
           val reader = spark.read.format(fmt)
           val withSchema =

@@ -135,26 +135,33 @@ final case class FKeyedStream[K, T](grouped: org.apache.spark.sql.KeyValueGroupe
 
   /** KeyedStream.countWindow(n).reduce — tumbling COUNT window: every
     * n-th element of a key closes a window and emits the reduce of
-    * its n elements; a partial tail window stays buffered in state
+    * its n elements; the partial tail folds incrementally in state
     * (the reference's count-trigger GlobalWindow,
-    * WindowOperator + PurgingTrigger.of(CountTrigger.of(n))). State
-    * per key is at most n-1 buffered elements.
+    * WindowOperator + PurgingTrigger.of(CountTrigger.of(n))). Because
+    * the reduce is a left fold, state per key is ONE accumulator plus
+    * a count — O(1) per element, never n-1 buffered rows.
     */
   def countWindowReduce(n: Int)(f: (T, T) => T)(
-      implicit eS: Encoder[List[T]], eU: Encoder[(K, T)]): Dataset[(K, T)] =
-    grouped.flatMapGroupsWithState[List[T], (K, T)](
+      implicit eS: Encoder[(List[T], Long)], eU: Encoder[(K, T)]): Dataset[(K, T)] =
+    grouped.flatMapGroupsWithState[(List[T], Long), (K, T)](
       OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-      (key: K, rows: Iterator[T], state: GroupState[List[T]]) =>
-        var buf = state.getOption.getOrElse(Nil)
+      (key: K, rows: Iterator[T], state: GroupState[(List[T], Long)]) =>
+        // acc is empty-or-single: the running left-fold of the open window
+        var (acc, cnt) = state.getOption.getOrElse((Nil: List[T], 0L))
         val out = scala.collection.mutable.ListBuffer.empty[(K, T)]
         rows.foreach { t =>
-          buf = buf :+ t
-          if (buf.length == n) {
-            out += (key -> buf.reduceLeft(f))
-            buf = Nil
+          acc = acc match {
+            case Nil => t :: Nil
+            case prev :: _ => f(prev, t) :: Nil
+          }
+          cnt += 1
+          if (cnt == n) {
+            out += (key -> acc.head)
+            acc = Nil
+            cnt = 0
           }
         }
-        if (buf.isEmpty) state.remove() else state.update(buf)
+        if (cnt == 0) state.remove() else state.update((acc, cnt))
         out.iterator
     }
 }

@@ -98,9 +98,11 @@ object AvroFormat {
     */
   def write(df: DataFrame, dir: String): Unit = writeImpl(df, dir, append = false)
 
-  /** Append: new files land next to the existing ones (epoch-stamped
-    * names so concurrent batches never collide) — the INSERT INTO
-    * path for avro-format DDL tables.
+  /** Append: new files land next to the existing ones (a UUID batch
+    * stamp per append call, and `create(overwrite = false)` so even a
+    * stamp collision fails loudly instead of silently replacing
+    * another job's file) — the INSERT INTO path for avro-format DDL
+    * tables.
     */
   def append(df: DataFrame, dir: String): Unit = writeImpl(df, dir, append = true)
 
@@ -117,13 +119,13 @@ object AvroFormat {
       w.create(aSchema, fs.create(new Path(dirPath, "part-schema.avro"), true))
       w.close()
     }
-    val stamp = if (append) s"-${System.nanoTime()}" else ""
+    val stamp = if (append) s"-${java.util.UUID.randomUUID()}" else ""
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val aSchema = new ASchema.Parser().parse(avroJson)
         val taskFs = new Path(dir).getFileSystem(new Configuration())
-        val out = taskFs.create(new Path(dir, f"part$stamp-$pid%05d.avro"), true)
+        val out = taskFs.create(new Path(dir, f"part$stamp-$pid%05d.avro"), !append)
         val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](aSchema))
         writer.create(aSchema, out)
         try {

@@ -319,22 +319,31 @@ object GraftSql {
               require(end < toks.length && toks(end).is("ON"),
                 "temporal join needs an ON condition")
               // ON condition span: to the next depth-0 clause keyword
+              // OR the enclosing subquery's close paren (an unmatched
+              // ')' means the join lives inside a CTE/derived table)
               var k = end + 1
               var depth = 0
+              var done = false
               val stops = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
                 "UNION", "EXCEPT", "INTERSECT", "JOIN", "INNER", "LEFT",
                 "RIGHT", "FULL", "CROSS")
-              while (k < toks.length && (depth > 0 || !stops.exists(toks(k).is))) {
-                if (toks(k).isPunct("(")) depth += 1
-                else if (toks(k).isPunct(")")) depth -= 1
-                k += 1
+              while (k < toks.length && !done) {
+                val t = toks(k)
+                if (t.isPunct("(")) { depth += 1; k += 1 }
+                else if (t.isPunct(")")) {
+                  if (depth == 0) done = true else { depth -= 1; k += 1 }
+                } else if (depth == 0 && stops.exists(t.is)) done = true
+                else k += 1
               }
               val view = temporalIntervalView(spark, table, spec)
-              val a = if (alias.nonEmpty) alias else view
+              // no explicit alias: alias the view AS the original
+              // table name, so table-qualified ON columns still bind
+              val a = if (alias.nonEmpty) alias else table
+              val replacement = if (alias.nonEmpty) view else s"$view AS $table"
               val vcol = spec.versionCols.head
               val spliced = applySplices(sqlText, List(
                 // `table FOR SYSTEM_TIME AS OF x` -> interval view
-                Splice(toks(i - 1).start, toks(j - 1).end, view),
+                Splice(toks(i - 1).start, toks(j - 1).end, replacement),
                 // extend the ON condition with interval containment
                 Splice(toks(k - 1).end, toks(k - 1).end,
                   s" AND $a.$vcol <= $asOfExpr" +
@@ -411,12 +420,22 @@ object GraftSql {
     val toks = tokenize(text)
     // EXPLAIN [PLAN FOR] <statement> (Flink's explain dialect): the
     // body goes through THIS front door (TVFs, temporal joins,
-    // upsert inference...) so the plan shown is the plan that runs
+    // upsert inference...) so the plan shown is the plan that runs.
+    // EXPLAIN must be side-effect free: an INSERT body explains its
+    // query without writing; DDL bodies are rejected (like the
+    // reference, which explains only queries and modifications).
     if (toks.nonEmpty && toks.head.is("EXPLAIN")) {
-      val bodyStart =
-        if (toks.length > 2 && toks(1).is("PLAN") && toks(2).is("FOR")) toks(2).end
-        else toks(0).end
-      val df = sql(spark, text.substring(bodyStart))
+      val bodyToks =
+        if (toks.length > 2 && toks(1).is("PLAN") && toks(2).is("FOR")) toks.drop(3)
+        else toks.drop(1)
+      require(bodyToks.nonEmpty, "EXPLAIN needs a statement")
+      require(!bodyToks.head.is("CREATE") && !bodyToks.head.is("DROP"),
+        "EXPLAIN of DDL is not supported")
+      val body =
+        if (bodyToks.head.is("INSERT") && bodyToks.length > 2)
+          text.substring(bodyToks(2).end) // the query feeding the sink
+        else text.substring(bodyToks.head.start)
+      val df = sql(spark, body)
       import spark.implicits._
       return Seq(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).toDF("plan")
@@ -461,8 +480,11 @@ object GraftSql {
     // only divert the Flink-dialect shapes; anything else (CREATE
     // TEMPORARY VIEW, INSERT into a Spark-native table, ...) still
     // goes to spark.sql unchanged
+    // LIKE must sit in the table-clause position (CREATE TABLE x LIKE
+    // base) — a LIKE predicate inside a CTAS body is Spark's business
     val isConnectorDdl = toks.length > 1 && toks.head.is("CREATE") &&
-      toks(1).is("TABLE") && toks.exists(t => t.is("WITH") || t.is("LIKE"))
+      toks(1).is("TABLE") && (toks.exists(_.is("WITH")) ||
+        (toks.length > 3 && toks(3).is("LIKE")))
     val isDropDdl = toks.length > 2 && toks.head.is("DROP") && toks(1).is("TABLE") &&
       graft.catalog.GraftCatalog.isRegistered(toks.last.text)
     if (isConnectorDdl || isDropDdl) {

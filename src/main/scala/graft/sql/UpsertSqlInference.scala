@@ -38,17 +38,16 @@ object UpsertSqlInference {
   def infer(spark: SparkSession, text: String): Option[DataFrame] = {
     val toks = tokenize(text)
     if (toks.isEmpty) return None
-    // every table-ref occurrence of a declared upsert table: a bare
-    // ident (or qualifier before '.'), not db-qualified itself, not a
-    // call, not an alias being DEFINED — a JOIN side, CTE body,
-    // subquery or UNION branch all count; round-3 review caught the
-    // single-FROM version silently serving raw history to those
+    // TABLE-REF occurrences of a declared upsert table: an ident
+    // directly after FROM or JOIN — a JOIN side, CTE body, subquery
+    // or UNION branch all count (round-3 review caught the
+    // single-FROM version silently serving raw history to those).
+    // Column qualifiers are never rewritten: the substitution below
+    // always leaves an alias in place for them to bind against.
     def isRef(i: Int): Boolean = {
       val t = toks(i)
       t.kind == Ident && GraftCatalog.upsertOf(t.text).isDefined &&
-        !(i > 0 && toks(i - 1).isPunct(".")) &&
-        !(i > 0 && toks(i - 1).is("AS")) &&
-        !(i + 1 < toks.length && toks(i + 1).isPunct("("))
+        i > 0 && (toks(i - 1).is("FROM") || toks(i - 1).is("JOIN"))
     }
     val refs = toks.indices.filter(isRef)
     if (refs.isEmpty) return None
@@ -88,11 +87,14 @@ object UpsertSqlInference {
       }
     }
 
-    // general path: substitute a ChangelogNormalize view for EVERY
-    // occurrence and re-enter the front door (the substituted names
+    // general path: substitute a ChangelogNormalize view for every
+    // table ref and re-enter the front door (the substituted names
     // are not upsert tables, so this cannot recurse back here).
-    // Column qualifiers (`upsert_t.c`) substitute consistently with
-    // their FROM ref, so qualified predicates still resolve.
+    // A ref with no alias gets `view AS <original-name>`, so
+    // table-name-qualified columns (`upsert_t.c`) keep binding.
+    val keywords = Set("WHERE", "GROUP", "ORDER", "ON", "JOIN", "LEFT",
+      "RIGHT", "INNER", "FULL", "CROSS", "UNION", "EXCEPT", "INTERSECT",
+      "LIMIT", "HAVING", "FOR", "MATCH_RECOGNIZE", "BY", "AND", "OR")
     val views = refs.map(toks(_).text).distinct.map { name =>
       val spec = GraftCatalog.upsertOf(name).get
       val view = s"__graft_upsert_norm_${viewCounter.incrementAndGet()}"
@@ -104,7 +106,15 @@ object UpsertSqlInference {
     val sb = new java.lang.StringBuilder
     var pos = 0
     refs.foreach { i =>
-      sb.append(text, pos, toks(i).start).append(views(toks(i).text))
+      val name = toks(i).text
+      // `t FOR SYSTEM_TIME AS OF ... [AS a]` puts the alias AFTER the
+      // clause — injecting one here would double-alias the relation
+      val hasAlias = i + 1 < toks.length && (toks(i + 1).is("AS") ||
+        toks(i + 1).is("FOR") ||
+        (toks(i + 1).kind == Ident && !keywords.exists(toks(i + 1).is)))
+      val replacement =
+        if (hasAlias) views(name) else s"${views(name)} AS $name"
+      sb.append(text, pos, toks(i).start).append(replacement)
       pos = toks(i).end
     }
     sb.append(text, pos, text.length)

@@ -128,22 +128,33 @@ object LookupJoin {
         scala.concurrent.duration.Duration(5, "min"))(
       key: T => K)(combine: (T, Seq[V]) => U): Dataset[U] =
     ds.mapPartitions { it =>
-      import scala.concurrent.{Await, Future}
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      val inFlight = scala.collection.mutable.ArrayBuffer.empty[Future[U]]
+      // completion queue: each future registers ONE callback at
+      // submission and pushes its result when done — O(1) per element
+      // (firstCompletedOf-style polling would re-register a callback
+      // on every pending future per emitted row)
+      val done = new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, U]]()
+      var inFlight = 0
       new Iterator[U] {
-        override def hasNext: Boolean = inFlight.nonEmpty || it.hasNext
+        override def hasNext: Boolean = inFlight > 0 || it.hasNext
         override def next(): U = {
-          while (inFlight.size < capacity && it.hasNext) {
+          while (inFlight < capacity && it.hasNext) {
             val t = it.next()
-            inFlight += fn.asyncLookup(key(t)).map(vs => combine(t, vs))
+            fn.asyncLookup(key(t)).map(vs => combine(t, vs)).onComplete {
+              case scala.util.Success(u) => done.put(Right(u))
+              case scala.util.Failure(e) => done.put(Left(e))
+            }
+            inFlight += 1
           }
-          // whichever in-flight request finishes first wins its slot
-          val (done, r) = Await.result(
-            Future.firstCompletedOf(inFlight.map(f => f.map(v => (f, v)))), timeout)
-          inFlight -= done
-          r
+          val r = done.poll(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (r == null) throw new java.util.concurrent.TimeoutException(
+            s"async lookup did not complete within $timeout")
+          inFlight -= 1
+          r match {
+            case Right(u) => u
+            case Left(e) => throw e
+          }
         }
       }
     }

@@ -205,6 +205,53 @@ class GraftSqlSpec extends SparkSpec {
       "proctime AS OF must read the CURRENT version per key")
   }
 
+  test("temporal join in a CTE; alias-less table-qualified ON; side-effect-free EXPLAIN") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    prep()
+    def t(s: String) = Timestamp.valueOf(s)
+    val base = java.nio.file.Files.createTempDirectory("graft_tj2").toString
+    Seq((1L, t("2024-01-01 10:00:00"), 10.0), (1L, t("2024-01-01 10:30:00"), 20.0))
+      .toDF("k", "vts", "v").write.parquet(s"$base/vt2")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE vt2 (
+         |  k BIGINT, vts TIMESTAMP(3), v DOUBLE, PRIMARY KEY (k) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/vt2',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'vts')""".stripMargin)
+    Seq((100L, 1L, t("2024-01-01 10:10:00")), (101L, 1L, t("2024-01-01 10:40:00")))
+      .toDF("id", "k", "ts").createOrReplaceTempView("probes2")
+    // the join lives inside a CTE: the ON-span scanner must stop at
+    // the CTE's close paren, not swallow the outer SELECT
+    val cte = GraftSql.sql(spark,
+      """WITH j AS (
+        |  SELECT p.id, v.v AS state
+        |  FROM probes2 p JOIN vt2 FOR SYSTEM_TIME AS OF p.ts AS v ON v.k = p.k)
+        |SELECT id, state FROM j ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(cte === List((100L, 10.0), (101L, 20.0)))
+    // no alias: ON columns qualified by the TABLE name must still bind
+    val bare = GraftSql.sql(spark,
+      """SELECT p.id, vt2.v AS state
+        |FROM probes2 p JOIN vt2 FOR SYSTEM_TIME AS OF p.ts ON vt2.k = p.k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(bare === Set((100L, 10.0), (101L, 20.0)))
+    // EXPLAIN of an INSERT shows a plan but writes NOTHING
+    GraftSql.sql(spark,
+      s"""CREATE TABLE ex_sink (id BIGINT, state DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/ex_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val plan = GraftSql.sql(spark,
+      "EXPLAIN INSERT INTO ex_sink SELECT k, v FROM vt2").first().getString(0)
+    assert(plan.contains("== Physical Plan =="))
+    assert(spark.table("ex_sink").count() === 0, "EXPLAIN must not execute the INSERT")
+    // a LIKE predicate inside CTAS stays with Spark, not the DDL path
+    GraftSql.sql(spark,
+      "CREATE TABLE ctas_like AS SELECT n_name FROM nation WHERE n_name LIKE 'NATION_1%'")
+    assert(spark.table("ctas_like").count() > 0)
+    spark.sql("DROP TABLE ctas_like")
+  }
+
   test("SQL over a DDL upsert table gets changelog adapters with no DSL calls") {
     import spark.implicits._
     prep()
