@@ -196,15 +196,16 @@ class AvroSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
     // the schema-only marker exists so empty relations stay readable;
     // it never needs a scan task
-    val files = listFiles(new CaseInsensitiveStringMap(properties))
-      .filterNot(_.endsWith("part-schema.avro"))
-    new AvroTable(files, schema)
+    val files = listFiles(opts).filterNot(_.endsWith("part-schema.avro"))
+    new AvroTable(files, schema,
+      opts.getLong("splitSize", 128L * 1024 * 1024))
   }
 }
 
-private class AvroTable(files: Seq[String], tableSchema: StructType)
+private class AvroTable(files: Seq[String], tableSchema: StructType, splitSize: Long)
     extends Table with SupportsRead {
   override def name(): String = s"avro(${files.length} files)"
   override def schema(): StructType = tableSchema
@@ -217,15 +218,33 @@ private class AvroTable(files: Seq[String], tableSchema: StructType)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] =
-            files.map(f => AvroFilePartition(f): InputPartition).toArray
+          // files larger than splitSize break into byte ranges; the
+          // reader seeks to the first avro sync marker past the range
+          // start and reads whole blocks until it passes the range
+          // end — the same block-level split the reference's
+          // flink-avro / avro-mapred input format performs, so one
+          // giant file still scans in parallel
+          override def planInputPartitions(): Array[InputPartition] = {
+            val conf = new Configuration()
+            files.flatMap { f =>
+              val p = new Path(f)
+              val len = p.getFileSystem(conf).getFileStatus(p).getLen
+              // end is the true file length, never Long.MaxValue —
+              // DataFileReader.pastSync adds SYNC_SIZE to it and
+              // would overflow negative (= everything "past")
+              if (len <= splitSize) Seq(AvroFilePartition(f, 0L, len))
+              else (0L until len by splitSize).map(start =>
+                AvroFilePartition(f, start, math.min(start + splitSize, len)))
+            }.map(p => p: InputPartition).toArray
+          }
           override def createReaderFactory(): PartitionReaderFactory = {
             val requiredNames = required.fieldNames
             val requiredTypes = required.fields.map(_.dataType)
             new PartitionReaderFactory {
-              override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-                new AvroFileReader(p.asInstanceOf[AvroFilePartition].file,
-                  requiredNames, requiredTypes)
+              override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+                val fp = p.asInstanceOf[AvroFilePartition]
+                new AvroFileReader(fp.file, fp.start, fp.end, requiredNames, requiredTypes)
+              }
             }
           }
         }
@@ -233,15 +252,21 @@ private class AvroTable(files: Seq[String], tableSchema: StructType)
     }
 }
 
-private case class AvroFilePartition(file: String) extends InputPartition
+private case class AvroFilePartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
-private class AvroFileReader(file: String, names: Array[String], types: Array[DataType])
+private class AvroFileReader(file: String, start: Long, end: Long,
+    names: Array[String], types: Array[DataType])
     extends PartitionReader[InternalRow] {
   private val stream = {
-    val p = new Path(file)
-    new DataFileStream[GenericRecord](
-      p.getFileSystem(new Configuration()).open(p),
-      new GenericDatumReader[GenericRecord]())
+    val in = new org.apache.avro.mapred.FsInput(new Path(file), new Configuration())
+    val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    // seek to the first sync point at-or-after `start`; blocks whose
+    // sync precedes `end` belong to this split (avro's standard
+    // split contract — each block is read by exactly one range)
+    if (start > 0) r.sync(start)
+    r
   }
   private var rec: GenericRecord = _
 
@@ -261,7 +286,7 @@ private class AvroFileReader(file: String, names: Array[String], types: Array[Da
   }.toArray
 
   override def next(): Boolean = {
-    if (!stream.hasNext) false
+    if (!stream.hasNext || stream.pastSync(end)) false
     else { rec = stream.next(rec); true }
   }
 

@@ -67,6 +67,24 @@ class AvroFormatSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("a large file splits on sync markers: parallel reads, no lost or doubled rows") {
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files.createTempDirectory("graft_avro_split").toString
+    // one file (coalesce(1)) with enough rows to span many avro blocks
+    val n = 200000L
+    val df = spark.range(n).toDF("id").withColumn("pad", lit("x" * 64))
+      .coalesce(1)
+    AvroFormat.write(df, s"$base/big")
+    val back = spark.read.format("graft.sources.AvroSource")
+      .option("splitSize", 256L * 1024) // force many byte-range splits
+      .load(s"$base/big")
+    assert(back.rdd.getNumPartitions > 4,
+      s"expected many sync-split partitions, got ${back.rdd.getNumPartitions}")
+    assert(back.count() === n, "each avro block must be read by exactly one split")
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).first().getLong(0)
+      === n * (n - 1) / 2)
+  }
+
   test("events table round-trips byte-for-byte through avro (driver query shape)") {
     val agg = operators.MiscQueries.avroRoundtrip(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
