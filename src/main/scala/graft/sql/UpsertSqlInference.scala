@@ -50,6 +50,20 @@ object UpsertSqlInference {
         i > 0 && (toks(i - 1).is("FROM") || toks(i - 1).is("JOIN"))
     }
     val refs = toks.indices.filter(isRef)
+    // any OTHER bare occurrence (e.g. a comma-join `FROM a, upsert_t`)
+    // would silently read raw version history — reject loudly instead
+    val unhandled = toks.indices.filter { i =>
+      val t = toks(i)
+      t.kind == Ident && GraftCatalog.upsertOf(t.text).isDefined &&
+        !refs.contains(i) &&
+        !(i > 0 && (toks(i - 1).isPunct(".") || toks(i - 1).is("AS"))) &&
+        !(i + 1 < toks.length &&
+          (toks(i + 1).isPunct(".") || toks(i + 1).isPunct("(")))
+    }
+    require(unhandled.isEmpty,
+      s"upsert table '${toks(unhandled.headOption.getOrElse(0)).text}' referenced " +
+        "outside FROM/JOIN position (e.g. a comma join) — use explicit JOIN syntax " +
+        "so changelog normalization can be planned")
     if (refs.isEmpty) return None
 
     // fast path: `SELECT ... FROM upsert_t [WHERE p] GROUP BY g` with

@@ -309,6 +309,11 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(aliased === Set((1L, 20.0), (3L, 9.0)),
       "aliased/qualified predicates must resolve on the normalized view")
+    // a comma join cannot be normalized positionally — it must fail
+    // loudly, never silently serve raw version history
+    val err = intercept[Exception](GraftSql.sql(spark,
+      "SELECT * FROM nation, user_state WHERE user_id = n_nationkey"))
+    assert(err.getMessage.contains("JOIN"), err.getMessage)
   }
 
   test("avro-format DDL table: CREATE, INSERT INTO append, INSERT OVERWRITE") {
