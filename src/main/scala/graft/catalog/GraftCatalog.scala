@@ -75,7 +75,17 @@ object GraftCatalog {
   private val tableUpsert =
     scala.collection.concurrent.TrieMap.empty[String, UpsertSpec]
 
-  def upsertOf(table: String): Option[UpsertSpec] = tableUpsert.get(table)
+  /** Case-insensitive and quote-stripping, like Spark's own relation
+    * resolution — `USER_STATE` or a backtick-quoted reference must
+    * resolve to the same declaration, or the SQL front door's
+    * changelog planning silently misses it.
+    */
+  def upsertOf(table: String): Option[UpsertSpec] = {
+    val clean = table.stripPrefix("`").stripSuffix("`")
+      .stripPrefix("\"").stripSuffix("\"")
+    tableUpsert.get(clean).orElse(
+      tableUpsert.collectFirst { case (k, v) if k.equalsIgnoreCase(clean) => v })
+  }
 
   /** Apply a table's DDL-declared computed columns and watermark to a
     * DataFrame with its physical schema — used on the registered view,

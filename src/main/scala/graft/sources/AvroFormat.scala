@@ -168,25 +168,27 @@ class AvroSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
   // one LIST per load: inferSchema and getTable run on the same
-  // provider instance, so the directory listing is shared (an object
-  // store pays one round-trip, not two)
+  // provider instance, so the directory listing — INCLUDING file
+  // lengths, which split planning needs — is fetched once (an object
+  // store pays one round-trip, not one per file per plan)
   private val listCache =
-    scala.collection.mutable.Map.empty[String, Seq[String]]
+    scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
 
-  private def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def listFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
     val dir = Option(options.get("path")).getOrElse(sys.error("avro source needs a path"))
     listCache.synchronized {
       listCache.getOrElseUpdate(dir, {
         val p = new Path(dir)
         val fs = p.getFileSystem(new Configuration())
         fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-          .map(_.getPath.toString).sorted.toSeq
+          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1).toSeq
       })
     }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val first = listFiles(options).headOption.getOrElse(sys.error("no .avro files at path"))
+    val first = listFiles(options).headOption
+      .getOrElse(sys.error("no .avro files at path"))._1
     val p = new Path(first)
     val in = p.getFileSystem(new Configuration()).open(p)
     val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
@@ -197,15 +199,16 @@ class AvroSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val splitSize = opts.getLong("splitSize", 128L * 1024 * 1024)
+    require(splitSize > 0, s"splitSize must be positive, got $splitSize")
     // the schema-only marker exists so empty relations stay readable;
     // it never needs a scan task
-    val files = listFiles(opts).filterNot(_.endsWith("part-schema.avro"))
-    new AvroTable(files, schema,
-      opts.getLong("splitSize", 128L * 1024 * 1024))
+    val files = listFiles(opts).filterNot(_._1.endsWith("part-schema.avro"))
+    new AvroTable(files, schema, splitSize)
   }
 }
 
-private class AvroTable(files: Seq[String], tableSchema: StructType, splitSize: Long)
+private class AvroTable(files: Seq[(String, Long)], tableSchema: StructType, splitSize: Long)
     extends Table with SupportsRead {
   override def name(): String = s"avro(${files.length} files)"
   override def schema(): StructType = tableSchema
@@ -224,11 +227,8 @@ private class AvroTable(files: Seq[String], tableSchema: StructType, splitSize: 
           // end — the same block-level split the reference's
           // flink-avro / avro-mapred input format performs, so one
           // giant file still scans in parallel
-          override def planInputPartitions(): Array[InputPartition] = {
-            val conf = new Configuration()
-            files.flatMap { f =>
-              val p = new Path(f)
-              val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          override def planInputPartitions(): Array[InputPartition] =
+            files.flatMap { case (f, len) =>
               // end is the true file length, never Long.MaxValue —
               // DataFileReader.pastSync adds SYNC_SIZE to it and
               // would overflow negative (= everything "past")
@@ -236,7 +236,6 @@ private class AvroTable(files: Seq[String], tableSchema: StructType, splitSize: 
               else (0L until len by splitSize).map(start =>
                 AvroFilePartition(f, start, math.min(start + splitSize, len)))
             }.map(p => p: InputPartition).toArray
-          }
           override def createReaderFactory(): PartitionReaderFactory = {
             val requiredNames = required.fieldNames
             val requiredTypes = required.fields.map(_.dataType)
@@ -260,13 +259,18 @@ private class AvroFileReader(file: String, start: Long, end: Long,
     extends PartitionReader[InternalRow] {
   private val stream = {
     val in = new org.apache.avro.mapred.FsInput(new Path(file), new Configuration())
-    val r = new org.apache.avro.file.DataFileReader[GenericRecord](
-      in, new GenericDatumReader[GenericRecord]())
-    // seek to the first sync point at-or-after `start`; blocks whose
-    // sync precedes `end` belong to this split (avro's standard
-    // split contract — each block is read by exactly one range)
-    if (start > 0) r.sync(start)
-    r
+    try {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      // seek to the first sync point at-or-after `start`; blocks whose
+      // sync precedes `end` belong to this split (avro's standard
+      // split contract — each block is read by exactly one range)
+      if (start > 0) r.sync(start)
+      r
+    } catch {
+      // a corrupt/truncated file must not leak the opened input
+      case e: Throwable => in.close(); throw e
+    }
   }
   private var rec: GenericRecord = _
 

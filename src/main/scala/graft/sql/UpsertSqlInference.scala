@@ -29,6 +29,9 @@ object UpsertSqlInference {
 
   private val viewCounter = new AtomicInteger(0)
 
+  private def clean(name: String): String =
+    name.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+
   private final case class AggItem(kind: String, arg: String, alias: String)
 
   /** Returns Some(result) when the text references a declared upsert
@@ -50,11 +53,18 @@ object UpsertSqlInference {
         i > 0 && (toks(i - 1).is("FROM") || toks(i - 1).is("JOIN"))
     }
     val refs = toks.indices.filter(isRef)
-    // any OTHER bare occurrence (e.g. a comma-join `FROM a, upsert_t`)
-    // would silently read raw version history — reject loudly instead
+    // any OTHER occurrence in FROM-clause position (e.g. a comma-join
+    // `FROM a, upsert_t`) would silently read raw version history —
+    // reject loudly instead. The guard is clause-scoped so a COLUMN
+    // that merely shares the table's name (select list, WHERE, ON)
+    // never trips it.
+    var inFrom = false
     val unhandled = toks.indices.filter { i =>
       val t = toks(i)
-      t.kind == Ident && GraftCatalog.upsertOf(t.text).isDefined &&
+      if (t.is("FROM") || t.is("JOIN")) inFrom = true
+      else if (Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "ON",
+          "SELECT", "UNION", "EXCEPT", "INTERSECT").exists(t.is)) inFrom = false
+      inFrom && t.kind == Ident && GraftCatalog.upsertOf(t.text).isDefined &&
         !refs.contains(i) &&
         !(i > 0 && (toks(i - 1).isPunct(".") || toks(i - 1).is("AS"))) &&
         !(i + 1 < toks.length &&
@@ -74,7 +84,7 @@ object UpsertSqlInference {
       if (fromIdx > 0 && toks(fromIdx).is("FROM")) {
         val tableTok = toks(refs.head)
         val spec = GraftCatalog.upsertOf(tableTok.text).get
-        val src = CI.CSource(spark.table(tableTok.text), CI.Upsert,
+        val src = CI.CSource(spark.table(clean(tableTok.text)), CI.Upsert,
           keys = spec.keys, orderCols = spec.versionCols.map(col))
         parseAggSlice(text, toks, fromIdx) match {
           case Some((whereText, groupCols, items)) =>
@@ -112,7 +122,7 @@ object UpsertSqlInference {
     val views = refs.map(toks(_).text).distinct.map { name =>
       val spec = GraftCatalog.upsertOf(name).get
       val view = s"__graft_upsert_norm_${viewCounter.incrementAndGet()}"
-      CI.normalizeToSink(CI.CSource(spark.table(name), CI.Upsert,
+      CI.normalizeToSink(CI.CSource(spark.table(clean(name)), CI.Upsert,
         keys = spec.keys, orderCols = spec.versionCols.map(col)))
         .createOrReplaceTempView(view)
       name -> view

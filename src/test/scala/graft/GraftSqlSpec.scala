@@ -314,6 +314,17 @@ class GraftSqlSpec extends SparkSpec {
     val err = intercept[Exception](GraftSql.sql(spark,
       "SELECT * FROM nation, user_state WHERE user_id = n_nationkey"))
     assert(err.getMessage.contains("JOIN"), err.getMessage)
+    // case-variant references resolve to the same upsert declaration
+    val caseVar = GraftSql.sql(spark, "SELECT user_id, status FROM USER_STATE")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(caseVar === Set((1L, "b"), (2L, "a"), (3L, "c")),
+      "USER_STATE must hit the same changelog planning as user_state")
+    // a COLUMN merely named like the table must never trip the guard
+    Seq(("row1", "some_value")).toDF("a", "user_state")
+      .createOrReplaceTempView("audit_t")
+    val colName = GraftSql.sql(spark,
+      "SELECT user_state FROM audit_t WHERE user_state = 'some_value'")
+    assert(colName.count() === 1)
   }
 
   test("avro-format DDL table: CREATE, INSERT INTO append, INSERT OVERWRITE") {
