@@ -38,6 +38,12 @@ object ChangelogInference {
   /** group aggregate: count + sums, retract-aware when the input updates */
   final case class CAgg(child: CNode, groupCols: Seq[String],
       sumCols: Seq[String]) extends CNode
+  /** group aggregate with max/min over ONE value column — plans the
+    * MaxWithRetract/MinWithRetract value-multiset state when the
+    * input updates (emits cnt, sum_c, max_c, min_c)
+    */
+  final case class CAggMinMax(child: CNode, groupCols: Seq[String],
+      valueCol: String) extends CNode
   /** sink accepting only `accepts`; planning materializes/adapts */
   final case class CSink(child: CNode, accepts: Mode) extends CNode
 
@@ -96,6 +102,24 @@ object ChangelogInference {
           Planned(Changelog.aggregateRetract(log, groupCols, sumCols), Retract)
         case Upsert =>
           sys.error("Upsert stream must come from a keyed CSource to aggregate")
+      }
+
+    case CAggMinMax(child, groupCols, valueCol) =>
+      val p = plan(child)
+      p.mode match {
+        case InsertOnly =>
+          Planned(p.df.groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as("cnt"),
+              sum(col(valueCol)).as(s"sum_$valueCol"),
+              max(col(valueCol)).as(s"max_$valueCol"),
+              min(col(valueCol)).as(s"min_$valueCol")), Retract)
+        case Retract =>
+          Planned(Changelog.aggregateRetractMinMax(p.df, groupCols, valueCol), Retract)
+        case Upsert if p.keys.nonEmpty =>
+          val log = Changelog.fromUpserts(p.df, p.keys, p.orderCols)
+          Planned(Changelog.aggregateRetractMinMax(log, groupCols, valueCol), Retract)
+        case Upsert =>
+          sys.error("Upsert stream must carry keys to aggregate")
       }
 
     case CSink(child, accepts) =>

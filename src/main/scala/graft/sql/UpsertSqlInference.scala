@@ -91,14 +91,27 @@ object UpsertSqlInference {
             try {
               val calc: DataFrame => DataFrame =
                 d => whereText.map(w => d.filter(expr(w))).getOrElse(d)
-              val planned = CI.plan(CI.CSink(
-                CI.CAgg(CI.CCalc(src, calc), groupCols, items.collect {
-                  case AggItem("sum", a, _) => a
-                }.distinct), CI.InsertOnly))
+              val calced = CI.CCalc(src, calc)
+              val valueCols = items.collect {
+                case AggItem(k, a, _) if k != "group" && k != "count" => a
+              }.distinct
+              val minMax = items.exists(i => i.kind == "min" || i.kind == "max")
+              // MIN/MAX need the value-multiset state — the engine's
+              // minmax node covers one value column; mixed-column
+              // min/max fall to the normalize path below
+              if (minMax && valueCols.length > 1)
+                throw new UnsupportedOperationException("mixed minmax cols")
+              val node =
+                if (minMax) CI.CAggMinMax(calced, groupCols, valueCols.head)
+                else CI.CAgg(calced, groupCols, valueCols)
+              val planned = CI.plan(CI.CSink(node, CI.InsertOnly))
               val out: Seq[Column] = items.map {
                 case AggItem("group", g, alias) => col(g).as(alias)
                 case AggItem("count", _, alias) => col("cnt").as(alias)
                 case AggItem("sum", a, alias)   => col(s"sum_$a").as(alias)
+                case AggItem("avg", a, alias)   => (col(s"sum_$a") / col("cnt")).as(alias)
+                case AggItem("min", a, alias)   => col(s"min_$a").as(alias)
+                case AggItem("max", a, alias)   => col(s"max_$a").as(alias)
               }
               return Some(planned.df.select(out: _*))
             } catch {
@@ -147,7 +160,7 @@ object UpsertSqlInference {
 
   /** Parse `SELECT items FROM t [WHERE p] GROUP BY g[, ...]` where
     * every item is a group column, `count(*) AS a`, or
-    * `sum(col) AS a`. None = shape outside the slice.
+    * `sum|avg|min|max(col) AS a`. None = shape outside the slice.
     */
   private def parseAggSlice(text: String, toks: Vector[Tok], fromIdx: Int)
       : Option[(Option[String], Seq[String], Seq[AggItem])] = {
@@ -231,10 +244,11 @@ object UpsertSqlInference {
           o.isPunct("(") && s.isPunct("*") && c.isPunct(")") &&
           a.is("AS") && al.kind == Ident =>
         Some(AggItem("count", "*", al.text))
-      case f :: o :: arg :: c :: a :: al :: Nil if f.is("SUM") &&
-          o.isPunct("(") && arg.kind == Ident && c.isPunct(")") &&
-          a.is("AS") && al.kind == Ident =>
-        Some(AggItem("sum", arg.text, al.text))
+      case f :: o :: arg :: c :: a :: al :: Nil
+          if Seq("SUM", "AVG", "MIN", "MAX").exists(f.is) &&
+            o.isPunct("(") && arg.kind == Ident && c.isPunct(")") &&
+            a.is("AS") && al.kind == Ident =>
+        Some(AggItem(f.text.toLowerCase, arg.text, al.text))
       case _ => None
     }
 }

@@ -314,6 +314,17 @@ class GraftSqlSpec extends SparkSpec {
     val err = intercept[Exception](GraftSql.sql(spark,
       "SELECT * FROM nation, user_state WHERE user_id = n_nationkey"))
     assert(err.getMessage.contains("JOIN"), err.getMessage)
+    // AVG/MIN/MAX plan the value-multiset retract state: user 1's
+    // superseded a/10 and user 3's superseded a/7 are dead values —
+    // a naive history aggregate would report max(a) = 10
+    val mm = GraftSql.sql(spark,
+      """SELECT status, count(*) AS c, avg(amount) AS av,
+        |  max(amount) AS mx, min(amount) AS mn
+        |FROM user_state GROUP BY status""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(mm === Set(("a", 1L, 5.0, 5.0, 5.0), ("b", 1L, 20.0, 20.0, 20.0),
+      ("c", 1L, 9.0, 9.0, 9.0)), s"dead versions inflated an aggregate: $mm")
     // case-variant references resolve to the same upsert declaration
     val caseVar = GraftSql.sql(spark, "SELECT user_id, status FROM USER_STATE")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
