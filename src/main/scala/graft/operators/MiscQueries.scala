@@ -148,8 +148,27 @@ object MiscQueries {
         min(col("event_id")).as("min_event"))
   }
 
+  /** ORC format round-trip (formats row of SURVEY §2.1): events →
+    * Spark-native ORC files → read → aggregate, the second columnar
+    * format next to parquet. The oracle runs the same aggregate over
+    * the original parquet, so a green row proves the round-trip is
+    * lossless (timestamps, strings, doubles, longs). The DDL path
+    * (`WITH ('format' = 'orc')`) uses the same native reader/writer.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_orc/${Integer.toHexString(dir.hashCode)}/events"
+    t(s, dir, "events").write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"),
+        min(col("event_id")).as("min_event"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_roundtrip" -> (avroRoundtrip _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
     "q_window_join"  -> (windowJoin _),
@@ -160,6 +179,11 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q_avro_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(value::DECIMAL(20,4))::DOUBLE AS sum_value,
+        |  max(ts) AS max_ts, min(event_id) AS min_event
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  sum(value::DECIMAL(20,4))::DOUBLE AS sum_value,
         |  max(ts) AS max_ts, min(event_id) AS min_event

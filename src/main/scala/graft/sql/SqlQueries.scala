@@ -76,12 +76,55 @@ object SqlQueries {
         |  ON v.user_id = p.user_id""".stripMargin)
   }
 
+  /** Plain GROUP BY with COUNT/AVG/MAX/MIN over a DDL-declared upsert
+    * table: [[UpsertSqlInference]] plans retract-derivation plus the
+    * value-multiset max/min state (MaxWithRetractAggFunction
+    * semantics) with no DSL calls — superseded versions of a user's
+    * row must not inflate any of the aggregates. The oracle states
+    * current-state-then-aggregate directly.
+    */
+  def upsertAggSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    // upsert history: every event is the user's new current row,
+    // versioned by (ts, event_id) — written once per sf dir
+    val path = s"/tmp/graft_upsertagg/${Integer.toHexString(dir.hashCode)}/user_state_hist"
+    val marker = new java.io.File(path)
+    if (!marker.exists())
+      Tables.load(s, dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(path)
+    GraftSql.sql(s,
+      s"""CREATE TABLE user_state_hist (
+         |  user_id BIGINT, ts TIMESTAMP(3), event_id BIGINT,
+         |  event_type VARCHAR(20), value DOUBLE,
+         |  PRIMARY KEY (user_id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$path',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'ts,event_id')""".stripMargin)
+    GraftSql.sql(s,
+      """SELECT event_type, count(*) AS cnt, avg(value) AS avg_value,
+        |  max(value) AS max_value, min(value) AS min_value
+        |FROM user_state_hist GROUP BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_match_recognize" -> (matchRecognizeSql _),
     "q_sql_temporal_join"   -> (temporalJoinSql _),
+    "q_sql_upsert_agg"      -> (upsertAggSql _),
     "q_sql_session"         -> (sessionSql _))
 
   val oracle: Map[String, String] = Map(
+    // keep-last current state per user, then aggregate — what the
+    // retract pipeline must net out to
+    "q_sql_upsert_agg" ->
+      """WITH cur AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT event_type, value, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT event_type, count(*) AS cnt, avg(value) AS avg_value,
+        |  max(value) AS max_value, min(value) AS min_value
+        |FROM cur GROUP BY event_type""".stripMargin,
     // SCD-2 interval formulation of the event-time temporal join:
     // the version valid AT the probe's timestamp
     "q_sql_temporal_join" ->

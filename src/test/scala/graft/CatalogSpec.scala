@@ -53,6 +53,29 @@ class CatalogSpec extends SparkSpec {
       assert(keyed(spark.table(t)) === expect, t)
   }
 
+  test("orc filesystem connector round-trips through INSERT INTO") {
+    val src = Tables.load(spark, sfDir, "nation")
+    val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE nation_orc (
+         |  n_nationkey BIGINT, n_name VARCHAR(25), n_regionkey BIGINT
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/nation_orc',
+         |        'format' = 'orc')""".stripMargin)
+    // write through the catalog's INSERT path, read through the view
+    GraftCatalog.insertInto(spark,
+      "nation_orc", src.select("n_nationkey", "n_name", "n_regionkey"),
+      overwrite = true)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keyed(spark.table("nation_orc")) === keyed(src))
+    // append doubles the row count (distinct files, same rows)
+    GraftCatalog.insertInto(spark,
+      "nation_orc", src.select("n_nationkey", "n_name", "n_regionkey"),
+      overwrite = false)
+    assert(spark.table("nation_orc").count() === 2 * src.count())
+  }
+
   test("DDL parses nested ARRAY/MAP/ROW column types") {
     val base = java.nio.file.Files.createTempDirectory("graft_nested").toString
     spark.sql(
