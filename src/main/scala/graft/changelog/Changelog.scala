@@ -61,11 +61,15 @@ object Changelog {
     * reference's count(*)-based liveness check in GroupAggFunction).
     */
   def aggregateRetract(changelog: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], avgCols: Seq[String] = Nil): DataFrame = {
     val sums = sumCols.map(c => sum(col(c) * sign).as(s"sum_$c"))
+    // AVG divides by count(non-null), not count(*) — nncnt_<c> is the
+    // signed count of rows where <c> is present (SQL AVG semantics)
+    val nncnts = avgCols.map(c =>
+      sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"nncnt_$c"))
     changelog
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(sign).as("cnt"), sums: _*)
+      .agg(sum(sign).as("cnt"), (sums ++ nncnts): _*)
       .filter(col("cnt") > 0)
   }
 
@@ -78,17 +82,23 @@ object Changelog {
     * never materializes per group, so skewed groups don't OOM.
     */
   def aggregateRetractMinMax(changelog: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String, withNonNullCount: Boolean = false): DataFrame = {
     val perValue = changelog
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(sum(sign).as("__vcnt"))
       .filter(col("__vcnt") > 0)
+    val aggs = Seq(
+      sum(col(valueCol) * col("__vcnt")).as(s"sum_$valueCol"),
+      max(col(valueCol)).as(s"max_$valueCol"),
+      min(col(valueCol)).as(s"min_$valueCol")) ++
+      // live count of rows whose value is present — AVG's divisor
+      (if (withNonNullCount)
+        Seq(sum(when(col(valueCol).isNotNull, col("__vcnt")).otherwise(lit(0L)))
+          .as(s"nncnt_$valueCol"))
+      else Nil)
     perValue
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("__vcnt")).as("cnt"),
-        sum(col(valueCol) * col("__vcnt")).as(s"sum_$valueCol"),
-        max(col(valueCol)).as(s"max_$valueCol"),
-        min(col(valueCol)).as(s"min_$valueCol"))
+      .agg(sum(col("__vcnt")).as("cnt"), aggs: _*)
   }
 
   /** ListAgg under retraction (ListAggWithRetractAggFunction.java):

@@ -35,15 +35,19 @@ object ChangelogInference {
       keys: Seq[String] = Nil, orderCols: Seq[Column] = Nil) extends CNode
   /** mode-preserving row-level transform (Calc) */
   final case class CCalc(child: CNode, f: DataFrame => DataFrame) extends CNode
-  /** group aggregate: count + sums, retract-aware when the input updates */
+  /** group aggregate: count + sums, retract-aware when the input
+    * updates; `avgCols` additionally emit `nncnt_<c>` (live non-null
+    * count — AVG's divisor under SQL semantics)
+    */
   final case class CAgg(child: CNode, groupCols: Seq[String],
-      sumCols: Seq[String]) extends CNode
+      sumCols: Seq[String], avgCols: Seq[String] = Nil) extends CNode
   /** group aggregate with max/min over ONE value column — plans the
     * MaxWithRetract/MinWithRetract value-multiset state when the
-    * input updates (emits cnt, sum_c, max_c, min_c)
+    * input updates (emits cnt, sum_c, max_c, min_c, and nncnt_c when
+    * `withNonNullCount` — AVG's divisor)
     */
   final case class CAggMinMax(child: CNode, groupCols: Seq[String],
-      valueCol: String) extends CNode
+      valueCol: String, withNonNullCount: Boolean = false) extends CNode
   /** sink accepting only `accepts`; planning materializes/adapts */
   final case class CSink(child: CNode, accepts: Mode) extends CNode
 
@@ -85,39 +89,41 @@ object ChangelogInference {
           Planned(out, mode, p.keys.filter(out.columns.contains), p.orderCols)
       }
 
-    case CAgg(child, groupCols, sumCols) =>
+    case CAgg(child, groupCols, sumCols, avgCols) =>
       val p = plan(child)
       p.mode match {
         case InsertOnly =>
-          val sums = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+          val sums = sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+            avgCols.map(c => count(col(c)).as(s"nncnt_$c"))
           Planned(p.df.groupBy(groupCols.map(col): _*)
             .agg(count(lit(1)).as("cnt"), sums: _*), Retract)
         case Retract =>
-          Planned(Changelog.aggregateRetract(p.df, groupCols, sumCols), Retract)
+          Planned(Changelog.aggregateRetract(p.df, groupCols, sumCols, avgCols), Retract)
         // upsert feeding an aggregate: derive the retract stream
         // first (ChangelogNormalize + retraction in front of
         // GroupAggFunction), using the threaded key/version order
         case Upsert if p.keys.nonEmpty =>
           val log = Changelog.fromUpserts(p.df, p.keys, p.orderCols)
-          Planned(Changelog.aggregateRetract(log, groupCols, sumCols), Retract)
+          Planned(Changelog.aggregateRetract(log, groupCols, sumCols, avgCols), Retract)
         case Upsert =>
           sys.error("Upsert stream must come from a keyed CSource to aggregate")
       }
 
-    case CAggMinMax(child, groupCols, valueCol) =>
+    case CAggMinMax(child, groupCols, valueCol, withNnCnt) =>
       val p = plan(child)
       p.mode match {
         case InsertOnly =>
+          val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
+            max(col(valueCol)).as(s"max_$valueCol"),
+            min(col(valueCol)).as(s"min_$valueCol")) ++
+            (if (withNnCnt) Seq(count(col(valueCol)).as(s"nncnt_$valueCol")) else Nil)
           Planned(p.df.groupBy(groupCols.map(col): _*)
-            .agg(count(lit(1)).as("cnt"),
-              sum(col(valueCol)).as(s"sum_$valueCol"),
-              max(col(valueCol)).as(s"max_$valueCol"),
-              min(col(valueCol)).as(s"min_$valueCol")), Retract)
+            .agg(count(lit(1)).as("cnt"), aggs: _*), Retract)
         case Retract =>
-          Planned(Changelog.aggregateRetractMinMax(p.df, groupCols, valueCol), Retract)
+          Planned(Changelog.aggregateRetractMinMax(p.df, groupCols, valueCol, withNnCnt), Retract)
         case Upsert if p.keys.nonEmpty =>
           val log = Changelog.fromUpserts(p.df, p.keys, p.orderCols)
-          Planned(Changelog.aggregateRetractMinMax(log, groupCols, valueCol), Retract)
+          Planned(Changelog.aggregateRetractMinMax(log, groupCols, valueCol, withNnCnt), Retract)
         case Upsert =>
           sys.error("Upsert stream must carry keys to aggregate")
       }

@@ -12,6 +12,36 @@ import graft.Tables
   */
 object SqlQueries {
 
+  /** One-time parquet snapshot of the events table (selected columns)
+    * under /tmp, keyed by the sanitized sf-dir path (collision-free,
+    * unlike a hashCode). Reuse is gated on the `_SUCCESS` marker so a
+    * crashed partial write is redone rather than served forever.
+    */
+  private def eventsHistoryOnce(s: SparkSession, dir: String, tag: String,
+      cols: Seq[String]): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"/tmp/graft_$tag/$key/hist"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.load(s, dir, "events")
+        .selectExpr(cols: _*)
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Declare an upsert table over `path` keyed by user_id and
+    * versioned by (ts, event_id) — the shared DDL scaffold of the
+    * temporal-join and upsert-agg SQL queries.
+    */
+  private def declareUpsertTable(s: SparkSession, name: String,
+      columnsDdl: String, path: String): Unit =
+    GraftSql.sql(s,
+      s"""CREATE TABLE $name (
+         |  $columnsDdl,
+         |  PRIMARY KEY (user_id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$path',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'ts,event_id')""".stripMargin)
+
   /** MATCH_RECOGNIZE in SQL:2016 syntax — same semantics as
     * q_cep_quantified (PATTERN (V+ P), greedy, skip past last row).
     */
@@ -56,19 +86,10 @@ object SqlQueries {
     Tables.registerAll(s, dir)
     // the version table: the full event history per user, versioned
     // by (ts, event_id) — written once per sf dir
-    val path = s"/tmp/graft_tempjoin/${Integer.toHexString(dir.hashCode)}/user_versions"
-    val marker = new java.io.File(path)
-    if (!marker.exists())
-      Tables.load(s, dir, "events")
-        .select("user_id", "ts", "event_id", "value")
-        .write.mode("overwrite").parquet(path)
-    GraftSql.sql(s,
-      s"""CREATE TABLE user_versions (
-         |  user_id BIGINT, ts TIMESTAMP(3), event_id BIGINT, value DOUBLE,
-         |  PRIMARY KEY (user_id) NOT ENFORCED
-         |) WITH ('connector' = 'filesystem', 'path' = '$path',
-         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
-         |        'version-by' = 'ts,event_id')""".stripMargin)
+    val path = eventsHistoryOnce(s, dir, "tempjoin",
+      Seq("user_id", "ts", "event_id", "value"))
+    declareUpsertTable(s, "user_versions",
+      "user_id BIGINT, ts TIMESTAMP(3), event_id BIGINT, value DOUBLE", path)
     GraftSql.sql(s,
       """SELECT p.event_id, p.ts, v.event_id AS state_event, v.value AS state_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -87,20 +108,11 @@ object SqlQueries {
     Tables.registerAll(s, dir)
     // upsert history: every event is the user's new current row,
     // versioned by (ts, event_id) — written once per sf dir
-    val path = s"/tmp/graft_upsertagg/${Integer.toHexString(dir.hashCode)}/user_state_hist"
-    val marker = new java.io.File(path)
-    if (!marker.exists())
-      Tables.load(s, dir, "events")
-        .select("user_id", "ts", "event_id", "event_type", "value")
-        .write.mode("overwrite").parquet(path)
-    GraftSql.sql(s,
-      s"""CREATE TABLE user_state_hist (
-         |  user_id BIGINT, ts TIMESTAMP(3), event_id BIGINT,
-         |  event_type VARCHAR(20), value DOUBLE,
-         |  PRIMARY KEY (user_id) NOT ENFORCED
-         |) WITH ('connector' = 'filesystem', 'path' = '$path',
-         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
-         |        'version-by' = 'ts,event_id')""".stripMargin)
+    val path = eventsHistoryOnce(s, dir, "upsertagg",
+      Seq("user_id", "ts", "event_id", "event_type", "value"))
+    declareUpsertTable(s, "user_state_hist",
+      "user_id BIGINT, ts TIMESTAMP(3), event_id BIGINT,\n  event_type VARCHAR(20), value DOUBLE",
+      path)
     GraftSql.sql(s,
       """SELECT event_type, count(*) AS cnt, avg(value) AS avg_value,
         |  max(value) AS max_value, min(value) AS min_value

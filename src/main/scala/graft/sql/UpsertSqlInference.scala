@@ -88,28 +88,33 @@ object UpsertSqlInference {
           keys = spec.keys, orderCols = spec.versionCols.map(col))
         parseAggSlice(text, toks, fromIdx) match {
           case Some((whereText, groupCols, items)) =>
-            try {
+            val valueCols = items.collect {
+              case AggItem(k, a, _) if k != "group" && k != "count" => a
+            }.distinct
+            val avgCols = items.collect {
+              case AggItem("avg", a, _) => a
+            }.distinct
+            val minMax = items.exists(i => i.kind == "min" || i.kind == "max")
+            // MIN/MAX need the value-multiset state — the engine's
+            // minmax node covers one value column; mixed-column
+            // min/max fall to the normalize path below
+            if (!minMax || valueCols.length == 1) try {
               val calc: DataFrame => DataFrame =
                 d => whereText.map(w => d.filter(expr(w))).getOrElse(d)
               val calced = CI.CCalc(src, calc)
-              val valueCols = items.collect {
-                case AggItem(k, a, _) if k != "group" && k != "count" => a
-              }.distinct
-              val minMax = items.exists(i => i.kind == "min" || i.kind == "max")
-              // MIN/MAX need the value-multiset state — the engine's
-              // minmax node covers one value column; mixed-column
-              // min/max fall to the normalize path below
-              if (minMax && valueCols.length > 1)
-                throw new UnsupportedOperationException("mixed minmax cols")
               val node =
-                if (minMax) CI.CAggMinMax(calced, groupCols, valueCols.head)
-                else CI.CAgg(calced, groupCols, valueCols)
+                if (minMax) CI.CAggMinMax(calced, groupCols, valueCols.head,
+                  withNonNullCount = avgCols.nonEmpty)
+                else CI.CAgg(calced, groupCols, valueCols, avgCols)
               val planned = CI.plan(CI.CSink(node, CI.InsertOnly))
               val out: Seq[Column] = items.map {
                 case AggItem("group", g, alias) => col(g).as(alias)
                 case AggItem("count", _, alias) => col("cnt").as(alias)
                 case AggItem("sum", a, alias)   => col(s"sum_$a").as(alias)
-                case AggItem("avg", a, alias)   => (col(s"sum_$a") / col("cnt")).as(alias)
+                // SQL AVG = sum / count(non-null); all-null (or empty)
+                // live sets yield NULL, never a divide-by-zero
+                case AggItem("avg", a, alias)   =>
+                  expr(s"CASE WHEN nncnt_$a > 0 THEN sum_$a / nncnt_$a END").as(alias)
                 case AggItem("min", a, alias)   => col(s"min_$a").as(alias)
                 case AggItem("max", a, alias)   => col(s"max_$a").as(alias)
               }

@@ -338,6 +338,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(colName.count() === 1)
   }
 
+  test("AVG over an upsert table divides by count(non-null), not count(*)") {
+    import spark.implicits._
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_upsnull").toString
+    // user 2's current amount is NULL (supersedes a non-null 99.0);
+    // user 3 has ONLY a null amount — its group's avg must be NULL
+    Seq(
+      (1L, 1000L, "a", Option(10.0)),
+      (2L, 500L, "a", Option(99.0)), (2L, 1000L, "a", None),
+      (3L, 1000L, "b", None))
+      .toDF("user_id", "version", "status", "amount")
+      .write.parquet(s"$base/t")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE null_state (
+         |  user_id BIGINT, version BIGINT, status VARCHAR(10), amount DOUBLE,
+         |  PRIMARY KEY (user_id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/t',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'version')""".stripMargin)
+    // CAgg path (no min/max): live a-rows are {10.0, NULL} -> avg 10.0
+    // (sum/cnt(*) would report 5.0); all-null group b -> NULL, not 0/0
+    val av = GraftSql.sql(spark,
+      "SELECT status, count(*) AS c, avg(amount) AS av FROM null_state GROUP BY status")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(av === Set(("a", 2L, Some(10.0)), ("b", 1L, None)), s"got $av")
+    // CAggMinMax path (value-multiset state) must use the same divisor
+    val mm = GraftSql.sql(spark,
+      """SELECT status, count(*) AS c, avg(amount) AS av, max(amount) AS mx
+        |FROM null_state GROUP BY status""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(mm === Set(("a", 2L, Some(10.0), Some(10.0)), ("b", 1L, None, None)),
+      s"got $mm")
+  }
+
   test("avro-format DDL table: CREATE, INSERT INTO append, INSERT OVERWRITE") {
     prep()
     val base = java.nio.file.Files.createTempDirectory("graft_avroddl").toString
