@@ -22,7 +22,8 @@ object SparkEntry {
       MiscQueries.queries ++ TpchQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
-      graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries
+      graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries ++
+      graft.sources.CdcQueries.queries
 
   def oracleSql: Map[String, String] =
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
@@ -30,5 +31,6 @@ object SparkEntry {
       MiscQueries.oracle ++ TpchQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++
-      graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle
+      graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle ++
+      graft.sources.CdcQueries.oracle
 }

@@ -87,6 +87,25 @@ object GraftCatalog {
       tableUpsert.collectFirst { case (k, v) if k.equalsIgnoreCase(clean) => v })
   }
 
+  /** CDC-format tables (`'format' = 'debezium-json' | 'canal-json'`):
+    * the decoded view is a RETRACT changelog (explicit __rowkind), so
+    * SQL over it routes through ChangelogInference like upsert tables
+    * do — but with the rowkinds already materialized by the format.
+    * keys/versionCols come from PRIMARY KEY + 'version-by' and are
+    * needed only by the normalize path (non-aggregate query shapes).
+    */
+  private val tableCdc =
+    scala.collection.concurrent.TrieMap.empty[String, UpsertSpec]
+
+  def cdcOf(table: String): Option[UpsertSpec] = {
+    val clean = table.stripPrefix("`").stripSuffix("`")
+      .stripPrefix("\"").stripSuffix("\"")
+    tableCdc.get(clean).orElse(
+      tableCdc.collectFirst { case (k, v) if k.equalsIgnoreCase(clean) => v })
+  }
+
+  private val cdcFormats = Set("debezium-json", "canal-json")
+
   /** Apply a table's DDL-declared computed columns and watermark to a
     * DataFrame with its physical schema — used on the registered view,
     * on [[streamOf]], and directly by tests driving a MemoryStream as
@@ -340,6 +359,14 @@ object GraftCatalog {
               "(the filesystem analog of the Kafka offset order)"))
           tableUpsert.put(name, UpsertSpec(pk, vcols))
         }
+        // a CDC format IS the changelog declaration — no changelog-mode
+        // option needed; keys/version order feed the normalize path
+        if (cdcFormats.contains(options.getOrElse("format", ""))) {
+          val vcols = options.get("version-by")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+          tableCdc.put(name, UpsertSpec(pk, vcols))
+        }
       }
       tableOptions.put(name, options)
       register(spark, name, options)
@@ -356,13 +383,14 @@ object GraftCatalog {
       tableConstraints.get(base).foreach(tableConstraints.put(name, _))
       tableMeta.get(base).foreach(tableMeta.put(name, _))
       tableUpsert.get(base).foreach(tableUpsert.put(name, _))
+      tableCdc.get(base).foreach(tableCdc.put(name, _))
       tableOptions.put(name, merged)
       register(spark, name, merged)
 
     case DropTable(name) =>
       spark.catalog.dropTempView(name)
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta,
-        tableUpsert, tableOptions).foreach(_.remove(name))
+        tableUpsert, tableCdc, tableOptions).foreach(_.remove(name))
 
     case other => sys.error(s"unsupported DDL: $other")
   }
@@ -378,10 +406,31 @@ object GraftCatalog {
         // Hadoop FS check so URI paths (file://, hdfs://, s3://) work
         val hPath = new org.apache.hadoop.fs.Path(path)
         val exists = hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
-        if (!exists) // a pure sink table may not exist yet (Flink allows it)
+        if (!exists) { // a pure sink table may not exist yet (Flink allows it)
+          val declared = tableSchemas.getOrElse(name,
+            sys.error(s"new sink table $name needs a schema"))
+          // CDC views carry the decoded rowkind column
+          val schema = if (cdcFormats.contains(fmt))
+            declared.add(graft.changelog.Changelog.RowKindCol,
+              org.apache.spark.sql.types.ByteType, nullable = false)
+          else declared
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            tableSchemas.getOrElse(name, sys.error(s"new sink table $name needs a schema")))
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        else if (cdcFormats.contains(fmt)) {
+          // CDC formats decode newline-delimited JSON change events
+          // into a __rowkind changelog view
+          val schema = tableSchemas.getOrElse(name,
+            sys.error(s"$fmt table $name needs explicit columns"))
+          val raw = spark.read.text(path)
+          val ignore = options.get(s"$fmt.ignore-parse-errors").contains("true")
+          if (fmt == "debezium-json")
+            graft.sources.CdcJson.debezium(raw, schema,
+              schemaInclude = options.get("debezium-json.schema-include").contains("true"),
+              ignoreParseErrors = ignore)
+          else
+            graft.sources.CdcJson.canal(raw, schema, ignoreParseErrors = ignore)
+        }
         else if (fmt == "avro") { // graft's own container-file format
           val r = spark.read.format("graft.sources.AvroSource")
           // the DDL-declared schema wins, like the csv/parquet branches

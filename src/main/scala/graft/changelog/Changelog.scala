@@ -121,10 +121,14 @@ object Changelog {
   }
 
   /** Collapse a changelog to its current state: latest non-retract
-    * row per key, deletes removed.
+    * row per key, deletes removed. The rowkind is the version
+    * tiebreaker: a -D carrying the same version columns as the +U it
+    * deletes (a CDC delete's before-image) must order AFTER it, or
+    * the deleted key could survive on an ambiguous window order.
     */
   def normalize(changelog: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols :+ col(RowKindCol).asc: _*)
     changelog
       .filter(col(RowKindCol) =!= UpdateBefore)
       .withColumn("__rn", row_number().over(w))

@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.changelog.Changelog
+
+/** CDC changelog-format decoders — the flink-json changelog formats
+  * (DebeziumJsonDeserializationSchema.java:130-182,
+  * CanalJsonDeserializationSchema.java:225-291): JSON-encoded change
+  * events become `__rowkind` changelog rows that feed the changelog
+  * tier (normalize / retract aggregation / SQL inference) directly.
+  *
+  * Spark-first shape: `from_json` + a conditional rows-array +
+  * `explode` — one distributed projection pass inside whole-stage
+  * codegen, no shuffle until the consumer aggregates, so a 100 TB CDC
+  * dump decodes at scan speed.
+  *
+  * Error contract matches the reference: strict mode (default) raises
+  * on corrupt records, unknown ops, and null before-images on
+  * update/delete (the REPLICA IDENTITY case); ignore-parse-errors
+  * silently drops exactly those records. Empty lines are Kafka
+  * tombstones and always skipped.
+  */
+object CdcJson {
+
+  private def kindField = StructField(Changelog.RowKindCol, ByteType, nullable = false)
+
+  /** debezium-json: `{"before":{...},"after":{...},"op":"c|r|u|d"}`.
+    * c/r emit +I(after); u emits -U(before), +U(after); d emits
+    * -D(before). With `schemaInclude` the envelope nests under
+    * `payload` (Kafka Connect `value.converter.schemas.enable`).
+    */
+  def debezium(lines: DataFrame, physical: StructType, lineCol: String = "value",
+      schemaInclude: Boolean = false, ignoreParseErrors: Boolean = false): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("before", physical), StructField("after", physical),
+      StructField("op", StringType)))
+    val parseSchema =
+      if (schemaInclude) StructType(Seq(StructField("payload", envelope)))
+      else envelope
+    val rowT = ArrayType(StructType(physical.fields :+ kindField))
+    def rowOf(img: Column, kind: Byte): Column =
+      struct(physical.fieldNames.toSeq.map(f => img.getField(f).as(f)) :+
+        lit(kind).as(Changelog.RowKindCol): _*)
+
+    val parsed = lines
+      .filter(length(col(lineCol)) > 0) // tombstones
+      .withColumn("__j",
+        if (schemaInclude) from_json(col(lineCol), parseSchema).getField("payload")
+        else from_json(col(lineCol), parseSchema))
+    val before = col("__j").getField("before")
+    val after = col("__j").getField("after")
+    val op = col("__j").getField("op")
+    // corrupt JSON parses to a null envelope -> op null -> error path;
+    // a null before on u/d is the reference's REPLICA IDENTITY error
+    val onError: Column =
+      if (ignoreParseErrors) array().cast(rowT)
+      else raise_error(concat(
+        when(op.isin("u", "d"),
+          lit("null \"before\" in a debezium update/delete " +
+            "(set REPLICA IDENTITY FULL): "))
+          .otherwise(lit("corrupt or unknown-op debezium record: ")),
+        col(lineCol))).cast(rowT)
+    val rows =
+      when(op.isin("c", "r"), array(rowOf(after, Changelog.Insert)))
+        .when(op === "u" && before.isNotNull,
+          array(rowOf(before, Changelog.UpdateBefore),
+            rowOf(after, Changelog.UpdateAfter)))
+        .when(op === "d" && before.isNotNull,
+          array(rowOf(before, Changelog.Delete)))
+        .otherwise(onError)
+    parsed.select(explode(rows).as("__r")).select(col("__r.*"))
+  }
+
+  /** canal-json: `{"data":[{...}],"old":[{...}],"type":"INSERT|
+    * UPDATE|DELETE|CREATE"}`. `data` carries the new rows; on UPDATE
+    * `old[i]` carries ONLY the changed fields of row i — the
+    * before-image merges them over `data[i]` (reference lines
+    * 252-260; a key present with an explicit null means "changed to
+    * null", an absent key means unchanged). CREATE is a DDL event and
+    * is skipped. `old` is decoded as a map so key presence survives
+    * (from_json into the physical struct could not distinguish
+    * absent from null); values cast from their JSON text, so nested
+    * column types are out of scope like the reference's flat rows.
+    */
+  def canal(lines: DataFrame, physical: StructType, lineCol: String = "value",
+      ignoreParseErrors: Boolean = false): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("data", ArrayType(physical)),
+      StructField("old", ArrayType(MapType(StringType, StringType))),
+      StructField("type", StringType)))
+    val rowT = ArrayType(StructType(physical.fields :+ kindField))
+    val dataT = ArrayType(physical)
+
+    val parsed = lines
+      .filter(length(col(lineCol)) > 0)
+      .withColumn("__j", from_json(col(lineCol), envelope))
+    val t = col("__j").getField("type")
+    val data = col("__j").getField("data")
+    // validation lives INSIDE the generator input: posexplode drops
+    // null arrays, so a strict-mode error expression placed anywhere
+    // else would be pruned before it could raise
+    val dataOrErr =
+      when(t === "CREATE", lit(null).cast(dataT)) // DDL event: skip
+        .when(t.isin("INSERT", "UPDATE", "DELETE") && data.isNotNull, data)
+        .otherwise(
+          if (ignoreParseErrors) lit(null).cast(dataT)
+          else raise_error(concat(
+            lit("corrupt or unknown-type canal record: "), col(lineCol)))
+            .cast(dataT))
+    val exploded = parsed.select(col(lineCol), t.as("__t"),
+      col("__j").getField("old").as("__old"),
+      posexplode(dataOrErr).as(Seq("__pos", "__after")))
+
+    def afterField(f: String) = col("__after").getField(f)
+    def rowOf(kind: Byte): Column =
+      struct(physical.fieldNames.toSeq.map(f => afterField(f).as(f)) :+
+        lit(kind).as(Changelog.RowKindCol): _*)
+    // old[i]: element_at is guarded by the size check so ANSI's
+    // strict index never fires on ragged arrays
+    val oldMap = when(col("__old").isNotNull && size(col("__old")) > col("__pos"),
+      element_at(col("__old"), col("__pos") + 1))
+    val mergedBefore = struct(physical.fields.toSeq.map { sf =>
+      when(map_contains_key(oldMap, lit(sf.name)),
+        element_at(oldMap, lit(sf.name)).cast(sf.dataType))
+        .otherwise(afterField(sf.name)).as(sf.name)
+    } :+ lit(Changelog.UpdateBefore).as(Changelog.RowKindCol): _*)
+    val updateRows =
+      if (ignoreParseErrors)
+        when(oldMap.isNotNull, array(mergedBefore, rowOf(Changelog.UpdateAfter)))
+          .otherwise(array().cast(rowT))
+      else
+        when(oldMap.isNotNull, array(mergedBefore, rowOf(Changelog.UpdateAfter)))
+          .otherwise(raise_error(concat(
+            lit("null \"old\" in a canal UPDATE record: "), col(lineCol)))
+            .cast(rowT))
+    val rows =
+      when(col("__t") === "INSERT", array(rowOf(Changelog.Insert)))
+        .when(col("__t") === "UPDATE", updateRows)
+        .when(col("__t") === "DELETE", array(rowOf(Changelog.Delete)))
+    exploded.select(explode(rows).as("__r")).select(col("__r.*"))
+  }
+}

@@ -34,6 +34,15 @@ object UpsertSqlInference {
 
   private final case class AggItem(kind: String, arg: String, alias: String)
 
+  /** A changelog-producing table declaration: an upsert table
+    * (versions to derive retractions from) or a CDC-format table
+    * (rowkinds already decoded by debezium-json/canal-json).
+    */
+  private final case class SrcSpec(spec: GraftCatalog.UpsertSpec, cdc: Boolean)
+  private def specOf(name: String): Option[SrcSpec] =
+    GraftCatalog.upsertOf(name).map(SrcSpec(_, cdc = false))
+      .orElse(GraftCatalog.cdcOf(name).map(SrcSpec(_, cdc = true)))
+
   /** Returns Some(result) when the text references a declared upsert
     * table anywhere (adapters inserted), None when it doesn't and the
     * normal front door should proceed.
@@ -49,7 +58,7 @@ object UpsertSqlInference {
     // always leaves an alias in place for them to bind against.
     def isRef(i: Int): Boolean = {
       val t = toks(i)
-      t.kind == Ident && GraftCatalog.upsertOf(t.text).isDefined &&
+      t.kind == Ident && specOf(t.text).isDefined &&
         i > 0 && (toks(i - 1).is("FROM") || toks(i - 1).is("JOIN"))
     }
     val refs = toks.indices.filter(isRef)
@@ -64,7 +73,7 @@ object UpsertSqlInference {
       if (t.is("FROM") || t.is("JOIN")) inFrom = true
       else if (Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "ON",
           "SELECT", "UNION", "EXCEPT", "INTERSECT").exists(t.is)) inFrom = false
-      inFrom && t.kind == Ident && GraftCatalog.upsertOf(t.text).isDefined &&
+      inFrom && t.kind == Ident && specOf(t.text).isDefined &&
         !refs.contains(i) &&
         !(i > 0 && (toks(i - 1).isPunct(".") || toks(i - 1).is("AS"))) &&
         !(i + 1 < toks.length &&
@@ -83,9 +92,13 @@ object UpsertSqlInference {
       val fromIdx = refs.head - 1
       if (fromIdx > 0 && toks(fromIdx).is("FROM")) {
         val tableTok = toks(refs.head)
-        val spec = GraftCatalog.upsertOf(tableTok.text).get
-        val src = CI.CSource(spark.table(clean(tableTok.text)), CI.Upsert,
-          keys = spec.keys, orderCols = spec.versionCols.map(col))
+        val ss = specOf(tableTok.text).get
+        // a CDC view is already a retract changelog; an upsert table
+        // declares versions the planner derives retractions from
+        val src =
+          if (ss.cdc) CI.CSource(spark.table(clean(tableTok.text)), CI.Retract)
+          else CI.CSource(spark.table(clean(tableTok.text)), CI.Upsert,
+            keys = ss.spec.keys, orderCols = ss.spec.versionCols.map(col))
         parseAggSlice(text, toks, fromIdx) match {
           case Some((whereText, groupCols, items)) =>
             val valueCols = items.collect {
@@ -138,11 +151,19 @@ object UpsertSqlInference {
       "RIGHT", "INNER", "FULL", "CROSS", "UNION", "EXCEPT", "INTERSECT",
       "LIMIT", "HAVING", "FOR", "MATCH_RECOGNIZE", "BY", "AND", "OR")
     val views = refs.map(toks(_).text).distinct.map { name =>
-      val spec = GraftCatalog.upsertOf(name).get
+      val ss = specOf(name).get
       val view = s"__graft_upsert_norm_${viewCounter.incrementAndGet()}"
-      CI.normalizeToSink(CI.CSource(spark.table(clean(name)), CI.Upsert,
-        keys = spec.keys, orderCols = spec.versionCols.map(col)))
-        .createOrReplaceTempView(view)
+      val normalized =
+        if (ss.cdc) {
+          require(ss.spec.keys.nonEmpty && ss.spec.versionCols.nonEmpty,
+            s"CDC table '$name' needs PRIMARY KEY and 'version-by' to be " +
+              "queried in a non-aggregate shape (normalization order)")
+          Changelog.normalize(spark.table(clean(name)),
+            ss.spec.keys, ss.spec.versionCols.map(col))
+        } else
+          CI.normalizeToSink(CI.CSource(spark.table(clean(name)), CI.Upsert,
+            keys = ss.spec.keys, orderCols = ss.spec.versionCols.map(col)))
+      normalized.createOrReplaceTempView(view)
       name -> view
     }.toMap
     val sb = new java.lang.StringBuilder

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.changelog.Changelog
+import graft.sources.CdcJson
+
+/** CDC changelog-format decoders vs the reference's SerDe semantics
+  * (DebeziumJsonSerDeSchemaTest / CanalJsonSerDeSchemaTest shapes):
+  * op routing, before/after images, canal's partial-old merge, DDL
+  * skip, strict vs ignore-parse-errors, tombstones.
+  */
+class CdcJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val physical = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("weight", DoubleType)))
+
+  private def linesDf(lines: String*): DataFrame = lines.toDF("value")
+
+  private def rowsOf(df: DataFrame): Seq[(Long, String, Option[Double], Byte)] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      r.getByte(3)))
+
+  test("debezium: c/u/d ops emit +I, -U/+U, -D with the right images") {
+    val out = CdcJson.debezium(linesDf(
+      """{"before":null,"after":{"id":1,"name":"scooter","weight":3.14},"op":"c"}""",
+      """{"before":{"id":1,"name":"scooter","weight":3.14},"after":{"id":1,"name":"scooter","weight":5.18},"op":"u"}""",
+      """{"before":{"id":1,"name":"scooter","weight":5.18},"after":null,"op":"d"}""",
+      "", // tombstone: skipped
+      """{"before":null,"after":{"id":2,"name":"spare tire","weight":22.2},"op":"r"}"""),
+      physical)
+    assert(rowsOf(out).toSet === Set(
+      (1L, "scooter", Some(3.14), Changelog.Insert),
+      (1L, "scooter", Some(3.14), Changelog.UpdateBefore),
+      (1L, "scooter", Some(5.18), Changelog.UpdateAfter),
+      (1L, "scooter", Some(5.18), Changelog.Delete),
+      (2L, "spare tire", Some(22.2), Changelog.Insert)))
+  }
+
+  test("debezium: schema-include nests the envelope under payload") {
+    val out = CdcJson.debezium(linesDf(
+      """{"schema":{"ignored":true},"payload":{"before":null,"after":{"id":7,"name":"x","weight":1.0},"op":"c"}}"""),
+      physical, schemaInclude = true)
+    assert(rowsOf(out) === Seq((7L, "x", Some(1.0), Changelog.Insert)))
+  }
+
+  test("debezium: strict mode raises on unknown op and on null before (REPLICA IDENTITY)") {
+    val unknown = CdcJson.debezium(linesDf(
+      """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op":"z"}"""), physical)
+    val e1 = intercept[Exception](unknown.collect())
+    assert(e1.getMessage.contains("debezium"), e1.getMessage)
+    val nullBefore = CdcJson.debezium(linesDf(
+      """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op":"u"}"""), physical)
+    val e2 = intercept[Exception](nullBefore.collect())
+    assert(e2.getMessage.contains("REPLICA IDENTITY"), e2.getMessage)
+  }
+
+  test("debezium: ignore-parse-errors drops corrupt/unknown records, keeps good ones") {
+    val out = CdcJson.debezium(linesDf(
+      "this is not json",
+      """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op":"z"}""",
+      """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op":"u"}""",
+      """{"before":null,"after":{"id":2,"name":"b","weight":2.0},"op":"c"}"""),
+      physical, ignoreParseErrors = true)
+    assert(rowsOf(out) === Seq((2L, "b", Some(2.0), Changelog.Insert)))
+  }
+
+  test("canal: INSERT/UPDATE/DELETE with multi-row data arrays; CREATE (DDL) skipped") {
+    val out = CdcJson.canal(linesDf(
+      """{"data":[{"id":1,"name":"a","weight":1.0},{"id":2,"name":"b","weight":2.0}],"old":null,"type":"INSERT"}""",
+      """{"data":null,"old":null,"type":"CREATE"}""",
+      """{"data":[{"id":2,"name":"b","weight":2.0}],"old":null,"type":"DELETE"}"""),
+      physical)
+    assert(rowsOf(out).toSet === Set(
+      (1L, "a", Some(1.0), Changelog.Insert),
+      (2L, "b", Some(2.0), Changelog.Insert),
+      (2L, "b", Some(2.0), Changelog.Delete)))
+  }
+
+  test("canal: UPDATE before-image merges only the changed fields from old") {
+    // old[0] carries weight ONLY -> before keeps after's id/name but
+    // old's weight (reference lines 252-260); old[1] carries an
+    // explicit null name -> "changed to null", so before.name is null
+    val out = CdcJson.canal(linesDf(
+      """{"data":[{"id":1,"name":"a","weight":9.9},{"id":2,"name":"bb","weight":2.0}],""" +
+        """"old":[{"weight":"1.5"},{"name":null}],"type":"UPDATE"}"""),
+      physical)
+    assert(rowsOf(out).toSet === Set(
+      (1L, "a", Some(1.5), Changelog.UpdateBefore),
+      (1L, "a", Some(9.9), Changelog.UpdateAfter),
+      (2L, null, Some(2.0), Changelog.UpdateBefore),
+      (2L, "bb", Some(2.0), Changelog.UpdateAfter)))
+  }
+
+  test("canal: strict mode raises on unknown type and null old in UPDATE; ignore drops") {
+    val unknown = CdcJson.canal(linesDf(
+      """{"data":[{"id":1,"name":"a","weight":1.0}],"old":null,"type":"UPSERT"}"""), physical)
+    val e1 = intercept[Exception](unknown.collect())
+    assert(e1.getMessage.contains("canal"), e1.getMessage)
+    val nullOld = CdcJson.canal(linesDf(
+      """{"data":[{"id":1,"name":"a","weight":1.0}],"old":null,"type":"UPDATE"}"""), physical)
+    val e2 = intercept[Exception](nullOld.collect())
+    assert(e2.getMessage.contains("UPDATE"), e2.getMessage)
+    val out = CdcJson.canal(linesDf(
+      "garbage",
+      """{"data":[{"id":1,"name":"a","weight":1.0}],"old":null,"type":"UPSERT"}""",
+      """{"data":[{"id":3,"name":"c","weight":3.0}],"old":null,"type":"INSERT"}"""),
+      physical, ignoreParseErrors = true)
+    assert(rowsOf(out) === Seq((3L, "c", Some(3.0), Changelog.Insert)))
+  }
+
+  test("normalize: a delete at the same version as the row it deletes wins the tie") {
+    val log = Seq(
+      (1L, 10L, "live", Changelog.Insert),
+      (2L, 10L, "dead", Changelog.Insert),
+      // CDC delete carries the deleted row's own version columns
+      (2L, 10L, "dead", Changelog.Delete))
+      .toDF("id", "ver", "payload", Changelog.RowKindCol)
+      .withColumn(Changelog.RowKindCol,
+        org.apache.spark.sql.functions.col(Changelog.RowKindCol).cast("byte"))
+    val cur = Changelog.normalize(log, Seq("id"),
+      Seq(org.apache.spark.sql.functions.col("ver")))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(cur === Set((1L, "live")))
+  }
+
+  test("decoded changelog feeds retract aggregation end-to-end") {
+    val out = CdcJson.debezium(linesDf(
+      """{"before":null,"after":{"id":1,"name":"g1","weight":10.0},"op":"c"}""",
+      """{"before":{"id":1,"name":"g1","weight":10.0},"after":{"id":1,"name":"g2","weight":10.0},"op":"u"}""",
+      """{"before":null,"after":{"id":2,"name":"g2","weight":5.0},"op":"c"}""",
+      """{"before":{"id":2,"name":"g2","weight":5.0},"after":null,"op":"d"}"""),
+      physical)
+    val agg = Changelog.aggregateRetract(out, Seq("name"), Seq("weight"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // id 1 moved g1 -> g2 (g1 nets to zero support and vanishes);
+    // id 2 was inserted then deleted (g2 keeps only id 1's row)
+    assert(agg === Set(("g2", 1L, 10.0)))
+  }
+}
