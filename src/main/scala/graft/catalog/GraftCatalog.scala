@@ -335,6 +335,71 @@ object GraftCatalog {
   private val tableOptions =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
+  private def ddlTypeOf(tc: TableConstraints,
+      f: org.apache.spark.sql.types.StructField): String =
+    tc.lengths.find(_.column == f.name) match {
+      case Some(lc) if lc.pad => s"CHAR(${lc.length})"
+      case Some(lc) => s"VARCHAR(${lc.length})"
+      case None => f.dataType.sql
+    }
+
+  /** SHOW CREATE TABLE — reconstruct the connector DDL from the
+    * registries (schema with CHAR/VARCHAR lengths and NOT NULL,
+    * computed columns, watermark with its normalized delay, PRIMARY
+    * KEY from the upsert/CDC spec, WITH options sorted by key). The
+    * sql-client introspection surface.
+    */
+  def showCreateTable(name: String): String = {
+    val opts = tableOptions.getOrElse(name,
+      sys.error(s"table '$name' was not declared through connector DDL"))
+    val tc = constraintsOf(name)
+    val meta = metaOf(name)
+    val computedNames = meta.computed.map(_._1).toSet
+    val colLines = tableSchemas.get(name).toSeq.flatMap(
+      _.fields.toSeq.filterNot(f => computedNames(f.name)).map { f =>
+        s"  ${f.name} ${ddlTypeOf(tc, f)}" +
+          (if (tc.notNull.contains(f.name)) " NOT NULL" else "")
+      })
+    val computedLines = meta.computed.map { case (n, e) => s"  $n AS $e" }
+    val wmLines = meta.watermark.toSeq.map { case (c, d) =>
+      s"  WATERMARK FOR $c AS $c - INTERVAL '$d'"
+    }
+    val pkLine = upsertOf(name).orElse(cdcOf(name)).filter(_.keys.nonEmpty)
+      .map(sp => s"  PRIMARY KEY (${sp.keys.mkString(", ")}) NOT ENFORCED").toSeq
+    val withClause = opts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k' = '$v'" }.mkString(",\n  ")
+    s"CREATE TABLE $name (\n" +
+      (colLines ++ computedLines ++ wmLines ++ pkLine).mkString(",\n") +
+      s"\n) WITH (\n  $withClause\n)"
+  }
+
+  /** DESCRIBE — one row per column (name, type, null, key, extras,
+    * watermark), the reference sql-client's table shape. Computed
+    * columns read their derived type off the registered view.
+    */
+  def describeTable(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame = {
+    val schema = tableSchemas.getOrElse(name,
+      sys.error(s"table '$name' was not declared through connector DDL"))
+    val tc = constraintsOf(name)
+    val meta = metaOf(name)
+    val keys = upsertOf(name).orElse(cdcOf(name)).map(_.keys).getOrElse(Nil)
+    val viewTypes = scala.util.Try(spark.table(name).schema).toOption
+      .map(_.fields.map(f => f.name -> f.dataType.sql).toMap).getOrElse(Map.empty)
+    def wmOf(c: String) = meta.watermark.collect {
+      case (`c`, d) => s"$c - INTERVAL '$d'" }.getOrElse("")
+    def keyOf(c: String) =
+      if (keys.contains(c)) s"PRI(${keys.mkString(", ")})" else ""
+    val physical = schema.fields.toSeq.map { f =>
+      (f.name, ddlTypeOf(tc, f), !tc.notNull.contains(f.name),
+        keyOf(f.name), "", wmOf(f.name))
+    }
+    val computed = meta.computed.map { case (n, e) =>
+      (n, viewTypes.getOrElse(n, ""), true, keyOf(n), s"AS $e", wmOf(n))
+    }
+    import spark.implicits._
+    (physical ++ computed).toDF("name", "type", "null", "key", "extras", "watermark")
+  }
+
   /** Was this name declared through the connector DDL? (drives DROP
     * TABLE routing — Spark-native tables stay with spark.sql)
     */

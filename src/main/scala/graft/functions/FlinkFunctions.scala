@@ -177,6 +177,15 @@ object FlinkFunctions {
     // matches Flink's per-watermark granularity loosely but is NOT a
     // per-record wall clock.
     reg1("proctime") { _ => expressions.CurrentTimestamp() }
+    // CONVERT_TZ(dateStr, tzFrom, tzTo) — Flink takes/returns strings
+    // (BuiltInFunctionDefinitions CONVERT_TZ); Spark's native
+    // convert_timezone works on TIMESTAMP_NTZ, so wrap with casts
+    reg1("convert_tz") { es =>
+      expressions.Cast(
+        expressions.ConvertTimezone(es(1), es(2),
+          expressions.Cast(es(0), org.apache.spark.sql.types.TimestampNTZType)),
+        org.apache.spark.sql.types.StringType)
+    }
     reg1("json_value") { es => expressions.GetJsonObject(es(0), es(1)) }
     reg1("json_query") { es => expressions.GetJsonObject(es(0), es(1)) }
     reg1("json_exists") { es => expressions.IsNotNull(expressions.GetJsonObject(es(0), es(1))) }

@@ -236,7 +236,52 @@ object FunctionQueries {
         .getField("sz").as("row_field"))
   }
 
+  /** Regexp predicates + remaining string catalog rows
+    * (BuiltInFunctionDefinitions REGEXP / INITCAP / CHR / LOCATE,
+    * :507-961): REGEXP is Flink's boolean full-scan match (Spark
+    * rlike), INITCAP capitalizes word heads (DuckDB lacks it — the
+    * oracle rebuilds it from upper/substring), CHR maps codepoints,
+    * LOCATE is 1-based-0-if-missing like the reference.
+    */
+  def fnString3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_name").rlike("[0-9]{3}$").cast("int").as("re_match"),
+      initcap(lower(col("c_mktsegment"))).as("seg_cap"),
+      chr(lit(65) + col("c_custkey") % 26).as("bucket_chr"),
+      expr("locate('8', c_name)").as("loc8"),
+      regexp_extract(col("c_name"), "#([0-9]+)", 1).as("cust_num"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
+
+  /** Temporal arithmetic (BuiltInFunctionDefinitions TIMESTAMPADD /
+    * TIMESTAMPDIFF / CONVERT_TZ / UNIX_TIMESTAMP / FROM_UNIXTIME /
+    * TO_TIMESTAMP / TO_DATE, :1069-1360). TIMESTAMPDIFF counts
+    * complete units, which equals DuckDB's boundary-crossing
+    * date_diff because the anchor sits on an hour boundary.
+    * CONVERT_TZ goes through the registered Flink-name function
+    * (string in/out, wrapping Spark's convert_timezone).
+    */
+  def fnDatetime3(s: SparkSession, dir: String): DataFrame = {
+    F.registerAll(s)
+    t(s, dir, "events").select(
+      col("event_id"),
+      date_format(expr("timestampadd(MINUTE, 90, ts)"),
+        "yyyy-MM-dd HH:mm:ss").as("ta_min"),
+      date_format(expr("timestampadd(MONTH, 2, ts)"),
+        "yyyy-MM-dd HH:mm:ss").as("ta_mon"),
+      expr("timestampdiff(HOUR, timestamp'2000-01-01 00:00:00', ts)").as("td_hour"),
+      expr("convert_tz(date_format(ts, 'yyyy-MM-dd HH:mm:ss'), " +
+        "'UTC', 'America/New_York')").as("tz_ny"),
+      unix_timestamp(col("ts")).as("unixsec"),
+      from_unixtime(unix_timestamp(col("ts"))).as("fu"),
+      date_format(to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss").as("tots"),
+      date_format(to_date(date_format(col("ts"), "yyyy-MM-dd")), "yyyy-MM-dd").as("tod"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string3"  -> (fnString3 _),
+    "q_fn_datetime3" -> (fnDatetime3 _),
     "q_fn_collections" -> (fnCollections _),
     "q_fn_string"   -> (fnString _),
     "q_fn_string2"  -> (fnString2 _),
@@ -250,6 +295,30 @@ object FunctionQueries {
     "q_fn_jsonagg"  -> (fnJsonAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_fn_string3" ->
+      """SELECT c_custkey,
+        |  regexp_matches(c_name, '[0-9]{3}$')::INT AS re_match,
+        |  concat(upper(substring(lower(c_mktsegment), 1, 1)),
+        |         substring(lower(c_mktsegment), 2)) AS seg_cap,
+        |  chr(65 + (c_custkey % 26)::INT) AS bucket_chr,
+        |  instr(c_name, '8') AS loc8,
+        |  regexp_extract(c_name, '#([0-9]+)', 1) AS cust_num,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        |FROM customer""".stripMargin,
+    "q_fn_datetime3" ->
+      """SELECT event_id,
+        |  strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS ta_min,
+        |  strftime(ts + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS ta_mon,
+        |  date_diff('hour', TIMESTAMP '2000-01-01 00:00:00', ts) AS td_hour,
+        |  strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+        |           '%Y-%m-%d %H:%M:%S') AS tz_ny,
+        |  floor(epoch(ts))::BIGINT AS unixsec,
+        |  strftime(to_timestamp(floor(epoch(ts))::BIGINT),
+        |           '%Y-%m-%d %H:%M:%S') AS fu,
+        |  strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |           '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS tots,
+        |  strftime(ts, '%Y-%m-%d') AS tod
+        |FROM events""".stripMargin,
     "q_fn_string" ->
       """SELECT p_partkey,
         |  length(p_name) AS len, upper(p_name) AS up, lower(p_name) AS lo,

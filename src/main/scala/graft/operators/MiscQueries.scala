@@ -166,9 +166,31 @@ object MiscQueries {
         min(col("event_id")).as("min_event"))
   }
 
+  /** CSV format round-trip (formats row of SURVEY §2.1): events →
+    * csv with header → schema-directed read → aggregate. Timestamps
+    * are written at microsecond precision explicitly — the default
+    * csv format truncates to millis, which would silently corrupt
+    * max(ts) on the way back.
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_csv/${Integer.toHexString(dir.hashCode)}/events"
+    val ev = t(s, dir, "events")
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", tsFmt).csv(tmp)
+    s.read.schema(ev.schema).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"),
+        max(col("ts")).as("max_ts"),
+        min(col("event_id")).as("min_event"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
     "q_window_join"  -> (windowJoin _),
@@ -184,6 +206,11 @@ object MiscQueries {
         |  max(ts) AS max_ts, min(event_id) AS min_event
         |FROM events GROUP BY event_type""".stripMargin,
     "q_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(value::DECIMAL(20,4))::DOUBLE AS sum_value,
+        |  max(ts) AS max_ts, min(event_id) AS min_event
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_csv_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  sum(value::DECIMAL(20,4))::DOUBLE AS sum_value,
         |  max(ts) AS max_ts, min(event_id) AS min_event

@@ -440,6 +440,30 @@ object GraftSql {
       return Seq(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).toDF("plan")
     }
+    // sql-client introspection (the reference's SHOW/DESCRIBE
+    // statements): routed to the catalog registries, because Spark's
+    // native statements know nothing of the connector DDL metadata
+    // (watermarks, computed columns, PRIMARY KEY, WITH options)
+    def cleanName(n: String) = n.stripPrefix("`").stripSuffix("`")
+    if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
+        toks(1).is("TABLES")) {
+      import spark.implicits._
+      return spark.catalog.listTables().collect().map(_.name)
+        .sorted.toSeq.toDF("table_name")
+    }
+    if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 4 &&
+        toks(1).is("CREATE") && toks(2).is("TABLE")) {
+      import spark.implicits._
+      return Seq(graft.catalog.GraftCatalog.showCreateTable(cleanName(toks(3).text)))
+        .toDF("result")
+    }
+    if (toks.nonEmpty && (toks.head.is("DESCRIBE") || toks.head.is("DESC")) &&
+        toks.length == 2) {
+      val name = cleanName(toks(1).text)
+      return if (graft.catalog.GraftCatalog.isRegistered(name))
+        graft.catalog.GraftCatalog.describeTable(spark, name)
+      else spark.sql(s"DESCRIBE TABLE `$name`")
+    }
     // EXECUTE STATEMENT SET BEGIN <insert>; ...; END — the multi-sink
     // pipeline statement (Flink executes the inserts as one job;
     // here they run sequentially sharing the session's views)

@@ -375,6 +375,41 @@ class GraftSqlSpec extends SparkSpec {
       s"got $mm")
   }
 
+  test("SHOW TABLES / SHOW CREATE TABLE / DESCRIBE reflect connector DDL metadata") {
+    import spark.implicits._
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_intro").toString
+    Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0))
+      .toDF("id", "name", "ts", "price").write.parquet(s"$base/t")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE intro_t (
+         |  id BIGINT NOT NULL, name VARCHAR(10), ts TIMESTAMP(3), price DOUBLE,
+         |  cost AS price * 2,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/t',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'ts')""".stripMargin)
+    val tables = GraftSql.sql(spark, "SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("intro_t"))
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE intro_t").first().getString(0)
+    for (frag <- Seq("CREATE TABLE intro_t", "id BIGINT NOT NULL",
+        "name VARCHAR(10)", "cost AS price * 2", "WATERMARK FOR ts",
+        "PRIMARY KEY (id) NOT ENFORCED", "'format' = 'parquet'"))
+      assert(ddl.contains(frag), s"missing <$frag> in:\n$ddl")
+    val desc = GraftSql.sql(spark, "DESCRIBE intro_t")
+    assert(desc.columns.toSeq === Seq("name", "type", "null", "key", "extras", "watermark"))
+    val byName = desc.collect().map(r => r.getString(0) -> r).toMap
+    assert(byName("id").getString(1) === "BIGINT" && !byName("id").getBoolean(2))
+    assert(byName("id").getString(3).startsWith("PRI"))
+    assert(byName("name").getString(1) === "VARCHAR(10)")
+    assert(byName("cost").getString(4) === "AS price * 2")
+    assert(byName("cost").getString(1) === "DOUBLE", "computed type reads off the view")
+    assert(byName("ts").getString(5).nonEmpty, "watermark column shows its expression")
+    // a Spark-native relation falls back to the native DESCRIBE
+    assert(GraftSql.sql(spark, "DESC nation").count() > 0)
+  }
+
   test("avro-format DDL table: CREATE, INSERT INTO append, INSERT OVERWRITE") {
     prep()
     val base = java.nio.file.Files.createTempDirectory("graft_avroddl").toString
