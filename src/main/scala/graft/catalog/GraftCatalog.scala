@@ -80,12 +80,15 @@ object GraftCatalog {
     * resolve to the same declaration, or the SQL front door's
     * changelog planning silently misses it.
     */
-  def upsertOf(table: String): Option[UpsertSpec] = {
+  private def specLookup(registry: scala.collection.concurrent.TrieMap[String, UpsertSpec],
+      table: String): Option[UpsertSpec] = {
     val clean = table.stripPrefix("`").stripSuffix("`")
       .stripPrefix("\"").stripSuffix("\"")
-    tableUpsert.get(clean).orElse(
-      tableUpsert.collectFirst { case (k, v) if k.equalsIgnoreCase(clean) => v })
+    registry.get(clean).orElse(
+      registry.collectFirst { case (k, v) if k.equalsIgnoreCase(clean) => v })
   }
+
+  def upsertOf(table: String): Option[UpsertSpec] = specLookup(tableUpsert, table)
 
   /** CDC-format tables (`'format' = 'debezium-json' | 'canal-json'`):
     * the decoded view is a RETRACT changelog (explicit __rowkind), so
@@ -97,12 +100,7 @@ object GraftCatalog {
   private val tableCdc =
     scala.collection.concurrent.TrieMap.empty[String, UpsertSpec]
 
-  def cdcOf(table: String): Option[UpsertSpec] = {
-    val clean = table.stripPrefix("`").stripSuffix("`")
-      .stripPrefix("\"").stripSuffix("\"")
-    tableCdc.get(clean).orElse(
-      tableCdc.collectFirst { case (k, v) if k.equalsIgnoreCase(clean) => v })
-  }
+  def cdcOf(table: String): Option[UpsertSpec] = specLookup(tableCdc, table)
 
   private val cdcFormats = Set("debezium-json", "canal-json")
 
@@ -335,6 +333,19 @@ object GraftCatalog {
   private val tableOptions =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
+  /** Re-render a stored "<n> <unit>" watermark delay as the DDL
+    * clause the parser accepts (`INTERVAL '<n>' <UNIT>`), so SHOW
+    * CREATE TABLE output is executable DDL; the ascending case
+    * ("0 seconds" from a bare column) renders bare again.
+    */
+  private def watermarkClause(c: String, delay: String): String =
+    delay.split(" ", 2) match {
+      case Array("0", _) => s"WATERMARK FOR $c AS $c"
+      case Array(n, unit) =>
+        s"WATERMARK FOR $c AS $c - INTERVAL '$n' ${unit.toUpperCase(java.util.Locale.ROOT)}"
+      case _ => s"WATERMARK FOR $c AS $c"
+    }
+
   private def ddlTypeOf(tc: TableConstraints,
       f: org.apache.spark.sql.types.StructField): String =
     tc.lengths.find(_.column == f.name) match {
@@ -362,8 +373,7 @@ object GraftCatalog {
       })
     val computedLines = meta.computed.map { case (n, e) => s"  $n AS $e" }
     val wmLines = meta.watermark.toSeq.map { case (c, d) =>
-      s"  WATERMARK FOR $c AS $c - INTERVAL '$d'"
-    }
+      s"  ${watermarkClause(c, d)}" }
     val pkLine = upsertOf(name).orElse(cdcOf(name)).filter(_.keys.nonEmpty)
       .map(sp => s"  PRIMARY KEY (${sp.keys.mkString(", ")}) NOT ENFORCED").toSeq
     val withClause = opts.toSeq.sortBy(_._1)
@@ -386,11 +396,15 @@ object GraftCatalog {
     val viewTypes = scala.util.Try(spark.table(name).schema).toOption
       .map(_.fields.map(f => f.name -> f.dataType.sql).toMap).getOrElse(Map.empty)
     def wmOf(c: String) = meta.watermark.collect {
-      case (`c`, d) => s"$c - INTERVAL '$d'" }.getOrElse("")
+      case (`c`, d) => watermarkClause(c, d).stripPrefix(s"WATERMARK FOR $c AS ") }
+      .getOrElse("")
     def keyOf(c: String) =
       if (keys.contains(c)) s"PRI(${keys.mkString(", ")})" else ""
     val physical = schema.fields.toSeq.map { f =>
-      (f.name, ddlTypeOf(tc, f), !tc.notNull.contains(f.name),
+      // primary-key columns are NOT NULL by definition, like the
+      // reference's DESCRIBE output
+      (f.name, ddlTypeOf(tc, f),
+        !tc.notNull.contains(f.name) && !keys.contains(f.name),
         keyOf(f.name), "", wmOf(f.name))
     }
     val computed = meta.computed.map { case (n, e) =>
@@ -489,12 +503,14 @@ object GraftCatalog {
             sys.error(s"$fmt table $name needs explicit columns"))
           val raw = spark.read.text(path)
           val ignore = options.get(s"$fmt.ignore-parse-errors").contains("true")
+          val tsFmt = options.get(s"$fmt.timestamp-format")
           if (fmt == "debezium-json")
             graft.sources.CdcJson.debezium(raw, schema,
               schemaInclude = options.get("debezium-json.schema-include").contains("true"),
-              ignoreParseErrors = ignore)
+              ignoreParseErrors = ignore, timestampFormat = tsFmt)
           else
-            graft.sources.CdcJson.canal(raw, schema, ignoreParseErrors = ignore)
+            graft.sources.CdcJson.canal(raw, schema, ignoreParseErrors = ignore,
+              timestampFormat = tsFmt)
         }
         else if (fmt == "avro") { // graft's own container-file format
           val r = spark.read.format("graft.sources.AvroSource")

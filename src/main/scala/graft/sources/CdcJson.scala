@@ -33,13 +33,15 @@ object CdcJson {
     * `payload` (Kafka Connect `value.converter.schemas.enable`).
     */
   def debezium(lines: DataFrame, physical: StructType, lineCol: String = "value",
-      schemaInclude: Boolean = false, ignoreParseErrors: Boolean = false): DataFrame = {
+      schemaInclude: Boolean = false, ignoreParseErrors: Boolean = false,
+      timestampFormat: Option[String] = None): DataFrame = {
     val envelope = StructType(Seq(
       StructField("before", physical), StructField("after", physical),
       StructField("op", StringType)))
     val parseSchema =
       if (schemaInclude) StructType(Seq(StructField("payload", envelope)))
       else envelope
+    val jsonOpts = timestampFormat.map("timestampFormat" -> _).toMap
     val rowT = ArrayType(StructType(physical.fields :+ kindField))
     def rowOf(img: Column, kind: Byte): Column =
       struct(physical.fieldNames.toSeq.map(f => img.getField(f).as(f)) :+
@@ -48,23 +50,26 @@ object CdcJson {
     val parsed = lines
       .filter(length(col(lineCol)) > 0) // tombstones
       .withColumn("__j",
-        if (schemaInclude) from_json(col(lineCol), parseSchema).getField("payload")
-        else from_json(col(lineCol), parseSchema))
+        if (schemaInclude) from_json(col(lineCol), parseSchema, jsonOpts).getField("payload")
+        else from_json(col(lineCol), parseSchema, jsonOpts))
     val before = col("__j").getField("before")
     val after = col("__j").getField("after")
     val op = col("__j").getField("op")
     // corrupt JSON parses to a null envelope -> op null -> error path;
-    // a null before on u/d is the reference's REPLICA IDENTITY error
+    // a null before on u/d is the reference's REPLICA IDENTITY error,
+    // and a null after on c/r its NPE-turned-IOException
     val onError: Column =
       if (ignoreParseErrors) array().cast(rowT)
       else raise_error(concat(
         when(op.isin("u", "d"),
           lit("null \"before\" in a debezium update/delete " +
             "(set REPLICA IDENTITY FULL): "))
+          .when(op.isin("c", "r"), lit("null \"after\" in a debezium insert/read: "))
           .otherwise(lit("corrupt or unknown-op debezium record: ")),
         col(lineCol))).cast(rowT)
     val rows =
-      when(op.isin("c", "r"), array(rowOf(after, Changelog.Insert)))
+      when(op.isin("c", "r") && after.isNotNull,
+        array(rowOf(after, Changelog.Insert)))
         .when(op === "u" && before.isNotNull,
           array(rowOf(before, Changelog.UpdateBefore),
             rowOf(after, Changelog.UpdateAfter)))
@@ -86,17 +91,19 @@ object CdcJson {
     * column types are out of scope like the reference's flat rows.
     */
   def canal(lines: DataFrame, physical: StructType, lineCol: String = "value",
-      ignoreParseErrors: Boolean = false): DataFrame = {
+      ignoreParseErrors: Boolean = false,
+      timestampFormat: Option[String] = None): DataFrame = {
     val envelope = StructType(Seq(
       StructField("data", ArrayType(physical)),
       StructField("old", ArrayType(MapType(StringType, StringType))),
       StructField("type", StringType)))
+    val jsonOpts = timestampFormat.map("timestampFormat" -> _).toMap
     val rowT = ArrayType(StructType(physical.fields :+ kindField))
     val dataT = ArrayType(physical)
 
     val parsed = lines
       .filter(length(col(lineCol)) > 0)
-      .withColumn("__j", from_json(col(lineCol), envelope))
+      .withColumn("__j", from_json(col(lineCol), envelope, jsonOpts))
     val t = col("__j").getField("type")
     val data = col("__j").getField("data")
     // validation lives INSIDE the generator input: posexplode drops
@@ -140,6 +147,13 @@ object CdcJson {
       when(col("__t") === "INSERT", array(rowOf(Changelog.Insert)))
         .when(col("__t") === "UPDATE", updateRows)
         .when(col("__t") === "DELETE", array(rowOf(Changelog.Delete)))
-    exploded.select(explode(rows).as("__r")).select(col("__r.*"))
+    // a null element inside "data" is corrupt (the reference NPEs
+    // converting it): strict raises, ignore drops the element
+    val elemErr: Column =
+      if (ignoreParseErrors) array().cast(rowT)
+      else raise_error(concat(
+        lit("null row in canal \"data\": "), col(lineCol))).cast(rowT)
+    val guarded = when(col("__after").isNull, elemErr).otherwise(rows)
+    exploded.select(explode(guarded).as("__r")).select(col("__r.*"))
   }
 }

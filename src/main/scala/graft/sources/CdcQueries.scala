@@ -20,6 +20,14 @@ object CdcQueries {
 
   private def key(dir: String) = dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Microsecond timestamp format for fixture serialization — the
+    * to_json/from_json default truncates to millis, which would
+    * silently degrade the 'version-by' = 'ts,event_id' order (and
+    * diverge from the full-precision oracle) on sub-millisecond data.
+    */
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val tsOpts = Map("timestampFormat" -> TsFmt)
+
   private def eventsWithPrev(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.load(s, dir, "events")
@@ -44,9 +52,9 @@ object CdcQueries {
       val ev = eventsWithPrev(s, dir)
       val cu = ev.select(to_json(struct(
         col("__prev").as("before"), payload.as("after"),
-        when(col("__rn") === 1, lit("c")).otherwise(lit("u")).as("op"))).as("value"))
+        when(col("__rn") === 1, lit("c")).otherwise(lit("u")).as("op")), tsOpts).as("value"))
       val dels = ev.filter(col("__rn") === col("__n") && col("user_id") % 7 === 0)
-        .select(to_json(struct(payload.as("before"), lit("d").as("op"))).as("value"))
+        .select(to_json(struct(payload.as("before"), lit("d").as("op")), tsOpts).as("value"))
       cu.unionByName(dels).write.mode("overwrite").text(path)
     }
     path
@@ -64,20 +72,22 @@ object CdcQueries {
       def ent(cond: Column, k: String, v: Column): Column =
         when(cond, map(lit(k), v)).otherwise(emptyMap)
       val prev = (f: String) => col("__prev").getField(f)
+      // null-safe change detection: a NULL<->value transition is a
+      // change too, or the decoder would reconstruct a wrong before
       val oldMap = map_concat(
-        ent(lit(true), "ts", date_format(prev("ts"), "yyyy-MM-dd HH:mm:ss.SSS")),
+        ent(lit(true), "ts", date_format(prev("ts"), TsFmt)),
         ent(lit(true), "event_id", prev("event_id").cast("string")),
-        ent(prev("event_type") =!= col("event_type"), "event_type", prev("event_type")),
-        ent(prev("value") =!= col("value"), "value", prev("value").cast("string")))
+        ent(!(prev("event_type") <=> col("event_type")), "event_type", prev("event_type")),
+        ent(!(prev("value") <=> col("value")), "value", prev("value").cast("string")))
       val ev = eventsWithPrev(s, dir)
       val ins = ev.filter(col("__rn") === 1).select(to_json(struct(
-        array(payload).as("data"), lit("INSERT").as("type"))).as("value"))
+        array(payload).as("data"), lit("INSERT").as("type")), tsOpts).as("value"))
       val upd = ev.filter(col("__rn") > 1).select(to_json(struct(
         array(payload).as("data"), array(oldMap).as("old"),
-        lit("UPDATE").as("type"))).as("value"))
+        lit("UPDATE").as("type")), tsOpts).as("value"))
       val dels = ev.filter(col("__rn") === col("__n") && col("user_id") % 7 === 0)
         .select(to_json(struct(array(payload).as("data"),
-          lit("DELETE").as("type"))).as("value"))
+          lit("DELETE").as("type")), tsOpts).as("value"))
       val ddl = s.createDataset(Seq("""{"data":null,"old":null,"type":"CREATE"}"""))(
         org.apache.spark.sql.Encoders.STRING).toDF("value")
       ins.unionByName(upd).unionByName(dels).unionByName(ddl)
@@ -93,7 +103,8 @@ object CdcQueries {
          |  event_type VARCHAR(20), value DOUBLE,
          |  PRIMARY KEY (user_id) NOT ENFORCED
          |) WITH ('connector' = 'filesystem', 'path' = '$path',
-         |        'format' = '$fmt', 'version-by' = 'ts,event_id')""".stripMargin)
+         |        'format' = '$fmt', 'version-by' = 'ts,event_id',
+         |        '$fmt.timestamp-format' = '$TsFmt')""".stripMargin)
 
   /** GROUP BY over the debezium stream: superseded versions and
     * deleted users must not count — plain SQL, adapters planned by

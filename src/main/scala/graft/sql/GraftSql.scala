@@ -448,14 +448,19 @@ object GraftSql {
     if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
         toks(1).is("TABLES")) {
       import spark.implicits._
+      // internal plumbing views (normalization substitutes, MR
+      // scratch) are not part of the user-visible catalog surface
       return spark.catalog.listTables().collect().map(_.name)
-        .sorted.toSeq.toDF("table_name")
+        .filterNot(_.startsWith("__graft")).sorted.toSeq.toDF("table_name")
     }
     if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 4 &&
         toks(1).is("CREATE") && toks(2).is("TABLE")) {
       import spark.implicits._
-      return Seq(graft.catalog.GraftCatalog.showCreateTable(cleanName(toks(3).text)))
-        .toDF("result")
+      val name = cleanName(toks(3).text)
+      // non-connector relations fall back to Spark's native statement
+      return if (graft.catalog.GraftCatalog.isRegistered(name))
+        Seq(graft.catalog.GraftCatalog.showCreateTable(name)).toDF("result")
+      else spark.sql(s"SHOW CREATE TABLE `$name`")
     }
     if (toks.nonEmpty && (toks.head.is("DESCRIBE") || toks.head.is("DESC")) &&
         toks.length == 2) {

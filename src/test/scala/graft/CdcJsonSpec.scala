@@ -57,6 +57,11 @@ class CdcJsonSpec extends SparkSpec {
       """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op":"u"}"""), physical)
     val e2 = intercept[Exception](nullBefore.collect())
     assert(e2.getMessage.contains("REPLICA IDENTITY"), e2.getMessage)
+    // a null after on c/r must not leak an all-null +I row
+    val nullAfter = CdcJson.debezium(linesDf(
+      """{"before":null,"after":null,"op":"c"}"""), physical)
+    val e3 = intercept[Exception](nullAfter.collect())
+    assert(e3.getMessage.contains("\"after\""), e3.getMessage)
   }
 
   test("debezium: ignore-parse-errors drops corrupt/unknown records, keeps good ones") {
@@ -105,9 +110,15 @@ class CdcJsonSpec extends SparkSpec {
       """{"data":[{"id":1,"name":"a","weight":1.0}],"old":null,"type":"UPDATE"}"""), physical)
     val e2 = intercept[Exception](nullOld.collect())
     assert(e2.getMessage.contains("UPDATE"), e2.getMessage)
+    // a null element inside data must not leak an all-null row
+    val nullElem = CdcJson.canal(linesDf(
+      """{"data":[null],"old":null,"type":"INSERT"}"""), physical)
+    val e3 = intercept[Exception](nullElem.collect())
+    assert(e3.getMessage.contains("null row"), e3.getMessage)
     val out = CdcJson.canal(linesDf(
       "garbage",
       """{"data":[{"id":1,"name":"a","weight":1.0}],"old":null,"type":"UPSERT"}""",
+      """{"data":[null],"old":null,"type":"INSERT"}""",
       """{"data":[{"id":3,"name":"c","weight":3.0}],"old":null,"type":"INSERT"}"""),
       physical, ignoreParseErrors = true)
     assert(rowsOf(out) === Seq((3L, "c", Some(3.0), Changelog.Insert)))
