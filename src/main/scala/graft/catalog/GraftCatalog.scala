@@ -132,6 +132,23 @@ object GraftCatalog {
       sys.error(s"table '$table' is not a filesystem table"))
     val schema = tableSchemas.getOrElse(table,
       sys.error(s"table '$table' has no declared schema"))
+    // CDC formats stream as text files decoded per micro-batch — the
+    // streaming twin of the reference's Kafka+debezium/canal source
+    // (the decode is a stateless projection, so it composes with any
+    // downstream stateful operator)
+    if (cdcFormats.contains(sink.format)) {
+      val raw = spark.readStream.text(sink.path)
+      val ignore = sink.options.get(s"${sink.format}.ignore-parse-errors").contains("true")
+      val tsFmt = sink.options.get(s"${sink.format}.timestamp-format")
+      val decoded =
+        if (sink.format == "debezium-json")
+          graft.sources.CdcJson.debezium(raw, schema,
+            schemaInclude = sink.options.get("debezium-json.schema-include").contains("true"),
+            ignoreParseErrors = ignore, timestampFormat = tsFmt)
+        else graft.sources.CdcJson.canal(raw, schema,
+          ignoreParseErrors = ignore, timestampFormat = tsFmt)
+      return applyEventTime(table, decoded)
+    }
     val reader = spark.readStream.format(sink.format).schema(schema)
     val r2 = if (sink.format == "csv")
       reader.option("header", sink.options.getOrElse("csv.header", "false")) else reader

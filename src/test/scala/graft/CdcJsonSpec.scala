@@ -139,6 +139,54 @@ class CdcJsonSpec extends SparkSpec {
     assert(cur === Set((1L, "live")))
   }
 
+  test("CDC table streams: debezium file stream decodes into the retract aggregate") {
+    import org.apache.spark.sql.functions.col
+    import graft.catalog.GraftCatalog
+    import graft.streaming.RetractStream
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcstream").toString
+    val dir = s"$base/lines"
+    new java.io.File(dir).mkdirs()
+    def emit(name: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(new java.io.File(dir, name)), "UTF-8"))
+      try lines.foreach(w.println) finally w.close()
+    }
+    emit("b0.json",
+      """{"before":null,"after":{"id":1,"grp":"a","amount":10},"op":"c"}""",
+      """{"before":null,"after":{"id":2,"grp":"a","amount":5},"op":"c"}""")
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE cdc_stream_t (
+         |  id BIGINT, grp VARCHAR(5), amount BIGINT,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |        'format' = 'debezium-json', 'version-by' = 'id')""".stripMargin)
+    val events = GraftCatalog.streamOf(spark, "cdc_stream_t")
+      .select(col("grp").as("key"), col("amount").as("value"),
+        col(Changelog.RowKindCol).as("kind"))
+      .as[RetractStream.ChangeEvent]
+    val q = RetractStream.groupAggRetract(events).writeStream.format("memory")
+      .queryName("cdc_stream_agg").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      def emissions = spark.table("cdc_stream_agg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getByte(8))).toSeq
+      assert(emissions.contains(("a", 2L, 15L, Changelog.UpdateAfter)),
+        s"initial batch must aggregate both inserts: $emissions")
+      // id 2 moves a -> b: -U cancels it in a, +U opens b
+      emit("b1.json",
+        """{"before":{"id":2,"grp":"a","amount":5},"after":{"id":2,"grp":"b","amount":7},"op":"u"}""")
+      q.processAllAvailable()
+      assert(emissions.contains(("a", 1L, 10L, Changelog.UpdateAfter)) &&
+        emissions.contains(("b", 1L, 7L, Changelog.UpdateAfter)), s"got $emissions")
+      // deleting id 1 empties group a -> one -D emission
+      emit("b2.json",
+        """{"before":{"id":1,"grp":"a","amount":10},"after":null,"op":"d"}""")
+      q.processAllAvailable()
+      assert(emissions.exists(e => e._1 == "a" && e._4 == Changelog.Delete),
+        s"group a must retract with -D when its support reaches zero: $emissions")
+    } finally q.stop()
+  }
+
   test("decoded changelog feeds retract aggregation end-to-end") {
     val out = CdcJson.debezium(linesDf(
       """{"before":null,"after":{"id":1,"name":"g1","weight":10.0},"op":"c"}""",
