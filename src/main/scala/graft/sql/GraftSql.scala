@@ -112,19 +112,34 @@ object GraftSql {
           val u = toks(j).text; j += 1
           (v, u)
         }
-        val (v1, u1) = interval()
-        val second = if (j < innerClose && toks(j).isPunct(",")) Some(interval()) else None
+        val ivals = Seq.newBuilder[(String, String)]
+        ivals += interval()
+        while (j < innerClose && toks(j).isPunct(",")) ivals += interval()
+        val list = ivals.result()
+        val (v1, u1) = list.head
+        val second = list.lift(1)
+        def windowCall(args: String) =
+          s"(SELECT *, window($tsCol, $args).start AS window_start, " +
+            s"window($tsCol, $args).end AS window_end FROM $source)"
 
         val replacement = kind match {
           case "TUMBLE" =>
+            // optional offset -> Spark window()'s startTime (4th arg,
+            // slide = size for tumbling)
             val d = durationOf(v1, u1)
-            s"(SELECT *, window($tsCol, '$d').start AS window_start, window($tsCol, '$d').end AS window_end FROM $source)"
+            val args = second.map { case (v, u) =>
+              s"'$d', '$d', '${durationOf(v, u)}'" }.getOrElse(s"'$d'")
+            windowCall(args)
           case "HOP" =>
-            // Flink arg order: slide, size; Spark window(ts, size, slide)
+            // Flink arg order: slide, size [, offset]; Spark
+            // window(ts, size, slide [, startTime])
             val slide = durationOf(v1, u1)
             val (v2, u2) = second.getOrElse(sys.error("HOP needs a size interval"))
             val size = durationOf(v2, u2)
-            s"(SELECT *, window($tsCol, '$size', '$slide').start AS window_start, window($tsCol, '$size', '$slide').end AS window_end FROM $source)"
+            val args = list.lift(2).map { case (v, u) =>
+              s"'$size', '$slide', '${durationOf(v, u)}'" }
+              .getOrElse(s"'$size', '$slide'")
+            windowCall(args)
           case "CUMULATE" =>
             val step = intervalSeconds(v1, u1)
             val (v2, u2) = second.getOrElse(sys.error("CUMULATE needs max size"))

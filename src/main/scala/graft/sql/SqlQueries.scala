@@ -76,6 +76,19 @@ object SqlQueries {
         |GROUP BY window_start, window_end, user_id""".stripMargin)
   }
 
+  /** TUMBLE TVF with the optional offset argument — windows shift by
+    * 20 minutes off the hour grid (Spark `window()`'s startTime;
+    * the reference's `TUMBLE(..., size, offset)` 4th operand).
+    */
+  def tumbleOffsetSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT window_start AS wstart, window_end AS wend, event_type,
+        |  count(*) AS n, sum(value) AS sum_value
+        |FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '20' MINUTE))
+        |GROUP BY window_start, window_end, event_type""".stripMargin)
+  }
+
   /** Event-time temporal join in SQL (`FOR SYSTEM_TIME AS OF p.ts`
     * against a DDL-declared versioned table): each purchase reads the
     * user's state version valid AT its event time — rewritten by
@@ -123,9 +136,16 @@ object SqlQueries {
     "q_sql_match_recognize" -> (matchRecognizeSql _),
     "q_sql_temporal_join"   -> (temporalJoinSql _),
     "q_sql_upsert_agg"      -> (upsertAggSql _),
+    "q_sql_tumble_offset"   -> (tumbleOffsetSql _),
     "q_sql_session"         -> (sessionSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tumble_offset" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '20 minutes') AS wstart,
+        |  time_bucket(INTERVAL '1 hour', ts, INTERVAL '20 minutes')
+        |    + INTERVAL '1 hour' AS wend,
+        |  event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // keep-last current state per user, then aggregate — what the
     // retract pipeline must net out to
     "q_sql_upsert_agg" ->

@@ -375,6 +375,19 @@ class GraftSqlSpec extends SparkSpec {
       s"got $mm")
   }
 
+  test("window TVFs accept the optional offset argument") {
+    prep()
+    // HOP(slide 30m, size 1h, offset 10m): starts land on :10 / :40
+    val out = GraftSql.sql(spark,
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+        |  INTERVAL '30' MINUTE, INTERVAL '1' HOUR, INTERVAL '10' MINUTE))
+        |GROUP BY window_start""".stripMargin)
+    val mins = out.collect().map(_.getTimestamp(0).toLocalDateTime.getMinute).toSet
+    assert(mins.nonEmpty && mins.subsetOf(Set(10, 40)),
+      s"offset hop windows must start at :10/:40, got minutes $mins")
+  }
+
   test("SHOW TABLES / SHOW CREATE TABLE / DESCRIBE reflect connector DDL metadata") {
     import spark.implicits._
     prep()
