@@ -310,7 +310,14 @@ object GraftSql {
       if (toks(i).is("FOR") && i + 1 < toks.length && toks(i + 1).is("SYSTEM_TIME") &&
           i >= 1 && toks(i - 1).kind == Ident) {
         val table = toks(i - 1).text
+        // a CDC-format table is also a valid version source: its
+        // decoded changelog carries explicit rowkinds, and deletes
+        // cap the validity of the version they remove
         val upsert = graft.catalog.GraftCatalog.upsertOf(table)
+          .map(s => (s, false))
+          .orElse(graft.catalog.GraftCatalog.cdcOf(table)
+            .filter(s => s.keys.nonEmpty && s.versionCols.nonEmpty)
+            .map(s => (s, true)))
         // AS OF expression: ident(.ident)* — a column reference
         var j = i + 2
         if (j + 1 < toks.length && toks(j).is("AS") && toks(j + 1).is("OF")) {
@@ -322,7 +329,7 @@ object GraftSql {
             val isCall = j < toks.length && toks(j).isPunct("(")
             val asOfExpr = sqlText.substring(toks(exprStart).start, toks(j - 1).end)
             if (!isCall && upsert.isDefined) {
-              val spec = upsert.get
+              val (spec, isCdc) = upsert.get
               // alias after the FOR clause (Flink places it there)
               var end = j
               var alias = ""
@@ -350,7 +357,7 @@ object GraftSql {
                 } else if (depth == 0 && stops.exists(t.is)) done = true
                 else k += 1
               }
-              val view = temporalIntervalView(spark, table, spec)
+              val view = temporalIntervalView(spark, table, spec, isCdc)
               // no explicit alias: alias the view AS the original
               // table name, so table-qualified ON columns still bind
               val a = if (alias.nonEmpty) alias else table
@@ -375,17 +382,37 @@ object GraftSql {
 
   /** Version history → validity intervals: one window pass per
     * version table, registered once per (table) and reused.
+    *
+    * CDC sources: -U rows are dropped (duplicates of the version they
+    * retract), -D rows cap the previous version's validity at the
+    * delete's own version and are not join targets themselves — so a
+    * deleted key matches no version at or after the deletion. This
+    * needs the delete event to carry its deletion position in the
+    * version columns (an offset/ts_ms-like column); a feed whose
+    * deletes only echo the removed row's old version cannot time its
+    * deletes, which is a property of the chosen 'version-by', not of
+    * the join.
     */
   private def temporalIntervalView(spark: SparkSession, table: String,
-      spec: graft.catalog.GraftCatalog.UpsertSpec): String = {
+      spec: graft.catalog.GraftCatalog.UpsertSpec, cdc: Boolean = false): String = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, lead}
+    import graft.changelog.Changelog
     val view = s"__graft_temporal_$table"
-    val w = Window.partitionBy(spec.keys.map(col): _*)
-      .orderBy(spec.versionCols.map(col): _*)
-    spark.table(table)
-      .withColumn("__valid_to", lead(col(spec.versionCols.head), 1).over(w))
-      .createOrReplaceTempView(view)
+    val base0 = spark.table(table)
+    val base = if (cdc)
+      base0.filter(col(Changelog.RowKindCol) =!= Changelog.UpdateBefore)
+    else base0
+    val orderCols = spec.versionCols.map(col) ++
+      (if (cdc) Seq(col(Changelog.RowKindCol)) else Nil)
+    val w = Window.partitionBy(spec.keys.map(col): _*).orderBy(orderCols: _*)
+    val iv = base.withColumn("__valid_to",
+      lead(col(spec.versionCols.head), 1).over(w))
+    val out = if (cdc)
+      iv.filter(col(Changelog.RowKindCol) =!= Changelog.Delete)
+        .drop(Changelog.RowKindCol)
+    else iv
+    out.createOrReplaceTempView(view)
     view
   }
 

@@ -187,6 +187,42 @@ class CdcJsonSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FOR SYSTEM_TIME AS OF over a CDC table: versions valid until update or delete") {
+    import spark.implicits._
+    import graft.catalog.GraftCatalog
+    import graft.sql.GraftSql
+    val base = java.nio.file.Files.createTempDirectory("graft_cdctemp").toString
+    val dir = s"$base/lines"
+    new java.io.File(dir).mkdirs()
+    val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(new java.io.File(dir, "b0.json")), "UTF-8"))
+    // id 1: x@10 -> y@20 -> deleted@30 (the delete event carries ITS
+    // OWN position in the version column, offset/ts_ms style);
+    // id 2: p@5, never deleted
+    try Seq(
+      """{"before":null,"after":{"id":1,"ver":10,"name":"x"},"op":"c"}""",
+      """{"before":{"id":1,"ver":10,"name":"x"},"after":{"id":1,"ver":20,"name":"y"},"op":"u"}""",
+      """{"before":{"id":1,"ver":30,"name":"y"},"after":null,"op":"d"}""",
+      """{"before":null,"after":{"id":2,"ver":5,"name":"p"},"op":"c"}""")
+      .foreach(w.println) finally w.close()
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE cdc_vers (
+         |  id BIGINT, ver BIGINT, name VARCHAR(5),
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |        'format' = 'debezium-json', 'version-by' = 'ver')""".stripMargin)
+    Seq((1L, 15L), (1L, 25L), (1L, 35L), (2L, 100L)).toDF("pid", "pver")
+      .createOrReplaceTempView("cdc_probes")
+    val out = GraftSql.sql(spark,
+      """SELECT p.pid, p.pver, v.name FROM cdc_probes p
+        |JOIN cdc_vers FOR SYSTEM_TIME AS OF p.pver AS v
+        |  ON v.id = p.pid""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // 15 -> x (valid [10,20)), 25 -> y ([20,30)), 35 -> nothing
+    // (deleted at 30), 100 -> p (open validity)
+    assert(out === Set((1L, 15L, "x"), (1L, 25L, "y"), (2L, 100L, "p")), s"got $out")
+  }
+
   test("decoded changelog feeds retract aggregation end-to-end") {
     val out = CdcJson.debezium(linesDf(
       """{"before":null,"after":{"id":1,"name":"g1","weight":10.0},"op":"c"}""",
