@@ -39,7 +39,8 @@ object Bench {
     "q_dedup_exact", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_minhash",
     "q_sim_topk", "q_sim_ivf_ann", "q_sim_lsh_ann",
     "q_over_frames", "q_window_topn", "q_cep_pattern",
-    "q_sql_match_recognize", "q_tvf_session", "q_join_inner")
+    "q_sql_match_recognize", "q_tvf_session", "q_join_inner",
+    "q_cdc_debezium")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -163,6 +163,8 @@ object GraftCatalog {
       overwrite: Boolean): Unit = {
     val sink = sinkOf(table).getOrElse(
       sys.error(s"table '$table' is not a writable filesystem table"))
+    if (cdcFormats.contains(sink.format))
+      return insertIntoCdc(spark, table, rows, overwrite, sink)
     // SQL INSERT maps columns by POSITION: align names and types to
     // the target schema so mixed-name files can't silently null out.
     // Computed columns are virtual (re-derived on read) — they are
@@ -200,6 +202,55 @@ object GraftCatalog {
         r2.load(sink.path)
       }
     applyEventTime(table, refreshed).createOrReplaceTempView(table)
+  }
+
+  /** The write half of the CDC formats (the reference's
+    * DebeziumJsonSerializationSchema:79-90 /
+    * CanalJsonSerializationSchema:93-98): +I/+U rows encode as op
+    * "c"/INSERT with the after image, -U/-D as op "d"/DELETE with the
+    * before image — the two-op round-trippable subset the reference
+    * serializes (no "old" field). Input rows may carry `__rowkind`
+    * (a changelog write); without it every row is an insert.
+    */
+  private def insertIntoCdc(spark: SparkSession, table: String, rows: DataFrame,
+      overwrite: Boolean, sink: SinkInfo): Unit = {
+    import org.apache.spark.sql.functions._
+    val kindCol = graft.changelog.Changelog.RowKindCol
+    val physical = tableSchemas.getOrElse(table,
+      sys.error(s"CDC table $table needs declared columns to encode"))
+    val hasKind = rows.columns.contains(kindCol)
+    val payloadCols = rows.columns.filterNot(_ == kindCol).toSeq
+    require(payloadCols.length == physical.length,
+      s"INSERT INTO $table: query has ${payloadCols.length} payload columns, " +
+        s"table has ${physical.length}")
+    // position-align payload to the declared schema (kind rides along
+    // by name), then enforce the table's constraints on the payload
+    val aligned = rows.select(payloadCols.zip(physical.fields).map {
+      case (c, f) => col(c).cast(f.dataType).as(f.name)
+    } ++ (if (hasKind) Seq(col(kindCol)) else Nil): _*)
+    val checked = enforced(table, aligned)
+    val kind = if (hasKind) col(kindCol)
+      else lit(graft.changelog.Changelog.Insert)
+    val isUpsert = kind.isin(graft.changelog.Changelog.Insert,
+      graft.changelog.Changelog.UpdateAfter)
+    // to_json omits null fields, so the absent image (before on c,
+    // after on d) simply isn't written — the decoder reads absent as
+    // null, matching the reference's envelope
+    val payload = struct(physical.fieldNames.toSeq.map(col): _*)
+    val tsOpts = sink.options.get(s"${sink.format}.timestamp-format")
+      .map("timestampFormat" -> _).toMap
+    val line = sink.format match {
+      case "debezium-json" =>
+        when(isUpsert, to_json(struct(payload.as("after"), lit("c").as("op")), tsOpts))
+          .otherwise(to_json(struct(payload.as("before"), lit("d").as("op")), tsOpts))
+      case _ => // canal-json
+        to_json(struct(array(payload).as("data"),
+          when(isUpsert, lit("INSERT")).otherwise(lit("DELETE")).as("type")), tsOpts)
+    }
+    checked.select(line.as("value"))
+      .write.mode(if (overwrite) "overwrite" else "append").text(sink.path)
+    // rebuild the decoded changelog view over the refreshed files
+    register(spark, table, tableOptions.getOrElse(table, sink.options))
   }
 
   def constraintsOf(table: String): TableConstraints =

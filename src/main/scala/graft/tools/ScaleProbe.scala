@@ -78,8 +78,10 @@ object ScaleProbe {
     val entryQueries = Seq("q1_agg", "q_tpch_q3", "q_tpch_q5", "q_topn",
       "q_window_topn", "q_dedup_exact", "q_dedup_simhash", "q_cep_quantified",
       // round-3 operators: sampled+cached IVF index, avro write+read
-      // round-trip, semi/anti changelog machine
-      "q_sim_ivf_ann", "q_avro_roundtrip", "q_changelog_antijoin")
+      // round-trip, semi/anti changelog machine, CDC decode (fixture
+      // generated once per scaled dir in the warm pass, decode timed)
+      "q_sim_ivf_ann", "q_avro_roundtrip", "q_changelog_antijoin",
+      "q_cdc_debezium")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

@@ -223,6 +223,40 @@ class CdcJsonSpec extends SparkSpec {
     assert(out === Set((1L, 15L, "x"), (1L, 25L, "y"), (2L, 100L, "p")), s"got $out")
   }
 
+  test("INSERT INTO a CDC table encodes the changelog write half and round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.catalog.GraftCatalog
+    import graft.sql.GraftSql
+    graft.Tables.registerAll(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcwrite").toString
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE cdc_out (
+         |  id BIGINT, name VARCHAR(8),
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/lines',
+         |        'format' = 'canal-json', 'version-by' = 'id')""".stripMargin)
+    // plain INSERT: every row encodes as a canal INSERT batch
+    GraftSql.sql(spark,
+      "INSERT INTO cdc_out SELECT n_nationkey, substring(n_name, 1, 8) FROM nation WHERE n_nationkey < 3")
+    val kinds = spark.table("cdc_out").select(col(Changelog.RowKindCol))
+      .collect().map(_.getByte(0)).toSet
+    assert(kinds === Set(Changelog.Insert), s"got $kinds")
+    assert(spark.table("cdc_out").count() === 3)
+    // changelog write: a -D row encodes as canal DELETE; the decoded
+    // current state (normalize via the SQL front door) drops the key
+    val del = Seq((1L, "x")).toDF("id", "name")
+      .withColumn(Changelog.RowKindCol, org.apache.spark.sql.functions.lit(Changelog.Delete))
+    GraftCatalog.insertInto(spark, "cdc_out", del, overwrite = false)
+    val cur = GraftSql.sql(spark, "SELECT id FROM cdc_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(cur === Set(0L, 2L), s"deleted key must vanish from current state: $cur")
+    // file content is real canal json
+    val text = spark.read.text(s"$base/lines").collect().map(_.getString(0))
+    assert(text.exists(_.contains("\"type\":\"INSERT\"")) &&
+      text.exists(_.contains("\"type\":\"DELETE\"")), text.mkString("\n"))
+  }
+
   test("decoded changelog feeds retract aggregation end-to-end") {
     val out = CdcJson.debezium(linesDf(
       """{"before":null,"after":{"id":1,"name":"g1","weight":10.0},"op":"c"}""",
