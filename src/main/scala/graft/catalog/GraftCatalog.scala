@@ -104,6 +104,22 @@ object GraftCatalog {
 
   private val cdcFormats = Set("debezium-json", "canal-json")
 
+  /** One decode contract for batch and streaming reads of a CDC
+    * table — option names and dispatch live here only.
+    */
+  private def decodeCdc(raw: DataFrame, fmt: String, schema: StructType,
+      options: Map[String, String]): DataFrame = {
+    val ignore = options.get(s"$fmt.ignore-parse-errors").contains("true")
+    val tsFmt = options.get(s"$fmt.timestamp-format")
+    if (fmt == "debezium-json")
+      graft.sources.CdcJson.debezium(raw, schema,
+        schemaInclude = options.get("debezium-json.schema-include").contains("true"),
+        ignoreParseErrors = ignore, timestampFormat = tsFmt)
+    else
+      graft.sources.CdcJson.canal(raw, schema,
+        ignoreParseErrors = ignore, timestampFormat = tsFmt)
+  }
+
   /** Apply a table's DDL-declared computed columns and watermark to a
     * DataFrame with its physical schema — used on the registered view,
     * on [[streamOf]], and directly by tests driving a MemoryStream as
@@ -136,19 +152,9 @@ object GraftCatalog {
     // streaming twin of the reference's Kafka+debezium/canal source
     // (the decode is a stateless projection, so it composes with any
     // downstream stateful operator)
-    if (cdcFormats.contains(sink.format)) {
-      val raw = spark.readStream.text(sink.path)
-      val ignore = sink.options.get(s"${sink.format}.ignore-parse-errors").contains("true")
-      val tsFmt = sink.options.get(s"${sink.format}.timestamp-format")
-      val decoded =
-        if (sink.format == "debezium-json")
-          graft.sources.CdcJson.debezium(raw, schema,
-            schemaInclude = sink.options.get("debezium-json.schema-include").contains("true"),
-            ignoreParseErrors = ignore, timestampFormat = tsFmt)
-        else graft.sources.CdcJson.canal(raw, schema,
-          ignoreParseErrors = ignore, timestampFormat = tsFmt)
-      return applyEventTime(table, decoded)
-    }
+    if (cdcFormats.contains(sink.format))
+      return applyEventTime(table,
+        decodeCdc(spark.readStream.text(sink.path), sink.format, schema, sink.options))
     val reader = spark.readStream.format(sink.format).schema(schema)
     val r2 = if (sink.format == "csv")
       reader.option("header", sink.options.getOrElse("csv.header", "false")) else reader
@@ -229,23 +235,35 @@ object GraftCatalog {
       case (c, f) => col(c).cast(f.dataType).as(f.name)
     } ++ (if (hasKind) Seq(col(kindCol)) else Nil): _*)
     val checked = enforced(table, aligned)
-    val kind = if (hasKind) col(kindCol)
-      else lit(graft.changelog.Changelog.Insert)
-    val isUpsert = kind.isin(graft.changelog.Changelog.Insert,
-      graft.changelog.Changelog.UpdateAfter)
+    val C = graft.changelog.Changelog
+    val kind = if (hasKind) col(kindCol) else lit(C.Insert)
+    val isUpsert = kind.isin(C.Insert, C.UpdateAfter)
+    // a NULL or out-of-range kind must never silently encode as a
+    // delete (data loss on the next read) — reject loudly, matching
+    // the decoder's strict-mode contract
+    val isRetract = when(kind.isin(C.UpdateBefore, C.Delete), lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"invalid $kindCol value for CDC encode: "), kind.cast("string"))))
     // to_json omits null fields, so the absent image (before on c,
     // after on d) simply isn't written — the decoder reads absent as
     // null, matching the reference's envelope
     val payload = struct(physical.fieldNames.toSeq.map(col): _*)
     val tsOpts = sink.options.get(s"${sink.format}.timestamp-format")
       .map("timestampFormat" -> _).toMap
+    // a schema-include table decodes {"payload": envelope} — the
+    // writer must produce what the table's own decoder expects
+    val schemaInclude = sink.format == "debezium-json" &&
+      sink.options.get("debezium-json.schema-include").contains("true")
+    def envelope(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (schemaInclude) to_json(struct(e.as("payload")), tsOpts) else to_json(e, tsOpts)
     val line = sink.format match {
       case "debezium-json" =>
-        when(isUpsert, to_json(struct(payload.as("after"), lit("c").as("op")), tsOpts))
-          .otherwise(to_json(struct(payload.as("before"), lit("d").as("op")), tsOpts))
+        when(isUpsert, envelope(struct(payload.as("after"), lit("c").as("op"))))
+          .when(isRetract, envelope(struct(payload.as("before"), lit("d").as("op"))))
       case _ => // canal-json
         to_json(struct(array(payload).as("data"),
-          when(isUpsert, lit("INSERT")).otherwise(lit("DELETE")).as("type")), tsOpts)
+          when(isUpsert, lit("INSERT"))
+            .when(isRetract, lit("DELETE")).as("type")), tsOpts)
     }
     checked.select(line.as("value"))
       .write.mode(if (overwrite) "overwrite" else "append").text(sink.path)
@@ -569,16 +587,7 @@ object GraftCatalog {
           // into a __rowkind changelog view
           val schema = tableSchemas.getOrElse(name,
             sys.error(s"$fmt table $name needs explicit columns"))
-          val raw = spark.read.text(path)
-          val ignore = options.get(s"$fmt.ignore-parse-errors").contains("true")
-          val tsFmt = options.get(s"$fmt.timestamp-format")
-          if (fmt == "debezium-json")
-            graft.sources.CdcJson.debezium(raw, schema,
-              schemaInclude = options.get("debezium-json.schema-include").contains("true"),
-              ignoreParseErrors = ignore, timestampFormat = tsFmt)
-          else
-            graft.sources.CdcJson.canal(raw, schema, ignoreParseErrors = ignore,
-              timestampFormat = tsFmt)
+          decodeCdc(spark.read.text(path), fmt, schema, options)
         }
         else if (fmt == "avro") { // graft's own container-file format
           val r = spark.read.format("graft.sources.AvroSource")

@@ -144,17 +144,24 @@ object GraftSql {
             val step = intervalSeconds(v1, u1)
             val (v2, u2) = second.getOrElse(sys.error("CUMULATE needs max size"))
             val max = intervalSeconds(v2, u2)
+            // optional offset shifts the max-size window grid, like
+            // TUMBLE/HOP (with 0 this reduces to the unshifted form)
+            val off = list.lift(2).map { case (v, u) => intervalSeconds(v, u) }
+              .getOrElse(0L)
             val slices = max / step
+            val u0 = s"(unix_timestamp($tsCol) - $off)"
             s"""(SELECT * EXCEPT (__ws, __j),
                |   __ws AS window_start,
                |   __ws + make_interval(0, 0, 0, 0, 0, 0, __j * $step) AS window_end
                | FROM (SELECT *,
-               |         timestamp_seconds(floor(unix_timestamp($tsCol) / $max) * $max) AS __ws,
+               |         timestamp_seconds(floor($u0 / $max) * $max + $off) AS __ws,
                |         explode(sequence(
-               |           cast(floor((unix_timestamp($tsCol) - floor(unix_timestamp($tsCol) / $max) * $max) / $step) as int) + 1,
+               |           cast(floor(($u0 - floor($u0 / $max) * $max) / $step) as int) + 1,
                |           $slices)) AS __j
                |       FROM $source))""".stripMargin
           case "SESSION" =>
+            require(list.length == 1,
+              s"SESSION takes exactly one gap interval, got ${list.length}")
             session = Some(SessionTvf(source, tsCol, durationOf(v1, u1), t.start, toks(outerClose).end))
             source // enclosing-query rewrite happens below
         }

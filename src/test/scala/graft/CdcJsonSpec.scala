@@ -255,6 +255,24 @@ class CdcJsonSpec extends SparkSpec {
     val text = spark.read.text(s"$base/lines").collect().map(_.getString(0))
     assert(text.exists(_.contains("\"type\":\"INSERT\"")) &&
       text.exists(_.contains("\"type\":\"DELETE\"")), text.mkString("\n"))
+    // a corrupted kind column must raise, never silently encode DELETE
+    val bad = Seq((9L, "z")).toDF("id", "name")
+      .withColumn(Changelog.RowKindCol, org.apache.spark.sql.functions.lit(7).cast("byte"))
+    val err = intercept[Exception](
+      GraftCatalog.insertInto(spark, "cdc_out", bad, overwrite = false))
+    assert(err.getMessage.contains("invalid"), err.getMessage)
+    // schema-include tables write what their own decoder expects
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE cdc_out_si (
+         |  id BIGINT, name VARCHAR(8),
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/si',
+         |        'format' = 'debezium-json', 'version-by' = 'id',
+         |        'debezium-json.schema-include' = 'true')""".stripMargin)
+    GraftSql.sql(spark,
+      "INSERT INTO cdc_out_si SELECT n_nationkey, substring(n_name, 1, 8) FROM nation WHERE n_nationkey < 2")
+    assert(spark.table("cdc_out_si").count() === 2,
+      "schema-include write must round-trip through the payload-nested decoder")
   }
 
   test("decoded changelog feeds retract aggregation end-to-end") {

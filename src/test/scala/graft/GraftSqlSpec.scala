@@ -386,6 +386,15 @@ class GraftSqlSpec extends SparkSpec {
     val mins = out.collect().map(_.getTimestamp(0).toLocalDateTime.getMinute).toSet
     assert(mins.nonEmpty && mins.subsetOf(Set(10, 40)),
       s"offset hop windows must start at :10/:40, got minutes $mins")
+    // CUMULATE(step 30m, max 1h, offset 20m): window_start on :20
+    val cu = GraftSql.sql(spark,
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+        |  INTERVAL '30' MINUTE, INTERVAL '1' HOUR, INTERVAL '20' MINUTE))
+        |GROUP BY window_start""".stripMargin)
+    val cuMins = cu.collect().map(_.getTimestamp(0).toLocalDateTime.getMinute).toSet
+    assert(cuMins.nonEmpty && cuMins === Set(20),
+      s"offset cumulate grid must start at :20, got minutes $cuMins")
   }
 
   test("SHOW TABLES / SHOW CREATE TABLE / DESCRIBE reflect connector DDL metadata") {
