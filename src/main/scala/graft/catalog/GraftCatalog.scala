@@ -90,7 +90,8 @@ object GraftCatalog {
 
   def upsertOf(table: String): Option[UpsertSpec] = specLookup(tableUpsert, table)
 
-  /** CDC-format tables (`'format' = 'debezium-json' | 'canal-json'`):
+  /** CDC-format tables (`'format' = 'debezium-json' | 'canal-json' |
+    * 'maxwell-json' | 'ogg-json'`):
     * the decoded view is a RETRACT changelog (explicit __rowkind), so
     * SQL over it routes through ChangelogInference like upsert tables
     * do — but with the rowkinds already materialized by the format.
@@ -102,7 +103,8 @@ object GraftCatalog {
 
   def cdcOf(table: String): Option[UpsertSpec] = specLookup(tableCdc, table)
 
-  private val cdcFormats = Set("debezium-json", "canal-json")
+  private val cdcFormats =
+    Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
   /** One decode contract for batch and streaming reads of a CDC
     * table — option names and dispatch live here only.
@@ -111,13 +113,21 @@ object GraftCatalog {
       options: Map[String, String]): DataFrame = {
     val ignore = options.get(s"$fmt.ignore-parse-errors").contains("true")
     val tsFmt = options.get(s"$fmt.timestamp-format")
-    if (fmt == "debezium-json")
-      graft.sources.CdcJson.debezium(raw, schema,
-        schemaInclude = options.get("debezium-json.schema-include").contains("true"),
-        ignoreParseErrors = ignore, timestampFormat = tsFmt)
-    else
-      graft.sources.CdcJson.canal(raw, schema,
-        ignoreParseErrors = ignore, timestampFormat = tsFmt)
+    fmt match {
+      case "debezium-json" =>
+        graft.sources.CdcJson.debezium(raw, schema,
+          schemaInclude = options.get("debezium-json.schema-include").contains("true"),
+          ignoreParseErrors = ignore, timestampFormat = tsFmt)
+      case "canal-json" =>
+        graft.sources.CdcJson.canal(raw, schema,
+          ignoreParseErrors = ignore, timestampFormat = tsFmt)
+      case "maxwell-json" =>
+        graft.sources.CdcJson.maxwell(raw, schema,
+          ignoreParseErrors = ignore, timestampFormat = tsFmt)
+      case "ogg-json" =>
+        graft.sources.CdcJson.ogg(raw, schema,
+          ignoreParseErrors = ignore, timestampFormat = tsFmt)
+    }
   }
 
   /** Apply a table's DDL-declared computed columns and watermark to a
@@ -260,6 +270,13 @@ object GraftCatalog {
       case "debezium-json" =>
         when(isUpsert, envelope(struct(payload.as("after"), lit("c").as("op"))))
           .when(isRetract, envelope(struct(payload.as("before"), lit("d").as("op"))))
+      case "ogg-json" => // before/after images, I/D ops (OggJsonSerializationSchema.java:88-102)
+        when(isUpsert, to_json(struct(payload.as("after"), lit("I").as("op_type")), tsOpts))
+          .when(isRetract, to_json(struct(payload.as("before"), lit("D").as("op_type")), tsOpts))
+      case "maxwell-json" => // data always carries the row (MaxwellJsonSerializationSchema.java:77-95)
+        to_json(struct(payload.as("data"),
+          when(isUpsert, lit("insert"))
+            .when(isRetract, lit("delete")).as("type")), tsOpts)
       case _ => // canal-json
         to_json(struct(array(payload).as("data"),
           when(isUpsert, lit("INSERT"))

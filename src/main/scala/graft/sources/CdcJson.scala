@@ -6,9 +6,11 @@ import org.apache.spark.sql.types._
 
 import graft.changelog.Changelog
 
-/** CDC changelog-format decoders — the flink-json changelog formats
-  * (DebeziumJsonDeserializationSchema.java:130-182,
-  * CanalJsonDeserializationSchema.java:225-291): JSON-encoded change
+/** CDC changelog-format decoders — all four flink-json changelog
+  * formats (DebeziumJsonDeserializationSchema.java:130-182,
+  * CanalJsonDeserializationSchema.java:225-291,
+  * MaxwellJsonDeserializationSchema.java:128-170,
+  * OggJsonDeserializationSchema.java:166-196): JSON-encoded change
   * events become `__rowkind` changelog rows that feed the changelog
   * tier (normalize / retract aggregation / SQL inference) directly.
   *
@@ -34,47 +36,135 @@ object CdcJson {
     */
   def debezium(lines: DataFrame, physical: StructType, lineCol: String = "value",
       schemaInclude: Boolean = false, ignoreParseErrors: Boolean = false,
-      timestampFormat: Option[String] = None): DataFrame = {
+      timestampFormat: Option[String] = None): DataFrame =
+    beforeAfterFormat(lines, physical, lineCol,
+      wrap = if (schemaInclude) Some("payload") else None,
+      beforeField = "before", afterField = "after", opField = "op",
+      insertOps = Seq("c", "r"), updateOp = "u", deleteOp = "d",
+      label = "debezium", insertLabel = "insert/read",
+      replicaHint = " (set REPLICA IDENTITY FULL)",
+      ignoreParseErrors = ignoreParseErrors, timestampFormat = timestampFormat)
+
+  /** ogg-json (Oracle GoldenGate): `{"before":{...},"after":{...},
+    * "op_type":"I|U|D"}` — the debezium shape with renamed fields and
+    * single-letter ops (OggJsonDeserializationSchema.java:166-196).
+    * I emits +I(after); U emits -U(before), +U(after); D emits
+    * -D(before); any other op_type (incl. the declared-but-unhandled
+    * "T" truncate) is an error in strict mode, dropped otherwise.
+    */
+  def ogg(lines: DataFrame, physical: StructType, lineCol: String = "value",
+      ignoreParseErrors: Boolean = false,
+      timestampFormat: Option[String] = None): DataFrame =
+    beforeAfterFormat(lines, physical, lineCol, wrap = None,
+      beforeField = "before", afterField = "after", opField = "op_type",
+      insertOps = Seq("I"), updateOp = "U", deleteOp = "D",
+      label = "ogg", insertLabel = "insert",
+      replicaHint = " (GoldenGate must log full before images)",
+      ignoreParseErrors = ignoreParseErrors, timestampFormat = timestampFormat)
+
+  /** Shared core for the before/after-envelope formats: one
+    * `from_json` projection, a conditional rows-array, `explode`.
+    */
+  private def beforeAfterFormat(lines: DataFrame, physical: StructType,
+      lineCol: String, wrap: Option[String],
+      beforeField: String, afterField: String, opField: String,
+      insertOps: Seq[String], updateOp: String, deleteOp: String,
+      label: String, insertLabel: String, replicaHint: String,
+      ignoreParseErrors: Boolean,
+      timestampFormat: Option[String]): DataFrame = {
     val envelope = StructType(Seq(
-      StructField("before", physical), StructField("after", physical),
-      StructField("op", StringType)))
-    val parseSchema =
-      if (schemaInclude) StructType(Seq(StructField("payload", envelope)))
-      else envelope
+      StructField(beforeField, physical), StructField(afterField, physical),
+      StructField(opField, StringType)))
+    val parseSchema = wrap.fold(envelope: StructType)(w =>
+      StructType(Seq(StructField(w, envelope))))
     val jsonOpts = timestampFormat.map("timestampFormat" -> _).toMap
     val rowT = ArrayType(StructType(physical.fields :+ kindField))
     def rowOf(img: Column, kind: Byte): Column =
       struct(physical.fieldNames.toSeq.map(f => img.getField(f).as(f)) :+
         lit(kind).as(Changelog.RowKindCol): _*)
 
+    val parsedRoot = from_json(col(lineCol), parseSchema, jsonOpts)
     val parsed = lines
       .filter(length(col(lineCol)) > 0) // tombstones
-      .withColumn("__j",
-        if (schemaInclude) from_json(col(lineCol), parseSchema, jsonOpts).getField("payload")
-        else from_json(col(lineCol), parseSchema, jsonOpts))
-    val before = col("__j").getField("before")
-    val after = col("__j").getField("after")
-    val op = col("__j").getField("op")
+      .withColumn("__j", wrap.fold(parsedRoot)(w => parsedRoot.getField(w)))
+    val before = col("__j").getField(beforeField)
+    val after = col("__j").getField(afterField)
+    val op = col("__j").getField(opField)
     // corrupt JSON parses to a null envelope -> op null -> error path;
-    // a null before on u/d is the reference's REPLICA IDENTITY error,
-    // and a null after on c/r its NPE-turned-IOException
+    // a null before on update/delete is the reference's REPLICA
+    // IDENTITY error, and a null after on insert its
+    // NPE-turned-IOException
     val onError: Column =
       if (ignoreParseErrors) array().cast(rowT)
       else raise_error(concat(
-        when(op.isin("u", "d"),
-          lit("null \"before\" in a debezium update/delete " +
-            "(set REPLICA IDENTITY FULL): "))
-          .when(op.isin("c", "r"), lit("null \"after\" in a debezium insert/read: "))
-          .otherwise(lit("corrupt or unknown-op debezium record: ")),
+        when(op.isin(updateOp, deleteOp),
+          lit(s"""null "$beforeField" in a $label update/delete$replicaHint: """))
+          .when(op.isin(insertOps: _*),
+            lit(s"""null "$afterField" in a $label $insertLabel: """))
+          .otherwise(lit(s"corrupt or unknown-op $label record: ")),
         col(lineCol))).cast(rowT)
     val rows =
-      when(op.isin("c", "r") && after.isNotNull,
+      when(op.isin(insertOps: _*) && after.isNotNull,
         array(rowOf(after, Changelog.Insert)))
-        .when(op === "u" && before.isNotNull,
+        .when(op === updateOp && before.isNotNull,
           array(rowOf(before, Changelog.UpdateBefore),
             rowOf(after, Changelog.UpdateAfter)))
-        .when(op === "d" && before.isNotNull,
+        .when(op === deleteOp && before.isNotNull,
           array(rowOf(before, Changelog.Delete)))
+        .otherwise(onError)
+    parsed.select(explode(rows).as("__r")).select(col("__r.*"))
+  }
+
+  /** maxwell-json: `{"data":{...},"old":{...},"type":"insert|update|
+    * delete"}` (MaxwellJsonDeserializationSchema.java:128-170). `data`
+    * carries the row image; on update `old` holds ONLY the changed
+    * fields' previous values — the before-image merges them over
+    * `data` (key present with explicit null means "changed to null",
+    * absent means unchanged; same partial-old contract as canal but
+    * on a single object, not an array). insert emits +I(data); update
+    * -U(merged), +U(data); delete -D(data). `old` decodes as a map so
+    * key presence survives; values cast from their JSON text, flat
+    * rows like the reference.
+    */
+  def maxwell(lines: DataFrame, physical: StructType, lineCol: String = "value",
+      ignoreParseErrors: Boolean = false,
+      timestampFormat: Option[String] = None): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("data", physical),
+      StructField("old", MapType(StringType, StringType)),
+      StructField("type", StringType)))
+    val jsonOpts = timestampFormat.map("timestampFormat" -> _).toMap
+    val rowT = ArrayType(StructType(physical.fields :+ kindField))
+
+    val parsed = lines
+      .filter(length(col(lineCol)) > 0)
+      .withColumn("__j", from_json(col(lineCol), envelope, jsonOpts))
+    val data = col("__j").getField("data")
+    val oldMap = col("__j").getField("old")
+    val t = col("__j").getField("type")
+    def rowOf(kind: Byte): Column =
+      struct(physical.fieldNames.toSeq.map(f => data.getField(f).as(f)) :+
+        lit(kind).as(Changelog.RowKindCol): _*)
+    val mergedBefore = struct(physical.fields.toSeq.map { sf =>
+      when(map_contains_key(oldMap, lit(sf.name)),
+        element_at(oldMap, lit(sf.name)).cast(sf.dataType))
+        .otherwise(data.getField(sf.name)).as(sf.name)
+    } :+ lit(Changelog.UpdateBefore).as(Changelog.RowKindCol): _*)
+    // a null data on any op is corrupt (the reference NPEs building
+    // the row); a null old on update is its findValue NPE — maxwell
+    // always writes old on updates
+    val onError: Column =
+      if (ignoreParseErrors) array().cast(rowT)
+      else raise_error(concat(
+        when(t === "update" && data.isNotNull,
+          lit("""null "old" in a maxwell update: """))
+          .otherwise(lit("corrupt or unknown-type maxwell record: ")),
+        col(lineCol))).cast(rowT)
+    val rows =
+      when(t === "insert" && data.isNotNull, array(rowOf(Changelog.Insert)))
+        .when(t === "update" && data.isNotNull && oldMap.isNotNull,
+          array(mergedBefore, rowOf(Changelog.UpdateAfter)))
+        .when(t === "delete" && data.isNotNull, array(rowOf(Changelog.Delete)))
         .otherwise(onError)
     parsed.select(explode(rows).as("__r")).select(col("__r.*"))
   }

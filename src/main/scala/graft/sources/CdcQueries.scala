@@ -96,6 +96,53 @@ object CdcQueries {
     path
   }
 
+  /** events replayed as maxwell envelopes: single-object data with
+    * `old` carrying ONLY the changed fields' previous values — the
+    * single-object twin of the canal partial-old merge.
+    */
+  private def maxwellFixture(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_cdc_maxwell/${key(dir)}/lines"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val emptyMap = map().cast(MapType(StringType, StringType))
+      def ent(cond: Column, k: String, v: Column): Column =
+        when(cond, map(lit(k), v)).otherwise(emptyMap)
+      val prev = (f: String) => col("__prev").getField(f)
+      val oldMap = map_concat(
+        ent(lit(true), "ts", date_format(prev("ts"), TsFmt)),
+        ent(lit(true), "event_id", prev("event_id").cast("string")),
+        ent(!(prev("event_type") <=> col("event_type")), "event_type", prev("event_type")),
+        ent(!(prev("value") <=> col("value")), "value", prev("value").cast("string")))
+      val ev = eventsWithPrev(s, dir)
+      val ins = ev.filter(col("__rn") === 1).select(to_json(struct(
+        payload.as("data"), lit("insert").as("type")), tsOpts).as("value"))
+      val upd = ev.filter(col("__rn") > 1).select(to_json(struct(
+        payload.as("data"), oldMap.as("old"),
+        lit("update").as("type")), tsOpts).as("value"))
+      val dels = ev.filter(col("__rn") === col("__n") && col("user_id") % 7 === 0)
+        .select(to_json(struct(payload.as("data"),
+          lit("delete").as("type")), tsOpts).as("value"))
+      ins.unionByName(upd).unionByName(dels).write.mode("overwrite").text(path)
+    }
+    path
+  }
+
+  /** events replayed as GoldenGate envelopes: before/after images
+    * with I/U/D op_type — the ogg twin of the debezium fixture.
+    */
+  private def oggFixture(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_cdc_ogg/${key(dir)}/lines"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev = eventsWithPrev(s, dir)
+      val cu = ev.select(to_json(struct(
+        col("__prev").as("before"), payload.as("after"),
+        when(col("__rn") === 1, lit("I")).otherwise(lit("U")).as("op_type")), tsOpts).as("value"))
+      val dels = ev.filter(col("__rn") === col("__n") && col("user_id") % 7 === 0)
+        .select(to_json(struct(payload.as("before"), lit("D").as("op_type")), tsOpts).as("value"))
+      cu.unionByName(dels).write.mode("overwrite").text(path)
+    }
+    path
+  }
+
   private def declare(s: SparkSession, name: String, fmt: String, path: String): Unit =
     GraftSql.sql(s,
       s"""CREATE TABLE $name (
@@ -145,9 +192,35 @@ object CdcQueries {
         |FROM cdc_user_state WHERE event_type = 'purchase'""".stripMargin)
   }
 
+  /** MIN/SUM over the maxwell stream: the single-object partial-old
+    * merge reconstructs before-images that the signed aggregate and
+    * the value-multiset min state must net out exactly.
+    */
+  def cdcMaxwell(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    declare(s, "cdc_maxwell_state", "maxwell-json", maxwellFixture(s, dir))
+    GraftSql.sql(s,
+      """SELECT event_type, count(*) AS cnt, min(value) AS min_value,
+        |  sum(value) AS sum_value
+        |FROM cdc_maxwell_state GROUP BY event_type""".stripMargin)
+  }
+
+  /** Non-aggregate shape over the ogg stream: ChangelogNormalize view
+    * over I/U/D ops — current state with deletes removed.
+    */
+  def cdcOgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    declare(s, "cdc_ogg_state", "ogg-json", oggFixture(s, dir))
+    GraftSql.sql(s,
+      """SELECT user_id, event_id, event_type, value
+        |FROM cdc_ogg_state WHERE value > 100""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_debezium"  -> (cdcDebezium _),
     "q_cdc_canal"     -> (cdcCanal _),
+    "q_cdc_maxwell"   -> (cdcMaxwell _),
+    "q_cdc_ogg"       -> (cdcOgg _),
     "q_cdc_normalize" -> (cdcNormalize _))
 
   // keep-last per user minus deleted users, then aggregate — what the
@@ -166,6 +239,19 @@ object CdcQueries {
         |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 AND user_id % 7 <> 0 GROUP BY event_type""".stripMargin,
+    "q_cdc_maxwell" ->
+      """SELECT event_type, count(*) AS cnt, min(value) AS min_value,
+        |  sum(value) AS sum_value
+        |FROM (SELECT user_id, event_type, value, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND user_id % 7 <> 0 GROUP BY event_type""".stripMargin,
+    "q_cdc_ogg" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND user_id % 7 <> 0 AND value > 100""".stripMargin,
     "q_cdc_normalize" ->
       """SELECT user_id, event_id, event_type, value
         |FROM (SELECT user_id, event_id, event_type, value, row_number() OVER (

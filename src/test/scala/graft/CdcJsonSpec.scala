@@ -124,6 +124,72 @@ class CdcJsonSpec extends SparkSpec {
     assert(rowsOf(out) === Seq((3L, "c", Some(3.0), Changelog.Insert)))
   }
 
+  test("maxwell: insert/update/delete route; update merges old over data") {
+    // old carries only the changed fields' previous values: weight on
+    // row 1; an explicit null name on row 4 means "changed to null"
+    val out = CdcJson.maxwell(linesDf(
+      """{"data":{"id":1,"name":"a","weight":1.0},"old":null,"type":"insert"}""",
+      """{"data":{"id":1,"name":"a","weight":9.9},"old":{"weight":"1.0"},"type":"update"}""",
+      """{"data":{"id":4,"name":"dd","weight":4.0},"old":{"name":null},"type":"update"}""",
+      "", // tombstone
+      """{"data":{"id":1,"name":"a","weight":9.9},"old":null,"type":"delete"}"""),
+      physical)
+    assert(rowsOf(out).toSet === Set(
+      (1L, "a", Some(1.0), Changelog.Insert),
+      (1L, "a", Some(1.0), Changelog.UpdateBefore),
+      (1L, "a", Some(9.9), Changelog.UpdateAfter),
+      (4L, null, Some(4.0), Changelog.UpdateBefore),
+      (4L, "dd", Some(4.0), Changelog.UpdateAfter),
+      (1L, "a", Some(9.9), Changelog.Delete)))
+  }
+
+  test("maxwell: strict raises on bootstrap/unknown type and null old in update; ignore drops") {
+    val unknown = CdcJson.maxwell(linesDf(
+      """{"data":{"id":1,"name":"a","weight":1.0},"old":null,"type":"bootstrap-insert"}"""),
+      physical)
+    val e1 = intercept[Exception](unknown.collect())
+    assert(e1.getMessage.contains("maxwell"), e1.getMessage)
+    val nullOld = CdcJson.maxwell(linesDf(
+      """{"data":{"id":1,"name":"a","weight":1.0},"old":null,"type":"update"}"""),
+      physical)
+    val e2 = intercept[Exception](nullOld.collect())
+    assert(e2.getMessage.contains("\"old\""), e2.getMessage)
+    val out = CdcJson.maxwell(linesDf(
+      "garbage",
+      """{"data":{"id":1,"name":"a","weight":1.0},"old":null,"type":"bootstrap-insert"}""",
+      """{"data":{"id":3,"name":"c","weight":3.0},"old":null,"type":"insert"}"""),
+      physical, ignoreParseErrors = true)
+    assert(rowsOf(out) === Seq((3L, "c", Some(3.0), Changelog.Insert)))
+  }
+
+  test("ogg: I/U/D ops emit +I, -U/+U, -D; strict errors match the reference") {
+    val out = CdcJson.ogg(linesDf(
+      """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op_type":"I"}""",
+      """{"before":{"id":1,"name":"a","weight":1.0},"after":{"id":1,"name":"a","weight":2.0},"op_type":"U"}""",
+      """{"before":{"id":1,"name":"a","weight":2.0},"after":null,"op_type":"D"}"""),
+      physical)
+    assert(rowsOf(out).toSet === Set(
+      (1L, "a", Some(1.0), Changelog.Insert),
+      (1L, "a", Some(1.0), Changelog.UpdateBefore),
+      (1L, "a", Some(2.0), Changelog.UpdateAfter),
+      (1L, "a", Some(2.0), Changelog.Delete)))
+    // truncate is declared but unhandled in the reference -> unknown op
+    val trunc = CdcJson.ogg(linesDf(
+      """{"before":null,"after":null,"op_type":"T"}"""), physical)
+    val e1 = intercept[Exception](trunc.collect())
+    assert(e1.getMessage.contains("ogg"), e1.getMessage)
+    val nullBefore = CdcJson.ogg(linesDf(
+      """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op_type":"U"}"""),
+      physical)
+    val e2 = intercept[Exception](nullBefore.collect())
+    assert(e2.getMessage.contains("before"), e2.getMessage)
+    val dropped = CdcJson.ogg(linesDf(
+      """{"before":null,"after":null,"op_type":"T"}""",
+      """{"before":null,"after":{"id":2,"name":"b","weight":2.0},"op_type":"I"}"""),
+      physical, ignoreParseErrors = true)
+    assert(rowsOf(dropped) === Seq((2L, "b", Some(2.0), Changelog.Insert)))
+  }
+
   test("normalize: a delete at the same version as the row it deletes wins the tie") {
     val log = Seq(
       (1L, 10L, "live", Changelog.Insert),
@@ -273,6 +339,21 @@ class CdcJsonSpec extends SparkSpec {
       "INSERT INTO cdc_out_si SELECT n_nationkey, substring(n_name, 1, 8) FROM nation WHERE n_nationkey < 2")
     assert(spark.table("cdc_out_si").count() === 2,
       "schema-include write must round-trip through the payload-nested decoder")
+    // maxwell and ogg tables round-trip through their own encoders
+    for ((fmt, tbl) <- Seq("maxwell-json" -> "cdc_out_mx", "ogg-json" -> "cdc_out_ogg")) {
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE $tbl (
+           |  id BIGINT, name VARCHAR(8),
+           |  PRIMARY KEY (id) NOT ENFORCED
+           |) WITH ('connector' = 'filesystem', 'path' = '$base/$tbl',
+           |        'format' = '$fmt', 'version-by' = 'id')""".stripMargin)
+      GraftSql.sql(spark,
+        s"INSERT INTO $tbl SELECT n_nationkey, substring(n_name, 1, 8) FROM nation WHERE n_nationkey < 3")
+      GraftCatalog.insertInto(spark, tbl, del, overwrite = false)
+      val curF = GraftSql.sql(spark, s"SELECT id FROM $tbl")
+        .collect().map(_.getLong(0)).toSet
+      assert(curF === Set(0L, 2L), s"$fmt: deleted key must vanish, got $curF")
+    }
   }
 
   test("decoded changelog feeds retract aggregation end-to-end") {
