@@ -132,14 +132,108 @@ object SqlQueries {
         |FROM user_state_hist GROUP BY event_type""".stripMargin)
   }
 
+  /** Window Top-N (the reference's canonical TVF follow-up: window
+    * agg → ROW_NUMBER over (window_start, window_end) → rank filter,
+    * WindowRankOperator semantics): top event types per hour by
+    * count, ties broken deterministically by name.
+    */
+  def windowTopnSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT window_start, window_end, event_type, cnt, rn
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY window_start, window_end
+        |    ORDER BY cnt DESC, event_type) AS rn
+        |  FROM (
+        |    SELECT window_start, window_end, event_type, count(*) AS cnt
+        |    FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |    GROUP BY window_start, window_end, event_type))
+        |WHERE rn <= 3""".stripMargin)
+  }
+
+  /** Window join (two windowed relations equi-joined on window bounds
+    * + key, WindowJoinOperator semantics): per hour and user, join
+    * purchase counts with view counts — two TVF occurrences in one
+    * statement exercise repeated splicing.
+    */
+  def windowJoinSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT p.window_start, p.window_end, p.user_id,
+        |  p.n_purchases, v.n_views
+        |FROM (SELECT window_start, window_end, user_id, count(*) AS n_purchases
+        |      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |      WHERE event_type = 'purchase'
+        |      GROUP BY window_start, window_end, user_id) p
+        |JOIN (SELECT window_start, window_end, user_id, count(*) AS n_views
+        |      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |      WHERE event_type = 'view'
+        |      GROUP BY window_start, window_end, user_id) v
+        |ON p.window_start = v.window_start AND p.window_end = v.window_end
+        |  AND p.user_id = v.user_id""".stripMargin)
+  }
+
+  /** Window deduplication (ROW_NUMBER = 1 per (window, key) ordered
+    * by time, WindowDeduplicateOperator semantics): each user's first
+    * event per hour.
+    */
+  def windowDedupSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT window_start, window_end, user_id, event_id, ts
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY window_start, window_end, user_id
+        |        ORDER BY ts, event_id) AS rn
+        |      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)))
+        |WHERE rn = 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_match_recognize" -> (matchRecognizeSql _),
     "q_sql_temporal_join"   -> (temporalJoinSql _),
     "q_sql_upsert_agg"      -> (upsertAggSql _),
     "q_sql_tumble_offset"   -> (tumbleOffsetSql _),
+    "q_sql_window_topn"     -> (windowTopnSql _),
+    "q_sql_window_join"     -> (windowJoinSql _),
+    "q_sql_window_dedup"    -> (windowDedupSql _),
     "q_sql_session"         -> (sessionSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_window_topn" ->
+      """SELECT window_start, window_end, event_type, cnt, rn
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY window_start, window_end
+        |    ORDER BY cnt DESC, event_type) AS rn
+        |  FROM (
+        |    SELECT date_trunc('hour', ts) AS window_start,
+        |      date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+        |      event_type, count(*)::BIGINT AS cnt
+        |    FROM events GROUP BY 1, 2, 3))
+        |WHERE rn <= 3""".stripMargin,
+    "q_sql_window_join" ->
+      """SELECT p.window_start, p.window_end, p.user_id,
+        |  p.n_purchases, v.n_views
+        |FROM (SELECT date_trunc('hour', ts) AS window_start,
+        |        date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+        |        user_id, count(*)::BIGINT AS n_purchases
+        |      FROM events WHERE event_type = 'purchase'
+        |      GROUP BY 1, 2, 3) p
+        |JOIN (SELECT date_trunc('hour', ts) AS window_start,
+        |        user_id, count(*)::BIGINT AS n_views
+        |      FROM events WHERE event_type = 'view'
+        |      GROUP BY 1, 2) v
+        |ON p.window_start = v.window_start AND p.user_id = v.user_id""".stripMargin,
+    "q_sql_window_dedup" ->
+      """SELECT window_start, window_end, user_id, event_id, ts
+        |FROM (SELECT date_trunc('hour', ts) AS window_start,
+        |        date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+        |        user_id, event_id, ts, row_number() OVER (
+        |          PARTITION BY date_trunc('hour', ts), user_id
+        |          ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
     "q_sql_tumble_offset" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '20 minutes') AS wstart,
         |  time_bucket(INTERVAL '1 hour', ts, INTERVAL '20 minutes')
