@@ -154,6 +154,69 @@ object FlinkFunctions {
       org.apache.spark.sql.types.StringType) }
     reg1("sha224") { es => expressions.Sha2(expressions.Cast(es.head,
       org.apache.spark.sql.types.BinaryType), expressions.Literal(224)) }
+    reg1("sha384") { es => expressions.Sha2(expressions.Cast(es.head,
+      org.apache.spark.sql.types.BinaryType), expressions.Literal(384)) }
+    reg1("sha512") { es => expressions.Sha2(expressions.Cast(es.head,
+      org.apache.spark.sql.types.BinaryType), expressions.Literal(512)) }
+    // character-classification predicates (SqlFunctionUtils.java:
+    // isAlpha 982, isDigit 964, isDecimal 912): non-empty string of
+    // letters / digits / a parseable number; NULL -> FALSE, not NULL.
+    // isDecimal approximates the Java parse grammar with a regex
+    // (accepts sign, decimal, exponent, NaN/Infinity, f/d suffix).
+    def classify(name: String, pattern: String): Unit = reg1(name) { es =>
+      expressions.If(expressions.IsNull(es.head), expressions.Literal(false),
+        expressions.RLike(es.head, expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(pattern),
+          org.apache.spark.sql.types.StringType)))
+    }
+    classify("is_alpha", "^\\p{L}+$")
+    classify("is_digit", "^\\p{Nd}+$")
+    classify("is_decimal",
+      "^[+-]?(NaN|Infinity|((\\p{Nd}+\\.?\\p{Nd}*|\\.\\p{Nd}+)([eE][+-]?\\p{Nd}+)?[fFdD]?))$")
+    // JSON_STRING(v): serialize any value to a JSON text; NULL -> NULL
+    // (BuiltInFunctionDefinitions JSON_STRING). to_json only accepts
+    // container types, so wrap in a 1-element array and strip the
+    // brackets — nested values serialize correctly inside.
+    reg1("json_string") { es =>
+      val arr = expressions.StructsToJson(Map("ignoreNullFields" -> "false"),
+        expressions.CreateArray(Seq(es.head)))
+      val stripped = expressions.Substring(arr, expressions.Literal(2),
+        expressions.Subtract(expressions.Length(arr), expressions.Literal(2)))
+      expressions.If(expressions.IsNull(es.head),
+        expressions.Literal(null, org.apache.spark.sql.types.StringType), stripped)
+    }
+    // RAND_INTEGER([seed,] n): uniform int in [0, n)
+    reg1("rand_integer") { es =>
+      val (seed, n) = es match {
+        case Seq(n0) => (expressions.Literal(scala.util.Random.nextLong()), n0)
+        case Seq(s0, n0) => (s0, n0)
+      }
+      expressions.Cast(expressions.Floor(expressions.Multiply(
+        new expressions.Rand(seed),
+        expressions.Cast(n, org.apache.spark.sql.types.DoubleType))),
+        org.apache.spark.sql.types.IntegerType)
+    }
+    // TO_TIMESTAMP_LTZ(numeric [, precision 0|3]): epoch seconds or
+    // millis -> session-zone timestamp (default precision 3)
+    reg1("to_timestamp_ltz") { es =>
+      val p = es.lift(1).getOrElse(expressions.Literal(3))
+      expressions.If(
+        expressions.EqualTo(expressions.Cast(p,
+          org.apache.spark.sql.types.IntegerType), expressions.Literal(0)),
+        expressions.SecondsToTimestamp(expressions.Cast(es.head,
+          org.apache.spark.sql.types.LongType)),
+        expressions.MillisToTimestamp(expressions.Cast(es.head,
+          org.apache.spark.sql.types.LongType)))
+    }
+    // CURRENT_ROW_TIMESTAMP(): per-row wall clock in the reference;
+    // batch/micro-batch constant here (same caveat as PROCTIME)
+    reg1("current_row_timestamp") { _ => expressions.CurrentTimestamp() }
+    // CURRENT_WATERMARK(rowtime): NULL whenever no watermark has been
+    // emitted — which is always true on the batch path; the streaming
+    // operators track watermarks internally (StreamingOps) and don't
+    // surface them as a per-row expression
+    reg1("current_watermark") { _ =>
+      expressions.Literal(null, org.apache.spark.sql.types.TimestampType) }
     // SQL:2016 JSON surface (BuiltInFunctionDefinitions.java:1883-2017).
     // json_object takes alternating key/value args (the KEY k VALUE v
     // SQL syntax is Flink-parser-only); aggregates nest a

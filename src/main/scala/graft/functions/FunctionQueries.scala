@@ -279,7 +279,31 @@ object FunctionQueries {
       date_format(to_date(date_format(col("ts"), "yyyy-MM-dd")), "yyyy-MM-dd").as("tod"))
   }
 
+  /** Battery 4: character classification + JSON_STRING +
+    * TO_TIMESTAMP_LTZ (BuiltInFunctionDefinitions IS_ALPHA/IS_DIGIT/
+    * IS_DECIMAL/JSON_STRING/TO_TIMESTAMP_LTZ), all through the
+    * registered Flink-name SQL surface.
+    */
+  def fnClassify(s: SparkSession, dir: String): DataFrame = {
+    F.registerAll(s)
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      expr("is_alpha(substring(c_name, 1, 8))").cast("int").as("ia_word"),
+      expr("is_alpha(c_name)").cast("int").as("ia_mixed"),
+      expr("is_digit(regexp_extract(c_name, '([0-9]+)', 1))").cast("int").as("id_digits"),
+      expr("is_digit(c_mktsegment)").cast("int").as("id_seg"),
+      expr("is_decimal(cast(c_custkey AS string))").cast("int").as("dec_int"),
+      expr("is_decimal(c_name)").cast("int").as("dec_name"),
+      expr("json_string(c_mktsegment)").as("js_str"),
+      expr("json_string(c_nationkey)").as("js_num"),
+      date_format(expr("to_timestamp_ltz(c_custkey * 86400000, 3)"),
+        "yyyy-MM-dd HH:mm:ss").as("ltz3"),
+      date_format(expr("to_timestamp_ltz(c_custkey * 86400, 0)"),
+        "yyyy-MM-dd HH:mm:ss").as("ltz0"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_classify" -> (fnClassify _),
     "q_fn_string3"  -> (fnString3 _),
     "q_fn_datetime3" -> (fnDatetime3 _),
     "q_fn_collections" -> (fnCollections _),
@@ -295,6 +319,19 @@ object FunctionQueries {
     "q_fn_jsonagg"  -> (fnJsonAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_fn_classify" ->
+      """SELECT c_custkey,
+        |  regexp_matches(substring(c_name, 1, 8), '^[a-zA-Z]+$')::INT AS ia_word,
+        |  regexp_matches(c_name, '^[a-zA-Z]+$')::INT AS ia_mixed,
+        |  regexp_matches(regexp_extract(c_name, '([0-9]+)', 1), '^[0-9]+$')::INT AS id_digits,
+        |  regexp_matches(c_mktsegment, '^[0-9]+$')::INT AS id_seg,
+        |  1 AS dec_int,
+        |  0 AS dec_name,
+        |  to_json(c_mktsegment) AS js_str,
+        |  to_json(c_nationkey) AS js_num,
+        |  strftime(to_timestamp(c_custkey * 86400), '%Y-%m-%d %H:%M:%S') AS ltz3,
+        |  strftime(to_timestamp(c_custkey * 86400), '%Y-%m-%d %H:%M:%S') AS ltz0
+        |FROM customer""".stripMargin,
     "q_fn_string3" ->
       """SELECT c_custkey,
         |  regexp_matches(c_name, '[0-9]{3}$')::INT AS re_match,

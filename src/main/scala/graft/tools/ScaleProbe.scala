@@ -34,9 +34,14 @@ object ScaleProbe {
     "region" -> Nil)
 
   private def buildScaled(spark: SparkSession, srcDir: String, m: Int, dest: String): Unit = {
-    // cache marker encodes the SOURCE dir, so switching inputs rebuilds
+    // cache marker encodes the SOURCE dir, so switching inputs rebuilds.
+    // A rebuild for a DIFFERENT source must drop the other source's
+    // marker, or alternating probes would serve each other stale data
+    // (both markers valid, one dataset on disk).
     val marker = new java.io.File(s"$dest/_SCALED_OK_${srcDir.replaceAll("[^A-Za-z0-9.]", "_")}")
     if (marker.exists()) return
+    Option(new java.io.File(dest).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_SCALED_OK_")).foreach(_.delete())
     Tables.names.foreach { t =>
       val df = Tables.load(spark, srcDir, t)
       val shiftCols = shifts.getOrElse(t, Nil) // new tables default to plain copy

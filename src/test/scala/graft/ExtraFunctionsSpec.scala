@@ -68,6 +68,40 @@ class ExtraFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(2))
   }
 
+  test("sha384/sha512 match MessageDigest; classification edges; json_string; to_timestamp_ltz") {
+    graft.functions.FlinkFunctions.registerAll(spark)
+    def md(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg).digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val r = spark.sql(
+      """SELECT sha384('graft') AS h384, sha512('graft') AS h512,
+        |  CAST(is_alpha('') AS INT) AS ia_empty,
+        |  CAST(is_alpha(CAST(NULL AS STRING)) AS INT) AS ia_null,
+        |  CAST(is_digit('007') AS INT) AS id_ok,
+        |  CAST(is_decimal('-1.5e3') AS INT) AS dec_exp,
+        |  CAST(is_decimal('1.2.3') AS INT) AS dec_bad,
+        |  json_string('a"b') AS js_esc,
+        |  json_string(CAST(NULL AS STRING)) AS js_null,
+        |  json_string(named_struct('k', 1)) AS js_struct,
+        |  date_format(to_timestamp_ltz(86400000, 3), 'yyyy-MM-dd') AS d3,
+        |  date_format(to_timestamp_ltz(86400, 0), 'yyyy-MM-dd') AS d0,
+        |  rand_integer(10) AS ri, rand_integer(42, 10) AS ris,
+        |  current_watermark(TIMESTAMP'2020-01-01 00:00:00') IS NULL AS wm_null,
+        |  current_row_timestamp() IS NOT NULL AS crt""".stripMargin).first()
+    assert(r.getString(0) === md("SHA-384", "graft"))
+    assert(r.getString(1) === md("SHA-512", "graft"))
+    assert(r.getInt(2) === 0 && r.getInt(3) === 0) // empty + NULL -> FALSE
+    assert(r.getInt(4) === 1)
+    assert(r.getInt(5) === 1 && r.getInt(6) === 0)
+    assert(r.getString(7) === "\"a\\\"b\"")
+    assert(r.isNullAt(8))
+    assert(r.getString(9) === """{"k":1}""")
+    assert(r.getString(10) === "1970-01-02" && r.getString(11) === "1970-01-02")
+    assert(r.getInt(12) >= 0 && r.getInt(12) < 10)
+    assert(r.getInt(13) >= 0 && r.getInt(13) < 10)
+    assert(r.getBoolean(14) && r.getBoolean(15))
+  }
+
   test("SQL:2016 JSON aggregate functions by SQL name") {
     graft.functions.FlinkFunctions.registerAll(spark)
     val r = spark.sql(
