@@ -171,8 +171,11 @@ object FlinkFunctions {
     }
     classify("is_alpha", "^\\p{L}+$")
     classify("is_digit", "^\\p{Nd}+$")
+    // Double.parseDouble trims whitespace and accepts hex-float
+    // ("0x1.8p1") syntax, so the grammar includes both
     classify("is_decimal",
-      "^[+-]?(NaN|Infinity|((\\p{Nd}+\\.?\\p{Nd}*|\\.\\p{Nd}+)([eE][+-]?\\p{Nd}+)?[fFdD]?))$")
+      "^\\s*[+-]?(NaN|Infinity|((\\p{Nd}+\\.?\\p{Nd}*|\\.\\p{Nd}+)([eE][+-]?\\p{Nd}+)?[fFdD]?)" +
+        "|(0[xX]([0-9a-fA-F]+\\.?[0-9a-fA-F]*|\\.[0-9a-fA-F]+)[pP][+-]?\\p{Nd}+[fFdD]?))\\s*$")
     // JSON_STRING(v): serialize any value to a JSON text; NULL -> NULL
     // (BuiltInFunctionDefinitions JSON_STRING). to_json only accepts
     // container types, so wrap in a 1-element array and strip the

@@ -97,16 +97,20 @@ object CdcJson {
     val onError: Column =
       if (ignoreParseErrors) array().cast(rowT)
       else raise_error(concat(
-        when(op.isin(updateOp, deleteOp),
+        when(op.isin(updateOp, deleteOp) && before.isNull,
           lit(s"""null "$beforeField" in a $label update/delete$replicaHint: """))
+          .when(op === updateOp && after.isNull,
+            lit(s"""null "$afterField" in a $label update: """))
           .when(op.isin(insertOps: _*),
             lit(s"""null "$afterField" in a $label $insertLabel: """))
           .otherwise(lit(s"corrupt or unknown-op $label record: ")),
         col(lineCol))).cast(rowT)
+    // an update needs BOTH images — a null after would otherwise emit
+    // an all-null +U row (the reference NPEs into its corrupt path)
     val rows =
       when(op.isin(insertOps: _*) && after.isNotNull,
         array(rowOf(after, Changelog.Insert)))
-        .when(op === updateOp && before.isNotNull,
+        .when(op === updateOp && before.isNotNull && after.isNotNull,
           array(rowOf(before, Changelog.UpdateBefore),
             rowOf(after, Changelog.UpdateAfter)))
         .when(op === deleteOp && before.isNotNull,

@@ -60,6 +60,25 @@ object CdcQueries {
     path
   }
 
+  /** The partial-`old` map of a CDC update event: ONLY the changed
+    * fields' previous values (ts/event_id always change; event_type/
+    * value conditionally, with null-safe change detection — a
+    * NULL<->value transition is a change too, or the decoder would
+    * reconstruct a wrong before). Shared by the canal (array-of-maps)
+    * and maxwell (single-map) fixtures.
+    */
+  private def oldMapOf: Column = {
+    val emptyMap = map().cast(MapType(StringType, StringType))
+    def ent(cond: Column, k: String, v: Column): Column =
+      when(cond, map(lit(k), v)).otherwise(emptyMap)
+    val prev = (f: String) => col("__prev").getField(f)
+    map_concat(
+      ent(lit(true), "ts", date_format(prev("ts"), TsFmt)),
+      ent(lit(true), "event_id", prev("event_id").cast("string")),
+      ent(!(prev("event_type") <=> col("event_type")), "event_type", prev("event_type")),
+      ent(!(prev("value") <=> col("value")), "value", prev("value").cast("string")))
+  }
+
   /** events replayed as canal envelopes: INSERT / UPDATE / DELETE
     * with `old` carrying ONLY the changed fields (user_id never
     * changes, so the decoder must copy it from `data`), plus one
@@ -68,17 +87,7 @@ object CdcQueries {
   private def canalFixture(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_cdc_canal/${key(dir)}/lines"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val emptyMap = map().cast(MapType(StringType, StringType))
-      def ent(cond: Column, k: String, v: Column): Column =
-        when(cond, map(lit(k), v)).otherwise(emptyMap)
-      val prev = (f: String) => col("__prev").getField(f)
-      // null-safe change detection: a NULL<->value transition is a
-      // change too, or the decoder would reconstruct a wrong before
-      val oldMap = map_concat(
-        ent(lit(true), "ts", date_format(prev("ts"), TsFmt)),
-        ent(lit(true), "event_id", prev("event_id").cast("string")),
-        ent(!(prev("event_type") <=> col("event_type")), "event_type", prev("event_type")),
-        ent(!(prev("value") <=> col("value")), "value", prev("value").cast("string")))
+      val oldMap = oldMapOf
       val ev = eventsWithPrev(s, dir)
       val ins = ev.filter(col("__rn") === 1).select(to_json(struct(
         array(payload).as("data"), lit("INSERT").as("type")), tsOpts).as("value"))
@@ -103,15 +112,7 @@ object CdcQueries {
   private def maxwellFixture(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_cdc_maxwell/${key(dir)}/lines"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val emptyMap = map().cast(MapType(StringType, StringType))
-      def ent(cond: Column, k: String, v: Column): Column =
-        when(cond, map(lit(k), v)).otherwise(emptyMap)
-      val prev = (f: String) => col("__prev").getField(f)
-      val oldMap = map_concat(
-        ent(lit(true), "ts", date_format(prev("ts"), TsFmt)),
-        ent(lit(true), "event_id", prev("event_id").cast("string")),
-        ent(!(prev("event_type") <=> col("event_type")), "event_type", prev("event_type")),
-        ent(!(prev("value") <=> col("value")), "value", prev("value").cast("string")))
+      val oldMap = oldMapOf
       val ev = eventsWithPrev(s, dir)
       val ins = ev.filter(col("__rn") === 1).select(to_json(struct(
         payload.as("data"), lit("insert").as("type")), tsOpts).as("value"))

@@ -62,6 +62,18 @@ class CdcJsonSpec extends SparkSpec {
       """{"before":null,"after":null,"op":"c"}"""), physical)
     val e3 = intercept[Exception](nullAfter.collect())
     assert(e3.getMessage.contains("\"after\""), e3.getMessage)
+    // a null after on u must not leak an all-null +U row either
+    val nullAfterU = CdcJson.debezium(linesDf(
+      """{"before":{"id":1,"name":"a","weight":1.0},"after":null,"op":"u"}"""), physical)
+    val e4 = intercept[Exception](nullAfterU.collect())
+    assert(e4.getMessage.contains("\"after\"") && e4.getMessage.contains("update"),
+      e4.getMessage)
+    // ...and ignore mode drops the whole event, emitting neither image
+    val droppedU = CdcJson.debezium(linesDf(
+      """{"before":{"id":1,"name":"a","weight":1.0},"after":null,"op":"u"}""",
+      """{"before":null,"after":{"id":2,"name":"b","weight":2.0},"op":"c"}"""),
+      physical, ignoreParseErrors = true)
+    assert(rowsOf(droppedU) === Seq((2L, "b", Some(2.0), Changelog.Insert)))
   }
 
   test("debezium: ignore-parse-errors drops corrupt/unknown records, keeps good ones") {

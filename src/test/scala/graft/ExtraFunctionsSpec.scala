@@ -80,6 +80,8 @@ class ExtraFunctionsSpec extends SparkSpec {
         |  CAST(is_digit('007') AS INT) AS id_ok,
         |  CAST(is_decimal('-1.5e3') AS INT) AS dec_exp,
         |  CAST(is_decimal('1.2.3') AS INT) AS dec_bad,
+        |  CAST(is_decimal(' 1.5 ') AS INT) AS dec_pad,
+        |  CAST(is_decimal('0x1.8p1') AS INT) AS dec_hex,
         |  json_string('a"b') AS js_esc,
         |  json_string(CAST(NULL AS STRING)) AS js_null,
         |  json_string(named_struct('k', 1)) AS js_struct,
@@ -93,13 +95,14 @@ class ExtraFunctionsSpec extends SparkSpec {
     assert(r.getInt(2) === 0 && r.getInt(3) === 0) // empty + NULL -> FALSE
     assert(r.getInt(4) === 1)
     assert(r.getInt(5) === 1 && r.getInt(6) === 0)
-    assert(r.getString(7) === "\"a\\\"b\"")
-    assert(r.isNullAt(8))
-    assert(r.getString(9) === """{"k":1}""")
-    assert(r.getString(10) === "1970-01-02" && r.getString(11) === "1970-01-02")
-    assert(r.getInt(12) >= 0 && r.getInt(12) < 10)
-    assert(r.getInt(13) >= 0 && r.getInt(13) < 10)
-    assert(r.getBoolean(14) && r.getBoolean(15))
+    assert(r.getInt(7) === 1 && r.getInt(8) === 1) // parseDouble trims + hex-float
+    assert(r.getString(9) === "\"a\\\"b\"")
+    assert(r.isNullAt(10))
+    assert(r.getString(11) === """{"k":1}""")
+    assert(r.getString(12) === "1970-01-02" && r.getString(13) === "1970-01-02")
+    assert(r.getInt(14) >= 0 && r.getInt(14) < 10)
+    assert(r.getInt(15) >= 0 && r.getInt(15) < 10)
+    assert(r.getBoolean(16) && r.getBoolean(17))
   }
 
   test("SQL:2016 JSON aggregate functions by SQL name") {
