@@ -8,23 +8,25 @@ import org.apache.spark.sql.functions._
   * with decode / feature-extract / resize / frame-sample stages as
   * partition-wise Dataset transforms.
   *
-  * IMAGES DECODE FOR REAL: `javax.imageio` ships in the JDK
-  * (PNG/BMP/GIF/JPEG), so image rows yield true dimensions and
-  * per-channel pixel means. Audio/video codecs are not in this
-  * container — those kinds fall back to a deterministic stub deriving
-  * fake metadata from the bytes (clearly marked below). Everything
-  * around the kernels is the real thing — schema contracts,
-  * mapPartitions batch shape (one decoder init per partition, not per
-  * row — the same reason Python pipelines use mapInPandas), and
-  * partition sizing so a 100 TB media corpus streams through without
-  * materializing rows in memory.
+  * IMAGES AND AUDIO DECODE FOR REAL: `javax.imageio` ships in the
+  * JDK (PNG/BMP/GIF/JPEG), so image rows yield true dimensions and
+  * per-channel pixel means; `javax.sound.sampled` ships too
+  * (WAV/PCM), so audio rows yield true sample rate, channel count,
+  * frame count, duration and RMS amplitude. Video codecs are not in
+  * this container — that kind falls back to a deterministic stub
+  * deriving fake metadata from the bytes (clearly marked below).
+  * Everything around the kernels is the real thing — schema
+  * contracts, mapPartitions batch shape (one decoder init per
+  * partition, not per row — the same reason Python pipelines use
+  * mapInPandas), and partition sizing so a 100 TB media corpus
+  * streams through without materializing rows in memory.
   */
 object MultimodalOps {
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], source: String)
   case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
       n_frames: Int, n_bytes: Int, mean_r: Double, mean_g: Double, mean_b: Double,
-      source: String)
+      source: String, sample_rate: Int, duration_s: Double, rms: Double)
   case class MediaFeatures(media_id: Long, embedding: Array[Float])
 
   /** True pixel statistics from a real decode. */
@@ -88,6 +90,83 @@ object MultimodalOps {
     ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
+  /** True audio shape + signal statistics from a real decode. */
+  case class AudioStats(sampleRate: Int, channels: Int, nFrames: Long, rms: Double)
+
+  /** RIFF/WAVE container sniff — same rationale as [[looksLikeImage]]. */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real audio decode via javax.sound.sampled: WAV header fields
+    * (sample rate, channels, frame count) plus RMS amplitude
+    * (normalized to [0, 1]) computed over the PCM samples. Non-16-bit
+    * or non-PCM encodings report shape only (rms 0). None = the bytes
+    * are not a decodable WAV.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioStats] =
+    if (!looksLikeWav(bytes)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val rms =
+            if (fmt.getSampleSizeInBits == 16 &&
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+              val data = in.readAllBytes()
+              val sb = java.nio.ByteBuffer.wrap(data)
+                .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                       else java.nio.ByteOrder.LITTLE_ENDIAN)
+                .asShortBuffer()
+              val n = sb.remaining()
+              var sum = 0.0
+              var i = 0
+              while (i < n) { val v = sb.get(i) / 32768.0; sum += v * v; i += 1 }
+              if (n == 0) 0.0 else math.sqrt(sum / n)
+            } else 0.0
+          Some(AudioStats(fmt.getSampleRate.toInt, fmt.getChannels,
+            in.getFrameLength, rms))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic WAV encoder for fixtures: 16-bit signed PCM mono;
+    * round-trips exactly through [[decodeAudio]].
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer().put(samples)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The deterministic sine tone carried by audio-kind synthetic rows:
+    * frequency, amplitude and length keyed by doc_id.
+    */
+  def syntheticTone(id: Long): (Int, Array[Short]) = {
+    val sampleRate = 8000
+    val freq = 200 + math.floorMod(id, 800L).toInt
+    val amp = 0.2 + 0.6 * (math.floorMod(id, 7L).toDouble / 6.0)
+    val n = 400 + math.floorMod(id * 31, 1600L).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (amp * 32767.0 *
+        math.sin(2.0 * math.Pi * freq * i / sampleRate)).toShort
+      i += 1
+    }
+    (sampleRate, samples)
+  }
+
   /** Deterministic PNG encoder for fixtures: pixel (x, y) gets the
     * ARGB value `pix(x, y)`; round-trips exactly through
     * [[decodeImage]] (PNG is lossless).
@@ -111,9 +190,10 @@ object MultimodalOps {
   }
 
   /** Deterministic synthetic media table derived from `documents`:
-    * image-kind rows carry REAL encoded PNG bytes (a deterministic
-    * pattern keyed by doc_id, so the decode stage exercises the real
-    * codec); audio/video rows carry the text bytes as opaque payload.
+    * image-kind rows carry REAL encoded PNG bytes and audio-kind rows
+    * REAL encoded WAV bytes (patterns keyed by doc_id, so the decode
+    * stage exercises the real codecs); video rows carry the text
+    * bytes as opaque payload.
     */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -122,11 +202,15 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.map { case (id, text, source) =>
           val kind = syntheticKind(id)
-          val bytes =
-            if (kind == "image") {
+          val bytes = kind match {
+            case "image" =>
               val (w, h) = syntheticImageDims(id)
               encodePng(w, h, (x, y) => syntheticArgb(id, x, y))
-            } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case "audio" =>
+              val (sr, samples) = syntheticTone(id)
+              encodeWav(sr, samples)
+            case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
           MediaRow(id, kind, bytes, source)
         }
       }
@@ -145,10 +229,11 @@ object MultimodalOps {
   }
 
   /** Decode: real `javax.imageio` for image payloads (true dimensions
-    * + channel means); deterministic STUB metadata for audio/video
-    * (no codecs in this container). The mapPartitions shape (decoder
-    * state initialized once per partition) and the output schema are
-    * identical either way.
+    * + channel means) and real `javax.sound.sampled` for WAV payloads
+    * (true rate/frames/duration/RMS); deterministic STUB metadata for
+    * video (no codecs in this container). The mapPartitions shape
+    * (decoder state initialized once per partition) and the output
+    * schema are identical either way.
     */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -162,19 +247,28 @@ object MultimodalOps {
     decodeImage(m.bytes) match {
       case Some(s) =>
         DecodedMedia(m.media_id, m.kind, s.width, s.height, 1,
-          m.bytes.length, s.meanR, s.meanG, s.meanB, m.source)
-      case None =>
-        // STUB (audio/video): deterministic pseudo-metadata from bytes
-        val h = graft.functions.TextHash.fnv1a(m.bytes, 0, m.bytes.length)
-        val width = 64 + math.floorMod(h, 1024L).toInt
-        val height = 64 + math.floorMod(h >>> 20, 1024L).toInt
-        val frames = m.kind match {
-          case "video" => 1 + math.floorMod(h >>> 40, 300L).toInt
-          case _       => 1
-        }
-        DecodedMedia(m.media_id, m.kind, width, height, frames, m.bytes.length,
-          math.floorMod(h, 256L).toDouble, math.floorMod(h >>> 8, 256L).toDouble,
-          math.floorMod(h >>> 16, 256L).toDouble, m.source)
+          m.bytes.length, s.meanR, s.meanG, s.meanB, m.source, 0, 0.0, 0.0)
+      case None => decodeAudio(m.bytes) match {
+        case Some(a) =>
+          DecodedMedia(m.media_id, m.kind, 0, 0,
+            math.min(a.nFrames, Int.MaxValue.toLong).toInt, m.bytes.length,
+            0.0, 0.0, 0.0, m.source, a.sampleRate,
+            if (a.sampleRate > 0) a.nFrames.toDouble / a.sampleRate else 0.0,
+            a.rms)
+        case None =>
+          // STUB (video / undecodable): deterministic pseudo-metadata
+          // from the bytes
+          val h = graft.functions.TextHash.fnv1a(m.bytes, 0, m.bytes.length)
+          val width = 64 + math.floorMod(h, 1024L).toInt
+          val height = 64 + math.floorMod(h >>> 20, 1024L).toInt
+          val frames = m.kind match {
+            case "video" => 1 + math.floorMod(h >>> 40, 300L).toInt
+            case _       => 1
+          }
+          DecodedMedia(m.media_id, m.kind, width, height, frames, m.bytes.length,
+            math.floorMod(h, 256L).toDouble, math.floorMod(h >>> 8, 256L).toDouble,
+            math.floorMod(h >>> 16, 256L).toDouble, m.source, 0, 0.0, 0.0)
+      }
     }
 
   /** STUB feature extraction: BINARY -> ARRAY<FLOAT> embedding

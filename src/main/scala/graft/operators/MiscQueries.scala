@@ -103,6 +103,8 @@ object MiscQueries {
         col("n_frames"), col("n_bytes"),
         round(col("mean_r"), 2).as("mean_r"), round(col("mean_g"), 2).as("mean_g"),
         round(col("mean_b"), 2).as("mean_b"),
+        col("sample_rate"), round(col("duration_s"), 3).as("duration_s"),
+        round(col("rms"), 4).as("rms"),
         size(col("embedding")).as("feat_dim"))
   }
 

@@ -19,8 +19,12 @@ class MultimodalSpec extends SparkSpec {
     val d2 = MultimodalOps.decode(media).collect().sortBy(_.media_id)
     assert(d1.length === media.count())
     assert(d1.map(_.width).toSeq === d2.map(_.width).toSeq, "decode must be deterministic")
-    assert(d1.filter(_.kind != "image").forall(m => m.width >= 64 && m.height >= 64))
-    assert(d1.filter(_.kind != "video").forall(_.n_frames === 1))
+    // video rows carry the documented stub dims; audio rows have no
+    // spatial dims but real sample counts
+    assert(d1.filter(_.kind == "video").forall(m => m.width >= 64 && m.height >= 64))
+    assert(d1.filter(_.kind == "audio").forall(m =>
+      m.width === 0 && m.height === 0 && m.n_frames >= 400))
+    assert(d1.filter(_.kind == "image").forall(_.n_frames === 1))
   }
 
   test("image rows decode REAL dimensions and in-range channel means") {
@@ -78,6 +82,39 @@ class MultimodalSpec extends SparkSpec {
     assert(s.meanR === 128.0 && s.meanG === 128.0 && s.meanB === 128.0)
   }
 
+  test("codec: known WAV sine fixture decodes exact rate/frames/duration and RMS") {
+    // 1 s of a 440 Hz sine at amplitude 0.5: RMS = 0.5/sqrt(2)
+    val sr = 8000
+    val samples = Array.tabulate(sr)(i =>
+      (0.5 * 32767.0 * math.sin(2.0 * math.Pi * 440 * i / sr)).toShort)
+    val wav = MultimodalOps.encodeWav(sr, samples)
+    assert(MultimodalOps.looksLikeWav(wav))
+    val a = MultimodalOps.decodeAudio(wav).get
+    assert(a.sampleRate === sr && a.channels === 1 && a.nFrames === sr.toLong)
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms ${a.rms}")
+    // silence has RMS 0
+    val silent = MultimodalOps.decodeAudio(
+      MultimodalOps.encodeWav(sr, new Array[Short](100))).get
+    assert(silent.rms === 0.0 && silent.nFrames === 100L)
+  }
+
+  test("audio rows decode REAL sample rate, duration and RMS through the pipeline") {
+    val dec = MultimodalOps.decode(media).toDF()
+    val audio = dec.filter($"kind" === "audio")
+    assert(audio.count() > 0)
+    // every audio row carries the fixture rate and a consistent
+    // frames/duration relationship; tone amplitude >= 0.2 -> RMS > 0.1
+    assert(audio.filter($"sample_rate" =!= 8000).count() === 0)
+    assert(audio.filter(abs($"duration_s" * 8000 - $"n_frames") > 0.5).count() === 0)
+    assert(audio.filter($"rms" < 0.1 || $"rms" > 1.0).count() === 0)
+    // a RIFF-prefixed garbage payload degrades to the stub, not a crash
+    val junk = "RIFFxxxxWAVEgarbage-not-a-real-wav-file".getBytes("UTF-8")
+    val one = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(7L, "audio", junk, "fixture")))
+    val r = MultimodalOps.decode(one).collect().head
+    assert(r.sample_rate === 0 && r.rms === 0.0)
+  }
+
   test("feature extraction yields fixed-dim float vectors usable by cosine ops") {
     val f = MultimodalOps.extractFeatures(media, dim = 16)
     assert(f.filter(size($"embedding") =!= 16).count() === 0)
@@ -91,7 +128,9 @@ class MultimodalSpec extends SparkSpec {
   test("resize fits the box, preserves aspect ratio, never upscales") {
     val resized = MultimodalOps.resize(media, maxW = 256, maxH = 128).collect()
     val dims = MultimodalOps.decode(media).collect().map(d => d.media_id -> d).toMap
-    resized.foreach { r =>
+    // audio has no spatial dims to resize — it passes through as a
+    // 1x1 stand-in; the contract applies to the spatial kinds
+    resized.filter(r => dims(r.media_id).kind != "audio").foreach { r =>
       assert(r.width <= 256 && r.height <= 128, s"${r.media_id} out of box")
       val d = dims(r.media_id)
       assert(r.width <= d.width && r.height <= d.height, "no upscaling")
