@@ -106,6 +106,39 @@ object GraftCatalog {
   private val cdcFormats =
     Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
+  /** Views created through the SQL front door's dialect CREATE VIEW —
+    * tracked so SHOW VIEWS can list them (Spark's catalog does not
+    * distinguish a dialect view from any other temp view).
+    */
+  private val viewRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def registerView(name: String): Unit =
+    viewRegistry.put(name.toLowerCase(java.util.Locale.ROOT), name)
+
+  def dropViewMeta(name: String): Boolean =
+    viewRegistry.remove(name.toLowerCase(java.util.Locale.ROOT)).isDefined
+
+  def viewNames: Seq[String] = viewRegistry.values.toSeq.sorted
+
+  /** Per-(table, column) statistics recorded by ANALYZE TABLE: the
+    * reference computes these into the catalog for the planner
+    * (row counts feeding join-reorder/broadcast decisions); here
+    * Spark's file-size estimation already drives broadcast planning,
+    * so the recorded stats serve the introspection surface.
+    */
+  case class ColumnStats(ndv: Long, nullCount: Long, min: String, max: String)
+  case class TableStats(rowCount: Long, columns: Map[String, ColumnStats])
+
+  private val tableStats =
+    scala.collection.concurrent.TrieMap.empty[String, TableStats]
+
+  def recordStats(table: String, stats: TableStats): Unit =
+    tableStats.put(table.toLowerCase(java.util.Locale.ROOT), stats)
+
+  def statsOf(table: String): Option[TableStats] =
+    tableStats.get(table.toLowerCase(java.util.Locale.ROOT))
+
   /** One decode contract for batch and streaming reads of a CDC
     * table — option names and dispatch live here only.
     */

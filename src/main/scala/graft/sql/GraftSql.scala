@@ -3,6 +3,7 @@ package graft.sql
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min, when}
 
 import SqlLexer.{Tok, tokenize, matchParen, Ident, Str, Num}
 
@@ -518,6 +519,79 @@ object GraftSql {
         graft.catalog.GraftCatalog.describeTable(spark, name)
       else spark.sql(s"DESCRIBE TABLE `$name`")
     }
+    if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
+        toks(1).is("VIEWS")) {
+      import spark.implicits._
+      return graft.catalog.GraftCatalog.viewNames.toDF("view_name")
+    }
+    if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
+        toks(1).is("FUNCTIONS")) {
+      import spark.implicits._
+      // system + session functions, like the reference's sql-client
+      // (FlinkFunctions names are registered above, so they list too)
+      return spark.catalog.listFunctions().collect().map(_.name)
+        .distinct.sorted.toSeq.toDF("function_name")
+    }
+    // SHOW COLUMNS (FROM | IN) t [ [NOT] LIKE '<pattern>' ] — the
+    // DESCRIBE row set, optionally filtered by a SQL LIKE pattern
+    if (toks.nonEmpty && toks.head.is("SHOW") && toks.length >= 4 &&
+        toks(1).is("COLUMNS") && (toks(2).is("FROM") || toks(2).is("IN"))) {
+      val name = cleanName(toks(3).text)
+      val base =
+        if (graft.catalog.GraftCatalog.isRegistered(name))
+          graft.catalog.GraftCatalog.describeTable(spark, name)
+        else spark.sql(s"DESCRIBE TABLE `$name`")
+      val notLike = toks.length >= 7 && toks(4).is("NOT") && toks(5).is("LIKE")
+      val likeAt = if (notLike) 6 else if (toks.length >= 6 && toks(4).is("LIKE")) 5 else -1
+      if (likeAt < 0) return base
+      val pat = toks(likeAt).text.stripPrefix("'").stripSuffix("'")
+      val nameCol = base.columns.head // "name" / "col_name"
+      val cond = col(nameCol).like(pat)
+      return base.filter(if (notLike) !cond else cond)
+    }
+    // ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ... | FOR ALL
+    // COLUMNS] — computes and records row/column statistics (the
+    // reference feeds these to its planner; Spark's parquet scans
+    // already size themselves from file metadata, so the recorded
+    // stats serve introspection). Returns the computed stats.
+    if (toks.nonEmpty && toks.head.is("ANALYZE") && toks.length >= 5 &&
+        toks(1).is("TABLE") && toks(3).is("COMPUTE") && toks(4).is("STATISTICS")) {
+      val name = cleanName(toks(2).text)
+      val df = spark.table(name)
+      val cols: Seq[String] =
+        if (toks.length > 5 && toks(5).is("FOR")) {
+          if (toks.length > 7 && toks(6).is("ALL") && toks(7).is("COLUMNS"))
+            df.columns.toSeq
+          else {
+            require(toks(6).is("COLUMNS"), "expected FOR [ALL] COLUMNS")
+            toks.drop(7).filterNot(_.isPunct(",")).map(t => cleanName(t.text)).toSeq
+          }
+        } else Nil
+      // ndv via HLL (rsd 1%): exact distinct would shuffle per column —
+      // a sketch keeps ANALYZE a single pass at any corpus size
+      val aggs = count(lit(1)).as("__rc") +: cols.flatMap { c =>
+        Seq(approx_count_distinct(col(c), 0.01).as(s"__ndv_$c"),
+          count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val rowCount = r.getLong(0)
+      val colStats = cols.map { c =>
+        c -> graft.catalog.GraftCatalog.ColumnStats(
+          r.getAs[Long](s"__ndv_$c"), r.getAs[Long](s"__nn_$c"),
+          Option(r.getAs[String](s"__min_$c")).orNull,
+          Option(r.getAs[String](s"__max_$c")).orNull)
+      }.toMap
+      graft.catalog.GraftCatalog.recordStats(name,
+        graft.catalog.GraftCatalog.TableStats(rowCount, colStats))
+      import spark.implicits._
+      return (if (cols.isEmpty) Seq(("", rowCount, -1L, -1L, "", ""))
+        else cols.map { c =>
+          val s = colStats(c)
+          (c, rowCount, s.ndv, s.nullCount, s.min, s.max)
+        }).toDF("column_name", "row_count", "ndv", "null_count", "min", "max")
+    }
     // EXECUTE STATEMENT SET BEGIN <insert>; ...; END — the multi-sink
     // pipeline statement (Flink executes the inserts as one job;
     // here they run sequentially sharing the session's views)
@@ -553,7 +627,17 @@ object GraftSql {
       val query = text.substring(toks(viewIdx + 2).end)
       val df = sql(spark, query)
       df.createOrReplaceTempView(name)
+      graft.catalog.GraftCatalog.registerView(name)
       return df
+    }
+    // DROP [TEMPORARY] VIEW name
+    val dropViewIdx = toks.indexWhere(_.is("VIEW"))
+    if (toks.nonEmpty && toks.head.is("DROP") && dropViewIdx >= 1 &&
+        dropViewIdx <= 2 && toks.length == dropViewIdx + 2) {
+      val name = toks(dropViewIdx + 1).text
+      spark.catalog.dropTempView(name)
+      graft.catalog.GraftCatalog.dropViewMeta(name)
+      return spark.emptyDataFrame
     }
     // only divert the Flink-dialect shapes; anything else (CREATE
     // TEMPORARY VIEW, INSERT into a Spark-native table, ...) still

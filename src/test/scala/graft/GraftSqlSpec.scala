@@ -432,6 +432,47 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.sql(spark, "DESC nation").count() > 0)
   }
 
+  test("SHOW VIEWS / SHOW COLUMNS / SHOW FUNCTIONS / ANALYZE TABLE / DROP VIEW") {
+    prep()
+    GraftSql.sql(spark,
+      "CREATE VIEW intro_v AS SELECT n_nationkey, n_name FROM nation")
+    val views = GraftSql.sql(spark, "SHOW VIEWS").collect().map(_.getString(0))
+    assert(views.contains("intro_v"), views.mkString(","))
+    // SHOW COLUMNS = the DESCRIBE row set, LIKE-filterable
+    val cols = GraftSql.sql(spark, "SHOW COLUMNS FROM nation")
+      .collect().map(_.getString(0))
+    assert(cols.contains("n_nationkey") && cols.contains("n_name"))
+    val liked = GraftSql.sql(spark, "SHOW COLUMNS FROM nation LIKE 'n_n%'")
+      .collect().map(_.getString(0))
+    assert(liked.toSet === Set("n_nationkey", "n_name"), liked.mkString(","))
+    val notLiked = GraftSql.sql(spark, "SHOW COLUMNS FROM nation NOT LIKE 'n_n%'")
+      .collect().map(_.getString(0))
+    assert(!notLiked.exists(_.startsWith("n_n")) && notLiked.nonEmpty)
+    // registered Flink-name functions list alongside the builtins
+    val fns = GraftSql.sql(spark, "SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("split_index") && fns.contains("is_alpha") &&
+      fns.contains("abs"))
+    // ANALYZE computes and records stats
+    val st = GraftSql.sql(spark,
+      "ANALYZE TABLE nation COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(st("n_nationkey").getLong(1) === 25L)  // row_count
+    assert(math.abs(st("n_nationkey").getLong(2) - 25L) <= 1, "ndv within HLL rsd")
+    assert(st("n_regionkey").getLong(2) === 5L)
+    assert(st("n_nationkey").getLong(3) === 0L)   // null_count
+    assert(st("n_nationkey").getString(4) === "0" && st("n_nationkey").getString(5) === "24")
+    val rec = graft.catalog.GraftCatalog.statsOf("nation").get
+    assert(rec.rowCount === 25L && rec.columns("n_regionkey").ndv === 5L)
+    // FOR ALL COLUMNS covers every column; bare form records row count
+    assert(GraftSql.sql(spark,
+      "ANALYZE TABLE region COMPUTE STATISTICS FOR ALL COLUMNS").count() >= 2)
+    assert(GraftSql.sql(spark,
+      "ANALYZE TABLE region COMPUTE STATISTICS").first().getLong(1) === 5L)
+    GraftSql.sql(spark, "DROP VIEW intro_v")
+    assert(!GraftSql.sql(spark, "SHOW VIEWS").collect().map(_.getString(0))
+      .contains("intro_v"))
+  }
+
   test("avro-format DDL table: CREATE, INSERT INTO append, INSERT OVERWRITE") {
     prep()
     val base = java.nio.file.Files.createTempDirectory("graft_avroddl").toString
