@@ -23,7 +23,7 @@ object SparkEntry {
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
       graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries ++
-      graft.sources.CdcQueries.queries
+      graft.sources.CdcQueries.queries ++ graft.sources.JdbcQueries.queries
 
   def oracleSql: Map[String, String] =
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
@@ -32,5 +32,5 @@ object SparkEntry {
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++
       graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle ++
-      graft.sources.CdcQueries.oracle
+      graft.sources.CdcQueries.oracle ++ graft.sources.JdbcQueries.oracle
 }

@@ -75,6 +75,17 @@ object GraftCatalog {
   private val tableUpsert =
     scala.collection.concurrent.TrieMap.empty[String, UpsertSpec]
 
+  /** PRIMARY KEY columns per table (independent of changelog mode —
+    * for the jdbc connector the key alone switches the sink between
+    * append and upsert writes, like the reference's
+    * JdbcDynamicTableSink).
+    */
+  private val tablePrimaryKeys =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  def primaryKeyOf(table: String): Seq[String] =
+    tablePrimaryKeys.getOrElse(table, Nil)
+
   /** Case-insensitive and quote-stripping, like Spark's own relation
     * resolution — `USER_STATE` or a backtick-quoted reference must
     * resolve to the same declaration, or the SQL front door's
@@ -214,6 +225,8 @@ object GraftCatalog {
       sys.error(s"table '$table' is not a writable filesystem table"))
     if (cdcFormats.contains(sink.format))
       return insertIntoCdc(spark, table, rows, overwrite, sink)
+    if (sink.format == "jdbc")
+      return insertIntoJdbc(spark, table, rows, overwrite, sink)
     // SQL INSERT maps columns by POSITION: align names and types to
     // the target schema so mixed-name files can't silently null out.
     // Computed columns are virtual (re-derived on read) — they are
@@ -251,6 +264,26 @@ object GraftCatalog {
         r2.load(sink.path)
       }
     applyEventTime(table, refreshed).createOrReplaceTempView(table)
+  }
+
+  /** The write half of the jdbc connector: position-align + enforce
+    * constraints like the filesystem path, then hand off to
+    * JdbcConnector.write — upsert when the DDL declared a PRIMARY
+    * KEY, append otherwise (JdbcDynamicTableSink's mode rule). No
+    * view refresh needed: the registered view is a JDBCRelation that
+    * re-queries the DB at every action.
+    */
+  private def insertIntoJdbc(spark: SparkSession, table: String, rows: DataFrame,
+      overwrite: Boolean, sink: SinkInfo): Unit = {
+    val virtual = metaOf(table).computed.map(_._1).toSet
+    val target = StructType(spark.table(table).schema.filterNot(f => virtual(f.name)))
+    require(rows.schema.length == target.length,
+      s"INSERT INTO $table: query has ${rows.schema.length} columns, table has ${target.length}")
+    val aligned = rows.toDF(target.fieldNames.toSeq: _*)
+      .select(target.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+    graft.sources.JdbcConnector.write(enforced(table, aligned), sink.options,
+      primaryKeyOf(table), overwrite)
   }
 
   /** The write half of the CDC formats (the reference's
@@ -566,6 +599,7 @@ object GraftCatalog {
         tableConstraints.put(name, tc)
         tableSchemas.put(name, schema)
         tableMeta.put(name, meta)
+        if (pk.nonEmpty) tablePrimaryKeys.put(name, pk)
         if (options.get("changelog-mode").contains("upsert")) {
           require(pk.nonEmpty, s"upsert table $name needs a PRIMARY KEY")
           val vcols = options.get("version-by")
@@ -599,13 +633,14 @@ object GraftCatalog {
       tableMeta.get(base).foreach(tableMeta.put(name, _))
       tableUpsert.get(base).foreach(tableUpsert.put(name, _))
       tableCdc.get(base).foreach(tableCdc.put(name, _))
+      tablePrimaryKeys.get(base).foreach(tablePrimaryKeys.put(name, _))
       tableOptions.put(name, merged)
       register(spark, name, merged)
 
     case DropTable(name) =>
       spark.catalog.dropTempView(name)
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta,
-        tableUpsert, tableCdc, tableOptions).foreach(_.remove(name))
+        tableUpsert, tableCdc, tableOptions, tablePrimaryKeys).foreach(_.remove(name))
 
     case other => sys.error(s"unsupported DDL: $other")
   }
@@ -652,6 +687,19 @@ object GraftCatalog {
             options.getOrElse("csv.header", "false")) else withSchema
           r2.load(path)
         }
+      // the reference's flink-connector-jdbc surface, proven against
+      // embedded Derby (no DB server in the container); the backing
+      // table auto-creates from the declared schema if absent
+      case "jdbc" =>
+        tableSinks.put(name, SinkInfo(options("url"), "jdbc", options))
+        tableSchemas.get(name).foreach { schema =>
+          val lengths = tableConstraints.get(name)
+            .map(_.lengths.map(lc => lc.column -> lc.length).toMap)
+            .getOrElse(Map.empty)
+          graft.sources.JdbcConnector.ensureTable(options, schema,
+            primaryKeyOf(name), lengths)
+        }
+        graft.sources.JdbcConnector.read(spark, options)
       case "datagen" =>
         spark.read.format("graft.sources.DatagenSource")
           .option("partitions", options.getOrElse("partitions", "4"))

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.JdbcConnector
+import graft.streaming.LookupJoin
+
+/** JDBC connector wire tests against embedded Derby — scan, append,
+  * upsert (UPDATE-then-INSERT), partitioned read, and the JDBC lookup
+  * delegate under the cache stack.
+  */
+class JdbcConnectorSpec extends SparkSpec {
+
+  private def freshDb(tag: String): Map[String, String] = {
+    val dir = new java.io.File(s"/tmp/graft_jdbc_spec/$tag")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete()
+    }
+    if (dir.exists()) del(dir)
+    Map("url" -> s"jdbc:derby:${dir.getAbsolutePath}/db;create=true",
+      "table-name" -> s"T_$tag".toUpperCase(java.util.Locale.ROOT))
+  }
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("name", StringType),
+    StructField("bal", DoubleType)))
+
+  private def df(rows: (Long, String, Double)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+
+  test("append write + scan round-trip, no primary key") {
+    val opts = freshDb("append")
+    JdbcConnector.ensureTable(opts, schema, Nil)
+    JdbcConnector.write(df((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "name", "bal"), opts, Nil, overwrite = false)
+    JdbcConnector.write(df((3L, "c", 3.0)).toDF("k", "name", "bal"),
+      opts, Nil, overwrite = false)
+    val back = JdbcConnector.read(spark, opts).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back === Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
+  test("primary-key write upserts: updates hit, misses insert, no duplicates") {
+    val opts = freshDb("upsert")
+    JdbcConnector.ensureTable(opts, schema, Seq("k"))
+    JdbcConnector.write(df((1L, "a", 1.0), (2L, "b", 2.0)),
+      opts, Seq("k"), overwrite = false)
+    // k=2 updates in place, k=9 is a fresh insert
+    JdbcConnector.write(df((2L, "b2", 22.0), (9L, "i", 9.0)),
+      opts, Seq("k"), overwrite = false)
+    val back = JdbcConnector.read(spark, opts).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back === Set((1L, "a", 1.0), (2L, "b2", 22.0), (9L, "i", 9.0)))
+  }
+
+  test("overwrite truncates before writing") {
+    val opts = freshDb("overwrite")
+    JdbcConnector.ensureTable(opts, schema, Seq("k"))
+    JdbcConnector.write(df((1L, "a", 1.0), (2L, "b", 2.0)),
+      opts, Seq("k"), overwrite = false)
+    JdbcConnector.write(df((5L, "z", 5.0)), opts, Seq("k"), overwrite = true)
+    val back = JdbcConnector.read(spark, opts).collect()
+    assert(back.map(_.getLong(0)).toSet === Set(5L))
+  }
+
+  test("scan.partition options shard the read like the reference's " +
+      "NumericBetweenParametersProvider") {
+    val opts = freshDb("parts")
+    JdbcConnector.ensureTable(opts, schema, Seq("k"))
+    JdbcConnector.write(df((1L to 40L).map(i => (i, s"r$i", i.toDouble)): _*),
+      opts, Seq("k"), overwrite = false)
+    val partitioned = opts ++ Map(
+      "scan.partition.column" -> "k", "scan.partition.num" -> "4",
+      "scan.partition.lower-bound" -> "1", "scan.partition.upper-bound" -> "40")
+    val scan = JdbcConnector.read(spark, partitioned)
+    assert(scan.rdd.getNumPartitions === 4)
+    assert(scan.count() === 40L)
+  }
+
+  test("jdbc lookup delegate under the LRU cache: repeat keys never re-hit the DB") {
+    val opts = freshDb("lookup")
+    JdbcConnector.ensureTable(opts, schema, Seq("k"))
+    JdbcConnector.write(df((1L, "one", 1.0), (2L, "two", 2.0)),
+      opts, Seq("k"), overwrite = false)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counted = new LookupJoin.LookupFunction[Any, Map[String, Any]] {
+      private val inner = new JdbcConnector.JdbcLookup(opts, "k", Seq("name", "bal"))
+      override def lookup(key: Any): Seq[Map[String, Any]] = {
+        hits.incrementAndGet(); inner.lookup(key)
+      }
+    }
+    val cached = new LookupJoin.CachingLookup(counted, 16)
+    assert(cached.lookup(1L).head("name") === "one")
+    assert(cached.lookup(1L).head("name") === "one")
+    assert(cached.lookup(2L).head("bal") === 2.0)
+    assert(cached.lookup(404L).isEmpty) // negative result cached too
+    assert(cached.lookup(404L).isEmpty)
+    assert(hits.get() === 3)
+  }
+
+  test("full-cache loader snapshots the whole dimension and reloads on the interval") {
+    val opts = freshDb("fullcache")
+    JdbcConnector.ensureTable(opts, schema, Seq("k"))
+    JdbcConnector.write(df((1L, "v1", 1.0)), opts, Seq("k"), overwrite = false)
+    var now = 0L
+    val full = new LookupJoin.FullCachingLookup(
+      JdbcConnector.fullLoader(opts, "k", Seq("name")), 1000L, () => now)
+    assert(full.lookup(1L).head("name") === "v1")
+    // dimension changes in the DB; within the interval the stale snapshot serves
+    JdbcConnector.write(df((1L, "v2", 1.0)), opts, Seq("k"), overwrite = false)
+    now = 500L
+    assert(full.lookup(1L).head("name") === "v1")
+    now = 1500L // past the reload boundary → fresh snapshot
+    assert(full.lookup(1L).head("name") === "v2")
+  }
+
+  test("DDL end-to-end: q_jdbc_roundtrip matches the in-Spark equivalent") {
+    val got = graft.sources.JdbcQueries.jdbcRoundtrip(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    val want = spark.sql(
+      """SELECT n_name, count(*) AS n_suppliers,
+        |       sum(CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100
+        |                ELSE s_acctbal END) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_jdbc_lookup joins every supplier to its nation name") {
+    val got = graft.sources.JdbcQueries.jdbcLookup(spark, sfDir)
+    val want = spark.sql(
+      "SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey")
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      want.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+}
