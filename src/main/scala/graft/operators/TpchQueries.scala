@@ -248,6 +248,122 @@ object TpchQueries {
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  /** Q9 shape — product-type profit by nation and year. The testdata
+    * has no partsupp, so profit is revenue (no ps_supplycost term);
+    * the operator skeleton — 5-way join fanning lineitem out to
+    * part/supplier/orders/nation, LIKE filter, two-level groupBy —
+    * is Q9's.
+    */
+  def q9(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("sum_profit"))
+
+  /** Q11 shape — important stock (group-HAVING against a scalar
+    * share-of-total subquery over the same join). lineitem value
+    * stands in for partsupp supplycost×availqty.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_partkey AS ps_partkey, sum(l_extendedprice) AS part_value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice) > (
+        |  SELECT sum(l_extendedprice) * 0.001
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1')""".stripMargin)
+  }
+
+  /** Q12 shape — shipping-mode priority counts (join + dual
+    * conditional aggregation). l_linestatus stands in for the absent
+    * l_shipmode; "late" is l_shipdate > o_orderdate as in Q4.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_linestatus").as("shipmode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  /** Q16 shape — supplier diversity per part attribute (DISTINCT-agg
+    * over a join with a NOT IN exclusion subquery). Negative-balance
+    * suppliers stand in for the absent complaint-comment filter.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** Q20 shape — the nested IN-subquery chain (supplier IN parts-of-
+    * interest volume sellers), with lineitem volume standing in for
+    * partsupp availqty.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(l_quantity) > 50)""".stripMargin)
+  }
+
+  /** Q21 shape — suppliers who kept orders waiting: correlated EXISTS
+    * (another supplier on the same order) + correlated NOT EXISTS (no
+    * OTHER late supplier), the hardest decorrelation shape in the
+    * battery. "Late" is l_shipdate > o_orderdate (no receipt/commit
+    * dates in the testdata).
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+        |  AND l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY s_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1"  -> (q1 _),
     "q_tpch_q13" -> (q13 _),
@@ -264,7 +380,13 @@ object TpchQueries {
     "q_tpch_q10" -> (q10 _),
     "q_tpch_q14" -> (q14 _),
     "q_tpch_q18" -> (q18 _),
-    "q_tpch_q22" -> (q22 _))
+    "q_tpch_q22" -> (q22 _),
+    "q_tpch_q9"  -> (q9 _),
+    "q_tpch_q11" -> (q11 _),
+    "q_tpch_q12" -> (q12 _),
+    "q_tpch_q16" -> (q16 _),
+    "q_tpch_q20" -> (q20 _),
+    "q_tpch_q21" -> (q21 _))
 
   val oracle: Map[String, String] = Map(
     "q_tpch_q1" ->
@@ -408,5 +530,74 @@ object TpchQueries {
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
         |  HAVING sum(l_quantity) > 150)
-        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice""".stripMargin)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_q11" ->
+      """SELECT l_partkey AS ps_partkey, sum(l_extendedprice) AS part_value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice) > (
+        |  SELECT sum(l_extendedprice) * 0.001
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1')""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus AS shipmode,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_linestatus""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(l_quantity) > 50)""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+        |  AND l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY s_name""".stripMargin)
 }
