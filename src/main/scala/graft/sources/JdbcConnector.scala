@@ -209,6 +209,26 @@ object JdbcConnector {
     }
   }
 
+  /** Streaming sink half (the reference's JdbcSink /
+    * GenericJdbcSinkFunction in a streaming job): each micro-batch
+    * flows through [[write]] inside foreachBatch. With a PRIMARY KEY
+    * the per-batch upsert makes redelivered batches idempotent —
+    * at-least-once delivery + idempotent writes ≈ the reference's
+    * exactly-once-to-upsert-sink story (JdbcOutputFormat flush on
+    * checkpoint). Returns the started query.
+    */
+  def writeStream(ds: DataFrame, options: Map[String, String],
+      primaryKey: Seq[String], checkpointLocation: String,
+      queryName: String = "jdbc_sink"): org.apache.spark.sql.streaming.StreamingQuery =
+    ds.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        write(batch, options, primaryKey, overwrite = false)
+      }
+      .start()
+
   /** Per-record JDBC lookup (the reference's
     * JdbcRowDataLookupFunction): one prepared `SELECT ... WHERE key =
     * ?` per task, rows come back as column-name → value maps. Wrap in

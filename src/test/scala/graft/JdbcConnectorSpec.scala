@@ -117,6 +117,33 @@ class JdbcConnectorSpec extends SparkSpec {
     assert(full.lookup(1L).head("name") === "v2")
   }
 
+  test("streaming upsert sink: micro-batches land as keyed upserts " +
+      "(GenericJdbcSinkFunction)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val opts = freshDb("stream")
+    JdbcConnector.ensureTable(opts, schema, Seq("k"))
+    val ckptDir = new java.io.File("/tmp/graft_jdbc_spec/stream_ckpt")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete()
+    }
+    if (ckptDir.exists()) del(ckptDir)
+    val input = MemoryStream[(Long, String, Double)](201, spark, None)
+    val q = JdbcConnector.writeStream(
+      input.toDF().toDF("k", "name", "bal"), opts, Seq("k"),
+      ckptDir.getAbsolutePath, "jdbc_sink_spec")
+    try {
+      input.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      input.addData((2L, "b2", 22.0), (3L, "c", 3.0)) // k=2 upserts
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = JdbcConnector.read(spark, opts).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back === Set((1L, "a", 1.0), (2L, "b2", 22.0), (3L, "c", 3.0)))
+  }
+
   test("DDL end-to-end: q_jdbc_roundtrip matches the in-Spark equivalent") {
     val got = graft.sources.JdbcQueries.jdbcRoundtrip(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
