@@ -20,6 +20,12 @@ object GraftCatalog {
 
   private val CreateTable: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*""".r
+  // PARTITIONED BY between the column list and WITH — the reference's
+  // filesystem-connector partitioned tables (parserImpls.ftl:1145).
+  // Tried before CreateTable so the greedy column group can't swallow
+  // the partition clause.
+  private val CreateTablePartitioned: Regex =
+    """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*PARTITIONED\s+BY\s*\(([^)]*)\)\s*WITH\s*\((.*)\)\s*""".r
   private val CreateTableLike: Regex =
     """(?is)CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*(?:WITH\s*\((.*)\))?\s*""".r
   private val DropTable: Regex =
@@ -85,6 +91,17 @@ object GraftCatalog {
 
   def primaryKeyOf(table: String): Seq[String] =
     tablePrimaryKeys.getOrElse(table, Nil)
+
+  /** PARTITIONED BY columns per filesystem table — INSERTs write one
+    * directory per value (Spark's partitionBy, the reference's
+    * FileSystemTableSink partition grouping) and reads prune
+    * untouched directories (PartitionFilters).
+    */
+  private val tablePartitionKeys =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  def partitionKeysOf(table: String): Seq[String] =
+    tablePartitionKeys.getOrElse(table, Nil)
 
   /** Case-insensitive and quote-stripping, like Spark's own relation
     * resolution — `USER_STATE` or a backtick-quoted reference must
@@ -246,8 +263,13 @@ object GraftCatalog {
       val writer = checked.write
         .mode(if (overwrite) "overwrite" else "append")
         .format(sink.format)
+      // partitioned tables write one directory per partition value
+      // (FileSystemTableSink's partition grouping) — downstream scans
+      // with a partition predicate prune whole directories
+      val keys = partitionKeysOf(table)
+      val wp = if (keys.nonEmpty) writer.partitionBy(keys: _*) else writer
       val w2 = if (sink.format == "csv")
-        writer.option("header", sink.options.getOrElse("csv.header", "false")) else writer
+        wp.option("header", sink.options.getOrElse("csv.header", "false")) else wp
       w2.save(sink.path)
     }
     // refresh the registered view so subsequent reads see the write
@@ -255,6 +277,11 @@ object GraftCatalog {
     val refreshed =
       if (sink.format == "avro")
         spark.read.format("graft.sources.AvroSource").load(sink.path)
+      else if (partitionKeysOf(table).nonEmpty) {
+        val declared = tableSchemas.getOrElse(table, target)
+        spark.read.format(sink.format).load(sink.path).select(declared.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+      }
       else {
         val reader = spark.read.format(sink.format)
         val r2 = if (sink.format == "csv")
@@ -547,9 +574,13 @@ object GraftCatalog {
       .map(sp => s"  PRIMARY KEY (${sp.keys.mkString(", ")}) NOT ENFORCED").toSeq
     val withClause = opts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"'$k' = '$v'" }.mkString(",\n  ")
+    val partClause = partitionKeysOf(name) match {
+      case Nil => ""
+      case ks => s" PARTITIONED BY (${ks.mkString(", ")})"
+    }
     s"CREATE TABLE $name (\n" +
       (colLines ++ computedLines ++ wmLines ++ pkLine).mkString(",\n") +
-      s"\n) WITH (\n  $withClause\n)"
+      s"\n)$partClause WITH (\n  $withClause\n)"
   }
 
   /** DESCRIBE — one row per column (name, type, null, key, extras,
@@ -592,7 +623,44 @@ object GraftCatalog {
     * a temp view readable by name in spark.sql / GraftSql.
     */
   def executeDdl(spark: SparkSession, ddl: String): Unit = ddl match {
+    case CreateTablePartitioned(name, cols, parts, opts) =>
+      val keys = parts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, s"PARTITIONED BY on $name needs at least one column")
+      tablePartitionKeys.put(name, keys)
+      createTable(spark, name, cols, opts)
+
     case CreateTable(name, cols, opts) =>
+      createTable(spark, name, cols, opts)
+
+    // CREATE TABLE a LIKE b [WITH (...)] — schema, constraints,
+    // event-time metadata and upsert spec copy from the base table;
+    // WITH options override/extend the base's (the common slice of
+    // the reference's LIKE clause with OVERWRITING OPTIONS)
+    case CreateTableLike(name, base, optsOrNull) =>
+      val baseOpts = tableOptions.getOrElse(base,
+        sys.error(s"CREATE TABLE ... LIKE: unknown base table '$base'"))
+      val merged = baseOpts ++ Option(optsOrNull).map(parseOptions).getOrElse(Map.empty)
+      tableSchemas.get(base).foreach(tableSchemas.put(name, _))
+      tableConstraints.get(base).foreach(tableConstraints.put(name, _))
+      tableMeta.get(base).foreach(tableMeta.put(name, _))
+      tableUpsert.get(base).foreach(tableUpsert.put(name, _))
+      tableCdc.get(base).foreach(tableCdc.put(name, _))
+      tablePrimaryKeys.get(base).foreach(tablePrimaryKeys.put(name, _))
+      tablePartitionKeys.get(base).foreach(tablePartitionKeys.put(name, _))
+      tableOptions.put(name, merged)
+      register(spark, name, merged)
+
+    case DropTable(name) =>
+      spark.catalog.dropTempView(name)
+      Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
+        tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys)
+        .foreach(_.remove(name))
+
+    case other => sys.error(s"unsupported DDL: $other")
+  }
+
+  private def createTable(spark: SparkSession, name: String, cols: String,
+      opts: String): Unit = {
       val options = parseOptions(opts)
       val parsed = if (cols.trim.nonEmpty) Some(parseSchema(cols)) else None
       parsed.foreach { case (schema, tc, meta, pk) =>
@@ -619,30 +687,6 @@ object GraftCatalog {
       }
       tableOptions.put(name, options)
       register(spark, name, options)
-
-    // CREATE TABLE a LIKE b [WITH (...)] — schema, constraints,
-    // event-time metadata and upsert spec copy from the base table;
-    // WITH options override/extend the base's (the common slice of
-    // the reference's LIKE clause with OVERWRITING OPTIONS)
-    case CreateTableLike(name, base, optsOrNull) =>
-      val baseOpts = tableOptions.getOrElse(base,
-        sys.error(s"CREATE TABLE ... LIKE: unknown base table '$base'"))
-      val merged = baseOpts ++ Option(optsOrNull).map(parseOptions).getOrElse(Map.empty)
-      tableSchemas.get(base).foreach(tableSchemas.put(name, _))
-      tableConstraints.get(base).foreach(tableConstraints.put(name, _))
-      tableMeta.get(base).foreach(tableMeta.put(name, _))
-      tableUpsert.get(base).foreach(tableUpsert.put(name, _))
-      tableCdc.get(base).foreach(tableCdc.put(name, _))
-      tablePrimaryKeys.get(base).foreach(tablePrimaryKeys.put(name, _))
-      tableOptions.put(name, merged)
-      register(spark, name, merged)
-
-    case DropTable(name) =>
-      spark.catalog.dropTempView(name)
-      Seq(tableSinks, tableConstraints, tableSchemas, tableMeta,
-        tableUpsert, tableCdc, tableOptions, tablePrimaryKeys).foreach(_.remove(name))
-
-    case other => sys.error(s"unsupported DDL: $other")
   }
 
   private def register(spark: SparkSession, name: String,
@@ -678,6 +722,16 @@ object GraftCatalog {
           val r = spark.read.format("graft.sources.AvroSource")
           // the DDL-declared schema wins, like the csv/parquet branches
           tableSchemas.get(name).map(r.schema).getOrElse(r).load(path)
+        }
+        else if (partitionKeysOf(name).nonEmpty) {
+          // partitioned layout: partition columns live in directory
+          // names, so read with discovery and restore the DECLARED
+          // column order and types (discovery appends partition cols
+          // last and infers their type from the path strings)
+          val declared = tableSchemas.getOrElse(name,
+            sys.error(s"partitioned table $name needs explicit columns"))
+          spark.read.format(fmt).load(path).select(declared.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         }
         else {
           val reader = spark.read.format(fmt)

@@ -189,7 +189,37 @@ object MiscQueries {
         min(col("event_id")).as("min_event"))
   }
 
+  /** Partitioned filesystem table (the reference's PARTITIONED BY,
+    * parserImpls.ftl:1145 + FileSystemTableSink partition grouping):
+    * INSERT OVERWRITE writes one directory per o_orderpriority value;
+    * the read-back query filters on the partition column, so the scan
+    * prunes the other directories (PartitionFilters — at 100 TB the
+    * query reads 2/5 of the table). Oracle = same aggregate over the
+    * original parquet.
+    */
+  def partitionedSink(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    val path = s"/tmp/graft_part/${Integer.toHexString(dir.hashCode)}/orders_p"
+    graft.sql.GraftSql.sql(s,
+      s"""CREATE TABLE orders_part (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         |  o_orderdate TIMESTAMP(3), o_orderpriority VARCHAR(15)
+         |) PARTITIONED BY (o_orderpriority) WITH (
+         |  'connector' = 'filesystem', 'path' = '$path',
+         |  'format' = 'parquet')""".stripMargin)
+    graft.sql.GraftSql.sql(s,
+      """INSERT OVERWRITE orders_part
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin)
+    graft.sql.GraftSql.sql(s,
+      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders_part
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partitioned_sink" -> (partitionedSink _),
     "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
@@ -202,6 +232,11 @@ object MiscQueries {
     "q_temporal_sort" -> (temporalSort _))
 
   val oracle: Map[String, String] = Map(
+    "q_partitioned_sink" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_avro_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  sum(value::DECIMAL(20,4))::DOUBLE AS sum_value,

@@ -232,4 +232,43 @@ class CatalogSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 10:20:00.0", 1L, 18.0)), s"rows: $rows")
     } finally q.stop()
   }
+
+  test("PARTITIONED BY: directory-per-value writes, pruned reads, declared column order") {
+    val path = "/tmp/graft_part_spec/ev_part"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete()
+    }
+    if (new java.io.File(path).exists()) del(new java.io.File(path))
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE ev_part (
+         |  event_id BIGINT,
+         |  value DOUBLE,
+         |  event_type VARCHAR(10)
+         |) PARTITIONED BY (event_type) WITH (
+         |  'connector' = 'filesystem', 'path' = '$path', 'format' = 'parquet')""".stripMargin)
+    graft.sql.GraftSql.sql(spark,
+      s"INSERT INTO ev_part SELECT event_id, value, event_type FROM " +
+        s"parquet.`$sfDir/events.parquet`")
+    // one directory per partition value
+    val dirs = new java.io.File(path).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")))
+    // declared column order and types survive the read-back
+    assert(spark.table("ev_part").schema.fieldNames.toSeq ===
+      Seq("event_id", "value", "event_type"))
+    // a filter on the partition column prunes directories, not rows
+    val plan = spark.sql(
+      "SELECT count(*) FROM ev_part WHERE event_type = 'click'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected partition pruning in:\n$plan")
+    // and the counts agree with the source
+    val got = spark.sql("SELECT count(*) FROM ev_part WHERE event_type = 'click'")
+      .first().getLong(0)
+    val want = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter("event_type = 'click'").count()
+    assert(got === want)
+    // SHOW CREATE TABLE round-trips the clause
+    assert(GraftCatalog.showCreateTable("ev_part").contains("PARTITIONED BY (event_type)"))
+  }
 }
