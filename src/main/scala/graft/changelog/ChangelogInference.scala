@@ -58,12 +58,42 @@ object ChangelogInference {
   final case class Planned(df: DataFrame, mode: Mode,
       keys: Seq[String] = Nil, orderCols: Seq[Column] = Nil)
 
+  /** RowKind-set rendering of a mode — the changelogMode=[...] labels
+    * the reference's EXPLAIN CHANGELOG_MODE prints per node.
+    */
+  def kinds(m: Mode): String = m match {
+    case InsertOnly => "[I]"
+    case Upsert => "[I,UA,D]"
+    case Retract => "[I,UB,UA,D]"
+  }
+
+  /** Trace channel for EXPLAIN CHANGELOG_MODE: while a buffer is
+    * installed, [[plan]] records each node's inferred mode and every
+    * adapter it inserts. Thread-local so concurrent sessions don't
+    * interleave.
+    */
+  private val traceTL = new ThreadLocal[scala.collection.mutable.Buffer[String]]
+  private def trace(line: => String): Unit =
+    Option(traceTL.get).foreach(_ += line)
+  /** for the SQL front door to record decisions it makes outside
+    * [[plan]] (e.g. CDC-view normalization)
+    */
+  private[graft] def traceLine(line: String): Unit = trace(line)
+  def withTrace[T](f: => T): (T, Seq[String]) = {
+    val buf = scala.collection.mutable.Buffer.empty[String]
+    traceTL.set(buf)
+    try { val r = f; (r, buf.toSeq) } finally traceTL.remove()
+  }
+
   /** Infer modes bottom-up and insert adapters. Throws on
     * combinations the reference also rejects (e.g. a retract stream
     * into an insert-only sink with no key to collapse on).
     */
   def plan(node: CNode): Planned = node match {
-    case CSource(df, m, keys, orderCols) => Planned(df, m, keys, orderCols)
+    case CSource(df, m, keys, orderCols) =>
+      trace(s"Source: changelogMode=${kinds(m)}" +
+        (if (keys.nonEmpty) s", key=[${keys.mkString(", ")}]" else ""))
+      Planned(df, m, keys, orderCols)
 
     case CCalc(child, f) =>
       val p = plan(child)
@@ -75,6 +105,8 @@ object ChangelogInference {
         // -U/+U pair must pass the predicate row-by-row instead
         case Upsert =>
           require(p.keys.nonEmpty, "Calc over an upsert stream needs keys to derive retractions")
+          trace(s"Calc: upsert input -> retract-derivation inserted over " +
+            s"key=[${p.keys.mkString(", ")}], changelogMode=${kinds(Retract)}")
           val out = f(Changelog.fromUpserts(p.df, p.keys, p.orderCols))
           require(out.columns.contains(Changelog.RowKindCol),
             s"Calc over a retract stream must keep ${Changelog.RowKindCol}")
@@ -82,6 +114,7 @@ object ChangelogInference {
         case mode =>
           // an updating stream's rowkind/key columns must survive a
           // Calc — the reference forbids projecting them away too
+          trace(s"Calc: changelogMode=${kinds(mode)} (mode-preserving)")
           val out = f(p.df)
           if (mode == Retract)
             require(out.columns.contains(Changelog.RowKindCol),
@@ -93,16 +126,23 @@ object ChangelogInference {
       val p = plan(child)
       p.mode match {
         case InsertOnly =>
+          trace(s"GroupAggregate: insert-only input, accumulate-only state, " +
+            s"changelogMode=${kinds(Retract)} (updating result)")
           val sums = sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
             avgCols.map(c => count(col(c)).as(s"nncnt_$c"))
           Planned(p.df.groupBy(groupCols.map(col): _*)
             .agg(count(lit(1)).as("cnt"), sums: _*), Retract)
         case Retract =>
+          trace(s"GroupAggregate(retract-aware): consumes ${kinds(Retract)}, " +
+            s"changelogMode=${kinds(Retract)}")
           Planned(Changelog.aggregateRetract(p.df, groupCols, sumCols, avgCols), Retract)
         // upsert feeding an aggregate: derive the retract stream
         // first (ChangelogNormalize + retraction in front of
         // GroupAggFunction), using the threaded key/version order
         case Upsert if p.keys.nonEmpty =>
+          trace(s"GroupAggregate: upsert input -> retract-derivation inserted " +
+            s"over key=[${p.keys.mkString(", ")}]; retract-aware aggregate, " +
+            s"changelogMode=${kinds(Retract)}")
           val log = Changelog.fromUpserts(p.df, p.keys, p.orderCols)
           Planned(Changelog.aggregateRetract(log, groupCols, sumCols, avgCols), Retract)
         case Upsert =>
@@ -113,6 +153,8 @@ object ChangelogInference {
       val p = plan(child)
       p.mode match {
         case InsertOnly =>
+          trace(s"GroupAggregate(min/max): insert-only input, " +
+            s"changelogMode=${kinds(Retract)} (updating result)")
           val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
             max(col(valueCol)).as(s"max_$valueCol"),
             min(col(valueCol)).as(s"min_$valueCol")) ++
@@ -120,8 +162,13 @@ object ChangelogInference {
           Planned(p.df.groupBy(groupCols.map(col): _*)
             .agg(count(lit(1)).as("cnt"), aggs: _*), Retract)
         case Retract =>
+          trace(s"GroupAggregate(MaxWithRetract/MinWithRetract value-multiset " +
+            s"state): consumes ${kinds(Retract)}, changelogMode=${kinds(Retract)}")
           Planned(Changelog.aggregateRetractMinMax(p.df, groupCols, valueCol, withNnCnt), Retract)
         case Upsert if p.keys.nonEmpty =>
+          trace(s"GroupAggregate(min/max): upsert input -> retract-derivation " +
+            s"inserted over key=[${p.keys.mkString(", ")}]; value-multiset state, " +
+            s"changelogMode=${kinds(Retract)}")
           val log = Changelog.fromUpserts(p.df, p.keys, p.orderCols)
           Planned(Changelog.aggregateRetractMinMax(log, groupCols, valueCol, withNnCnt), Retract)
         case Upsert =>
@@ -131,23 +178,34 @@ object ChangelogInference {
     case CSink(child, accepts) =>
       val p = plan(child)
       (p.mode, accepts) match {
-        case (m, a) if m == a => p
-        case (InsertOnly, _) => p // insert-only satisfies every sink
+        case (m, a) if m == a =>
+          trace(s"Sink: accepts ${kinds(a)}, no adapter")
+          p
+        case (InsertOnly, _) =>
+          trace(s"Sink: insert-only stream satisfies ${kinds(accepts)} sink, no adapter")
+          p // insert-only satisfies every sink
         case (Retract, InsertOnly) =>
           // aggregates' retract output is keyed by the group columns;
           // generic retract rows need rowkind-aware normalization
           if (p.df.columns.contains(Changelog.RowKindCol))
             sys.error("retract stream into an insert-only sink needs keys " +
               "(wrap in CAgg or normalize explicitly)")
-          else Planned(p.df, InsertOnly) // already materialized (agg output)
+          else {
+            trace(s"Sink: updating aggregate result materializes to ${kinds(InsertOnly)}")
+            Planned(p.df, InsertOnly) // already materialized (agg output)
+          }
         case (Upsert, InsertOnly) =>
           sys.error("upsert stream into an insert-only sink needs keys to normalize")
         case (Retract, Upsert) =>
           // the reference's DropUpdateBefore: upsert consumers don't
           // need -U rows
-          if (p.df.columns.contains(Changelog.RowKindCol))
+          if (p.df.columns.contains(Changelog.RowKindCol)) {
+            trace(s"Sink: DropUpdateBefore inserted (${kinds(Retract)} -> ${kinds(Upsert)})")
             Planned(Changelog.dropUpdateBefore(p.df), Upsert)
-          else Planned(p.df, Upsert)
+          } else {
+            trace(s"Sink: keyed stream passes as ${kinds(Upsert)}")
+            Planned(p.df, Upsert)
+          }
         case (m, a) => sys.error(s"cannot adapt $m stream to a $a sink")
       }
   }
@@ -158,6 +216,9 @@ object ChangelogInference {
     */
   def normalizeToSink(src: CSource): DataFrame = {
     require(src.mode == Upsert && src.keys.nonEmpty, "keyed upsert source required")
+    trace(s"Source: changelogMode=${kinds(Upsert)}, key=[${src.keys.mkString(", ")}]")
+    trace(s"ChangelogNormalize inserted: ${kinds(Upsert)} -> ${kinds(InsertOnly)} " +
+      "(current state per key)")
     val log = Changelog.fromUpserts(src.df, src.keys, src.orderCols)
     Changelog.normalize(log, src.keys, src.orderCols)
   }

@@ -475,9 +475,16 @@ object GraftSql {
     // query without writing; DDL bodies are rejected (like the
     // reference, which explains only queries and modifications).
     if (toks.nonEmpty && toks.head.is("EXPLAIN")) {
+      // EXPLAIN CHANGELOG_MODE <stmt> — the reference's ExplainDetail
+      // .CHANGELOG_MODE: per-node changelog modes + the adapters the
+      // inference planner inserted (FlinkChangelogModeInferenceProgram
+      // decisions made visible)
+      val changelogDetail = toks.length > 1 && toks(1).is("CHANGELOG_MODE")
+      val afterExplain = if (changelogDetail) toks.drop(2) else toks.drop(1)
       val bodyToks =
-        if (toks.length > 2 && toks(1).is("PLAN") && toks(2).is("FOR")) toks.drop(3)
-        else toks.drop(1)
+        if (afterExplain.length > 2 && afterExplain.head.is("PLAN") &&
+          afterExplain(1).is("FOR")) afterExplain.drop(2)
+        else afterExplain
       require(bodyToks.nonEmpty, "EXPLAIN needs a statement")
       require(!bodyToks.head.is("CREATE") && !bodyToks.head.is("DROP"),
         "EXPLAIN of DDL is not supported")
@@ -485,8 +492,18 @@ object GraftSql {
         if (bodyToks.head.is("INSERT") && bodyToks.length > 2)
           text.substring(bodyToks(2).end) // the query feeding the sink
         else text.substring(bodyToks.head.start)
-      val df = sql(spark, body)
       import spark.implicits._
+      if (changelogDetail) {
+        val (df, tr) = graft.changelog.ChangelogInference.withTrace(sql(spark, body))
+        val modes =
+          if (tr.isEmpty) "append-only pipeline: changelogMode=[I] throughout"
+          else tr.mkString("\n")
+        return Seq("== Changelog Mode ==\n" + modes + "\n\n== Physical Plan ==\n" +
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          .toDF("plan")
+      }
+      val df = sql(spark, body)
       return Seq(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).toDF("plan")
     }

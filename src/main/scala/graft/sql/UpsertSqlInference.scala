@@ -158,6 +158,10 @@ object UpsertSqlInference {
           require(ss.spec.keys.nonEmpty && ss.spec.versionCols.nonEmpty,
             s"CDC table '$name' needs PRIMARY KEY and 'version-by' to be " +
               "queried in a non-aggregate shape (normalization order)")
+          CI.traceLine(s"Source '$name': CDC retract changelog, " +
+            s"changelogMode=${CI.kinds(CI.Retract)}, key=[${ss.spec.keys.mkString(", ")}]")
+          CI.traceLine(s"ChangelogNormalize inserted: ${CI.kinds(CI.Retract)} -> " +
+            s"${CI.kinds(CI.InsertOnly)} (current state per key)")
           Changelog.normalize(spark.table(clean(name)),
             ss.spec.keys, ss.spec.versionCols.map(col))
         } else

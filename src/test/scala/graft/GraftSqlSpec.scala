@@ -510,6 +510,40 @@ class GraftSqlSpec extends SparkSpec {
       tvf.take(300))
   }
 
+  test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
+    import spark.implicits._
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_exmode").toString
+    Seq((1L, 1000L, "a", 10.0), (1L, 2000L, "b", 20.0))
+      .toDF("user_id", "version", "status", "amount")
+      .write.parquet(s"$base/ex_upsert")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE ex_upsert (
+         |  user_id BIGINT, version BIGINT, status VARCHAR(10), amount DOUBLE,
+         |  PRIMARY KEY (user_id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/ex_upsert',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'version')""".stripMargin)
+    val out = GraftSql.sql(spark,
+      """EXPLAIN CHANGELOG_MODE
+        |SELECT status, count(*) AS cnt, sum(amount) AS total
+        |FROM ex_upsert GROUP BY status""".stripMargin).first().getString(0)
+    assert(out.contains("== Changelog Mode =="))
+    assert(out.contains("changelogMode=[I,UA,D]"), s"upsert source mode missing in:\n$out")
+    assert(out.contains("retract-derivation inserted"), s"adapter line missing in:\n$out")
+    assert(out.contains("== Physical Plan =="))
+    // EXPLAIN must stay side-effect free and detail-less EXPLAIN unchanged
+    val plain = GraftSql.sql(spark,
+      "EXPLAIN CHANGELOG_MODE SELECT n_name FROM nation").first().getString(0)
+    assert(plain.contains("append-only pipeline"))
+    // normalize-view path (calc shape) reports ChangelogNormalize
+    val calc = GraftSql.sql(spark,
+      "EXPLAIN CHANGELOG_MODE SELECT user_id, status FROM ex_upsert WHERE amount > 0")
+      .first().getString(0)
+    assert(calc.contains("retract-derivation") || calc.contains("ChangelogNormalize"),
+      s"calc-shape adapter missing in:\n$calc")
+  }
+
   test("STATEMENT SET: a ';' inside a string literal is not a statement boundary") {
     prep()
     val base = java.nio.file.Files.createTempDirectory("graft_stmtsemi").toString
