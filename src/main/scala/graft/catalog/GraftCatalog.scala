@@ -237,9 +237,12 @@ object GraftCatalog {
     * the table's declared constraints, writes, and refreshes the view.
     */
   def insertInto(spark: SparkSession, table: String, rows: DataFrame,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean, staticPartition: Map[String, String] = Map.empty): Unit = {
     val sink = sinkOf(table).getOrElse(
       sys.error(s"table '$table' is not a writable filesystem table"))
+    require(staticPartition.isEmpty || sink.format != "jdbc" &&
+        !cdcFormats.contains(sink.format),
+      s"INSERT ... PARTITION targets a partitioned filesystem table, not $table")
     if (cdcFormats.contains(sink.format))
       return insertIntoCdc(spark, table, rows, overwrite, sink)
     if (sink.format == "jdbc")
@@ -247,14 +250,26 @@ object GraftCatalog {
     // SQL INSERT maps columns by POSITION: align names and types to
     // the target schema so mixed-name files can't silently null out.
     // Computed columns are virtual (re-derived on read) — they are
-    // not insert targets, matching the reference.
+    // not insert targets, matching the reference. Static partition
+    // columns (INSERT ... PARTITION (p='x')) are not insert targets
+    // either — their literal fills in after alignment.
+    val partKeys = partitionKeysOf(table)
+    require(staticPartition.keySet.subsetOf(partKeys.toSet),
+      s"PARTITION clause columns ${staticPartition.keySet.mkString(", ")} must be " +
+        s"partition keys of $table (${partKeys.mkString(", ")})")
     val virtual = metaOf(table).computed.map(_._1).toSet
     val target = StructType(spark.table(table).schema.filterNot(f => virtual(f.name)))
-    require(rows.schema.length == target.length,
-      s"INSERT INTO $table: query has ${rows.schema.length} columns, table has ${target.length}")
-    val aligned = rows.toDF(target.fieldNames.toSeq: _*)
-      .select(target.fields.map(f =>
-        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+    val dynamic = StructType(target.filterNot(f => staticPartition.contains(f.name)))
+    require(rows.schema.length == dynamic.length,
+      s"INSERT INTO $table: query has ${rows.schema.length} columns, " +
+        s"table expects ${dynamic.length} (after static partition columns)")
+    val aligned0 = rows.toDF(dynamic.fieldNames.toSeq: _*)
+    val aligned = aligned0.select(target.fields.map { f =>
+      staticPartition.get(f.name) match {
+        case Some(v) => org.apache.spark.sql.functions.lit(v).cast(f.dataType).as(f.name)
+        case None => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+      }
+    }.toSeq: _*)
     val checked = enforced(table, aligned)
     if (sink.format == "avro") {
       if (overwrite) graft.sources.AvroFormat.write(checked, sink.path)
@@ -267,7 +282,13 @@ object GraftCatalog {
       // (FileSystemTableSink's partition grouping) — downstream scans
       // with a partition predicate prune whole directories
       val keys = partitionKeysOf(table)
-      val wp = if (keys.nonEmpty) writer.partitionBy(keys: _*) else writer
+      // a static-partition OVERWRITE replaces only the named
+      // partition (the reference's INSERT OVERWRITE ... PARTITION):
+      // dynamic overwrite mode rewrites just the directories this
+      // write touches
+      val wp0 = if (keys.nonEmpty) writer.partitionBy(keys: _*) else writer
+      val wp = if (staticPartition.nonEmpty)
+        wp0.option("partitionOverwriteMode", "dynamic") else wp0
       val w2 = if (sink.format == "csv")
         wp.option("header", sink.options.getOrElse("csv.header", "false")) else wp
       w2.save(sink.path)

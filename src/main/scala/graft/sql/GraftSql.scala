@@ -676,9 +676,29 @@ object GraftSql {
     if (isSinkInsert) {
       val overwrite = toks(1).is("OVERWRITE")
       val table = toks(2).text
-      val query = text.substring(toks(2).end)
+      // INSERT ... PARTITION (p = 'v' [, ...]) <query> — static
+      // partition assignments (the reference's partitioned INSERT,
+      // SqlInsert partition list); OVERWRITE replaces only the named
+      // partition
+      var queryStart = toks(2).end
+      var static = Map.empty[String, String]
+      if (toks.length > 4 && toks(3).is("PARTITION") && toks(4).isPunct("(")) {
+        val close = toks.indexWhere(_.isPunct(")"), 4)
+        require(close > 4, "INSERT ... PARTITION: missing ')'")
+        val inner = toks.slice(5, close)
+        // k = v pairs separated by commas; values are literals
+        static = inner.filterNot(_.isPunct(","))
+          .grouped(3).map {
+            case Seq(k, eq, v) if eq.isPunct("=") =>
+              k.text -> v.text.stripPrefix("'").stripSuffix("'")
+            case other => sys.error(
+              s"INSERT ... PARTITION: expected col = literal, got ${other.map(_.text).mkString(" ")}")
+          }.toMap
+        queryStart = toks(close).end
+      }
+      val query = text.substring(queryStart)
       val rows = sql(spark, query)
-      graft.catalog.GraftCatalog.insertInto(spark, table, rows, overwrite)
+      graft.catalog.GraftCatalog.insertInto(spark, table, rows, overwrite, static)
       return spark.table(table)
     }
     // event-time temporal joins FIRST: they consume the version

@@ -271,4 +271,38 @@ class CatalogSpec extends SparkSpec {
     // SHOW CREATE TABLE round-trips the clause
     assert(GraftCatalog.showCreateTable("ev_part").contains("PARTITIONED BY (event_type)"))
   }
+
+  test("INSERT ... PARTITION: static assignment fills the column; OVERWRITE replaces only that partition") {
+    val path = "/tmp/graft_part_spec/static_part"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete()
+    }
+    if (new java.io.File(path).exists()) del(new java.io.File(path))
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE st_part (
+         |  id BIGINT, v DOUBLE, tag VARCHAR(8)
+         |) PARTITIONED BY (tag) WITH (
+         |  'connector' = 'filesystem', 'path' = '$path', 'format' = 'parquet')""".stripMargin)
+    // static inserts: query supplies only the dynamic columns
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO st_part PARTITION (tag = 'red') SELECT 1, 10.0")
+    graft.sql.GraftSql.sql(spark,
+      "INSERT INTO st_part PARTITION (tag = 'blue') SELECT 2, 20.0")
+    val all = spark.table("st_part").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(all === Set((1L, 10.0, "red"), (2L, 20.0, "blue")))
+    // static-partition OVERWRITE rewrites ONLY the named partition
+    graft.sql.GraftSql.sql(spark,
+      "INSERT OVERWRITE st_part PARTITION (tag = 'red') SELECT 3, 30.0")
+    val after = spark.table("st_part").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(after === Set((3L, 30.0, "red"), (2L, 20.0, "blue")),
+      "blue partition must survive a red-partition overwrite")
+    // a PARTITION clause on a non-partition column fails loudly
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO st_part PARTITION (v = '1.0') SELECT 4, 'x'")
+    }
+  }
 }
