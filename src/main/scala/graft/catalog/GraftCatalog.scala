@@ -30,6 +30,12 @@ object GraftCatalog {
     """(?is)CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*(?:WITH\s*\((.*)\))?\s*""".r
   private val DropTable: Regex =
     """(?is)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  // sql-client ALTER statements (the reference's SqlAlterTableOptions /
+  // SqlAlterTableRename)
+  private val AlterTableSet: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*""".r
+  private val AlterTableRename: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
 
   import graft.operators.ConstraintEnforcer.LengthConstraint
 
@@ -676,6 +682,30 @@ object GraftCatalog {
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
         tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys)
         .foreach(_.remove(name))
+
+    // ALTER TABLE t SET ('k' = 'v', ...) — merge option overrides and
+    // re-register the view over the updated source (the reference's
+    // SqlAlterTableOptions applied through the catalog)
+    case AlterTableSet(name, opts) =>
+      val base = tableOptions.getOrElse(name,
+        sys.error(s"ALTER TABLE: unknown table '$name'"))
+      val merged = base ++ parseOptions(opts)
+      tableOptions.put(name, merged)
+      register(spark, name, merged)
+
+    // ALTER TABLE t RENAME TO t2 — every registry entry moves with it
+    case AlterTableRename(name, newName) =>
+      require(tableOptions.contains(name), s"ALTER TABLE: unknown table '$name'")
+      require(!tableOptions.contains(newName),
+        s"ALTER TABLE: target name '$newName' already exists")
+      Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
+        tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys).foreach { reg =>
+        reg.remove(name).foreach(v =>
+          reg.asInstanceOf[scala.collection.concurrent.TrieMap[String, Any]]
+            .put(newName, v))
+      }
+      spark.catalog.dropTempView(name)
+      register(spark, newName, tableOptions(newName))
 
     case other => sys.error(s"unsupported DDL: $other")
   }

@@ -520,6 +520,26 @@ object GraftSql {
       return spark.catalog.listTables().collect().map(_.name)
         .filterNot(_.startsWith("__graft")).sorted.toSeq.toDF("table_name")
     }
+    // SHOW PARTITIONS t — the partition values present on disk, one
+    // row per directory, rendered k=v[/k2=v2] like the reference
+    // (SqlShowPartitions); metadata-only: reads directory names, not
+    // files
+    if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 3 &&
+        toks(1).is("PARTITIONS")) {
+      import spark.implicits._
+      val name = cleanName(toks(2).text)
+      val keys = graft.catalog.GraftCatalog.partitionKeysOf(name)
+      require(keys.nonEmpty, s"table '$name' is not partitioned")
+      val root = graft.catalog.GraftCatalog.sinkOf(name).getOrElse(
+        sys.error(s"table '$name' has no filesystem path")).path
+      def walk(dir: java.io.File, depth: Int, prefix: String): Seq[String] = {
+        if (depth == keys.length) return Seq(prefix.stripPrefix("/"))
+        val subs = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(s"${keys(depth)}="))
+        subs.toSeq.flatMap(d => walk(d, depth + 1, s"$prefix/${d.getName}"))
+      }
+      return walk(new java.io.File(root), 0, "").sorted.toDF("partition")
+    }
     if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 4 &&
         toks(1).is("CREATE") && toks(2).is("TABLE")) {
       import spark.implicits._
@@ -666,7 +686,9 @@ object GraftSql {
         (toks.length > 3 && toks(3).is("LIKE")))
     val isDropDdl = toks.length > 2 && toks.head.is("DROP") && toks(1).is("TABLE") &&
       graft.catalog.GraftCatalog.isRegistered(toks.last.text)
-    if (isConnectorDdl || isDropDdl) {
+    val isAlterDdl = toks.length > 3 && toks.head.is("ALTER") && toks(1).is("TABLE") &&
+      graft.catalog.GraftCatalog.isRegistered(toks(2).text)
+    if (isConnectorDdl || isDropDdl || isAlterDdl) {
       graft.catalog.GraftCatalog.executeDdl(spark, text)
       return spark.emptyDataFrame
     }

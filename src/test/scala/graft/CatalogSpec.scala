@@ -305,4 +305,33 @@ class CatalogSpec extends SparkSpec {
         "INSERT INTO st_part PARTITION (v = '1.0') SELECT 4, 'x'")
     }
   }
+
+  test("SHOW PARTITIONS lists directory partitions; ALTER TABLE SET/RENAME update the catalog") {
+    val path = "/tmp/graft_part_spec/alter_part"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete()
+    }
+    if (new java.io.File(path).exists()) del(new java.io.File(path))
+    graft.sql.GraftSql.sql(spark,
+      s"""CREATE TABLE alt_part (
+         |  id BIGINT, tag VARCHAR(8)
+         |) PARTITIONED BY (tag) WITH (
+         |  'connector' = 'filesystem', 'path' = '$path', 'format' = 'parquet')""".stripMargin)
+    graft.sql.GraftSql.sql(spark, "INSERT INTO alt_part PARTITION (tag = 'red') SELECT 1")
+    graft.sql.GraftSql.sql(spark, "INSERT INTO alt_part PARTITION (tag = 'blue') SELECT 2")
+    val parts = graft.sql.GraftSql.sql(spark, "SHOW PARTITIONS alt_part")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts === Seq("tag=blue", "tag=red"))
+    // ALTER ... SET merges option overrides (visible in SHOW CREATE TABLE)
+    graft.sql.GraftSql.sql(spark, "ALTER TABLE alt_part SET ('custom.opt' = '42')")
+    assert(GraftCatalog.showCreateTable("alt_part").contains("'custom.opt' = '42'"))
+    // ALTER ... RENAME moves every registry entry
+    graft.sql.GraftSql.sql(spark, "ALTER TABLE alt_part RENAME TO alt_part2")
+    assert(!GraftCatalog.isRegistered("alt_part"))
+    assert(GraftCatalog.partitionKeysOf("alt_part2") === Seq("tag"))
+    assert(spark.table("alt_part2").count() === 2L)
+    assert(graft.sql.GraftSql.sql(spark, "SHOW PARTITIONS alt_part2")
+      .collect().map(_.getString(0)).toSeq === Seq("tag=blue", "tag=red"))
+  }
 }
