@@ -158,6 +158,23 @@ object FlinkFunctions {
       org.apache.spark.sql.types.BinaryType), expressions.Literal(384)) }
     reg1("sha512") { es => expressions.Sha2(expressions.Cast(es.head,
       org.apache.spark.sql.types.BinaryType), expressions.Literal(512)) }
+    // ELEMENT(array): the sole element of a single-element array,
+    // NULL for empty, error for more than one
+    // (BuiltInFunctionDefinitions ELEMENT). The error rides in the
+    // index expression so the If branches keep the array's element
+    // type.
+    reg1("element") { es =>
+      val arr = es.head
+      val tooMany = expressions.Cast(expressions.RaiseError(expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "ELEMENT() on an array with more than one element"),
+        org.apache.spark.sql.types.StringType)), org.apache.spark.sql.types.IntegerType)
+      new expressions.GetArrayItem(arr,
+        expressions.If(
+          expressions.GreaterThan(expressions.Size(arr), expressions.Literal(1)),
+          tooMany, expressions.Literal(0)),
+        false) // out-of-bounds (empty array) -> NULL, not error
+    }
     // character-classification predicates (SqlFunctionUtils.java:
     // isAlpha 982, isDigit 964, isDecimal 912): non-empty string of
     // letters / digits / a parseable number; NULL -> FALSE, not NULL.

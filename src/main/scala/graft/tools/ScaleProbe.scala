@@ -86,7 +86,11 @@ object ScaleProbe {
       // round-trip, semi/anti changelog machine, CDC decode (fixture
       // generated once per scaled dir in the warm pass, decode timed)
       "q_sim_ivf_ann", "q_avro_roundtrip", "q_changelog_antijoin",
-      "q_cdc_debezium")
+      "q_cdc_debezium",
+      // round-3 additions: the hardest decorrelation shape in the
+      // TPC-H battery (EXISTS + NOT EXISTS over lineitem three ways)
+      // and the partitioned-sink write + pruned read
+      "q_tpch_q21", "q_partitioned_sink")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

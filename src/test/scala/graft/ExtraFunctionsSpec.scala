@@ -105,6 +105,19 @@ class ExtraFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(16) && r.getBoolean(17))
   }
 
+  test("ELEMENT: sole element, NULL on empty, error on many") {
+    graft.functions.FlinkFunctions.registerAll(spark)
+    val row = spark.sql(
+      "SELECT element(array(42)) AS one, element(cast(array() AS ARRAY<INT>)) AS none")
+      .first()
+    assert(row.getInt(0) === 42)
+    assert(row.isNullAt(1))
+    val e = intercept[Exception] {
+      spark.sql("SELECT element(array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("more than one element"))
+  }
+
   test("SQL:2016 JSON aggregate functions by SQL name") {
     graft.functions.FlinkFunctions.registerAll(spark)
     val r = spark.sql(
