@@ -311,6 +311,71 @@ object GraftSql {
     * and non-versioned tables keep the snapshot-erasure path in
     * [[rewrite]].
     */
+  /** Correlate SQL syntax — the reference's table-function join
+    * (`FROM t, LATERAL TABLE(split(s)) AS T(word)` and
+    * `LEFT JOIN LATERAL TABLE(...) AS T(c) ON TRUE`, planned as
+    * StreamExecCorrelate): rewritten to Spark's LATERAL VIEW
+    * [OUTER]. A call whose head is already a Spark generator
+    * (explode/posexplode/inline/stack/json_tuple) passes through;
+    * any other argument is treated as a collection expression and
+    * wrapped in explode — the UNNEST-equivalent Correlate.
+    */
+  private val generatorFns =
+    Set("explode", "explode_outer", "posexplode", "posexplode_outer",
+      "inline", "inline_outer", "stack", "json_tuple")
+
+  private def rewriteLateralTable(text: String): String = {
+    val toks = tokenize(text)
+    if (!toks.exists(_.is("LATERAL"))) return text
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    var i = 0
+    var any = false
+    while (i < toks.length) {
+      if (toks(i).is("LATERAL") && i + 2 < toks.length && toks(i + 1).is("TABLE") &&
+          toks(i + 2).isPunct("(")) {
+        // the join syntax preceding the clause: `, LATERAL TABLE` is an
+        // inner correlate, `LEFT JOIN LATERAL TABLE ... ON TRUE` outer
+        var startTok = i
+        var outer = false
+        if (i >= 2 && toks(i - 2).is("LEFT") && toks(i - 1).is("JOIN")) {
+          startTok = i - 2; outer = true
+        } else if (i >= 1 && toks(i - 1).isPunct(",")) startTok = i - 1
+        val close = matchParen(toks, i + 2)
+        val fnText = text.substring(toks(i + 2).start + 1, toks(close).end - 1)
+        var j = close + 1
+        if (j < toks.length && toks(j).is("AS")) j += 1
+        require(j < toks.length && toks(j).kind == Ident,
+          "LATERAL TABLE needs an alias: ... AS T(col, ...)")
+        val alias = toks(j).text
+        j += 1
+        require(j < toks.length && toks(j).isPunct("("),
+          "LATERAL TABLE alias needs its column list: AS T(col, ...)")
+        val colsClose = matchParen(toks, j)
+        val cols = toks.slice(j + 1, colsClose).filterNot(_.isPunct(",")).map(_.text)
+        var endTok = colsClose
+        if (outer) {
+          require(colsClose + 2 < toks.length && toks(colsClose + 1).is("ON") &&
+            toks(colsClose + 2).is("TRUE"),
+            "LEFT JOIN LATERAL TABLE joins ON TRUE")
+          endTok = colsClose + 2
+        }
+        val headFn = tokenize(fnText).headOption
+          .map(_.text.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+        val gen = if (generatorFns(headFn)) fnText else s"explode($fnText)"
+        sb.append(text, pos, toks(startTok).start)
+        sb.append(" LATERAL VIEW ").append(if (outer) "OUTER " else "")
+          .append(gen).append(' ').append(alias)
+          .append(" AS ").append(cols.mkString(", "))
+        pos = toks(endTok).end
+        i = endTok + 1
+        any = true
+      } else i += 1
+    }
+    if (!any) text
+    else { sb.append(text, pos, text.length); sb.toString }
+  }
+
   private def rewriteTemporalJoins(spark: SparkSession, sqlText: String): String = {
     val toks = tokenize(sqlText)
     var i = 0
@@ -726,7 +791,7 @@ object GraftSql {
     // event-time temporal joins FIRST: they consume the version
     // HISTORY of an upsert table — the changelog inference below
     // would normalize it to current state and lose the versions
-    val afterTemporal = rewriteTemporalJoins(spark, text)
+    val afterTemporal = rewriteLateralTable(rewriteTemporalJoins(spark, text))
     // SQL over a DDL-declared upsert table: changelog-mode inference
     // inserts the normalize/retract adapters the reference planner
     // would (FlinkChangelogModeInferenceProgram), no DSL calls needed

@@ -189,7 +189,21 @@ object SqlQueries {
         |WHERE rn = 1""".stripMargin)
   }
 
+  /** Correlate in SQL — the reference's table-function join
+    * (`FROM t, LATERAL TABLE(f(x)) AS T(c)`), rewritten to LATERAL
+    * VIEW by the front door. split() is not a Spark generator, so
+    * the rewrite wraps it in explode — the UNNEST-equivalent path.
+    */
+  def lateralTableSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT doc_id, word, n_chars
+        |FROM documents, LATERAL TABLE(split(text, ' ')) AS T(word)
+        |WHERE lang = 'en'""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_lateral"         -> (lateralTableSql _),
     "q_sql_match_recognize" -> (matchRecognizeSql _),
     "q_sql_temporal_join"   -> (temporalJoinSql _),
     "q_sql_upsert_agg"      -> (upsertAggSql _),
@@ -200,6 +214,9 @@ object SqlQueries {
     "q_sql_session"         -> (sessionSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_lateral" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word, n_chars
+        |FROM documents WHERE lang = 'en'""".stripMargin,
     "q_sql_window_topn" ->
       """SELECT window_start, window_end, event_type, cnt, rn
         |FROM (

@@ -510,6 +510,29 @@ class GraftSqlSpec extends SparkSpec {
       tvf.take(300))
   }
 
+  test("LATERAL TABLE rewrites to LATERAL VIEW: inner, outer, generator passthrough") {
+    import spark.implicits._
+    prep()
+    Seq((1L, "a b"), (2L, "")).toDF("id", "s").createOrReplaceTempView("lt_src")
+    // inner correlate: empty split yields one empty-string token row
+    val inner = GraftSql.sql(spark,
+      "SELECT id, w FROM lt_src, LATERAL TABLE(split(s, ' ')) AS T(w)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inner === Set((1L, "a"), (1L, "b"), (2L, "")))
+    // outer correlate keeps rows whose generator yields nothing
+    Seq((1L, Seq("x")), (2L, Seq.empty[String])).toDF("id", "arr")
+      .createOrReplaceTempView("lt_arr")
+    val outer = GraftSql.sql(spark,
+      "SELECT id, w FROM lt_arr LEFT JOIN LATERAL TABLE(explode(arr)) AS T(w) ON TRUE")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(outer === Set((1L, Some("x")), (2L, None)))
+    // posexplode passes through with both output columns
+    val pos = GraftSql.sql(spark,
+      "SELECT id, p, w FROM lt_arr, LATERAL TABLE(posexplode(arr)) AS T(p, w)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(pos === Set((1L, 0, "x")))
+  }
+
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
     import spark.implicits._
     prep()
