@@ -324,7 +324,28 @@ object GraftSql {
     Set("explode", "explode_outer", "posexplode", "posexplode_outer",
       "inline", "inline_outer", "stack", "json_tuple")
 
-  private def rewriteLateralTable(text: String): String = {
+  /** Temporal table functions — the reference's
+    * `createTemporalTableFunction(timeAttr, primaryKey)` +
+    * `LATERAL TABLE(rates(o.ts))` SQL usage (the pre-FOR SYSTEM_TIME
+    * temporal-join API, TemporalTableFunctionImpl). The version
+    * source is a DDL-declared upsert or CDC table, whose PRIMARY KEY
+    * and 'version-by' supply the key and time attribute.
+    */
+  private val temporalFns = scala.collection.concurrent.TrieMap
+    .empty[String, (String, graft.catalog.GraftCatalog.UpsertSpec, Boolean)]
+
+  def createTemporalTableFunction(spark: SparkSession, fnName: String,
+      versionTable: String): Unit = {
+    val spec = graft.catalog.GraftCatalog.upsertOf(versionTable).map((_, false))
+      .orElse(graft.catalog.GraftCatalog.cdcOf(versionTable)
+        .filter(s => s.keys.nonEmpty && s.versionCols.nonEmpty).map((_, true)))
+      .getOrElse(sys.error(s"temporal table function needs a DDL-declared " +
+        s"upsert/CDC version table, '$versionTable' is not one"))
+    temporalFns.put(fnName.toLowerCase(java.util.Locale.ROOT),
+      (versionTable, spec._1, spec._2))
+  }
+
+  private def rewriteLateralTable(spark: SparkSession, text: String): String = {
     val toks = tokenize(text)
     if (!toks.exists(_.is("LATERAL"))) return text
     val sb = new java.lang.StringBuilder
@@ -343,6 +364,38 @@ object GraftSql {
         } else if (i >= 1 && toks(i - 1).isPunct(",")) startTok = i - 1
         val close = matchParen(toks, i + 2)
         val fnText = text.substring(toks(i + 2).start + 1, toks(close).end - 1)
+        val headFn0 = tokenize(fnText).headOption
+          .map(_.text.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+        // temporal table function: LATERAL TABLE(rates(o_ts)) [AS r] —
+        // no column list (it returns the version table's row); becomes
+        // a join against the SCD-2 interval view, validity bound to
+        // the time argument (key equality stays in the user's WHERE,
+        // as the reference requires)
+        if (temporalFns.contains(headFn0)) {
+          require(!outer, "temporal table functions join INNER (no LEFT JOIN ... ON TRUE)")
+          val (table, spec, isCdc) = temporalFns(headFn0)
+          val inner = fnText.trim
+          val argText = inner.substring(inner.indexOf('(') + 1, inner.lastIndexOf(')'))
+          var j2 = close + 1
+          var alias = ""
+          val clauseKw = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "ON",
+            "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "UNION")
+          if (j2 < toks.length && toks(j2).is("AS")) {
+            alias = toks(j2 + 1).text; j2 += 2
+          } else if (j2 < toks.length && toks(j2).kind == Ident &&
+              !clauseKw.exists(toks(j2).is)) {
+            alias = toks(j2).text; j2 += 1
+          }
+          val view = temporalIntervalView(spark, table, spec, isCdc)
+          val a = if (alias.nonEmpty) alias else table
+          val vcol = spec.versionCols.head
+          sb.append(text, pos, toks(startTok).start)
+          sb.append(s" JOIN $view AS $a ON $a.$vcol <= ($argText)" +
+            s" AND ($a.__valid_to IS NULL OR ($argText) < $a.__valid_to)")
+          pos = toks(j2 - 1).end.max(toks(close).end)
+          i = j2
+          any = true
+        } else {
         var j = close + 1
         if (j < toks.length && toks(j).is("AS")) j += 1
         require(j < toks.length && toks(j).kind == Ident,
@@ -360,9 +413,7 @@ object GraftSql {
             "LEFT JOIN LATERAL TABLE joins ON TRUE")
           endTok = colsClose + 2
         }
-        val headFn = tokenize(fnText).headOption
-          .map(_.text.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
-        val gen = if (generatorFns(headFn)) fnText else s"explode($fnText)"
+        val gen = if (generatorFns(headFn0)) fnText else s"explode($fnText)"
         sb.append(text, pos, toks(startTok).start)
         sb.append(" LATERAL VIEW ").append(if (outer) "OUTER " else "")
           .append(gen).append(' ').append(alias)
@@ -370,6 +421,7 @@ object GraftSql {
         pos = toks(endTok).end
         i = endTok + 1
         any = true
+        }
       } else i += 1
     }
     if (!any) text
@@ -791,7 +843,7 @@ object GraftSql {
     // event-time temporal joins FIRST: they consume the version
     // HISTORY of an upsert table — the changelog inference below
     // would normalize it to current state and lose the versions
-    val afterTemporal = rewriteLateralTable(rewriteTemporalJoins(spark, text))
+    val afterTemporal = rewriteLateralTable(spark, rewriteTemporalJoins(spark, text))
     // SQL over a DDL-declared upsert table: changelog-mode inference
     // inserts the normalize/retract adapters the reference planner
     // would (FlinkChangelogModeInferenceProgram), no DSL calls needed

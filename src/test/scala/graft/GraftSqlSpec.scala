@@ -533,6 +533,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(pos === Set((1L, 0, "x")))
   }
 
+  test("temporal table function: LATERAL TABLE(rates(ts)) joins the version valid at ts") {
+    import spark.implicits._
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_ttf").toString
+    Seq(("EUR", 1.1, 1000L), ("EUR", 1.2, 2000L), ("USD", 1.0, 1000L))
+      .toDF("currency", "rate", "rts").write.parquet(s"$base/rates_hist")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE rates_hist (
+         |  currency VARCHAR(3), rate DOUBLE, rts BIGINT,
+         |  PRIMARY KEY (currency) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/rates_hist',
+         |        'format' = 'parquet', 'changelog-mode' = 'upsert',
+         |        'version-by' = 'rts')""".stripMargin)
+    GraftSql.createTemporalTableFunction(spark, "rates", "rates_hist")
+    Seq((1L, "EUR", 1500L, 10.0), (2L, "EUR", 2500L, 10.0), (3L, "USD", 1500L, 10.0))
+      .toDF("o_id", "o_currency", "o_ts", "amount")
+      .createOrReplaceTempView("ttf_orders")
+    val out = GraftSql.sql(spark,
+      """SELECT o_id, amount * r.rate AS converted
+        |FROM ttf_orders, LATERAL TABLE(rates(o_ts)) AS r
+        |WHERE r.currency = o_currency""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    // order 1 at ts=1500 sees EUR@1.1; order 2 at 2500 sees EUR@1.2
+    assert(out === Set((1L, 11.0), (2L, 12.0), (3L, 10.0)))
+    // alias-less form binds through the table name
+    val bare = GraftSql.sql(spark,
+      """SELECT o_id, amount * rates_hist.rate AS converted
+        |FROM ttf_orders, LATERAL TABLE(rates(o_ts))
+        |WHERE rates_hist.currency = o_currency""".stripMargin).count()
+    assert(bare === 3L)
+  }
+
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
     import spark.implicits._
     prep()
