@@ -606,8 +606,16 @@ object GraftSql {
       require(!bodyToks.head.is("CREATE") && !bodyToks.head.is("DROP"),
         "EXPLAIN of DDL is not supported")
       val body =
-        if (bodyToks.head.is("INSERT") && bodyToks.length > 2)
-          text.substring(bodyToks(2).end) // the query feeding the sink
+        if (bodyToks.head.is("INSERT") && bodyToks.length > 2) {
+          // the query feeding the sink — skipping a static PARTITION
+          // clause if present
+          if (bodyToks.length > 4 && bodyToks(3).is("PARTITION") &&
+              bodyToks(4).isPunct("(")) {
+            val close = bodyToks.indexWhere(_.isPunct(")"), 4)
+            require(close > 4, "EXPLAIN INSERT ... PARTITION: missing ')'")
+            text.substring(bodyToks(close).end)
+          } else text.substring(bodyToks(2).end)
+        }
         else text.substring(bodyToks.head.start)
       import spark.implicits._
       if (changelogDetail) {
