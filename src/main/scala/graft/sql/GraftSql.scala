@@ -637,6 +637,50 @@ object GraftSql {
     // native statements know nothing of the connector DDL metadata
     // (watermarks, computed columns, PRIMARY KEY, WITH options)
     def cleanName(n: String) = n.stripPrefix("`").stripSuffix("`")
+    // CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS '<expression class>'
+    // — the reference's SqlCreateFunction: the named class instantiates
+    // per call site by reflection (any Catalyst Expression on the
+    // classpath, constructor arity = call arity), the same
+    // class-name-based registration Flink's catalog performs
+    if (toks.nonEmpty && toks.head.is("CREATE")) {
+        var fi = 1
+        if (fi < toks.length && (toks(fi).is("TEMPORARY") || toks(fi).is("SYSTEM"))) fi += 1
+        if (fi < toks.length && toks(fi).is("SYSTEM")) fi += 1
+        if (fi + 3 < toks.length && toks(fi).is("FUNCTION")) {
+          val name = cleanName(toks(fi + 1).text)
+          require(toks(fi + 2).is("AS") && toks(fi + 3).kind == Str,
+            "CREATE FUNCTION needs: AS '<class name>'")
+          val className = toks(fi + 3).text.stripPrefix("'").stripSuffix("'")
+          val cls = Class.forName(className)
+          require(classOf[org.apache.spark.sql.catalyst.expressions.Expression]
+            .isAssignableFrom(cls),
+            s"$className is not a Catalyst Expression")
+          val ctors = cls.getConstructors
+          val builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+              => org.apache.spark.sql.catalyst.expressions.Expression = es => {
+            val ctor = ctors.find(c => c.getParameterCount == es.length &&
+              c.getParameterTypes.forall(
+                _.isAssignableFrom(classOf[org.apache.spark.sql.catalyst.expressions.Expression])))
+              .getOrElse(sys.error(
+                s"$className has no ${es.length}-ary Expression constructor"))
+            ctor.newInstance(es: _*)
+              .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+          }
+          spark.sessionState.functionRegistry
+            .createOrReplaceTempFunction(name, builder, "java_udf")
+          return spark.emptyDataFrame
+        }
+    }
+    // DROP [TEMPORARY] FUNCTION [IF EXISTS] name
+    if (toks.length >= 3 && toks.head.is("DROP") &&
+        (toks(1).is("FUNCTION") || (toks(1).is("TEMPORARY") && toks(2).is("FUNCTION")))) {
+      val rest = toks.drop(if (toks(1).is("FUNCTION")) 2 else 3)
+        .dropWhile(t => t.is("IF") || t.is("EXISTS"))
+      require(rest.nonEmpty, "DROP FUNCTION needs a name")
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(cleanName(rest.head.text)))
+      return spark.emptyDataFrame
+    }
     if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
         toks(1).is("TABLES")) {
       import spark.implicits._

@@ -565,6 +565,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(bare === 3L)
   }
 
+  test("CREATE FUNCTION ... AS '<class>' registers a Catalyst expression by reflection") {
+    prep()
+    GraftSql.sql(spark,
+      "CREATE TEMPORARY FUNCTION my_fp AS 'graft.functions.Fingerprint64'")
+    val r = spark.sql(
+      "SELECT my_fp('abc') AS a, fingerprint64('abc') AS b").first()
+    assert(r.getLong(0) === r.getLong(1))
+    // binary-arity class resolves through the same builder
+    GraftSql.sql(spark,
+      "CREATE FUNCTION my_cos AS 'graft.functions.CosineSimilarity'")
+    val c = spark.sql(
+      """SELECT my_cos(cast(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |              cast(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+      .first().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+    // a non-Expression class is rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE FUNCTION bad AS 'java.lang.String'")
+    }
+    GraftSql.sql(spark, "DROP FUNCTION my_fp")
+    intercept[Exception] { spark.sql("SELECT my_fp('x')").collect() }
+  }
+
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
     import spark.implicits._
     prep()
