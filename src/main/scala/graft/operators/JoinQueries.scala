@@ -117,7 +117,28 @@ object JoinQueries {
     t(s, dir, "region").crossJoin(t(s, dir, "nation"))
       .select(col("r_name"), col("n_name"))
 
+  /** Key-less range join: purchases within ±5 min of each error
+    * event, NO user equality — the shape Spark would otherwise plan
+    * as a BroadcastNestedLoopJoin (O(n·m)). [[RangeJoin]] buckets the
+    * time axis (10-min buckets ≈ the 10-min span → right side
+    * replicates ≤2×) so it hash-joins and scales; the residual
+    * re-check keeps exactness, which the DuckDB oracle verifies.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        (unix_micros(col("ts")) - lit(300000000L)).as("lo"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("hi"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pts"))
+    RangeJoin.pointInInterval(pur, "pts", err, "lo", "hi", 600000000L)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_purch"), min(col("p_id")).as("first_p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (rangeJoin _),
     "q_join_inner" -> (joinInner _),
     "q_join_left"  -> (joinLeft _),
     "q_join_right" -> (joinRight _),
@@ -128,6 +149,14 @@ object JoinQueries {
     "q_join_cross" -> (joinCross _))
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT e.event_id AS err_id, count(*) AS n_purch,
+        |       min(p.event_id) AS first_p
+        |FROM events e JOIN events p
+        |  ON p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 300000000
+        |                        AND epoch_us(e.ts) + 300000000
+        |GROUP BY e.event_id""".stripMargin,
     "q_join_inner" ->
       """SELECT n_name,
         |  sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(20,4))::DOUBLE AS revenue,
