@@ -345,6 +345,33 @@ object GraftSql {
       (versionTable, spec._1, spec._2))
   }
 
+  /** Dynamic table options — the reference's OPTIONS hint
+    * (`FROM t /*+ OPTIONS('k'='v') */`, SqlHintOptions/
+    * DynamicTableOptions): per-query option overrides on a
+    * DDL-declared table. The hinted reference re-registers through
+    * CREATE TABLE ... LIKE (so schema/constraints/watermark/upsert
+    * metadata all carry over with the overridden options) and the
+    * reference text swaps to the synthetic table aliased back to the
+    * original name, keeping qualified columns bound.
+    */
+  private val optsHintCounter = new AtomicInteger(0)
+  private val OptionsHint =
+    """(?is)(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(\s+AS\s+(\w+))?""".r
+
+  private def applyOptionsHints(spark: SparkSession, text: String): String =
+    OptionsHint.replaceAllIn(text, m => {
+      val table = m.group(1)
+      if (!graft.catalog.GraftCatalog.isRegistered(table))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val view = s"__graft_opts_${optsHintCounter.incrementAndGet()}"
+        graft.catalog.GraftCatalog.executeDdl(spark,
+          s"CREATE TABLE $view LIKE $table WITH (${m.group(2)})")
+        val alias = Option(m.group(4)).getOrElse(table)
+        java.util.regex.Matcher.quoteReplacement(s"$view AS $alias")
+      }
+    })
+
   private def rewriteLateralTable(spark: SparkSession, text: String): String = {
     val toks = tokenize(text)
     if (!toks.exists(_.is("LATERAL"))) return text
@@ -895,7 +922,9 @@ object GraftSql {
     // event-time temporal joins FIRST: they consume the version
     // HISTORY of an upsert table — the changelog inference below
     // would normalize it to current state and lose the versions
-    val afterTemporal = rewriteLateralTable(spark, rewriteTemporalJoins(spark, text))
+    val afterHints = applyOptionsHints(spark, text)
+    val afterTemporal =
+      rewriteLateralTable(spark, rewriteTemporalJoins(spark, afterHints))
     // SQL over a DDL-declared upsert table: changelog-mode inference
     // inserts the normalize/retract adapters the reference planner
     // would (FlinkChangelogModeInferenceProgram), no DSL calls needed

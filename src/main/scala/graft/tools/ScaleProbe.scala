@@ -90,7 +90,7 @@ object ScaleProbe {
       // round-3 additions: the hardest decorrelation shape in the
       // TPC-H battery (EXISTS + NOT EXISTS over lineitem three ways)
       // and the partitioned-sink write + pruned read
-      "q_tpch_q21", "q_partitioned_sink")
+      "q_tpch_q21", "q_partitioned_sink", "q_range_join")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

@@ -588,6 +588,34 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT my_fp('x')").collect() }
   }
 
+  test("OPTIONS hint applies per-query dynamic table options") {
+    import spark.implicits._
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_hint").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.option("header", "true").csv(s"$base/hinted")
+    // the DDL declares headerless csv: the header line reads as a data
+    // row (id unparseable -> NULL)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE hinted_csv (id BIGINT, s VARCHAR(10))
+         |WITH ('connector' = 'filesystem', 'path' = '$base/hinted',
+         |      'format' = 'csv', 'csv.header' = 'false')""".stripMargin)
+    val raw = GraftSql.sql(spark, "SELECT * FROM hinted_csv").collect()
+    assert(raw.length === 3 && raw.exists(_.isNullAt(0)))
+    // per-query override: same table, header honored, clean rows
+    val hinted = GraftSql.sql(spark,
+      "SELECT id, s FROM hinted_csv /*+ OPTIONS('csv.header' = 'true') */ WHERE id > 0")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hinted === Set((1L, "a"), (2L, "b")))
+    // the original registration is untouched
+    assert(GraftSql.sql(spark, "SELECT * FROM hinted_csv").count() === 3)
+    // qualified columns bind through an explicit alias after the hint
+    val aliased = GraftSql.sql(spark,
+      "SELECT h.s FROM hinted_csv /*+ OPTIONS('csv.header' = 'true') */ AS h WHERE h.id = 2")
+      .first().getString(0)
+    assert(aliased === "b")
+  }
+
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
     import spark.implicits._
     prep()
