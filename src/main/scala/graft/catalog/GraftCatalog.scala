@@ -329,6 +329,14 @@ object GraftCatalog {
     */
   private def insertIntoJdbc(spark: SparkSession, table: String, rows: DataFrame,
       overwrite: Boolean, sink: SinkInfo): Unit = {
+    // a changelog INSERT (rows carrying __rowkind) applies deletes as
+    // DELETEs — the reference's JDBC sink consuming a retract stream
+    val kindCol = graft.changelog.Changelog.RowKindCol
+    if (rows.columns.contains(kindCol)) {
+      require(!overwrite, "changelog INSERT into jdbc cannot be OVERWRITE")
+      return graft.sources.JdbcConnector.writeChangelog(
+        enforced(table, rows), sink.options, primaryKeyOf(table))
+    }
     val virtual = metaOf(table).computed.map(_._1).toSet
     val target = StructType(spark.table(table).schema.filterNot(f => virtual(f.name)))
     require(rows.schema.length == target.length,

@@ -172,6 +172,13 @@ object JdbcConnector {
           val pending = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
           def flush(): Unit = if (pending.nonEmpty) {
             if (upsert) {
+              // keep-last per key within the batch (see writeChangelog)
+              val byKey = new java.util.LinkedHashMap[Seq[Any], Row]()
+              pending.foreach(r =>
+                byKey.put(primaryKey.map(c => r.get(schema.fieldIndex(c))), r))
+              pending.clear()
+              pending ++= scala.jdk.CollectionConverters
+                .CollectionHasAsScala(byKey.values).asScala
               pending.foreach { row =>
                 nonKey.zipWithIndex.foreach { case (c, i) =>
                   bind(upd, i + 1, row.get(schema.fieldIndex(c))) }
@@ -206,6 +213,118 @@ object JdbcConnector {
           flush()
         } finally { if (upsert) upd.close(); ins.close() }
       } finally conn.close()
+    }
+  }
+
+  /** Changelog write (the reference's JdbcOutputFormat consuming a
+    * retract/upsert stream: +I/+U upsert the row, -D DELETEs by key,
+    * -U is the before-image and carries no action). Rows apply in
+    * partition order with batches flushed on every kind flip, so a
+    * delete never overtakes the insert it retracts within a batch.
+    */
+  def writeChangelog(df: DataFrame, options: Map[String, String],
+      primaryKey: Seq[String]): Unit = {
+    require(primaryKey.nonEmpty, "changelog writes into JDBC need a PRIMARY KEY")
+    val kindCol = graft.changelog.Changelog.RowKindCol
+    require(df.columns.contains(kindCol), s"changelog write expects $kindCol")
+    val schema = StructType(df.schema.filterNot(_.name == kindCol))
+    val cols = schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(primaryKey.contains)
+    val table = options("table-name")
+    val batchSize = options.getOrElse("sink.buffer-flush.max-rows", "100").toInt
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val updateSql = if (nonKey.nonEmpty)
+      s"UPDATE $table SET ${nonKey.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${primaryKey.map(c => s"$c = ?").mkString(" AND ")}"
+    else insertSql
+    val deleteSql =
+      s"DELETE FROM $table WHERE ${primaryKey.map(c => s"$c = ?").mkString(" AND ")}"
+    val opts = options
+    // primitive copies — the Changelog object itself must not ride
+    // the closure (not serializable)
+    val kDelete = graft.changelog.Changelog.Delete
+    val kUpdateBefore = graft.changelog.Changelog.UpdateBefore
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val conn = connect(opts)
+      conn.setAutoCommit(false)
+      try {
+        val ins = conn.prepareStatement(insertSql)
+        val upd = if (nonKey.nonEmpty) conn.prepareStatement(updateSql) else ins
+        val del = conn.prepareStatement(deleteSql)
+        try {
+          var pendingKind: Byte = -1
+          var pending = 0
+          val upserts = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+          def flushUpserts(rows0: Seq[Row]): Unit = {
+            // within one batch the same key may appear twice (+I then
+            // +U): keep only the LAST action per key — the reference's
+            // upsert buffer reduction (TableJdbcUpsertOutputFormat) —
+            // or the UPDATE-then-INSERT pass double-inserts the key
+            val byKey = new java.util.LinkedHashMap[Seq[Any], Row]()
+            rows0.foreach(r => byKey.put(primaryKey.map(c => r.get(r.fieldIndex(c))), r))
+            val rows = scala.jdk.CollectionConverters
+              .CollectionHasAsScala(byKey.values).asScala.toSeq
+            // UPDATE-then-INSERT, like write()
+            if (nonKey.nonEmpty) {
+              rows.foreach { row =>
+                nonKey.zipWithIndex.foreach { case (c, i) =>
+                  bind(upd, i + 1, row.get(row.fieldIndex(c))) }
+                primaryKey.zipWithIndex.foreach { case (c, i) =>
+                  bind(upd, nonKey.length + i + 1, row.get(row.fieldIndex(c))) }
+                upd.addBatch()
+              }
+              val counts = upd.executeBatch()
+              val misses = rows.indices.filter(i => counts(i) == 0)
+              misses.foreach { i =>
+                cols.zipWithIndex.foreach { case (c, j) =>
+                  bind(ins, j + 1, rows(i).get(rows(i).fieldIndex(c))) }
+                ins.addBatch()
+              }
+              if (misses.nonEmpty) ins.executeBatch()
+            } else {
+              rows.foreach { row =>
+                cols.zipWithIndex.foreach { case (c, j) =>
+                  bind(ins, j + 1, row.get(row.fieldIndex(c))) }
+                ins.addBatch()
+              }
+              ins.executeBatch()
+            }
+          }
+          def flush(): Unit = if (upserts.nonEmpty || pending > 0) {
+            if (pendingKind == kDelete) { del.executeBatch(); pending = 0 }
+            else if (upserts.nonEmpty) { flushUpserts(upserts.toSeq); upserts.clear() }
+            conn.commit()
+          }
+          it.foreach { row =>
+            val kind = row.getByte(row.fieldIndex(kindCol))
+            if (kind != kUpdateBefore) { // -U carries no action
+              val action: Byte = if (kind == kDelete) kDelete else 0: Byte
+              if (pendingKind != -1 && action != pendingKind) flush()
+              pendingKind = action
+              if (action == kDelete) {
+                primaryKey.zipWithIndex.foreach { case (c, i) =>
+                  bind(del, i + 1, row.get(row.fieldIndex(c))) }
+                del.addBatch()
+                pending += 1
+                if (pending >= batchSize) flush()
+              } else {
+                upserts += row
+                if (upserts.size >= batchSize) flush()
+              }
+            }
+          }
+          flush()
+        } finally { if (nonKey.nonEmpty) upd.close(); ins.close(); del.close() }
+        // Derby refuses to close a connection with an open transaction
+        // — statement preparation alone opens one under autoCommit=false
+        conn.commit()
+      } finally {
+        // best-effort: roll back whatever a failure left open so close
+        // cannot throw and mask the original exception
+        try conn.rollback() catch { case _: java.sql.SQLException => () }
+        conn.close()
+      }
     }
   }
 

@@ -144,6 +144,36 @@ class JdbcConnectorSpec extends SparkSpec {
     assert(back === Set((1L, "a", 1.0), (2L, "b2", 22.0), (3L, "c", 3.0)))
   }
 
+  test("changelog write: +I/+U upsert, -D deletes, -U is a no-op (retract-stream sink)") {
+    import org.apache.spark.sql.functions.lit
+    val opts = freshDb("changelog")
+    JdbcConnector.ensureTable(opts, schema, Seq("k"))
+    val C = graft.changelog.Changelog
+    val rows = Seq(
+      (1L, "a", 1.0, C.Insert),
+      (2L, "b", 2.0, C.Insert),
+      (1L, "a", 1.0, C.UpdateBefore),  // before-image: no action
+      (1L, "a2", 11.0, C.UpdateAfter), // upsert in place
+      (2L, "b", 2.0, C.Delete))        // key 2 removed
+    import spark.implicits._
+    // single partition so the per-key order is the sequence above
+    val df = rows.toDF("k", "name", "bal", C.RowKindCol)
+      .withColumn(C.RowKindCol, org.apache.spark.sql.functions
+        .col(C.RowKindCol).cast("byte"))
+      .coalesce(1)
+    JdbcConnector.writeChangelog(df, opts, Seq("k"))
+    val back = JdbcConnector.read(spark, opts).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back === Set((1L, "a2", 11.0)))
+    // a later re-insert of a deleted key lands as a fresh row
+    JdbcConnector.writeChangelog(
+      Seq((2L, "b3", 22.0, C.Insert)).toDF("k", "name", "bal", C.RowKindCol)
+        .withColumn(C.RowKindCol, org.apache.spark.sql.functions
+          .col(C.RowKindCol).cast("byte")),
+      opts, Seq("k"))
+    assert(JdbcConnector.read(spark, opts).count() === 2)
+  }
+
   test("DDL end-to-end: q_jdbc_roundtrip matches the in-Spark equivalent") {
     val got = graft.sources.JdbcQueries.jdbcRoundtrip(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
