@@ -499,6 +499,12 @@ object GraftCatalog {
   private def watermarkDelay(col: String, e: String): String = e.trim match {
     case BoundedDelay(c, n, unit) if c.equalsIgnoreCase(col) => s"$n $unit"
     case bare if bare.equalsIgnoreCase(col) => "0 seconds"
+    // SOURCE_WATERMARK(): "the connector supplies the watermark"
+    // (parserImpls.ftl / BuiltInFunctionDefinitions SOURCE_WATERMARK);
+    // file/micro-batch sources have no out-of-band watermark channel,
+    // so the closest faithful mapping is the ascending strategy on the
+    // declared rowtime column
+    case sw if sw.equalsIgnoreCase("SOURCE_WATERMARK()") => "0 seconds"
     case other => sys.error(s"unsupported watermark expression: $other")
   }
 

@@ -54,6 +54,22 @@ object StreamingOps {
         keys.map(col) :+ col("n") :+ col("sum_value"): _*)
   }
 
+  /** SESSION window with a per-row dynamic gap (the reference's
+    * SessionWindows.withDynamicGap / SessionWindowTimeGapExtractor):
+    * `gapExpr` is any expression over the row yielding a duration
+    * string or interval — heavy sessions can merge wider than light
+    * ones. Spark's session_window accepts the gap as a Column
+    * natively, so this stays a one-shuffle streaming aggregate.
+    */
+  def sessionAggDynamicGap(events: DataFrame, tsCol: String, lateness: String,
+      gapExpr: org.apache.spark.sql.Column, keys: String*): DataFrame = {
+    val g = events.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gapExpr).as("w") +: keys.map(col): _*)
+    g.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("wstart") +: col("w.end").as("wend") +:
+        keys.map(col) :+ col("n") :+ col("sum_value"): _*)
+  }
+
   private def durationSeconds(d: String): Long = {
     val Array(n, unit) = d.trim.split("\\s+", 2)
     val v = n.toLong

@@ -334,4 +334,14 @@ class CatalogSpec extends SparkSpec {
     assert(graft.sql.GraftSql.sql(spark, "SHOW PARTITIONS alt_part2")
       .collect().map(_.getString(0)).toSeq === Seq("tag=blue", "tag=red"))
   }
+
+  test("WATERMARK FOR ts AS SOURCE_WATERMARK() maps to the ascending strategy") {
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE src_wm (
+         |  event_id BIGINT, ts TIMESTAMP(3), value DOUBLE,
+         |  WATERMARK FOR ts AS SOURCE_WATERMARK()
+         |) WITH ('connector' = 'filesystem', 'path' = '$sfDir/events.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    assert(GraftCatalog.metaOf("src_wm").watermark === Some(("ts", "0 seconds")))
+  }
 }

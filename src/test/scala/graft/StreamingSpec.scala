@@ -187,4 +187,31 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(m => (m.key, m.aId, m.bId)).toSet === Set((1L, 1L, 2L)), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("session window with dynamic per-row gap (SessionWindows.withDynamicGap)") {
+    val input = MemoryStream[(Timestamp, Long, Double)](31, spark, None)
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // purchases (value >= 5) hold sessions open 10 min, others 2 min
+    val agg = StreamingOps.sessionAggDynamicGap(events, "ts", "20 minutes",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("value") >= 5, "10 minutes")
+        .otherwise("2 minutes"),
+      "user_id")
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // user 1: small events at 10:01 and 10:04 — 2-min gap splits them;
+      // user 2: big event at 10:01 then event at 10:08 — 10-min gap merges
+      input.addData((ts(1), 1L, 1.0), (ts(4), 1L, 1.0),
+        (ts(1), 2L, 9.0), (ts(8), 2L, 1.0))
+      q.processAllAvailable()
+      input.addData((ts(59), 9L, 1.0)) // advance watermark, close sessions
+      q.processAllAvailable()
+      val rows = spark.table(name).select("user_id", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(rows.count(_._1 == 1L) === 2, s"user 1 must split: $rows")
+      assert(rows.filter(_._1 == 2L) === List((2L, 2L)), s"user 2 must merge: $rows")
+    } finally q.stop()
+  }
 }
