@@ -67,6 +67,20 @@ object Nfa {
     */
   final case class Rep[E](inner: Pat[E], min: Int, max: Int, greedy: Boolean = true) extends Pat[E]
 
+  /** Pattern.notFollowedBy (flink-cep pattern/Pattern.java
+    * notFollowedBy: a NOT pattern BETWEEN two neighbors — "A not
+    * followed by B before C"): zero or more events, NONE satisfying
+    * `pred`, matched reluctantly so the next pattern claims the first
+    * event it can. A single event matching `pred` in the span kills
+    * the match — exactly the reference's negative-condition
+    * semantics. Like the reference, this must sit between two
+    * patterns, not at the end (a trailing reluctant star matches
+    * zero events and constrains nothing); skipped events capture
+    * under `name` (default "__not__") for diagnostics.
+    */
+  def notFollowed[E](pred: E => Boolean, name: String = "__not__"): Pat[E] =
+    Rep(Sym(name, (e: E) => !pred(e)), 0, Int.MaxValue, greedy = false)
+
   // ---- AFTER MATCH skip strategies (AfterMatchSkipStrategy.java) ----
 
   sealed trait Skip

@@ -113,4 +113,20 @@ class NfaSpec extends SparkSpec {
     assert(bounded.length === 1) // (a@100, b@200) spans 100 > 10 -> pruned
     assert(bounded.head.idx("A") === List(0))
   }
+
+  test("notFollowedBy: a NOT pattern between neighbors kills matches with an intervening hit") {
+    import Nfa._
+    // pattern: 'a' notFollowedBy 'b' then 'c'
+    val pat = Cat(List(
+      Sym[String]("A", _ == "a"),
+      notFollowed[String](_ == "b"),
+      Sym[String]("C", _ == "c")))
+    def firsts(evs: String*): List[(Int, Int)] =
+      matchAllPat(evs.toIndexedSeq, pat).map(m => (m.start, m.end))
+    assert(firsts("a", "c") === List((0, 2)))
+    assert(firsts("a", "x", "c") === List((0, 3)))      // non-b events may intervene
+    assert(firsts("a", "b", "c") === Nil)               // an intervening b kills it
+    assert(firsts("a", "x", "b", "x", "c") === Nil)     // anywhere in the span
+    assert(firsts("a", "b", "a", "c") === List((2, 4))) // later clean span still matches
+  }
 }
