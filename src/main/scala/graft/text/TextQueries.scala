@@ -78,6 +78,34 @@ object TextQueries {
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe"))
 
+  /** PII redaction — the scrub pass every LLM training pipeline runs
+    * before tokenization: emails, international-ish phone numbers and
+    * IPv4 addresses replace with typed placeholder tags; the counts
+    * per category ride along for corpus auditing. Pure projection
+    * (regexp_replace + regexp_extract_all, codegen'd) — scales as a
+    * map-only stage, no shuffle.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+  private val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus carries no PII, so seed deterministic
+    // addresses from doc_id (mirrored verbatim in the oracle) — the
+    // regexes must actually fire to be verified
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1 (555) 01"), col("doc_id") % 100,
+        lit(" at 10.0."), col("doc_id") % 256, lit(".7")).as("text"))
+    seeded.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+        .as("redacted"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ip"))
+  }
+
   /** Document fingerprints: rolling-hash content fingerprint +
     * SimHash signature (native codegen'd expressions — see
     * graft.functions.Fingerprint64/SimHash64). No SQL oracle (DuckDB
@@ -217,11 +245,29 @@ object TextQueries {
     "q_text_langid"      -> (langId _),
     "q_text_tokens"      -> (tokenCount _),
     "q_text_fingerprint" -> (fingerprint _),
+    "q_text_redact"      -> (redactPii _),
     "q_dedup_exact"      -> (dedupExact _),
     "q_dedup_simhash"    -> (dedupSimhash _),
     "q_dedup_ngram"      -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or +1 (555) 01'
+        |         || (doc_id % 100) || ' at 10.0.' || (doc_id % 256) || '.7',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(
+        |    text || ' contact user' || doc_id || '@example.com or +1 (555) 01'
+        |         || (doc_id % 100) || ' at 10.0.' || (doc_id % 256) || '.7',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+        |  len(regexp_extract_all(
+        |    text || ' contact user' || doc_id || '@example.com or +1 (555) 01'
+        |         || (doc_id % 100) || ' at 10.0.' || (doc_id % 256) || '.7',
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::INT AS n_ip
+        |FROM documents""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_char,
