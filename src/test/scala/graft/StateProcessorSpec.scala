@@ -127,4 +127,33 @@ class StateProcessorSpec extends SparkSpec {
     // savepoint shows on its changelog sink
     assert(out === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("windowed streaming aggregate state reads offline (EvictingWindowSavepointReader analog)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    val ckpt = freshDir("window_ckpt")
+    val input = MemoryStream[(Timestamp, String, Double)](106, spark, None)
+    val agg = input.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = agg.writeStream.format("memory").queryName("sp_window")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      input.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(6), "b", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the window-agg operator's keyed state: one row per (window, key)
+    val state = StateProcessor.keyedState(spark, ckpt)
+    // the value struct carries the INTERNAL aggregation buffer
+    // (count/sum), not the output aliases — state is pre-merge data
+    val rows = state.selectExpr("key.k", "value.count", "value.sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+    // the metadata names the window-aggregate operator
+    val ops = StateProcessor.metadata(spark, ckpt)
+      .selectExpr("operatorName").collect().map(_.getString(0))
+    assert(ops.exists(_.toLowerCase.contains("statestoresave")), ops.mkString(","))
+  }
 }
