@@ -189,11 +189,38 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Real MJPEG/AVI payload: 2..6 JPEG frames of the deterministic
+    * pattern (frame index perturbs the seed so frames differ).
+    */
+  def encodeSyntheticVideo(id: Long): Array[Byte] = {
+    val (w, h) = syntheticImageDims(id)
+    val n = 2 + math.floorMod(id, 5L).toInt
+    val fps = 5 + math.floorMod(id, 25L).toInt
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, syntheticArgb(id + f, x, y)); x += 1 }
+        y += 1
+      }
+      jpegBytes(img)
+    }
+    AviMjpeg.encode(w, h, fps, frames)
+  }
+
   /** Deterministic synthetic media table derived from `documents`:
-    * image-kind rows carry REAL encoded PNG bytes and audio-kind rows
-    * REAL encoded WAV bytes (patterns keyed by doc_id, so the decode
-    * stage exercises the real codecs); video rows carry the text
-    * bytes as opaque payload.
+    * image-kind rows carry REAL encoded PNG bytes, audio-kind rows
+    * REAL encoded WAV bytes, and video-kind rows REAL MJPEG/AVI
+    * containers (patterns keyed by doc_id, so the decode stage
+    * exercises all three real codecs).
     */
   def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -209,7 +236,7 @@ object MultimodalOps {
             case "audio" =>
               val (sr, samples) = syntheticTone(id)
               encodeWav(sr, samples)
-            case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case _ => encodeSyntheticVideo(id)
           }
           MediaRow(id, kind, bytes, source)
         }
@@ -229,11 +256,14 @@ object MultimodalOps {
   }
 
   /** Decode: real `javax.imageio` for image payloads (true dimensions
-    * + channel means) and real `javax.sound.sampled` for WAV payloads
-    * (true rate/frames/duration/RMS); deterministic STUB metadata for
-    * video (no codecs in this container). The mapPartitions shape
-    * (decoder state initialized once per partition) and the output
-    * schema are identical either way.
+    * + channel means), real `javax.sound.sampled` for WAV payloads
+    * (true rate/frames/duration/RMS), and real [[AviMjpeg]] container
+    * parsing for video (true dims/frame-count/fps from the headers,
+    * channel means decoded from the FIRST frame — the standard
+    * thumbnail pass). Payloads no codec recognizes keep the
+    * deterministic stub metadata. mapPartitions shape (decoder state
+    * initialized once per partition); one output schema for all
+    * kinds.
     */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -255,8 +285,10 @@ object MultimodalOps {
             0.0, 0.0, 0.0, m.source, a.sampleRate,
             if (a.sampleRate > 0) a.nFrames.toDouble / a.sampleRate else 0.0,
             a.rms)
-        case None =>
-          // STUB (video / undecodable): deterministic pseudo-metadata
+        case None => decodeVideo(m) match {
+          case Some(d) => d
+          case None =>
+          // STUB (undecodable): deterministic pseudo-metadata
           // from the bytes
           val h = graft.functions.TextHash.fnv1a(m.bytes, 0, m.bytes.length)
           val width = 64 + math.floorMod(h, 1024L).toInt
@@ -268,7 +300,23 @@ object MultimodalOps {
           DecodedMedia(m.media_id, m.kind, width, height, frames, m.bytes.length,
             math.floorMod(h, 256L).toDouble, math.floorMod(h >>> 8, 256L).toDouble,
             math.floorMod(h >>> 16, 256L).toDouble, m.source, 0, 0.0, 0.0)
+        }
       }
+    }
+
+  /** Real video decode: AVI headers give dims/frames/fps; the first
+    * frame's JPEG decodes for channel means. sample_rate carries fps
+    * (rounded) and duration = frames / fps.
+    */
+  private def decodeVideo(m: MediaRow): Option[DecodedMedia] =
+    AviMjpeg.parse(m.bytes).map { meta =>
+      val means = AviMjpeg.frames(m.bytes).headOption
+        .flatMap(decodeImage).map(s => (s.meanR, s.meanG, s.meanB))
+        .getOrElse((0.0, 0.0, 0.0))
+      DecodedMedia(m.media_id, m.kind, meta.width, meta.height,
+        meta.nFrames, m.bytes.length, means._1, means._2, means._3,
+        m.source, math.round(meta.fps).toInt,
+        if (meta.fps > 0) meta.nFrames / meta.fps else 0.0, 0.0)
     }
 
   /** STUB feature extraction: BINARY -> ARRAY<FLOAT> embedding

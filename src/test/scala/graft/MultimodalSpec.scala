@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.MultimodalOps
 
 /** Multimodal binary-column pipeline: images decode through the REAL
-  * javax.imageio codec (dims + channel means asserted against known
-  * fixtures); audio/video metadata remains a stub kernel whose
-  * schema, determinism and batch shape are the contract under test.
+  * javax.imageio codec, audio through javax.sound.sampled, and video
+  * through the real MJPEG/AVI container codec (AviMjpeg) — dims,
+  * frame counts, fps and channel means asserted against the encoded
+  * fixtures.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -19,9 +20,16 @@ class MultimodalSpec extends SparkSpec {
     val d2 = MultimodalOps.decode(media).collect().sortBy(_.media_id)
     assert(d1.length === media.count())
     assert(d1.map(_.width).toSeq === d2.map(_.width).toSeq, "decode must be deterministic")
-    // video rows carry the documented stub dims; audio rows have no
+    // video rows decode REAL container metadata; audio rows have no
     // spatial dims but real sample counts
-    assert(d1.filter(_.kind == "video").forall(m => m.width >= 64 && m.height >= 64))
+    d1.filter(_.kind == "video").foreach { m =>
+      val (w, h) = MultimodalOps.syntheticImageDims(m.media_id)
+      assert(m.width === w && m.height === h,
+        s"video ${m.media_id}: decoded ${m.width}x${m.height}, encoded ${w}x$h")
+      assert(m.n_frames >= 2 && m.n_frames <= 6)
+      assert(m.sample_rate >= 5 && m.sample_rate <= 29, "fps rides in sample_rate")
+      assert(m.duration_s > 0.0)
+    }
     assert(d1.filter(_.kind == "audio").forall(m =>
       m.width === 0 && m.height === 0 && m.n_frames >= 400))
     assert(d1.filter(_.kind == "image").forall(_.n_frames === 1))
@@ -147,6 +155,32 @@ class MultimodalSpec extends SparkSpec {
     assert(ann.nonEmpty)
     val perQuery = ann.groupBy(_.getLong(0)).values.map(_.length).toSet
     assert(perQuery === Set(3), s"each query media should get top-3: $perQuery")
+  }
+
+
+  test("AVI/MJPEG codec round-trips: headers exact, frames decode as JPEG") {
+    import graft.multimodal.AviMjpeg
+    val imgs = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(20, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 20) img.setRGB(x, y, (x * 13 + y * 7 + f) << 8)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val avi = AviMjpeg.encode(20, 12, 15, imgs)
+    val meta = AviMjpeg.parse(avi).get
+    assert(meta.width === 20 && meta.height === 12)
+    assert(meta.nFrames === 3 && meta.fps === 15.0)
+    val frames = AviMjpeg.frames(avi)
+    assert(frames.length === 3)
+    frames.foreach { f =>
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(dec.getWidth === 20 && dec.getHeight === 12)
+    }
+    // non-AVI bytes are rejected, not misparsed
+    assert(AviMjpeg.parse("not an avi at all".getBytes).isEmpty)
+    assert(AviMjpeg.frames("RIFFxxxx".getBytes).isEmpty)
   }
 
   test("frame sampling explodes only videos, stride respected") {
