@@ -349,6 +349,30 @@ object MultimodalOps {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  case class FrameStats(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Per-frame pixel decode of the sampled frames: each video parses
+    * its container ONCE and fans out every `stride`-th frame's
+    * decoded channel means — the per-frame feature pass a video
+    * training pipeline runs after frame sampling. One flatMap, no
+    * shuffle; at 100 TB the unit of work is one video (bounded
+    * memory: one decoded frame at a time).
+    */
+  def decodeSampledFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      AviMjpeg.parse(m.bytes).toSeq.flatMap { _ =>
+        val frames = AviMjpeg.frames(m.bytes)
+        (0 until frames.length by stride).flatMap { idx =>
+          decodeImage(frames(idx)).map(s =>
+            FrameStats(m.media_id, idx, s.width, s.height,
+              s.meanR, s.meanG, s.meanB))
+        }
+      }
+    }
+  }
+
   case class ResizedMedia(media_id: Long, kind: String,
       width: Int, height: Int, bytes: Array[Byte])
 

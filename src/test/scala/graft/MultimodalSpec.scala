@@ -183,6 +183,23 @@ class MultimodalSpec extends SparkSpec {
     assert(AviMjpeg.frames("RIFFxxxx".getBytes).isEmpty)
   }
 
+  test("per-frame decode: one parse per video, sampled frames carry real pixel stats") {
+    val stats = MultimodalOps.decodeSampledFrames(media, stride = 2).collect()
+    assert(stats.nonEmpty)
+    val byVideo = stats.groupBy(_.media_id)
+    byVideo.foreach { case (id, fs) =>
+      val (w, h) = MultimodalOps.syntheticImageDims(id)
+      fs.foreach { f =>
+        assert(f.width === w && f.height === h)
+        assert(f.frame_idx % 2 === 0, "stride must be respected")
+        for (c <- Seq(f.mean_r, f.mean_g, f.mean_b))
+          assert(c >= 0.0 && c <= 255.0)
+      }
+      // frames 0,2,4 of a 2..6-frame video → 1..3 sampled frames
+      assert(fs.length >= 1 && fs.length <= 3)
+    }
+  }
+
   test("frame sampling explodes only videos, stride respected") {
     val d = MultimodalOps.decode(media)
     val frames = MultimodalOps.sampleFrames(d, stride = 10)
