@@ -306,7 +306,10 @@ object GraftCatalog {
         spark.read.format("graft.sources.AvroSource").load(sink.path)
       else if (partitionKeysOf(table).nonEmpty) {
         val declared = tableSchemas.getOrElse(table, target)
-        spark.read.format(sink.format).load(sink.path).select(declared.fields.map(f =>
+        val reader = spark.read.format(sink.format)
+        val r2 = if (sink.format == "csv") reader.option("header",
+          sink.options.getOrElse("csv.header", "false")) else reader
+        r2.load(sink.path).select(declared.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
       }
       else {
@@ -334,8 +337,19 @@ object GraftCatalog {
     val kindCol = graft.changelog.Changelog.RowKindCol
     if (rows.columns.contains(kindCol)) {
       require(!overwrite, "changelog INSERT into jdbc cannot be OVERWRITE")
+      // position-align the payload to the table schema (kind rides by
+      // name) — SQL INSERT maps columns by POSITION here like
+      // everywhere else, and declared types apply before the wire
+      val target = StructType(spark.table(table).schema)
+      val payload = rows.columns.filterNot(_ == kindCol).toSeq
+      require(payload.length == target.length,
+        s"INSERT INTO $table: query has ${payload.length} payload columns, " +
+          s"table has ${target.length}")
+      val aligned = rows.select(payload.zip(target.fields).map { case (c, f) =>
+        org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+      } :+ org.apache.spark.sql.functions.col(kindCol): _*)
       return graft.sources.JdbcConnector.writeChangelog(
-        enforced(table, rows), sink.options, primaryKeyOf(table))
+        enforced(table, aligned), sink.options, primaryKeyOf(table))
     }
     val virtual = metaOf(table).computed.map(_._1).toSet
     val target = StructType(spark.table(table).schema.filterNot(f => virtual(f.name)))
@@ -667,6 +681,12 @@ object GraftCatalog {
     case CreateTablePartitioned(name, cols, parts, opts) =>
       val keys = parts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       require(keys.nonEmpty, s"PARTITIONED BY on $name needs at least one column")
+      // only Spark-native file formats lay out partition directories;
+      // avro (own container writer) and CDC formats would silently
+      // write flat — reject at DDL time instead
+      val fmt = parseOptions(opts).getOrElse("format", "parquet")
+      require(Set("parquet", "csv", "json", "orc").contains(fmt),
+        s"PARTITIONED BY is not supported for format '$fmt'")
       tablePartitionKeys.put(name, keys)
       createTable(spark, name, cols, opts)
 
@@ -795,7 +815,10 @@ object GraftCatalog {
           // last and infers their type from the path strings)
           val declared = tableSchemas.getOrElse(name,
             sys.error(s"partitioned table $name needs explicit columns"))
-          spark.read.format(fmt).load(path).select(declared.fields.map(f =>
+          val reader = spark.read.format(fmt)
+          val r2 = if (fmt == "csv") reader.option("header",
+            options.getOrElse("csv.header", "false")) else reader
+          r2.load(path).select(declared.fields.map(f =>
             org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         }
         else {

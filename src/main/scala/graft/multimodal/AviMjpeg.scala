@@ -109,10 +109,15 @@ object AviMjpeg {
     var fps = 0.0; var usPerFrame = 0L
     def walk(from: Int, to: Int): Unit = {
       var off = from
-      while (off + 8 <= to) {
+      var ok = true
+      while (ok && off + 8 <= to) {
         val id = tag(bytes, off)
         val size = le32(bytes, off + 4).toInt
-        if (id == "LIST") walk(off + 12, off + 8 + size)
+        // corrupt size fields (negative, or past the enclosing span)
+        // must degrade to "not parseable", never loop or walk off the
+        // end — the caller's stub fallback depends on it
+        if (size < 0 || off + 8 + size > to) ok = false
+        else if (id == "LIST") walk(off + 12, off + 8 + size)
         else if (id == "avih" && size >= 40) {
           usPerFrame = le32(bytes, off + 8)
           nFrames = le32(bytes, off + 8 + 16).toInt
@@ -123,7 +128,7 @@ object AviMjpeg {
           val rate = le32(bytes, off + 8 + 24)
           if (scale > 0) fps = rate.toDouble / scale
         }
-        off += 8 + size + (size % 2) // chunks pad to even
+        if (ok) off += 8 + size + (size % 2) // chunks pad to even
       }
     }
     walk(12, bytes.length)
@@ -139,13 +144,17 @@ object AviMjpeg {
     val out = Seq.newBuilder[Array[Byte]]
     def walk(from: Int, to: Int): Unit = {
       var off = from
-      while (off + 8 <= to) {
+      var ok = true
+      while (ok && off + 8 <= to) {
         val id = tag(bytes, off)
         val size = le32(bytes, off + 4).toInt
-        if (id == "LIST") walk(off + 12, off + 8 + size)
-        else if (id == "00dc")
-          out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
-        off += 8 + size + (size % 2)
+        if (size < 0 || off + 8 + size > to) ok = false // corrupt size
+        else {
+          if (id == "LIST") walk(off + 12, off + 8 + size)
+          else if (id == "00dc")
+            out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+          off += 8 + size + (size % 2)
+        }
       }
     }
     if (bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI ")

@@ -187,7 +187,14 @@ object JdbcConnector {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
-              val misses = pending.indices.filter(i => counts(i) == 0)
+              val misses = pending.indices.filter(i =>
+                updateMissed(counts(i), upd, { () =>
+                  val row = pending(i)
+                  nonKey.zipWithIndex.foreach { case (c, j) =>
+                    bind(upd, j + 1, row.get(schema.fieldIndex(c))) }
+                  primaryKey.zipWithIndex.foreach { case (c, j) =>
+                    bind(upd, nonKey.length + j + 1, row.get(schema.fieldIndex(c))) }
+                }))
               misses.foreach { i =>
                 val row = pending(i)
                 cols.zipWithIndex.foreach { case (c, j) =>
@@ -212,9 +219,29 @@ object JdbcConnector {
           }
           flush()
         } finally { if (upsert) upd.close(); ins.close() }
-      } finally conn.close()
+        // Derby refuses to close a connection with an open transaction
+        // — statement preparation alone opens one under autoCommit=false
+        conn.commit()
+      } finally {
+        // best-effort: roll back whatever a failure left open so close
+        // cannot throw and mask the original exception
+        try conn.rollback() catch { case _: java.sql.SQLException => () }
+        conn.close()
+      }
     }
   }
+
+
+  /** Did a batched UPDATE miss (matched zero rows)? Drivers may
+    * return Statement.SUCCESS_NO_INFO (-2) from executeBatch (MySQL
+    * rewriteBatchedStatements, Oracle batching) — then the truth is
+    * recovered by re-binding and running that row's UPDATE alone.
+    */
+  private def updateMissed(count: Int, upd: PreparedStatement,
+      rebind: () => Unit): Boolean =
+    if (count == java.sql.Statement.SUCCESS_NO_INFO) {
+      rebind(); upd.executeUpdate() == 0
+    } else count == 0
 
   /** Changelog write (the reference's JdbcOutputFormat consuming a
     * retract/upsert stream: +I/+U upsert the row, -D DELETEs by key,
@@ -275,7 +302,14 @@ object JdbcConnector {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
-              val misses = rows.indices.filter(i => counts(i) == 0)
+              val misses = rows.indices.filter(i =>
+                updateMissed(counts(i), upd, { () =>
+                  val row = rows(i)
+                  nonKey.zipWithIndex.foreach { case (c, j) =>
+                    bind(upd, j + 1, row.get(row.fieldIndex(c))) }
+                  primaryKey.zipWithIndex.foreach { case (c, j) =>
+                    bind(upd, nonKey.length + j + 1, row.get(row.fieldIndex(c))) }
+                }))
               misses.foreach { i =>
                 cols.zipWithIndex.foreach { case (c, j) =>
                   bind(ins, j + 1, rows(i).get(rows(i).fieldIndex(c))) }

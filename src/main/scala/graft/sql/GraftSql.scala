@@ -355,8 +355,17 @@ object GraftSql {
     * original name, keeping qualified columns bound.
     */
   private val optsHintCounter = new AtomicInteger(0)
+  // alias forms: `AS a`, or a bare identifier that is not a clause
+  // keyword (`FROM t /*+ OPTIONS(...) */ o` is legal in the reference)
   private val OptionsHint =
-    """(?is)(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(\s+AS\s+(\w+))?""".r
+    ("""(?is)(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""" +
+      """(?:\s+AS\s+(\w+)|\s+(?!(?:WHERE|GROUP|ORDER|ON|JOIN|LEFT|RIGHT|INNER""" +
+      """|FULL|CROSS|UNION|EXCEPT|INTERSECT|LIMIT|HAVING|AS|FOR|MATCH_RECOGNIZE)\b)(\w+))?""").r
+  // one synthetic registration per (table, option text): repeated
+  // executions of a hinted query reuse it instead of growing the
+  // catalog without bound
+  private val optsHintViews =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def applyOptionsHints(spark: SparkSession, text: String): String =
     OptionsHint.replaceAllIn(text, m => {
@@ -364,10 +373,14 @@ object GraftSql {
       if (!graft.catalog.GraftCatalog.isRegistered(table))
         java.util.regex.Matcher.quoteReplacement(m.group(0))
       else {
-        val view = s"__graft_opts_${optsHintCounter.incrementAndGet()}"
-        graft.catalog.GraftCatalog.executeDdl(spark,
-          s"CREATE TABLE $view LIKE $table WITH (${m.group(2)})")
-        val alias = Option(m.group(4)).getOrElse(table)
+        val optText = m.group(2).trim
+        val view = optsHintViews.getOrElseUpdate((table, optText), {
+          val v = s"__graft_opts_${optsHintCounter.incrementAndGet()}"
+          graft.catalog.GraftCatalog.executeDdl(spark,
+            s"CREATE TABLE $v LIKE $table WITH ($optText)")
+          v
+        })
+        val alias = Option(m.group(3)).orElse(Option(m.group(4))).getOrElse(table)
         java.util.regex.Matcher.quoteReplacement(s"$view AS $alias")
       }
     })
@@ -728,13 +741,22 @@ object GraftSql {
       require(keys.nonEmpty, s"table '$name' is not partitioned")
       val root = graft.catalog.GraftCatalog.sinkOf(name).getOrElse(
         sys.error(s"table '$name' has no filesystem path")).path
-      def walk(dir: java.io.File, depth: Int, prefix: String): Seq[String] = {
+      // Hadoop FS listing so URI paths (file://, hdfs://, s3://) work,
+      // same as the catalog's own path resolution
+      val conf = spark.sessionState.newHadoopConf()
+      def walk(dir: org.apache.hadoop.fs.Path, depth: Int,
+          prefix: String): Seq[String] = {
         if (depth == keys.length) return Seq(prefix.stripPrefix("/"))
-        val subs = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith(s"${keys(depth)}="))
-        subs.toSeq.flatMap(d => walk(d, depth + 1, s"$prefix/${d.getName}"))
+        val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) return Nil
+        fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(s"${keys(depth)}="))
+          .flatMap(st => walk(st.getPath, depth + 1,
+            s"$prefix/${st.getPath.getName}"))
       }
-      return walk(new java.io.File(root), 0, "").sorted.toDF("partition")
+      return walk(new org.apache.hadoop.fs.Path(root), 0, "")
+        .sorted.toDF("partition")
     }
     if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 4 &&
         toks(1).is("CREATE") && toks(2).is("TABLE")) {

@@ -46,13 +46,8 @@ object StreamingOps {
     * native `session_window` since Spark 3.2).
     */
   def sessionAgg(events: DataFrame, tsCol: String, lateness: String,
-      gap: String, keys: String*): DataFrame = {
-    val g = events.withWatermark(tsCol, lateness)
-      .groupBy(session_window(col(tsCol), gap).as("w") +: keys.map(col): _*)
-    g.agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("wstart") +: col("w.end").as("wend") +:
-        keys.map(col) :+ col("n") :+ col("sum_value"): _*)
-  }
+      gap: String, keys: String*): DataFrame =
+    sessionAggDynamicGap(events, tsCol, lateness, lit(gap), keys: _*)
 
   /** SESSION window with a per-row dynamic gap (the reference's
     * SessionWindows.withDynamicGap / SessionWindowTimeGapExtractor):

@@ -306,6 +306,16 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("PARTITIONED BY rejects formats without a partitioned layout") {
+    intercept[IllegalArgumentException] {
+      GraftCatalog.executeDdl(spark,
+        """CREATE TABLE bad_part (id BIGINT, tag VARCHAR(8))
+          |PARTITIONED BY (tag) WITH (
+          |  'connector' = 'filesystem', 'path' = '/tmp/graft_part_spec/bad',
+          |  'format' = 'avro')""".stripMargin)
+    }
+  }
+
   test("SHOW PARTITIONS lists directory partitions; ALTER TABLE SET/RENAME update the catalog") {
     val path = "/tmp/graft_part_spec/alter_part"
     def del(f: java.io.File): Unit = {

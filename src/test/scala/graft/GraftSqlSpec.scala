@@ -614,6 +614,16 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT h.s FROM hinted_csv /*+ OPTIONS('csv.header' = 'true') */ AS h WHERE h.id = 2")
       .first().getString(0)
     assert(aliased === "b")
+    // ... and through the bare (no-AS) alias form
+    val bare = GraftSql.sql(spark,
+      "SELECT b.s FROM hinted_csv /*+ OPTIONS('csv.header' = 'true') */ b WHERE b.id = 1")
+      .first().getString(0)
+    assert(bare === "a")
+    // repeated executions reuse one synthetic registration (no leak)
+    val before = spark.catalog.listTables().count()
+    (1 to 3).foreach(_ => GraftSql.sql(spark,
+      "SELECT id FROM hinted_csv /*+ OPTIONS('csv.header' = 'true') */").count())
+    assert(spark.catalog.listTables().count() === before)
   }
 
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {

@@ -181,6 +181,14 @@ class MultimodalSpec extends SparkSpec {
     // non-AVI bytes are rejected, not misparsed
     assert(AviMjpeg.parse("not an avi at all".getBytes).isEmpty)
     assert(AviMjpeg.frames("RIFFxxxx".getBytes).isEmpty)
+    // corrupt size fields degrade to unparseable — no hang, no crash
+    val corrupt = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ Array[Byte](-8, -1, -1, -1) ++ Array.fill[Byte](8)(0)
+    assert(AviMjpeg.parse(corrupt).isEmpty)
+    assert(AviMjpeg.frames(corrupt).isEmpty)
+    val truncated = java.util.Arrays.copyOf(avi, avi.length / 2)
+    AviMjpeg.parse(truncated) // must not throw
+    AviMjpeg.frames(truncated) // must not throw
   }
 
   test("per-frame decode: one parse per video, sampled frames carry real pixel stats") {
