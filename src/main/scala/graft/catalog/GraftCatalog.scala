@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.StructType
   * registers the table as a temp view over the matching Spark
   * source.
   *
-  * Connectors supported this round: `filesystem` (format
-  * parquet/csv/json), `datagen` (graft.sources.DatagenSource).
+  * Connectors: `filesystem` (formats parquet/csv/json/orc/avro +
+  * the four CDC changelog formats, with PARTITIONED BY layouts),
+  * `jdbc` (graft.sources.JdbcConnector, proven against embedded
+  * Derby), `datagen` (graft.sources.DatagenSource).
   * `print`/`blackhole` sinks map to Spark's `console`/`noop` at
   * write time and need no catalog entry.
   */
