@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * with decode / feature-extract / resize / frame-sample stages as
   * partition-wise Dataset transforms.
   *
-  * IMAGES AND AUDIO DECODE FOR REAL: `javax.imageio` ships in the
+  * ALL THREE KINDS DECODE FOR REAL: `javax.imageio` ships in the
   * JDK (PNG/BMP/GIF/JPEG), so image rows yield true dimensions and
   * per-channel pixel means; `javax.sound.sampled` ships too
   * (WAV/PCM), so audio rows yield true sample rate, channel count,
-  * frame count, duration and RMS amplitude. Video codecs are not in
-  * this container — that kind falls back to a deterministic stub
-  * deriving fake metadata from the bytes (clearly marked below).
+  * frame count, duration and RMS amplitude; video rows are MJPEG/AVI
+  * containers parsed by [[AviMjpeg]] (true dims/frames/fps,
+  * first-frame pixel stats). Payloads no codec recognizes fall back
+  * to a deterministic stub deriving fake metadata from the bytes.
   * Everything around the kernels is the real thing — schema
   * contracts, mapPartitions batch shape (one decoder init per
   * partition, not per row — the same reason Python pipelines use
@@ -22,6 +23,14 @@ import org.apache.spark.sql.functions._
   * streams through without materializing rows in memory.
   */
 object MultimodalOps {
+
+  // ImageIO's default stream cache backs every encode/decode with a
+  // TEMP FILE — at executor parallelism that is one file create +
+  // delete per image and the codec becomes I/O-bound on /tmp (the
+  // ScaleProbe measured 23x wall at 16x rows). Memory-backed streams
+  // make the codec CPU-bound as it should be. Executed once per JVM
+  // at class load on every executor that touches this object.
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], source: String)
   case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,

@@ -90,7 +90,9 @@ object ScaleProbe {
       // round-3 additions: the hardest decorrelation shape in the
       // TPC-H battery (EXISTS + NOT EXISTS over lineitem three ways)
       // and the partitioned-sink write + pruned read
-      "q_tpch_q21", "q_partitioned_sink", "q_range_join")
+      "q_tpch_q21", "q_partitioned_sink", "q_range_join",
+      // real-codec multimodal decode (PNG/WAV/AVI), map-only
+      "q_multimodal_decode")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+
