@@ -81,6 +81,16 @@ object Nfa {
   def notFollowed[E](pred: E => Boolean, name: String = "__not__"): Pat[E] =
     Rep(Sym(name, (e: E) => !pred(e)), 0, Int.MaxValue, greedy = false)
 
+  /** Relaxed contiguity (flink-cep Pattern.followedBy, vs `next`'s
+    * strict contiguity which is plain concatenation here): any events
+    * may sit between the neighbors — a reluctant unconditional star,
+    * so the next pattern still claims the earliest event it can (the
+    * reference's skip-till-next-match semantics). Skipped events
+    * capture under `name` for diagnostics.
+    */
+  def anyGap[E](name: String = "__gap__"): Pat[E] =
+    Rep(Sym(name, (_: E) => true), 0, Int.MaxValue, greedy = false)
+
   // ---- AFTER MATCH skip strategies (AfterMatchSkipStrategy.java) ----
 
   sealed trait Skip

@@ -252,6 +252,27 @@ object MultimodalOps {
       }
   }
 
+  /** The synthetic media table MATERIALIZED once per source dir (keyed
+    * by path + source mtime, so regenerated testdata invalidates the
+    * cache): queries decode a STORED binary-column corpus — the real
+    * pipeline shape — instead of re-encoding fixtures inside every
+    * timed run.
+    */
+  def mediaFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val stamp =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty).map(_.lastModified).maxOption.getOrElse(0L)
+      else src.lastModified
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"/tmp/graft_media/${key}_$stamp"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      syntheticMedia(graft.Tables.load(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).as[MediaRow]
+  }
+
   def syntheticKind(id: Long): String =
     Seq("image", "audio", "video")(math.floorMod(id, 3).toInt)
 

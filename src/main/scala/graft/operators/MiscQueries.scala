@@ -87,15 +87,16 @@ object MiscQueries {
       .orderBy(col("ts"), col("event_id"))
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
 
-  /** Multimodal pipeline (graft.multimodal): binary media column →
-    * decode (REAL javax.imageio for image rows: true dims + channel
-    * means; stub for audio/video) → per-media metadata joined with
-    * features. Rows-only driver check; the codec is spec-tested
-    * against known fixtures.
+  /** Multimodal pipeline (graft.multimodal): a STORED binary media
+    * corpus (parquet fixture, materialized once) → decode (REAL
+    * codecs for all three kinds: javax.imageio images,
+    * javax.sound.sampled WAV audio, AviMjpeg MJPEG/AVI video) →
+    * per-media metadata joined with features. Rows-only driver
+    * check; the codecs are spec-tested against known fixtures.
     */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.MultimodalOps
-    val media = MultimodalOps.syntheticMedia(t(s, dir, "documents"))
+    val media = MultimodalOps.mediaFixture(s, dir)
     val dec = MultimodalOps.decode(media).toDF()
     val feats = MultimodalOps.extractFeatures(media, dim = 16).toDF()
     dec.join(feats, Seq("media_id"))
@@ -118,7 +119,7 @@ object MiscQueries {
     import graft.multimodal.MultimodalOps
     import graft.functions.{FlinkFunctions => F}
     val feats = MultimodalOps.extractFeatures(
-      MultimodalOps.syntheticMedia(t(s, dir, "documents")), dim = 16).toDF()
+      MultimodalOps.mediaFixture(s, dir), dim = 16).toDF()
     val q = feats.filter(col("media_id") % 100 === 0)
       .select(col("media_id").as("q_id"), col("embedding").as("q_emb"))
     val w = org.apache.spark.sql.expressions.Window

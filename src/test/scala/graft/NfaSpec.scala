@@ -129,4 +129,18 @@ class NfaSpec extends SparkSpec {
     assert(firsts("a", "x", "b", "x", "c") === Nil)     // anywhere in the span
     assert(firsts("a", "b", "a", "c") === List((2, 4))) // later clean span still matches
   }
+
+  test("anyGap: relaxed contiguity between neighbors (Pattern.followedBy)") {
+    import Nfa._
+    // strict: A directly before C; relaxed: anything between
+    val strict = Cat(List(Sym[String]("A", _ == "a"), Sym[String]("C", _ == "c")))
+    val relaxed = Cat(List(Sym[String]("A", _ == "a"), anyGap[String](), Sym[String]("C", _ == "c")))
+    def spans(p: Pat[String], evs: String*): List[(Int, Int)] =
+      matchAllPat(evs.toIndexedSeq, p).map(m => (m.start, m.end))
+    assert(spans(strict, "a", "x", "c") === Nil)
+    assert(spans(relaxed, "a", "x", "c") === List((0, 3)))
+    // skip-till-next-match: C claims the EARLIEST c
+    val m = matchAllPat(Vector("a", "x", "c", "c"), relaxed).head
+    assert(m.idx("C") === List(2))
+  }
 }
