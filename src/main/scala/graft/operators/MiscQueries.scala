@@ -219,8 +219,23 @@ object MiscQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Script transform (the reference's BatchExecScriptTransform —
+    * Hive-dialect `TRANSFORM ... USING '<cmd>'`): rows pipe through
+    * an external process per partition, tab-separated, no-serde mode.
+    * 'cat' is the identity transform, so the oracle can verify the
+    * full serialization round-trip exactly. At scale each partition
+    * runs its own process — the shape is a map-only stage.
+    */
+  def scriptTransform(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT TRANSFORM(l_orderkey, l_returnflag) USING 'cat' AS (k STRING, rf STRING)
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_sink" -> (partitionedSink _),
+    "q_script_transform" -> (scriptTransform _),
     "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
@@ -233,6 +248,9 @@ object MiscQueries {
     "q_temporal_sort" -> (temporalSort _))
 
   val oracle: Map[String, String] = Map(
+    "q_script_transform" ->
+      """SELECT l_orderkey::VARCHAR AS k, l_returnflag AS rf
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
     "q_partitioned_sink" ->
       """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
         |FROM orders
