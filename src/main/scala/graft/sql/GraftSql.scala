@@ -906,6 +906,29 @@ object GraftSql {
       graft.catalog.GraftCatalog.isRegistered(toks.last.text)
     val isAlterDdl = toks.length > 3 && toks.head.is("ALTER") && toks(1).is("TABLE") &&
       graft.catalog.GraftCatalog.isRegistered(toks(2).text)
+    // CTAS (the reference's SqlCreateTableAs, 1.16+): `CREATE TABLE t
+    // WITH (...) AS <query>` — schema derives from the query, the
+    // table registers through the normal DDL path, and the rows land
+    // via INSERT OVERWRITE semantics
+    if (isConnectorDdl && toks.length > 2) {
+      val withIdx = toks.indexWhere(_.is("WITH"))
+      if (withIdx > 0 && withIdx + 1 < toks.length && toks(withIdx + 1).isPunct("(")) {
+        val close = matchParen(toks, withIdx + 1)
+        if (close + 1 < toks.length && toks(close + 1).is("AS")) {
+          val name = toks(2).text
+          require(toks(3).is("WITH"),
+            "CTAS derives its schema from the query — no column list")
+          val optsText = text.substring(toks(withIdx + 1).start + 1, toks(close).end - 1)
+          val rows = sql(spark, text.substring(toks(close + 1).end))
+          val cols = rows.schema.fields
+            .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+          graft.catalog.GraftCatalog.executeDdl(spark,
+            s"CREATE TABLE $name ($cols) WITH ($optsText)")
+          graft.catalog.GraftCatalog.insertInto(spark, name, rows, overwrite = true)
+          return spark.table(name)
+        }
+      }
+    }
     if (isConnectorDdl || isDropDdl || isAlterDdl) {
       graft.catalog.GraftCatalog.executeDdl(spark, text)
       return spark.emptyDataFrame

@@ -626,6 +626,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.catalog.listTables().count() === before)
   }
 
+  test("CTAS: CREATE TABLE ... WITH (...) AS SELECT derives schema and loads rows") {
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+    val out = GraftSql.sql(spark,
+      s"""CREATE TABLE ctas_nation WITH (
+         |  'connector' = 'filesystem', 'path' = '$base/ctas_nation',
+         |  'format' = 'parquet')
+         |AS SELECT n_nationkey, upper(n_name) AS nm FROM nation WHERE n_nationkey < 5""".stripMargin)
+    assert(out.count() === 5)
+    // registered like any DDL table: queryable, introspectable, writable
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM ctas_nation").first().getLong(0) === 5)
+    assert(graft.catalog.GraftCatalog.showCreateTable("ctas_nation").contains("nm"))
+    GraftSql.sql(spark, "INSERT INTO ctas_nation SELECT n_nationkey, n_name FROM nation WHERE n_nationkey = 7")
+    assert(spark.table("ctas_nation").count() === 6)
+  }
+
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
     import spark.implicits._
     prep()
