@@ -354,6 +354,18 @@ object GraftSql {
     * reference text swaps to the synthetic table aliased back to the
     * original name, keeping qualified columns bound.
     */
+  /** Flink configuration keys whose intent has a direct Spark
+    * equivalent (ExecutionConfigOptions / OptimizerConfigOptions);
+    * unknown keys pass through verbatim so scripts can still carry
+    * engine-specific settings without failing.
+    */
+  private def flinkConfKey(k: String): String = k match {
+    case "table.exec.resource.default-parallelism" => "spark.sql.shuffle.partitions"
+    case "table.optimizer.join.broadcast-threshold" => "spark.sql.autoBroadcastJoinThreshold"
+    case "table.local-time-zone" => "spark.sql.session.timeZone"
+    case other => other
+  }
+
   private val optsHintCounter = new AtomicInteger(0)
   // alias forms: `AS a`, or a bare identifier that is not a clause
   // keyword (`FROM t /*+ OPTIONS(...) */ o` is legal in the reference)
@@ -906,6 +918,25 @@ object GraftSql {
       graft.catalog.GraftCatalog.isRegistered(toks.last.text)
     val isAlterDdl = toks.length > 3 && toks.head.is("ALTER") && toks(1).is("TABLE") &&
       graft.catalog.GraftCatalog.isRegistered(toks(2).text)
+    // sql-client SET / RESET (SqlSet/SqlReset): well-known table.*
+    // keys map onto their Spark equivalents, anything else lands on
+    // spark.conf verbatim; bare SET lists the session configuration
+    if (toks.nonEmpty && toks.head.is("SET")) {
+      import spark.implicits._
+      if (toks.length == 1)
+        return spark.conf.getAll.toSeq.sortBy(_._1).toDF("key", "value")
+      // SET 'k' = 'v'  (quotes optional)
+      val parts = toks.drop(1).filterNot(_.isPunct("="))
+      require(parts.length == 2, "SET expects: SET 'key' = 'value'")
+      def unq(t: Tok) = t.text.stripPrefix("'").stripSuffix("'")
+      spark.conf.set(flinkConfKey(unq(parts(0))), unq(parts(1)))
+      return spark.emptyDataFrame
+    }
+    if (toks.nonEmpty && toks.head.is("RESET") && toks.length == 2) {
+      spark.conf.unset(flinkConfKey(
+        toks(1).text.stripPrefix("'").stripSuffix("'")))
+      return spark.emptyDataFrame
+    }
     // CTAS (the reference's SqlCreateTableAs, 1.16+): `CREATE TABLE t
     // WITH (...) AS <query>` — schema derives from the query, the
     // table registers through the normal DDL path, and the rows land

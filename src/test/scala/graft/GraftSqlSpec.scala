@@ -642,6 +642,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.table("ctas_nation").count() === 6)
   }
 
+  test("SET / RESET map Flink config keys onto Spark confs") {
+    prep()
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    GraftSql.sql(spark, "SET 'table.optimizer.join.broadcast-threshold' = '12345'")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === "12345")
+    GraftSql.sql(spark, "RESET 'table.optimizer.join.broadcast-threshold'")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") !== "12345")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    // unknown keys pass through verbatim
+    GraftSql.sql(spark, "SET 'pipeline.name' = 'graft-job'")
+    assert(spark.conf.get("pipeline.name") === "graft-job")
+    // bare SET lists the configuration
+    assert(GraftSql.sql(spark, "SET").columns.toSeq === Seq("key", "value"))
+  }
+
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
     import spark.implicits._
     prep()
