@@ -349,24 +349,102 @@ object MultimodalOps {
         if (meta.fps > 0) meta.nFrames / meta.fps else 0.0, 0.0)
     }
 
-  /** STUB feature extraction: BINARY -> ARRAY<FLOAT> embedding
-    * (hash-fold), feeding the similarity-search operators
-    * (graft.sim). Batch shape identical to a real encoder.
+  /** REAL content features: BINARY -> ARRAY<FLOAT> embedding feeding
+    * the similarity-search operators (graft.sim). Images (and video
+    * first frames) embed as a sqrt(dim)×sqrt(dim) grayscale thumbnail
+    * grid — the classical near-dup feature (block-mean "thumbnail
+    * hash"); audio embeds as per-window RMS over `dim` equal windows
+    * (a coarse envelope). Payloads no codec recognizes fall back to a
+    * deterministic byte-fold so the schema never forks. No ML libs in
+    * the container — these are the strongest honest features; a
+    * neural encoder would slot into the same mapPartitions shape.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { m =>
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < m.bytes.length) {
-          val j = i % dim
-          v(j) = v(j) + (m.bytes(i) & 0xff) / 255.0f
-          i += 1
-        }
-        MediaFeatures(m.media_id, v)
-      }
+      rows.map(m => MediaFeatures(m.media_id, featuresOf(m.bytes, dim)))
     }
+  }
+
+  def featuresOf(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(bytes).map(_ => gridFeatures(bytes, dim))
+      .orElse(AviMjpeg.frames(bytes).headOption.map(f => gridFeatures(f, dim)))
+      .orElse(audioEnvelope(bytes, dim))
+      .getOrElse(byteFold(bytes, dim))
+
+  /** Block-mean grayscale grid of a decodable image, row-major. */
+  private def gridFeatures(imageBytes: Array[Byte], dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imageBytes))
+    val v = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val gy = math.min(g - 1, y * g / h)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val gray = (((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)) / 3
+        val cell = gy * g + math.min(g - 1, x * g / w)
+        v(cell) += gray / 255.0f
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < g * g) { if (cnt(i) > 0) v(i) /= cnt(i); i += 1 }
+    v
+  }
+
+  /** Per-window RMS envelope of a decodable WAV, `dim` windows. */
+  private def audioEnvelope(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    if (!looksLikeWav(bytes)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            return None
+          val sb = java.nio.ByteBuffer.wrap(in.readAllBytes())
+            .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                   else java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val n = sb.remaining()
+          if (n == 0) return None
+          val v = new Array[Float](dim)
+          val cnt = new Array[Int](dim)
+          var i = 0
+          while (i < n) {
+            val wnd = math.min(dim - 1, i.toLong * dim / n).toInt
+            val s = sb.get(i) / 32768.0f
+            v(wnd) += s * s
+            cnt(wnd) += 1
+            i += 1
+          }
+          i = 0
+          while (i < dim) {
+            if (cnt(i) > 0) v(i) = math.sqrt((v(i) / cnt(i)).toDouble).toFloat
+            i += 1
+          }
+          Some(v)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic fallback for unrecognized payloads. */
+  private def byteFold(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      v(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    v
   }
 
   /** Frame sampling plan for videos: every `stride`-th frame index up

@@ -208,6 +208,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("content features are REAL: thumbnail grid for images/video, RMS envelope for audio") {
+    // a solid mid-gray image embeds as a flat 0.5-ish grid
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val gridEmb = MultimodalOps.featuresOf(out.toByteArray, 16)
+    assert(gridEmb.length === 16)
+    gridEmb.foreach(c => assert(math.abs(c - 0x80 / 255.0f) < 0.01, s"cell $c"))
+    // a half-black half-white image separates in the grid
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out2)
+    val split = MultimodalOps.featuresOf(out2.toByteArray, 16)
+    assert(split(0) < 0.1 && split(3) > 0.9, s"left dark, right bright: ${split.toSeq}")
+    // audio: constant amplitude embeds as a flat RMS envelope
+    val tone = MultimodalOps.encodeWav(8000, Array.fill[Short](8000)(16384))
+    val env = MultimodalOps.featuresOf(tone, 8)
+    assert(env.length === 8)
+    env.foreach(c => assert(math.abs(c - 0.5f) < 0.01, s"window $c"))
+    // video: first frame's grid
+    val avi = MultimodalOps.encodeSyntheticVideo(3L)
+    assert(MultimodalOps.featuresOf(avi, 16).exists(_ > 0.0f))
+  }
+
   test("frame sampling explodes only videos, stride respected") {
     val d = MultimodalOps.decode(media)
     val frames = MultimodalOps.sampleFrames(d, stride = 10)
