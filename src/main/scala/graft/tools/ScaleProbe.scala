@@ -92,7 +92,10 @@ object ScaleProbe {
       // and the partitioned-sink write + pruned read
       "q_tpch_q21", "q_partitioned_sink", "q_range_join",
       // real-codec multimodal decode (PNG/WAV/AVI), map-only
-      "q_multimodal_decode")
+      "q_multimodal_decode",
+      // round-4: media ANN through the bucketed LSH kernel (the r3
+      // broadcast-NLJ all-pairs plan was the last quadratic query)
+      "q_multimodal_ann")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

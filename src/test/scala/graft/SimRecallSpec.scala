@@ -99,6 +99,28 @@ class SimRecallSpec extends SparkSpec {
     assert(part.size === brute.size, "still top-5 per query")
   }
 
+  test("multimodal ANN (bucketed LSH) recalls >= 0.9 of brute-force top-3") {
+    import graft.multimodal.MultimodalOps
+    import org.apache.spark.sql.expressions.Window
+    val feats = MultimodalOps.extractFeatures(
+      MultimodalOps.mediaFixture(spark, sfDir), dim = 16).toDF()
+    val q = feats.filter(col("media_id") % 100 === 0)
+      .select(col("media_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("media_id"))
+    val brute = feats.join(broadcast(q), col("media_id") =!= col("q_id"))
+      .select(col("q_id"), col("media_id"),
+        F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("q_id"), col("media_id"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.operators.MiscQueries.multimodalAnn(spark, sfDir)
+      .select("q_id", "media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect brute).size.toDouble / math.max(brute.size, 1)
+    assert(recall >= 0.9, s"recall $recall (${(ann intersect brute).size}/${brute.size})")
+  }
+
   test("bucketed multi-table multi-probe ANN yields full top-5 candidate sets") {
     // the bucketed path is the variant for corpora WITH cluster
     // structure; on this near-random corpus its recall is inherently
