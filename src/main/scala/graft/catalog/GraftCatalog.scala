@@ -78,6 +78,41 @@ object GraftCatalog {
   def metaOf(table: String): EventTimeMeta =
     tableMeta.getOrElse(table, EventTimeMeta(Nil, None))
 
+  /** METADATA columns from DDL (`col TYPE METADATA [FROM 'key']
+    * [VIRTUAL]` — the reference's SupportsReadingMetadata surface,
+    * parserImpls.ftl metadata clause): connector-provided values
+    * projected next to the payload. Filesystem tables read Spark's
+    * hidden `_metadata` struct (file path/name/size/mod-time);
+    * debezium tables read envelope fields (ingestion/source
+    * timestamps, source db/table). All are read-only here — like the
+    * reference's VIRTUAL columns they leave the physical schema and
+    * are never INSERT targets (the filesystem/file-meta backing has
+    * no writable-metadata analog, so VIRTUAL is accepted and implied).
+    */
+  final case class MetaCol(name: String, dataType: org.apache.spark.sql.types.DataType,
+      key: String, virtual: Boolean)
+  private val tableMetaCols =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[MetaCol]]
+
+  def metaColsOf(table: String): Seq[MetaCol] =
+    tableMetaCols.getOrElse(table, Nil)
+
+  /** Metadata keys the filesystem connector serves, mapped onto
+    * Spark's `_metadata` struct (FileFormat metadata columns) — the
+    * same four keys the reference's filesystem table exposes.
+    */
+  private val fileMetaKeys: Map[String, String] = Map(
+    "file.path" -> "file_path",
+    "file.name" -> "file_name",
+    "file.size" -> "file_size",
+    "file.modification-time" -> "file_modification_time")
+
+  /** debezium envelope metadata keys → decoded-envelope expression
+    * (DebeziumJsonDecodingFormat.ReadableMetadata).
+    */
+  private[graft] val debeziumMetaKeys =
+    Set("ingestion-timestamp", "source.timestamp", "source.database", "source.table")
+
   /** Upsert-table declaration: `PRIMARY KEY (...) NOT ENFORCED` +
     * `'changelog-mode' = 'upsert'` in WITH — the filesystem analog of
     * the reference's upsert-kafka table. `'version-by'` names the
@@ -175,18 +210,34 @@ object GraftCatalog {
   def statsOf(table: String): Option[TableStats] =
     tableStats.get(table.toLowerCase(java.util.Locale.ROOT))
 
+  /** Project a file table's declared METADATA columns from Spark's
+    * hidden `_metadata` struct — appended after the physical columns,
+    * before computed columns/watermark. CDC metadata is injected by
+    * the decoder instead (the envelope is gone after decode).
+    */
+  private def applyFileMetaCols(table: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    metaColsOf(table).foldLeft(df) { (d, mc) =>
+      d.withColumn(mc.name, col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType))
+    }
+  }
+
   /** One decode contract for batch and streaming reads of a CDC
     * table — option names and dispatch live here only.
     */
   private def decodeCdc(raw: DataFrame, fmt: String, schema: StructType,
-      options: Map[String, String]): DataFrame = {
+      options: Map[String, String],
+      metaCols: Seq[MetaCol] = Nil): DataFrame = {
     val ignore = options.get(s"$fmt.ignore-parse-errors").contains("true")
     val tsFmt = options.get(s"$fmt.timestamp-format")
+    require(metaCols.isEmpty || fmt == "debezium-json",
+      s"METADATA columns are only decoded for debezium-json, not $fmt")
     fmt match {
       case "debezium-json" =>
         graft.sources.CdcJson.debezium(raw, schema,
           schemaInclude = options.get("debezium-json.schema-include").contains("true"),
-          ignoreParseErrors = ignore, timestampFormat = tsFmt)
+          ignoreParseErrors = ignore, timestampFormat = tsFmt,
+          metaCols = metaCols.map(mc => (mc.name, mc.key, mc.dataType)))
       case "canal-json" =>
         graft.sources.CdcJson.canal(raw, schema,
           ignoreParseErrors = ignore, timestampFormat = tsFmt)
@@ -233,11 +284,12 @@ object GraftCatalog {
     // downstream stateful operator)
     if (cdcFormats.contains(sink.format))
       return applyEventTime(table,
-        decodeCdc(spark.readStream.text(sink.path), sink.format, schema, sink.options))
+        decodeCdc(spark.readStream.text(sink.path), sink.format, schema, sink.options,
+          metaColsOf(table)))
     val reader = spark.readStream.format(sink.format).schema(schema)
     val r2 = if (sink.format == "csv")
       reader.option("header", sink.options.getOrElse("csv.header", "false")) else reader
-    applyEventTime(table, r2.load(sink.path))
+    applyEventTime(table, applyFileMetaCols(table, r2.load(sink.path)))
   }
 
   /** Append or overwrite rows into a DDL-registered filesystem table
@@ -265,7 +317,8 @@ object GraftCatalog {
     require(staticPartition.keySet.subsetOf(partKeys.toSet),
       s"PARTITION clause columns ${staticPartition.keySet.mkString(", ")} must be " +
         s"partition keys of $table (${partKeys.mkString(", ")})")
-    val virtual = metaOf(table).computed.map(_._1).toSet
+    val virtual = metaOf(table).computed.map(_._1).toSet ++
+      metaColsOf(table).map(_.name) // metadata is read-only, never an INSERT target
     val target = StructType(spark.table(table).schema.filterNot(f => virtual(f.name)))
     val dynamic = StructType(target.filterNot(f => staticPartition.contains(f.name)))
     require(rows.schema.length == dynamic.length,
@@ -312,7 +365,9 @@ object GraftCatalog {
         val r2 = if (sink.format == "csv") reader.option("header",
           sink.options.getOrElse("csv.header", "false")) else reader
         r2.load(sink.path).select(declared.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq ++
+          metaColsOf(table).map(mc => org.apache.spark.sql.functions
+            .col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType).as(mc.name)): _*)
       }
       else {
         val reader = spark.read.format(sink.format)
@@ -320,7 +375,7 @@ object GraftCatalog {
           reader.option("header", sink.options.getOrElse("csv.header", "false"))
             .schema(tableSchemas.getOrElse(table, target))
           else reader
-        r2.load(sink.path)
+        applyFileMetaCols(table, r2.load(sink.path))
       }
     applyEventTime(table, refreshed).createOrReplaceTempView(table)
   }
@@ -527,8 +582,11 @@ object GraftCatalog {
   private val PrimaryKeyDef: Regex =
     """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED)?\s*$""".r
 
+  private val MetadataMod: Regex =
+    """(?is)^\s*METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?\s*$""".r
+
   private def parseSchema(cols: String)
-      : (StructType, TableConstraints, EventTimeMeta, Seq[String]) = {
+      : (StructType, TableConstraints, EventTimeMeta, Seq[String], Seq[MetaCol]) = {
     // commas split at generic-nesting depth 0, so ROW<a INT, b INT>
     // and MAP<STRING, INT> column types survive
     val all = splitTopLevel(cols)
@@ -550,7 +608,8 @@ object GraftCatalog {
     val meta = EventTimeMeta(computed.result(), watermark)
     val notNull = Seq.newBuilder[String]
     val lengths = Seq.newBuilder[LengthConstraint]
-    val fields = defs.map { c =>
+    val metaCols = Seq.newBuilder[MetaCol]
+    val fields = defs.flatMap { c =>
       val parts = c.split("\\s+", 2)
       val (name, typeAndRest) = (parts(0), parts(1))
       // split the TYPE text from trailing modifiers at generic depth 0,
@@ -572,15 +631,26 @@ object GraftCatalog {
       }
       val typeOnly = typeAndRest.substring(0, typeEnd)
       val modifiers = typeAndRest.substring(typeEnd)
-      if (modifiers.toUpperCase.contains("NOT NULL")) notNull += name
-      if (!typeOnly.contains("<"))
-        CharType.findFirstMatchIn(typeOnly).foreach { m =>
-          lengths += LengthConstraint(name, m.group(2).toInt, pad = m.group(1) == null)
-        }
-      s"$name ${mapType(typeOnly)}"
+      modifiers match {
+        // METADATA columns are virtual: they leave the physical
+        // schema and come back as a connector-metadata projection
+        case MetadataMod(keyOrNull, virtualOrNull) =>
+          val dt = StructType.fromDDL(s"__m ${mapType(typeOnly)}").head.dataType
+          metaCols += MetaCol(name, dt,
+            Option(keyOrNull).getOrElse(name), virtualOrNull != null)
+          None
+        case _ =>
+          if (modifiers.toUpperCase.contains("NOT NULL")) notNull += name
+          if (!typeOnly.contains("<"))
+            CharType.findFirstMatchIn(typeOnly).foreach { m =>
+              lengths += LengthConstraint(name, m.group(2).toInt, pad = m.group(1) == null)
+            }
+          Some(s"$name ${mapType(typeOnly)}")
+      }
     }
     (StructType.fromDDL(fields.mkString(", ")),
-      TableConstraints(notNull.result(), lengths.result()), meta, primaryKey)
+      TableConstraints(notNull.result(), lengths.result()), meta, primaryKey,
+      metaCols.result())
   }
 
   private val tableOptions =
@@ -625,6 +695,11 @@ object GraftCatalog {
           (if (tc.notNull.contains(f.name)) " NOT NULL" else "")
       })
     val computedLines = meta.computed.map { case (n, e) => s"  $n AS $e" }
+    val metaColLines = metaColsOf(name).map { mc =>
+      s"  ${mc.name} ${mc.dataType.sql} METADATA" +
+        (if (mc.key != mc.name) s" FROM '${mc.key}'" else "") +
+        (if (mc.virtual) " VIRTUAL" else "")
+    }
     val wmLines = meta.watermark.toSeq.map { case (c, d) =>
       s"  ${watermarkClause(c, d)}" }
     val pkLine = upsertOf(name).orElse(cdcOf(name)).filter(_.keys.nonEmpty)
@@ -636,7 +711,7 @@ object GraftCatalog {
       case ks => s" PARTITIONED BY (${ks.mkString(", ")})"
     }
     s"CREATE TABLE $name (\n" +
-      (colLines ++ computedLines ++ wmLines ++ pkLine).mkString(",\n") +
+      (colLines ++ computedLines ++ metaColLines ++ wmLines ++ pkLine).mkString(",\n") +
       s"\n)$partClause WITH (\n  $withClause\n)"
   }
 
@@ -667,8 +742,13 @@ object GraftCatalog {
     val computed = meta.computed.map { case (n, e) =>
       (n, viewTypes.getOrElse(n, ""), true, keyOf(n), s"AS $e", wmOf(n))
     }
+    val metadata = metaColsOf(name).map { mc =>
+      (mc.name, mc.dataType.sql, true, keyOf(mc.name),
+        s"METADATA FROM '${mc.key}'" + (if (mc.virtual) " VIRTUAL" else ""), wmOf(mc.name))
+    }
     import spark.implicits._
-    (physical ++ computed).toDF("name", "type", "null", "key", "extras", "watermark")
+    (physical ++ computed ++ metadata)
+      .toDF("name", "type", "null", "key", "extras", "watermark")
   }
 
   /** Was this name declared through the connector DDL? (drives DROP
@@ -710,13 +790,14 @@ object GraftCatalog {
       tableCdc.get(base).foreach(tableCdc.put(name, _))
       tablePrimaryKeys.get(base).foreach(tablePrimaryKeys.put(name, _))
       tablePartitionKeys.get(base).foreach(tablePartitionKeys.put(name, _))
+      tableMetaCols.get(base).foreach(tableMetaCols.put(name, _))
       tableOptions.put(name, merged)
       register(spark, name, merged)
 
     case DropTable(name) =>
       spark.catalog.dropTempView(name)
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
-        tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys)
+        tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys, tableMetaCols)
         .foreach(_.remove(name))
 
     // ALTER TABLE t SET ('k' = 'v', ...) — merge option overrides and
@@ -735,7 +816,8 @@ object GraftCatalog {
       require(!tableOptions.contains(newName),
         s"ALTER TABLE: target name '$newName' already exists")
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
-        tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys).foreach { reg =>
+        tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys,
+        tableMetaCols).foreach { reg =>
         reg.remove(name).foreach(v =>
           reg.asInstanceOf[scala.collection.concurrent.TrieMap[String, Any]]
             .put(newName, v))
@@ -750,10 +832,25 @@ object GraftCatalog {
       opts: String): Unit = {
       val options = parseOptions(opts)
       val parsed = if (cols.trim.nonEmpty) Some(parseSchema(cols)) else None
-      parsed.foreach { case (schema, tc, meta, pk) =>
+      parsed.foreach { case (schema, tc, meta, pk, metaCols) =>
         tableConstraints.put(name, tc)
         tableSchemas.put(name, schema)
         tableMeta.put(name, meta)
+        if (metaCols.nonEmpty) {
+          val fmt = options.getOrElse("format", "parquet")
+          val connector = options.getOrElse("connector", "")
+          require(connector == "filesystem",
+            s"METADATA columns on $name: connector '$connector' exposes no metadata " +
+              "(supported: filesystem file formats, debezium-json)")
+          val validKeys =
+            if (fmt == "debezium-json") debeziumMetaKeys
+            else if (Set("parquet", "csv", "json", "orc").contains(fmt)) fileMetaKeys.keySet
+            else sys.error(s"METADATA columns on $name: format '$fmt' exposes no metadata")
+          metaCols.foreach(mc => require(validKeys.contains(mc.key),
+            s"METADATA column ${mc.name} on $name: unknown key '${mc.key}' for " +
+              s"format '$fmt' (supported: ${validKeys.toSeq.sorted.mkString(", ")})"))
+          tableMetaCols.put(name, metaCols)
+        }
         if (pk.nonEmpty) tablePrimaryKeys.put(name, pk)
         if (options.get("changelog-mode").contains("upsert")) {
           require(pk.nonEmpty, s"upsert table $name needs a PRIMARY KEY")
@@ -791,10 +888,14 @@ object GraftCatalog {
           val declared = tableSchemas.getOrElse(name,
             sys.error(s"new sink table $name needs a schema"))
           // CDC views carry the decoded rowkind column
-          val schema = if (cdcFormats.contains(fmt))
+          val withKind = if (cdcFormats.contains(fmt))
             declared.add(graft.changelog.Changelog.RowKindCol,
               org.apache.spark.sql.types.ByteType, nullable = false)
           else declared
+          // metadata columns exist in the view schema even before any
+          // file does (they read as null only in this empty state)
+          val schema = metaColsOf(name).foldLeft(withKind)((st, mc) =>
+            st.add(mc.name, mc.dataType, nullable = true))
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         }
@@ -803,7 +904,7 @@ object GraftCatalog {
           // into a __rowkind changelog view
           val schema = tableSchemas.getOrElse(name,
             sys.error(s"$fmt table $name needs explicit columns"))
-          decodeCdc(spark.read.text(path), fmt, schema, options)
+          decodeCdc(spark.read.text(path), fmt, schema, options, metaColsOf(name))
         }
         else if (fmt == "avro") { // graft's own container-file format
           val r = spark.read.format("graft.sources.AvroSource")
@@ -820,8 +921,12 @@ object GraftCatalog {
           val reader = spark.read.format(fmt)
           val r2 = if (fmt == "csv") reader.option("header",
             options.getOrElse("csv.header", "false")) else reader
+          // declared-order projection + metadata in ONE select:
+          // _metadata is only resolvable on the raw file relation
           r2.load(path).select(declared.fields.map(f =>
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq ++
+            metaColsOf(name).map(mc => org.apache.spark.sql.functions
+              .col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType).as(mc.name)): _*)
         }
         else {
           val reader = spark.read.format(fmt)
@@ -829,7 +934,7 @@ object GraftCatalog {
             tableSchemas.get(name).map(reader.schema).getOrElse(reader)
           val r2 = if (fmt == "csv") withSchema.option("header",
             options.getOrElse("csv.header", "false")) else withSchema
-          r2.load(path)
+          applyFileMetaCols(name, r2.load(path))
         }
       // the reference's flink-connector-jdbc surface, proven against
       // embedded Derby (no DB server in the container); the backing

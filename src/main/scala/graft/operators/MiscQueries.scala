@@ -220,6 +220,32 @@ object MiscQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** METADATA columns (SupportsReadingMetadata / the DDL metadata
+    * clause): a filesystem table declaring `METADATA FROM 'file.*'`
+    * columns backed by Spark's hidden `_metadata` struct. The query
+    * aggregates THROUGH the metadata columns (every parquet file has
+    * size > 0 and a .parquet name), so the oracle-checked counts
+    * prove the projection is real — a broken metadata column would
+    * null out and zero the guarded counts.
+    */
+  def metadataCols(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.GraftSql.sql(s, "DROP TABLE IF EXISTS events_meta")
+    graft.sql.GraftSql.sql(s,
+      s"""CREATE TABLE events_meta (
+         |  event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+         |  event_type VARCHAR(20), value DOUBLE, props STRING,
+         |  fname STRING METADATA FROM 'file.name' VIRTUAL,
+         |  fsize BIGINT METADATA FROM 'file.size' VIRTUAL,
+         |  mtime TIMESTAMP(3) METADATA FROM 'file.modification-time' VIRTUAL
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/events.parquet',
+         |  'format' = 'parquet')""".stripMargin)
+    graft.sql.GraftSql.sql(s,
+      """SELECT event_type, count(*) AS n,
+        |  sum(CASE WHEN fsize > 0 AND mtime IS NOT NULL THEN 1 ELSE 0 END) AS n_sized,
+        |  sum(CASE WHEN fname LIKE '%parquet' THEN 1 ELSE 0 END) AS n_named
+        |FROM events_meta GROUP BY event_type""".stripMargin)
+  }
+
   /** Script transform (the reference's BatchExecScriptTransform —
     * Hive-dialect `TRANSFORM ... USING '<cmd>'`): rows pipe through
     * an external process per partition, tab-separated, no-serde mode.
@@ -236,6 +262,7 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_sink" -> (partitionedSink _),
+    "q_metadata_cols" -> (metadataCols _),
     "q_script_transform" -> (scriptTransform _),
     "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -249,6 +276,12 @@ object MiscQueries {
     "q_temporal_sort" -> (temporalSort _))
 
   val oracle: Map[String, String] = Map(
+    // every row's file has size > 0, a .parquet name and a mod-time,
+    // so the metadata-guarded counts must equal count(*)
+    "q_metadata_cols" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(*)::BIGINT AS n_sized, count(*)::BIGINT AS n_named
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_script_transform" ->
       """SELECT l_orderkey::VARCHAR AS k, l_returnflag AS rf
         |FROM lineitem WHERE l_orderkey < 100""".stripMargin,

@@ -36,14 +36,16 @@ object CdcJson {
     */
   def debezium(lines: DataFrame, physical: StructType, lineCol: String = "value",
       schemaInclude: Boolean = false, ignoreParseErrors: Boolean = false,
-      timestampFormat: Option[String] = None): DataFrame =
+      timestampFormat: Option[String] = None,
+      metaCols: Seq[(String, String, DataType)] = Nil): DataFrame =
     beforeAfterFormat(lines, physical, lineCol,
       wrap = if (schemaInclude) Some("payload") else None,
       beforeField = "before", afterField = "after", opField = "op",
       insertOps = Seq("c", "r"), updateOp = "u", deleteOp = "d",
       label = "debezium", insertLabel = "insert/read",
       replicaHint = " (set REPLICA IDENTITY FULL)",
-      ignoreParseErrors = ignoreParseErrors, timestampFormat = timestampFormat)
+      ignoreParseErrors = ignoreParseErrors, timestampFormat = timestampFormat,
+      metaCols = metaCols)
 
   /** ogg-json (Oracle GoldenGate): `{"before":{...},"after":{...},
     * "op_type":"I|U|D"}` — the debezium shape with renamed fields and
@@ -65,16 +67,39 @@ object CdcJson {
   /** Shared core for the before/after-envelope formats: one
     * `from_json` projection, a conditional rows-array, `explode`.
     */
+  /** Envelope metadata a debezium table can declare as METADATA
+    * columns (DebeziumJsonDecodingFormat.ReadableMetadata): the keys
+    * here parse the extra envelope fields (`ts_ms`, `source`) and
+    * project them next to each decoded row, so per-row change
+    * provenance survives the explode.
+    */
+  private def envelopeMetaExpr(j: Column, key: String): Column = key match {
+    case "ingestion-timestamp" => timestamp_millis(j.getField("ts_ms"))
+    case "source.timestamp" => timestamp_millis(j.getField("source").getField("ts_ms"))
+    case "source.database" => j.getField("source").getField("db")
+    case "source.table" => j.getField("source").getField("table")
+    case other => sys.error(s"unknown debezium metadata key: $other")
+  }
+
   private def beforeAfterFormat(lines: DataFrame, physical: StructType,
       lineCol: String, wrap: Option[String],
       beforeField: String, afterField: String, opField: String,
       insertOps: Seq[String], updateOp: String, deleteOp: String,
       label: String, insertLabel: String, replicaHint: String,
       ignoreParseErrors: Boolean,
-      timestampFormat: Option[String]): DataFrame = {
+      timestampFormat: Option[String],
+      metaCols: Seq[(String, String, DataType)] = Nil): DataFrame = {
+    // envelope metadata fields parse only when declared — the payload
+    // decode is unchanged otherwise
+    val metaFields =
+      if (metaCols.isEmpty) Nil
+      else Seq(StructField("ts_ms", LongType),
+        StructField("source", StructType(Seq(
+          StructField("db", StringType), StructField("table", StringType),
+          StructField("ts_ms", LongType)))))
     val envelope = StructType(Seq(
       StructField(beforeField, physical), StructField(afterField, physical),
-      StructField(opField, StringType)))
+      StructField(opField, StringType)) ++ metaFields)
     val parseSchema = wrap.fold(envelope: StructType)(w =>
       StructType(Seq(StructField(w, envelope))))
     val jsonOpts = timestampFormat.map("timestampFormat" -> _).toMap
@@ -116,7 +141,10 @@ object CdcJson {
         .when(op === deleteOp && before.isNotNull,
           array(rowOf(before, Changelog.Delete)))
         .otherwise(onError)
-    parsed.select(explode(rows).as("__r")).select(col("__r.*"))
+    val metaExprs = metaCols.map { case (n, k, dt) =>
+      envelopeMetaExpr(col("__j"), k).cast(dt).as(n) }
+    parsed.select(explode(rows).as("__r") +: metaExprs: _*)
+      .select(col("__r.*") +: metaCols.map(m => col(m._1)): _*)
   }
 
   /** maxwell-json: `{"data":{...},"old":{...},"type":"insert|update|

@@ -76,6 +76,101 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("nation_orc").count() === 2 * src.count())
   }
 
+  test("METADATA columns: file.* keys project from Spark's _metadata struct") {
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE nation_meta (
+         |  n_nationkey BIGINT, n_name VARCHAR(25), n_regionkey BIGINT, n_comment VARCHAR(152),
+         |  fpath STRING METADATA FROM 'file.path' VIRTUAL,
+         |  fname STRING METADATA FROM 'file.name' VIRTUAL,
+         |  fsize BIGINT METADATA FROM 'file.size' VIRTUAL,
+         |  mtime TIMESTAMP(3) METADATA FROM 'file.modification-time' VIRTUAL
+         |) WITH ('connector' = 'filesystem', 'path' = '$sfDir/nation.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    // metadata columns are NOT part of the physical payload schema
+    assert(spark.table("nation_meta").schema.fieldNames.toSeq ===
+      Seq("n_nationkey", "n_name", "n_regionkey", "n_comment",
+        "fpath", "fname", "fsize", "mtime"))
+    val rows = spark.sql(
+      "SELECT fpath, fname, fsize, mtime FROM nation_meta").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).contains("nation.parquet"), "file.path")
+      assert(r.getString(1).endsWith(".parquet"), "file.name")
+      assert(r.getLong(2) > 0, "file.size")
+      assert(r.getTimestamp(3) != null, "file.modification-time")
+    }
+    // SHOW CREATE TABLE round-trips the clause; DESCRIBE lists the key
+    val ddl = GraftCatalog.showCreateTable("nation_meta")
+    assert(ddl.contains("fsize BIGINT METADATA FROM 'file.size' VIRTUAL"), ddl)
+    val desc = GraftCatalog.describeTable(spark, "nation_meta")
+      .filter("name = 'fname'").select("extras").first().getString(0)
+    assert(desc === "METADATA FROM 'file.name' VIRTUAL")
+    GraftCatalog.executeDdl(spark, "DROP TABLE nation_meta")
+  }
+
+  test("METADATA columns: key defaults to the column name; bad keys/formats rejected") {
+    // 'file.size' spelled as the column name via FROM-less shorthand
+    // is invalid for files (key would be 'fsize') — must reject
+    val bad = intercept[RuntimeException] {
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE m_bad (x BIGINT, fsize BIGINT METADATA)
+           |WITH ('connector' = 'filesystem', 'path' = '$sfDir/nation.parquet',
+           |      'format' = 'parquet')""".stripMargin)
+    }
+    assert(bad.getMessage.contains("unknown key 'fsize'"))
+    val badConn = intercept[RuntimeException] {
+      GraftCatalog.executeDdl(spark,
+        """CREATE TABLE m_bad2 (x BIGINT, fsize BIGINT METADATA FROM 'file.size')
+          |WITH ('connector' = 'datagen')""".stripMargin)
+    }
+    assert(badConn.getMessage.contains("exposes no metadata"))
+  }
+
+  test("METADATA columns are read-only: INSERT targets only payload columns") {
+    val base = java.nio.file.Files.createTempDirectory("graft_meta_ins").toString
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE ins_meta (
+         |  k BIGINT, v STRING,
+         |  fname STRING METADATA FROM 'file.name' VIRTUAL
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/t', 'format' = 'parquet')""".stripMargin)
+    import spark.implicits._
+    GraftCatalog.insertInto(spark, "ins_meta",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), overwrite = false)
+    val got = spark.sql("SELECT k, v, fname FROM ins_meta ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a"), (2L, "b")))
+    got.foreach(r => assert(r.getString(2).endsWith(".parquet")))
+    GraftCatalog.executeDdl(spark, "DROP TABLE ins_meta")
+  }
+
+  test("METADATA columns: debezium envelope timestamps and source table") {
+    val base = java.nio.file.Files.createTempDirectory("graft_meta_dbz").toString
+    val lines = Seq(
+      """{"before":null,"after":{"id":1,"name":"a"},"op":"c","ts_ms":1700000001000,"source":{"db":"shop","table":"users","ts_ms":1700000000500}}""",
+      """{"before":{"id":1,"name":"a"},"after":{"id":1,"name":"b"},"op":"u","ts_ms":1700000002000,"source":{"db":"shop","table":"users","ts_ms":1700000001500}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/lines.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE dbz_meta (
+         |  id BIGINT, name STRING,
+         |  ingest_ts TIMESTAMP(3) METADATA FROM 'ingestion-timestamp' VIRTUAL,
+         |  src_ts TIMESTAMP(3) METADATA FROM 'source.timestamp' VIRTUAL,
+         |  src_table STRING METADATA FROM 'source.table' VIRTUAL
+         |) WITH ('connector' = 'filesystem', 'path' = '$base',
+         |        'format' = 'debezium-json')""".stripMargin)
+    val rows = spark.sql(
+      """SELECT id, name, __rowkind, ingest_ts, src_ts, src_table
+        |FROM dbz_meta ORDER BY ingest_ts, __rowkind""".stripMargin).collect()
+    // c -> 1 row, u -> 2 rows (-U, +U); metadata rides on every one
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getTimestamp(3) != null && r.getTimestamp(4) != null)
+      assert(r.getTimestamp(3).after(r.getTimestamp(4)), "ingest after source")
+      assert(r.getString(5) === "users")
+    }
+    assert(rows.head.getTimestamp(3).getTime === 1700000001000L)
+    GraftCatalog.executeDdl(spark, "DROP TABLE dbz_meta")
+  }
+
   test("DDL parses nested ARRAY/MAP/ROW column types") {
     val base = java.nio.file.Files.createTempDirectory("graft_nested").toString
     spark.sql(
