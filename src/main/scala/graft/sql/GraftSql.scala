@@ -684,6 +684,35 @@ object GraftSql {
       return Seq(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).toDF("plan")
     }
+    // COMPILE [AND EXECUTE] PLAN [IF NOT EXISTS] '<file>' FOR <stmt>
+    // — plan persistence (SqlCompilePlan): resolve now, pin to a
+    // JSON file, replay later with EXECUTE PLAN '<file>'
+    if (toks.nonEmpty && toks.head.is("COMPILE")) {
+      val andExecute = toks.length > 2 && toks(1).is("AND") && toks(2).is("EXECUTE")
+      var i = if (andExecute) 3 else 1
+      require(i < toks.length && toks(i).is("PLAN"),
+        "COMPILE expects: COMPILE [AND EXECUTE] PLAN '<file>' FOR <statement>")
+      i += 1
+      val ifNotExists = i + 2 < toks.length && toks(i).is("IF") &&
+        toks(i + 1).is("NOT") && toks(i + 2).is("EXISTS")
+      if (ifNotExists) i += 3
+      require(i < toks.length && toks(i).kind == Str,
+        "COMPILE PLAN needs a quoted file path")
+      val file = toks(i).text.stripPrefix("'").stripSuffix("'")
+      require(i + 1 < toks.length && toks(i + 1).is("FOR"),
+        "COMPILE PLAN '<file>' FOR <statement>")
+      val stmt = text.substring(toks(i + 1).end).trim
+      val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(file))
+      if (!(ifNotExists && exists))
+        CompiledPlan.write(file, stmt, overwrite = false)
+      if (andExecute) return sql(spark, stmt)
+      return spark.emptyDataFrame
+    }
+    // EXECUTE PLAN '<file>' (SqlExecutePlan)
+    if (toks.length >= 3 && toks.head.is("EXECUTE") && toks(1).is("PLAN") &&
+        toks(2).kind == Str)
+      return CompiledPlan.execute(spark,
+        toks(2).text.stripPrefix("'").stripSuffix("'"))
     // sql-client introspection (the reference's SHOW/DESCRIBE
     // statements): routed to the catalog registries, because Spark's
     // native statements know nothing of the connector DDL metadata

@@ -642,6 +642,72 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.table("ctas_nation").count() === 6)
   }
 
+  test("COMPILE PLAN / EXECUTE PLAN: round-trip into a fresh session, pinned DDL wins") {
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    GraftSql.sql(spark,
+      s"""CREATE TABLE plan_src (
+         |  l_orderkey BIGINT, l_quantity DOUBLE,
+         |  l_returnflag VARCHAR(1), l_shipdate TIMESTAMP(3)
+         |) WITH ('connector' = 'filesystem', 'path' = '$sfDir/lineitem.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      s"""CREATE TABLE plan_sink (wstart TIMESTAMP(3), n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val stmt =
+      """INSERT INTO plan_sink
+        |SELECT window_start AS wstart, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE plan_src, DESCRIPTOR(l_shipdate), INTERVAL '30' DAY))
+        |GROUP BY window_start""".stripMargin
+    GraftSql.sql(spark, s"COMPILE PLAN '$base/p.json' FOR $stmt")
+    // the plan file pins the dialect resolution + the DDL closure
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/p.json")), "UTF-8")
+    assert(json.contains("plan_src") && json.contains("plan_sink"))
+    assert(json.contains("window(")) // the rewritten TVF
+    // compiling over an existing file fails; IF NOT EXISTS skips
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"COMPILE PLAN '$base/p.json' FOR $stmt")
+    }
+    GraftSql.sql(spark, s"COMPILE PLAN IF NOT EXISTS '$base/p.json' FOR $stmt")
+    // expected result, computed directly (before any drift below)
+    val expect = GraftSql.sql(spark,
+      """SELECT window_start AS wstart, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE plan_src, DESCRIPTOR(l_shipdate), INTERVAL '30' DAY))
+        |GROUP BY window_start""".stripMargin)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty)
+    // drift the live catalog AFTER compiling: the pinned declarations
+    // must win at execute time (plan-stability contract)
+    GraftSql.sql(spark, "DROP TABLE plan_src")
+    // a fresh session has no temp views at all — EXECUTE PLAN must
+    // re-register everything it needs from the plan file
+    val s2 = spark.newSession()
+    graft.functions.FlinkFunctions.registerAll(s2)
+    val out = GraftSql.sql(s2, s"EXECUTE PLAN '$base/p.json'")
+    assert(out.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet === expect)
+    // and the sink table is registered + populated in the new session
+    assert(s2.table("plan_sink").count() === expect.size)
+    GraftSql.sql(s2, "DROP TABLE plan_sink")
+  }
+
+  test("COMPILE AND EXECUTE PLAN writes the file and runs the statement") {
+    prep()
+    val base = java.nio.file.Files.createTempDirectory("graft_plan2").toString
+    GraftSql.sql(spark,
+      s"""CREATE TABLE plan2_sink (event_type STRING, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/sink',
+         |      'format' = 'parquet')""".stripMargin)
+    GraftSql.sql(spark,
+      s"""COMPILE AND EXECUTE PLAN '$base/q.json' FOR
+         |INSERT INTO plan2_sink
+         |SELECT event_type, count(*) AS n FROM events GROUP BY event_type""".stripMargin)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/q.json")))
+    assert(spark.table("plan2_sink").count() > 0)
+    GraftSql.sql(spark, "DROP TABLE plan2_sink")
+  }
+
   test("SET / RESET map Flink config keys onto Spark confs") {
     prep()
     val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
