@@ -31,6 +31,49 @@ final case class FStream[T](ds: Dataset[T]) {
   def assignWatermark(tsCol: String, delay: String): FStream[T] =
     FStream(ds.withWatermark(tsCol, delay).as[T](ds.encoder))
 
+  /** Watermark with idleness (WatermarkStrategy.withIdleness,
+    * flink-core WatermarkStrategy.java:147): a source that goes
+    * silent must stop holding back the fan-in watermark — Spark's
+    * global watermark is the MIN across sources, so one idle input
+    * stalls every downstream window of a union/connect/join, the
+    * exact operational pain the reference API addresses.
+    *
+    * Spark-first shape: a 1 row/s rate-source heartbeat is unioned in
+    * BEFORE the watermark node carrying event time = processing time
+    * − idleness, and filtered back out right AFTER it. The watermark
+    * node observes the heartbeat (advancing this stream's watermark
+    * to a processing-time floor once real data pauses longer than the
+    * idleness gap), while downstream operators never see a synthetic
+    * row. Net effect matches the reference: an idle stream's
+    * watermark follows wall clock at distance `idleness`, so the
+    * fan-in min tracks the live sources; on resume, rows younger than
+    * `idleness` are still on time.
+    */
+  def assignWatermark(tsCol: String, delay: String, idleness: String): FStream[T] = {
+    import org.apache.spark.sql.functions._
+    val schema = ds.schema
+    val real = ds.toDF().withColumn("__hb", lit(false))
+    val heartbeats = ds.sparkSession.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(schema.fields.map { f =>
+        if (f.name == tsCol)
+          (col("timestamp") - expr(s"INTERVAL $idleness")).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      .withColumn("__hb", lit(true))
+    val hbIdx = schema.length // __hb sits after the payload columns
+    val merged = real.unionByName(heartbeats)
+      .withWatermark(tsCol, delay)
+      // TYPED filter on purpose: a Column predicate on __hb would be
+      // pushed below the watermark node (it does not reference the
+      // event-time column) and constant-fold the heartbeat branch
+      // away — the watermark operator would never see a heartbeat.
+      // The lambda is opaque to the optimizer, so it stays above.
+      .filter((r: org.apache.spark.sql.Row) => !r.getBoolean(hbIdx))
+      .drop("__hb")
+    FStream(merged.as[T](ds.encoder))
+  }
+
   /** DataStream.connect (DataStream.java:253): two typed streams, one
     * downstream operator seeing both. Encoded as a tagged union so the
     * merged stream shuffles once on the common key.

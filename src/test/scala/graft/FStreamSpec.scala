@@ -38,6 +38,49 @@ class FStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark idleness: a silent source stops stalling the union's windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val active = MemoryStream[(java.sql.Timestamp, String)](82, spark, None)
+    val silent = MemoryStream[(java.sql.Timestamp, String)](83, spark, None)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the active side uses a plain watermark; the silent side declares
+    // idleness, so after ~2s of silence its watermark follows wall
+    // clock instead of pinning the global min at epoch
+    val a = FStream(active.toDS().toDF("ts", "src").as[(java.sql.Timestamp, String)])
+      .assignWatermark("ts", "1 second")
+    val b = FStream(silent.toDS().toDF("ts", "src").as[(java.sql.Timestamp, String)])
+      .assignWatermark("ts", "1 second", idleness = "2 seconds")
+    val windows = a.union(b).ds.toDF("ts", "src")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val q = windows.writeStream.format("memory").queryName("idle_win")
+      .outputMode("append").start()
+    try {
+      active.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:30:00"), "a"),
+        (ts("2024-01-01 11:30:00"), "a")) // pushes the active watermark past 11:00
+      q.processAllAvailable()
+      // append-mode windows fire only once the GLOBAL (min) watermark
+      // passes window end; the silent source would hold it at epoch
+      // forever without idleness. Poll: heartbeats tick 1/s, and the
+      // watermark takes effect one micro-batch after the tick.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def fired() = spark.table("idle_win").count() >= 1
+      while (!fired() && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+      }
+      assert(fired(), "10:00 window never fired despite the idle source")
+      val got = spark.table("idle_win")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(got.contains(("2024-01-01 10:00:00.0", 2L)), got.toString)
+      // no synthetic heartbeat rows leaked into the aggregation
+      assert(spark.table("idle_win")
+        .filter(col("wstart") > lit(ts("2025-01-01 00:00:00"))).count() === 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroups emits multiple rows per key (UDTAG shape)") {
     val s = FStream(Seq(("a", 1), ("a", 2), ("b", 5)).toDS())
     val out = s.keyBy(_._1)
