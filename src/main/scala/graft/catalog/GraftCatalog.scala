@@ -487,6 +487,42 @@ object GraftCatalog {
     register(spark, table, tableOptions.getOrElse(table, sink.options))
   }
 
+  /** Streaming file-sink writer for a DDL table — the reference's
+    * FileSink rolling + auto-compaction surface as table options:
+    * 'sink.rolling-policy.file-size' (target part size, default
+    * 128MB), 'auto-compaction' = 'true' to compact small files every
+    * 'compaction.every' batches (default 10). Use as
+    * `stream.writeStream.foreachBatch(GraftCatalog.rollingSink(t))`.
+    */
+  def rollingSink(table: String): (DataFrame, Long) => Unit = {
+    val sink = sinkOf(table).getOrElse(
+      sys.error(s"table '$table' is not a filesystem table"))
+    require(sink.format != "jdbc" && !cdcFormats.contains(sink.format) &&
+      sink.format != "avro",
+      s"rolling file sink supports native file formats, not '${sink.format}'")
+    val target = sink.options.get("sink.rolling-policy.file-size")
+      .map(graft.streaming.RollingFileSink.parseSize).getOrElse(128L << 20)
+    val every =
+      if (sink.options.get("auto-compaction").contains("true"))
+        sink.options.get("compaction.every").map(_.toInt).getOrElse(10)
+      else 0
+    graft.streaming.RollingFileSink.rolling(
+      sink.path, sink.format, target, partitionKeysOf(table), every)
+  }
+
+  /** One compaction pass over a DDL file table's directory tree
+    * (per-partition for PARTITIONED BY tables).
+    */
+  def compactTable(spark: SparkSession, table: String)
+      : graft.streaming.RollingFileSink.CompactionReport = {
+    val sink = sinkOf(table).getOrElse(
+      sys.error(s"table '$table' is not a filesystem table"))
+    val target = sink.options.get("sink.rolling-policy.file-size")
+      .map(graft.streaming.RollingFileSink.parseSize).getOrElse(128L << 20)
+    graft.streaming.RollingFileSink.compact(
+      spark, sink.path, sink.format, target, partitionKeysOf(table))
+  }
+
   def constraintsOf(table: String): TableConstraints =
     tableConstraints.getOrElse(table, TableConstraints(Nil, Nil))
 

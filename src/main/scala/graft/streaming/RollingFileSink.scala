@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming file sink with rolling + small-file compaction — the
+  * reference's FileSink rolling policies
+  * (flink-connector-files FileSink.java,
+  * DefaultRollingPolicy.withMaxPartSize) and its compaction
+  * coordinator (FileCompactStrategy: merge small pending files before
+  * they accumulate). A long-running streaming job appending a few
+  * rows per micro-batch otherwise produces one tiny file per
+  * partition per batch, and at 100 TB the resulting file-count
+  * explosion kills both the namenode listing and every downstream
+  * scan's task-planning.
+  *
+  * Spark-first shape:
+  *  - ROLLING: each micro-batch sizes its own output — the batch's
+  *    plan-estimated bytes divided by the target file size picks the
+  *    number of output files (repartition before write), so a fat
+  *    batch rolls into several target-sized files and a trickle batch
+  *    writes exactly one instead of `spark.sql.shuffle.partitions`
+  *    shards.
+  *  - COMPACTION: every `compactEvery` batches, each leaf (partition)
+  *    directory greedily bins its sub-target files up to the target
+  *    size and rewrites every bin with more than one file as a single
+  *    file. The rewrite reads exactly the bin's files, writes to a
+  *    staging dir, moves the result in, then deletes the originals —
+  *    a reader racing the swap can briefly see a row twice (the same
+  *    non-transactional window the reference closes by compacting
+  *    before the checkpoint commit), but never misses one. Bins
+  *    compact concurrently; each bin is one distributed read + one
+  *    single-task write of ~target size.
+  */
+object RollingFileSink {
+
+  /** "128MB" / "64 kb" / "1073741824" → bytes (the reference's
+    * MemorySize spellings used by sink.rolling-policy.file-size).
+    */
+  def parseSize(s: String): Long = {
+    val m = """(?i)^\s*(\d+)\s*(b|kb|mb|gb)?\s*$""".r
+    s.trim match {
+      case m(n, unit) =>
+        val mult = Option(unit).map(_.toLowerCase) match {
+          case None | Some("b") => 1L
+          case Some("kb") => 1L << 10
+          case Some("mb") => 1L << 20
+          case Some("gb") => 1L << 30
+          case _ => 1L
+        }
+        n.toLong * mult
+      case other => sys.error(s"unparseable size: '$other'")
+    }
+  }
+
+  /** foreachBatch body: `stream.writeStream.foreachBatch(
+    * RollingFileSink.rolling(path, "parquet", 128 << 20, keys) _)`.
+    */
+  def rolling(path: String, format: String, targetFileBytes: Long,
+      partitionKeys: Seq[String] = Nil, compactEvery: Int = 10)(
+      batch: DataFrame, batchId: Long): Unit = {
+    writeRolled(batch, path, format, targetFileBytes, partitionKeys)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact(batch.sparkSession, path, format, targetFileBytes, partitionKeys)
+  }
+
+  /** One rolled append: output file count from the batch's estimated
+    * size, never fewer than 1.
+    */
+  def writeRolled(batch: DataFrame, path: String, format: String,
+      targetFileBytes: Long, partitionKeys: Seq[String] = Nil): Unit = {
+    val estBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    // stats can be the unknown-size default (Long.MaxValue) on
+    // foreachBatch plans — cap at the input partition count: more
+    // output files than input partitions never helps file sizing
+    val cap = BigInt(math.max(batch.rdd.getNumPartitions, 1))
+    val nFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(cap).max(BigInt(1)).toInt
+    val sized =
+      if (partitionKeys.nonEmpty)
+        // spread within each partition value, not across the batch:
+        // repartition on (keys, random-ish split) keeps one writer
+        // task from owning every row of a hot partition
+        batch.repartition(nFiles, partitionKeys.map(org.apache.spark.sql.functions.col): _*)
+      else batch.repartition(nFiles)
+    val w = sized.write.mode("append").format(format)
+    (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w).save(path)
+  }
+
+  final case class CompactionReport(leafDirs: Int, filesBefore: Int, filesAfter: Int)
+
+  private def isDataFile(p: Path): Boolean = {
+    val n = p.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Leaf directories that hold data files (partition dirs for a
+    * partitioned layout, the root otherwise).
+    */
+  private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
+    val st = fs.listStatus(root).filter(s => isDataFile(s.getPath))
+    val dirs = st.filter(_.isDirectory)
+    if (dirs.isEmpty) Seq(root)
+    else dirs.toSeq.flatMap(d => leafDirs(fs, d.getPath))
+  }
+
+  /** Compact one sink directory tree: per leaf dir, greedily bin
+    * files smaller than the target up to `targetFileBytes` and
+    * rewrite each multi-file bin as one file. Returns before/after
+    * counts so callers (and specs) can see the effect.
+    */
+  def compact(spark: SparkSession, path: String, format: String,
+      targetFileBytes: Long, partitionKeys: Seq[String] = Nil): CompactionReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return CompactionReport(0, 0, 0)
+    val leaves = leafDirs(fs, root)
+    var before = 0
+    var after = 0
+    leaves.foreach { dir =>
+      val files = fs.listStatus(dir).filter(s => s.isFile && isDataFile(s.getPath))
+      before += files.length
+      after += files.length
+      // greedy first-fit binning of the sub-target files, largest first
+      val small = files.filter(_.getLen < targetFileBytes)
+        .sortBy(-_.getLen)
+      val bins = scala.collection.mutable.ListBuffer.empty[
+        (scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.FileStatus], Long)]
+      small.foreach { f =>
+        bins.zipWithIndex.find(_._1._2 + f.getLen <= targetFileBytes) match {
+          case Some((bin, i)) => bin._1 += f; bins(i) = (bin._1, bin._2 + f.getLen)
+          case None => bins += ((scala.collection.mutable.ListBuffer(f), f.getLen))
+        }
+      }
+      bins.map(_._1.toSeq).filter(_.length > 1).foreach { bin =>
+        val staging = new Path(dir, s".compact-${java.util.UUID.randomUUID}")
+        // read EXACTLY the bin's files; one ~target-sized output task
+        spark.read.format(format).load(bin.map(_.getPath.toString): _*)
+          .coalesce(1).write.format(format).save(staging.toString)
+        val produced = fs.listStatus(staging)
+          .filter(s => s.isFile && isDataFile(s.getPath))
+        // move in, then delete originals — a racing reader may see a
+        // row twice mid-swap, never zero times
+        produced.foreach { p =>
+          fs.rename(p.getPath, new Path(dir, s"compacted-${p.getPath.getName}"))
+        }
+        fs.delete(staging, true)
+        bin.foreach(f => fs.delete(f.getPath, false))
+        after += produced.length - bin.length
+      }
+    }
+    CompactionReport(leaves.length, before, after)
+  }
+}
