@@ -97,6 +97,22 @@ object GraftCatalog {
   def metaColsOf(table: String): Seq[MetaCol] =
     tableMetaCols.getOrElse(table, Nil)
 
+  /** Registration generation per table name: bumped by CREATE/ALTER/
+    * DROP/RENAME so caches keyed on a table's declaration (e.g. the
+    * SQL front door's OPTIONS-hint views) invalidate when the
+    * declaration changes instead of serving a stale snapshot.
+    */
+  private val tableGenerations =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  def generationOf(table: String): Long = tableGenerations.getOrElse(table, 0L)
+
+  private def bumpGeneration(table: String): Unit =
+    tableGenerations.updateWith(table) {
+      case Some(g) => Some(g + 1)
+      case None => Some(1L)
+    }
+
   /** Metadata keys the filesystem connector serves, mapped onto
     * Spark's `_metadata` struct (FileFormat metadata columns) — the
     * same four keys the reference's filesystem table exposes.
@@ -220,6 +236,25 @@ object GraftCatalog {
     metaColsOf(table).foldLeft(df) { (d, mc) =>
       d.withColumn(mc.name, col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType))
     }
+  }
+
+  /** Reader for a partitioned file-table layout. csv files carry no
+    * column NAMES when csv.header=false (and only strings even with
+    * one), so the declared non-partition schema applies explicitly —
+    * without it the load comes back as _c0.._cN and the declared-name
+    * projection throws at registration (round-3 ADVICE, csv was
+    * DDL-allowed but only parquet was gate-tested). Partition columns
+    * come from directory names; the caller's select restores their
+    * declared types.
+    */
+  private def partitionedReader(spark: SparkSession, fmt: String,
+      options: Map[String, String], declared: StructType,
+      partKeys: Seq[String]): org.apache.spark.sql.DataFrameReader = {
+    val reader = spark.read.format(fmt)
+    if (fmt == "csv")
+      reader.option("header", options.getOrElse("csv.header", "false"))
+        .schema(StructType(declared.fields.filterNot(f => partKeys.contains(f.name))))
+    else reader
   }
 
   /** One decode contract for batch and streaming reads of a CDC
@@ -361,9 +396,8 @@ object GraftCatalog {
         spark.read.format("graft.sources.AvroSource").load(sink.path)
       else if (partitionKeysOf(table).nonEmpty) {
         val declared = tableSchemas.getOrElse(table, target)
-        val reader = spark.read.format(sink.format)
-        val r2 = if (sink.format == "csv") reader.option("header",
-          sink.options.getOrElse("csv.header", "false")) else reader
+        val r2 = partitionedReader(spark, sink.format, sink.options,
+          declared, partitionKeysOf(table))
         r2.load(sink.path).select(declared.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq ++
           metaColsOf(table).map(mc => org.apache.spark.sql.functions
@@ -828,6 +862,7 @@ object GraftCatalog {
       tablePartitionKeys.get(base).foreach(tablePartitionKeys.put(name, _))
       tableMetaCols.get(base).foreach(tableMetaCols.put(name, _))
       tableOptions.put(name, merged)
+      bumpGeneration(name)
       register(spark, name, merged)
 
     case DropTable(name) =>
@@ -835,6 +870,7 @@ object GraftCatalog {
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
         tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys, tableMetaCols)
         .foreach(_.remove(name))
+      bumpGeneration(name)
 
     // ALTER TABLE t SET ('k' = 'v', ...) — merge option overrides and
     // re-register the view over the updated source (the reference's
@@ -844,6 +880,7 @@ object GraftCatalog {
         sys.error(s"ALTER TABLE: unknown table '$name'"))
       val merged = base ++ parseOptions(opts)
       tableOptions.put(name, merged)
+      bumpGeneration(name)
       register(spark, name, merged)
 
     // ALTER TABLE t RENAME TO t2 — every registry entry moves with it
@@ -859,6 +896,8 @@ object GraftCatalog {
             .put(newName, v))
       }
       spark.catalog.dropTempView(name)
+      bumpGeneration(name)
+      bumpGeneration(newName)
       register(spark, newName, tableOptions(newName))
 
     case other => sys.error(s"unsupported DDL: $other")
@@ -906,6 +945,7 @@ object GraftCatalog {
         }
       }
       tableOptions.put(name, options)
+      bumpGeneration(name)
       register(spark, name, options)
   }
 
@@ -954,9 +994,8 @@ object GraftCatalog {
           // last and infers their type from the path strings)
           val declared = tableSchemas.getOrElse(name,
             sys.error(s"partitioned table $name needs explicit columns"))
-          val reader = spark.read.format(fmt)
-          val r2 = if (fmt == "csv") reader.option("header",
-            options.getOrElse("csv.header", "false")) else reader
+          val r2 = partitionedReader(spark, fmt, options, declared,
+            partitionKeysOf(name))
           // declared-order projection + metadata in ONE select:
           // _metadata is only resolvable on the raw file relation
           r2.load(path).select(declared.fields.map(f =>

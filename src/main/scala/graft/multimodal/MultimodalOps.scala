@@ -367,15 +367,19 @@ object MultimodalOps {
   }
 
   def featuresOf(bytes: Array[Byte], dim: Int): Array[Float] =
-    decodeImage(bytes).map(_ => gridFeatures(bytes, dim))
-      .orElse(AviMjpeg.frames(bytes).headOption.map(f => gridFeatures(f, dim)))
+    // decode ONCE and guard every path: a well-formed AVI whose first
+    // JPEG frame is corrupt must degrade to byteFold, not NPE the
+    // task (round-3 ADVICE; ImageIO.read returns null on undecodable
+    // payloads and gridFeatures used to dereference it blind)
+    readImage(bytes).map(img => gridFeatures(img, dim))
+      .orElse(AviMjpeg.frames(bytes).headOption
+        .flatMap(readImage).map(img => gridFeatures(img, dim)))
       .orElse(audioEnvelope(bytes, dim))
       .getOrElse(byteFold(bytes, dim))
 
-  /** Block-mean grayscale grid of a decodable image, row-major. */
-  private def gridFeatures(imageBytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Block-mean grayscale grid of a decoded image, row-major. */
+  private def gridFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imageBytes))
     val v = new Array[Float](dim)
     val cnt = new Array[Int](dim)
     val w = img.getWidth; val h = img.getHeight

@@ -100,8 +100,17 @@ object JdbcConnector {
     val conn = connect(options)
     try {
       val meta = conn.getMetaData
-      val rs = meta.getTables(null, null, table.toUpperCase(java.util.Locale.ROOT), null)
-      val exists = try rs.next() finally rs.close()
+      // probe EVERY case-fold: Derby folds unquoted identifiers up,
+      // Postgres folds down, and a probe that only checks one misses
+      // the existing table and re-CREATEs into an error on every
+      // re-registration (round-3 ADVICE)
+      def probe(name: String): Boolean = {
+        val rs = meta.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      val exists = probe(table) ||
+        probe(table.toUpperCase(java.util.Locale.ROOT)) ||
+        probe(table.toLowerCase(java.util.Locale.ROOT))
       if (!exists) {
         val cols = schema.fields.map { f =>
           val notNull = if (primaryKey.contains(f.name)) " NOT NULL" else ""
@@ -110,7 +119,14 @@ object JdbcConnector {
         val pk = if (primaryKey.nonEmpty)
           s", PRIMARY KEY (${primaryKey.mkString(", ")})" else ""
         val stmt = conn.createStatement()
+        // belt over braces: if another session created it between the
+        // probe and here, tolerate the duplicate-table failure
+        // (SQLState X0Y32 on Derby, 42P07 on Postgres)
         try stmt.executeUpdate(s"CREATE TABLE $table (${cols.mkString(", ")}$pk)")
+        catch {
+          case e: java.sql.SQLException
+              if Set("X0Y32", "42P07").contains(e.getSQLState) => ()
+        }
         finally stmt.close()
       }
     } finally conn.close()
@@ -399,8 +415,18 @@ object JdbcConnector {
         ps = conn.prepareStatement(
           s"SELECT ${projection.mkString(", ")} FROM ${options("table-name")} " +
             s"WHERE $keyColumn = ?")
+        // inside a Spark task, tie the connection's life to the task:
+        // without this every task instance leaked one connection for
+        // the executor's lifetime (round-3 ADVICE; the reference
+        // closes in FunctionContext.close())
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => close()))
       }
       ps
+    }
+    override def close(): Unit = this.synchronized {
+      if (ps != null) { try ps.close() catch { case _: Exception => () }; ps = null }
+      if (conn != null) { try conn.close() catch { case _: Exception => () }; conn = null }
     }
     override def lookup(key: Any): Seq[Map[String, Any]] = this.synchronized {
       val s = stmt()

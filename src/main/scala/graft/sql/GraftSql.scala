@@ -376,8 +376,13 @@ object GraftSql {
   // one synthetic registration per (table, option text): repeated
   // executions of a hinted query reuse it instead of growing the
   // catalog without bound
+  // keyed on the base table's registration GENERATION as well: a
+  // DROP/re-CREATE/ALTER of the base bumps the generation, so a
+  // hinted query never reuses a stale schema/options snapshot
+  // (round-3 ADVICE; older-generation scratch views just linger
+  // hidden behind the __graft prefix)
   private val optsHintViews =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, String), String]
 
   private def applyOptionsHints(spark: SparkSession, text: String): String =
     OptionsHint.replaceAllIn(text, m => {
@@ -386,7 +391,8 @@ object GraftSql {
         java.util.regex.Matcher.quoteReplacement(m.group(0))
       else {
         val optText = m.group(2).trim
-        val view = optsHintViews.getOrElseUpdate((table, optText), {
+        val gen = graft.catalog.GraftCatalog.generationOf(table)
+        val view = optsHintViews.getOrElseUpdate((table, gen, optText), {
           val v = s"__graft_opts_${optsHintCounter.incrementAndGet()}"
           graft.catalog.GraftCatalog.executeDdl(spark,
             s"CREATE TABLE $v LIKE $table WITH ($optText)")

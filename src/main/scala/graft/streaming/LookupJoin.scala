@@ -24,6 +24,10 @@ object LookupJoin {
     */
   trait LookupFunction[K, V] extends Serializable {
     def lookup(key: K): Seq[V]
+    /** Release per-task resources (the reference's FunctionContext
+      * close()) — connection-holding implementations override.
+      */
+    def close(): Unit = ()
   }
 
   /** LRU caching wrapper (CachingLookupFunction): delegate hit only
@@ -46,6 +50,7 @@ object LookupJoin {
         v
       }
     }
+    override def close(): Unit = delegate.close()
   }
 
   /** Full-cache mode (the reference's LookupFullCache.java:36 with
@@ -95,6 +100,7 @@ object LookupJoin {
       }
       Nil // unreachable
     }
+    override def close(): Unit = delegate.close()
   }
 
   /** Per-record lookup join over a (bounded or streaming) dataset:

@@ -401,6 +401,24 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("PARTITIONED BY csv with header=false round-trips (declared schema applies)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_part_csv").toString
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE part_csv (k BIGINT, v STRING, p STRING)
+         |PARTITIONED BY (p) WITH (
+         |  'connector' = 'filesystem', 'path' = '$base/t', 'format' = 'csv')""".stripMargin)
+    import spark.implicits._
+    GraftCatalog.insertInto(spark, "part_csv",
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"), overwrite = false)
+    val got = spark.table("part_csv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "a", "x"), (2L, "b", "y")))
+    // declared column order and types survive the headerless files
+    assert(spark.table("part_csv").schema.map(f => (f.name, f.dataType.sql)).toSeq ===
+      Seq(("k", "BIGINT"), ("v", "STRING"), ("p", "STRING")))
+    GraftCatalog.executeDdl(spark, "DROP TABLE part_csv")
+  }
+
   test("PARTITIONED BY rejects formats without a partitioned layout") {
     intercept[IllegalArgumentException] {
       GraftCatalog.executeDdl(spark,

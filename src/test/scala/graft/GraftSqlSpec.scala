@@ -624,6 +624,19 @@ class GraftSqlSpec extends SparkSpec {
     (1 to 3).foreach(_ => GraftSql.sql(spark,
       "SELECT id FROM hinted_csv /*+ OPTIONS('csv.header' = 'true') */").count())
     assert(spark.catalog.listTables().count() === before)
+    // re-CREATE of the base table invalidates the hinted snapshot:
+    // the same hint text must see the NEW schema, not the cached one
+    GraftSql.sql(spark, "DROP TABLE hinted_csv")
+    Seq((5L, "z", 9.5)).toDF("id", "s", "score")
+      .coalesce(1).write.option("header", "true").csv(s"$base/hinted2")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE hinted_csv (id BIGINT, s VARCHAR(10), score DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/hinted2',
+         |      'format' = 'csv', 'csv.header' = 'false')""".stripMargin)
+    val again = GraftSql.sql(spark,
+      "SELECT id, s, score FROM hinted_csv /*+ OPTIONS('csv.header' = 'true') */ WHERE id > 0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(again === Set((5L, "z", 9.5)))
   }
 
   test("CTAS: CREATE TABLE ... WITH (...) AS SELECT derives schema and loads rows") {

@@ -191,6 +191,19 @@ class MultimodalSpec extends SparkSpec {
     AviMjpeg.frames(truncated) // must not throw
   }
 
+  test("featuresOf degrades to byteFold on an AVI whose first frame is corrupt JPEG") {
+    import graft.multimodal.AviMjpeg
+    // well-formed container, garbage frame payload: the frame bytes
+    // claim JPEG position in the stream but decode to null/throw
+    val junkFrame = Array.fill[Byte](256)(0x5a)
+    val avi = AviMjpeg.encode(20, 12, 15, Seq(junkFrame))
+    assert(AviMjpeg.frames(avi).length === 1)
+    // must not NPE; falls through to the deterministic byte-fold
+    val f = MultimodalOps.featuresOf(avi, 16)
+    assert(f.length === 16)
+    assert(f sameElements MultimodalOps.featuresOf(avi, 16), "deterministic fallback")
+  }
+
   test("per-frame decode: one parse per video, sampled frames carry real pixel stats") {
     val stats = MultimodalOps.decodeSampledFrames(media, stride = 2).collect()
     assert(stats.nonEmpty)
