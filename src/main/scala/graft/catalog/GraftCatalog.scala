@@ -113,6 +113,16 @@ object GraftCatalog {
       case None => Some(1L)
     }
 
+  /** The kafka socket implementation (graft.sources.KafkaTableFactory
+    * .Wire): production default reads Spark's kafka source; specs
+    * install a FakeWire so the factory, translation and decode run
+    * end to end without a broker.
+    */
+  @volatile private var kafkaWire: graft.sources.KafkaTableFactory.Wire =
+    graft.sources.KafkaTableFactory.SparkKafkaWire
+
+  def setKafkaWire(w: graft.sources.KafkaTableFactory.Wire): Unit = kafkaWire = w
+
   /** Metadata keys the filesystem connector serves, mapped onto
     * Spark's `_metadata` struct (FileFormat metadata columns) — the
     * same four keys the reference's filesystem table exposes.
@@ -317,6 +327,15 @@ object GraftCatalog {
     // streaming twin of the reference's Kafka+debezium/canal source
     // (the decode is a stateless projection, so it composes with any
     // downstream stateful operator)
+    // kafka streaming twin: the decoded record stream (for upsert
+    // tables this is the +I/-D changelog — the right shape to feed
+    // the changelog tier; batch registration materializes instead)
+    if (sink.format == "kafka") {
+      import graft.sources.KafkaTableFactory
+      val t = KafkaTableFactory.translate(sink.options)
+      return applyEventTime(table,
+        KafkaTableFactory.decode(kafkaWire.readStream(spark, t), schema, t))
+    }
     if (cdcFormats.contains(sink.format))
       return applyEventTime(table,
         decodeCdc(spark.readStream.text(sink.path), sink.format, schema, sink.options,
@@ -335,6 +354,9 @@ object GraftCatalog {
       overwrite: Boolean, staticPartition: Map[String, String] = Map.empty): Unit = {
     val sink = sinkOf(table).getOrElse(
       sys.error(s"table '$table' is not a writable filesystem table"))
+    require(sink.format != "kafka",
+      s"INSERT INTO kafka table '$table': the producer wire is not implemented " +
+        "(no broker/client in this environment — broker-only residue)")
     require(staticPartition.isEmpty || sink.format != "jdbc" &&
         !cdcFormats.contains(sink.format),
       s"INSERT ... PARTITION targets a partitioned filesystem table, not $table")
@@ -1030,6 +1052,29 @@ object GraftCatalog {
           .option("rowsPerPartition", options.getOrElse("rowsperpartition", "1000"))
           .option("seed", options.getOrElse("seed", "42"))
           .load()
+      // kafka / upsert-kafka (KafkaDynamicTableFactory /
+      // UpsertKafkaDynamicTableFactory): option translation + decode
+      // live in KafkaTableFactory; the socket is the pluggable wire
+      case "kafka" | "upsert-kafka" =>
+        import graft.sources.KafkaTableFactory
+        val schema = tableSchemas.getOrElse(name,
+          sys.error(s"kafka table $name needs explicit columns"))
+        val pk = primaryKeyOf(name)
+        // upsert-kafka: the PRIMARY KEY fields ride in the record key
+        // (key.fields defaults to the declared key, like the reference)
+        val opts =
+          if (options.getOrElse("connector", "") == "upsert-kafka" &&
+              !options.contains("key.fields") && pk.nonEmpty)
+            options + ("key.fields" -> pk.mkString(","))
+          else options
+        val t = KafkaTableFactory.translate(opts)
+        if (t.upsert) require(pk.nonEmpty,
+          s"upsert-kafka table $name needs a PRIMARY KEY")
+        tableSinks.put(name, SinkInfo(
+          opts.getOrElse("topic", opts.getOrElse("topic-pattern", "")), "kafka", opts))
+        val decoded = KafkaTableFactory.decode(kafkaWire.read(spark, t), schema, t)
+        if (t.upsert) KafkaTableFactory.materializeUpsert(decoded, pk, schema)
+        else decoded
       case other => sys.error(s"unsupported connector: $other")
     }
     // computed columns + watermark ride on top of the physical source
