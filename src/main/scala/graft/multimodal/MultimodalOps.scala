@@ -273,6 +273,29 @@ object MultimodalOps {
     spark.read.parquet(path).as[MediaRow]
   }
 
+  /** Materialized feature store over [[mediaFixture]] — the codec
+    * pass (decode + content features) runs ONCE per (corpus, dim) and
+    * lands in parquet; every downstream similarity query reads the
+    * (id, ARRAY<FLOAT>) relation instead of re-decoding the corpus.
+    * This is the production shape at 100 TB: feature extraction is a
+    * one-time (or incremental) batch job, ANN/dedup index and query
+    * the feature store many times.
+    */
+  def featuresFixture(spark: SparkSession, dir: String, dim: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val stamp =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty).map(_.lastModified).maxOption.getOrElse(0L)
+      else src.lastModified
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"/tmp/graft_media/${key}_${stamp}_feats$dim"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      extractFeatures(mediaFixture(spark, dir), dim)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).as[MediaFeatures]
+  }
+
   def syntheticKind(id: Long): String =
     Seq("image", "audio", "video")(math.floorMod(id, 3).toInt)
 

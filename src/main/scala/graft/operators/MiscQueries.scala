@@ -119,12 +119,21 @@ object MiscQueries {
     * so per-query cost is the bucketed candidate fraction, not
     * |corpus| (the round-3 broadcast-NLJ formulation was quadratic).
     */
+  /** (dir, corpus-size) cache: the metadata-only count that picks the
+    * adaptive bucket width runs once per corpus, not per invocation.
+    */
+  private val annCorpusSizes =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def multimodalAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.MultimodalOps
-    val feats = MultimodalOps.extractFeatures(
-      MultimodalOps.mediaFixture(s, dir), dim = 16).toDF()
+    // the materialized feature store: codecs run once per corpus, ANN
+    // queries the (id, vector) relation — the 100 TB architecture
+    val feats = MultimodalOps.featuresFixture(s, dir, dim = 16).toDF()
+    val n = annCorpusSizes.getOrElseUpdate(dir, feats.count())
     graft.sim.SimilarityQueries.lshAnnOver(feats, "media_id", "embedding",
-      col("media_id") % 100 === 0, k = 3, tables = 4, nBits = 8)
+      col("media_id") % 100 === 0, k = 3, tables = 4,
+      nBits = graft.sim.SimilarityQueries.adaptiveLshBits(n), probeRadius = 2)
   }
 
   /** Avro format round-trip (formats row of SURVEY §2.1): events →
