@@ -302,7 +302,55 @@ object FunctionQueries {
         "yyyy-MM-dd HH:mm:ss").as("ltz0"))
   }
 
+  /** Remaining BuiltInFunctionDefinitions rows not in the earlier
+    * batteries (round-4 diff against the reference's catalog):
+    * TRY_CAST, TYPEOF, CHAR_LENGTH, LTRIM/RTRIM, REPLACE, MOD, POWER,
+    * PI, ACOS/ASIN/ATAN, FLATTEN, UUID (shape-checked — the value is
+    * random by definition).
+    */
+  def fnMisc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      expr("try_cast(p_name AS INT)").as("tc_bad"),
+      expr("try_cast(cast(p_partkey AS STRING) AS INT)").as("tc_ok"),
+      expr("typeof(p_retailprice)").as("ty_dbl"),
+      expr("typeof(p_name)").as("ty_str"),
+      expr("char_length(p_name)").as("clen"),
+      expr("ltrim(concat('  ', p_name))").as("lt"),
+      expr("rtrim(concat(p_name, '  '))").as("rt"),
+      expr("replace(p_type, 'BRUSHED', 'X')").as("repl"),
+      expr("mod(p_partkey, 7)").as("md"),
+      expr("power(p_size, 2)").as("pw"),
+      round(expr("pi()"), 6).as("pi_r"),
+      round(expr("acos(least(p_size, 50) / 50.0)"), 6).as("ac"),
+      round(expr("asin(least(p_size, 50) / 50.0)"), 6).as("asn"),
+      round(expr("atan(p_size)"), 6).as("at"),
+      flatten(array(array(col("p_size")), array((col("p_partkey") % 10).cast("int")))).as("fl"),
+      expr("uuid() rlike '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'")
+        .cast("int").as("uq"))
+
+  /** FIRST_VALUE/LAST_VALUE (BuiltInFunctionDefinitions firstValue/
+    * lastValue), EXTRACT, LOCALTIMESTAMP — the value-semantics slice
+    * over the orders table, oracle-checked.
+    */
+  def fnWindowVal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      expr("""first_value(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""").as("fv"),
+      expr("""last_value(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""").as("lv"),
+      expr("extract(YEAR FROM o_orderdate)").cast("int").as("ey"),
+      expr("extract(MONTH FROM o_orderdate)").cast("int").as("em"),
+      expr("extract(DAY FROM o_orderdate)").cast("int").as("ed"),
+      // LOCALTIMESTAMP is wall clock — pin only its sanity, which both
+      // engines evaluate at their own run time
+      (year(expr("localtimestamp()")) >= 2024).cast("int").as("lt_ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_misc"     -> (fnMisc _),
+    "q_fn_windowval" -> (fnWindowVal _),
     "q_fn_classify" -> (fnClassify _),
     "q_fn_string3"  -> (fnString3 _),
     "q_fn_datetime3" -> (fnDatetime3 _),
@@ -319,6 +367,39 @@ object FunctionQueries {
     "q_fn_jsonagg"  -> (fnJsonAgg _))
 
   val oracle: Map[String, String] = Map(
+    // typeof returns engine-specific spellings — the oracle pins the
+    // EXPECTED Spark spellings as literals, so a wrong type still fails
+    "q_fn_misc" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_name AS INT) AS tc_bad,
+        |  TRY_CAST(p_partkey::VARCHAR AS INT) AS tc_ok,
+        |  'double' AS ty_dbl,
+        |  'string' AS ty_str,
+        |  length(p_name) AS clen,
+        |  ltrim('  ' || p_name) AS lt,
+        |  rtrim(p_name || '  ') AS rt,
+        |  replace(p_type, 'BRUSHED', 'X') AS repl,
+        |  mod(p_partkey, 7) AS md,
+        |  power(p_size, 2) AS pw,
+        |  round(pi(), 6) AS pi_r,
+        |  round(acos(least(p_size, 50) / 50.0), 6) AS ac,
+        |  round(asin(least(p_size, 50) / 50.0), 6) AS asn,
+        |  round(atan(p_size), 6) AS at,
+        |  flatten([[p_size], [(p_partkey % 10)::INT]]) AS fl,
+        |  1 AS uq
+        |FROM part""".stripMargin,
+    "q_fn_windowval" ->
+      """SELECT o_orderkey,
+        |  first_value(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS fv,
+        |  last_value(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+        |  extract(YEAR FROM o_orderdate)::INT AS ey,
+        |  extract(MONTH FROM o_orderdate)::INT AS em,
+        |  extract(DAY FROM o_orderdate)::INT AS ed,
+        |  (extract(YEAR FROM localtimestamp) >= 2024)::INT AS lt_ok
+        |FROM orders""".stripMargin,
     "q_fn_classify" ->
       """SELECT c_custkey,
         |  regexp_matches(substring(c_name, 1, 8), '^[a-zA-Z]+$')::INT AS ia_word,

@@ -96,5 +96,8 @@ class FunctionsSpec extends SparkSpec {
     assert(r2.getString(1) === "hi")
     assert(math.abs(r2.getDouble(2) - -3.1) < 1e-9)
     assert(r2.getString(3).length === 56)
+    // SHA1 (BuiltInFunctionDefinitions.sha1) — Spark native; known vector
+    val r3 = spark.sql("SELECT sha1('abc') AS h").first()
+    assert(r3.getString(0) === "a9993e364706816aba3e25717850c26c9cd0d89d")
   }
 }
