@@ -553,8 +553,7 @@ object GraftCatalog {
   def rollingSink(table: String): (DataFrame, Long) => Unit = {
     val sink = sinkOf(table).getOrElse(
       sys.error(s"table '$table' is not a filesystem table"))
-    require(sink.format != "jdbc" && !cdcFormats.contains(sink.format) &&
-      sink.format != "avro",
+    require(Set("parquet", "csv", "json", "orc").contains(sink.format),
       s"rolling file sink supports native file formats, not '${sink.format}'")
     val target = sink.options.get("sink.rolling-policy.file-size")
       .map(graft.streaming.RollingFileSink.parseSize).getOrElse(128L << 20)
