@@ -114,6 +114,8 @@ object KafkaTableFactory {
       s"value.fields-include must be ALL or EXCEPT_KEY, got '$include'")
     require(include == "ALL" || keyFields.nonEmpty,
       "'value.fields-include' = 'EXCEPT_KEY' needs 'key.fields'")
+    require(include == "ALL" || keyFormat.isDefined,
+      "'value.fields-include' = 'EXCEPT_KEY' needs 'key.format' (the key carries those fields)")
 
     Translated(base ++ startup, valueFormat, keyFormat, keyFields, include, upsert)
   }
