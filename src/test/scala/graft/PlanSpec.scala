@@ -93,6 +93,14 @@ class PlanSpec extends SparkSpec {
       s"interval containment must ride the user_id equi-join as a residual: $p")
   }
 
+  test("media ANN joins on (table, bucket) — a hash join, never the r3 all-pairs loop") {
+    val p = plan(graft.operators.MiscQueries.multimodalAnn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"media ANN must prefilter through LSH buckets, not scan all pairs: $p")
+  }
+
   test("avro scan prunes to the referenced columns") {
     val df = graft.operators.MiscQueries.avroRoundtrip(spark, sfDir)
     val scan = df.queryExecution.optimizedPlan.collect {
