@@ -183,12 +183,19 @@ object KafkaTableFactory {
     val vj = from_json(col("value").cast("string"), valueSchema)
     val kj = if (keyFields.nonEmpty) from_json(col("key").cast("string"), keySchema)
       else lit(null)
+    // with ALL the value carries every column (key fields duplicated)
+    // and the reference reads them from the VALUE; only EXCEPT_KEY
+    // routes key fields through the key format
     def field(f: StructField): Column =
-      if (keyFields.contains(f.name) && t.keyFormat.isDefined)
+      if (keyFields.contains(f.name) && t.keyFormat.isDefined &&
+          t.valueFieldsInclude == "EXCEPT_KEY")
         kj.getField(f.name).as(f.name)
       else vj.getField(f.name).as(f.name)
     if (!t.upsert)
-      records.select(physical.fields.map(field).toSeq: _*)
+      // a null value on a plain (non-upsert) topic is a tombstone with
+      // no row semantics — skipped, like the reference's json decode
+      records.filter(col("value").isNotNull)
+        .select(physical.fields.map(field).toSeq: _*)
     else {
       // tombstone: null kafka value deletes the key
       val kind = when(col("value").isNull, lit(Changelog.Delete))
