@@ -172,7 +172,7 @@ object KafkaTableFactory {
     * keep-last materialization orders correctly per key.
     */
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
-    require(Set("json").contains(t.valueFormat) || !t.upsert,
+    require(Set("json").contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented (json is)")
     val keyFields = t.keyFields
     val valueFields =
@@ -183,12 +183,16 @@ object KafkaTableFactory {
     val vj = from_json(col("value").cast("string"), valueSchema)
     val kj = if (keyFields.nonEmpty) from_json(col("key").cast("string"), keySchema)
       else lit(null)
-    // with ALL the value carries every column (key fields duplicated)
-    // and the reference reads them from the VALUE; only EXCEPT_KEY
-    // routes key fields through the key format
+    // plain topics with ALL read key fields from the VALUE (the value
+    // carries every column, key fields duplicated); EXCEPT_KEY routes
+    // them through the key format. upsert topics ALWAYS decode key
+    // fields from the record key — a tombstone's value is null, so the
+    // key is the only place the -D row's identity lives (the
+    // reference's DynamicKafkaDeserializationSchema.emitRow populates
+    // key positions from the decoded key even in ALL mode).
     def field(f: StructField): Column =
       if (keyFields.contains(f.name) && t.keyFormat.isDefined &&
-          t.valueFieldsInclude == "EXCEPT_KEY")
+          (t.upsert || t.valueFieldsInclude == "EXCEPT_KEY"))
         kj.getField(f.name).as(f.name)
       else vj.getField(f.name).as(f.name)
     if (!t.upsert)

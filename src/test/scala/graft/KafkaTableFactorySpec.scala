@@ -106,6 +106,38 @@ class KafkaTableFactorySpec extends SparkSpec {
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
   }
 
+  test("upsert-kafka + value.fields-include=ALL: tombstone keys decode from the key json") {
+    // ALL mode: live values carry every column (key duplicated), but a
+    // tombstone's value is null — the -D row's key MUST come from the
+    // record key or the delete silently no-ops (round-4 bug).
+    val log = recordsDf(Seq(
+      (js("""{"id":1}"""), js("""{"id":1,"v":"a0"}"""), 0, 0L),
+      (js("""{"id":2}"""), js("""{"id":2,"v":"b0"}"""), 0, 1L),
+      (js("""{"id":1}"""), js("""{"id":1,"v":"a1"}"""), 0, 2L),
+      (js("""{"id":1}"""), null, 0, 3L))) // tombstone: id=1 must vanish
+    GraftCatalog.setKafkaWire(new FakeWire(() => log))
+    try {
+      GraftCatalog.executeDdl(spark,
+        """CREATE TABLE k_all (id BIGINT, v STRING, PRIMARY KEY (id) NOT ENFORCED)
+          |WITH ('connector' = 'upsert-kafka', 'topic' = 'orders',
+          |  'properties.bootstrap.servers' = 'broker:9092',
+          |  'key.format' = 'json', 'value.format' = 'json',
+          |  'value.fields-include' = 'ALL')""".stripMargin)
+      val got = spark.table("k_all")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((2L, "b0")))
+      GraftCatalog.executeDdl(spark, "DROP TABLE k_all")
+    } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
+  }
+
+  test("unimplemented value formats fail loudly on plain topics too") {
+    val t = KafkaTableFactory.translate(baseOpts + ("format" -> "avro"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val e = intercept[IllegalArgumentException](
+      KafkaTableFactory.decode(recordsDf(Nil), schema, t))
+    assert(e.getMessage.contains("avro"))
+  }
+
   test("plain kafka DDL table decodes records; streaming twin yields the record stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
