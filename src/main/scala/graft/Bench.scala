@@ -37,7 +37,7 @@ object Bench {
     "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
     "q_tpch_q19", "q_tpch_q22",
     "q_dedup_exact", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_minhash",
-    "q_sim_topk", "q_sim_ivf_ann", "q_sim_lsh_ann",
+    "q_sim_topk", "q_sim_ivf_ann", "q_sim_sig_rerank",
     "q_over_frames", "q_window_topn", "q_cep_pattern",
     "q_sql_match_recognize", "q_tvf_session", "q_join_inner",
     "q_cdc_debezium")

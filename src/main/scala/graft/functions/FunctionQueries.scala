@@ -325,7 +325,11 @@ object FunctionQueries {
       round(expr("acos(least(p_size, 50) / 50.0)"), 6).as("ac"),
       round(expr("asin(least(p_size, 50) / 50.0)"), 6).as("asn"),
       round(expr("atan(p_size)"), 6).as("at"),
-      flatten(array(array(col("p_size")), array((col("p_partkey") % 10).cast("int")))).as("fl"),
+      // joined to a string so the driver's pandas comparator can hash
+      // the column (it cannot sort ARRAY cells)
+      array_join(
+        flatten(array(array(col("p_size")), array((col("p_partkey") % 10).cast("int"))))
+          .cast("array<string>"), ",").as("fl"),
       expr("uuid() rlike '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'")
         .cast("int").as("uq"))
 
@@ -385,7 +389,7 @@ object FunctionQueries {
         |  round(acos(least(p_size, 50) / 50.0), 6) AS ac,
         |  round(asin(least(p_size, 50) / 50.0), 6) AS asn,
         |  round(atan(p_size), 6) AS at,
-        |  flatten([[p_size], [(p_partkey % 10)::INT]]) AS fl,
+        |  array_to_string(flatten([[p_size], [(p_partkey % 10)::INT]]), ',') AS fl,
         |  1 AS uq
         |FROM part""".stripMargin,
     "q_fn_windowval" ->

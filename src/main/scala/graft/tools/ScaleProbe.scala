@@ -95,7 +95,12 @@ object ScaleProbe {
       "q_multimodal_decode",
       // round-4: media ANN through the bucketed LSH kernel (the r3
       // broadcast-NLJ all-pairs plan was the last quadratic query)
-      "q_multimodal_ann")
+      "q_multimodal_ann",
+      // round-5: signature-rerank ANN — with the query batch capped
+      // at 100 the popcount scan is one corpus pass per batch, so
+      // wall-clock must grow ~linearly in rows (r4's corpus-fraction
+      // query set made it O(n²/50))
+      "q_sim_sig_rerank")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

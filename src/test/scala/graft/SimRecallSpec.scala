@@ -65,7 +65,7 @@ class SimRecallSpec extends SparkSpec {
       s"pigeonhole violated: ${(close -- blocked).take(5)} missing")
   }
 
-  test("signature-prefilter ANN (q_sim_lsh_ann) recalls >= 0.9 of brute-force top-5") {
+  test("signature-prefilter ANN (q_sim_sig_rerank) recalls >= 0.9 of brute-force top-5") {
     val brute = graft.sim.SimilarityQueries.cosineTopK(spark, sfDir)
       .select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
