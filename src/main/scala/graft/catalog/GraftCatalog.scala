@@ -364,6 +364,10 @@ object GraftCatalog {
       return insertIntoCdc(spark, table, rows, overwrite, sink)
     if (sink.format == "jdbc")
       return insertIntoJdbc(spark, table, rows, overwrite, sink)
+    require(sink.format != "raw",
+      s"INSERT INTO raw table '$table': the raw file mapping is one record per " +
+        "file — a batch INSERT would explode into per-row files; write blob " +
+        "corpora with a dedicated blob writer and read them through the raw table")
     // SQL INSERT maps columns by POSITION: align names and types to
     // the target schema so mixed-name files can't silently null out.
     // Computed columns are virtual (re-derived on read) — they are
@@ -1007,6 +1011,21 @@ object GraftCatalog {
           val r = spark.read.format("graft.sources.AvroSource")
           // the DDL-declared schema wins, like the csv/parquet branches
           tableSchemas.get(name).map(r.schema).getOrElse(r).load(path)
+        }
+        else if (fmt == "raw") {
+          // raw format over files: one FILE is one record (the blob
+          // corpus shape — Spark's binaryFile source parallelizes
+          // across files); the single declared column decodes straight
+          // from the payload bytes. Kafka carries the per-record
+          // variant of the same format (KafkaTableFactory.decode).
+          val declared = tableSchemas.getOrElse(name,
+            sys.error(s"raw table $name needs explicit columns"))
+          val f = graft.sources.RawFormat.singleField(declared, s"table $name")
+          val o = graft.sources.RawFormat.options(options)
+          spark.read.format("binaryFile").load(path)
+            .select(graft.sources.RawFormat
+              .decode(org.apache.spark.sql.functions.col("content"), f.dataType, o)
+              .as(f.name))
         }
         else if (partitionKeysOf(name).nonEmpty) {
           // partitioned layout: partition columns live in directory

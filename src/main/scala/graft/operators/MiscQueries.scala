@@ -200,6 +200,59 @@ object MiscQueries {
         min(col("event_id")).as("min_event"))
   }
 
+  /** Raw format round-trip (flink-formats/flink-format-raw
+    * RawFormatFactory): two halves under one oracle —
+    * (a) a blob corpus: each document's text written as its own .bin
+    * file once per input dir, read back through a DDL
+    * `'format'='raw'` table (binaryFile scan, one file = one record)
+    * and aggregated; (b) the codec itself: BIGINT/STRING/DOUBLE
+    * columns of lineitem pushed through encode→decode (big-endian,
+    * UTF-8 — the codegen'd RawEncode/RawDecode expressions) and
+    * aggregated, so the identity must hold on every row. Oracle =
+    * the same aggregates straight off the source tables.
+    */
+  def rawRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.RawFormat
+    val path = s"$scratchRoot/raw_${Integer.toHexString(dir.hashCode)}/docs"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      new java.io.File(path).mkdirs()
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%06d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        }
+      new java.io.File(path, "_SUCCESS").createNewFile()
+    }
+    graft.sql.GraftSql.sql(s, "DROP TABLE IF EXISTS raw_docs")
+    graft.sql.GraftSql.sql(s,
+      s"""CREATE TABLE raw_docs (body STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$path',
+         |  'format' = 'raw')""".stripMargin)
+    val docsPart = s.table("raw_docs")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("char_length(body)")).as("checksum"),
+        lit(0.0d).as("dsum"))
+      .select(lit("docs").as("part"), col("n"), col("checksum"), col("dsum"))
+    val o = RawFormat.options(Map.empty)
+    val li = t(s, dir, "lineitem").select(
+      RawFormat.decode(RawFormat.encode(col("l_orderkey"), o),
+        org.apache.spark.sql.types.LongType, o).as("rk"),
+      RawFormat.decode(RawFormat.encode(col("l_returnflag"), o),
+        org.apache.spark.sql.types.StringType, o).as("rc"),
+      RawFormat.decode(RawFormat.encode(col("l_extendedprice"), o),
+        org.apache.spark.sql.types.DoubleType, o).as("rp"))
+    val codecPart = li
+      .agg(count(lit(1)).as("n"),
+        sum(col("rk") + expr("char_length(rc)")).as("checksum"),
+        sum(col("rp").cast("decimal(20,4)")).cast("double").as("dsum"))
+      .select(lit("codec").as("part"), col("n"), col("checksum"), col("dsum"))
+    docsPart.unionByName(codecPart)
+  }
+
   /** Partitioned filesystem table (the reference's PARTITIONED BY,
     * parserImpls.ftl:1145 + FileSystemTableSink partition grouping):
     * INSERT OVERWRITE writes one directory per o_orderpriority value;
@@ -276,6 +329,7 @@ object MiscQueries {
     "q_avro_roundtrip" -> (avroRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_raw_roundtrip" -> (rawRoundtrip _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
     "q_window_join"  -> (windowJoin _),
@@ -299,6 +353,19 @@ object MiscQueries {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
+    // (a) blob half: every written .bin round-trips byte-exact, so the
+    // char-length checksum over the raw table equals the source's;
+    // (b) codec half: encode∘decode is the identity on every lineitem
+    // row, so the aggregates equal the plain-column aggregates
+    "q_raw_roundtrip" ->
+      """SELECT 'docs' AS part, count(*) AS n,
+        |  sum(length(text))::BIGINT AS checksum, 0.0::DOUBLE AS dsum
+        |FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT 'codec', count(*),
+        |  sum(l_orderkey + length(l_returnflag))::BIGINT,
+        |  sum(l_extendedprice::DECIMAL(20,4))::DOUBLE
+        |FROM lineitem""".stripMargin,
     "q_avro_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  sum(value::DECIMAL(20,4))::DOUBLE AS sum_value,

@@ -44,7 +44,8 @@ object KafkaTableFactory {
       keyFormat: Option[String],
       keyFields: Seq[String],
       valueFieldsInclude: String, // ALL | EXCEPT_KEY
-      upsert: Boolean)
+      upsert: Boolean,
+      formatOptions: Map[String, String] = Map.empty) // raw.*/json.* passthrough
 
   /** Option translation (KafkaConnectorOptionsUtil): Flink option
     * keys in, Spark kafka source option keys out. Fails loudly on
@@ -117,7 +118,9 @@ object KafkaTableFactory {
     require(include == "ALL" || keyFormat.isDefined,
       "'value.fields-include' = 'EXCEPT_KEY' needs 'key.format' (the key carries those fields)")
 
-    Translated(base ++ startup, valueFormat, keyFormat, keyFields, include, upsert)
+    Translated(base ++ startup, valueFormat, keyFormat, keyFields, include, upsert,
+      options.filter { case (k, _) =>
+        k.contains("raw.") || k.contains("json.") || k.contains("csv.") })
   }
 
   /** The socket abstraction: produce the kafka record relation for
@@ -164,25 +167,43 @@ object KafkaTableFactory {
   }
 
   /** Decode a kafka record relation to the declared row shape.
-    * json value format: `from_json` over the value-side columns;
-    * key.fields decode from the key (json) when a key format is
-    * declared. upsert-kafka: a null value is a tombstone → -D row
-    * with the key fields populated; live rows carry +I and the
-    * (partition, offset) pair rides along as __part/__offset so a
-    * keep-last materialization orders correctly per key.
+    * json value format: `from_json` over the value-side columns; raw
+    * value format: the single value-side column decoded straight from
+    * the payload bytes ([[RawFormat]]). key.fields decode from the key
+    * (its own json/raw format) when a key format is declared.
+    * upsert-kafka: a null value is a tombstone → -D row with the key
+    * fields populated; live rows carry +I and the (partition, offset)
+    * pair rides along as __part/__offset so a keep-last
+    * materialization orders correctly per key.
     */
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
-    require(Set("json").contains(t.valueFormat),
-      s"kafka value format '${t.valueFormat}' is not implemented (json is)")
+    require(Set("json", "raw").contains(t.valueFormat),
+      s"kafka value format '${t.valueFormat}' is not implemented (json and raw are)")
+    t.keyFormat.foreach(kf => require(Set("json", "raw").contains(kf),
+      s"kafka key format '$kf' is not implemented (json and raw are)"))
     val keyFields = t.keyFields
     val valueFields =
       if (t.valueFieldsInclude == "ALL") physical.fields.toSeq
       else physical.fields.toSeq.filterNot(f => keyFields.contains(f.name))
     val valueSchema = StructType(valueFields)
     val keySchema = StructType(physical.fields.filter(f => keyFields.contains(f.name)))
-    val vj = from_json(col("value").cast("string"), valueSchema)
-    val kj = if (keyFields.nonEmpty) from_json(col("key").cast("string"), keySchema)
-      else lit(null)
+    // per-side field accessors: .getField over one from_json struct
+    // (json) or the payload decoded to the side's single column (raw)
+    val vj: Column = t.valueFormat match {
+      case "json" => from_json(col("value").cast("string"), valueSchema)
+      case "raw" =>
+        val f = RawFormat.singleField(valueSchema, "the kafka value side")
+        struct(RawFormat.decode(col("value"), f.dataType,
+          RawFormat.options(t.formatOptions, "value.")).as(f.name))
+    }
+    val kj: Column = t.keyFormat match {
+      case _ if keyFields.isEmpty => lit(null)
+      case Some("raw") =>
+        val f = RawFormat.singleField(keySchema, "the kafka key side")
+        struct(RawFormat.decode(col("key"), f.dataType,
+          RawFormat.options(t.formatOptions, "key.")).as(f.name))
+      case _ => from_json(col("key").cast("string"), keySchema)
+    }
     // plain topics with ALL read key fields from the VALUE (the value
     // carries every column, key fields duplicated); EXCEPT_KEY routes
     // them through the key format. upsert topics ALWAYS decode key
