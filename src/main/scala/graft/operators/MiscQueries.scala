@@ -253,6 +253,35 @@ object MiscQueries {
     docsPart.unionByName(codecPart)
   }
 
+  /** Protobuf wire-format round-trip (flink-formats/flink-protobuf
+    * analog, jar-less — see graft.sources.PbCodec): four lineitem
+    * columns (varint BIGINT/INT, fixed64 DOUBLE, length-delimited
+    * STRING) encoded to protobuf message payloads and decoded back
+    * through the codegen'd PbEncode/PbDecode expressions, then
+    * aggregated — identity must hold on every row for the oracle's
+    * plain-column aggregates to match.
+    */
+  def pbRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PbFormat
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType),
+      StructField("rf", StringType), StructField("ln", IntegerType)))
+    val payload = PbFormat.encode(struct(
+      col("l_orderkey").cast("long").as("k"),
+      col("l_extendedprice").as("p"),
+      col("l_returnflag").as("rf"),
+      col("l_linenumber").cast("int").as("ln")), schema, Map.empty)
+    t(s, dir, "lineitem")
+      .select(PbFormat.decode(payload, schema, Map.empty).as("m"))
+      .select(col("m.k").as("k"), col("m.p").as("p"),
+        col("m.rf").as("rf"), col("m.ln").as("ln"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("p").cast("decimal(20,4)")).cast("double").as("sum_p"),
+        sum(col("ln")).as("sum_ln"))
+  }
+
   /** Partitioned filesystem table (the reference's PARTITIONED BY,
     * parserImpls.ftl:1145 + FileSystemTableSink partition grouping):
     * INSERT OVERWRITE writes one directory per o_orderpriority value;
@@ -330,6 +359,7 @@ object MiscQueries {
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_raw_roundtrip" -> (rawRoundtrip _),
+    "q_pb_roundtrip" -> (pbRoundtrip _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
     "q_window_join"  -> (windowJoin _),
@@ -353,6 +383,14 @@ object MiscQueries {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
+    // protobuf encode∘decode is the identity on every row, so the
+    // aggregates equal the plain-column aggregates
+    "q_pb_roundtrip" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  sum(l_orderkey)::BIGINT AS sum_k,
+        |  sum(l_extendedprice::DECIMAL(20,4))::DOUBLE AS sum_p,
+        |  sum(l_linenumber)::BIGINT AS sum_ln
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // (a) blob half: every written .bin round-trips byte-exact, so the
     // char-length checksum over the raw table equals the source's;
     // (b) codec half: encode∘decode is the identity on every lineitem

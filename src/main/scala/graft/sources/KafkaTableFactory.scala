@@ -120,7 +120,8 @@ object KafkaTableFactory {
 
     Translated(base ++ startup, valueFormat, keyFormat, keyFields, include, upsert,
       options.filter { case (k, _) =>
-        k.contains("raw.") || k.contains("json.") || k.contains("csv.") })
+        k.contains("raw.") || k.contains("json.") || k.contains("csv.") ||
+          k.contains("protobuf.") })
   }
 
   /** The socket abstraction: produce the kafka record relation for
@@ -177,10 +178,12 @@ object KafkaTableFactory {
     * materialization orders correctly per key.
     */
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
-    require(Set("json", "raw").contains(t.valueFormat),
-      s"kafka value format '${t.valueFormat}' is not implemented (json and raw are)")
-    t.keyFormat.foreach(kf => require(Set("json", "raw").contains(kf),
-      s"kafka key format '$kf' is not implemented (json and raw are)"))
+    val implemented = Set("json", "raw", "protobuf")
+    require(implemented.contains(t.valueFormat),
+      s"kafka value format '${t.valueFormat}' is not implemented " +
+        s"(${implemented.mkString("/")} are)")
+    t.keyFormat.foreach(kf => require(implemented.contains(kf),
+      s"kafka key format '$kf' is not implemented (${implemented.mkString("/")} are)"))
     val keyFields = t.keyFields
     val valueFields =
       if (t.valueFieldsInclude == "ALL") physical.fields.toSeq
@@ -195,6 +198,8 @@ object KafkaTableFactory {
         val f = RawFormat.singleField(valueSchema, "the kafka value side")
         struct(RawFormat.decode(col("value"), f.dataType,
           RawFormat.options(t.formatOptions, "value.")).as(f.name))
+      case "protobuf" =>
+        PbFormat.decode(col("value"), valueSchema, t.formatOptions, "value.")
     }
     val kj: Column = t.keyFormat match {
       case _ if keyFields.isEmpty => lit(null)
@@ -202,6 +207,8 @@ object KafkaTableFactory {
         val f = RawFormat.singleField(keySchema, "the kafka key side")
         struct(RawFormat.decode(col("key"), f.dataType,
           RawFormat.options(t.formatOptions, "key.")).as(f.name))
+      case Some("protobuf") =>
+        PbFormat.decode(col("key"), keySchema, t.formatOptions, "key.")
       case _ => from_json(col("key").cast("string"), keySchema)
     }
     // plain topics with ALL read key fields from the VALUE (the value

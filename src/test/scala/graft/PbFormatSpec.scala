@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.GraftCatalog
+import graft.sources.{KafkaTableFactory, PbCodec, PbFieldSpec, PbFormat}
+import graft.sources.KafkaTableFactory.{FakeWire, SparkKafkaWire}
+
+/** Protobuf wire-format codec (jar-less flink-protobuf analog):
+  * golden bytes from the published encoding spec, proto3 defaults,
+  * unknown-field skipping, negative varints, and the kafka value
+  * format over a fake wire.
+  */
+class PbFormatSpec extends SparkSpec {
+
+  private def row(vs: Any*) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs.toArray)
+
+  test("golden bytes match the published encoding examples") {
+    // protobuf.dev encoding guide: message Test1 { int32 a = 1; }
+    // with a = 150 encodes as 08 96 01
+    val int1 = Array(PbFieldSpec(1, IntegerType))
+    assert(PbCodec.encode(row(150), int1).toSeq ===
+      Seq[Byte](0x08, 0x96.toByte, 0x01))
+    // message Test2 { string b = 2; } with b = "testing":
+    // 12 07 74 65 73 74 69 6e 67
+    val str2 = Array(PbFieldSpec(2, StringType))
+    assert(PbCodec.encode(
+      row(org.apache.spark.unsafe.types.UTF8String.fromString("testing")), str2).toSeq
+      === Seq[Byte](0x12, 0x07, 0x74, 0x65, 0x73, 0x74, 0x69, 0x6e, 0x67))
+  }
+
+  test("negative int32 sign-extends to ten varint bytes, like the spec") {
+    val specs = Array(PbFieldSpec(1, IntegerType))
+    val enc = PbCodec.encode(row(-2), specs)
+    assert(enc.length === 11) // 1 tag byte + 10 varint bytes
+    assert(PbCodec.decode(enc, specs).getInt(0) === -2)
+  }
+
+  test("every supported type round-trips; absent fields read proto3 defaults") {
+    val specs = Array(
+      PbFieldSpec(1, LongType), PbFieldSpec(2, IntegerType),
+      PbFieldSpec(3, DoubleType), PbFieldSpec(4, FloatType),
+      PbFieldSpec(5, BooleanType), PbFieldSpec(6, StringType),
+      PbFieldSpec(7, BinaryType))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("héllo")
+    val enc = PbCodec.encode(
+      row(-9876543210L, 42, 2.5d, -1.5f, true, u, Array[Byte](9, 8)), specs)
+    val dec = PbCodec.decode(enc, specs)
+    assert(dec.getLong(0) === -9876543210L)
+    assert(dec.getInt(1) === 42)
+    assert(dec.getDouble(2) === 2.5d)
+    assert(dec.getFloat(3) === -1.5f)
+    assert(dec.getBoolean(4))
+    assert(dec.getUTF8String(5).toString === "héllo")
+    assert(dec.getBinary(6).toSeq === Seq[Byte](9, 8))
+    // null fields are omitted on the wire and decode as proto3 defaults
+    val enc2 = PbCodec.encode(row(null, null, null, null, null, null, null), specs)
+    assert(enc2.length === 0)
+    val dec2 = PbCodec.decode(enc2, specs)
+    assert(dec2.getLong(0) === 0L && dec2.getInt(1) === 0)
+    assert(dec2.getDouble(2) === 0.0d && !dec2.getBoolean(4))
+    assert(dec2.getUTF8String(5).toString === "")
+  }
+
+  test("a narrower reader skips unknown fields by wire type (forward compat)") {
+    val writer = Array(
+      PbFieldSpec(1, LongType), PbFieldSpec(2, StringType),
+      PbFieldSpec(3, DoubleType), PbFieldSpec(4, FloatType))
+    val reader = Array(PbFieldSpec(1, LongType)) // drops 2 (len-delim), 3 (fixed64), 4 (fixed32)
+    val enc = PbCodec.encode(
+      row(7L, org.apache.spark.unsafe.types.UTF8String.fromString("zzz"), 1.5d, 2.5f),
+      writer)
+    assert(PbCodec.decode(enc, reader).getLong(0) === 7L)
+  }
+
+  test("field-number overrides and validation") {
+    val schema = StructType.fromDDL("a BIGINT, b STRING")
+    val specs = PbCodec.fieldSpecs(schema, Map("protobuf.field-numbers" -> "3, 7"))
+    assert(specs.map(_.number).toSeq === Seq(3, 7))
+    intercept[IllegalArgumentException](
+      PbCodec.fieldSpecs(schema, Map("protobuf.field-numbers" -> "1")))
+    intercept[IllegalArgumentException](
+      PbCodec.fieldSpecs(schema, Map("protobuf.field-numbers" -> "2, 2")))
+    intercept[IllegalArgumentException](
+      PbCodec.validate(StructType.fromDDL("a ARRAY<INT>"), "t"))
+  }
+
+  test("expressions: encode/decode identity under codegen over lineitem") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("rf", StringType)))
+    val li = Tables.load(spark, sfDir, "lineitem").limit(300)
+    val n = li.select(
+        PbFormat.decode(PbFormat.encode(
+          struct(col("l_orderkey").cast("long").as("k"), col("l_returnflag").as("rf")),
+          schema, Map.empty), schema, Map.empty).as("m"),
+        col("l_orderkey"), col("l_returnflag"))
+      .filter(col("m.k") === col("l_orderkey") && col("m.rf") === col("l_returnflag"))
+      .count()
+    assert(n === 300)
+  }
+
+  test("kafka value format protobuf decodes records through the DDL table") {
+    val specs = Array(PbFieldSpec(1, LongType), PbFieldSpec(2, StringType))
+    def pb(id: Long, v: String) = PbCodec.encode(
+      row(id, org.apache.spark.unsafe.types.UTF8String.fromString(v)), specs)
+    val data = Seq((null: Array[Byte], pb(1L, "a"), 0, 0L),
+      (null: Array[Byte], pb(2L, "b"), 0, 1L))
+    val log = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (k, v, p, o) =>
+        Row(k, v, "t", p, o, new java.sql.Timestamp(1700000000000L + o), 0)
+      }), KafkaTableFactory.RecordSchema)
+    GraftCatalog.setKafkaWire(new FakeWire(() => log))
+    try {
+      GraftCatalog.executeDdl(spark,
+        """CREATE TABLE k_pb (id BIGINT, v STRING)
+          |WITH ('connector' = 'kafka', 'topic' = 't',
+          |  'properties.bootstrap.servers' = 'broker:9092',
+          |  'format' = 'protobuf')""".stripMargin)
+      assert(spark.table("k_pb").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a"), (2L, "b")))
+      GraftCatalog.executeDdl(spark, "DROP TABLE k_pb")
+    } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
+  }
+}
