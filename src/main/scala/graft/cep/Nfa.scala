@@ -112,6 +112,14 @@ object Nfa {
 
   private type Caps[E] = Map[String, List[(Int, E)]]
 
+  /** The pattern variable that captured absolute row index `i` of
+    * this match — CLASSIFIER() (SQL:2016; the reference defines it in
+    * FlinkSqlOperatorTable). Each row is consumed by exactly one
+    * symbol, so the lookup is unambiguous.
+    */
+  def classifier[E](m: PatMatch[E], i: Int): Option[String] =
+    m.idx.collectFirst { case (v, xs) if xs.contains(i) => v }
+
   /** Scan-resume index after a match per the AFTER MATCH skip
     * strategy — shared by [[matchAllPat]] and the streaming matcher
     * (CepOps.matchPatternStream) so batch and stream advance

@@ -79,9 +79,15 @@ object MatchRecognizeSql {
 
     def parseMeasure(): Measure = {
       val fns = Set("FIRST", "LAST", "COUNT", "SUM", "MIN", "MAX", "AVG")
+      val niladic = Set("CLASSIFIER", "MATCH_NUMBER")
       val t0 = identText()
       val m =
-        if (fns.contains(t0.toUpperCase) && i < toks.length && peek.isPunct("(")) {
+        if (niladic.contains(t0.toUpperCase) && i < toks.length && peek.isPunct("(")) {
+          // CLASSIFIER() / MATCH_NUMBER() (FlinkSqlOperatorTable's
+          // niladic row-pattern functions)
+          eat("("); eat(")")
+          Measure("", t0.toUpperCase, "", "")
+        } else if (fns.contains(t0.toUpperCase) && i < toks.length && peek.isPunct("(")) {
           eat("(")
           val v = identText(); eat(".")
           val c = if (peek.isPunct("*")) { i += 1; "*" } else identText()
@@ -293,10 +299,12 @@ object MatchRecognizeSql {
           }
           c < 0
         }
-        Nfa.matchAllPat(rows, pat, skip, within).iterator.map { m =>
-          val head = rows(m.start)
-          val vals = partIdx.map(head.get) ++ measureEvals.map(_(m))
-          Row.fromSeq(vals)
+        Nfa.matchAllPat(rows, pat, skip, within).iterator.zipWithIndex.map {
+          case (m, mi) =>
+            val head = rows(m.start)
+            // MATCH_NUMBER() is 1-based and sequential per partition
+            val vals = partIdx.map(head.get) ++ measureEvals.map(_(m, mi + 1L))
+            Row.fromSeq(vals)
         }
       }
   }
@@ -313,6 +321,8 @@ object MatchRecognizeSql {
     if (m.column == "*") LongType else schema(schema.fieldIndex(m.column)).dataType
 
   private def measureType(schema: StructType, m: Measure): DataType = m.fn match {
+    case "CLASSIFIER" => StringType
+    case "MATCH_NUMBER" => LongType
     case "COUNT" => LongType
     case "AVG" => DoubleType
     case "SUM" => colType(schema, m) match {
@@ -322,34 +332,42 @@ object MatchRecognizeSql {
     case _ => colType(schema, m)
   }
 
-  /** Compile one measure to a function over a completed match. */
-  private def measureEval(schema: StructType, m: Measure): Nfa.PatMatch[Row] => Any = {
-    val ci = if (m.column == "*") -1 else schema.fieldIndex(m.column)
+  /** Compile one measure to a function over a completed match and its
+    * 1-based sequence number within the partition.
+    */
+  private def measureEval(schema: StructType, m: Measure): (Nfa.PatMatch[Row], Long) => Any = {
+    val ci = if (m.fn == "CLASSIFIER" || m.fn == "MATCH_NUMBER" || m.column == "*") -1
+      else schema.fieldIndex(m.column)
     def vals(pm: Nfa.PatMatch[Row]): List[Any] =
       pm.caps.getOrElse(m.variable, Nil).map(r => if (ci < 0) 1L else r.get(ci))
     m.fn match {
-      case "FIRST" => pm => vals(pm).headOption.orNull
+      // ONE ROW PER MATCH: CLASSIFIER() is the variable that mapped
+      // the LAST row of the match (SQL:2016 / the reference's
+      // MatchCodeGenerator ClassifierValue for final state)
+      case "CLASSIFIER" => (pm, _) => Nfa.classifier(pm, pm.end - 1).orNull
+      case "MATCH_NUMBER" => (_, no) => no
+      case "FIRST" => (pm, _) => vals(pm).headOption.orNull
       // SQL:2016 ONE ROW PER MATCH: a bare `V.col` means the LAST row
       // mapped to V (same as Flink/Oracle), not the first
-      case "VAR" | "LAST" => pm => vals(pm).lastOption.orNull
-      case "COUNT" => pm =>
+      case "VAR" | "LAST" => (pm, _) => vals(pm).lastOption.orNull
+      case "COUNT" => (pm, _) =>
         if (ci < 0) pm.caps.getOrElse(m.variable, Nil).length.toLong
         else vals(pm).count(_ != null).toLong
       case "SUM" => colType(schema, m) match {
         case ByteType | ShortType | IntegerType | LongType =>
-          pm => { val vs = vals(pm).filter(_ != null); if (vs.isEmpty) null else vs.map(numLong).sum }
+          (pm, _) => { val vs = vals(pm).filter(_ != null); if (vs.isEmpty) null else vs.map(numLong).sum }
         case _ =>
-          pm => { val vs = vals(pm).filter(_ != null); if (vs.isEmpty) null else vs.map(numDouble).sum }
+          (pm, _) => { val vs = vals(pm).filter(_ != null); if (vs.isEmpty) null else vs.map(numDouble).sum }
       }
-      case "AVG" => pm => {
+      case "AVG" => (pm, _) => {
         val vs = vals(pm).filter(_ != null)
         if (vs.isEmpty) null else vs.map(numDouble).sum / vs.length
       }
-      case "MIN" => pm => {
+      case "MIN" => (pm, _) => {
         val vs = vals(pm).filter(_ != null)
         if (vs.isEmpty) null else vs.reduceLeft((a, b) => if (compareAny(a, b) <= 0) a else b)
       }
-      case "MAX" => pm => {
+      case "MAX" => (pm, _) => {
         val vs = vals(pm).filter(_ != null)
         if (vs.isEmpty) null else vs.reduceLeft((a, b) => if (compareAny(a, b) >= 0) a else b)
       }

@@ -64,6 +64,37 @@ object SqlQueries {
         |) AS mr""".stripMargin)
   }
 
+  /** CLASSIFIER() + MATCH_NUMBER() measures (FlinkSqlOperatorTable's
+    * niladic row-pattern functions): a view followed by either a
+    * purchase (B) or an error (C) — the alternation makes
+    * CLASSIFIER() carry real information (which branch matched the
+    * last row), and MATCH_NUMBER() numbers matches sequentially per
+    * partition. Event types are disjoint, so fixed-length matches
+    * cannot overlap and the oracle can enumerate them with a
+    * self-join on adjacent row numbers.
+    */
+  def cepClassifierSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    GraftSql.sql(s,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES
+        |    MATCH_NUMBER() AS mn,
+        |    CLASSIFIER() AS cls,
+        |    A.event_id AS start_id,
+        |    B.event_id AS b_id,
+        |    C.event_id AS c_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A (B | C))
+        |  DEFINE
+        |    A AS event_type = 'view',
+        |    B AS event_type = 'purchase',
+        |    C AS event_type = 'error'
+        |) AS mr""".stripMargin)
+  }
+
   /** SESSION window TVF in SQL — rewritten onto Spark's
     * session_window grouping by the pre-parser.
     */
@@ -205,6 +236,7 @@ object SqlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_lateral"         -> (lateralTableSql _),
     "q_sql_match_recognize" -> (matchRecognizeSql _),
+    "q_cep_classifier"      -> (cepClassifierSql _),
     "q_sql_temporal_join"   -> (temporalJoinSql _),
     "q_sql_upsert_agg"      -> (upsertAggSql _),
     "q_sql_tumble_offset"   -> (tumbleOffsetSql _),
@@ -278,6 +310,28 @@ object SqlQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
         |  AND (v.valid_to IS NULL OR p.ts < v.valid_to)""".stripMargin,
+    // adjacent-pair enumeration: disjoint event types mean a
+    // length-2 match can never overlap another, so every (view,
+    // purchase|error) adjacency IS a match under any skip strategy;
+    // MATCH_NUMBER() = sequential numbering per partition
+    "q_cep_classifier" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |pairs AS (
+        |  SELECT a.user_id, a.event_id AS start_id,
+        |    CASE WHEN b.event_type = 'purchase' THEN 'B' ELSE 'C' END AS cls,
+        |    CASE WHEN b.event_type = 'purchase' THEN b.event_id END AS b_id,
+        |    CASE WHEN b.event_type = 'error' THEN b.event_id END AS c_id,
+        |    a.rn
+        |  FROM ordered a JOIN ordered b
+        |    ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |  WHERE a.event_type = 'view' AND b.event_type IN ('purchase', 'error'))
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY rn)::BIGINT AS mn,
+        |  cls, start_id, b_id, c_id
+        |FROM pairs""".stripMargin,
     // identical gaps-and-islands formulation as the DSL twin queries —
     // the SQL text must land on the same result set
     "q_sql_match_recognize" ->

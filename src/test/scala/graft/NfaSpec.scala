@@ -130,6 +130,26 @@ class NfaSpec extends SparkSpec {
     assert(firsts("a", "b", "a", "c") === List((2, 4))) // later clean span still matches
   }
 
+  test("classifier resolves the variable that consumed each row (CLASSIFIER())") {
+    import Nfa._
+    // alternation: the last row's classifier depends on which branch ran
+    val pat = Cat(List(
+      Sym[String]("A", _ == "a"),
+      Alt(List(Sym[String]("B", _ == "b"), Sym[String]("C", _ == "c")))))
+    val ms = matchAllPat(Vector("a", "b", "a", "c"), pat)
+    assert(ms.length === 2)
+    assert(classifier(ms(0), ms(0).end - 1) === Some("B"))
+    assert(classifier(ms(1), ms(1).end - 1) === Some("C"))
+    assert(classifier(ms(0), ms(0).start) === Some("A"))
+    // an index outside the match resolves to nothing
+    assert(classifier(ms(0), 99) === None)
+    // quantified var: every consumed row classifies to it
+    val rep = Cat(List(Sym[String]("A", _ == "a"),
+      Rep(Sym[String]("B", _ == "b"), 1, Int.MaxValue)))
+    val m2 = matchAllPat(Vector("a", "b", "b"), rep).head
+    assert((m2.start until m2.end).map(classifier(m2, _).get) === Seq("A", "B", "B"))
+  }
+
   test("anyGap: relaxed contiguity between neighbors (Pattern.followedBy)") {
     import Nfa._
     // strict: A directly before C; relaxed: anything between
