@@ -554,6 +554,23 @@ object GraftCatalog {
     * 'compaction.every' batches (default 10). Use as
     * `stream.writeStream.foreachBatch(GraftCatalog.rollingSink(t))`.
     */
+  /** Spark reader/writer options for a table's file format (csv
+    * header today; parquet/orc/json need none) plus the file-side
+    * schema (declared columns minus the partition keys, which live in
+    * directory names) — what the rolling sink and compaction must
+    * carry so non-self-describing formats survive a rewrite.
+    */
+  private def fileFormatOptions(table: String, sink: SinkInfo): Map[String, String] =
+    if (sink.format == "csv")
+      Map("header" -> sink.options.getOrElse("csv.header", "false"))
+    else Map.empty
+
+  private def fileSchemaOf(table: String): Option[StructType] =
+    tableSchemas.get(table).map { declared =>
+      val parts = partitionKeysOf(table).toSet
+      StructType(declared.filterNot(f => parts(f.name)))
+    }
+
   def rollingSink(table: String): (DataFrame, Long) => Unit = {
     val sink = sinkOf(table).getOrElse(
       sys.error(s"table '$table' is not a filesystem table"))
@@ -566,7 +583,8 @@ object GraftCatalog {
         sink.options.get("compaction.every").map(_.toInt).getOrElse(10)
       else 0
     graft.streaming.RollingFileSink.rolling(
-      sink.path, sink.format, target, partitionKeysOf(table), every)
+      sink.path, sink.format, target, partitionKeysOf(table), every,
+      fileFormatOptions(table, sink), fileSchemaOf(table))
   }
 
   /** One compaction pass over a DDL file table's directory tree
@@ -579,7 +597,8 @@ object GraftCatalog {
     val target = sink.options.get("sink.rolling-policy.file-size")
       .map(graft.streaming.RollingFileSink.parseSize).getOrElse(128L << 20)
     graft.streaming.RollingFileSink.compact(
-      spark, sink.path, sink.format, target, partitionKeysOf(table))
+      spark, sink.path, sink.format, target, partitionKeysOf(table),
+      fileFormatOptions(table, sink), fileSchemaOf(table))
   }
 
   def constraintsOf(table: String): TableConstraints =

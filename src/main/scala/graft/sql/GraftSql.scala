@@ -699,9 +699,15 @@ object GraftSql {
       require(i < toks.length && toks(i).is("PLAN"),
         "COMPILE expects: COMPILE [AND EXECUTE] PLAN '<file>' FOR <statement>")
       i += 1
+      // OVERWRITE replaces an existing plan file (the escape hatch the
+      // exists-error suggests); IF NOT EXISTS skips instead
+      val overwrite = i < toks.length && toks(i).is("OVERWRITE")
+      if (overwrite) i += 1
       val ifNotExists = i + 2 < toks.length && toks(i).is("IF") &&
         toks(i + 1).is("NOT") && toks(i + 2).is("EXISTS")
       if (ifNotExists) i += 3
+      require(!(overwrite && ifNotExists),
+        "COMPILE PLAN: OVERWRITE and IF NOT EXISTS are mutually exclusive")
       require(i < toks.length && toks(i).kind == Str,
         "COMPILE PLAN needs a quoted file path")
       val file = toks(i).text.stripPrefix("'").stripSuffix("'")
@@ -710,7 +716,7 @@ object GraftSql {
       val stmt = text.substring(toks(i + 1).end).trim
       val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(file))
       if (!(ifNotExists && exists))
-        CompiledPlan.write(file, stmt, overwrite = false)
+        CompiledPlan.write(file, stmt, overwrite)
       if (andExecute) return sql(spark, stmt)
       return spark.emptyDataFrame
     }

@@ -55,20 +55,30 @@ object RollingFileSink {
 
   /** foreachBatch body: `stream.writeStream.foreachBatch(
     * RollingFileSink.rolling(path, "parquet", 128 << 20, keys) _)`.
+    * `formatOptions` are Spark reader/writer options (csv header,
+    * timestamp formats …) applied to the rolled write AND both sides
+    * of compaction; `fileSchema` pins the compaction read to the
+    * declared file schema (no inference drift) — both required for
+    * non-self-describing formats like csv.
     */
   def rolling(path: String, format: String, targetFileBytes: Long,
-      partitionKeys: Seq[String] = Nil, compactEvery: Int = 10)(
+      partitionKeys: Seq[String] = Nil, compactEvery: Int = 10,
+      formatOptions: Map[String, String] = Map.empty,
+      fileSchema: Option[org.apache.spark.sql.types.StructType] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    writeRolled(batch, path, format, targetFileBytes, partitionKeys)
+    writeRolled(batch, path, format, targetFileBytes, partitionKeys, formatOptions)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compact(batch.sparkSession, path, format, targetFileBytes, partitionKeys)
+      compact(batch.sparkSession, path, format, targetFileBytes, partitionKeys,
+        formatOptions, fileSchema)
   }
 
   /** One rolled append: output file count from the batch's estimated
     * size, never fewer than 1.
     */
   def writeRolled(batch: DataFrame, path: String, format: String,
-      targetFileBytes: Long, partitionKeys: Seq[String] = Nil): Unit = {
+      targetFileBytes: Long, partitionKeys: Seq[String] = Nil,
+      formatOptions: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val estBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
     // stats can be the unknown-size default (Long.MaxValue) on
     // foreachBatch plans — cap at the input partition count: more
@@ -77,13 +87,18 @@ object RollingFileSink {
     val nFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes)
       .min(cap).max(BigInt(1)).toInt
     val sized =
-      if (partitionKeys.nonEmpty)
-        // spread within each partition value, not across the batch:
-        // repartition on (keys, random-ish split) keeps one writer
-        // task from owning every row of a hot partition
-        batch.repartition(nFiles, partitionKeys.map(org.apache.spark.sql.functions.col): _*)
+      if (partitionKeys.nonEmpty && nFiles > 1) {
+        // keys alone would put every row of a hot partition VALUE on
+        // one writer task regardless of nFiles; a row-hash salt
+        // splits fat values across up to nFiles target-sized files.
+        // Trickle batches (nFiles = 1) skip the salt — no extra
+        // small files — and compaction folds any over-split remains.
+        val salt = pmod(xxhash64(batch.columns.map(col).toSeq: _*), lit(nFiles))
+        batch.repartition(nFiles, partitionKeys.map(col) :+ salt: _*)
+      } else if (partitionKeys.nonEmpty)
+        batch.repartition(nFiles, partitionKeys.map(col): _*)
       else batch.repartition(nFiles)
-    val w = sized.write.mode("append").format(format)
+    val w = sized.write.mode("append").format(format).options(formatOptions)
     (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w).save(path)
   }
 
@@ -110,7 +125,9 @@ object RollingFileSink {
     * counts so callers (and specs) can see the effect.
     */
   def compact(spark: SparkSession, path: String, format: String,
-      targetFileBytes: Long, partitionKeys: Seq[String] = Nil): CompactionReport = {
+      targetFileBytes: Long, partitionKeys: Seq[String] = Nil,
+      formatOptions: Map[String, String] = Map.empty,
+      fileSchema: Option[org.apache.spark.sql.types.StructType] = None): CompactionReport = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -135,9 +152,14 @@ object RollingFileSink {
       }
       bins.map(_._1.toSeq).filter(_.length > 1).foreach { bin =>
         val staging = new Path(dir, s".compact-${java.util.UUID.randomUUID}")
-        // read EXACTLY the bin's files; one ~target-sized output task
-        spark.read.format(format).load(bin.map(_.getPath.toString): _*)
-          .coalesce(1).write.format(format).save(staging.toString)
+        // read EXACTLY the bin's files; one ~target-sized output task.
+        // The declared file schema + format options ride along so a
+        // csv rewrite keeps its header/types instead of re-inferring
+        val reader = spark.read.format(format).options(formatOptions)
+        fileSchema.map(reader.schema).getOrElse(reader)
+          .load(bin.map(_.getPath.toString): _*)
+          .coalesce(1).write.format(format).options(formatOptions)
+          .save(staging.toString)
         val produced = fs.listStatus(staging)
           .filter(s => s.isFile && isDataFile(s.getPath))
         // move in, then delete originals — a racing reader may see a

@@ -684,6 +684,16 @@ class GraftSqlSpec extends SparkSpec {
       GraftSql.sql(spark, s"COMPILE PLAN '$base/p.json' FOR $stmt")
     }
     GraftSql.sql(spark, s"COMPILE PLAN IF NOT EXISTS '$base/p.json' FOR $stmt")
+    // OVERWRITE replaces the existing file (the escape hatch the
+    // exists-error names); mixing it with IF NOT EXISTS is rejected
+    val before = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$base/p.json"))
+    GraftSql.sql(spark, s"COMPILE PLAN OVERWRITE '$base/p.json' FOR $stmt")
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$base/p.json")).compareTo(before) >= 0)
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"COMPILE PLAN OVERWRITE IF NOT EXISTS '$base/p.json' FOR $stmt")
+    }
     // expected result, computed directly (before any drift below)
     val expect = GraftSql.sql(spark,
       """SELECT window_start AS wstart, count(*) AS n

@@ -62,6 +62,44 @@ class RollingFileSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).filter(col("p") === "x").count() === 6)
   }
 
+  test("csv with header survives rolled writes and compaction (options + schema threaded)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csvroll").toString
+    val path = s"$base/c"
+    val opts = Map("header" -> "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING")
+    // three trickle appends, each with a header line
+    (1 to 3).foreach { i =>
+      RollingFileSink.writeRolled(Seq((i.toLong, s"v$i")).toDF("k", "v"),
+        path, "csv", targetFileBytes = 64 << 20, formatOptions = opts)
+    }
+    def readAll() = spark.read.options(opts).schema(schema).csv(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val expected = Seq((1L, "v1"), (2L, "v2"), (3L, "v3"))
+    assert(readAll() === expected, "rolled csv append lost rows (header mishandled)")
+    val report = RollingFileSink.compact(spark, path, "csv",
+      targetFileBytes = 64 << 20, formatOptions = opts, fileSchema = Some(schema))
+    assert(report.filesAfter < report.filesBefore)
+    // compaction must neither fold header lines into data nor drop rows
+    assert(readAll() === expected, "compaction corrupted csv content")
+  }
+
+  test("a hot partition value splits across several files when the batch is fat") {
+    val base = java.nio.file.Files.createTempDirectory("graft_salt").toString
+    val path = s"$base/hot"
+    // one partition value owns every row; a fat batch vs a tiny
+    // target must still spread across writers (salted repartition)
+    val fat = spark.range(0, 20000).select(col("id").as("k"),
+      lit("hot").as("p"), concat(lit("payload-"), col("id")).as("v"))
+    RollingFileSink.writeRolled(fat, path, "parquet",
+      targetFileBytes = 64 << 10, partitionKeys = Seq("p"))
+    val files = dataFiles(path)
+    assert(files.map(_.getParentFile.getName).toSet === Set("p=hot"))
+    assert(files.length > 1,
+      s"hot partition wrote ${files.length} file(s) — salt not applied")
+    // content intact
+    assert(spark.read.parquet(path).count() === 20000)
+  }
+
   test("files at or above the target are left alone") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact2").toString
     val path = s"$base/t"
