@@ -35,6 +35,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final case class PbFieldSpec(number: Int, dataType: DataType)
 
+/** A message layout with per-row lookup structures precomputed ONCE —
+  * the decode hot path must not rebuild a number→index map per row
+  * (600k rows × 4 fields made that the whole query cost). Referenced
+  * from generated code via addReferenceObj; the lazy vals rebuild
+  * after deserialization on each executor.
+  */
+final class PbMsg(val specs: Array[PbFieldSpec]) extends Serializable {
+  /** field number → column index, -1 = unknown (skip by wire type) */
+  @transient lazy val numToIdx: Array[Int] = {
+    val a = Array.fill(specs.map(_.number).max + 1)(-1)
+    specs.zipWithIndex.foreach { case (sp, i) => a(sp.number) = i }
+    a
+  }
+  /** proto3 default values, cloned into each decoded row */
+  @transient lazy val defaults: Array[Any] = specs.map { sp =>
+    (sp.dataType match {
+      case LongType => 0L
+      case IntegerType => 0
+      case BooleanType => false
+      case DoubleType => 0.0d
+      case FloatType => 0.0f
+      case StringType => UTF8String.EMPTY_UTF8
+      case BinaryType => Array.emptyByteArray
+      case other => sys.error(s"protobuf format does not support type $other")
+    }): Any
+  }
+}
+
 object PbCodec {
 
   /** Column-position → field-number mapping from the table options. */
@@ -108,27 +136,18 @@ object PbCodec {
     out.toByteArray
   }
 
+  /** Spec/test convenience: per-call PbMsg wrap. */
+  def decode(b: Array[Byte], specs: Array[PbFieldSpec]): InternalRow =
+    decode(b, new PbMsg(specs))
+
   /** Decode a protobuf message payload to an InternalRow with proto3
-    * default values for absent fields.
+    * default values for absent fields. Hot path: no per-row
+    * allocation beyond the row itself.
     */
-  def decode(b: Array[Byte], specs: Array[PbFieldSpec]): InternalRow = {
-    val row = new GenericInternalRow(specs.length)
-    // proto3 defaults first — absent fields read as 0 / "" / false
-    var i = 0
-    while (i < specs.length) {
-      row.update(i, specs(i).dataType match {
-        case LongType => 0L
-        case IntegerType => 0
-        case BooleanType => false
-        case DoubleType => 0.0d
-        case FloatType => 0.0f
-        case StringType => UTF8String.EMPTY_UTF8
-        case BinaryType => Array.emptyByteArray
-        case other => sys.error(s"protobuf format does not support type $other")
-      })
-      i += 1
-    }
-    val byNumber = specs.zipWithIndex.map { case (s, idx) => s.number -> idx }.toMap
+  def decode(b: Array[Byte], msg: PbMsg): InternalRow = {
+    val specs = msg.specs
+    val numToIdx = msg.numToIdx
+    val row = new GenericInternalRow(msg.defaults.clone())
     var pos = 0
     def varint(): Long = {
       var shift = 0; var v = 0L
@@ -140,8 +159,9 @@ object PbCodec {
       val tag = varint()
       val number = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
-      byNumber.get(number) match {
-        case Some(idx) =>
+      val idx0 = if (number < numToIdx.length) numToIdx(number) else -1
+      idx0 match {
+        case idx if idx >= 0 =>
           val dt = specs(idx).dataType
           wire match {
             case 0 =>
@@ -182,7 +202,7 @@ object PbCodec {
               pos += len
             case w => sys.error(s"protobuf: unsupported wire type $w at field $number")
           }
-        case None => // unknown field: skip by wire type (forward compat)
+        case _ => // unknown field: skip by wire type (forward compat)
           wire match {
             case 0 => varint()
             case 1 => pos += 8
@@ -202,12 +222,13 @@ object PbCodec {
   */
 case class PbDecode(child: Expression, schema: StructType,
     specs: Array[PbFieldSpec]) extends UnaryExpression {
+  @transient private lazy val msg = new PbMsg(specs)
   override def dataType: DataType = schema
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    PbCodec.decode(v.asInstanceOf[Array[Byte]], specs)
+    PbCodec.decode(v.asInstanceOf[Array[Byte]], msg)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("pbSpecs", specs, "graft.sources.PbFieldSpec[]")
+    val ref = ctx.addReferenceObj("pbMsg", msg, "graft.sources.PbMsg")
     defineCodeGen(ctx, ev, c => s"graft.sources.PbCodec.decode($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): PbDecode = copy(child = c)
