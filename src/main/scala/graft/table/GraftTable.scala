@@ -40,6 +40,12 @@ final class GraftTable private[table] (val df: DataFrame) {
   def groupBy(keys: String): GroupedGraftTable =
     new GroupedGraftTable(df, TableExpr.parseList(keys))
 
+  /** Group windows (Table.window(Tumble/Slide/Session ... as "w") —
+    * GroupWindowITCase shapes): the window alias becomes a grouping
+    * key; `w.start` / `w.end` surface in the select.
+    */
+  def window(w: WindowSpec): WindowedGraftTable = new WindowedGraftTable(df, w)
+
   /** `join(t2).where("a === d")` — the reference's unconditioned join
     * is a cross product until the predicate narrows it; Catalyst
     * turns where-over-cross into the equi hash join at plan time.
@@ -87,23 +93,49 @@ final class GraftTable private[table] (val df: DataFrame) {
 }
 
 /** `groupBy(...)` result: only `select` makes sense next, like the
-  * reference's GroupedTable.
+  * reference's GroupedTable. `windowAlias` is set by the group-window
+  * path: items referencing the alias (`w.start`, `w.end`) are
+  * key-derived and project AFTER the aggregate (they cannot resolve
+  * inside agg(), where only the input relation's columns exist).
   */
-final class GroupedGraftTable private[table] (df: DataFrame, keys: Seq[Column]) {
+final class GroupedGraftTable private[table] (df: DataFrame, keys: Seq[Column],
+    windowAlias: Option[String] = None, windowKeyIdx: Int = -1) {
   def select(fields: String): GraftTable = {
-    val items = TableExpr.parseList(fields)
+    val raw = TableExpr.splitRaw(fields)
+    def isWinRef(s: String): Boolean = windowAlias.exists { a =>
+      val t = s.trim
+      t == a || t.startsWith(a + ".") || t.startsWith(a + " ")
+    }
+    val aggRaw = raw.filterNot(isWinRef)
+    require(aggRaw.nonEmpty, "groupBy().select() needs at least one aggregate")
+    val aggItems = aggRaw.map(TableExpr.parse)
     // grouping expressions may appear plainly in the output list;
     // everything else must be an aggregate — Catalyst validates.
     // Spark prepends the grouping keys to agg() output; the
     // reference's GroupedTable.select emits EXACTLY the select list,
     // so project the key prefix back off (positionally — an item may
-    // share a key's name).
-    val out = df.groupBy(keys: _*).agg(items.head, items.tail: _*)
-    val names = out.columns.takeRight(items.length).toSeq
+    // share a key's name) and re-weave the window refs in order.
+    val out = df.groupBy(keys: _*).agg(aggItems.head, aggItems.tail: _*)
+    val aggNames = out.columns.takeRight(aggItems.length).toSeq
     val tagged = out.toDF(out.columns.zipWithIndex.map { case (_, i) => s"__c$i" }.toIndexedSeq: _*)
-    new GraftTable(tagged
-      .select(tagged.columns.takeRight(items.length).map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      .toDF(names: _*))
+    val keyIdxOfAlias = windowAlias.map { a =>
+      require(windowKeyIdx >= 0, s"window alias '$a' not among grouping keys")
+      windowKeyIdx
+    }
+    var ai = 0
+    val finalCols = raw.map { r =>
+      if (isWinRef(r)) {
+        // re-parse with the alias pointed at the tagged key column
+        val sub = r.replaceAll(s"\\b${java.util.regex.Pattern.quote(windowAlias.get)}\\b",
+          s"__c${keyIdxOfAlias.get}")
+        TableExpr.parse(sub)
+      } else {
+        val c = F.col(s"__c${keys.length + ai}").as(aggNames(ai))
+        ai += 1
+        c
+      }
+    }
+    new GraftTable(tagged.select(finalCols: _*))
   }
 }
 
@@ -112,6 +144,77 @@ object GraftTable {
   def from(spark: SparkSession, table: String): GraftTable =
     new GraftTable(spark.table(table))
   def of(df: DataFrame): GraftTable = new GraftTable(df)
+}
+
+/** A resolved group window: kind + durations + time column + alias.
+  * Durations use the classic string-DSL spellings ("10.minutes",
+  * "1.hour") or plain Spark interval strings ("10 minutes").
+  */
+final case class WindowSpec(kind: String, size: String, slide: Option[String],
+    on: String, alias: String)
+
+/** `Tumble over "1.hour" on "ts" as "w"` (flink-table-api Tumble). */
+object Tumble {
+  def over(size: String): TumbleBuilder = new TumbleBuilder(size)
+}
+final class TumbleBuilder private[table] (size: String) {
+  def on(field: String): TumbleBuilder2 = new TumbleBuilder2(size, field)
+}
+final class TumbleBuilder2 private[table] (size: String, field: String) {
+  def as(alias: String): WindowSpec = WindowSpec("tumble", size, None, field, alias)
+}
+
+/** `Slide over "1.hour" every "15.minutes" on "ts" as "w"` (Slide). */
+object Slide {
+  def over(size: String): SlideBuilder = new SlideBuilder(size)
+}
+final class SlideBuilder private[table] (size: String) {
+  def every(slide: String): SlideBuilder2 = new SlideBuilder2(size, slide)
+}
+final class SlideBuilder2 private[table] (size: String, slide: String) {
+  def on(field: String): SlideBuilder3 = new SlideBuilder3(size, slide, field)
+}
+final class SlideBuilder3 private[table] (size: String, slide: String, field: String) {
+  def as(alias: String): WindowSpec = WindowSpec("slide", size, Some(slide), field, alias)
+}
+
+/** `Session withGap "10.minutes" on "ts" as "w"` (Session). */
+object Session {
+  def withGap(gap: String): SessionBuilder = new SessionBuilder(gap)
+}
+final class SessionBuilder private[table] (gap: String) {
+  def on(field: String): SessionBuilder2 = new SessionBuilder2(gap, field)
+}
+final class SessionBuilder2 private[table] (gap: String, field: String) {
+  def as(alias: String): WindowSpec = WindowSpec("session", gap, None, field, alias)
+}
+
+/** `window(...)` result: only groupBy makes sense next (the window
+  * alias must be among the keys, like the reference's WindowedTable).
+  */
+final class WindowedGraftTable private[table] (df: DataFrame, w: WindowSpec) {
+  /** "10.minutes" / "1.hour" → "10 minutes" / "1 hour" */
+  private def dur(s: String): String = {
+    val parts = s.trim.split("\\.", 2)
+    if (parts.length == 2 && parts(0).forall(_.isDigit)) s"${parts(0)} ${parts(1)}"
+    else s
+  }
+
+  def groupBy(keys: String): GroupedGraftTable = {
+    val names = keys.split(",").map(_.trim).filter(_.nonEmpty)
+    require(names.contains(w.alias),
+      s"window alias '${w.alias}' must appear in groupBy('$keys')")
+    val winCol = w.kind match {
+      case "tumble" => F.window(F.col(w.on), dur(w.size))
+      case "slide" => F.window(F.col(w.on), dur(w.size), dur(w.slide.get))
+      case "session" => F.session_window(F.col(w.on), dur(w.size))
+    }
+    val cols = names.toSeq.map { n =>
+      if (n == w.alias) winCol.as(w.alias) else TableExpr.parse(n)
+    }
+    new GroupedGraftTable(df, cols, windowAlias = Some(w.alias),
+      windowKeyIdx = names.indexOf(w.alias))
+  }
 }
 
 /** The classic string expression DSL (flink-table-api ExpressionParser
@@ -155,6 +258,15 @@ object TableExpr {
   def parse(s: String): Column = {
     val toks = normalize(SqlLexer.tokenize(s))
     new P(toks).parseItem()
+  }
+
+  /** Split a field list on TOP-LEVEL commas, returning raw source
+    * spans (argument lists keep their commas).
+    */
+  def splitRaw(s: String): Seq[String] = {
+    val toks = normalize(SqlLexer.tokenize(s))
+    splitTop(toks).filter(_.nonEmpty)
+      .map(ts => s.substring(ts.head.start, ts.last.end))
   }
 
   /** `"a as b, c as d"` → (from, to) pairs for renameColumns. */
@@ -317,6 +429,9 @@ object TableExpr {
           c.isin(vals: _*)
         case "isnull" => c.isNull
         case "isnotnull" => c.isNotNull
+        // group-window alias fields: w.start / w.end (WindowProperties)
+        case "start" => c.getField("start")
+        case "end" => c.getField("end")
         case "cast" =>
           require(args.length == 1, ".cast takes a type name")
           val ty = unquote(args.head._2).toLowerCase(java.util.Locale.ROOT) match {

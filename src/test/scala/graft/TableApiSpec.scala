@@ -96,6 +96,47 @@ class TableApiSpec extends SparkSpec {
     assert(nation.filter("n_regionkey.in(0, 1)").toDF.count() === 10)
   }
 
+  test("GroupWindowITCase shape: Tumble window groupBy + w.start/w.end measures") {
+    import graft.table.Tumble
+    val events = GraftTable.of(Tables.load(spark, sfDir, "events"))
+    val got = events
+      .window(Tumble over "1.hour" on "ts" as "w")
+      .groupBy("w, user_id")
+      .select("user_id, w.start as ws, w.end as we, value.sum as sv, event_id.count as n")
+      .toDF
+    assert(got.columns.toSeq === Seq("user_id", "ws", "we", "sv", "n"))
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum("value").as("sv"), count("event_id").as("n"))
+      .select(col("user_id"), col("window.start").as("ws"), col("window.end").as("we"),
+        col("sv"), col("n"))
+    assert(got.collect().map(_.toSeq).toSet === want.collect().map(_.toSeq).toSet)
+    assert(got.count() > 0)
+  }
+
+  test("GroupWindowITCase shape: Slide and Session windows") {
+    import graft.table.{Session, Slide}
+    val events = GraftTable.of(Tables.load(spark, sfDir, "events"))
+    val slid = events
+      .window(Slide over "1.hour" every "30.minutes" on "ts" as "w")
+      .groupBy("w, event_type")
+      .select("event_type, w.start as ws, event_id.count as n")
+      .toDF
+    val wantSlide = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count("event_id")).count()
+    assert(slid.count() === wantSlide)
+    val sess = events
+      .window(Session withGap "10.minutes" on "ts" as "w")
+      .groupBy("w, user_id")
+      .select("user_id, w.start as ws, w.end as we, value.sum as sv")
+      .toDF
+    val wantSess = Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(sum("value")).count()
+    assert(sess.count() === wantSess)
+  }
+
   test("TableEnvironment.from reads a registered table") {
     Tables.registerAll(spark, sfDir)
     assert(GraftTable.from(spark, "region").select("r_name").toDF.count() === 5)
