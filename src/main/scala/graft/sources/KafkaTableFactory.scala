@@ -178,12 +178,23 @@ object KafkaTableFactory {
     * materialization orders correctly per key.
     */
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
-    val implemented = Set("json", "raw", "protobuf")
+    val implemented = Set("json", "csv", "raw", "protobuf")
     require(implemented.contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented " +
         s"(${implemented.mkString("/")} are)")
     t.keyFormat.foreach(kf => require(implemented.contains(kf),
       s"kafka key format '$kf' is not implemented (${implemented.mkString("/")} are)"))
+    // flink-csv option names → Spark from_csv options
+    def csvOptions(prefix: String): Map[String, String] = {
+      def get(k: String) = t.formatOptions.get(prefix + k)
+        .orElse(t.formatOptions.get(k))
+      get("csv.field-delimiter").map("sep" -> _).toMap ++
+        get("csv.quote-character").map("quote" -> _) ++
+        get("csv.escape-character").map("escape" -> _) ++
+        get("csv.null-literal").map("nullValue" -> _) ++
+        get("csv.ignore-parse-errors").map(v => "mode" ->
+          (if (v == "true") "PERMISSIVE" else "FAILFAST"))
+    }
     val keyFields = t.keyFields
     val valueFields =
       if (t.valueFieldsInclude == "ALL") physical.fields.toSeq
@@ -194,6 +205,8 @@ object KafkaTableFactory {
     // (json) or the payload decoded to the side's single column (raw)
     val vj: Column = t.valueFormat match {
       case "json" => from_json(col("value").cast("string"), valueSchema)
+      case "csv" =>
+        from_csv(col("value").cast("string"), valueSchema, csvOptions("value."))
       case "raw" =>
         val f = RawFormat.singleField(valueSchema, "the kafka value side")
         struct(RawFormat.decode(col("value"), f.dataType,
@@ -209,6 +222,8 @@ object KafkaTableFactory {
           RawFormat.options(t.formatOptions, "key.")).as(f.name))
       case Some("protobuf") =>
         PbFormat.decode(col("key"), keySchema, t.formatOptions, "key.")
+      case Some("csv") =>
+        from_csv(col("key").cast("string"), keySchema, csvOptions("key."))
       case _ => from_json(col("key").cast("string"), keySchema)
     }
     // plain topics with ALL read key fields from the VALUE (the value

@@ -46,6 +46,11 @@ final class GraftTable private[table] (val df: DataFrame) {
     */
   def window(w: WindowSpec): WindowedGraftTable = new WindowedGraftTable(df, w)
 
+  /** Over windows (Table.window(Over partitionBy ... orderBy ... as
+    * "o") — OverWindowITCase shapes): measures spell `a.sum over o`.
+    */
+  def window(o: OverSpec): OverWindowedGraftTable = new OverWindowedGraftTable(df, o)
+
   /** `join(t2).where("a === d")` — the reference's unconditioned join
     * is a cross product until the predicate narrows it; Catalyst
     * turns where-over-cross into the equi hash join at plan time.
@@ -187,6 +192,60 @@ final class SessionBuilder private[table] (gap: String) {
 }
 final class SessionBuilder2 private[table] (gap: String, field: String) {
   def as(alias: String): WindowSpec = WindowSpec("session", gap, None, field, alias)
+}
+
+/** `Over partitionBy "k" orderBy "ts" [preceding "10.rows" |
+  * "UNBOUNDED_ROW" | "UNBOUNDED_RANGE"] as "o"` (flink-table-api
+  * Over). Default frame = the order-by default (range unbounded
+  * preceding → current row), like the reference.
+  */
+final case class OverSpec(partitionKeys: Seq[String], orderBy: String,
+    preceding: Option[String], alias: String)
+object Over {
+  def partitionBy(keys: String): OverBuilder =
+    new OverBuilder(keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  def orderBy(fields: String): OverBuilder2 = new OverBuilder2(Nil, fields)
+}
+final class OverBuilder private[table] (keys: Seq[String]) {
+  def orderBy(fields: String): OverBuilder2 = new OverBuilder2(keys, fields)
+}
+final class OverBuilder2 private[table] (keys: Seq[String], ord: String,
+    prec: Option[String] = None) {
+  def preceding(p: String): OverBuilder2 = new OverBuilder2(keys, ord, Some(p))
+  def as(alias: String): OverSpec = OverSpec(keys, ord, prec, alias)
+}
+
+/** Over-window select: measures carry the `<agg> over <alias>` infix
+  * of the classic string DSL; plain items pass through.
+  */
+final class OverWindowedGraftTable private[table] (df: DataFrame, o: OverSpec) {
+  def select(fields: String): GraftTable = {
+    import org.apache.spark.sql.expressions.{Window => SWin}
+    val base = (if (o.partitionKeys.nonEmpty)
+        SWin.partitionBy(o.partitionKeys.map(F.col): _*)
+      else SWin.partitionBy())
+      .orderBy(TableExpr.parseList(o.orderBy): _*)
+    val win = o.preceding.map(_.trim) match {
+      case None => base // order-by default frame
+      case Some(p) if p.equalsIgnoreCase("UNBOUNDED_RANGE") =>
+        base.rangeBetween(SWin.unboundedPreceding, SWin.currentRow)
+      case Some(p) if p.equalsIgnoreCase("UNBOUNDED_ROW") =>
+        base.rowsBetween(SWin.unboundedPreceding, SWin.currentRow)
+      case Some(p) if p.matches("(?i)\\d+\\.rows") =>
+        base.rowsBetween(-p.takeWhile(_.isDigit).toLong, 0)
+      case Some(other) => sys.error(s"unsupported OVER preceding spelling '$other'")
+    }
+    val overRe = "(?is)^(.*?)\\s+over\\s+(\\w+)(\\s+as\\s+(\\w+))?\\s*$".r
+    val cols = TableExpr.splitRaw(fields).map {
+      case overRe(lhs, alias, _, out) =>
+        require(alias == o.alias,
+          s"unknown over-window alias '$alias' (declared '${o.alias}')")
+        val c = TableExpr.parse(lhs).over(win)
+        if (out != null) c.as(out) else c
+      case plain => TableExpr.parse(plain)
+    }
+    new GraftTable(df.select(cols: _*))
+  }
 }
 
 /** `window(...)` result: only groupBy makes sense next (the window

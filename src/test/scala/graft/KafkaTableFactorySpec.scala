@@ -130,6 +130,18 @@ class KafkaTableFactorySpec extends SparkSpec {
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
   }
 
+  test("csv value format decodes delimited payloads (flink-csv option names)") {
+    val log = recordsDf(Seq(
+      (null, "1;a".getBytes("UTF-8"), 0, 0L),
+      (null, "2;b".getBytes("UTF-8"), 0, 1L)))
+    val t = KafkaTableFactory.translate(baseOpts ++ Map(
+      "format" -> "csv", "csv.field-delimiter" -> ";"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val got = KafkaTableFactory.decode(new FakeWire(() => log).read(spark, t), schema, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b")))
+  }
+
   test("unimplemented value formats fail loudly on plain topics too") {
     val t = KafkaTableFactory.translate(baseOpts + ("format" -> "avro"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")

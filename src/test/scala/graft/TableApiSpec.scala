@@ -137,6 +137,33 @@ class TableApiSpec extends SparkSpec {
     assert(sess.count() === wantSess)
   }
 
+  test("OverWindowITCase shape: measures over a declared over-window") {
+    import graft.table.Over
+    val events = GraftTable.of(Tables.load(spark, sfDir, "events"))
+    val got = events
+      .window(Over partitionBy "user_id" orderBy "ts, event_id" preceding "UNBOUNDED_ROW" as "o")
+      .select("user_id, event_id, value.sum over o as running, event_id.count over o as n")
+      .toDF
+    assert(got.columns.toSeq === Seq("user_id", "event_id", "running", "n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val want = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        sum("value").over(w).as("running"), count("event_id").over(w).as("n"))
+    assert(got.collect().map(_.toSeq).toSet === want.collect().map(_.toSeq).toSet)
+    // bounded rows frame
+    val b = events
+      .window(Over partitionBy "user_id" orderBy "ts, event_id" preceding "2.rows" as "o")
+      .select("user_id, event_id, value.sum over o as s3")
+      .toDF
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+    val wantB = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), sum("value").over(wb).as("s3"))
+    assert(b.collect().map(_.toSeq).toSet === wantB.collect().map(_.toSeq).toSet)
+  }
+
   test("TableEnvironment.from reads a registered table") {
     Tables.registerAll(spark, sfDir)
     assert(GraftTable.from(spark, "region").select("r_name").toDF.count() === 5)
