@@ -650,12 +650,26 @@ object GraftSql {
     // query without writing; DDL bodies are rejected (like the
     // reference, which explains only queries and modifications).
     if (toks.nonEmpty && toks.head.is("EXPLAIN")) {
-      // EXPLAIN CHANGELOG_MODE <stmt> — the reference's ExplainDetail
-      // .CHANGELOG_MODE: per-node changelog modes + the adapters the
-      // inference planner inserted (FlinkChangelogModeInferenceProgram
-      // decisions made visible)
-      val changelogDetail = toks.length > 1 && toks(1).is("CHANGELOG_MODE")
-      val afterExplain = if (changelogDetail) toks.drop(2) else toks.drop(1)
+      // ExplainDetail flags (the reference enum has exactly three):
+      // CHANGELOG_MODE (per-node modes + inserted adapters),
+      // ESTIMATED_COST (per-node optimizer statistics — Spark's cost
+      // explain mode carries sizeInBytes/rowCount on the optimized
+      // logical plan), JSON_EXECUTION_PLAN (the physical plan tree as
+      // JSON). Flags may be comma-combined like the reference.
+      var di = 1
+      var changelogDetail = false
+      var costDetail = false
+      var jsonDetail = false
+      var more = true
+      while (more && di < toks.length) {
+        val t = toks(di)
+        if (t.is("CHANGELOG_MODE")) { changelogDetail = true; di += 1 }
+        else if (t.is("ESTIMATED_COST")) { costDetail = true; di += 1 }
+        else if (t.is("JSON_EXECUTION_PLAN")) { jsonDetail = true; di += 1 }
+        else if (t.isPunct(",") && (changelogDetail || costDetail || jsonDetail)) di += 1
+        else more = false
+      }
+      val afterExplain = toks.drop(di)
       val bodyToks =
         if (afterExplain.length > 2 && afterExplain.head.is("PLAN") &&
           afterExplain(1).is("FOR")) afterExplain.drop(2)
@@ -676,15 +690,32 @@ object GraftSql {
         }
         else text.substring(bodyToks.head.start)
       import spark.implicits._
-      if (changelogDetail) {
-        val (df, tr) = graft.changelog.ChangelogInference.withTrace(sql(spark, body))
-        val modes =
-          if (tr.isEmpty) "append-only pipeline: changelogMode=[I] throughout"
-          else tr.mkString("\n")
-        return Seq("== Changelog Mode ==\n" + modes + "\n\n== Physical Plan ==\n" +
-          df.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-          .toDF("plan")
+      if (changelogDetail || costDetail || jsonDetail) {
+        val sections = Seq.newBuilder[String]
+        val (df, tr) =
+          if (changelogDetail)
+            graft.changelog.ChangelogInference.withTrace(sql(spark, body))
+          else (sql(spark, body), Nil)
+        if (changelogDetail) {
+          val modes =
+            if (tr.isEmpty) "append-only pipeline: changelogMode=[I] throughout"
+            else tr.mkString("\n")
+          sections += ("== Changelog Mode ==\n" + modes)
+        }
+        if (costDetail)
+          // Spark's cost mode prints the optimized logical plan with
+          // Statistics(sizeInBytes=…, rowCount=…) per node — the
+          // ESTIMATED_COST payload
+          sections += df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("cost"))
+        if (jsonDetail)
+          sections += ("== JSON Execution Plan ==\n" +
+            df.queryExecution.executedPlan.prettyJson)
+        if (!jsonDetail) // the reference's JSON detail replaces the tree dump
+          sections += ("== Physical Plan ==\n" +
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        return Seq(sections.result().mkString("\n\n")).toDF("plan")
       }
       val df = sql(spark, body)
       return Seq(df.queryExecution.explainString(

@@ -746,6 +746,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.sql(spark, "SET").columns.toSeq === Seq("key", "value"))
   }
 
+  test("EXPLAIN ESTIMATED_COST / JSON_EXECUTION_PLAN details (ExplainDetail enum)") {
+    prep()
+    val cost = GraftSql.sql(spark,
+      "EXPLAIN ESTIMATED_COST SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+      .first().getString(0)
+    assert(cost.contains("Statistics(sizeInBytes"), s"no per-node stats in:\n$cost")
+    assert(cost.contains("== Physical Plan =="))
+    val js = GraftSql.sql(spark,
+      "EXPLAIN JSON_EXECUTION_PLAN SELECT n_name FROM nation WHERE n_regionkey = 1")
+      .first().getString(0)
+    assert(js.contains("== JSON Execution Plan =="))
+    assert(js.contains("\"class\""), s"not a plan JSON:\n${js.take(200)}")
+    // combined details, comma-separated like the reference
+    val both = GraftSql.sql(spark,
+      "EXPLAIN ESTIMATED_COST, CHANGELOG_MODE SELECT n_name FROM nation")
+      .first().getString(0)
+    assert(both.contains("== Changelog Mode ==") && both.contains("Statistics(sizeInBytes"))
+  }
+
   test("EXPLAIN CHANGELOG_MODE surfaces inference decisions and adapters") {
     import spark.implicits._
     prep()
