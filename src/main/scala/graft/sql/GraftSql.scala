@@ -805,6 +805,33 @@ object GraftSql {
         org.apache.spark.sql.catalyst.FunctionIdentifier(cleanName(rest.head.text)))
       return spark.emptyDataFrame
     }
+    // SHOW JOBS — the cluster's running jobs in the reference; here
+    // the session's active structured-streaming queries
+    if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
+        toks(1).is("JOBS")) {
+      import spark.implicits._
+      return spark.streams.active.toSeq
+        .map(q => (q.id.toString, Option(q.name).getOrElse(""),
+          if (q.isActive) "RUNNING" else "FINISHED"))
+        .toDF("job id", "job name", "status")
+    }
+    // STOP JOB '<id or name>' [WITH SAVEPOINT] [WITH DRAIN] — the
+    // reference's SqlStopJob. Spark keeps each query's state durable
+    // in its checkpoint, so WITH SAVEPOINT is already the default
+    // behavior; WITH DRAIN processes all available input before
+    // stopping (the reference's drain-to-max-watermark analog).
+    if (toks.length >= 3 && toks.head.is("STOP") && toks(1).is("JOB")) {
+      require(toks(2).kind == SqlLexer.Str, "STOP JOB needs a quoted job id or name")
+      val id = toks(2).text.stripPrefix("'").stripSuffix("'")
+      val drain = toks.drop(3).exists(_.is("DRAIN"))
+      val q = spark.streams.active
+        .find(q => q.id.toString == id || Option(q.name).contains(id))
+        .getOrElse(sys.error(s"STOP JOB: no active job '$id' (SHOW JOBS lists them)"))
+      if (drain) q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      return Seq((q.id.toString, "STOPPED")).toDF("job id", "status")
+    }
     if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
         toks(1).is("TABLES")) {
       import spark.implicits._

@@ -746,6 +746,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.sql(spark, "SET").columns.toSeq === Seq("key", "value"))
   }
 
+  test("SHOW JOBS / STOP JOB manage the session's streaming queries (SqlStopJob)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stream = MemoryStream[Long](491, spark, None)
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("jobs_spec_q").outputMode("append").start()
+    try {
+      stream.addData(1L, 2L)
+      val jobs = GraftSql.sql(spark, "SHOW JOBS").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(jobs.exists(j => j._2 == "jobs_spec_q" && j._3 == "RUNNING"),
+        s"missing job in ${jobs.toSeq}")
+      // DRAIN processes pending input before the stop
+      val out = GraftSql.sql(spark, "STOP JOB 'jobs_spec_q' WITH DRAIN").first()
+      assert(out.getString(1) === "STOPPED")
+      assert(!q.isActive)
+      assert(spark.table("jobs_spec_q").count() === 2) // drained
+      val e = intercept[RuntimeException](
+        GraftSql.sql(spark, "STOP JOB 'jobs_spec_q'"))
+      assert(e.getMessage.contains("no active job"))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("EXPLAIN ESTIMATED_COST / JSON_EXECUTION_PLAN details (ExplainDetail enum)") {
     prep()
     val cost = GraftSql.sql(spark,
