@@ -368,6 +368,28 @@ object GraftCatalog {
       s"INSERT INTO raw table '$table': the raw file mapping is one record per " +
         "file — a batch INSERT would explode into per-row files; write blob " +
         "corpora with a dedicated blob writer and read them through the raw table")
+    if (sink.format == "bucketed") {
+      require(staticPartition.isEmpty,
+        s"INSERT ... PARTITION does not apply to bucketed table $table")
+      val n = sink.options("buckets").toInt
+      val cols = sink.options("bucket-by").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val fmt = sink.options.getOrElse("format", "parquet")
+      val target = StructType(spark.table(table).schema)
+      require(rows.schema.length == target.length,
+        s"INSERT INTO $table: query has ${rows.schema.length} columns, " +
+          s"table has ${target.length}")
+      val aligned = rows.toDF(target.fieldNames.toSeq: _*)
+        .select(target.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+      // append through saveAsTable so the writer lays out the bucket
+      // files (insertInto would ignore the bucket spec)
+      enforced(table, aligned).write.format(fmt)
+        .mode(if (overwrite) "overwrite" else "append")
+        .bucketBy(n, cols.head, cols.tail: _*)
+        .sortBy(cols.head, cols.tail: _*)
+        .saveAsTable(table)
+      return
+    }
     // SQL INSERT maps columns by POSITION: align names and types to
     // the target schema so mixed-name files can't silently null out.
     // Computed columns are virtual (re-derived on read) — they are
@@ -911,6 +933,9 @@ object GraftCatalog {
 
     case DropTable(name) =>
       spark.catalog.dropTempView(name)
+      // bucketed tables live in the session metastore, not a temp view
+      if (tableSinks.get(name).exists(_.format == "bucketed"))
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
         tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys, tableMetaCols)
         .foreach(_.remove(name))
@@ -997,6 +1022,35 @@ object GraftCatalog {
       options: Map[String, String]): Unit = {
     val df: DataFrame = options.getOrElse("connector",
         sys.error("missing 'connector' option")) match {
+      // bucketed filesystem tables ('buckets' + 'bucket-by'): the
+      // co-located-join layout — both sides of a join bucketed on the
+      // key with the same count read pre-partitioned, so the join
+      // plans WITHOUT a shuffle exchange (and, with sort-by, without
+      // a sort). At 100 TB this turns every repeated fact-fact join
+      // on the bucket key into a zero-shuffle merge. Bucket metadata
+      // lives only in the session metastore, so this branch uses
+      // saveAsTable instead of raw paths.
+      case "filesystem" if options.contains("buckets") =>
+        val n = options("buckets").toInt
+        val cols = options.getOrElse("bucket-by",
+            sys.error(s"bucketed table $name needs 'bucket-by'"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val fmt = options.getOrElse("format", "parquet")
+        if (!spark.catalog.tableExists(name)) {
+          val schema = tableSchemas.getOrElse(name,
+            sys.error(s"bucketed table $name needs explicit columns"))
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .write.format(fmt)
+            .bucketBy(n, cols.head, cols.tail: _*)
+            .sortBy(cols.head, cols.tail: _*)
+            .saveAsTable(name)
+        }
+        tableSinks.put(name, SinkInfo(name, "bucketed", options))
+        // the metastore relation IS the source — no temp view on top
+        // (a view would still carry the bucket spec, but the metastore
+        // name must stay authoritative for INSERT and re-registration)
+        return
       case "filesystem" =>
         val fmt = options.getOrElse("format", "parquet")
         val path = options("path")

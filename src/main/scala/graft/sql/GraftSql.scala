@@ -805,6 +805,19 @@ object GraftSql {
         org.apache.spark.sql.catalyst.FunctionIdentifier(cleanName(rest.head.text)))
       return spark.emptyDataFrame
     }
+    // SHOW CURRENT DATABASE / SHOW CURRENT CATALOG (SqlShowCurrent*):
+    // database DDL itself (CREATE/DROP DATABASE, USE, SHOW DATABASES)
+    // falls through to Spark's native statements below
+    if (toks.length == 3 && toks.head.is("SHOW") && toks(1).is("CURRENT") &&
+        toks(2).is("DATABASE")) {
+      import spark.implicits._
+      return Seq(spark.catalog.currentDatabase).toDF("current database name")
+    }
+    if (toks.length == 3 && toks.head.is("SHOW") && toks(1).is("CURRENT") &&
+        toks(2).is("CATALOG")) {
+      import spark.implicits._
+      return Seq(spark.catalog.currentCatalog()).toDF("current catalog name")
+    }
     // SHOW JOBS — the cluster's running jobs in the reference; here
     // the session's active structured-streaming queries
     if (toks.nonEmpty && toks.head.is("SHOW") && toks.length == 2 &&
