@@ -253,6 +253,41 @@ object MiscQueries {
     docsPart.unionByName(codecPart)
   }
 
+  /** Bucketed co-located join (the reference reads bucketed upstream
+    * layouts; Spark's native lever is bucketBy metastore tables):
+    * orders and lineitem twins bucketed 8 ways on the order key —
+    * materialized once per input dir — join WITHOUT a shuffle
+    * exchange on either side. PlanSpec pins the no-Exchange plan;
+    * the oracle checks the aggregate against the raw tables.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.GraftCatalog
+    val tag = Integer.toHexString(dir.hashCode)
+    val bo = s"b_orders_$tag"
+    val bl = s"b_lineitem_$tag"
+    if (!s.catalog.tableExists(bo)) {
+      GraftCatalog.executeDdl(s,
+        s"""CREATE TABLE $bo (o_orderkey BIGINT, o_orderpriority STRING)
+           |WITH ('connector' = 'filesystem', 'buckets' = '8',
+           |  'bucket-by' = 'o_orderkey')""".stripMargin)
+      GraftCatalog.insertInto(s, bo,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        overwrite = true)
+    }
+    if (!s.catalog.tableExists(bl)) {
+      GraftCatalog.executeDdl(s,
+        s"""CREATE TABLE $bl (l_orderkey BIGINT, l_quantity DOUBLE)
+           |WITH ('connector' = 'filesystem', 'buckets' = '8',
+           |  'bucket-by' = 'l_orderkey')""".stripMargin)
+      GraftCatalog.insertInto(s, bl,
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        overwrite = true)
+    }
+    s.table(bl).join(s.table(bo), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** Protobuf wire-format round-trip (flink-formats/flink-protobuf
     * analog, jar-less — see graft.sources.PbCodec): four lineitem
     * columns (varint BIGINT/INT, fixed64 DOUBLE, length-delimited
@@ -360,6 +395,7 @@ object MiscQueries {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_raw_roundtrip" -> (rawRoundtrip _),
     "q_pb_roundtrip" -> (pbRoundtrip _),
+    "q_bucketed_join" -> (bucketedJoin _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
     "q_window_join"  -> (windowJoin _),
@@ -383,6 +419,12 @@ object MiscQueries {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin,
+    // the bucketed twins hold exactly the source tables' rows, so the
+    // join aggregate matches the raw-table join
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // protobuf encode∘decode is the identity on every row, so the
     // aggregates equal the plain-column aggregates
     "q_pb_roundtrip" ->

@@ -34,6 +34,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bucketed join plans with zero shuffle exchanges (co-located layout)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(operators.MiscQueries.bucketedJoin(spark, sfDir))
+      assert(p.contains("SortMergeJoin"), p)
+      // the bucketed scans ARE the join distribution: no exchange on
+      // either join key (the aggregate above still shuffles on ITS key)
+      assert(!p.contains("hashpartitioning(l_orderkey") &&
+        !p.contains("hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles on the join key:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("topn pushes the rank limit into the shuffle (WindowGroupLimit)") {
     val p = plan(operators.WindowQueries.topN(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
