@@ -1037,6 +1037,15 @@ object GraftCatalog {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val fmt = options.getOrElse("format", "parquet")
         if (!spark.catalog.tableExists(name)) {
+          // the in-memory metastore dies with the JVM but the
+          // warehouse DIRECTORY survives — an unknown table whose
+          // location exists is an orphan from a previous session;
+          // clear it or saveAsTable throws LOCATION_ALREADY_EXISTS
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"),
+            name.toLowerCase(java.util.Locale.ROOT))
+          val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(loc)) fs.delete(loc, true)
           val schema = tableSchemas.getOrElse(name,
             sys.error(s"bucketed table $name needs explicit columns"))
           spark.createDataFrame(
