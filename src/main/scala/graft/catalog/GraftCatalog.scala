@@ -38,6 +38,22 @@ object GraftCatalog {
     """(?is)ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*""".r
   private val AlterTableRename: Regex =
     """(?is)ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
+  // FLIP-273 schema evolution (SqlAlterTableAdd / SqlAlterTableModify)
+  // + option RESET (SqlAlterTableReset) + filesystem COMPACT
+  // (SqlAlterTableCompact); ADD/MODIFY accept the parenthesized list
+  // or a single bare definition, like the reference parser
+  private val AlterTableAdd: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s*\((.*)\)\s*""".r
+  private val AlterTableAddOne: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+([^(].*)""".r
+  private val AlterTableModify: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+MODIFY\s*\((.*)\)\s*""".r
+  private val AlterTableModifyOne: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+([^(].*)""".r
+  private val AlterTableReset: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+RESET\s*\((.*)\)\s*""".r
+  private val AlterTableCompact: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+COMPACT\s*""".r
 
   import graft.operators.ConstraintEnforcer.LengthConstraint
 
@@ -952,6 +968,42 @@ object GraftCatalog {
       bumpGeneration(name)
       register(spark, name, merged)
 
+    // ALTER TABLE t ADD (col TYPE | computed AS expr | WATERMARK FOR |
+    // PRIMARY KEY) — FLIP-273 schema evolution. Existing files simply
+    // lack the new physical columns, so they read as NULL (the
+    // declared schema drives the scan); metadata-only, like the
+    // reference's catalog ALTER.
+    case AlterTableAdd(name, defs) => alterSchema(spark, name, defs, modify = false)
+    case AlterTableAddOne(name, definition) =>
+      alterSchema(spark, name, definition, modify = false)
+
+    // ALTER TABLE t MODIFY (col TYPE ...) — redeclare existing columns
+    case AlterTableModify(name, defs) => alterSchema(spark, name, defs, modify = true)
+    case AlterTableModifyOne(name, definition) =>
+      alterSchema(spark, name, definition, modify = true)
+
+    // ALTER TABLE t RESET ('k' [, ...]) — drop option overrides back
+    // to defaults and re-register (SqlAlterTableReset)
+    case AlterTableReset(name, keys) =>
+      val base = tableOptions.getOrElse(name,
+        sys.error(s"ALTER TABLE: unknown table '$name'"))
+      val drop = keys.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty)
+      require(!drop.contains("connector"),
+        "ALTER TABLE RESET cannot reset 'connector' (the reference rejects it too)")
+      val merged = base -- drop
+      tableOptions.put(name, merged)
+      bumpGeneration(name)
+      register(spark, name, merged)
+
+    // ALTER TABLE t COMPACT — the filesystem connector's small-file
+    // compaction statement (SqlAlterTableCompact → our greedy-bin
+    // compactTable, same machinery as the rolling sink's auto pass)
+    case AlterTableCompact(name) =>
+      compactTable(spark, name)
+      register(spark, name, tableOptions.getOrElse(name,
+        sys.error(s"ALTER TABLE: unknown table '$name'")))
+
     // ALTER TABLE t RENAME TO t2 — every registry entry moves with it
     case AlterTableRename(name, newName) =>
       require(tableOptions.contains(name), s"ALTER TABLE: unknown table '$name'")
@@ -970,6 +1022,45 @@ object GraftCatalog {
       register(spark, newName, tableOptions(newName))
 
     case other => sys.error(s"unsupported DDL: $other")
+  }
+
+  /** ADD/MODIFY column defs: physical columns extend/redeclare the
+    * schema; computed columns, WATERMARK and PRIMARY KEY defs merge
+    * into the virtual metadata — then the view re-registers.
+    */
+  private def alterSchema(spark: SparkSession, name: String, defs: String,
+      modify: Boolean): Unit = {
+    require(tableOptions.contains(name), s"ALTER TABLE: unknown table '$name'")
+    val (newCols, tc, meta, pk, metaCols) = parseSchema(defs)
+    require(metaCols.isEmpty,
+      s"ALTER TABLE on $name: METADATA columns must be declared at CREATE time")
+    val schema = tableSchemas.getOrElse(name, StructType(Nil))
+    val updated =
+      if (modify) newCols.fields.foldLeft(schema) { (st, f) =>
+        require(st.fieldNames.contains(f.name),
+          s"ALTER TABLE MODIFY: unknown column '${f.name}' on $name")
+        StructType(st.map(x => if (x.name == f.name) f else x))
+      } else {
+        newCols.fields.foreach(f => require(!schema.fieldNames.contains(f.name),
+          s"ALTER TABLE ADD: column '${f.name}' already exists on $name"))
+        StructType(schema.fields ++ newCols.fields)
+      }
+    if (updated.nonEmpty) tableSchemas.put(name, updated)
+    if (!meta.isEmpty) {
+      val base = tableMeta.getOrElse(name, EventTimeMeta(Nil, None))
+      tableMeta.put(name, EventTimeMeta(
+        base.computed.filterNot(c => meta.computed.exists(_._1 == c._1)) ++ meta.computed,
+        meta.watermark.orElse(base.watermark)))
+    }
+    if (pk.nonEmpty) tablePrimaryKeys.put(name, pk)
+    if (tc.notNull.nonEmpty || tc.lengths.nonEmpty) {
+      val base = constraintsOf(name)
+      tableConstraints.put(name, TableConstraints(
+        (base.notNull ++ tc.notNull).distinct,
+        base.lengths.filterNot(l => tc.lengths.exists(_.column == l.column)) ++ tc.lengths))
+    }
+    bumpGeneration(name)
+    register(spark, name, tableOptions(name))
   }
 
   private def createTable(spark: SparkSession, name: String, cols: String,

@@ -467,4 +467,59 @@ class CatalogSpec extends SparkSpec {
          |        'format' = 'parquet')""".stripMargin)
     assert(GraftCatalog.metaOf("src_wm").watermark === Some(("ts", "0 seconds")))
   }
+
+  test("ALTER TABLE ADD/MODIFY/RESET/COMPACT (FLIP-273 + filesystem compact)") {
+    import graft.catalog.GraftCatalog
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_alter").toString
+    import spark.implicits._
+    // several tiny appends -> small files for COMPACT to fold
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .write.mode("append").parquet(s"$base/t")
+    }
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE alter_t (id BIGINT, v STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/t',
+         |  'format' = 'parquet', 'sink.rolling-policy.file-size' = '64MB')""".stripMargin)
+    try {
+      // ADD: new physical column reads NULL from existing files; a
+      // computed column derives immediately
+      GraftCatalog.executeDdl(spark,
+        "ALTER TABLE alter_t ADD (score DOUBLE, vlen AS char_length(v))")
+      val df = spark.table("alter_t")
+      assert(df.columns.toSeq === Seq("id", "v", "score", "vlen"))
+      assert(df.filter(col("score").isNull).count() === 4)
+      assert(df.filter(col("vlen") === 2).count() === 4)
+      // single bare definition, no parens
+      GraftCatalog.executeDdl(spark, "ALTER TABLE alter_t ADD note STRING")
+      assert(spark.table("alter_t").columns.contains("note"))
+      // duplicate ADD rejected
+      val dup = intercept[IllegalArgumentException](
+        GraftCatalog.executeDdl(spark, "ALTER TABLE alter_t ADD (v STRING)"))
+      assert(dup.getMessage.contains("already exists"))
+      // MODIFY redeclares the type (metadata-only)
+      GraftCatalog.executeDdl(spark, "ALTER TABLE alter_t MODIFY (score FLOAT)")
+      assert(spark.table("alter_t").schema("score").dataType
+        === org.apache.spark.sql.types.FloatType)
+      intercept[IllegalArgumentException](
+        GraftCatalog.executeDdl(spark, "ALTER TABLE alter_t MODIFY (nope INT)"))
+      // RESET drops an option override; connector is protected
+      GraftCatalog.executeDdl(spark,
+        "ALTER TABLE alter_t RESET ('sink.rolling-policy.file-size')")
+      intercept[IllegalArgumentException](
+        GraftCatalog.executeDdl(spark, "ALTER TABLE alter_t RESET ('connector')"))
+      // COMPACT folds the 4 tiny files and preserves rows
+      val before = new java.io.File(s"$base/t").listFiles
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(before === 4)
+      GraftCatalog.executeDdl(spark, "ALTER TABLE alter_t COMPACT")
+      val after = new java.io.File(s"$base/t").listFiles
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(after < before, s"$after vs $before")
+      assert(spark.table("alter_t").select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        === (1 to 4).map(i => (i.toLong, s"v$i")).toSet)
+    } finally GraftCatalog.executeDdl(spark, "DROP TABLE alter_t")
+  }
 }
