@@ -805,6 +805,12 @@ object GraftSql {
         org.apache.spark.sql.catalyst.FunctionIdentifier(cleanName(rest.head.text)))
       return spark.emptyDataFrame
     }
+    // USE CATALOG c (SqlUseCatalog) — Spark spells it SET CATALOG;
+    // accept the reference's form
+    if (toks.length == 3 && toks.head.is("USE") && toks(1).is("CATALOG")) {
+      spark.catalog.setCurrentCatalog(cleanName(toks(2).text))
+      return spark.emptyDataFrame
+    }
     // SHOW CURRENT DATABASE / SHOW CURRENT CATALOG (SqlShowCurrent*):
     // database DDL itself (CREATE/DROP DATABASE, USE, SHOW DATABASES)
     // falls through to Spark's native statements below
