@@ -255,6 +255,57 @@ object SimilarityQueries {
       .filter(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-duplicate PAIR MINING — the full dedup
+    * operator (not the adjacent-id slice below): every pair of
+    * corpus vectors with cosine >= threshold, found by multi-table
+    * LSH blocking + an exact cosine filter. Same scale structure as
+    * the dedup family: candidates come from a (table, bucket)
+    * self-equi-join with width-adaptive buckets (per-bucket occupancy
+    * held ~constant), so candidate volume stays ~linear in the corpus
+    * while precision is exact (the cosine filter re-checks every
+    * candidate). Near-identical vectors center identically, so their
+    * hyperplane signs agree and they collide in every table — the
+    * property SimRecallSpec pins with planted perturbed twins.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, tables: Int = 4, nBitsOpt: Option[Int] = None): DataFrame = {
+    val meanE = aggregate(col(embCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double")) / size(col(embCol)).cast("double")
+    val emb = corpus.select(col(idCol), col(embCol))
+      .withColumn("__he", transform(col(embCol), x => (x.cast("double") - meanE).cast("float")))
+    val nBits = nBitsOpt.getOrElse(adaptiveLshBits(emb.count()))
+    val indexed = emb.select(col(idCol), col(embCol),
+        explode(array((0 until tables).map(tb =>
+          struct(lit(tb).as("tbl"), F.lshBucket(col("__he"), nBits, tb).as("bkt"))): _*)).as("e"))
+      .select(col(idCol), col(embCol), col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
+    val a = indexed.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      col("tbl"), col("bkt"))
+    val b = indexed.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      col("tbl"), col("bkt"))
+    a.join(b, Seq("tbl", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .select(col("id_a"), col("id_b"),
+        F.cosineSimilarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The `queries()` entry: the synthetic corpus is near-random (no
+    * true near-dups), so the dedup scenario is made concrete by
+    * planting one perturbed twin (±0.1% per element — cosine ≈
+    * 0.9999) for every 100th vector; the operator must surface the
+    * planted pairs through the blocking.
+    */
+  def cosineNearDup(s: SparkSession, dir: String, threshold: Double = 0.98,
+      tables: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val twins = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (1.0d + 0.001d * sin(i + 1)) AS FLOAT))")
+          .as("embedding"))
+    nearDupPairs(emb.unionByName(twins), "vec_id", "embedding", threshold, tables)
+  }
+
   /** Embedding-cosine near-duplicate pairs: adjacent-id pairing
     * (vec_id, vec_id+1) with exact cosine — the SQL-expressible slice
     * of embedding dedup, oracle-checked against DuckDB's
@@ -274,6 +325,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk"     -> (cosineTopK _),
     "q_sim_sig_rerank" -> ((s: SparkSession, d: String) => annSigRerank(s, d)),
+    "q_dedup_cosine" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
     "q_sim_ivf_ann"  -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "q_sim_adjacent" -> (cosineAdjacent _))
 

@@ -100,7 +100,10 @@ object ScaleProbe {
       // at 100 the popcount scan is one corpus pass per batch, so
       // wall-clock must grow ~linearly in rows (r4's corpus-fraction
       // query set made it O(n²/50))
-      "q_sim_sig_rerank")
+      "q_sim_sig_rerank",
+      // round-5: full near-dup pair mining — width-adaptive buckets
+      // hold candidate volume ~linear as the corpus grows
+      "q_dedup_cosine")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

@@ -76,6 +76,36 @@ class SimRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${(ann intersect brute).size}/${brute.size})")
   }
 
+  test("cosine near-dup mining recalls planted perturbed twins (q_dedup_cosine)") {
+    import org.apache.spark.sql.DataFrame
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val twins = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (1.0d + 0.001d * sin(i + 1)) AS FLOAT))")
+          .as("embedding"))
+    val corpus: DataFrame = emb.unionByName(twins)
+    val planted = emb.filter(col("vec_id") % 100 === 0)
+      .collect().map(_.getLong(0)).map(v => (v, v + 1000000000L)).toSet
+    assert(planted.nonEmpty)
+    val found = graft.sim.SimilarityQueries
+      .nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall on the planted twins
+    val recall = (found intersect planted).size.toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall (${(found intersect planted).size}/${planted.size})")
+    // precision is exact by construction: every emitted pair really
+    // crosses the threshold (brute-force check over the found set)
+    val brute = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.FlinkFunctions.cosineSimilarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(brute), "blocking invented a pair below the threshold")
+  }
+
   test("IVF ANN with nProbe = nCells degenerates to exact brute force") {
     val brute = graft.sim.SimilarityQueries.cosineTopK(spark, sfDir)
       .select("q_id", "vec_id").collect()
