@@ -256,6 +256,56 @@ object KafkaTableFactory {
     }
   }
 
+  /** The write half (the reference's DynamicKafkaRecordSerializationSchema):
+    * rows → (key BINARY, value BINARY) kafka records. Key fields
+    * serialize with the key format; the value carries every column
+    * (ALL) or the non-key columns (EXCEPT_KEY). upsert-kafka encodes
+    * -U/-D rows as TOMBSTONES (null value, key populated) and +I/+U
+    * as live records — exactly what [[decode]] + [[materializeUpsert]]
+    * consume, so the round trip is spec-checkable without a broker.
+    * Only the producer socket itself stays environmental residue.
+    */
+  def encode(rows: DataFrame, physical: StructType, t: Translated): DataFrame = {
+    val implemented = Set("json", "csv", "raw", "protobuf")
+    require(implemented.contains(t.valueFormat),
+      s"kafka value format '${t.valueFormat}' is not implemented " +
+        s"(${implemented.mkString("/")} are)")
+    t.keyFormat.foreach(kf => require(implemented.contains(kf),
+      s"kafka key format '$kf' is not implemented (${implemented.mkString("/")} are)"))
+    val keyFields = t.keyFields
+    val valueFields =
+      if (t.valueFieldsInclude == "ALL") physical.fields.toSeq
+      else physical.fields.toSeq.filterNot(f => keyFields.contains(f.name))
+    val valueSchema = StructType(valueFields)
+    val keySchema = StructType(physical.fields.filter(f => keyFields.contains(f.name)))
+    def serialize(fmt: String, schema: StructType, prefix: String): Column = {
+      val payload = struct(schema.fieldNames.toSeq.map(col): _*)
+      fmt match {
+        case "json" => to_json(payload).cast("binary")
+        case "csv" => to_csv(payload).cast("binary")
+        case "raw" =>
+          val f = RawFormat.singleField(schema, s"the kafka $prefix side")
+          RawFormat.encode(col(f.name), RawFormat.options(t.formatOptions, prefix))
+        case "protobuf" =>
+          PbFormat.encode(payload, schema, t.formatOptions, prefix)
+      }
+    }
+    val keyCol: Column = t.keyFormat match {
+      case Some(kf) if keyFields.nonEmpty => serialize(kf, keySchema, "key.")
+      case _ => lit(null).cast("binary")
+    }
+    val valueCol = serialize(t.valueFormat, valueSchema, "value.")
+    val kindCol = graft.changelog.Changelog.RowKindCol
+    val value =
+      if (t.upsert && rows.columns.contains(kindCol))
+        // retractions are tombstones; the key alone identifies them
+        when(col(kindCol).isin(graft.changelog.Changelog.UpdateBefore,
+          graft.changelog.Changelog.Delete), lit(null).cast("binary"))
+          .otherwise(valueCol)
+      else valueCol
+    rows.select(keyCol.as("key"), value.as("value"))
+  }
+
   /** Materialize an upsert-kafka changelog to current state: keep the
     * last record per key in (partition, offset) order, drop keys
     * whose last record is a tombstone — the reference's upsert-kafka

@@ -142,6 +142,66 @@ class KafkaTableFactorySpec extends SparkSpec {
     assert(got === Set((1L, "a"), (2L, "b")))
   }
 
+  test("encode half round-trips through decode + materializeUpsert (producer minus the socket)") {
+    import graft.changelog.Changelog
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val t = KafkaTableFactory.translate(Map(
+      "connector" -> "upsert-kafka", "topic" -> "orders",
+      "properties.bootstrap.servers" -> "broker:9092",
+      "key.format" -> "json", "value.format" -> "json",
+      "key.fields" -> "id"))
+    // changelog: a inserted then updated; b inserted then deleted
+    val changes = Seq(
+      (1L, "a0", Changelog.Insert), (2L, "b0", Changelog.Insert),
+      (1L, "a1", Changelog.UpdateAfter), (2L, null, Changelog.Delete))
+      .toDF("id", "v", Changelog.RowKindCol)
+    val encoded = KafkaTableFactory.encode(changes, schema, t)
+    // a tombstone is a null VALUE with the key still populated
+    val tomb = encoded.filter(col("value").isNull).collect()
+    assert(tomb.length === 1)
+    assert(new String(tomb.head.getAs[Array[Byte]]("key"), "UTF-8").contains("\"id\":2"))
+    // wrap as kafka records in produce order and run the consumer side
+    val recs = encoded.rdd.zipWithIndex().map { case (r, i) =>
+      Row(r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+        "orders", 0, i, new java.sql.Timestamp(1700000000000L + i), 0)
+    }
+    val log = spark.createDataFrame(recs, KafkaTableFactory.RecordSchema)
+    val state = KafkaTableFactory.materializeUpsert(
+      KafkaTableFactory.decode(log, schema, t), Seq("id"), schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state === Set((1L, "a1")))
+  }
+
+  test("encode/decode symmetry for csv, raw and protobuf value formats") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val data = Seq((1L, "a"), (2L, "b;b")).toDF("id", "v")
+    for (fmt <- Seq("json", "csv", "protobuf")) {
+      val t = KafkaTableFactory.translate(baseOpts + ("format" -> fmt))
+      val encoded = KafkaTableFactory.encode(data, schema, t)
+      val log = spark.createDataFrame(
+        encoded.rdd.zipWithIndex().map { case (r, i) =>
+          Row(r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+            "orders", 0, i, new java.sql.Timestamp(1700000000000L + i), 0)
+        }, KafkaTableFactory.RecordSchema)
+      val got = KafkaTableFactory.decode(log, schema, t)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "a"), (2L, "b;b")), s"format $fmt broke the round trip")
+    }
+    // raw: single column passthrough
+    val tr = KafkaTableFactory.translate(baseOpts + ("format" -> "raw"))
+    val single = org.apache.spark.sql.types.StructType.fromDDL("v STRING")
+    val enc = KafkaTableFactory.encode(Seq("x", "yz").toDF("v"), single, tr)
+    val log = spark.createDataFrame(
+      enc.rdd.zipWithIndex().map { case (r, i) =>
+        Row(r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+          "orders", 0, i, new java.sql.Timestamp(1700000000000L + i), 0)
+      }, KafkaTableFactory.RecordSchema)
+    assert(KafkaTableFactory.decode(log, single, tr)
+      .collect().map(_.getString(0)).toSet === Set("x", "yz"))
+  }
+
   test("unimplemented value formats fail loudly on plain topics too") {
     val t = KafkaTableFactory.translate(baseOpts + ("format" -> "avro"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
