@@ -37,6 +37,37 @@ object TextQueries {
         (size(regexp_extract_all(col("text"), lit("[.,!?]"), lit(0))).cast("double")
           / length(col("text"))).as("punct_ratio"))
 
+  /** Gopher-style quality filter (Rae et al. 2021 §A1.1 — the
+    * published repetition/format rules, the standard pre-training
+    * quality gate): per-document rule flags + the composite keep
+    * decision, each rule a codegen'd column expression so the filter
+    * is one map-only pass at any corpus size. Thresholds are the
+    * paper's where the synthetic corpus exercises them (min words,
+    * mean word length 3-10, stopword presence, alphabetic-token
+    * ratio).
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("awl",
+        aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).cast("double")
+          / col("n_tok"))
+      .withColumn("alpha_ratio",
+        size(filter(col("toks"), x => x.rlike("[a-zA-Z]"))).cast("double")
+          / col("n_tok"))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), x => x.isin(stopwords.map(lit): _*).cast("boolean"))))
+      .select(
+        col("doc_id"), col("n_tok"), col("awl"), col("alpha_ratio"),
+        col("stop_hits"),
+        (col("n_tok") >= 30).cast("int").as("r_len"),
+        (col("awl") >= 3.0 && col("awl") <= 10.0).cast("int").as("r_awl"),
+        (col("alpha_ratio") >= 0.9).cast("int").as("r_alpha"),
+        (col("stop_hits") >= 1).cast("int").as("r_stop"),
+        (col("n_tok") >= 30 && col("awl") >= 3.0 && col("awl") <= 10.0 &&
+          col("alpha_ratio") >= 0.9 && col("stop_hits") >= 1).cast("int").as("keep"))
+
   /** N-gram-profile language ID: score each language by marker-token
     * hits plus a CJK-codepoint check, pick the argmax
     * (deterministic tie-break by score order). On real corpora the
@@ -242,6 +273,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"    -> (dedupMinhash _),
     "q_text_stats"       -> (textStats _),
+    "q_text_gopher"      -> (gopherQuality _),
     "q_text_langid"      -> (langId _),
     "q_text_tokens"      -> (tokenCount _),
     "q_text_fingerprint" -> (fingerprint _),
@@ -268,6 +300,26 @@ object TextQueries {
         |         || (doc_id % 100) || ' at 10.0.' || (doc_id % 256) || '.7',
         |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::INT AS n_ip
         |FROM documents""".stripMargin,
+    "q_text_gopher" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |      / len(string_split(text, ' ')) AS awl,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS alpha_ratio,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_tok, awl, alpha_ratio, stop_hits,
+        |  (n_tok >= 30)::INT AS r_len,
+        |  (awl >= 3.0 AND awl <= 10.0)::INT AS r_awl,
+        |  (alpha_ratio >= 0.9)::INT AS r_alpha,
+        |  (stop_hits >= 1)::INT AS r_stop,
+        |  (n_tok >= 30 AND awl >= 3.0 AND awl <= 10.0
+        |   AND alpha_ratio >= 0.9 AND stop_hits >= 1)::INT AS keep
+        |FROM m""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_char,
