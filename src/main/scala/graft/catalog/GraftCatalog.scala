@@ -632,6 +632,8 @@ object GraftCatalog {
       : graft.streaming.RollingFileSink.CompactionReport = {
     val sink = sinkOf(table).getOrElse(
       sys.error(s"table '$table' is not a filesystem table"))
+    require(Set("parquet", "csv", "json", "orc").contains(sink.format),
+      s"compaction supports native file formats, not '${sink.format}'")
     val target = sink.options.get("sink.rolling-policy.file-size")
       .map(graft.streaming.RollingFileSink.parseSize).getOrElse(128L << 20)
     graft.streaming.RollingFileSink.compact(
@@ -1031,6 +1033,12 @@ object GraftCatalog {
   private def alterSchema(spark: SparkSession, name: String, defs: String,
       modify: Boolean): Unit = {
     require(tableOptions.contains(name), s"ALTER TABLE: unknown table '$name'")
+    // bucketed metastore relations own their schema — a registry-only
+    // update would silently never reach the table (register() defers
+    // to the metastore); reject instead of no-opping
+    require(!tableSinks.get(name).exists(_.format == "bucketed"),
+      s"ALTER TABLE ADD/MODIFY on bucketed table '$name' is not supported " +
+        "(the metastore owns its schema; recreate the table)")
     val (newCols, tc, meta, pk, metaCols) = parseSchema(defs)
     require(metaCols.isEmpty,
       s"ALTER TABLE on $name: METADATA columns must be declared at CREATE time")
@@ -1131,10 +1139,16 @@ object GraftCatalog {
           // the in-memory metastore dies with the JVM but the
           // warehouse DIRECTORY survives — an unknown table whose
           // location exists is an orphan from a previous session;
-          // clear it or saveAsTable throws LOCATION_ALREADY_EXISTS
+          // clear it or saveAsTable throws LOCATION_ALREADY_EXISTS.
+          // The location is DATABASE-QUALIFIED (warehouse/<db>.db/<t>
+          // off 'default') — deleting warehouse/<t> blindly would hit
+          // default.<t>'s live data when the session sits in another
+          // database, and miss the actual orphan
+          val db = spark.catalog.currentDatabase
+          val dirName = name.toLowerCase(java.util.Locale.ROOT)
           val loc = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"),
-            name.toLowerCase(java.util.Locale.ROOT))
+            if (db == "default") dirName else s"$db.db/$dirName")
           val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
           if (fs.exists(loc)) fs.delete(loc, true)
           val schema = tableSchemas.getOrElse(name,

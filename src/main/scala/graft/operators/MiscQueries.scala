@@ -216,15 +216,19 @@ object MiscQueries {
     val path = s"$scratchRoot/raw_${Integer.toHexString(dir.hashCode)}/docs"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       new java.io.File(path).mkdirs()
-      t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select("doc_id", "text")
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%06d.bin"),
-              r.getString(1).getBytes("UTF-8"))
-          }
-        }
+      // fixture generation is test scaffolding, so the bounded 200-doc
+      // corpus writes on the DRIVER (toLocalIterator) — executor-side
+      // java.nio writes would land on executor-local filesystems on a
+      // real cluster while the marker sat on the driver. The operator
+      // under test is the distributed raw READ below, not this writer
+      val it = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%06d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
       new java.io.File(path, "_SUCCESS").createNewFile()
     }
     graft.sql.GraftSql.sql(s, "DROP TABLE IF EXISTS raw_docs")

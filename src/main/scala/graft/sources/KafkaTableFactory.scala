@@ -184,17 +184,7 @@ object KafkaTableFactory {
         s"(${implemented.mkString("/")} are)")
     t.keyFormat.foreach(kf => require(implemented.contains(kf),
       s"kafka key format '$kf' is not implemented (${implemented.mkString("/")} are)"))
-    // flink-csv option names → Spark from_csv options
-    def csvOptions(prefix: String): Map[String, String] = {
-      def get(k: String) = t.formatOptions.get(prefix + k)
-        .orElse(t.formatOptions.get(k))
-      get("csv.field-delimiter").map("sep" -> _).toMap ++
-        get("csv.quote-character").map("quote" -> _) ++
-        get("csv.escape-character").map("escape" -> _) ++
-        get("csv.null-literal").map("nullValue" -> _) ++
-        get("csv.ignore-parse-errors").map(v => "mode" ->
-          (if (v == "true") "PERMISSIVE" else "FAILFAST"))
-    }
+    def csvOptions(prefix: String) = csvFormatOptions(t, prefix)
     val keyFields = t.keyFields
     val valueFields =
       if (t.valueFieldsInclude == "ALL") physical.fields.toSeq
@@ -256,6 +246,23 @@ object KafkaTableFactory {
     }
   }
 
+  /** flink-csv option names → Spark csv reader/writer options. The
+    * reference FAILS on malformed records unless
+    * 'csv.ignore-parse-errors' = 'true' — so the mode defaults to
+    * FAILFAST here too (Spark's own default, PERMISSIVE, would
+    * silently null corrupt rows).
+    */
+  private def csvFormatOptions(t: Translated, prefix: String): Map[String, String] = {
+    def get(k: String) = t.formatOptions.get(prefix + k)
+      .orElse(t.formatOptions.get(k))
+    Map("mode" -> (if (get("csv.ignore-parse-errors").contains("true"))
+      "PERMISSIVE" else "FAILFAST")) ++
+      get("csv.field-delimiter").map("sep" -> _) ++
+      get("csv.quote-character").map("quote" -> _) ++
+      get("csv.escape-character").map("escape" -> _) ++
+      get("csv.null-literal").map("nullValue" -> _)
+  }
+
   /** The write half (the reference's DynamicKafkaRecordSerializationSchema):
     * rows → (key BINARY, value BINARY) kafka records. Key fields
     * serialize with the key format; the value carries every column
@@ -282,7 +289,11 @@ object KafkaTableFactory {
       val payload = struct(schema.fieldNames.toSeq.map(col): _*)
       fmt match {
         case "json" => to_json(payload).cast("binary")
-        case "csv" => to_csv(payload).cast("binary")
+        case "csv" =>
+          // same options as the decode side or the round trip breaks
+          // on any non-default delimiter/quote configuration
+          import scala.jdk.CollectionConverters._
+          to_csv(payload, (csvFormatOptions(t, prefix) - "mode").asJava).cast("binary")
         case "raw" =>
           val f = RawFormat.singleField(schema, s"the kafka $prefix side")
           RawFormat.encode(col(f.name), RawFormat.options(t.formatOptions, prefix))

@@ -76,6 +76,13 @@ object PbCodec {
       s"protobuf.field-numbers has ${nums.length} entries for ${schema.length} columns")
     require(nums.forall(_ >= 1) && nums.distinct.length == nums.length,
       s"protobuf field numbers must be distinct and >= 1, got ${nums.mkString(",")}")
+    // the wire format allows numbers up to 2^29-1, but the decode
+    // lookup is a dense number→index array — an unbounded number
+    // would allocate gigabytes per task. 1e6 covers every real
+    // message at a 4 MB lookup worst case; fail loudly beyond it
+    require(nums.forall(_ <= 1000000),
+      s"protobuf field numbers above 1000000 are not supported by this " +
+        s"factory (dense decode lookup), got ${nums.max}")
     nums.lazyZip(schema.fields).map((n, f) => PbFieldSpec(n, f.dataType)).toArray
   }
 
@@ -103,30 +110,30 @@ object PbCodec {
         val s = specs(i)
         s.dataType match {
           case LongType =>
-            writeVarint(out, (s.number << 3) | 0); writeVarint(out, row.getLong(i))
+            writeVarint(out, (s.number.toLong << 3) | 0); writeVarint(out, row.getLong(i))
           case IntegerType =>
             // int32: negative values sign-extend to 10 bytes, per spec
-            writeVarint(out, (s.number << 3) | 0); writeVarint(out, row.getInt(i).toLong)
+            writeVarint(out, (s.number.toLong << 3) | 0); writeVarint(out, row.getInt(i).toLong)
           case BooleanType =>
-            writeVarint(out, (s.number << 3) | 0)
+            writeVarint(out, (s.number.toLong << 3) | 0)
             writeVarint(out, if (row.getBoolean(i)) 1L else 0L)
           case DoubleType =>
-            writeVarint(out, (s.number << 3) | 1)
+            writeVarint(out, (s.number.toLong << 3) | 1)
             val bits = java.lang.Double.doubleToLongBits(row.getDouble(i))
             var k = 0
             while (k < 8) { out.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
           case FloatType =>
-            writeVarint(out, (s.number << 3) | 5)
+            writeVarint(out, (s.number.toLong << 3) | 5)
             val bits = java.lang.Float.floatToIntBits(row.getFloat(i))
             var k = 0
             while (k < 4) { out.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
           case StringType =>
             val b = row.getUTF8String(i).getBytes
-            writeVarint(out, (s.number << 3) | 2); writeVarint(out, b.length.toLong)
+            writeVarint(out, (s.number.toLong << 3) | 2); writeVarint(out, b.length.toLong)
             out.write(b, 0, b.length)
           case BinaryType =>
             val b = row.getBinary(i)
-            writeVarint(out, (s.number << 3) | 2); writeVarint(out, b.length.toLong)
+            writeVarint(out, (s.number.toLong << 3) | 2); writeVarint(out, b.length.toLong)
             out.write(b, 0, b.length)
           case other => sys.error(s"protobuf format does not support type $other")
         }

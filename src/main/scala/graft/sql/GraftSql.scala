@@ -705,13 +705,14 @@ object GraftSql {
         if (costDetail)
           // Spark's cost mode prints the optimized logical plan with
           // Statistics(sizeInBytes=…, rowCount=…) per node — the
-          // ESTIMATED_COST payload
+          // ESTIMATED_COST payload. It carries its own physical-plan
+          // section, so the formatted dump below is skipped for it
           sections += df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("cost"))
         if (jsonDetail)
           sections += ("== JSON Execution Plan ==\n" +
             df.queryExecution.executedPlan.prettyJson)
-        if (!jsonDetail) // the reference's JSON detail replaces the tree dump
+        if (!jsonDetail && !costDetail)
           sections += ("== Physical Plan ==\n" +
             df.queryExecution.explainString(
               org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

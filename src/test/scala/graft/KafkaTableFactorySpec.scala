@@ -140,6 +140,19 @@ class KafkaTableFactorySpec extends SparkSpec {
     val got = KafkaTableFactory.decode(new FakeWire(() => log).read(spark, t), schema, t)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "a"), (2L, "b")))
+    // malformed records FAIL by default (the reference's
+    // ignore-parse-errors = false); opting in tolerates them
+    val bad = recordsDf(Seq((null, "not-a-number;x".getBytes("UTF-8"), 0, 0L)))
+    intercept[org.apache.spark.SparkException] {
+      KafkaTableFactory.decode(new FakeWire(() => bad).read(spark, t), schema, t)
+        .collect()
+    }
+    val tolerant = KafkaTableFactory.translate(baseOpts ++ Map(
+      "format" -> "csv", "csv.field-delimiter" -> ";",
+      "csv.ignore-parse-errors" -> "true"))
+    val rows = KafkaTableFactory.decode(
+      new FakeWire(() => bad).read(spark, tolerant), schema, tolerant).collect()
+    assert(rows.length === 1 && rows.head.isNullAt(0))
   }
 
   test("encode half round-trips through decode + materializeUpsert (producer minus the socket)") {
@@ -189,6 +202,19 @@ class KafkaTableFactorySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got === Set((1L, "a"), (2L, "b;b")), s"format $fmt broke the round trip")
     }
+    // csv with a non-default delimiter: encode must honor the same
+    // options as decode or the round trip breaks
+    val td = KafkaTableFactory.translate(baseOpts ++ Map(
+      "format" -> "csv", "csv.field-delimiter" -> ";"))
+    val encD = KafkaTableFactory.encode(data, schema, td)
+    val logD = spark.createDataFrame(
+      encD.rdd.zipWithIndex().map { case (r, i) =>
+        Row(r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"),
+          "orders", 0, i, new java.sql.Timestamp(1700000000000L + i), 0)
+      }, KafkaTableFactory.RecordSchema)
+    assert(KafkaTableFactory.decode(logD, schema, td)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b;b")))
     // raw: single column passthrough
     val tr = KafkaTableFactory.translate(baseOpts + ("format" -> "raw"))
     val single = org.apache.spark.sql.types.StructType.fromDDL("v STRING")
