@@ -356,6 +356,17 @@ object GraftCatalog {
       return applyEventTime(table,
         decodeCdc(spark.readStream.text(sink.path), sink.format, schema, sink.options,
           metaColsOf(table)))
+    // datagen streaming twin: the rate source drives the same
+    // per-field generator expressions ('rows-per-second', like the
+    // reference's unbounded datagen)
+    if (sink.format == "datagen") {
+      val seed = sink.options.getOrElse("seed", "42").toLong
+      val rps = sink.options.getOrElse("rows-per-second", "10")
+      return applyEventTime(table,
+        spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+          .select(graft.sources.DatagenFields.columns(
+            schema, sink.options, seed, org.apache.spark.sql.functions.col("value")): _*))
+    }
     val reader = spark.readStream.format(sink.format).schema(schema)
     val r2 = if (sink.format == "csv")
       reader.option("header", sink.options.getOrElse("csv.header", "false")) else reader
@@ -1252,11 +1263,24 @@ object GraftCatalog {
         }
         graft.sources.JdbcConnector.read(spark, options)
       case "datagen" =>
-        spark.read.format("graft.sources.DatagenSource")
-          .option("partitions", options.getOrElse("partitions", "4"))
-          .option("rowsPerPartition", options.getOrElse("rowsperpartition", "1000"))
-          .option("seed", options.getOrElse("seed", "42"))
-          .load()
+        tableSchemas.get(name) match {
+          case Some(schema) =>
+            // DECLARED schema: the reference's per-field generator
+            // surface (fields.<f>.kind/min/max/start/end/length) as
+            // column expressions over spark.range — declarative,
+            // codegen'd, partition-parallel
+            tableSinks.put(name, SinkInfo("datagen", "datagen", options))
+            val n = options.getOrElse("number-of-rows", "1000").toLong
+            val seed = options.getOrElse("seed", "42").toLong
+            spark.range(n).select(graft.sources.DatagenFields.columns(
+              schema, options, seed, org.apache.spark.sql.functions.col("id")): _*)
+          case None => // legacy fixed-schema DSv2 source
+            spark.read.format("graft.sources.DatagenSource")
+              .option("partitions", options.getOrElse("partitions", "4"))
+              .option("rowsPerPartition", options.getOrElse("rowsperpartition", "1000"))
+              .option("seed", options.getOrElse("seed", "42"))
+              .load()
+        }
       // kafka / upsert-kafka (KafkaDynamicTableFactory /
       // UpsertKafkaDynamicTableFactory): option translation + decode
       // live in KafkaTableFactory; the socket is the pluggable wire

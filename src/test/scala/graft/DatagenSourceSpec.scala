@@ -47,4 +47,52 @@ class DatagenSourceSpec extends SparkSpec {
       .count()
     assert(n > 0)
   }
+
+  test("DDL datagen honors the per-field generator options (DataGenTableSourceFactory)") {
+    import graft.catalog.GraftCatalog
+    GraftCatalog.executeDdl(spark,
+      """CREATE TABLE gen_t (
+        |  id BIGINT, price DOUBLE, name STRING, flag BOOLEAN
+        |) WITH ('connector' = 'datagen', 'number-of-rows' = '50',
+        |  'fields.id.kind' = 'sequence', 'fields.id.start' = '100',
+        |  'fields.price.min' = '5', 'fields.price.max' = '10',
+        |  'fields.name.length' = '7')""".stripMargin)
+    try {
+      val rows = spark.table("gen_t").collect()
+      assert(rows.length === 50)
+      // sequence: exact consecutive values from start
+      assert(rows.map(_.getLong(0)).sorted.toSeq === (100L to 149L))
+      // random numeric: inside the declared bounds
+      assert(rows.forall(r => r.getDouble(1) >= 5.0 && r.getDouble(1) < 10.0 + 1e-9))
+      // string length honored
+      assert(rows.forall(_.getString(2).length === 7))
+      // deterministic: a second read generates identical data
+      val again = spark.table("gen_t").collect()
+      assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+      // streaming twin drives the same generators off the rate source
+      val q = GraftCatalog.streamOf(spark, "gen_t")
+        .writeStream.format("memory").queryName("gen_ddl_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Thread.sleep(1200)
+        q.processAllAvailable()
+        val got = spark.table("gen_ddl_stream")
+        assert(got.columns.toSeq === Seq("id", "price", "name", "flag"))
+        assert(got.count() > 0)
+      } finally q.stop()
+    } finally GraftCatalog.executeDdl(spark, "DROP TABLE gen_t")
+  }
+
+  test("DDL datagen rejects unsupported kinds loudly") {
+    import graft.catalog.GraftCatalog
+    val e = intercept[RuntimeException] {
+      GraftCatalog.executeDdl(spark,
+        """CREATE TABLE gen_bad (id BIGINT)
+          |WITH ('connector' = 'datagen', 'fields.id.kind' = 'gaussian')""".stripMargin)
+      spark.table("gen_bad").collect()
+    }
+    assert(e.getMessage.contains("unsupported kind"))
+    GraftCatalog.executeDdl(spark, "DROP TABLE IF EXISTS gen_bad")
+  }
 }
