@@ -343,6 +343,23 @@ object SimilarityQueries {
       " / (" + normD.replace("%A", a) + " * " + normD.replace("%A", b) + ")"
 
   val oracle: Map[String, String] = Map(
+    // exact brute-force over the same planted corpus: the blocking
+    // must find EVERY >= 0.98 pair (planted twins sit at ~0.99997 —
+    // far from both the threshold and the driver's rounding; natural
+    // pairs top out ~0.5). DuckDB's 1-based range(i) matches Spark's
+    // 0-based (x, i) -> sin(i + 1) perturbation exactly.
+    "q_dedup_cosine" ->
+      s"""WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> (embedding[i] * (1.0 + 0.001 * sin(i)))::FLOAT)
+        |  FROM embeddings WHERE vec_id % 100 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${cosD("a.embedding", "b.embedding")} AS cos
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE ${cosD("a.embedding", "b.embedding")} >= 0.98""".stripMargin,
     "q_sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id % 50 = 0),
