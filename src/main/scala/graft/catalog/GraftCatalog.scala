@@ -1270,9 +1270,13 @@ object GraftCatalog {
             // column expressions over spark.range — declarative,
             // codegen'd, partition-parallel
             tableSinks.put(name, SinkInfo("datagen", "datagen", options))
-            val n = options.getOrElse("number-of-rows", "1000").toLong
+            // 'number-of-rows' (the reference's option) or the legacy
+            // partitions × rowsPerPartition pair
+            val parts = options.getOrElse("partitions", "4").toInt
+            val n = options.get("number-of-rows").map(_.toLong).getOrElse(
+              parts.toLong * options.getOrElse("rowsperpartition", "1000").toLong)
             val seed = options.getOrElse("seed", "42").toLong
-            spark.range(n).select(graft.sources.DatagenFields.columns(
+            spark.range(0, n, 1, parts).select(graft.sources.DatagenFields.columns(
               schema, options, seed, org.apache.spark.sql.functions.col("id")): _*)
           case None => // legacy fixed-schema DSv2 source
             spark.read.format("graft.sources.DatagenSource")

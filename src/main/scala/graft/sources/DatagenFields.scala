@@ -47,6 +47,14 @@ object DatagenFields {
         (lit(min) + u * (max - min)).cast(dt)
       case ("random", BooleanType) =>
         (u >= 0.5d)
+      case ("random", TimestampType) =>
+        // the reference anchors random timestamps at now() − max-past;
+        // a FIXED base keeps generation reproducible across reads
+        // (the property the specs pin), so the anchor is an epoch
+        // constant and 'max-past' (seconds, default 1 day) spreads
+        // values behind it
+        val maxPast = opt(options, f.name, "max-past").map(_.toLong).getOrElse(86400L)
+        timestamp_seconds(lit(1700000000L) - (u * maxPast).cast("long"))
       case ("random", StringType) =>
         val len = opt(options, f.name, "length").map(_.toInt).getOrElse(100)
         // md5 hex repeated to cover the requested length
