@@ -361,7 +361,8 @@ object GraftCatalog {
     // reference's unbounded datagen)
     if (sink.format == "datagen") {
       val seed = sink.options.getOrElse("seed", "42").toLong
-      val rps = sink.options.getOrElse("rows-per-second", "10")
+      // the reference's default rate
+      val rps = sink.options.getOrElse("rows-per-second", "10000")
       return applyEventTime(table,
         spark.readStream.format("rate").option("rowsPerSecond", rps).load()
           .select(graft.sources.DatagenFields.columns(
@@ -391,6 +392,8 @@ object GraftCatalog {
       return insertIntoCdc(spark, table, rows, overwrite, sink)
     if (sink.format == "jdbc")
       return insertIntoJdbc(spark, table, rows, overwrite, sink)
+    require(sink.format != "datagen",
+      s"INSERT INTO datagen table '$table': datagen is a source-only connector")
     require(sink.format != "raw",
       s"INSERT INTO raw table '$table': the raw file mapping is one record per " +
         "file — a batch INSERT would explode into per-row files; write blob " +
@@ -1269,15 +1272,22 @@ object GraftCatalog {
             // surface (fields.<f>.kind/min/max/start/end/length) as
             // column expressions over spark.range — declarative,
             // codegen'd, partition-parallel
-            tableSinks.put(name, SinkInfo("datagen", "datagen", options))
             // 'number-of-rows' (the reference's option) or the legacy
-            // partitions × rowsPerPartition pair
+            // partitions × rowsPerPartition pair; a bounded SEQUENCE
+            // field exhausts the source at its own cap, like the
+            // reference's sequence generator
             val parts = options.getOrElse("partitions", "4").toInt
-            val n = options.get("number-of-rows").map(_.toLong).getOrElse(
+            val n0 = options.get("number-of-rows").map(_.toLong).getOrElse(
               parts.toLong * options.getOrElse("rowsperpartition", "1000").toLong)
+            val n = graft.sources.DatagenFields.rowCap(schema, options)
+              .fold(n0)(math.min(n0, _))
             val seed = options.getOrElse("seed", "42").toLong
-            spark.range(0, n, 1, parts).select(graft.sources.DatagenFields.columns(
-              schema, options, seed, org.apache.spark.sql.functions.col("id")): _*)
+            // validate the generator options BEFORE touching the sink
+            // registry — a bad CREATE must not leave a phantom table
+            val cols = graft.sources.DatagenFields.columns(
+              schema, options, seed, org.apache.spark.sql.functions.col("id"))
+            tableSinks.put(name, SinkInfo("datagen", "datagen", options))
+            spark.range(0, n, 1, parts).select(cols: _*)
           case None => // legacy fixed-schema DSv2 source
             spark.read.format("graft.sources.DatagenSource")
               .option("partitions", options.getOrElse("partitions", "4"))

@@ -221,14 +221,12 @@ object MiscQueries {
       // java.nio writes would land on executor-local filesystems on a
       // real cluster while the marker sat on the driver. The operator
       // under test is the distributed raw READ below, not this writer
-      val it = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select("doc_id", "text").toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%06d.bin"),
-          r.getString(1).getBytes("UTF-8"))
-      }
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%06d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
       new java.io.File(path, "_SUCCESS").createNewFile()
     }
     graft.sql.GraftSql.sql(s, "DROP TABLE IF EXISTS raw_docs")

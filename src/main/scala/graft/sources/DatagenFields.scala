@@ -19,6 +19,22 @@ object DatagenFields {
   private def opt(options: Map[String, String], field: String, key: String): Option[String] =
     options.get(s"fields.${field.toLowerCase(java.util.Locale.ROOT)}.$key")
 
+  /** The row-count cap a bounded sequence imposes: the source is
+    * exhausted once any sequence field passes its 'end' (the
+    * reference's sequence-generator termination).
+    */
+  def rowCap(schema: StructType, options: Map[String, String]): Option[Long] =
+    schema.fields.toSeq.flatMap { f =>
+      if (opt(options, f.name, "kind").contains("sequence"))
+        opt(options, f.name, "end").map { e =>
+          val start = opt(options, f.name, "start").map(_.toLong).getOrElse(1L)
+          require(e.toLong >= start,
+            s"datagen field ${f.name}: sequence end before start")
+          e.toLong - start + 1
+        }
+      else None
+    }.minOption
+
   /** One generated column per declared field, driven by `idx` (the
     * 0-based row index column).
     */
@@ -30,12 +46,14 @@ object DatagenFields {
     val u = pmod(xxhash64(idx, lit(f.name), lit(seed)), lit(1000000L))
       .cast("double") / 1000000.0d
     val c: Column = (kind, f.dataType) match {
-      case ("sequence", dt) =>
+      case ("sequence", dt @ (ByteType | ShortType | IntegerType | LongType)) =>
         val start = opt(options, f.name, "start").map(_.toLong).getOrElse(1L)
-        opt(options, f.name, "end").foreach(e => require(e.toLong >= start,
-          s"datagen field ${f.name}: sequence end before start"))
         (lit(start) + idx).cast(dt)
       case ("random", dt @ (ByteType | ShortType | IntegerType | LongType)) =>
+        // deliberate divergence: the reference defaults min/max to the
+        // FULL type range; [0, 100] here keeps un-optioned tables
+        // producing joinable/groupable keys (full-range longs never
+        // collide) — declare min/max to override
         val min = opt(options, f.name, "min").map(_.toLong).getOrElse(0L)
         val max = opt(options, f.name, "max").map(_.toLong).getOrElse(100L)
         require(max >= min, s"datagen field ${f.name}: max < min")

@@ -84,6 +84,33 @@ class DatagenSourceSpec extends SparkSpec {
     } finally GraftCatalog.executeDdl(spark, "DROP TABLE gen_t")
   }
 
+  test("bounded sequence exhausts the source at its end (reference termination)") {
+    import graft.catalog.GraftCatalog
+    GraftCatalog.executeDdl(spark,
+      """CREATE TABLE gen_seq (id BIGINT, v DOUBLE)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '1000',
+        |  'fields.id.kind' = 'sequence', 'fields.id.start' = '5',
+        |  'fields.id.end' = '14')""".stripMargin)
+    try {
+      val ids = spark.table("gen_seq").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === (5L to 14L), s"sequence must stop at end: $ids")
+      // datagen is source-only
+      import spark.implicits._
+      val e = intercept[IllegalArgumentException] {
+        GraftCatalog.insertInto(spark, "gen_seq",
+          Seq((1L, 1.0)).toDF("id", "v"), overwrite = false)
+      }
+      assert(e.getMessage.contains("source-only"))
+      // sequence on a non-numeric type fails loudly
+      val bad = intercept[RuntimeException] {
+        GraftCatalog.executeDdl(spark,
+          """CREATE TABLE gen_seq_bad (flag BOOLEAN)
+            |WITH ('connector' = 'datagen', 'fields.flag.kind' = 'sequence')""".stripMargin)
+      }
+      assert(bad.getMessage.contains("unsupported kind"))
+    } finally GraftCatalog.executeDdl(spark, "DROP TABLE gen_seq")
+  }
+
   test("DDL datagen rejects unsupported kinds loudly") {
     import graft.catalog.GraftCatalog
     val e = intercept[RuntimeException] {
