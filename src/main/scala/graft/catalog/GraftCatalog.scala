@@ -363,10 +363,19 @@ object GraftCatalog {
       val seed = sink.options.getOrElse("seed", "42").toLong
       // the reference's default rate
       val rps = sink.options.getOrElse("rows-per-second", "10000")
+      val rate = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+      // a bounded sequence terminates in streaming too (the reference's
+      // sequence generator is exhausted at 'end'): the rate source's
+      // `value` is the row index, so rows past the cap are filtered —
+      // the stream idles (emits nothing) once exhausted, matching the
+      // batch twin's row count exactly
+      val bounded = graft.sources.DatagenFields.rowCap(schema, sink.options) match {
+        case Some(cap) => rate.where(org.apache.spark.sql.functions.col("value") < cap)
+        case None      => rate
+      }
       return applyEventTime(table,
-        spark.readStream.format("rate").option("rowsPerSecond", rps).load()
-          .select(graft.sources.DatagenFields.columns(
-            schema, sink.options, seed, org.apache.spark.sql.functions.col("value")): _*))
+        bounded.select(graft.sources.DatagenFields.columns(
+          schema, sink.options, seed, org.apache.spark.sql.functions.col("value")): _*))
     }
     val reader = spark.readStream.format(sink.format).schema(schema)
     val r2 = if (sink.format == "csv")
@@ -1164,7 +1173,19 @@ object GraftCatalog {
             spark.conf.get("spark.sql.warehouse.dir"),
             if (db == "default") dirName else s"$db.db/$dirName")
           val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-          if (fs.exists(loc)) fs.delete(loc, true)
+          if (fs.exists(loc)) {
+            // the orphan rationale above only holds for the in-memory
+            // metastore; with a persistent metastore (hive) an unknown
+            // table name + existing location may be ANOTHER session's
+            // live bucketed data — refuse rather than destroy it
+            val impl = spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+            require(impl == "in-memory",
+              s"bucketed table $name: location $loc already exists and the " +
+                s"catalog is '$impl' (persistent) — the data may belong to a " +
+                "live table in another session; drop that table or clear the " +
+                "location explicitly before CREATE")
+            fs.delete(loc, true)
+          }
           val schema = tableSchemas.getOrElse(name,
             sys.error(s"bucketed table $name needs explicit columns"))
           spark.createDataFrame(

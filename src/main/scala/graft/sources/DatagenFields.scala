@@ -57,6 +57,13 @@ object DatagenFields {
         val min = opt(options, f.name, "min").map(_.toLong).getOrElse(0L)
         val max = opt(options, f.name, "max").map(_.toLong).getOrElse(100L)
         require(max >= min, s"datagen field ${f.name}: max < min")
+        // u has 1e-6 granularity, so ranges wider than 1e6 hit at most
+        // 1e6 distinct values (uniform over the range, just coarse);
+        // ranges whose width overflows a Long would silently escape
+        // [min,max] — reject those instead
+        require(BigInt(max) - BigInt(min) + 1 <= BigInt(Long.MaxValue),
+          s"datagen field ${f.name}: range [$min,$max] wider than Long.MaxValue " +
+            "— narrow min/max (full-type-range randoms are not supported)")
         (lit(min) + (u * (max - min + 1)).cast("long")).cast(dt)
       case ("random", dt @ (FloatType | DoubleType)) =>
         val min = opt(options, f.name, "min").map(_.toDouble).getOrElse(0.0d)

@@ -118,10 +118,18 @@ object KafkaTableFactory {
     require(include == "ALL" || keyFormat.isDefined,
       "'value.fields-include' = 'EXCEPT_KEY' needs 'key.format' (the key carries those fields)")
 
+    // per-format option passthrough: a key belongs to a format iff,
+    // after the optional key./value. side prefix, it starts with that
+    // format's name — 'key.raw.charset', 'value.json.fail-on-missing-
+    // field', bare 'csv.field-delimiter'. Substring matching would
+    // leak unrelated keys that merely embed the format name (e.g. a
+    // hypothetical 'scan.raw.x') into the format maps
+    val fmtPrefixes = Seq("raw.", "json.", "csv.", "protobuf.", "avro-confluent.")
     Translated(base ++ startup, valueFormat, keyFormat, keyFields, include, upsert,
       options.filter { case (k, _) =>
-        k.contains("raw.") || k.contains("json.") || k.contains("csv.") ||
-          k.contains("protobuf.") })
+        val unsided = k.stripPrefix("key.").stripPrefix("value.")
+        fmtPrefixes.exists(unsided.startsWith)
+      })
   }
 
   /** The socket abstraction: produce the kafka record relation for

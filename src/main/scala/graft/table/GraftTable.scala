@@ -130,10 +130,26 @@ final class GroupedGraftTable private[table] (df: DataFrame, keys: Seq[Column],
     var ai = 0
     val finalCols = raw.map { r =>
       if (isWinRef(r)) {
-        // re-parse with the alias pointed at the tagged key column
-        val sub = r.replaceAll(s"\\b${java.util.regex.Pattern.quote(windowAlias.get)}\\b",
-          s"__c${keyIdxOfAlias.get}")
-        TableExpr.parse(sub)
+        // re-parse with the alias pointed at the tagged key column;
+        // substitute at TOKEN level (only Ident tokens equal to the
+        // alias, not preceded by '.') so an alias word inside a string
+        // literal or a dotted field path is left alone
+        val a = windowAlias.get
+        val toks = graft.sql.SqlLexer.tokenize(r)
+        val sb = new StringBuilder
+        var pos = 0
+        toks.zipWithIndex.foreach { case (t, ti) =>
+          // `w.start as w`: the trailing w is an output ALIAS, not a
+          // reference — leave it (the old regex rewrote it too)
+          val afterDot = ti > 0 && toks(ti - 1).isPunct(".")
+          val afterAs = ti > 0 && toks(ti - 1).is("as")
+          if (t.kind == graft.sql.SqlLexer.Ident && t.text == a && !afterDot && !afterAs) {
+            sb.append(r.substring(pos, t.start)).append(s"__c${keyIdxOfAlias.get}")
+            pos = t.end
+          }
+        }
+        sb.append(r.substring(pos))
+        TableExpr.parse(sb.toString)
       } else {
         val c = F.col(s"__c${keys.length + ai}").as(aggNames(ai))
         ai += 1

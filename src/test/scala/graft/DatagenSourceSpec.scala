@@ -111,6 +111,45 @@ class DatagenSourceSpec extends SparkSpec {
     } finally GraftCatalog.executeDdl(spark, "DROP TABLE gen_seq")
   }
 
+  test("bounded sequence terminates in the STREAMING twin too") {
+    import graft.catalog.GraftCatalog
+    GraftCatalog.executeDdl(spark,
+      """CREATE TABLE gen_seq_s (id BIGINT)
+        |WITH ('connector' = 'datagen', 'rows-per-second' = '1000',
+        |  'fields.id.kind' = 'sequence', 'fields.id.start' = '5',
+        |  'fields.id.end' = '14')""".stripMargin)
+    try {
+      val q = GraftCatalog.streamOf(spark, "gen_seq_s")
+        .writeStream.format("memory").queryName("gen_seq_stream")
+        .outputMode("append").start()
+      try {
+        // let the rate source run well past 10 rows' worth of ticks
+        q.processAllAvailable()
+        Thread.sleep(1500)
+        q.processAllAvailable()
+        val ids = spark.table("gen_seq_stream").collect().map(_.getLong(0)).sorted.toSeq
+        // the stream must never emit past 'end' — same cap as batch
+        assert(ids.forall(i => i >= 5L && i <= 14L),
+          s"stream emitted past the sequence end: $ids")
+        assert(ids.distinct === ids, s"stream repeated sequence values: $ids")
+      } finally q.stop()
+    } finally GraftCatalog.executeDdl(spark, "DROP TABLE gen_seq_s")
+  }
+
+  test("random integer range wider than Long.MaxValue is rejected loudly") {
+    import graft.catalog.GraftCatalog
+    val e = intercept[RuntimeException] {
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE gen_wide (id BIGINT)
+           |WITH ('connector' = 'datagen',
+           |  'fields.id.min' = '${Long.MinValue}',
+           |  'fields.id.max' = '${Long.MaxValue}')""".stripMargin)
+      spark.table("gen_wide").collect()
+    }
+    assert(e.getMessage.contains("wider than Long.MaxValue"))
+    GraftCatalog.executeDdl(spark, "DROP TABLE IF EXISTS gen_wide")
+  }
+
   test("DDL datagen rejects unsupported kinds loudly") {
     import graft.catalog.GraftCatalog
     val e = intercept[RuntimeException] {

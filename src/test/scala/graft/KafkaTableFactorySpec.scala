@@ -34,6 +34,14 @@ class KafkaTableFactorySpec extends SparkSpec {
     val so = KafkaTableFactory.translate(baseOpts ++ Map("scan.startup.mode" -> "specific-offsets",
       "scan.startup.specific-offsets" -> "partition:0,offset:42;partition:1,offset:300"))
     assert(so.sparkOptions("startingOffsets") === """{"orders": {"0": 42, "1": 300}}""")
+    // format-option passthrough matches explicit prefixes, not
+    // substrings: 'scan.raw.x' must NOT leak into the format maps
+    val fo = KafkaTableFactory.translate(baseOpts ++ Map(
+      "json.ignore-parse-errors" -> "true", "key.raw.charset" -> "UTF-8",
+      "value.csv.field-delimiter" -> ";", "scan.raw.x" -> "leak",
+      "sink.json.y" -> "leak")).formatOptions
+    assert(fo.keySet === Set("json.ignore-parse-errors", "key.raw.charset",
+      "value.csv.field-delimiter"), s"leaked: $fo")
   }
 
   test("rejected combinations match the reference factory") {

@@ -114,6 +114,25 @@ class TableApiSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("window alias substitution is token-level: string literals and as-aliases survive") {
+    import graft.table.Tumble
+    val events = GraftTable.of(Tables.load(spark, sfDir, "events"))
+    val got = events
+      .window(Tumble over "1.hour" on "ts" as "w")
+      .groupBy("w, user_id")
+      // the output alias 'w' and the literal '%w%' both contain the
+      // window alias word — neither is a window-key REFERENCE, so
+      // neither may be rewritten to the tagged column name
+      .select("user_id, w.start as w, w.start.cast('string').like('%w%') as lw, value.sum as sv")
+      .toDF
+    assert(got.columns.toSeq === Seq("user_id", "w", "lw", "sv"))
+    // the like pattern must survive verbatim into the plan (the old
+    // regex rewrote it to '%__cN%')
+    val plan = got.queryExecution.analyzed.toString
+    assert(plan.contains("%w%"), s"literal corrupted by alias substitution:\n$plan")
+    assert(got.count() > 0)
+  }
+
   test("GroupWindowITCase shape: Slide and Session windows") {
     import graft.table.{Session, Slide}
     val events = GraftTable.of(Tables.load(spark, sfDir, "events"))
