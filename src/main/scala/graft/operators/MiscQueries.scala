@@ -319,6 +319,47 @@ object MiscQueries {
         sum(col("ln")).as("sum_ln"))
   }
 
+  /** Protobuf COMPOSITE round-trip (flink-formats/flink-protobuf
+    * PbCodegenDeserializeFactory.java dispatches message/repeated/map
+    * types): a nested message (STRUCT), a packed repeated (ARRAY of
+    * numerics), an element-per-record repeated (ARRAY of STRING) and
+    * a map column all encode to one payload and decode back through
+    * the codegen'd expressions; the projection flattens the
+    * composites to scalars so the oracle re-derives them relationally.
+    */
+  def pbNested(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PbFormat
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("addr", StructType(Seq(
+        StructField("rf", StringType), StructField("ln", IntegerType)))),
+      StructField("qs", ArrayType(DoubleType)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, LongType))))
+    val payload = PbFormat.encode(struct(
+      col("l_orderkey").cast("long").as("id"),
+      struct(col("l_returnflag").as("rf"),
+        col("l_linenumber").cast("int").as("ln")).as("addr"),
+      array(col("l_quantity").cast("double"),
+        col("l_discount").cast("double")).as("qs"),
+      array(col("l_returnflag"), col("l_linestatus")).as("tags"),
+      map(lit("part"), col("l_partkey").cast("long"),
+        lit("supp"), col("l_suppkey").cast("long")).as("attrs")), schema, Map.empty)
+    t(s, dir, "lineitem")
+      .select(PbFormat.decode(payload, schema, Map.empty).as("m"))
+      .select(col("m.id").as("id"), col("m.addr.rf").as("rf"),
+        col("m.addr.ln").as("ln"),
+        element_at(col("m.qs"), 1).as("qty"),
+        array_join(col("m.tags"), "|").as("tags"),
+        col("m.attrs")("part").as("part"), col("m.attrs")("supp").as("supp"))
+      .groupBy(col("rf"), col("tags"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("ln")).as("sum_ln"),
+        sum(col("qty").cast("decimal(20,4)")).cast("double").as("sum_qty"),
+        sum(col("part")).as("sum_part"), sum(col("supp")).as("sum_supp"))
+  }
+
   /** Partitioned filesystem table (the reference's PARTITIONED BY,
     * parserImpls.ftl:1145 + FileSystemTableSink partition grouping):
     * INSERT OVERWRITE writes one directory per o_orderpriority value;
@@ -397,6 +438,7 @@ object MiscQueries {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_raw_roundtrip" -> (rawRoundtrip _),
     "q_pb_roundtrip" -> (pbRoundtrip _),
+    "q_pb_nested" -> (pbNested _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
@@ -435,6 +477,18 @@ object MiscQueries {
         |  sum(l_extendedprice::DECIMAL(20,4))::DOUBLE AS sum_p,
         |  sum(l_linenumber)::BIGINT AS sum_ln
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // composite protobuf encode∘decode is the identity too: the
+    // nested struct, packed array, string array and map flatten back
+    // to the plain columns they were built from
+    "q_pb_nested" ->
+      """SELECT l_returnflag AS rf,
+        |  l_returnflag || '|' || l_linestatus AS tags,
+        |  count(*) AS n, sum(l_orderkey)::BIGINT AS sum_id,
+        |  sum(l_linenumber)::BIGINT AS sum_ln,
+        |  sum(l_quantity::DECIMAL(20,4))::DOUBLE AS sum_qty,
+        |  sum(l_partkey)::BIGINT AS sum_part,
+        |  sum(l_suppkey)::BIGINT AS sum_supp
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     // (a) blob half: every written .bin round-trips byte-exact, so the
     // char-length checksum over the raw table equals the source's;
     // (b) codec half: encode∘decode is the identity on every lineitem

@@ -27,13 +27,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * default (0 / "" / false) and fills what the payload carries;
   * unknown field numbers are skipped by wire type, so readers with a
   * narrower schema than the writer still decode (the proto forward-
-  * compat contract). Nested/repeated messages are out of scope —
-  * documented residue, flat rows only.
+  * compat contract).
+  *
+  * Composite types (flink-protobuf PbCodegenDeserializeFactory.java
+  * dispatches the same three shapes):
+  *  - STRUCT column  → nested message (len-delimited submessage);
+  *    nested field numbers are positional (i+1) within each level.
+  *  - ARRAY column   → repeated field; numeric/bool elements encode
+  *    PACKED (proto3 default, one len-delimited run), strings/bytes/
+  *    messages encode as one record per element; decode accepts both
+  *    packed and unpacked, as the spec requires of all parsers.
+  *  - MAP column     → the published map encoding: repeated entry
+  *    messages with key = field 1, value = field 2.
   */
 /** One column's wire mapping — top-level so generated Java code can
-  * name the array type directly.
+  * name the array type directly. `children` describes a nested
+  * message's fields (for ARRAY of struct: the ELEMENT's fields; for
+  * MAP: key as field 1, value as field 2).
   */
-final case class PbFieldSpec(number: Int, dataType: DataType)
+final case class PbFieldSpec(number: Int, dataType: DataType,
+    children: Array[PbFieldSpec] = Array.empty)
 
 /** A message layout with per-row lookup structures precomputed ONCE —
   * the decode hot path must not rebuild a number→index map per row
@@ -48,7 +61,10 @@ final class PbMsg(val specs: Array[PbFieldSpec]) extends Serializable {
     specs.zipWithIndex.foreach { case (sp, i) => a(sp.number) = i }
     a
   }
-  /** proto3 default values, cloned into each decoded row */
+  /** proto3 default values, cloned into each decoded row. Composite
+    * defaults (empty array/map) are immutable and safely SHARED
+    * across rows — only the outer array is cloned per row.
+    */
   @transient lazy val defaults: Array[Any] = specs.map { sp =>
     (sp.dataType match {
       case LongType => 0L
@@ -58,8 +74,18 @@ final class PbMsg(val specs: Array[PbFieldSpec]) extends Serializable {
       case FloatType => 0.0f
       case StringType => UTF8String.EMPTY_UTF8
       case BinaryType => Array.emptyByteArray
+      case _: ArrayType => new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      case _: MapType => org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        Array.empty[Any], Array.empty[Any])
+      case _: StructType => null // proto3: absent message field = not set
       case other => sys.error(s"protobuf format does not support type $other")
     }): Any
+  }
+  /** Per-field submessage layout (struct fields / array element
+    * struct fields / map entry), null for scalar fields.
+    */
+  @transient lazy val childMsgs: Array[PbMsg] = specs.map { sp =>
+    if (sp.children.nonEmpty) new PbMsg(sp.children) else null
   }
 }
 
@@ -83,12 +109,49 @@ object PbCodec {
     require(nums.forall(_ <= 1000000),
       s"protobuf field numbers above 1000000 are not supported by this " +
         s"factory (dense decode lookup), got ${nums.max}")
-    nums.lazyZip(schema.fields).map((n, f) => PbFieldSpec(n, f.dataType)).toArray
+    nums.lazyZip(schema.fields).map((n, f) =>
+      PbFieldSpec(n, f.dataType, childSpecs(f.dataType))).toArray
+  }
+
+  /** Nested layouts are positional (field i → number i+1) at every
+    * level below the top; maps use the fixed entry layout key=1,
+    * value=2 from the encoding guide.
+    */
+  private def childSpecs(dt: DataType): Array[PbFieldSpec] = dt match {
+    case st: StructType =>
+      st.fields.zipWithIndex.map { case (f, i) =>
+        PbFieldSpec(i + 1, f.dataType, childSpecs(f.dataType)) }
+    case ArrayType(et, _) => childSpecs(et)
+    case MapType(kt, vt, _) =>
+      Array(PbFieldSpec(1, kt, childSpecs(kt)), PbFieldSpec(2, vt, childSpecs(vt)))
+    case _ => Array.empty
   }
 
   def validate(schema: StructType, what: String): Unit =
-    schema.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
-      s"protobuf format on $what does not support type ${f.dataType.sql}"))
+    schema.fields.foreach(f => validateType(f.dataType, what))
+
+  private def validateType(dt: DataType, what: String): Unit = dt match {
+    case st: StructType => st.fields.foreach(f => validateType(f.dataType, what))
+    case ArrayType(et, _) =>
+      // protobuf has no repeated-of-repeated / repeated-of-map — the
+      // proto language requires an intermediate message, so mirror
+      // that shape in the DDL (ARRAY<STRUCT<...>>)
+      require(!et.isInstanceOf[ArrayType] && !et.isInstanceOf[MapType],
+        s"protobuf format on $what: ARRAY of ${et.sql} is not expressible in " +
+          "protobuf — wrap the element in a STRUCT (proto's wrapper-message rule)")
+      validateType(et, what)
+    case MapType(kt, vt, _) =>
+      // proto map keys: integral/bool/string only (no float/bytes)
+      require(Set[DataType](LongType, IntegerType, BooleanType, StringType).contains(kt),
+        s"protobuf format on $what: map key type ${kt.sql} is not a valid " +
+          "proto map key (integral, bool or string)")
+      require(!vt.isInstanceOf[ArrayType] && !vt.isInstanceOf[MapType],
+        s"protobuf format on $what: map value ${vt.sql} is not expressible in " +
+          "protobuf — wrap it in a STRUCT (proto's wrapper-message rule)")
+      validateType(vt, what)
+    case t => require(SupportedTypes.contains(t),
+      s"protobuf format on $what does not support type ${t.sql}")
+  }
 
   val SupportedTypes: Set[DataType] = Set(LongType, IntegerType, DoubleType,
     FloatType, BooleanType, StringType, BinaryType)
@@ -101,43 +164,99 @@ object PbCodec {
     out.write(v.toInt)
   }
 
+  private def writeFixed64(out: java.io.ByteArrayOutputStream, bits: Long): Unit = {
+    var k = 0
+    while (k < 8) { out.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
+  }
+  private def writeFixed32(out: java.io.ByteArrayOutputStream, bits: Int): Unit = {
+    var k = 0
+    while (k < 4) { out.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
+  }
+  private def writeLenDelim(out: java.io.ByteArrayOutputStream, number: Int,
+      b: Array[Byte]): Unit = {
+    writeVarint(out, (number.toLong << 3) | 2)
+    writeVarint(out, b.length.toLong)
+    out.write(b, 0, b.length)
+  }
+
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+
+  /** One scalar element's bare payload (no tag) — shared by the
+    * singular, packed-repeated and map-entry paths. `g` is either an
+    * InternalRow or an ArrayData (both are SpecializedGetters).
+    */
+  private def writeBare(out: java.io.ByteArrayOutputStream, dt: DataType,
+      g: SpecializedGetters, i: Int): Unit = dt match {
+    case LongType => writeVarint(out, g.getLong(i))
+    // int32: negative values sign-extend to 10 bytes, per spec
+    case IntegerType => writeVarint(out, g.getInt(i).toLong)
+    case BooleanType => writeVarint(out, if (g.getBoolean(i)) 1L else 0L)
+    case DoubleType => writeFixed64(out, java.lang.Double.doubleToLongBits(g.getDouble(i)))
+    case FloatType => writeFixed32(out, java.lang.Float.floatToIntBits(g.getFloat(i)))
+    case other => sys.error(s"protobuf: no bare scalar encoding for type $other")
+  }
+
+  /** One tagged field (scalar, nested message, repeated or map). */
+  private def writeField(out: java.io.ByteArrayOutputStream, s: PbFieldSpec,
+      g: SpecializedGetters, i: Int): Unit = s.dataType match {
+    case LongType | IntegerType | BooleanType =>
+      writeVarint(out, (s.number.toLong << 3) | 0); writeBare(out, s.dataType, g, i)
+    case DoubleType =>
+      writeVarint(out, (s.number.toLong << 3) | 1); writeBare(out, s.dataType, g, i)
+    case FloatType =>
+      writeVarint(out, (s.number.toLong << 3) | 5); writeBare(out, s.dataType, g, i)
+    case StringType => writeLenDelim(out, s.number, g.getUTF8String(i).getBytes)
+    case BinaryType => writeLenDelim(out, s.number, g.getBinary(i))
+    case st: StructType => // nested message
+      writeLenDelim(out, s.number, encode(g.getStruct(i, st.length), s.children))
+    case ArrayType(et, _) =>
+      val arr = g.getArray(i)
+      val n = arr.numElements()
+      et match {
+        case LongType | IntegerType | BooleanType | DoubleType | FloatType =>
+          // packed (proto3 default): one len-delimited run; empty
+          // repeated emits nothing at all
+          if (n > 0) {
+            val buf = new java.io.ByteArrayOutputStream(n * 4)
+            var k = 0
+            while (k < n) { writeBare(buf, et, arr, k); k += 1 }
+            writeLenDelim(out, s.number, buf.toByteArray)
+          }
+        case StringType =>
+          var k = 0
+          while (k < n) { writeLenDelim(out, s.number, arr.getUTF8String(k).getBytes); k += 1 }
+        case BinaryType =>
+          var k = 0
+          while (k < n) { writeLenDelim(out, s.number, arr.getBinary(k)); k += 1 }
+        case est: StructType =>
+          var k = 0
+          while (k < n) {
+            writeLenDelim(out, s.number, encode(arr.getStruct(k, est.length), s.children))
+            k += 1
+          }
+        case other => sys.error(s"protobuf format does not support ARRAY of $other")
+      }
+    case MapType(_, _, _) =>
+      // repeated entry messages {1: key, 2: value}
+      val m = g.getMap(i)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      var k = 0
+      while (k < m.numElements()) {
+        val entry = new java.io.ByteArrayOutputStream(32)
+        writeField(entry, s.children(0), keys, k)
+        if (!vals.isNullAt(k)) writeField(entry, s.children(1), vals, k)
+        writeLenDelim(out, s.number, entry.toByteArray)
+        k += 1
+      }
+    case other => sys.error(s"protobuf format does not support type $other")
+  }
+
   /** Encode one InternalRow to a protobuf message payload. */
   def encode(row: InternalRow, specs: Array[PbFieldSpec]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(64)
     var i = 0
     while (i < specs.length) {
-      if (!row.isNullAt(i)) {
-        val s = specs(i)
-        s.dataType match {
-          case LongType =>
-            writeVarint(out, (s.number.toLong << 3) | 0); writeVarint(out, row.getLong(i))
-          case IntegerType =>
-            // int32: negative values sign-extend to 10 bytes, per spec
-            writeVarint(out, (s.number.toLong << 3) | 0); writeVarint(out, row.getInt(i).toLong)
-          case BooleanType =>
-            writeVarint(out, (s.number.toLong << 3) | 0)
-            writeVarint(out, if (row.getBoolean(i)) 1L else 0L)
-          case DoubleType =>
-            writeVarint(out, (s.number.toLong << 3) | 1)
-            val bits = java.lang.Double.doubleToLongBits(row.getDouble(i))
-            var k = 0
-            while (k < 8) { out.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
-          case FloatType =>
-            writeVarint(out, (s.number.toLong << 3) | 5)
-            val bits = java.lang.Float.floatToIntBits(row.getFloat(i))
-            var k = 0
-            while (k < 4) { out.write(((bits >>> (8 * k)) & 0xff).toInt); k += 1 }
-          case StringType =>
-            val b = row.getUTF8String(i).getBytes
-            writeVarint(out, (s.number.toLong << 3) | 2); writeVarint(out, b.length.toLong)
-            out.write(b, 0, b.length)
-          case BinaryType =>
-            val b = row.getBinary(i)
-            writeVarint(out, (s.number.toLong << 3) | 2); writeVarint(out, b.length.toLong)
-            out.write(b, 0, b.length)
-          case other => sys.error(s"protobuf format does not support type $other")
-        }
-      }
+      if (!row.isNullAt(i)) writeField(out, specs(i), row, i)
       i += 1
     }
     out.toByteArray
@@ -155,12 +274,43 @@ object PbCodec {
     val specs = msg.specs
     val numToIdx = msg.numToIdx
     val row = new GenericInternalRow(msg.defaults.clone())
+    // repeated/map accumulators, allocated only when such a field
+    // actually appears on the wire — the scalar hot path stays
+    // allocation-free beyond the row
+    var lists: Array[java.util.ArrayList[Any]] = null
+    def listAt(idx: Int): java.util.ArrayList[Any] = {
+      if (lists == null) lists = new Array[java.util.ArrayList[Any]](specs.length)
+      if (lists(idx) == null) lists(idx) = new java.util.ArrayList[Any]()
+      lists(idx)
+    }
     var pos = 0
     def varint(): Long = {
       var shift = 0; var v = 0L
       while ({ val x = b(pos); pos += 1; v |= (x & 0x7fL) << shift; shift += 7
         (x & 0x80) != 0 }) ()
       v
+    }
+    def fixed64(): Long = {
+      var bits = 0L; var k = 0
+      while (k < 8) { bits |= (b(pos + k) & 0xffL) << (8 * k); k += 1 }
+      pos += 8; bits
+    }
+    def fixed32(): Int = {
+      var bits = 0; var k = 0
+      while (k < 4) { bits |= (b(pos + k) & 0xff) << (8 * k); k += 1 }
+      pos += 4; bits
+    }
+    def boxVarint(dt: DataType, v: Long, number: Int): Any = dt match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case BooleanType => v != 0L
+      case other => sys.error(
+        s"protobuf field $number: varint payload for declared type ${other.sql}")
+    }
+    def subMessage(idx: Int, len: Int): InternalRow = {
+      val sub = decode(java.util.Arrays.copyOfRange(b, pos, pos + len), msg.childMsgs(idx))
+      pos += len
+      sub
     }
     while (pos < b.length) {
       val tag = varint()
@@ -169,45 +319,76 @@ object PbCodec {
       val idx0 = if (number < numToIdx.length) numToIdx(number) else -1
       idx0 match {
         case idx if idx >= 0 =>
-          val dt = specs(idx).dataType
-          wire match {
-            case 0 =>
-              val v = varint()
-              dt match {
-                case LongType => row.update(idx, v)
-                case IntegerType => row.update(idx, v.toInt)
-                case BooleanType => row.update(idx, v != 0L)
-                case other => sys.error(
-                  s"protobuf field $number: varint payload for declared type ${other.sql}")
-              }
-            case 1 =>
-              var bits = 0L; var k = 0
-              while (k < 8) { bits |= (b(pos + k) & 0xffL) << (8 * k); k += 1 }
-              pos += 8
-              dt match {
-                case DoubleType => row.update(idx, java.lang.Double.longBitsToDouble(bits))
-                case other => sys.error(
-                  s"protobuf field $number: fixed64 payload for declared type ${other.sql}")
-              }
-            case 5 =>
-              var bits = 0; var k = 0
-              while (k < 4) { bits |= (b(pos + k) & 0xff) << (8 * k); k += 1 }
-              pos += 4
-              dt match {
-                case FloatType => row.update(idx, java.lang.Float.intBitsToFloat(bits))
-                case other => sys.error(
-                  s"protobuf field $number: fixed32 payload for declared type ${other.sql}")
-              }
-            case 2 =>
-              val len = varint().toInt
-              dt match {
-                case StringType => row.update(idx, UTF8String.fromBytes(b, pos, len))
-                case BinaryType => row.update(idx, java.util.Arrays.copyOfRange(b, pos, pos + len))
-                case other => sys.error(
-                  s"protobuf field $number: length-delimited payload for declared type ${other.sql}")
-              }
-              pos += len
-            case w => sys.error(s"protobuf: unsupported wire type $w at field $number")
+          specs(idx).dataType match {
+            case ArrayType(et, _) => (et, wire) match {
+              // packed run (proto3 default for numerics) — and the
+              // unpacked one-record-per-element form the spec requires
+              // every parser to accept interchangeably
+              case (LongType | IntegerType | BooleanType, 0) =>
+                listAt(idx).add(boxVarint(et, varint(), number))
+              case (LongType | IntegerType | BooleanType, 2) =>
+                val end = pos + varint().toInt
+                val l = listAt(idx)
+                while (pos < end) l.add(boxVarint(et, varint(), number))
+              case (DoubleType, 1) =>
+                listAt(idx).add(java.lang.Double.longBitsToDouble(fixed64()))
+              case (DoubleType, 2) =>
+                val end = pos + varint().toInt
+                val l = listAt(idx)
+                while (pos < end) l.add(java.lang.Double.longBitsToDouble(fixed64()))
+              case (FloatType, 5) =>
+                listAt(idx).add(java.lang.Float.intBitsToFloat(fixed32()))
+              case (FloatType, 2) =>
+                val end = pos + varint().toInt
+                val l = listAt(idx)
+                while (pos < end) l.add(java.lang.Float.intBitsToFloat(fixed32()))
+              case (StringType, 2) =>
+                val len = varint().toInt
+                listAt(idx).add(UTF8String.fromBytes(b, pos, len)); pos += len
+              case (BinaryType, 2) =>
+                val len = varint().toInt
+                listAt(idx).add(java.util.Arrays.copyOfRange(b, pos, pos + len)); pos += len
+              case (_: StructType, 2) =>
+                listAt(idx).add(subMessage(idx, varint().toInt))
+              case (o, w) => sys.error(
+                s"protobuf field $number: wire type $w for repeated ${o.sql}")
+            }
+            case _: StructType =>
+              if (wire != 2) sys.error(
+                s"protobuf field $number: wire type $wire for a nested message")
+              // last-one-wins on repeated occurrences of a singular
+              // message, per the spec's merge rule for this factory's
+              // non-merging reader
+              row.update(idx, subMessage(idx, varint().toInt))
+            case MapType(_, _, _) =>
+              if (wire != 2) sys.error(
+                s"protobuf field $number: wire type $wire for a map entry")
+              listAt(idx).add(subMessage(idx, varint().toInt))
+            case dt => wire match {
+              case 0 => row.update(idx, boxVarint(dt, varint(), number))
+              case 1 =>
+                dt match {
+                  case DoubleType => row.update(idx, java.lang.Double.longBitsToDouble(fixed64()))
+                  case other => sys.error(
+                    s"protobuf field $number: fixed64 payload for declared type ${other.sql}")
+                }
+              case 5 =>
+                dt match {
+                  case FloatType => row.update(idx, java.lang.Float.intBitsToFloat(fixed32()))
+                  case other => sys.error(
+                    s"protobuf field $number: fixed32 payload for declared type ${other.sql}")
+                }
+              case 2 =>
+                val len = varint().toInt
+                dt match {
+                  case StringType => row.update(idx, UTF8String.fromBytes(b, pos, len))
+                  case BinaryType => row.update(idx, java.util.Arrays.copyOfRange(b, pos, pos + len))
+                  case other => sys.error(
+                    s"protobuf field $number: length-delimited payload for declared type ${other.sql}")
+                }
+                pos += len
+              case w => sys.error(s"protobuf: unsupported wire type $w at field $number")
+            }
           }
         case _ => // unknown field: skip by wire type (forward compat)
           wire match {
@@ -217,6 +398,31 @@ object PbCodec {
             case 2 => pos += varint().toInt
             case w => sys.error(s"protobuf: unsupported wire type $w in unknown field $number")
           }
+      }
+    }
+    if (lists != null) {
+      var i = 0
+      while (i < specs.length) {
+        if (lists(i) != null) specs(i).dataType match {
+          case _: ArrayType =>
+            row.update(i, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              lists(i).toArray))
+          case MapType(_, _, _) =>
+            // last entry wins on duplicate keys, per the map encoding
+            val kDt = specs(i).children(0).dataType
+            val vDt = specs(i).children(1).dataType
+            val seen = new java.util.LinkedHashMap[Any, Any]()
+            lists(i).forEach { e =>
+              val entry = e.asInstanceOf[InternalRow]
+              seen.put(entry.get(0, kDt), entry.get(1, vDt))
+            }
+            val keys = new Array[Any](seen.size); val vals = new Array[Any](seen.size)
+            var k = 0
+            seen.forEach { (key, v) => keys(k) = key; vals(k) = v; k += 1 }
+            row.update(i, org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals))
+          case _ => ()
+        }
+        i += 1
       }
     }
     row

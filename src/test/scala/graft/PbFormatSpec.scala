@@ -84,8 +84,107 @@ class PbFormatSpec extends SparkSpec {
       PbCodec.fieldSpecs(schema, Map("protobuf.field-numbers" -> "1")))
     intercept[IllegalArgumentException](
       PbCodec.fieldSpecs(schema, Map("protobuf.field-numbers" -> "2, 2")))
+    // shapes proto cannot express directly (wrapper-message rule)
     intercept[IllegalArgumentException](
-      PbCodec.validate(StructType.fromDDL("a ARRAY<INT>"), "t"))
+      PbCodec.validate(StructType.fromDDL("a ARRAY<ARRAY<INT>>"), "t"))
+    intercept[IllegalArgumentException](
+      PbCodec.validate(StructType.fromDDL("a MAP<DOUBLE, INT>"), "t"))
+    intercept[IllegalArgumentException](
+      PbCodec.validate(StructType.fromDDL("a MAP<STRING, ARRAY<INT>>"), "t"))
+  }
+
+  test("nested message golden bytes (encoding guide Test3)") {
+    // message Test3 { Test1 c = 3; } with c.a = 150 → 1a 03 08 96 01
+    val specs = Array(PbFieldSpec(3,
+      StructType(Seq(StructField("a", IntegerType))),
+      Array(PbFieldSpec(1, IntegerType))))
+    val enc = PbCodec.encode(row(row(150)), specs)
+    assert(enc.toSeq === Seq[Byte](0x1a, 0x03, 0x08, 0x96.toByte, 0x01))
+    val dec = PbCodec.decode(enc, specs)
+    assert(dec.getStruct(0, 1).getInt(0) === 150)
+    // absent nested message decodes as null (proto3 'not set')
+    assert(PbCodec.decode(Array.emptyByteArray, specs).isNullAt(0))
+  }
+
+  test("packed repeated golden bytes (encoding guide Test4) + unpacked accepted") {
+    // message Test4 { repeated int32 d = 4; } with d = [3, 270, 86942]
+    // → 22 06 03 8e 02 9e a7 05 (proto3 packed default)
+    val specs = Array(PbFieldSpec(4, ArrayType(IntegerType)))
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](3, 270, 86942))
+    val enc = PbCodec.encode(row(arr), specs)
+    assert(enc.toSeq === Seq[Byte](0x22, 0x06, 0x03, 0x8e.toByte, 0x02,
+      0x9e.toByte, 0xa7.toByte, 0x05))
+    assert(PbCodec.decode(enc, specs).getArray(0).toIntArray().toSeq === Seq(3, 270, 86942))
+    // the spec requires parsers to accept the UNPACKED form too:
+    // three '20 <varint>' records with the same field number
+    val unpacked = Array[Byte](0x20, 0x03, 0x20, 0x8e.toByte, 0x02,
+      0x20, 0x9e.toByte, 0xa7.toByte, 0x05)
+    assert(PbCodec.decode(unpacked, specs).getArray(0).toIntArray().toSeq ===
+      Seq(3, 270, 86942))
+    // absent repeated decodes as EMPTY (proto3), not null
+    val empty = PbCodec.decode(Array.emptyByteArray, specs)
+    assert(!empty.isNullAt(0) && empty.getArray(0).numElements() === 0)
+  }
+
+  test("map fields use the published entry encoding; duplicate keys last-wins") {
+    // map<string,int32> g = 7 with {"k": 1} → entry {1:"k", 2:1} =
+    // 0a 01 6b 10 01, framed 3a 05 ...
+    val mt = MapType(StringType, IntegerType)
+    val specs = PbCodec.fieldSpecs(StructType(Seq(StructField("g", mt))), Map.empty)
+      .map(s => s.copy(number = 7))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val m = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      Array[Any](u("k")), Array[Any](1))
+    val enc = PbCodec.encode(row(m), specs)
+    assert(enc.toSeq === Seq[Byte](0x3a, 0x05, 0x0a, 0x01, 0x6b, 0x10, 0x01))
+    val dec = PbCodec.decode(enc, specs).getMap(0)
+    assert(dec.numElements() === 1)
+    assert(dec.keyArray().getUTF8String(0).toString === "k")
+    assert(dec.valueArray().getInt(0) === 1)
+    // two entries with the same key: the LAST value wins
+    val dup = enc ++ Array[Byte](0x3a, 0x05, 0x0a, 0x01, 0x6b, 0x10, 0x09)
+    val dm = PbCodec.decode(dup, specs).getMap(0)
+    assert(dm.numElements() === 1 && dm.valueArray().getInt(0) === 9)
+    // absent map decodes as EMPTY
+    assert(PbCodec.decode(Array.emptyByteArray, specs).getMap(0).numElements() === 0)
+  }
+
+  test("nested/repeated/map round-trip through codegen'd column expressions") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("addr", StructType(Seq(
+        StructField("city", StringType), StructField("zip", IntegerType)))),
+      StructField("tags", ArrayType(StringType)),
+      StructField("scores", ArrayType(DoubleType)),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("sku", StringType), StructField("qty", LongType))))),
+      StructField("attrs", MapType(StringType, LongType))))
+    import org.apache.spark.sql.functions.{array, map, struct, lit}
+    val src = Tables.load(spark, sfDir, "lineitem").limit(200)
+      .select(
+        col("l_orderkey").cast("long").as("id"),
+        struct(col("l_returnflag").as("city"),
+          col("l_linenumber").cast("int").as("zip")).as("addr"),
+        array(col("l_returnflag"), col("l_linestatus")).as("tags"),
+        array(col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double")).as("scores"),
+        array(struct(col("l_linestatus").as("sku"),
+          col("l_linenumber").cast("long").as("qty"))).as("items"),
+        map(lit("flag"), col("l_orderkey").cast("long"),
+          lit("line"), col("l_linenumber").cast("long")).as("attrs"))
+    val back = src.select(PbFormat.decode(
+        PbFormat.encode(struct(src.columns.map(col).toSeq: _*), schema, Map.empty),
+        schema, Map.empty).as("m"), col("id"), col("addr"), col("tags"),
+        col("scores"), col("items"), col("attrs"))
+    val n = back.filter(
+        col("m.id") === col("id") && col("m.addr") === col("addr") &&
+        col("m.tags") === col("tags") && col("m.scores") === col("scores") &&
+        col("m.items") === col("items") &&
+        col("m.attrs")("flag") === col("attrs")("flag") &&
+        col("m.attrs")("line") === col("attrs")("line"))
+      .count()
+    assert(n === 200)
   }
 
   test("expressions: encode/decode identity under codegen over lineitem") {
