@@ -360,6 +360,37 @@ object MiscQueries {
         sum(col("part")).as("sum_part"), sum(col("supp")).as("sum_supp"))
   }
 
+  /** Avro-confluent envelope round-trip (flink-formats/
+    * flink-avro-confluent-registry RegistryAvroDeserializationSchema):
+    * every payload is framed magic+schema-id+avro-binary, the decode
+    * side resolves the writer schema from the (in-process) registry
+    * by id — one registry hit per distinct schema id per task, not
+    * per record — and encode∘decode is the identity, so the oracle's
+    * plain-column aggregates must match.
+    */
+  def avroRegistry(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AvroConfluentFormat
+    import org.apache.spark.sql.types._
+    val url = "fake://q-avro-registry"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType),
+      StructField("rf", StringType), StructField("ln", IntegerType)))
+    val opts = Map("avro-confluent.url" -> url)
+    val payload = AvroConfluentFormat.encode(struct(
+      col("l_orderkey").cast("long").as("k"),
+      col("l_extendedprice").cast("double").as("p"),
+      col("l_returnflag").as("rf"),
+      col("l_linenumber").cast("int").as("ln")), schema, opts, "", "lineitem")
+    t(s, dir, "lineitem")
+      .select(AvroConfluentFormat.decode(payload, schema, opts).as("m"))
+      .select(col("m.k").as("k"), col("m.p").as("p"),
+        col("m.rf").as("rf"), col("m.ln").as("ln"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("p").cast("decimal(20,4)")).cast("double").as("sum_p"),
+        sum(col("ln")).as("sum_ln"))
+  }
+
   /** Partitioned filesystem table (the reference's PARTITIONED BY,
     * parserImpls.ftl:1145 + FileSystemTableSink partition grouping):
     * INSERT OVERWRITE writes one directory per o_orderpriority value;
@@ -439,6 +470,7 @@ object MiscQueries {
     "q_raw_roundtrip" -> (rawRoundtrip _),
     "q_pb_roundtrip" -> (pbRoundtrip _),
     "q_pb_nested" -> (pbNested _),
+    "q_avro_registry" -> (avroRegistry _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
@@ -472,6 +504,14 @@ object MiscQueries {
     // protobuf encode∘decode is the identity on every row, so the
     // aggregates equal the plain-column aggregates
     "q_pb_roundtrip" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  sum(l_orderkey)::BIGINT AS sum_k,
+        |  sum(l_extendedprice::DECIMAL(20,4))::DOUBLE AS sum_p,
+        |  sum(l_linenumber)::BIGINT AS sum_ln
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // avro-confluent encode∘decode is the identity (framing + binary
+    // avro resolve back to the source columns)
+    "q_avro_registry" ->
       """SELECT l_returnflag AS rf, count(*) AS n,
         |  sum(l_orderkey)::BIGINT AS sum_k,
         |  sum(l_extendedprice::DECIMAL(20,4))::DOUBLE AS sum_p,

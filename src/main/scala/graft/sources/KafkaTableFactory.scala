@@ -186,7 +186,7 @@ object KafkaTableFactory {
     * materialization orders correctly per key.
     */
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
-    val implemented = Set("json", "csv", "raw", "protobuf")
+    val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent")
     require(implemented.contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented " +
         s"(${implemented.mkString("/")} are)")
@@ -211,6 +211,8 @@ object KafkaTableFactory {
           RawFormat.options(t.formatOptions, "value.")).as(f.name))
       case "protobuf" =>
         PbFormat.decode(col("value"), valueSchema, t.formatOptions, "value.")
+      case "avro-confluent" =>
+        AvroConfluentFormat.decode(col("value"), valueSchema, t.formatOptions, "value.")
     }
     val kj: Column = t.keyFormat match {
       case _ if keyFields.isEmpty => lit(null)
@@ -220,6 +222,8 @@ object KafkaTableFactory {
           RawFormat.options(t.formatOptions, "key.")).as(f.name))
       case Some("protobuf") =>
         PbFormat.decode(col("key"), keySchema, t.formatOptions, "key.")
+      case Some("avro-confluent") =>
+        AvroConfluentFormat.decode(col("key"), keySchema, t.formatOptions, "key.")
       case Some("csv") =>
         from_csv(col("key").cast("string"), keySchema, csvOptions("key."))
       case _ => from_json(col("key").cast("string"), keySchema)
@@ -281,7 +285,7 @@ object KafkaTableFactory {
     * Only the producer socket itself stays environmental residue.
     */
   def encode(rows: DataFrame, physical: StructType, t: Translated): DataFrame = {
-    val implemented = Set("json", "csv", "raw", "protobuf")
+    val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent")
     require(implemented.contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented " +
         s"(${implemented.mkString("/")} are)")
@@ -307,6 +311,11 @@ object KafkaTableFactory {
           RawFormat.encode(col(f.name), RawFormat.options(t.formatOptions, prefix))
         case "protobuf" =>
           PbFormat.encode(payload, schema, t.formatOptions, prefix)
+        case "avro-confluent" =>
+          // Confluent TopicNameStrategy: the subject defaults to
+          // <topic>-value / <topic>-key
+          AvroConfluentFormat.encode(payload, schema, t.formatOptions, prefix,
+            t.sparkOptions.getOrElse("subscribe", "topic"))
       }
     }
     val keyCol: Column = t.keyFormat match {

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.GraftCatalog
+import graft.sources.{AvroConfluentCodec, AvroConfluentFormat, AvroFormat,
+  FakeRegistry, FakeRegistryClient, KafkaTableFactory, RegistryClients}
+import graft.sources.KafkaTableFactory.{FakeWire, SparkKafkaWire}
+
+/** Confluent Schema Registry avro envelope (jar-less
+  * flink-avro-confluent-registry analog): 5-byte magic+id framing,
+  * registry-resolved writer schemas, avro schema-resolution evolution,
+  * and the kafka value format over a fake wire + fake registry.
+  */
+class AvroConfluentSpec extends SparkSpec {
+
+  private val url = "fake://avro-confluent-spec"
+
+
+  test("envelope framing: magic 0x00 + int32 BE schema id") {
+    val body = Array[Byte](1, 2, 3)
+    val framed = AvroConfluentCodec.frame(0x01020304, body)
+    assert(framed.toSeq === Seq[Byte](0x00, 0x01, 0x02, 0x03, 0x04, 1, 2, 3))
+    assert(AvroConfluentCodec.schemaId(framed) === 0x01020304)
+    // wrong magic byte fails loudly, not as garbage rows
+    val bad = framed.clone(); bad(0) = 0x7f
+    val e = intercept[IllegalArgumentException](AvroConfluentCodec.schemaId(bad))
+    assert(e.getMessage.contains("magic"))
+    intercept[IllegalArgumentException](
+      AvroConfluentCodec.schemaId(Array[Byte](0x00, 0x00)))
+  }
+
+  test("registry client: global ids per schema text, subject tracking, fake:// only") {
+    val c = FakeRegistryClient(url)
+    val s1 = AvroFormat.toAvroSchema(StructType.fromDDL("a BIGINT")).toString
+    val s2 = AvroFormat.toAvroSchema(StructType.fromDDL("b STRING")).toString
+    val id1 = c.register("t-value", s1)
+    assert(c.register("t-value", s1) === id1) // idempotent
+    assert(c.register("other-value", s1) === id1) // global per schema text
+    assert(c.register("t-key", s2) !== id1)
+    assert(c.schemaById(id1) === s1)
+    intercept[IllegalArgumentException](c.schemaById(9999))
+    val e = intercept[RuntimeException](
+      RegistryClients.forUrl("http://registry:8081"))
+    assert(e.getMessage.contains("environmental"))
+  }
+
+  test("encode/decode round-trip through column expressions over lineitem") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType),
+      StructField("rf", StringType), StructField("ship", TimestampType)))
+    val opts = Map("avro-confluent.url" -> url)
+    val li = Tables.load(spark, sfDir, "lineitem").limit(300)
+    val n = li.select(
+        AvroConfluentFormat.decode(AvroConfluentFormat.encode(
+          struct(col("l_orderkey").cast("long").as("k"),
+            col("l_extendedprice").cast("double").as("p"),
+            col("l_returnflag").as("rf"),
+            col("l_shipdate").cast("timestamp").as("ship")),
+          schema, opts, "", "t"), schema, opts).as("m"),
+        col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"),
+        col("l_shipdate"))
+      .filter(col("m.k") === col("l_orderkey") &&
+        col("m.p") === col("l_extendedprice").cast("double") &&
+        col("m.rf") === col("l_returnflag") &&
+        col("m.ship") === col("l_shipdate").cast("timestamp"))
+      .count()
+    assert(n === 300)
+  }
+
+  test("schema evolution: reader drops writer-only fields and defaults missing ones") {
+    // writer framed payloads with (a, b, c); the reader declares
+    // (b, d) — b carries through resolution, d fills its null default
+    val writerStruct = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType)))
+    val readerStruct = StructType(Seq(
+      StructField("b", StringType), StructField("d", LongType)))
+    val opts = Map("avro-confluent.url" -> url)
+    import spark.implicits._
+    val got = Seq((1L, "x", 0.5), (2L, "y", 1.5)).toDF("a", "b", "c")
+      .select(AvroConfluentFormat.encode(
+        struct(col("a"), col("b"), col("c")), writerStruct, opts, "", "evo").as("payload"))
+      .select(AvroConfluentFormat.decode(col("payload"), readerStruct, opts).as("m"))
+      .select(col("m.b"), col("m.d"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toSet
+    assert(got === Set(("x", null), ("y", null)))
+  }
+
+  test("kafka value format avro-confluent decodes records through the DDL table") {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val avroSchema = AvroFormat.toAvroSchema(schema)
+    val opts = Map("avro-confluent.url" -> url)
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // frame payloads exactly as a Confluent producer would: register,
+    // then magic+id+binary body
+    val enc = graft.sources.AvroConfluentEncode(
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(1)), schema, url, "t-value")
+    def payload(id: Long, v: String): Array[Byte] =
+      enc.nullSafeEval(new GenericInternalRow(
+        Array[Any](id, UTF8String.fromString(v)))).asInstanceOf[Array[Byte]]
+    val data = Seq((null: Array[Byte], payload(1L, "a"), 0, 0L),
+      (null: Array[Byte], payload(2L, "b"), 0, 1L))
+    val log = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (k, v, p, o) =>
+        Row(k, v, "t", p, o, new java.sql.Timestamp(1700000000000L + o), 0)
+      }), KafkaTableFactory.RecordSchema)
+    GraftCatalog.setKafkaWire(new FakeWire(() => log))
+    try {
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE k_avro (id BIGINT, v STRING)
+           |WITH ('connector' = 'kafka', 'topic' = 't',
+           |  'properties.bootstrap.servers' = 'broker:9092',
+           |  'format' = 'avro-confluent',
+           |  'avro-confluent.url' = '$url')""".stripMargin)
+      assert(spark.table("k_avro").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a"), (2L, "b")))
+      GraftCatalog.executeDdl(spark, "DROP TABLE k_avro")
+    } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
+  }
+
+  test("kafka encode half frames every record with the registered id") {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val t = KafkaTableFactory.translate(Map(
+      "connector" -> "kafka", "topic" -> "enc-t",
+      "properties.bootstrap.servers" -> "broker:9092",
+      "format" -> "avro-confluent", "avro-confluent.url" -> url))
+    import spark.implicits._
+    val encoded = KafkaTableFactory.encode(
+      Seq((5L, "z")).toDF("id", "v"), schema, t).collect()
+    assert(encoded.length === 1)
+    val bytes = encoded.head.getAs[Array[Byte]]("value")
+    val id = AvroConfluentCodec.schemaId(bytes)
+    // the registry holds the schema this payload claims
+    assert(FakeRegistryClient(url).schemaById(id).contains("\"id\""))
+    // and the payload decodes back through the registry
+    val decoded = KafkaTableFactory.decode(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(null, bytes, "enc-t", 0, 0L, new java.sql.Timestamp(1L), 0))),
+        KafkaTableFactory.RecordSchema), schema, t).collect()
+    assert(decoded.map(r => (r.getLong(0), r.getString(1))).toSet === Set((5L, "z")))
+  }
+}
