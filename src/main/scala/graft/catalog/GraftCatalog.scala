@@ -42,6 +42,13 @@ object GraftCatalog {
   // + option RESET (SqlAlterTableReset) + filesystem COMPACT
   // (SqlAlterTableCompact); ADD/MODIFY accept the parenthesized list
   // or a single bare definition, like the reference parser
+  // partition DDL (SqlAddPartitions / SqlDropPartitions): directory
+  // lifecycle on the partitioned filesystem layout — must match
+  // BEFORE the schema-ADD shapes below
+  private val AlterTableAddPartitions: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?(PARTITION\s*\(.*)""".r
+  private val AlterTableDropPartitions: Regex =
+    """(?is)ALTER\s+TABLE\s+(\w+)\s+DROP\s+(IF\s+EXISTS\s+)?(PARTITION\s*\(.*)""".r
   private val AlterTableAdd: Regex =
     """(?is)ALTER\s+TABLE\s+(\w+)\s+ADD\s*\((.*)\)\s*""".r
   private val AlterTableAddOne: Regex =
@@ -234,6 +241,24 @@ object GraftCatalog {
 
   def viewNames: Seq[String] = viewRegistry.values.toSeq.sorted
 
+  /** Jars added through ADD JAR (the reference's SqlAddJar /
+    * SqlShowJars / SqlRemoveJar sql-client resource surface), in
+    * insertion order. REMOVE JAR drops the catalog entry only —
+    * classes a query already loaded stay on the JVM classpath, the
+    * same post-use semantics the reference's client has.
+    */
+  private val jarRegistry = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+  def registerJar(path: String): Unit =
+    if (!jarRegistry.contains(path)) jarRegistry.add(path)
+
+  def removeJar(path: String): Boolean = jarRegistry.remove(path)
+
+  def jars: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    jarRegistry.asScala.toSeq
+  }
+
   /** Per-(table, column) statistics recorded by ANALYZE TABLE: the
     * reference computes these into the catalog for the planner
     * (row counts feeding join-reorder/broadcast decisions); here
@@ -276,10 +301,16 @@ object GraftCatalog {
   private def partitionedReader(spark: SparkSession, fmt: String,
       options: Map[String, String], declared: StructType,
       partKeys: Seq[String]): org.apache.spark.sql.DataFrameReader = {
+    // every format gets the declared data schema: csv needs it for
+    // names/types (see above), and the self-describing formats need
+    // it whenever the layout holds only empty partition directories
+    // (ALTER TABLE ADD PARTITION before any rows land; DROP of the
+    // last populated partition) — footer inference has no file to
+    // read there and registration would throw UNABLE_TO_INFER_SCHEMA
     val reader = spark.read.format(fmt)
+      .schema(StructType(declared.fields.filterNot(f => partKeys.contains(f.name))))
     if (fmt == "csv")
       reader.option("header", options.getOrElse("csv.header", "false"))
-        .schema(StructType(declared.fields.filterNot(f => partKeys.contains(f.name))))
     else reader
   }
 
@@ -485,8 +516,16 @@ object GraftCatalog {
         val declared = tableSchemas.getOrElse(table, target)
         val r2 = partitionedReader(spark, sink.format, sink.options,
           declared, partitionKeysOf(table))
-        r2.load(sink.path).select(declared.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq ++
+        val loaded = r2.load(sink.path)
+        loaded.select(declared.fields.map(f =>
+          // a layout with no partition directories yet (fresh CREATE,
+          // DROP PARTITION of the last one) discovers no partition
+          // columns — complete the schema with typed nulls; the
+          // relation is empty there anyway
+          if (loaded.columns.contains(f.name))
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name))
+          .toSeq ++
           metaColsOf(table).map(mc => org.apache.spark.sql.functions
             .col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType).as(mc.name)): _*)
       }
@@ -998,6 +1037,17 @@ object GraftCatalog {
     // lack the new physical columns, so they read as NULL (the
     // declared schema drives the scan); metadata-only, like the
     // reference's catalog ALTER.
+    // ALTER TABLE t ADD/DROP [IF (NOT) EXISTS] PARTITION (k=v[,...])
+    // [, PARTITION ...] — the reference's SqlAddPartitions/
+    // SqlDropPartitions against the filesystem layout: a partition IS
+    // its k=v directory, so ADD creates it (visible to SHOW
+    // PARTITIONS, scanned once rows land) and DROP removes it and its
+    // data, then the view re-registers so readers see the change
+    case AlterTableAddPartitions(name, ifNotExists, specText) =>
+      alterPartitions(spark, name, specText, add = true, lenient = ifNotExists != null)
+    case AlterTableDropPartitions(name, ifExists, specText) =>
+      alterPartitions(spark, name, specText, add = false, lenient = ifExists != null)
+
     case AlterTableAdd(name, defs) => alterSchema(spark, name, defs, modify = false)
     case AlterTableAddOne(name, definition) =>
       alterSchema(spark, name, definition, modify = false)
@@ -1053,6 +1103,52 @@ object GraftCatalog {
     * schema; computed columns, WATERMARK and PRIMARY KEY defs merge
     * into the virtual metadata — then the view re-registers.
     */
+  /** ADD/DROP PARTITION over the partitioned filesystem layout: each
+    * PARTITION (k=v[,...]) group maps to its k=v directory chain
+    * under the table root. `lenient` is IF [NOT] EXISTS.
+    */
+  private def alterPartitions(spark: SparkSession, name: String, specText: String,
+      add: Boolean, lenient: Boolean): Unit = {
+    val keys = tablePartitionKeys.getOrElse(name,
+      sys.error(s"ALTER TABLE ${if (add) "ADD" else "DROP"} PARTITION: " +
+        s"table '$name' is not partitioned"))
+    val sink = tableSinks.getOrElse(name,
+      sys.error(s"ALTER TABLE PARTITION: table '$name' has no filesystem path"))
+    val specs = """(?is)PARTITION\s*\(([^)]*)\)""".r
+      .findAllMatchIn(specText).map(_.group(1)).toSeq
+    require(specs.nonEmpty, "expected PARTITION (key = value [, ...])")
+    val conf = spark.sessionState.newHadoopConf()
+    specs.foreach { s =>
+      val kv = s.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
+        val parts = p.split("=", 2)
+        require(parts.length == 2, s"partition spec expects key = value, got '$p'")
+        parts(0).trim.toLowerCase(java.util.Locale.ROOT) ->
+          parts(1).trim.stripPrefix("'").stripSuffix("'")
+      }.toMap
+      require(kv.keySet == keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
+        s"partition spec (${kv.keys.mkString(", ")}) must name exactly the " +
+          s"partition keys (${keys.mkString(", ")})")
+      val dir = keys.foldLeft(new org.apache.hadoop.fs.Path(sink.path))((p, k) =>
+        new org.apache.hadoop.fs.Path(p,
+          s"$k=${kv(k.toLowerCase(java.util.Locale.ROOT))}"))
+      val fs = dir.getFileSystem(conf)
+      if (add) {
+        if (fs.exists(dir)) require(lenient,
+          s"ALTER TABLE ADD PARTITION: partition already exists: $dir " +
+            "(use IF NOT EXISTS)")
+        else fs.mkdirs(dir)
+      } else {
+        if (!fs.exists(dir)) require(lenient,
+          s"ALTER TABLE DROP PARTITION: partition does not exist: $dir " +
+            "(use IF EXISTS)")
+        else fs.delete(dir, true)
+      }
+    }
+    bumpGeneration(name)
+    register(spark, name, tableOptions.getOrElse(name,
+      sys.error(s"ALTER TABLE PARTITION: unknown table '$name'")))
+  }
+
   private def alterSchema(spark: SparkSession, name: String, defs: String,
       modify: Boolean): Unit = {
     require(tableOptions.contains(name), s"ALTER TABLE: unknown table '$name'")
@@ -1259,9 +1355,15 @@ object GraftCatalog {
           val r2 = partitionedReader(spark, fmt, options, declared,
             partitionKeysOf(name))
           // declared-order projection + metadata in ONE select:
-          // _metadata is only resolvable on the raw file relation
-          r2.load(path).select(declared.fields.map(f =>
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq ++
+          // _metadata is only resolvable on the raw file relation.
+          // No partition directories yet → no discovered partition
+          // columns; complete the (empty) schema with typed nulls
+          val loaded = r2.load(path)
+          loaded.select(declared.fields.map(f =>
+            if (loaded.columns.contains(f.name))
+              org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+            else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name))
+            .toSeq ++
             metaColsOf(name).map(mc => org.apache.spark.sql.functions
               .col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType).as(mc.name)): _*)
         }

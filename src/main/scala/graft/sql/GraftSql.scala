@@ -1016,6 +1016,31 @@ object GraftSql {
       graft.catalog.GraftCatalog.registerView(name)
       return df
     }
+    // ALTER VIEW v RENAME TO v2 (SqlAlterViewRename) / ALTER VIEW v
+    // AS <query> (SqlAlterViewAs): rename re-registers the same plan
+    // under the new name; AS replaces the definition through THIS
+    // front door so dialect bodies keep working
+    if (toks.length > 3 && toks.head.is("ALTER") && toks(1).is("VIEW")) {
+      val name = toks(2).text
+      require(spark.catalog.tableExists(name),
+        s"ALTER VIEW: unknown view '$name'")
+      if (toks.length == 6 && toks(3).is("RENAME") && toks(4).is("TO")) {
+        val newName = toks(5).text
+        require(!spark.catalog.tableExists(newName),
+          s"ALTER VIEW: target name '$newName' already exists")
+        spark.table(name).createOrReplaceTempView(newName)
+        spark.catalog.dropTempView(name)
+        if (graft.catalog.GraftCatalog.dropViewMeta(name))
+          graft.catalog.GraftCatalog.registerView(newName)
+        return spark.emptyDataFrame
+      }
+      if (toks(3).is("AS")) {
+        val df = sql(spark, text.substring(toks(3).end))
+        df.createOrReplaceTempView(name)
+        return df
+      }
+      sys.error("ALTER VIEW supports RENAME TO <name> and AS <query>")
+    }
     // DROP [TEMPORARY] VIEW name
     val dropViewIdx = toks.indexWhere(_.is("VIEW"))
     if (toks.nonEmpty && toks.head.is("DROP") && dropViewIdx >= 1 &&
@@ -1054,6 +1079,30 @@ object GraftSql {
     if (toks.nonEmpty && toks.head.is("RESET") && toks.length == 2) {
       spark.conf.unset(flinkConfKey(
         toks(1).text.stripPrefix("'").stripSuffix("'")))
+      return spark.emptyDataFrame
+    }
+    // ADD JAR '<path>' / SHOW JARS / REMOVE JAR '<path>' — the
+    // sql-client resource surface (SqlAddJar/SqlShowJars/
+    // SqlRemoveJar). ADD validates the file and hands it to Spark's
+    // native ADD JAR so executor classloaders pick it up; REMOVE
+    // drops the catalog entry (classes already loaded stay on the
+    // JVM classpath — the reference's client has the same post-use
+    // semantics, its REMOVE only unlists the resource)
+    if (toks.length == 3 && toks.head.is("ADD") && toks(1).is("JAR")) {
+      val path = toks(2).text.stripPrefix("'").stripSuffix("'")
+      require(new java.io.File(path).isFile, s"ADD JAR: no such file '$path'")
+      spark.sql(s"ADD JAR '$path'")
+      graft.catalog.GraftCatalog.registerJar(path)
+      return spark.emptyDataFrame
+    }
+    if (toks.length == 2 && toks.head.is("SHOW") && toks(1).is("JARS")) {
+      import spark.implicits._
+      return graft.catalog.GraftCatalog.jars.toDF("jars")
+    }
+    if (toks.length == 3 && toks.head.is("REMOVE") && toks(1).is("JAR")) {
+      val path = toks(2).text.stripPrefix("'").stripSuffix("'")
+      require(graft.catalog.GraftCatalog.removeJar(path),
+        s"REMOVE JAR: '$path' was not added (SHOW JARS lists the added jars)")
       return spark.emptyDataFrame
     }
     // CTAS (the reference's SqlCreateTableAs, 1.16+): `CREATE TABLE t

@@ -367,6 +367,52 @@ class CatalogSpec extends SparkSpec {
     assert(GraftCatalog.showCreateTable("ev_part").contains("PARTITIONED BY (event_type)"))
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION: directory lifecycle (SqlAddPartitions)") {
+    val path = "/tmp/graft_part_spec/alter_part"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete()
+    }
+    if (new java.io.File(path).exists()) del(new java.io.File(path))
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE ap_t (
+         |  id BIGINT, tag VARCHAR(8)
+         |) PARTITIONED BY (tag) WITH (
+         |  'connector' = 'filesystem', 'path' = '$path', 'format' = 'parquet')""".stripMargin)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO ap_t PARTITION (tag = 'red') SELECT 1")
+      // ADD creates the directory — visible to SHOW PARTITIONS
+      GraftCatalog.executeDdl(spark, "ALTER TABLE ap_t ADD PARTITION (tag = 'blue')")
+      val parts = graft.sql.GraftSql.sql(spark, "SHOW PARTITIONS ap_t")
+        .collect().map(_.getString(0)).toSet
+      assert(parts === Set("tag=red", "tag=blue"), parts)
+      // multiple specs in one statement, IF NOT EXISTS tolerated
+      GraftCatalog.executeDdl(spark,
+        "ALTER TABLE ap_t ADD IF NOT EXISTS PARTITION (tag = 'blue'), PARTITION (tag = 'green')")
+      assert(graft.sql.GraftSql.sql(spark, "SHOW PARTITIONS ap_t")
+        .collect().map(_.getString(0)).toSet === Set("tag=red", "tag=blue", "tag=green"))
+      // without IF NOT EXISTS an existing partition is an error
+      intercept[IllegalArgumentException](GraftCatalog.executeDdl(spark,
+        "ALTER TABLE ap_t ADD PARTITION (tag = 'red')"))
+      // DROP removes the directory AND its data; readers see it gone
+      GraftCatalog.executeDdl(spark, "ALTER TABLE ap_t DROP PARTITION (tag = 'red')")
+      assert(spark.table("ap_t").count() === 0)
+      assert(graft.sql.GraftSql.sql(spark, "SHOW PARTITIONS ap_t")
+        .collect().map(_.getString(0)).toSet === Set("tag=blue", "tag=green"))
+      intercept[IllegalArgumentException](GraftCatalog.executeDdl(spark,
+        "ALTER TABLE ap_t DROP PARTITION (tag = 'red')"))
+      GraftCatalog.executeDdl(spark,
+        "ALTER TABLE ap_t DROP IF EXISTS PARTITION (tag = 'red')") // tolerated
+      // a spec naming a non-partition column fails loudly
+      intercept[IllegalArgumentException](GraftCatalog.executeDdl(spark,
+        "ALTER TABLE ap_t ADD PARTITION (id = '1')"))
+      // a non-partitioned table rejects partition DDL
+      intercept[RuntimeException](GraftCatalog.executeDdl(spark,
+        "ALTER TABLE ap_np ADD PARTITION (tag = 'x')"))
+    } finally GraftCatalog.executeDdl(spark, "DROP TABLE ap_t")
+  }
+
   test("INSERT ... PARTITION: static assignment fills the column; OVERWRITE replaces only that partition") {
     val path = "/tmp/graft_part_spec/static_part"
     def del(f: java.io.File): Unit = {

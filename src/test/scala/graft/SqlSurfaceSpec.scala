@@ -20,6 +20,49 @@ class SqlSurfaceSpec extends SparkSpec {
       .contains("surface_v"))
   }
 
+  test("ALTER VIEW: RENAME TO moves the definition, AS replaces it (SqlAlterView)") {
+    GraftSql.sql(spark, "CREATE VIEW av_v AS SELECT 1 AS one")
+    try {
+      GraftSql.sql(spark, "ALTER VIEW av_v RENAME TO av_v2")
+      assert(!spark.catalog.tableExists("av_v"))
+      assert(spark.table("av_v2").first().getInt(0) === 1)
+      // the front-door registry moved with it
+      assert(GraftSql.sql(spark, "SHOW VIEWS").collect().map(_.getString(0))
+        .contains("av_v2"))
+      GraftSql.sql(spark, "ALTER VIEW av_v2 AS SELECT 2 AS two")
+      assert(spark.table("av_v2").first().getInt(0) === 2)
+      assert(spark.table("av_v2").columns.toSeq === Seq("two"))
+      // unknown view / unsupported clause fail loudly
+      intercept[IllegalArgumentException](
+        GraftSql.sql(spark, "ALTER VIEW no_such_view RENAME TO x"))
+      intercept[RuntimeException](
+        GraftSql.sql(spark, "ALTER VIEW av_v2 SET ('k' = 'v')"))
+    } finally GraftSql.sql(spark, "DROP VIEW av_v2")
+  }
+
+  test("ADD JAR / SHOW JARS / REMOVE JAR (SqlAddJar resource surface)") {
+    // the file must OUTLIVE the session: Spark re-fetches added jars
+    // on later jobs, so deleting it would break every subsequent test
+    // in this JVM — a stable path, no cleanup
+    val f = new java.io.File("/tmp/graft_surface_spec.jar")
+    if (!f.exists()) {
+      val jar = new java.util.jar.JarOutputStream(new java.io.FileOutputStream(f))
+      jar.putNextEntry(new java.util.zip.ZipEntry("marker.txt"))
+      jar.write("graft".getBytes); jar.closeEntry(); jar.close()
+    }
+    GraftSql.sql(spark, s"ADD JAR '${f.getAbsolutePath}'")
+    assert(GraftSql.sql(spark, "SHOW JARS").collect().map(_.getString(0))
+      .contains(f.getAbsolutePath))
+    GraftSql.sql(spark, s"REMOVE JAR '${f.getAbsolutePath}'")
+    assert(!GraftSql.sql(spark, "SHOW JARS").collect().map(_.getString(0))
+      .contains(f.getAbsolutePath))
+    // a missing file and an un-added jar both fail loudly
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "ADD JAR '/no/such/file.jar'"))
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, s"REMOVE JAR '${f.getAbsolutePath}'"))
+  }
+
   test("database/catalog statements: ALTER/DESCRIBE DATABASE, USE CATALOG, SHOW CATALOGS") {
     GraftSql.sql(spark, "CREATE DATABASE IF NOT EXISTS surface_db COMMENT 'spec db'")
     try {
