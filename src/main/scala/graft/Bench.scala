@@ -49,7 +49,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // median of 5: run-to-run noise on this machine is ±2x for
+    // sub-second queries (measured rounds 4-5, identical code) — 5
+    // passes tighten the median without materially moving the total
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     val root = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -505,7 +505,15 @@ object GraftCatalog {
         wp0.option("partitionOverwriteMode", "dynamic") else wp0
       val w2 = if (sink.format == "csv")
         wp.option("header", sink.options.getOrElse("csv.header", "false")) else wp
-      w2.save(sink.path)
+      // 'compression' (or '<format>.compression') — the flink-compress
+      // analog: text formats write .gz/.bz2/... files (Spark reads
+      // them back transparently), parquet/orc switch their internal
+      // block codec. Validation is Spark's: an unknown codec name
+      // fails the write loudly
+      val w3 = sink.options.get(s"${sink.format}.compression")
+        .orElse(sink.options.get("compression"))
+        .map(c => w2.option("compression", c)).getOrElse(w2)
+      w3.save(sink.path)
     }
     // refresh the registered view so subsequent reads see the write
     // (computed columns/watermark re-applied over the physical files)

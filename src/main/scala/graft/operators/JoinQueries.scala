@@ -124,7 +124,18 @@ object JoinQueries {
     * replicates ≤2×) so it hash-joins and scales; the residual
     * re-check keeps exactness, which the DuckDB oracle verifies.
     */
-  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+  def rangeJoin(s: SparkSession, dir: String): DataFrame =
+    rangeJoinWidth(s, dir, 600000000L)
+
+  /** Width-parameterized twin: the SCALE probe narrows `bucketWidth`
+    * as event density grows (data multiplies into the SAME time span,
+    * so per-bucket occupancy — and with it the L×R candidate volume —
+    * otherwise rises quadratically with the multiplier). Narrower
+    * buckets replicate each interval into more buckets (linear cost)
+    * in exchange for holding per-bucket occupancy constant — the same
+    * width-for-density dial as the simhash band scaling.
+    */
+  def rangeJoinWidth(s: SparkSession, dir: String, bucketWidth: Long): DataFrame = {
     val e = t(s, dir, "events")
     val err = e.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"),
@@ -132,7 +143,7 @@ object JoinQueries {
         (unix_micros(col("ts")) + lit(300000000L)).as("hi"))
     val pur = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pts"))
-    RangeJoin.pointInInterval(pur, "pts", err, "lo", "hi", 600000000L)
+    RangeJoin.pointInInterval(pur, "pts", err, "lo", "hi", bucketWidth)
       .groupBy(col("err_id"))
       .agg(count(lit(1)).as("n_purch"), min(col("p_id")).as("first_p"))
   }

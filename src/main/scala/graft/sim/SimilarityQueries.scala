@@ -268,12 +268,21 @@ object SimilarityQueries {
     * property SimRecallSpec pins with planted perturbed twins.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
-      threshold: Double, tables: Int = 4, nBitsOpt: Option[Int] = None): DataFrame = {
+      threshold: Double, tables: Int = 4, nBitsOpt: Option[Int] = None,
+      knownRows: Option[Long] = None): DataFrame = {
     val meanE = aggregate(col(embCol), lit(0.0d),
       (acc, x) => acc + x.cast("double")) / size(col(embCol)).cast("double")
     val emb = corpus.select(col(idCol), col(embCol))
       .withColumn("__he", transform(col(embCol), x => (x.cast("double") - meanE).cast("float")))
-    val nBits = nBitsOpt.getOrElse(adaptiveLshBits(emb.count()))
+    // adaptive width needs only the ORDER OF MAGNITUDE of the corpus
+    // size — at 100 TB pass `knownRows` from catalog stats (ANALYZE
+    // TABLE rowCount) instead of paying a counting pass; next best is
+    // the optimizer's row-count estimate; the id-only count is the
+    // last resort and reads a single pruned column, not the vectors
+    val nBits = nBitsOpt.getOrElse(adaptiveLshBits(knownRows.getOrElse(
+      corpus.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).filter(_ > 0)
+        .getOrElse(corpus.select(col(idCol)).count()))))
     val indexed = emb.select(col(idCol), col(embCol),
         explode(array((0 until tables).map(tb =>
           struct(lit(tb).as("tbl"), F.lshBucket(col("__he"), nBits, tb).as("bkt"))): _*)).as("e"))

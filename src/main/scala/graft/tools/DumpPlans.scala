@@ -35,8 +35,17 @@ object DumpPlans {
     "q_raw_roundtrip" -> "raw format: binaryFile scan decoding one file = one record (codegen'd RawDecode); codec half runs map-only inside one WholeStageCodegen span",
     "q_pb_roundtrip" -> "protobuf wire codec: encode+decode in one codegen'd projection (subexpression-eliminated), map-only into a two-phase agg — no shuffle before the partials",
     "q_cep_classifier" -> "CLASSIFIER()/MATCH_NUMBER(): same single PARTITION BY exchange as every MATCH_RECOGNIZE plan; measures evaluate on the completed match, no extra pass",
-    "q_bucketed_join" -> "co-bucketed metastore tables: the scans carry the join distribution (Bucketed: true) — zero exchanges on the join key; only the final aggregate shuffles",
-    "q_dedup_cosine" -> "embedding near-dup mining: (table,bucket) self-equi-join with width-adaptive buckets — candidate volume ~linear, exact cosine filter on candidates only, no all-pairs")
+    "q_bucketed_join" -> "co-bucketed metastore tables: the scans carry the join distribution (Bucketed: true) — zero exchanges on the join key; only the final aggregate shuffles. (Dumped with broadcast off: at sf0.01 the small side would broadcast and hide the co-located shape; at 100 TB both sides are facts and THIS is the plan)",
+    "q_dedup_cosine" -> "embedding near-dup mining: (table,bucket) self-equi-join with width-adaptive buckets — candidate volume ~linear, exact cosine filter on candidates only, no all-pairs",
+    "q_pb_nested" -> "protobuf composites: nested message/packed repeated/map encode+decode stay one codegen'd map-only projection — composite shapes add zero shuffles over the flat codec",
+    "q_avro_registry" -> "avro-confluent envelope: registry hit once per distinct schema id per task (cached datum readers), then map-only decode into a two-phase agg")
+
+  /** Per-query session overrides applied around the dump — used where
+    * the sf0.01 plan would hide the at-scale shape (e.g. a
+    * broadcastable small side masking a co-located bucketed join).
+    */
+  val dumpConf: Map[String, Seq[(String, String)]] = Map(
+    "q_bucketed_join" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -55,12 +64,20 @@ object DumpPlans {
       w.println()
       w.println("Regenerate: `sbt \"runMain graft.tools.DumpPlans /root/testdata/sf0.01\"`.")
       headline.foreach { case (name, why) =>
-        val df = graft.SparkEntry.queries(name)(spark, sfDir)
-        w.println(s"\n## $name\n")
-        w.println(s"**Scale property:** $why\n")
-        w.println("```")
-        w.println(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
-        w.println("```")
+        val overrides = dumpConf.getOrElse(name, Nil)
+        val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+        overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val df = graft.SparkEntry.queries(name)(spark, sfDir)
+          w.println(s"\n## $name\n")
+          w.println(s"**Scale property:** $why\n")
+          w.println("```")
+          w.println(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+          w.println("```")
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       }
     } finally w.close()
     println(s"wrote $out")

@@ -53,6 +53,34 @@ class CatalogSpec extends SparkSpec {
       assert(keyed(spark.table(t)) === expect, t)
   }
 
+  test("'compression' option: gzip csv writes .gz files that read back transparently (flink-compress analog)") {
+    val src = Tables.load(spark, sfDir, "nation")
+    val base = java.nio.file.Files.createTempDirectory("graft_gz").toString
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE nation_gz (
+         |  n_nationkey BIGINT, n_name VARCHAR(25), n_regionkey BIGINT
+         |) WITH ('connector' = 'filesystem', 'path' = '$base/nation_gz',
+         |        'format' = 'csv', 'csv.header' = 'true',
+         |        'compression' = 'gzip')""".stripMargin)
+    GraftCatalog.insertInto(spark, "nation_gz",
+      src.select("n_nationkey", "n_name", "n_regionkey"), overwrite = true)
+    // the files on disk really are gzip members
+    val files = new java.io.File(s"$base/nation_gz").listFiles
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(files.nonEmpty, "expected .csv.gz output files")
+    val head = new Array[Byte](2)
+    val in = new java.io.FileInputStream(files.head)
+    try { in.read(head) } finally in.close()
+    assert(head(0) === 0x1f.toByte && head(1) === 0x8b.toByte, "gzip magic")
+    // and the table reads them back transparently
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keyed(spark.table("nation_gz")) ===
+      keyed(src.select("n_nationkey", "n_name", "n_regionkey")))
+    GraftCatalog.executeDdl(spark, "DROP TABLE nation_gz")
+  }
+
   test("orc filesystem connector round-trips through INSERT INTO") {
     val src = Tables.load(spark, sfDir, "nation")
     val base = java.nio.file.Files.createTempDirectory("graft_orc").toString

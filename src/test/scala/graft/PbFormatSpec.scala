@@ -223,4 +223,52 @@ class PbFormatSpec extends SparkSpec {
       GraftCatalog.executeDdl(spark, "DROP TABLE k_pb")
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
   }
+
+  test("kafka DDL table decodes COMPOSITE protobuf columns (ROW/ARRAY/MAP)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("addr", StructType(Seq(
+        StructField("city", StringType), StructField("zip", IntegerType)))),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, LongType))))
+    val specs = PbCodec.fieldSpecs(schema, Map.empty)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    def payload(id: Long, city: String, zip: Int, tags: Seq[String],
+        attrs: Map[String, Long]): Array[Byte] =
+      PbCodec.encode(row(id, row(u(city), zip),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          tags.map(u(_): Any).toArray),
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          attrs.keys.map(u(_): Any).toArray, attrs.values.map(Long.box(_): Any).toArray)),
+        specs)
+    val data = Seq(
+      (null: Array[Byte], payload(1L, "oslo", 1234, Seq("x", "y"), Map("k" -> 7L)), 0, 0L),
+      (null: Array[Byte], payload(2L, "pune", 9, Nil, Map.empty[String, Long]), 0, 1L))
+    val log = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (k, v, p, o) =>
+        Row(k, v, "t", p, o, new java.sql.Timestamp(1700000000000L + o), 0)
+      }), KafkaTableFactory.RecordSchema)
+    GraftCatalog.setKafkaWire(new FakeWire(() => log))
+    try {
+      GraftCatalog.executeDdl(spark,
+        """CREATE TABLE k_pb_nested (
+          |  id BIGINT,
+          |  addr ROW<city STRING, zip INT>,
+          |  tags ARRAY<STRING>,
+          |  attrs MAP<STRING, BIGINT>
+          |) WITH ('connector' = 'kafka', 'topic' = 't',
+          |  'properties.bootstrap.servers' = 'broker:9092',
+          |  'format' = 'protobuf')""".stripMargin)
+      val got = spark.table("k_pb_nested").orderBy("id").collect()
+      assert(got.length === 2)
+      assert(got(0).getAs[Row]("addr").getString(0) === "oslo")
+      assert(got(0).getAs[Row]("addr").getInt(1) === 1234)
+      assert(got(0).getAs[scala.collection.Seq[String]]("tags").toSeq === Seq("x", "y"))
+      assert(got(0).getAs[scala.collection.Map[String, Long]]("attrs").toMap === Map("k" -> 7L))
+      // absent composites decode to proto3 defaults: empty, not null
+      assert(got(1).getAs[scala.collection.Seq[String]]("tags").isEmpty)
+      assert(got(1).getAs[scala.collection.Map[String, Long]]("attrs").isEmpty)
+      GraftCatalog.executeDdl(spark, "DROP TABLE k_pb_nested")
+    } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
+  }
 }
