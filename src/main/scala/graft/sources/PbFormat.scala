@@ -212,6 +212,15 @@ object PbCodec {
     case ArrayType(et, _) =>
       val arr = g.getArray(i)
       val n = arr.numElements()
+      // proto repeated fields have no null-element representation —
+      // a silent skip would shift positions, so reject loudly
+      var nn = 0
+      while (nn < n) {
+        if (arr.isNullAt(nn)) sys.error(
+          s"protobuf repeated field ${s.number}: null array elements are not " +
+            "encodable (proto repeated fields hold values only) — filter them out")
+        nn += 1
+      }
       et match {
         case LongType | IntegerType | BooleanType | DoubleType | FloatType =>
           // packed (proto3 default): one len-delimited run; empty

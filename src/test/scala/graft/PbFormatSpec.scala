@@ -148,6 +148,18 @@ class PbFormatSpec extends SparkSpec {
     assert(dm.numElements() === 1 && dm.valueArray().getInt(0) === 9)
     // absent map decodes as EMPTY
     assert(PbCodec.decode(Array.emptyByteArray, specs).getMap(0).numElements() === 0)
+    // a null map VALUE encodes as an entry without field 2 → reads
+    // back as the value type's proto3 default
+    val mNull = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      Array[Any](u("n")), Array[Any](null))
+    val dn = PbCodec.decode(PbCodec.encode(row(mNull), specs), specs).getMap(0)
+    assert(dn.numElements() === 1 && dn.valueArray().getInt(0) === 0)
+    // null REPEATED elements have no wire form — rejected loudly
+    val rSpec = Array(PbFieldSpec(1, ArrayType(IntegerType)))
+    val withNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1, null, 3))
+    val e = intercept[RuntimeException](PbCodec.encode(row(withNull), rSpec))
+    assert(e.getMessage.contains("null array elements"))
   }
 
   test("nested/repeated/map round-trip through codegen'd column expressions") {
