@@ -123,6 +123,43 @@ class AvroConfluentSpec extends SparkSpec {
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
   }
 
+  test("upsert-kafka with avro-confluent key+value: last write wins, tombstone keys decode from the key envelope") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val keySchema = StructType(Seq(StructField("id", LongType)))
+    val valSchema = StructType(Seq(StructField("v", StringType)))
+    val kEnc = graft.sources.AvroConfluentEncode(
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(1)), keySchema, url, "u-key")
+    val vEnc = graft.sources.AvroConfluentEncode(
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(1)), valSchema, url, "u-value")
+    def k(id: Long) = kEnc.nullSafeEval(
+      new GenericInternalRow(Array[Any](id))).asInstanceOf[Array[Byte]]
+    def v(s0: String) = vEnc.nullSafeEval(new GenericInternalRow(
+      Array[Any](UTF8String.fromString(s0)))).asInstanceOf[Array[Byte]]
+    val data = Seq(
+      (k(1L), v("a0"), 0, 0L), (k(2L), v("b0"), 0, 1L),
+      (k(1L), v("a1"), 0, 2L), (k(1L), null: Array[Byte], 0, 3L)) // tombstone
+    val log = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (kk, vv, p, o) =>
+        Row(kk, vv, "u", p, o, new java.sql.Timestamp(1700000000000L + o), 0)
+      }), KafkaTableFactory.RecordSchema)
+    GraftCatalog.setKafkaWire(new FakeWire(() => log))
+    try {
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE k_avro_up (id BIGINT, v STRING, PRIMARY KEY (id) NOT ENFORCED)
+           |WITH ('connector' = 'upsert-kafka', 'topic' = 'u',
+           |  'properties.bootstrap.servers' = 'broker:9092',
+           |  'key.format' = 'avro-confluent', 'value.format' = 'avro-confluent',
+           |  'avro-confluent.url' = '$url')""".stripMargin)
+      // id=1 updated then tombstoned (key decoded from the ENVELOPE,
+      // the value is null), id=2 live
+      val got = spark.table("k_avro_up")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((2L, "b0")))
+      GraftCatalog.executeDdl(spark, "DROP TABLE k_avro_up")
+    } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
+  }
+
   test("kafka encode half frames every record with the registered id") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
     val t = KafkaTableFactory.translate(Map(
