@@ -298,20 +298,43 @@ object GraftCatalog {
     * come from directory names; the caller's select restores their
     * declared types.
     */
-  private def partitionedReader(spark: SparkSession, fmt: String,
-      options: Map[String, String], declared: StructType,
-      partKeys: Seq[String]): org.apache.spark.sql.DataFrameReader = {
-    // every format gets the declared data schema: csv needs it for
-    // names/types (see above), and the self-describing formats need
-    // it whenever the layout holds only empty partition directories
-    // (ALTER TABLE ADD PARTITION before any rows land; DROP of the
-    // last populated partition) — footer inference has no file to
-    // read there and registration would throw UNABLE_TO_INFER_SCHEMA
-    val reader = spark.read.format(fmt)
-      .schema(StructType(declared.fields.filterNot(f => partKeys.contains(f.name))))
-    if (fmt == "csv")
-      reader.option("header", options.getOrElse("csv.header", "false"))
-    else reader
+  /** Load a partitioned layout and project the declared columns.
+    * Self-describing formats keep footer INFERENCE + cast (a physical
+    * BIGINT under a declared INT narrows on read — forcing the
+    * declared schema onto the vectorized parquet reader would throw,
+    * Spark 4 converts widening-only); the declared data schema
+    * applies only when there is nothing to infer from (a layout of
+    * only empty partition directories: fresh CREATE, ADD PARTITION
+    * before rows land, DROP of the last populated partition).
+    * Partition columns missing entirely (no directories) complete as
+    * typed nulls — the relation is empty there anyway.
+    */
+  private def loadPartitionedView(spark: SparkSession, table: String, fmt: String,
+      options: Map[String, String], declared: StructType, path: String): DataFrame = {
+    val partKeys = partitionKeysOf(table)
+    def reader(withSchema: Boolean) = {
+      val r = spark.read.format(fmt)
+      // csv files carry no column names/types — the declared
+      // non-partition schema always applies there (round-3 ADVICE)
+      val r1 = if (fmt == "csv" || withSchema)
+        r.schema(StructType(declared.fields.filterNot(f => partKeys.contains(f.name))))
+      else r
+      if (fmt == "csv") r1.option("header", options.getOrElse("csv.header", "false"))
+      else r1
+    }
+    val loaded =
+      try reader(withSchema = false).load(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          reader(withSchema = true).load(path)
+      }
+    loaded.select(declared.fields.map(f =>
+      if (loaded.columns.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name))
+      .toSeq ++
+      metaColsOf(table).map(mc => org.apache.spark.sql.functions
+        .col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType).as(mc.name)): _*)
   }
 
   /** One decode contract for batch and streaming reads of a CDC
@@ -520,23 +543,9 @@ object GraftCatalog {
     val refreshed =
       if (sink.format == "avro")
         spark.read.format("graft.sources.AvroSource").load(sink.path)
-      else if (partitionKeysOf(table).nonEmpty) {
-        val declared = tableSchemas.getOrElse(table, target)
-        val r2 = partitionedReader(spark, sink.format, sink.options,
-          declared, partitionKeysOf(table))
-        val loaded = r2.load(sink.path)
-        loaded.select(declared.fields.map(f =>
-          // a layout with no partition directories yet (fresh CREATE,
-          // DROP PARTITION of the last one) discovers no partition
-          // columns — complete the schema with typed nulls; the
-          // relation is empty there anyway
-          if (loaded.columns.contains(f.name))
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-          else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name))
-          .toSeq ++
-          metaColsOf(table).map(mc => org.apache.spark.sql.functions
-            .col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType).as(mc.name)): _*)
-      }
+      else if (partitionKeysOf(table).nonEmpty)
+        loadPartitionedView(spark, table, sink.format, sink.options,
+          tableSchemas.getOrElse(table, target), sink.path)
       else {
         val reader = spark.read.format(sink.format)
         val r2 = if (sink.format == "csv")
@@ -1136,9 +1145,14 @@ object GraftCatalog {
       require(kv.keySet == keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
         s"partition spec (${kv.keys.mkString(", ")}) must name exactly the " +
           s"partition keys (${keys.mkString(", ")})")
+      // Spark's writer escapes special characters in partition paths
+      // (':' → %3A etc., ExternalCatalogUtils.escapePathName) — build
+      // the directory the same way or ADD/DROP would miss the data
+      // the writer actually laid down
       val dir = keys.foldLeft(new org.apache.hadoop.fs.Path(sink.path))((p, k) =>
         new org.apache.hadoop.fs.Path(p,
-          s"$k=${kv(k.toLowerCase(java.util.Locale.ROOT))}"))
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(k, kv(k.toLowerCase(java.util.Locale.ROOT)))))
       val fs = dir.getFileSystem(conf)
       if (add) {
         if (fs.exists(dir)) require(lenient,
@@ -1355,25 +1369,11 @@ object GraftCatalog {
         }
         else if (partitionKeysOf(name).nonEmpty) {
           // partitioned layout: partition columns live in directory
-          // names, so read with discovery and restore the DECLARED
-          // column order and types (discovery appends partition cols
-          // last and infers their type from the path strings)
+          // names — read with discovery and restore the DECLARED
+          // column order and types (loadPartitionedView)
           val declared = tableSchemas.getOrElse(name,
             sys.error(s"partitioned table $name needs explicit columns"))
-          val r2 = partitionedReader(spark, fmt, options, declared,
-            partitionKeysOf(name))
-          // declared-order projection + metadata in ONE select:
-          // _metadata is only resolvable on the raw file relation.
-          // No partition directories yet → no discovered partition
-          // columns; complete the (empty) schema with typed nulls
-          val loaded = r2.load(path)
-          loaded.select(declared.fields.map(f =>
-            if (loaded.columns.contains(f.name))
-              org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-            else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name))
-            .toSeq ++
-            metaColsOf(name).map(mc => org.apache.spark.sql.functions
-              .col(s"_metadata.${fileMetaKeys(mc.key)}").cast(mc.dataType).as(mc.name)): _*)
+          loadPartitionedView(spark, name, fmt, options, declared, path)
         }
         else {
           val reader = spark.read.format(fmt)

@@ -276,13 +276,13 @@ object SimilarityQueries {
       .withColumn("__he", transform(col(embCol), x => (x.cast("double") - meanE).cast("float")))
     // adaptive width needs only the ORDER OF MAGNITUDE of the corpus
     // size — at 100 TB pass `knownRows` from catalog stats (ANALYZE
-    // TABLE rowCount) instead of paying a counting pass; next best is
-    // the optimizer's row-count estimate; the id-only count is the
-    // last resort and reads a single pruned column, not the vectors
-    val nBits = nBitsOpt.getOrElse(adaptiveLshBits(knownRows.getOrElse(
-      corpus.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong).filter(_ > 0)
-        .getOrElse(corpus.select(col(idCol)).count()))))
+    // TABLE rowCount) instead of paying a counting pass; the fallback
+    // counts a single pruned id column, not the vectors. (Plan-stats
+    // estimates are NOT used: without CBO a GlobalLimit reports the
+    // limit value, not the data — an overestimate would oversize the
+    // buckets and silently lose near-dup recall.)
+    val nBits = nBitsOpt.getOrElse(adaptiveLshBits(
+      knownRows.getOrElse(corpus.select(col(idCol)).count())))
     val indexed = emb.select(col(idCol), col(embCol),
         explode(array((0 until tables).map(tb =>
           struct(lit(tb).as("tbl"), F.lshBucket(col("__he"), nBits, tb).as("bkt"))): _*)).as("e"))

@@ -80,6 +80,11 @@ final case class FakeRegistryClient(url: String) extends SchemaRegistry {
     s.bySubject.put(subject, id)
     id
   }
+  /** Latest schema id registered under a subject (the Confluent
+    * `GET /subjects/<s>/versions/latest` lookup).
+    */
+  def latestId(subject: String): Option[Int] =
+    Option(s.bySubject.get(subject)).map(_.intValue())
 }
 
 object RegistryClients {
@@ -183,6 +188,11 @@ case class AvroConfluentDecode(child: Expression, schema: StructType, url: Strin
   @transient private lazy val readerSchema = AvroFormat.toAvroSchema(schema)
   @transient private lazy val readers =
     new java.util.HashMap[Int, GenericDatumReader[GenericRecord]]()
+  // decoder + record reused across rows (the avro factory takes them
+  // as reuse arguments for exactly this) — the expression instance is
+  // per-task, so no sharing across threads
+  @transient private var decoderReuse: org.apache.avro.io.BinaryDecoder = _
+  @transient private var recordReuse: GenericRecord = _
   override def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]
     val id = AvroConfluentCodec.schemaId(b)
@@ -192,8 +202,9 @@ case class AvroConfluentDecode(child: Expression, schema: StructType, url: Strin
       r = new GenericDatumReader[GenericRecord](writer, readerSchema)
       readers.put(id, r)
     }
-    val dec = DecoderFactory.get().binaryDecoder(b, 5, b.length - 5, null)
-    AvroConfluentCodec.toRow(r.read(null, dec), schema)
+    decoderReuse = DecoderFactory.get().binaryDecoder(b, 5, b.length - 5, decoderReuse)
+    recordReuse = r.read(recordReuse, decoderReuse)
+    AvroConfluentCodec.toRow(recordReuse, schema)
   }
   override protected def withNewChildInternal(c: Expression): AvroConfluentDecode =
     copy(child = c)
@@ -212,12 +223,16 @@ case class AvroConfluentEncode(child: Expression, schema: StructType, url: Strin
   @transient private lazy val id =
     RegistryClients.forUrl(url).register(subject, avroSchema.toString)
   @transient private lazy val writer = new GenericDatumWriter[GenericRecord](avroSchema)
+  // buffer + encoder reused across rows (reset, not reallocated) —
+  // per-task instance, single-threaded
+  @transient private lazy val out = new java.io.ByteArrayOutputStream(64)
+  @transient private var encoderReuse: org.apache.avro.io.BinaryEncoder = _
   override def nullSafeEval(v: Any): Any = {
     val rec = AvroConfluentCodec.fromRow(v.asInstanceOf[InternalRow], schema, avroSchema)
-    val out = new java.io.ByteArrayOutputStream(64)
-    val enc = EncoderFactory.get().binaryEncoder(out, null)
-    writer.write(rec, enc)
-    enc.flush()
+    out.reset()
+    encoderReuse = EncoderFactory.get().binaryEncoder(out, encoderReuse)
+    writer.write(rec, encoderReuse)
+    encoderReuse.flush()
     AvroConfluentCodec.frame(id, out.toByteArray)
   }
   override protected def withNewChildInternal(c: Expression): AvroConfluentEncode =

@@ -318,6 +318,14 @@ object PbCodec {
       while (k < 4) { bits |= (b(pos + k) & 0xff) << (8 * k); k += 1 }
       pos += 4; bits
     }
+    // every sized read validates against the SLICE bound: a corrupt
+    // length in a nested payload must fail loudly, not silently read
+    // the sibling fields' bytes (the flat decoder got this for free
+    // from the array end)
+    def need(n: Int, number: Int): Unit =
+      require(n >= 0 && pos + n <= until,
+        s"protobuf field $number: length $n overruns the message bounds " +
+          s"($pos + $n > $until) — corrupt payload")
     def boxVarint(dt: DataType, v: Long, number: Int): Any = dt match {
       case LongType => v
       case IntegerType => v.toInt
@@ -325,7 +333,8 @@ object PbCodec {
       case other => sys.error(
         s"protobuf field $number: varint payload for declared type ${other.sql}")
     }
-    def subMessage(idx: Int, len: Int): InternalRow = {
+    def subMessage(idx: Int, len: Int, number: Int): InternalRow = {
+      need(len, number)
       val sub = decodeRange(b, pos, pos + len, msg.childMsgs(idx))
       pos += len
       sub
@@ -345,29 +354,37 @@ object PbCodec {
               case (LongType | IntegerType | BooleanType, 0) =>
                 listAt(idx).add(boxVarint(et, varint(), number))
               case (LongType | IntegerType | BooleanType, 2) =>
-                val end = pos + varint().toInt
+                val len = varint().toInt
+                need(len, number)
+                val end = pos + len
                 val l = listAt(idx)
                 while (pos < end) l.add(boxVarint(et, varint(), number))
               case (DoubleType, 1) =>
                 listAt(idx).add(java.lang.Double.longBitsToDouble(fixed64()))
               case (DoubleType, 2) =>
-                val end = pos + varint().toInt
+                val len = varint().toInt
+                need(len, number)
+                val end = pos + len
                 val l = listAt(idx)
                 while (pos < end) l.add(java.lang.Double.longBitsToDouble(fixed64()))
               case (FloatType, 5) =>
                 listAt(idx).add(java.lang.Float.intBitsToFloat(fixed32()))
               case (FloatType, 2) =>
-                val end = pos + varint().toInt
+                val len = varint().toInt
+                need(len, number)
+                val end = pos + len
                 val l = listAt(idx)
                 while (pos < end) l.add(java.lang.Float.intBitsToFloat(fixed32()))
               case (StringType, 2) =>
                 val len = varint().toInt
+                need(len, number)
                 listAt(idx).add(UTF8String.fromBytes(b, pos, len)); pos += len
               case (BinaryType, 2) =>
                 val len = varint().toInt
+                need(len, number)
                 listAt(idx).add(java.util.Arrays.copyOfRange(b, pos, pos + len)); pos += len
               case (_: StructType, 2) =>
-                listAt(idx).add(subMessage(idx, varint().toInt))
+                listAt(idx).add(subMessage(idx, varint().toInt, number))
               case (o, w) => sys.error(
                 s"protobuf field $number: wire type $w for repeated ${o.sql}")
             }
@@ -377,11 +394,11 @@ object PbCodec {
               // last-one-wins on repeated occurrences of a singular
               // message, per the spec's merge rule for this factory's
               // non-merging reader
-              row.update(idx, subMessage(idx, varint().toInt))
+              row.update(idx, subMessage(idx, varint().toInt, number))
             case MapType(_, _, _) =>
               if (wire != 2) sys.error(
                 s"protobuf field $number: wire type $wire for a map entry")
-              listAt(idx).add(subMessage(idx, varint().toInt))
+              listAt(idx).add(subMessage(idx, varint().toInt, number))
             case dt => wire match {
               case 0 => row.update(idx, boxVarint(dt, varint(), number))
               case 1 =>
@@ -398,6 +415,7 @@ object PbCodec {
                 }
               case 2 =>
                 val len = varint().toInt
+                need(len, number)
                 dt match {
                   case StringType => row.update(idx, UTF8String.fromBytes(b, pos, len))
                   case BinaryType => row.update(idx, java.util.Arrays.copyOfRange(b, pos, pos + len))
@@ -413,7 +431,7 @@ object PbCodec {
             case 0 => varint()
             case 1 => pos += 8
             case 5 => pos += 4
-            case 2 => pos += varint().toInt
+            case 2 => val len = varint().toInt; need(len, number); pos += len
             case w => sys.error(s"protobuf: unsupported wire type $w in unknown field $number")
           }
       }

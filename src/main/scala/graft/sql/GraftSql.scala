@@ -1024,6 +1024,12 @@ object GraftSql {
       val name = toks(2).text
       require(spark.catalog.tableExists(name),
         s"ALTER VIEW: unknown view '$name'")
+      // connector TABLES register as temp views too — renaming one
+      // here would move the view but strand every catalog registry
+      // entry under the old name (the reference throws 'is not a
+      // view'; so do we)
+      require(!graft.catalog.GraftCatalog.isRegistered(name),
+        s"ALTER VIEW: '$name' is a table, not a view (use ALTER TABLE)")
       if (toks.length == 6 && toks(3).is("RENAME") && toks(4).is("TO")) {
         val newName = toks(5).text
         require(!spark.catalog.tableExists(newName),

@@ -41,6 +41,8 @@ class AvroConfluentSpec extends SparkSpec {
     assert(c.register("other-value", s1) === id1) // global per schema text
     assert(c.register("t-key", s2) !== id1)
     assert(c.schemaById(id1) === s1)
+    assert(c.latestId("t-value") === Some(id1))
+    assert(c.latestId("never-registered") === None)
     intercept[IllegalArgumentException](c.schemaById(9999))
     val e = intercept[RuntimeException](
       RegistryClients.forUrl("http://registry:8081"))

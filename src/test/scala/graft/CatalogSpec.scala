@@ -438,6 +438,13 @@ class CatalogSpec extends SparkSpec {
       // a non-partitioned table rejects partition DDL
       intercept[RuntimeException](GraftCatalog.executeDdl(spark,
         "ALTER TABLE ap_np ADD PARTITION (tag = 'x')"))
+      // special characters follow Spark's writer escaping (':' →
+      // %3A): DROP must hit the directory the writer actually made
+      graft.sql.GraftSql.sql(spark,
+        "INSERT INTO ap_t PARTITION (tag = 'a:b') SELECT 9")
+      assert(spark.table("ap_t").where("tag = 'a:b'").count() === 1)
+      GraftCatalog.executeDdl(spark, "ALTER TABLE ap_t DROP PARTITION (tag = 'a:b')")
+      assert(spark.table("ap_t").where("tag = 'a:b'").count() === 0)
     } finally GraftCatalog.executeDdl(spark, "DROP TABLE ap_t")
   }
 

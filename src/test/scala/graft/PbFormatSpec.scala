@@ -104,6 +104,15 @@ class PbFormatSpec extends SparkSpec {
     assert(dec.getStruct(0, 1).getInt(0) === 150)
     // absent nested message decodes as null (proto3 'not set')
     assert(PbCodec.decode(Array.emptyByteArray, specs).isNullAt(0))
+    // a corrupt nested length that overruns the slice fails LOUDLY
+    // instead of silently reading the sibling fields' bytes
+    val outer = Array(PbFieldSpec(3,
+      StructType(Seq(StructField("s", StringType))),
+      Array(PbFieldSpec(1, StringType))), PbFieldSpec(4, LongType))
+    // field 3: submessage claiming an inner string of 200 bytes
+    val corrupt = Array[Byte](0x1a, 0x04, 0x0a, 200.toByte, 0x01, 0x00, 0x20, 0x07)
+    val e = intercept[IllegalArgumentException](PbCodec.decode(corrupt, outer))
+    assert(e.getMessage.contains("overruns"))
   }
 
   test("packed repeated golden bytes (encoding guide Test4) + unpacked accepted") {

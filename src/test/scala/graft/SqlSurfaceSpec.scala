@@ -37,6 +37,16 @@ class SqlSurfaceSpec extends SparkSpec {
         GraftSql.sql(spark, "ALTER VIEW no_such_view RENAME TO x"))
       intercept[RuntimeException](
         GraftSql.sql(spark, "ALTER VIEW av_v2 SET ('k' = 'v')"))
+      // a connector TABLE is not a view — renaming it here would
+      // strand its catalog registrations under the old name
+      graft.catalog.GraftCatalog.executeDdl(spark,
+        """CREATE TABLE av_tbl (id BIGINT) WITH ('connector' = 'datagen',
+          |  'number-of-rows' = '1')""".stripMargin)
+      try {
+        val t = intercept[IllegalArgumentException](
+          GraftSql.sql(spark, "ALTER VIEW av_tbl RENAME TO av_tbl2"))
+        assert(t.getMessage.contains("is a table"))
+      } finally graft.catalog.GraftCatalog.executeDdl(spark, "DROP TABLE av_tbl")
     } finally GraftSql.sql(spark, "DROP VIEW av_v2")
   }
 
