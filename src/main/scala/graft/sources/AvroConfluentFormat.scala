@@ -199,7 +199,20 @@ case class AvroConfluentDecode(child: Expression, schema: StructType, url: Strin
     var r = readers.get(id)
     if (r == null) {
       val writer = new ASchema.Parser().parse(client.schemaById(id))
-      r = new GenericDatumReader[GenericRecord](writer, readerSchema)
+      // avro resolution matches records by FULL NAME: a foreign
+      // producer names its record whatever its schema says, so alias
+      // the reader to the writer's name (fresh reader schema per
+      // distinct writer — addAlias mutates)
+      val rs =
+        if (writer.getType == ASchema.Type.RECORD &&
+            writer.getFullName != readerSchema.getFullName) {
+          val fresh = AvroFormat.toAvroSchema(schema)
+          // explicit "" keeps a namespace-less writer name unqualified
+          // (null would default to the READER's namespace)
+          fresh.addAlias(writer.getName, Option(writer.getNamespace).getOrElse(""))
+          fresh
+        } else readerSchema
+      r = new GenericDatumReader[GenericRecord](writer, rs)
       readers.put(id, r)
     }
     decoderReuse = DecoderFactory.get().binaryDecoder(b, 5, b.length - 5, decoderReuse)

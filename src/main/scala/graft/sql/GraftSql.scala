@@ -883,8 +883,16 @@ object GraftSql {
         fs.listStatus(dir).toSeq
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith(s"${keys(depth)}="))
-          .flatMap(st => walk(st.getPath, depth + 1,
-            s"$prefix/${st.getPath.getName}"))
+          .flatMap { st =>
+            // directory names carry Spark's path escaping (':' →
+            // %3A); render the partition VALUE unescaped, like the
+            // reference lists spec values, not paths
+            val name = st.getPath.getName
+            val shown = s"${keys(depth)}=" + org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(
+                name.substring(keys(depth).length + 1))
+            walk(st.getPath, depth + 1, s"$prefix/$shown")
+          }
       }
       return walk(new org.apache.hadoop.fs.Path(root), 0, "")
         .sorted.toDF("partition")

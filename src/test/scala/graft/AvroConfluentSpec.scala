@@ -125,6 +125,34 @@ class AvroConfluentSpec extends SparkSpec {
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
   }
 
+  test("a foreign writer's record name resolves via reader alias") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    // a producer that names its record com.acme.Event (not our
+    // graft.avro.row) — same fields
+    val writerSchema = new ASchema.Parser().parse(
+      """{"type":"record","name":"Event","namespace":"com.acme","fields":[
+        |{"name":"id","type":"long"},{"name":"v","type":["null","string"],"default":null}
+        |]}""".stripMargin)
+    val c = FakeRegistryClient(url)
+    val id = c.register("foreign-value", writerSchema.toString)
+    val rec = new GenericData.Record(writerSchema)
+    rec.put(0, Long.box(42L)); rec.put(1, "zz")
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](writerSchema).write(rec, enc)
+    enc.flush()
+    val payload = AvroConfluentCodec.frame(id, out.toByteArray)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    import spark.implicits._
+    val got = Seq(payload).toDF("p")
+      .select(AvroConfluentFormat.decode(col("p"), schema,
+        Map("avro-confluent.url" -> url)).as("m"))
+      .select(col("m.id"), col("m.v")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((42L, "zz")))
+  }
+
   test("upsert-kafka with avro-confluent key+value: last write wins, tombstone keys decode from the key envelope") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String

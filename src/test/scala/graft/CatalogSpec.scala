@@ -443,6 +443,9 @@ class CatalogSpec extends SparkSpec {
       graft.sql.GraftSql.sql(spark,
         "INSERT INTO ap_t PARTITION (tag = 'a:b') SELECT 9")
       assert(spark.table("ap_t").where("tag = 'a:b'").count() === 1)
+      // SHOW PARTITIONS renders the UNESCAPED value (dir is tag=a%3Ab)
+      assert(graft.sql.GraftSql.sql(spark, "SHOW PARTITIONS ap_t")
+        .collect().map(_.getString(0)).toSet.contains("tag=a:b"))
       GraftCatalog.executeDdl(spark, "ALTER TABLE ap_t DROP PARTITION (tag = 'a:b')")
       assert(spark.table("ap_t").where("tag = 'a:b'").count() === 0)
     } finally GraftCatalog.executeDdl(spark, "DROP TABLE ap_t")
