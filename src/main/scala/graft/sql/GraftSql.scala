@@ -812,6 +812,67 @@ object GraftSql {
       spark.catalog.setCurrentCatalog(cleanName(toks(2).text))
       return spark.emptyDataFrame
     }
+    // CREATE CATALOG c WITH ('type' = ...) (SqlCreateCatalog).
+    // 'jdbc' maps the reference's JdbcCatalog (flink-connector-jdbc)
+    // onto Spark's JDBCTableCatalog — a real federated catalog: its
+    // namespaces are the database's schemas, tables query live over
+    // the wire. 'generic_in_memory' and 'hive' map to capabilities
+    // the session already has / the environment lacks — reasoned
+    // rejections, not parse failures.
+    if (toks.length > 3 && toks.head.is("CREATE") && toks(1).is("CATALOG")) {
+      val name = cleanName(toks(2).text)
+      require(name != "spark_catalog", "CREATE CATALOG: 'spark_catalog' is reserved")
+      val withIdx = toks.indexWhere(_.is("WITH"))
+      require(withIdx > 0 && withIdx + 1 < toks.length && toks(withIdx + 1).isPunct("("),
+        "CREATE CATALOG expects: CREATE CATALOG <name> WITH ('type' = '...', ...)")
+      val close = matchParen(toks, withIdx + 1)
+      val optsText = text.substring(toks(withIdx + 1).end, toks(close).start)
+      val opts = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(optsText)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      opts.getOrElse("type", sys.error("CREATE CATALOG needs 'type'")) match {
+        case "jdbc" =>
+          // the reference builds url = base-url + '/' + default-database;
+          // a full url in 'base-url' with no default-database also works
+          // (embedded Derby urls have no slash-database form)
+          val base = opts.getOrElse("base-url",
+            sys.error("jdbc catalog needs 'base-url'"))
+          val url = opts.get("default-database")
+            .map(db => base.stripSuffix("/") + "/" + db).getOrElse(base)
+          spark.conf.set(s"spark.sql.catalog.$name",
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+          spark.conf.set(s"spark.sql.catalog.$name.url", url)
+          opts.get("username").foreach(u =>
+            spark.conf.set(s"spark.sql.catalog.$name.user", u))
+          opts.get("password").foreach(p =>
+            spark.conf.set(s"spark.sql.catalog.$name.password", p))
+          opts.get("driver").foreach(d =>
+            spark.conf.set(s"spark.sql.catalog.$name.driver", d))
+        case "generic_in_memory" => sys.error(
+          "CREATE CATALOG type 'generic_in_memory': the session catalog is " +
+            "already in-memory — CREATE DATABASE inside it gives the same " +
+            "isolation the reference's GenericInMemoryCatalog provides")
+        case "hive" => sys.error(
+          "CREATE CATALOG type 'hive': needs a Hive metastore service — " +
+            "environmental residue; Spark's native Hive support binds via " +
+            "spark.sql.catalogImplementation=hive at session build")
+        case other => sys.error(s"CREATE CATALOG: unknown type '$other' " +
+          "(jdbc is implemented; generic_in_memory/hive are rejected with reason)")
+      }
+      return spark.emptyDataFrame
+    }
+    // DROP CATALOG c — unregisters the conf entries; a catalog
+    // INSTANCE the session already loaded stays cached until the
+    // session ends (Spark's CatalogManager has no per-catalog evict)
+    if (toks.length == 3 && toks.head.is("DROP") && toks(1).is("CATALOG")) {
+      val name = cleanName(toks(2).text)
+      require(name != "spark_catalog", "DROP CATALOG: 'spark_catalog' is reserved")
+      require(spark.catalog.currentCatalog() != name,
+        s"DROP CATALOG: '$name' is the current catalog (USE CATALOG another first)")
+      spark.conf.getAll.keys.filter(k =>
+          k == s"spark.sql.catalog.$name" || k.startsWith(s"spark.sql.catalog.$name."))
+        .foreach(spark.conf.unset)
+      return spark.emptyDataFrame
+    }
     // SHOW CURRENT DATABASE / SHOW CURRENT CATALOG (SqlShowCurrent*):
     // database DDL itself (CREATE/DROP DATABASE, USE, SHOW DATABASES)
     // falls through to Spark's native statements below

@@ -73,6 +73,40 @@ class SqlSurfaceSpec extends SparkSpec {
       GraftSql.sql(spark, s"REMOVE JAR '${f.getAbsolutePath}'"))
   }
 
+  test("CREATE CATALOG 'jdbc' federates a live database (JdbcCatalog analog); DROP CATALOG unregisters") {
+    // a Derby database with a table created OUTSIDE Spark — the
+    // catalog must see it live over the wire, not via any import
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toFile
+    val url = s"jdbc:derby:${dir.getAbsolutePath}/catdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE CAT_T (ID BIGINT, V VARCHAR(10))")
+      st.execute("INSERT INTO CAT_T VALUES (1, 'a'), (2, 'b')")
+      st.close()
+    } finally conn.close()
+    GraftSql.sql(spark,
+      s"CREATE CATALOG jcat WITH ('type' = 'jdbc', 'base-url' = '$url')")
+    try {
+      // the federated namespace is the database schema (Derby: APP)
+      val got = spark.sql("SELECT ID, V FROM jcat.APP.CAT_T ORDER BY ID")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((1L, "a"), (2L, "b")))
+      assert(GraftSql.sql(spark, "SHOW CATALOGS").collect()
+        .map(_.getString(0)).contains("jcat"))
+      // unknown/environment-bound types carry reasoned rejections
+      val g = intercept[RuntimeException](GraftSql.sql(spark,
+        "CREATE CATALOG c2 WITH ('type' = 'generic_in_memory')"))
+      assert(g.getMessage.contains("already in-memory"))
+      val h = intercept[RuntimeException](GraftSql.sql(spark,
+        "CREATE CATALOG c3 WITH ('type' = 'hive')"))
+      assert(h.getMessage.contains("environmental"))
+    } finally {
+      GraftSql.sql(spark, "DROP CATALOG jcat")
+      assert(!spark.conf.getAll.keys.exists(_.startsWith("spark.sql.catalog.jcat")))
+    }
+  }
+
   test("database/catalog statements: ALTER/DESCRIBE DATABASE, USE CATALOG, SHOW CATALOGS") {
     GraftSql.sql(spark, "CREATE DATABASE IF NOT EXISTS surface_db COMMENT 'spec db'")
     try {
