@@ -313,9 +313,17 @@ object KafkaTableFactory {
           PbFormat.encode(payload, schema, t.formatOptions, prefix)
         case "avro-confluent" =>
           // Confluent TopicNameStrategy: the subject defaults to
-          // <topic>-value / <topic>-key
-          AvroConfluentFormat.encode(payload, schema, t.formatOptions, prefix,
-            t.sparkOptions.getOrElse("subscribe", "topic"))
+          // <topic>-value / <topic>-key — a topic-PATTERN table has no
+          // concrete topic to derive a subject from, so require one
+          // (or an explicit 'avro-confluent.subject' override)
+          val subjectBase = t.sparkOptions.get("subscribe")
+            .orElse(t.formatOptions.get(s"${prefix}avro-confluent.subject")
+              .orElse(t.formatOptions.get("avro-confluent.subject")).map(_ => "unused"))
+            .getOrElse(sys.error(
+              "avro-confluent encode: a topic-pattern table has no concrete " +
+                "topic for the TopicNameStrategy subject — declare " +
+                "'avro-confluent.subject' or use a single 'topic'"))
+          AvroConfluentFormat.encode(payload, schema, t.formatOptions, prefix, subjectBase)
       }
     }
     val keyCol: Column = t.keyFormat match {
