@@ -134,6 +134,21 @@ class PbFormatSpec extends SparkSpec {
     // absent repeated decodes as EMPTY (proto3), not null
     val empty = PbCodec.decode(Array.emptyByteArray, specs)
     assert(!empty.isNullAt(0) && empty.getArray(0).numElements() === 0)
+    // packed booleans: [true, false, true] under field 4 → 22 03 01 00 01
+    val bSpecs = Array(PbFieldSpec(4, ArrayType(BooleanType)))
+    val bEnc = PbCodec.encode(row(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](true, false, true))), bSpecs)
+    assert(bEnc.toSeq === Seq[Byte](0x22, 0x03, 0x01, 0x00, 0x01))
+    assert(PbCodec.decode(bEnc, bSpecs).getArray(0).toBooleanArray().toSeq ===
+      Seq(true, false, true))
+    // packed doubles round-trip through fixed64 runs
+    val dSpecs = Array(PbFieldSpec(5, ArrayType(DoubleType)))
+    val dEnc = PbCodec.encode(row(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](1.5d, -2.25d))), dSpecs)
+    assert(PbCodec.decode(dEnc, dSpecs).getArray(0).toDoubleArray().toSeq ===
+      Seq(1.5d, -2.25d))
   }
 
   test("map fields use the published entry encoding; duplicate keys last-wins") {
