@@ -1245,8 +1245,11 @@ object GraftCatalog {
           tableUpsert.put(name, UpsertSpec(pk, vcols))
         }
         // a CDC format IS the changelog declaration — no changelog-mode
-        // option needed; keys/version order feed the normalize path
-        if (cdcFormats.contains(options.getOrElse("format", ""))) {
+        // option needed; keys/version order feed the normalize path.
+        // debezium-avro-confluent is the kafka-carried avro twin of
+        // debezium-json — same changelog contract
+        if (cdcFormats.contains(options.getOrElse("format", "")) ||
+            options.getOrElse("format", "") == "debezium-avro-confluent") {
           val vcols = options.get("version-by")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)

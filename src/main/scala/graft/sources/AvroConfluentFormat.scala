@@ -133,6 +133,7 @@ object AvroConfluentCodec {
             val bb = v.asInstanceOf[java.nio.ByteBuffer]
             val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
           case TimestampType => v.asInstanceOf[java.lang.Long].longValue() // micros
+          case st: StructType => toRow(v.asInstanceOf[GenericRecord], st)
           case _ => v
         }
       i += 1
@@ -157,6 +158,15 @@ object AvroConfluentCodec {
           case BooleanType => Boolean.box(row.getBoolean(i))
           case StringType => row.getUTF8String(i).toString
           case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case st: StructType =>
+            // the avro field schema, unwrapped from the nullable union
+            val fs = avroSchema.getFields.get(i).schema()
+            val sub =
+              if (fs.getType == ASchema.Type.UNION) {
+                import scala.jdk.CollectionConverters._
+                fs.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+              } else fs
+            fromRow(row.getStruct(i, st.length), st, sub)
           case other => sys.error(s"avro-confluent format does not support type ${other.sql}")
         }
         rec.put(i, v)
@@ -167,10 +177,13 @@ object AvroConfluentCodec {
   }
 
   def validate(schema: StructType, what: String): Unit =
-    schema.fields.foreach(f => require(Set[DataType](LongType, IntegerType,
-        DoubleType, FloatType, BooleanType, StringType, BinaryType,
-        TimestampType).contains(f.dataType),
-      s"avro-confluent format on $what does not support type ${f.dataType.sql}"))
+    schema.fields.foreach(f => f.dataType match {
+      case st: StructType => validate(st, what) // nested record
+      case t => require(Set[DataType](LongType, IntegerType,
+          DoubleType, FloatType, BooleanType, StringType, BinaryType,
+          TimestampType).contains(t),
+        s"avro-confluent format on $what does not support type ${t.sql}")
+    })
 }
 
 /** Decode an avro-confluent envelope column to a STRUCT of the

@@ -51,6 +51,10 @@ object AvroFormat {
         case BinaryType  => ASchema.create(ASchema.Type.BYTES)
         case TimestampType =>
           LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+        // nested record, named after the FIELD (unique within the
+        // enclosing record — avro forbids re-defining a full name);
+        // the debezium-avro envelope's before/after images need this
+        case st: StructType => toAvroSchema(st, f.name)
         case other => sys.error(s"avro format: unsupported type $other")
       }
       val s =
@@ -83,6 +87,7 @@ object AvroFormat {
         case ASchema.Type.BOOLEAN => BooleanType
         case ASchema.Type.STRING  => StringType
         case ASchema.Type.BYTES   => BinaryType
+        case ASchema.Type.RECORD  => toSparkSchema(s)
         case other => sys.error(s"avro format: unsupported avro type $other")
       }
       StructField(f.name(), dt, nullable)

@@ -185,7 +185,56 @@ object KafkaTableFactory {
     * pair rides along as __part/__offset so a keep-last
     * materialization orders correctly per key.
     */
+  /** debezium-avro-confluent value format (flink-formats/
+    * flink-avro-confluent-registry/debezium/
+    * DebeziumAvroDeserializationSchema.java): the debezium
+    * before/after/op envelope, avro-confluent encoded instead of
+    * json. The envelope decodes through the registry once per record,
+    * then the same op routing as debezium-json: c/r → +I(after),
+    * u → -U(before) +U(after), d → -D(before); null kafka values
+    * (tombstones) are skipped like the json twin's empty lines;
+    * missing images or unknown ops are strict errors (the reference
+    * NPEs into its corrupt path).
+    */
+  private def decodeDebeziumAvro(records: DataFrame, physical: StructType,
+      t: Translated): DataFrame = {
+    import graft.changelog.Changelog
+    val envelope = StructType(Seq(
+      StructField("before", physical), StructField("after", physical),
+      StructField("op", StringType)))
+    val rowT = ArrayType(StructType(physical.fields :+
+      StructField(Changelog.RowKindCol, ByteType, nullable = false)))
+    def rowOf(img: Column, kind: Byte): Column =
+      struct(physical.fieldNames.toSeq.map(f => img.getField(f).as(f)) :+
+        lit(kind).as(Changelog.RowKindCol): _*)
+    val parsed = records.filter(col("value").isNotNull)
+      .withColumn("__j",
+        AvroConfluentFormat.decode(col("value"), envelope, t.formatOptions, "value."))
+    val before = col("__j").getField("before")
+    val after = col("__j").getField("after")
+    val op = col("__j").getField("op")
+    val onError = raise_error(concat(
+      lit("corrupt or incomplete debezium-avro record (op="),
+      coalesce(op, lit("null")),
+      lit("): updates/deletes need the before image — set REPLICA IDENTITY FULL")))
+      .cast(rowT)
+    val rows =
+      when(op.isin("c", "r") && after.isNotNull, array(rowOf(after, Changelog.Insert)))
+        .when(op === "u" && before.isNotNull && after.isNotNull,
+          array(rowOf(before, Changelog.UpdateBefore),
+            rowOf(after, Changelog.UpdateAfter)))
+        .when(op === "d" && before.isNotNull, array(rowOf(before, Changelog.Delete)))
+        .otherwise(onError)
+    parsed.select(explode(rows).as("__r")).select(col("__r.*"))
+  }
+
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
+    if (t.valueFormat == "debezium-avro-confluent") {
+      require(!t.upsert,
+        "debezium-avro-confluent is a changelog format — upsert-kafka needs an " +
+          "insert-only value format (the reference rejects this pairing too)")
+      return decodeDebeziumAvro(records, physical, t)
+    }
     val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent")
     require(implemented.contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented " +

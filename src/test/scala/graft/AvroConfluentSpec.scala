@@ -190,6 +190,60 @@ class AvroConfluentSpec extends SparkSpec {
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
   }
 
+  test("debezium-avro-confluent: the avro-encoded changelog envelope routes to +I/-U/+U/-D") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val physical = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val envelope = StructType(Seq(
+      StructField("before", physical), StructField("after", physical),
+      StructField("op", StringType)))
+    val enc = graft.sources.AvroConfluentEncode(
+      org.apache.spark.sql.graft.ColumnBridge.expression(lit(1)), envelope, url, "dbz-value")
+    def img(id: Long, v: String) =
+      new GenericInternalRow(Array[Any](id, UTF8String.fromString(v)))
+    def rec(before: GenericInternalRow, after: GenericInternalRow, op: String) =
+      enc.nullSafeEval(new GenericInternalRow(Array[Any](before, after,
+        UTF8String.fromString(op)))).asInstanceOf[Array[Byte]]
+    val data = Seq(
+      (null: Array[Byte], rec(null, img(1L, "a"), "c"), 0, 0L),
+      (null: Array[Byte], rec(img(1L, "a"), img(1L, "a2"), "u"), 0, 1L),
+      (null: Array[Byte], rec(img(1L, "a2"), null, "d"), 0, 2L),
+      (null: Array[Byte], null, 0, 3L)) // kafka tombstone: skipped
+    val log = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map { case (k, v, p, o) =>
+        Row(k, v, "dbz", p, o, new java.sql.Timestamp(1700000000000L + o), 0)
+      }), KafkaTableFactory.RecordSchema)
+    GraftCatalog.setKafkaWire(new FakeWire(() => log))
+    try {
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE k_dbz_avro (id BIGINT, v STRING)
+           |WITH ('connector' = 'kafka', 'topic' = 'dbz',
+           |  'properties.bootstrap.servers' = 'broker:9092',
+           |  'format' = 'debezium-avro-confluent',
+           |  'avro-confluent.url' = '$url')""".stripMargin)
+      import graft.changelog.Changelog
+      val got = spark.table("k_dbz_avro")
+        .collect().map(r => (r.getByte(r.fieldIndex(Changelog.RowKindCol)),
+          r.getLong(0), r.getString(1))).toSet
+      assert(got === Set(
+        (Changelog.Insert, 1L, "a"),
+        (Changelog.UpdateBefore, 1L, "a"), (Changelog.UpdateAfter, 1L, "a2"),
+        (Changelog.Delete, 1L, "a2")))
+      // the format registers as a changelog declaration (normalize path)
+      assert(GraftCatalog.cdcOf("k_dbz_avro").isDefined)
+      GraftCatalog.executeDdl(spark, "DROP TABLE k_dbz_avro")
+    } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
+    // upsert-kafka + a changelog value format is rejected like the reference
+    val t = KafkaTableFactory.translate(Map(
+      "connector" -> "upsert-kafka", "topic" -> "dbz",
+      "properties.bootstrap.servers" -> "broker:9092",
+      "key.format" -> "json", "key.fields" -> "id",
+      "value.format" -> "debezium-avro-confluent", "avro-confluent.url" -> url))
+    val e = intercept[IllegalArgumentException](
+      KafkaTableFactory.decode(spark.emptyDataFrame, physical, t))
+    assert(e.getMessage.contains("insert-only"))
+  }
+
   test("kafka encode half frames every record with the registered id") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
     val t = KafkaTableFactory.translate(Map(
