@@ -228,6 +228,36 @@ object KafkaTableFactory {
     parsed.select(explode(rows).as("__r")).select(col("__r.*"))
   }
 
+  /** Write half of debezium-avro-confluent
+    * (DebeziumAvroSerializationSchema.java): the same per-row mapping
+    * as the json CDC write half — +I/+U emit op 'c' with the after
+    * image, -U/-D emit op 'd' with the before image (a single row
+    * carries one image, so an update round-trips as delete+create,
+    * exactly the json twin's documented contract). Append-only input
+    * (no __rowkind) is all inserts.
+    */
+  private def encodeDebeziumAvro(rows: DataFrame, physical: StructType,
+      t: Translated): DataFrame = {
+    import graft.changelog.Changelog
+    val envelope = StructType(Seq(
+      StructField("before", physical), StructField("after", physical),
+      StructField("op", StringType)))
+    val img = struct(physical.fieldNames.toSeq.map(col): _*)
+    val isDelete =
+      if (rows.columns.contains(Changelog.RowKindCol))
+        col(Changelog.RowKindCol).isin(Changelog.UpdateBefore, Changelog.Delete)
+      else lit(false)
+    val env = struct(
+      when(isDelete, img).otherwise(lit(null).cast(physical)).as("before"),
+      when(!isDelete, img).otherwise(lit(null).cast(physical)).as("after"),
+      when(isDelete, lit("d")).otherwise(lit("c")).as("op"))
+    val subject = t.sparkOptions.getOrElse("subscribe",
+      sys.error("debezium-avro-confluent encode needs a concrete 'topic'"))
+    rows.select(lit(null).cast("binary").as("key"),
+      AvroConfluentFormat.encode(env, envelope, t.formatOptions, "value.", subject)
+        .as("value"))
+  }
+
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
     if (t.valueFormat == "debezium-avro-confluent") {
       require(!t.upsert,
@@ -334,6 +364,8 @@ object KafkaTableFactory {
     * Only the producer socket itself stays environmental residue.
     */
   def encode(rows: DataFrame, physical: StructType, t: Translated): DataFrame = {
+    if (t.valueFormat == "debezium-avro-confluent")
+      return encodeDebeziumAvro(rows, physical, t)
     val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent")
     require(implemented.contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented " +

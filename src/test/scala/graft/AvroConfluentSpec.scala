@@ -244,6 +244,33 @@ class AvroConfluentSpec extends SparkSpec {
     assert(e.getMessage.contains("insert-only"))
   }
 
+  test("debezium-avro-confluent write half round-trips through the decoder") {
+    import graft.changelog.Changelog
+    val physical = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val t = KafkaTableFactory.translate(Map(
+      "connector" -> "kafka", "topic" -> "dbz-w",
+      "properties.bootstrap.servers" -> "broker:9092",
+      "format" -> "debezium-avro-confluent", "avro-confluent.url" -> url))
+    import spark.implicits._
+    // a changelog: insert, update (as -U/+U), delete
+    val changelog = Seq(
+      (1L, "a", Changelog.Insert), (1L, "a", Changelog.UpdateBefore),
+      (1L, "a2", Changelog.UpdateAfter), (2L, "b", Changelog.Delete))
+      .toDF("id", "v", Changelog.RowKindCol)
+    val records = KafkaTableFactory.encode(changelog, physical, t)
+    val asLog = records.select(col("key"), col("value"), lit("dbz-w").as("topic"),
+      lit(0).as("partition"), monotonically_increasing_id().as("offset"),
+      lit(new java.sql.Timestamp(1L)).as("timestamp"), lit(0).as("timestampType"))
+    val decoded = KafkaTableFactory.decode(asLog, physical, t)
+      .collect().map(r => (r.getByte(r.fieldIndex(Changelog.RowKindCol)),
+        r.getLong(0), r.getString(1))).toSet
+    // +I/+U become op c → +I; -U/-D become op d → -D (the json CDC
+    // write half's documented delete+create update contract)
+    assert(decoded === Set(
+      (Changelog.Insert, 1L, "a"), (Changelog.Insert, 1L, "a2"),
+      (Changelog.Delete, 1L, "a"), (Changelog.Delete, 2L, "b")))
+  }
+
   test("kafka encode half frames every record with the registered id") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
     val t = KafkaTableFactory.translate(Map(
