@@ -784,7 +784,10 @@ object GraftCatalog {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  private def parseOptions(s: String): Map[String, String] =
+  /** WITH-clause option parsing, shared by every statement that
+    * takes one ('k' = 'v', keys lowercased).
+    */
+  private[graft] def parseOptions(s: String): Map[String, String] =
     """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
       .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
 
@@ -1247,9 +1250,13 @@ object GraftCatalog {
         // a CDC format IS the changelog declaration — no changelog-mode
         // option needed; keys/version order feed the normalize path.
         // debezium-avro-confluent is the kafka-carried avro twin of
-        // debezium-json — same changelog contract
-        if (cdcFormats.contains(options.getOrElse("format", "")) ||
-            options.getOrElse("format", "") == "debezium-avro-confluent") {
+        // debezium-json — same changelog contract; kafka tables may
+        // spell the format 'value.format' too (the factory accepts
+        // both), so check both keys
+        val declaredFmts = Seq(options.getOrElse("format", ""),
+          options.getOrElse("value.format", ""))
+        if (declaredFmts.exists(f => cdcFormats.contains(f) ||
+            f == "debezium-avro-confluent")) {
           val vcols = options.get("version-by")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)

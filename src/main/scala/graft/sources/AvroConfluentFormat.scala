@@ -176,6 +176,30 @@ object AvroConfluentCodec {
     rec
   }
 
+  /** Walk reader and writer schemas in parallel (fields matched by
+    * name, nullable unions unwrapped) and alias every reader record
+    * whose full name differs from the writer's — avro resolution
+    * rejects record pairs whose names neither match nor alias.
+    */
+  def aliasToWriter(reader: ASchema, writer: ASchema): Unit = {
+    import scala.jdk.CollectionConverters._
+    def nonNull(s: ASchema): ASchema =
+      if (s.getType == ASchema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(s)
+      else s
+    val r = nonNull(reader); val w = nonNull(writer)
+    if (r.getType == ASchema.Type.RECORD && w.getType == ASchema.Type.RECORD) {
+      if (r.getFullName != w.getFullName)
+        // explicit "" keeps a namespace-less writer name unqualified
+        // (null would default to the READER's namespace)
+        r.addAlias(w.getName, Option(w.getNamespace).getOrElse(""))
+      r.getFields.asScala.foreach { rf =>
+        Option(w.getField(rf.name())).foreach(wf =>
+          aliasToWriter(rf.schema(), wf.schema()))
+      }
+    }
+  }
+
   def validate(schema: StructType, what: String): Unit =
     schema.fields.foreach(f => f.dataType match {
       case st: StructType => validate(st, what) // nested record
@@ -213,18 +237,13 @@ case class AvroConfluentDecode(child: Expression, schema: StructType, url: Strin
     if (r == null) {
       val writer = new ASchema.Parser().parse(client.schemaById(id))
       // avro resolution matches records by FULL NAME: a foreign
-      // producer names its record whatever its schema says, so alias
-      // the reader to the writer's name (fresh reader schema per
-      // distinct writer — addAlias mutates)
-      val rs =
-        if (writer.getType == ASchema.Type.RECORD &&
-            writer.getFullName != readerSchema.getFullName) {
-          val fresh = AvroFormat.toAvroSchema(schema)
-          // explicit "" keeps a namespace-less writer name unqualified
-          // (null would default to the READER's namespace)
-          fresh.addAlias(writer.getName, Option(writer.getNamespace).getOrElse(""))
-          fresh
-        } else readerSchema
+      // producer names its records (top-level AND nested — a debezium
+      // envelope's before/after images are records too) whatever its
+      // schema says, so alias the reader's records to the writer's
+      // names recursively (fresh reader schema per distinct writer —
+      // addAlias mutates)
+      val rs = AvroFormat.toAvroSchema(schema)
+      AvroConfluentCodec.aliasToWriter(rs, writer)
       r = new GenericDatumReader[GenericRecord](writer, rs)
       readers.put(id, r)
     }

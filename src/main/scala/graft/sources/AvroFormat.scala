@@ -37,9 +37,13 @@ object AvroFormat {
 
   /** Spark → Avro schema (nullable fields become union(null, T);
     * timestamps use the timestamp-micros logical type, the same
-    * micros precision Spark carries internally).
+    * micros precision Spark carries internally). Nested records are
+    * named after their field with the ENCLOSING record's full name as
+    * namespace — path-qualified, so same-named struct fields at
+    * different nesting levels never collide on an avro full name.
     */
-  def toAvroSchema(st: StructType, name: String = "row"): ASchema = {
+  def toAvroSchema(st: StructType, name: String = "row",
+      namespace: String = "graft.avro"): ASchema = {
     val fields = st.fields.map { f =>
       val base = f.dataType match {
         case LongType    => ASchema.create(ASchema.Type.LONG)
@@ -51,10 +55,8 @@ object AvroFormat {
         case BinaryType  => ASchema.create(ASchema.Type.BYTES)
         case TimestampType =>
           LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
-        // nested record, named after the FIELD (unique within the
-        // enclosing record — avro forbids re-defining a full name);
         // the debezium-avro envelope's before/after images need this
-        case st: StructType => toAvroSchema(st, f.name)
+        case st: StructType => toAvroSchema(st, f.name, s"$namespace.$name")
         case other => sys.error(s"avro format: unsupported type $other")
       }
       val s =
@@ -62,8 +64,19 @@ object AvroFormat {
         else base
       new ASchema.Field(f.name, s, null, if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
     }
-    ASchema.createRecord(name, null, "graft.avro", false, util.Arrays.asList(fields: _*))
+    ASchema.createRecord(name, null, namespace, false, util.Arrays.asList(fields: _*))
   }
+
+  /** The container-file surface is FLAT (its writer/reader convert
+    * scalar values only) — nested records belong to the confluent
+    * codec. Called before any filesystem mutation so an unsupported
+    * schema cannot destroy existing table data mid-write.
+    */
+  def validateFlat(st: StructType, what: String): Unit =
+    st.fields.foreach(f => require(!f.dataType.isInstanceOf[StructType],
+      s"avro container format on $what: nested ROW column '${f.name}' is not " +
+        "supported by the file writer/reader (flat columns only; the " +
+        "avro-confluent codec handles nested records)"))
 
   /** Avro → Spark schema (the reader's inference path). */
   def toSparkSchema(schema: ASchema): StructType = {
@@ -113,6 +126,7 @@ object AvroFormat {
 
   private def writeImpl(df: DataFrame, dir: String, append: Boolean): Unit = {
     val schema = df.schema
+    validateFlat(schema, "write")
     val avroJson = toAvroSchema(schema).toString
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
@@ -197,8 +211,13 @@ class AvroSource extends TableProvider {
     val p = new Path(first)
     val in = p.getFileSystem(new Configuration()).open(p)
     val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    try AvroFormat.toSparkSchema(stream.getSchema)
-    finally stream.close()
+    try {
+      val st = AvroFormat.toSparkSchema(stream.getSchema)
+      // reject up front what the per-row converter cannot read — a
+      // per-task failure mid-scan would be the alternative
+      AvroFormat.validateFlat(st, s"read of $first")
+      st
+    } finally stream.close()
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

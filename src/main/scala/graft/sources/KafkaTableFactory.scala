@@ -228,6 +228,21 @@ object KafkaTableFactory {
     parsed.select(explode(rows).as("__r")).select(col("__r.*"))
   }
 
+  /** The Confluent TopicNameStrategy base: the concrete topic — or,
+    * with an explicit 'avro-confluent.subject' override in play, any
+    * placeholder (the override wins inside
+    * [[AvroConfluentFormat.subject]]). A topic-PATTERN table without
+    * an override has nothing to derive a subject from.
+    */
+  private def confluentSubjectBase(t: Translated, prefix: String): String =
+    t.sparkOptions.get("subscribe")
+      .orElse(t.formatOptions.get(s"${prefix}avro-confluent.subject")
+        .orElse(t.formatOptions.get("avro-confluent.subject")).map(_ => "unused"))
+      .getOrElse(sys.error(
+        "avro-confluent encode: a topic-pattern table has no concrete " +
+          "topic for the TopicNameStrategy subject — declare " +
+          "'avro-confluent.subject' or use a single 'topic'"))
+
   /** Write half of debezium-avro-confluent
     * (DebeziumAvroSerializationSchema.java): the same per-row mapping
     * as the json CDC write half — +I/+U emit op 'c' with the after
@@ -236,8 +251,8 @@ object KafkaTableFactory {
     * exactly the json twin's documented contract). Append-only input
     * (no __rowkind) is all inserts.
     */
-  private def encodeDebeziumAvro(rows: DataFrame, physical: StructType,
-      t: Translated): DataFrame = {
+  private def debeziumAvroValue(rows: DataFrame, physical: StructType,
+      t: Translated): Column = {
     import graft.changelog.Changelog
     val envelope = StructType(Seq(
       StructField("before", physical), StructField("after", physical),
@@ -251,11 +266,8 @@ object KafkaTableFactory {
       when(isDelete, img).otherwise(lit(null).cast(physical)).as("before"),
       when(!isDelete, img).otherwise(lit(null).cast(physical)).as("after"),
       when(isDelete, lit("d")).otherwise(lit("c")).as("op"))
-    val subject = t.sparkOptions.getOrElse("subscribe",
-      sys.error("debezium-avro-confluent encode needs a concrete 'topic'"))
-    rows.select(lit(null).cast("binary").as("key"),
-      AvroConfluentFormat.encode(env, envelope, t.formatOptions, "value.", subject)
-        .as("value"))
+    AvroConfluentFormat.encode(env, envelope, t.formatOptions, "value.",
+      confluentSubjectBase(t, "value."))
   }
 
   def decode(records: DataFrame, physical: StructType, t: Translated): DataFrame = {
@@ -364,14 +376,18 @@ object KafkaTableFactory {
     * Only the producer socket itself stays environmental residue.
     */
   def encode(rows: DataFrame, physical: StructType, t: Translated): DataFrame = {
-    if (t.valueFormat == "debezium-avro-confluent")
-      return encodeDebeziumAvro(rows, physical, t)
-    val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent")
+    val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent",
+      "debezium-avro-confluent")
     require(implemented.contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented " +
         s"(${implemented.mkString("/")} are)")
-    t.keyFormat.foreach(kf => require(implemented.contains(kf),
-      s"kafka key format '$kf' is not implemented (${implemented.mkString("/")} are)"))
+    require(t.valueFormat != "debezium-avro-confluent" || !t.upsert,
+      "debezium-avro-confluent is a changelog format — upsert-kafka needs an " +
+        "insert-only value format (the reference rejects this pairing too)")
+    // the changelog envelope is a VALUE format only — keys stay plain
+    val keyImplemented = implemented - "debezium-avro-confluent"
+    t.keyFormat.foreach(kf => require(keyImplemented.contains(kf),
+      s"kafka key format '$kf' is not implemented (${keyImplemented.mkString("/")} are)"))
     val keyFields = t.keyFields
     val valueFields =
       if (t.valueFieldsInclude == "ALL") physical.fields.toSeq
@@ -393,25 +409,21 @@ object KafkaTableFactory {
         case "protobuf" =>
           PbFormat.encode(payload, schema, t.formatOptions, prefix)
         case "avro-confluent" =>
-          // Confluent TopicNameStrategy: the subject defaults to
-          // <topic>-value / <topic>-key — a topic-PATTERN table has no
-          // concrete topic to derive a subject from, so require one
-          // (or an explicit 'avro-confluent.subject' override)
-          val subjectBase = t.sparkOptions.get("subscribe")
-            .orElse(t.formatOptions.get(s"${prefix}avro-confluent.subject")
-              .orElse(t.formatOptions.get("avro-confluent.subject")).map(_ => "unused"))
-            .getOrElse(sys.error(
-              "avro-confluent encode: a topic-pattern table has no concrete " +
-                "topic for the TopicNameStrategy subject — declare " +
-                "'avro-confluent.subject' or use a single 'topic'"))
-          AvroConfluentFormat.encode(payload, schema, t.formatOptions, prefix, subjectBase)
+          AvroConfluentFormat.encode(payload, schema, t.formatOptions, prefix,
+            confluentSubjectBase(t, prefix))
       }
     }
     val keyCol: Column = t.keyFormat match {
       case Some(kf) if keyFields.nonEmpty => serialize(kf, keySchema, "key.")
       case _ => lit(null).cast("binary")
     }
-    val valueCol = serialize(t.valueFormat, valueSchema, "value.")
+    val valueCol =
+      if (t.valueFormat == "debezium-avro-confluent")
+        // the envelope carries EVERY physical column (before/after
+        // images are full rows); key fields still encode through the
+        // declared key format so per-key partitioning order holds
+        debeziumAvroValue(rows, physical, t)
+      else serialize(t.valueFormat, valueSchema, "value.")
     val kindCol = graft.changelog.Changelog.RowKindCol
     val value =
       if (t.upsert && rows.columns.contains(kindCol))

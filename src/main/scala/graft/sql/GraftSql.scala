@@ -827,8 +827,8 @@ object GraftSql {
         "CREATE CATALOG expects: CREATE CATALOG <name> WITH ('type' = '...', ...)")
       val close = matchParen(toks, withIdx + 1)
       val optsText = text.substring(toks(withIdx + 1).end, toks(close).start)
-      val opts = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(optsText)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      // same parser as every other WITH clause (keys lowercased)
+      val opts = graft.catalog.GraftCatalog.parseOptions(optsText)
       opts.getOrElse("type", sys.error("CREATE CATALOG needs 'type'")) match {
         case "jdbc" =>
           // the reference builds url = base-url + '/' + default-database;

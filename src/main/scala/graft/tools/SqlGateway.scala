@@ -35,9 +35,15 @@ private[tools] final case class GatewayOp(status: String, error: String,
   * session is the execution engine, there is no separate cluster to
   * defer to.
   *
-  * Each gateway session is a `newSession()` (own catalog/conf/temp
-  * views on the shared context) — the reference's per-session
-  * TableEnvironment isolation.
+  * Each gateway session is a `newSession()` (own Spark catalog,
+  * conf and temp views on the shared context). SCOPE of that
+  * isolation: graft's connector-DDL registries ([[graft.catalog.GraftCatalog]])
+  * are process-global by design — two gateway sessions creating the
+  * same connector TABLE name share (and overwrite) one registration,
+  * so this gateway is single-tenant per table namespace, unlike the
+  * reference's fully per-session TableEnvironment. Query results are
+  * materialized per operation and retained until the session closes
+  * (DELETE) — clients should close sessions they are done with.
   */
 final class SqlGateway(root: SparkSession, port: Int = 0) {
 
@@ -52,11 +58,18 @@ final class SqlGateway(root: SparkSession, port: Int = 0) {
   val PageSize = 1000
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // a pool, not the JDK default single dispatcher thread: a long
+  // statement must not block other sessions' heartbeats/status polls
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
   server.createContext("/v1/", (ex: HttpExchange) => handle(ex))
 
   def start(): SqlGateway = { server.start(); this }
   def stop(): Unit = {
     server.stop(0)
+    server.getExecutor match {
+      case e: java.util.concurrent.ExecutorService => e.shutdown()
+      case _ => ()
+    }
     sessions.clear()
     ops.clear()
   }
@@ -88,14 +101,18 @@ final class SqlGateway(root: SparkSession, port: Int = 0) {
         val o = mapper.createObjectNode()
         o.put("sessionHandle", sh)
         respond(ex, 200, o)
-      // GET /v1/sessions/{sh} — session config
+      // GET /v1/sessions/{sh} — session config (full map; credential
+      // values redacted — a jdbc catalog's password lives in conf)
       case ("GET", List("sessions", sh)) =>
         val s = sessions.get(sh)
         if (s == null) return error(ex, 404, s"unknown session $sh")
         val o = mapper.createObjectNode()
         val props = o.putObject("properties")
-        s.conf.getAll.toSeq.sortBy(_._1).take(64)
-          .foreach { case (k, v) => props.put(k, v) }
+        val secret = Seq("password", "secret", "token", "credential")
+        s.conf.getAll.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val kl = k.toLowerCase(java.util.Locale.ROOT)
+          props.put(k, if (secret.exists(kl.contains)) "******" else v)
+        }
         respond(ex, 200, o)
       // DELETE /v1/sessions/{sh} — close
       case ("DELETE", List("sessions", sh)) =>

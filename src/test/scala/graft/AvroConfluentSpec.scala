@@ -190,6 +190,49 @@ class AvroConfluentSpec extends SparkSpec {
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
   }
 
+  test("a foreign writer's NESTED record names resolve too (real debezium envelope shape)") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    // what an actual Debezium producer registers: envelope named
+    // dbserver1.inventory.customers.Envelope with before/after of a
+    // nested record named Value — nothing matches our graft.avro names
+    val writerSchema = new ASchema.Parser().parse(
+      """{"type":"record","name":"Envelope","namespace":"dbserver1.inventory.customers",
+        |"fields":[
+        |{"name":"before","type":["null",{"type":"record","name":"Value","fields":[
+        |  {"name":"id","type":"long"},{"name":"v","type":["null","string"],"default":null}]}],"default":null},
+        |{"name":"after","type":["null","Value"],"default":null},
+        |{"name":"op","type":["null","string"],"default":null}
+        |]}""".stripMargin)
+    val c = FakeRegistryClient(url)
+    val id = c.register("nested-foreign", writerSchema.toString)
+    val valueSchema = writerSchema.getField("before").schema().getTypes.get(1)
+    val after = new GenericData.Record(valueSchema)
+    after.put(0, Long.box(7L)); after.put(1, "nested")
+    val rec = new GenericData.Record(writerSchema)
+    rec.put("before", null); rec.put("after", after); rec.put("op", "c")
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](writerSchema).write(rec, enc)
+    enc.flush()
+    val payload = AvroConfluentCodec.frame(id, out.toByteArray)
+    val physical = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val envelope = StructType(Seq(
+      StructField("before", physical), StructField("after", physical),
+      StructField("op", StringType)))
+    import spark.implicits._
+    val got = Seq(payload).toDF("p")
+      .select(AvroConfluentFormat.decode(col("p"), envelope,
+        Map("avro-confluent.url" -> url)).as("m"))
+      .select(col("m.after.id"), col("m.after.v"), col("m.op"), col("m.before"))
+      .collect().head
+    assert(got.getLong(0) === 7L)
+    assert(got.getString(1) === "nested")
+    assert(got.getString(2) === "c")
+    assert(got.isNullAt(3))
+  }
+
   test("debezium-avro-confluent: the avro-encoded changelog envelope routes to +I/-U/+U/-D") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String
