@@ -98,9 +98,35 @@ object JdbcQueries {
     }.toDF("s_suppkey", "n_name")
   }
 
+  /** Catalog federation (SqlCreateCatalog type 'jdbc' → Spark's
+    * JDBCTableCatalog, the flink-connector-jdbc JdbcCatalog analog):
+    * the Derby supplier table — loaded through the connector's write
+    * half — read back through a REGISTERED CATALOG's namespace
+    * (`fed_cat.APP.SUPP`), not the DDL temp view, and aggregated.
+    * Oracle = the same aggregate over parquet with the upsert wave
+    * applied, so a catalog that misroutes, drops schemas or re-cases
+    * identifiers fails the hash.
+    */
+  def catalogFederation(s: SparkSession, dir: String): DataFrame = {
+    loadSupplier(s, dir)
+    GraftSql.sql(s,
+      s"CREATE CATALOG fed_cat WITH ('type' = 'jdbc', 'base-url' = '${urlOf(dir)}')")
+    val out = s.sql(
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |       sum(s_acctbal) AS total_bal
+        |FROM fed_cat.APP.SUPP
+        |GROUP BY s_nationkey""".stripMargin)
+    // materialize before unregistering the catalog
+    val rows = out.collect()
+    GraftSql.sql(s, "DROP CATALOG fed_cat")
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip,
-    "q_jdbc_lookup" -> jdbcLookup)
+    "q_jdbc_lookup" -> jdbcLookup,
+    "q_catalog_federation" -> catalogFederation)
 
   def oracle: Map[String, String] = Map(
     "q_jdbc_roundtrip" ->
@@ -112,5 +138,10 @@ object JdbcQueries {
         |GROUP BY n_name""".stripMargin,
     "q_jdbc_lookup" ->
       """SELECT s_suppkey, n_name
-        |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""".stripMargin)
+        |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q_catalog_federation" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |       sum(CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100
+        |                ELSE s_acctbal END) AS total_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)
 }
