@@ -275,6 +275,15 @@ class AvroConfluentSpec extends SparkSpec {
       // the format registers as a changelog declaration (normalize path)
       assert(GraftCatalog.cdcOf("k_dbz_avro").isDefined)
       GraftCatalog.executeDdl(spark, "DROP TABLE k_dbz_avro")
+      // the 'value.format' spelling registers identically
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE k_dbz_avro2 (id BIGINT, v STRING)
+           |WITH ('connector' = 'kafka', 'topic' = 'dbz',
+           |  'properties.bootstrap.servers' = 'broker:9092',
+           |  'value.format' = 'debezium-avro-confluent',
+           |  'avro-confluent.url' = '$url')""".stripMargin)
+      assert(GraftCatalog.cdcOf("k_dbz_avro2").isDefined)
+      GraftCatalog.executeDdl(spark, "DROP TABLE k_dbz_avro2")
     } finally GraftCatalog.setKafkaWire(SparkKafkaWire)
     // upsert-kafka + a changelog value format is rejected like the reference
     val t = KafkaTableFactory.translate(Map(
