@@ -111,16 +111,15 @@ object JdbcQueries {
     loadSupplier(s, dir)
     GraftSql.sql(s,
       s"CREATE CATALOG fed_cat WITH ('type' = 'jdbc', 'base-url' = '${urlOf(dir)}')")
-    val out = s.sql(
+    // the catalog stays registered for the session (CREATE above is
+    // idempotent on re-run) so the RETURNED plan is the live
+    // federated scan, not a materialized copy — DROP CATALOG is
+    // exercised in SqlSurfaceSpec
+    s.sql(
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |       sum(s_acctbal) AS total_bal
         |FROM fed_cat.APP.SUPP
         |GROUP BY s_nationkey""".stripMargin)
-    // materialize before unregistering the catalog
-    val rows = out.collect()
-    GraftSql.sql(s, "DROP CATALOG fed_cat")
-    s.createDataFrame(
-      s.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,7 +38,8 @@ object DumpPlans {
     "q_bucketed_join" -> "co-bucketed metastore tables: the scans carry the join distribution (Bucketed: true) — zero exchanges on the join key; only the final aggregate shuffles. (Dumped with broadcast off: at sf0.01 the small side would broadcast and hide the co-located shape; at 100 TB both sides are facts and THIS is the plan)",
     "q_dedup_cosine" -> "embedding near-dup mining: (table,bucket) self-equi-join with width-adaptive buckets — candidate volume ~linear, exact cosine filter on candidates only, no all-pairs",
     "q_pb_nested" -> "protobuf composites: nested message/packed repeated/map encode+decode stay one codegen'd map-only projection — composite shapes add zero shuffles over the flat codec",
-    "q_avro_registry" -> "avro-confluent envelope: registry hit once per distinct schema id per task (cached datum readers), then map-only decode into a two-phase agg")
+    "q_avro_registry" -> "avro-confluent envelope: registry hit once per distinct schema id per task (cached datum readers), then map-only decode into a two-phase agg",
+    "q_catalog_federation" -> "jdbc catalog federation: the DSv2 catalog path pushes the WHOLE aggregate into the external engine (PushedAggregates COUNT/SUM + PushedGroupByExpressions — the dump shows Derby executing the GROUP BY) — at scale the federated DB returns 25 rows, not the table")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a
