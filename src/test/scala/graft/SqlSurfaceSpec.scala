@@ -18,6 +18,13 @@ class SqlSurfaceSpec extends SparkSpec {
     GraftSql.sql(spark, "DROP VIEW surface_v")
     assert(!GraftSql.sql(spark, "SHOW VIEWS").collect().map(_.getString(0))
       .contains("surface_v"))
+    // SHOW COLUMNS (SqlShowColumns) — native fallthrough
+    GraftSql.sql(spark, "CREATE VIEW surface_cols AS SELECT 1 AS a, 'x' AS b")
+    try {
+      val cols = GraftSql.sql(spark, "SHOW COLUMNS FROM surface_cols")
+        .collect().map(_.getString(0)).toSeq
+      assert(cols === Seq("a", "b"), cols)
+    } finally GraftSql.sql(spark, "DROP VIEW surface_cols")
   }
 
   test("ALTER VIEW: RENAME TO moves the definition, AS replaces it (SqlAlterView)") {
