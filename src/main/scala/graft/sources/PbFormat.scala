@@ -179,6 +179,35 @@ object PbCodec {
     out.write(b, 0, b.length)
   }
 
+  /** Per-thread reusable buffers, one per NESTING DEPTH (a nested
+    * message encodes into the buffer one level down, then length-
+    * prefixes into its parent via writeTo — no per-field byte[]):
+    * the composite encode path allocated ~5 streams per row before,
+    * the dominant cost of the composite bench query. Codegen
+    * evaluates expressions on the task thread, so ThreadLocal is the
+    * right scope.
+    */
+  private val scratch =
+    new ThreadLocal[java.util.ArrayList[java.io.ByteArrayOutputStream]] {
+      override def initialValue() =
+        new java.util.ArrayList[java.io.ByteArrayOutputStream]()
+    }
+  private def borrow(depth: Int): java.io.ByteArrayOutputStream = {
+    val pool = scratch.get()
+    while (pool.size() <= depth)
+      pool.add(new java.io.ByteArrayOutputStream(64))
+    val b = pool.get(depth)
+    b.reset()
+    b
+  }
+  /** tag + length + the child buffer's bytes, copied straight out. */
+  private def writeLenDelimBuf(out: java.io.ByteArrayOutputStream, number: Int,
+      buf: java.io.ByteArrayOutputStream): Unit = {
+    writeVarint(out, (number.toLong << 3) | 2)
+    writeVarint(out, buf.size.toLong)
+    buf.writeTo(out)
+  }
+
   import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 
   /** One scalar element's bare payload (no tag) — shared by the
@@ -196,9 +225,12 @@ object PbCodec {
     case other => sys.error(s"protobuf: no bare scalar encoding for type $other")
   }
 
-  /** One tagged field (scalar, nested message, repeated or map). */
+  /** One tagged field (scalar, nested message, repeated or map).
+    * `depth` indexes the scratch pool — each nesting level writes
+    * into its own reusable buffer.
+    */
   private def writeField(out: java.io.ByteArrayOutputStream, s: PbFieldSpec,
-      g: SpecializedGetters, i: Int): Unit = s.dataType match {
+      g: SpecializedGetters, i: Int, depth: Int): Unit = s.dataType match {
     case LongType | IntegerType | BooleanType =>
       writeVarint(out, (s.number.toLong << 3) | 0); writeBare(out, s.dataType, g, i)
     case DoubleType =>
@@ -208,7 +240,9 @@ object PbCodec {
     case StringType => writeLenDelim(out, s.number, g.getUTF8String(i).getBytes)
     case BinaryType => writeLenDelim(out, s.number, g.getBinary(i))
     case st: StructType => // nested message
-      writeLenDelim(out, s.number, encode(g.getStruct(i, st.length), s.children))
+      val buf = borrow(depth + 1)
+      encodeInto(buf, g.getStruct(i, st.length), s.children, depth + 1)
+      writeLenDelimBuf(out, s.number, buf)
     case ArrayType(et, _) =>
       val arr = g.getArray(i)
       val n = arr.numElements()
@@ -226,10 +260,10 @@ object PbCodec {
           // packed (proto3 default): one len-delimited run; empty
           // repeated emits nothing at all
           if (n > 0) {
-            val buf = new java.io.ByteArrayOutputStream(n * 4)
+            val buf = borrow(depth + 1)
             var k = 0
             while (k < n) { writeBare(buf, et, arr, k); k += 1 }
-            writeLenDelim(out, s.number, buf.toByteArray)
+            writeLenDelimBuf(out, s.number, buf)
           }
         case StringType =>
           var k = 0
@@ -240,7 +274,9 @@ object PbCodec {
         case est: StructType =>
           var k = 0
           while (k < n) {
-            writeLenDelim(out, s.number, encode(arr.getStruct(k, est.length), s.children))
+            val buf = borrow(depth + 1)
+            encodeInto(buf, arr.getStruct(k, est.length), s.children, depth + 1)
+            writeLenDelimBuf(out, s.number, buf)
             k += 1
           }
         case other => sys.error(s"protobuf format does not support ARRAY of $other")
@@ -251,23 +287,28 @@ object PbCodec {
       val keys = m.keyArray(); val vals = m.valueArray()
       var k = 0
       while (k < m.numElements()) {
-        val entry = new java.io.ByteArrayOutputStream(32)
-        writeField(entry, s.children(0), keys, k)
-        if (!vals.isNullAt(k)) writeField(entry, s.children(1), vals, k)
-        writeLenDelim(out, s.number, entry.toByteArray)
+        val entry = borrow(depth + 1)
+        writeField(entry, s.children(0), keys, k, depth + 1)
+        if (!vals.isNullAt(k)) writeField(entry, s.children(1), vals, k, depth + 1)
+        writeLenDelimBuf(out, s.number, entry)
         k += 1
       }
     case other => sys.error(s"protobuf format does not support type $other")
   }
 
-  /** Encode one InternalRow to a protobuf message payload. */
-  def encode(row: InternalRow, specs: Array[PbFieldSpec]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(64)
+  private def encodeInto(out: java.io.ByteArrayOutputStream, row: InternalRow,
+      specs: Array[PbFieldSpec], depth: Int): Unit = {
     var i = 0
     while (i < specs.length) {
-      if (!row.isNullAt(i)) writeField(out, specs(i), row, i)
+      if (!row.isNullAt(i)) writeField(out, specs(i), row, i, depth)
       i += 1
     }
+  }
+
+  /** Encode one InternalRow to a protobuf message payload. */
+  def encode(row: InternalRow, specs: Array[PbFieldSpec]): Array[Byte] = {
+    val out = borrow(0)
+    encodeInto(out, row, specs, 0)
     out.toByteArray
   }
 
