@@ -109,17 +109,23 @@ object JdbcQueries {
     */
   def catalogFederation(s: SparkSession, dir: String): DataFrame = {
     loadSupplier(s, dir)
+    // the catalog NAME is dir-keyed: Spark's CatalogManager caches a
+    // loaded catalog instance by name, so a shared name would latch
+    // the FIRST dir's url for the whole session and silently read
+    // stale data when the same session runs another scale factor
+    // dots and dashes would split/break the multipart identifier
+    val cat = s"fed_cat_${key(dir).replaceAll("[.-]", "_")}"
     GraftSql.sql(s,
-      s"CREATE CATALOG fed_cat WITH ('type' = 'jdbc', 'base-url' = '${urlOf(dir)}')")
+      s"CREATE CATALOG $cat WITH ('type' = 'jdbc', 'base-url' = '${urlOf(dir)}')")
     // the catalog stays registered for the session (CREATE above is
     // idempotent on re-run) so the RETURNED plan is the live
     // federated scan, not a materialized copy — DROP CATALOG is
     // exercised in SqlSurfaceSpec
     s.sql(
-      """SELECT s_nationkey, count(*) AS n_suppliers,
-        |       sum(s_acctbal) AS total_bal
-        |FROM fed_cat.APP.SUPP
-        |GROUP BY s_nationkey""".stripMargin)
+      s"""SELECT s_nationkey, count(*) AS n_suppliers,
+         |       sum(s_acctbal) AS total_bal
+         |FROM $cat.APP.SUPP
+         |GROUP BY s_nationkey""".stripMargin)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -305,11 +305,22 @@ object PbCodec {
     }
   }
 
+  /** Pool entries larger than this are dropped after the encode —
+    * ByteArrayOutputStream never shrinks on reset(), and executor
+    * task threads are long-lived, so one multi-MB message would
+    * otherwise pin its size per thread for the life of the JVM.
+    */
+  private val ShrinkThreshold = 1 << 20
+
   /** Encode one InternalRow to a protobuf message payload. */
   def encode(row: InternalRow, specs: Array[PbFieldSpec]): Array[Byte] = {
     val out = borrow(0)
     encodeInto(out, row, specs, 0)
-    out.toByteArray
+    val bytes = out.toByteArray
+    // nested buffers are bounded by the whole message, so the total
+    // size decides for all of them
+    if (bytes.length > ShrinkThreshold) scratch.get().clear()
+    bytes
   }
 
   /** Spec/test convenience: per-call PbMsg wrap. */

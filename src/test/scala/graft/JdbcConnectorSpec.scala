@@ -190,6 +190,23 @@ class JdbcConnectorSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_catalog_federation reads the Derby table through the registered catalog") {
+    val got = graft.sources.JdbcQueries.catalogFederation(spark, sfDir)
+    // the plan must be the LIVE federated scan (DSv2 pushes the whole
+    // aggregate into the external engine), not a materialized copy
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"expected pushed aggregate in:\n$plan")
+    val want = spark.sql(
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |       sum(CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100
+        |                ELSE s_acctbal END) AS total_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(keyed(got) === keyed(want))
+    assert(got.count() > 0)
+  }
+
   test("q_jdbc_lookup joins every supplier to its nation name") {
     val got = graft.sources.JdbcQueries.jdbcLookup(spark, sfDir)
     val want = spark.sql(
