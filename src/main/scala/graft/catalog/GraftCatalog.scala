@@ -508,7 +508,9 @@ object GraftCatalog {
       }
     }.toSeq: _*)
     val checked = enforced(table, aligned)
-    if (sink.format == "avro") {
+    if (sink.format == "sequence-file") {
+      graft.sources.SequenceFileFormat.write(checked, sink.path, overwrite)
+    } else if (sink.format == "avro") {
       if (overwrite) graft.sources.AvroFormat.write(checked, sink.path)
       else graft.sources.AvroFormat.append(checked, sink.path)
     } else {
@@ -543,6 +545,9 @@ object GraftCatalog {
     val refreshed =
       if (sink.format == "avro")
         spark.read.format("graft.sources.AvroSource").load(sink.path)
+      else if (sink.format == "sequence-file")
+        graft.sources.SequenceFileFormat.read(spark, sink.path,
+          tableSchemas.getOrElse(table, target))
       else if (partitionKeysOf(table).nonEmpty)
         loadPartitionedView(spark, table, sink.format, sink.options,
           tableSchemas.getOrElse(table, target), sink.path)
@@ -1331,6 +1336,11 @@ object GraftCatalog {
       case "filesystem" =>
         val fmt = options.getOrElse("format", "parquet")
         val path = options("path")
+        // pair-schema formats validate at CREATE — the empty-init
+        // branch below never reaches the format reader, so a bad
+        // schema would otherwise only surface at first INSERT
+        if (fmt == "sequence-file")
+          tableSchemas.get(name).foreach(graft.sources.SequenceFileFormat.validate)
         tableSinks.put(name, SinkInfo(path, fmt, options))
         // Hadoop FS check so URI paths (file://, hdfs://, s3://) work
         val hPath = new org.apache.hadoop.fs.Path(path)
@@ -1361,6 +1371,12 @@ object GraftCatalog {
           val r = spark.read.format("graft.sources.AvroSource")
           // the DDL-declared schema wins, like the csv/parquet branches
           tableSchemas.get(name).map(r.schema).getOrElse(r).load(path)
+        }
+        else if (fmt == "sequence-file") {
+          // Hadoop SequenceFile K/V pairs (flink-sequence-file)
+          val declared = tableSchemas.getOrElse(name,
+            sys.error(s"sequence-file table $name needs explicit columns"))
+          graft.sources.SequenceFileFormat.read(spark, path, declared)
         }
         else if (fmt == "raw") {
           // raw format over files: one FILE is one record (the blob

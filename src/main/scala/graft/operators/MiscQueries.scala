@@ -391,6 +391,31 @@ object MiscQueries {
         sum(col("ln")).as("sum_ln"))
   }
 
+  /** Hadoop SequenceFile K/V round-trip (flink-sequence-file): the
+    * nation table writes as Text/Text pairs through the DDL sink and
+    * reads back via the Hadoop input format — the aggregate matches
+    * the source, so a pair lost, doubled or mis-decoded anywhere in
+    * the Writable bridge fails the hash.
+    */
+  def seqfileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.GraftCatalog
+    // 'sf' prefix: the sanitized dir would start with '_' and
+    // Hadoop's FileInputFormat hides underscore-prefixed paths —
+    // globStatus returns empty and the read dies "path does not exist"
+    val path = s"/tmp/graft_seqfile_q/sf${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    GraftCatalog.executeDdl(s,
+      s"""CREATE TABLE seq_nation_q (k STRING, v STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$path',
+         |      'format' = 'sequence-file')""".stripMargin)
+    GraftCatalog.insertInto(s, "seq_nation_q",
+      t(s, dir, "nation").select(col("n_name").as("k"),
+        col("n_nationkey").cast("string").as("v")),
+      overwrite = true)
+    s.table("seq_nation_q")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("bigint")).as("sum_key"),
+        min(col("k")).as("min_name"), max(col("k")).as("max_name"))
+  }
+
   /** Partitioned filesystem table (the reference's PARTITIONED BY,
     * parserImpls.ftl:1145 + FileSystemTableSink partition grouping):
     * INSERT OVERWRITE writes one directory per o_orderpriority value;
@@ -471,6 +496,7 @@ object MiscQueries {
     "q_pb_roundtrip" -> (pbRoundtrip _),
     "q_pb_nested" -> (pbNested _),
     "q_avro_registry" -> (avroRegistry _),
+    "q_seqfile_roundtrip" -> (seqfileRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
@@ -509,6 +535,11 @@ object MiscQueries {
         |  sum(l_extendedprice::DECIMAL(20,4))::DOUBLE AS sum_p,
         |  sum(l_linenumber)::BIGINT AS sum_ln
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the sequence-file write∘read is the identity on the K/V pairs
+    "q_seqfile_roundtrip" ->
+      """SELECT count(*) AS n, sum(n_nationkey)::BIGINT AS sum_key,
+        |  min(n_name) AS min_name, max(n_name) AS max_name
+        |FROM nation""".stripMargin,
     // avro-confluent encode∘decode is the identity (framing + binary
     // avro resolve back to the source columns)
     "q_avro_registry" ->
