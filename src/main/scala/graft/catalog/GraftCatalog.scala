@@ -509,7 +509,9 @@ object GraftCatalog {
     }.toSeq: _*)
     val checked = enforced(table, aligned)
     if (sink.format == "sequence-file") {
-      graft.sources.SequenceFileFormat.write(checked, sink.path, overwrite)
+      graft.sources.SequenceFileFormat.write(checked, sink.path, overwrite,
+        sink.options.get("sequence-file.compression")
+          .orElse(sink.options.get("compression")))
     } else if (sink.format == "avro") {
       if (overwrite) graft.sources.AvroFormat.write(checked, sink.path)
       else graft.sources.AvroFormat.append(checked, sink.path)

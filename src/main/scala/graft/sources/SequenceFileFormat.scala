@@ -78,7 +78,21 @@ object SequenceFileFormat {
     spark.createDataFrame(rdd, schema)
   }
 
-  def write(df: DataFrame, path: String, overwrite: Boolean): Unit = {
+  /** 'sequence-file.compression' → Hadoop codec (the reference's
+    * SequenceFileWriterFactory takes the same codec-by-name).
+    */
+  private def codecFor(name: String): Class[_ <: org.apache.hadoop.io.compress.CompressionCodec] =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "gzip" => classOf[org.apache.hadoop.io.compress.GzipCodec]
+      case "bzip2" => classOf[org.apache.hadoop.io.compress.BZip2Codec]
+      case "deflate" => classOf[org.apache.hadoop.io.compress.DeflateCodec]
+      case other => sys.error(
+        s"sequence-file compression '$other' is not a bundled Hadoop codec " +
+          "(gzip, bzip2, deflate are)")
+    }
+
+  def write(df: DataFrame, path: String, overwrite: Boolean,
+      compression: Option[String] = None): Unit = {
     val schema = df.schema
     validate(schema)
     val kDt = schema.fields(0).dataType
@@ -92,6 +106,7 @@ object SequenceFileFormat {
     df.rdd.map(r => (toWritable(r.get(0), kDt), toWritable(r.get(1), vDt)))
       .saveAsHadoopFile(path,
         writableClass(kDt, "key"), writableClass(vDt, "value"),
-        classOf[SequenceFileOutputFormat[Writable, Writable]])
+        classOf[SequenceFileOutputFormat[Writable, Writable]],
+        codec = compression.map(codecFor))
   }
 }

@@ -73,6 +73,40 @@ class SequenceFileSpec extends SparkSpec {
     } finally GraftCatalog.executeDdl(spark, "DROP TABLE seq_b")
   }
 
+  test("'compression' writes a block-compressed SequenceFile that reads back identically") {
+    val path = fresh("gz")
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE seq_gz (k STRING, v STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$path',
+         |      'format' = 'sequence-file', 'compression' = 'gzip')""".stripMargin)
+    try {
+      import spark.implicits._
+      val rows = (1 to 100).map(i => (s"k$i", "v" * 50))
+      GraftCatalog.insertInto(spark, "seq_gz", rows.toDF("k", "v"), overwrite = true)
+      assert(spark.table("seq_gz").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet === rows.toSet)
+      // the container header names the codec
+      val part = new java.io.File(path).listFiles
+        .filter(_.getName.startsWith("part-")).head
+      val head = new Array[Byte](256)
+      val in = new java.io.FileInputStream(part)
+      try in.read(head) finally in.close()
+      assert(new String(head, "ISO-8859-1").contains("GzipCodec"),
+        "expected the codec name in the SequenceFile header")
+      // unknown codec names fail loudly
+      GraftCatalog.executeDdl(spark,
+        s"""CREATE TABLE seq_badc (k STRING, v STRING)
+           |WITH ('connector' = 'filesystem', 'path' = '$path/bad',
+           |      'format' = 'sequence-file', 'compression' = 'zstd9')""".stripMargin)
+      val e = intercept[RuntimeException] {
+        GraftCatalog.insertInto(spark, "seq_badc",
+          Seq(("a", "b")).toDF("k", "v"), overwrite = true)
+      }
+      assert(e.getMessage.contains("not a bundled Hadoop codec"))
+      GraftCatalog.executeDdl(spark, "DROP TABLE seq_badc")
+    } finally GraftCatalog.executeDdl(spark, "DROP TABLE seq_gz")
+  }
+
   test("non-pair schemas and unmappable types fail loudly") {
     val e = intercept[IllegalArgumentException] {
       GraftCatalog.executeDdl(spark,
