@@ -37,6 +37,15 @@ object Tables {
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // Driver-generated parquet has also shipped ts as TIMESTAMP_NTZ
+      // (isAdjustedToUTC=false micros). Every session here pins
+      // spark.sql.session.timeZone=UTC, so casting NTZ → TIMESTAMP is
+      // value-preserving and lands on the instant DuckDB's naive
+      // timestamp reads — downstream code (unix_micros, avro encode,
+      // CSV timestampFormat) only handles TimestampType.
+      case (d, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        d.withColumn(f.name,
+          d.col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       case (d, _) => d
     }
   }
