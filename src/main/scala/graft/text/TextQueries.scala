@@ -270,8 +270,85 @@ object TextQueries {
     MinHashDedup.candidatePairs(
       t(s, dir, "documents"), "doc_id", "text", k = 32, bands = 8, threshold = 0.4)
 
+  /** Deterministic content-hash train/val/test split (80/10/10):
+    * bucket = first md5 byte of "docId:text", so the assignment is
+    * reproducible across runs, engines and re-shards — the property
+    * a training pipeline needs so a doc never migrates between train
+    * and eval when the corpus is re-partitioned. One map-only pass;
+    * md5 and the hex cast exist verbatim in DuckDB, so the oracle
+    * recomputes the exact same buckets.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
+          .cast("binary")), 1, 2), 16, 10).cast("int"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test").as("split"))
+
+  /** Sequence packing: concatenate each shard's docs in doc_id order
+    * and chunk the token stream into fixed 512-token training
+    * sequences, reporting where every doc lands (start sequence +
+    * offset, end sequence — docs may straddle a boundary, exactly
+    * like pretraining packers that reset attention masks instead of
+    * padding). The window is PARTITIONED BY source, so there is no
+    * global sort — each shard packs independently and in parallel,
+    * which is how a 100 TB corpus has to pack anyway (global document
+    * order is meaningless across shards).
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum") / cap).cast("long").as("start_seq"),
+        (col("cum") % cap).as("start_off"),
+        ((col("cum") + col("n_tok") - 1) / cap).cast("long").as("end_seq"))
+  }
+
+  /** Repetition scoring — the other half of the Gopher quality rules
+    * (Rae et al. 2021 §A1.1: "fraction of characters in the most
+    * common n-gram" / "in duplicate n-grams", token-count variant
+    * here): per doc, the share of 2-gram occurrences taken by the
+    * most frequent 2-gram and the share of 3-gram occurrences whose
+    * gram repeats. Two explode→count aggregates joined on doc_id;
+    * shuffle volume is the shingle stream, same linear shape as the
+    * dedup shinglers.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .filter(size(col("l")) >= 3)
+    def grams(n: Int) = base.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, size(l) - $n),
+         |  i -> concat_ws(' ', ${(0 until n).map(j => s"l[i+$j]").mkString(", ")}))"""
+        .stripMargin)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val a2 = grams(2).groupBy(col("doc_id")).agg(
+      (max(col("c")).cast("double") / sum(col("c"))).as("top2_frac"),
+      sum(col("c")).as("n2"))
+    val a3 = grams(3).groupBy(col("doc_id")).agg(
+      (coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("double")
+        / sum(col("c"))).as("dup3_frac"),
+      sum(col("c")).as("n3"))
+    a2.join(a3, Seq("doc_id"))
+      .select(col("doc_id"), col("n2"), col("top2_frac"), col("n3"), col("dup3_frac"),
+        (col("top2_frac") <= 0.20).cast("int").as("r_top2"),
+        (col("dup3_frac") <= 0.18).cast("int").as("r_dup3"),
+        (col("top2_frac") <= 0.20 && col("dup3_frac") <= 0.18).cast("int").as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"    -> (dedupMinhash _),
+    "q_dedup_cc"         -> (DedupCluster.dedupCluster _),
+    "q_split_hash"       -> (hashSplit _),
+    "q_pack_sequences"   -> (packSequences _),
+    "q_text_repetition"  -> (repetition _),
     "q_text_stats"       -> (textStats _),
     "q_text_gopher"      -> (gopherQuality _),
     "q_text_langid"      -> (langId _),
@@ -283,6 +360,70 @@ object TextQueries {
     "q_dedup_ngram"      -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(
+    // same edge mining (rare word-3-grams shared >= 3), closed into
+    // components with a recursive CTE instead of label propagation
+    "q_dedup_cc" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l)-1),
+        |      i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)
+        |    WHERE len(l) >= 3)),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+        |shr AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+        |          UNION ALL SELECT idb, ida FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+        |SELECT id AS doc_id, min(r) AS comp, (min(r) = id)::INT AS is_canonical
+        |FROM reach GROUP BY id""".stripMargin,
+    "q_split_hash" ->
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 2))::INT AS b
+        |      FROM documents)""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, len(string_split(text,' '))::BIGINT AS n_tok,
+        |    coalesce(sum(len(string_split(text,' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        |  FROM documents)
+        |SELECT doc_id, source, n_tok,
+        |  (cum // 512)::BIGINT AS start_seq, (cum % 512)::BIGINT AS start_off,
+        |  ((cum + n_tok - 1) // 512)::BIGINT AS end_seq
+        |FROM c""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents
+        |           WHERE len(string_split(text,' ')) >= 3),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |         i -> l[i]||' '||l[i+1])) AS g FROM t),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(l)-1),
+        |         i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g FROM t),
+        |a2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2_frac,
+        |         sum(c)::BIGINT AS n2
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2)
+        |       GROUP BY 1),
+        |a3 AS (SELECT doc_id,
+        |         coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::DOUBLE / sum(c)
+        |           AS dup3_frac,
+        |         sum(c)::BIGINT AS n3
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2)
+        |       GROUP BY 1)
+        |SELECT a2.doc_id, n2, top2_frac, n3, dup3_frac,
+        |  (top2_frac <= 0.20)::INT AS r_top2,
+        |  (dup3_frac <= 0.18)::INT AS r_dup3,
+        |  (top2_frac <= 0.20 AND dup3_frac <= 0.18)::INT AS keep
+        |FROM a2 JOIN a3 USING (doc_id)""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

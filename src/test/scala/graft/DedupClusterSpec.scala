@@ -1,0 +1,42 @@
+package graft
+
+import graft.text.DedupCluster
+
+/** Connected-components clustering over candidate pair graphs. */
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupCluster.connectedComponents(pairs.toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive pairs collapse to one component") {
+    // A~B and B~C but A~C never mined — the reason CC exists
+    val m = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(10L) == 10L && m(11L) == 10L)
+  }
+
+  test("long chain converges to min id (pointer-jumping path)") {
+    // a 60-node path graph: plain O(diameter) hash-min would need 60
+    // rounds; the jump must close it within the 25-round cap
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val m = cc(chain)
+    assert(m.size == 60 && m.values.forall(_ == 0L))
+  }
+
+  test("reversed and shuffled edge directions give the same labels") {
+    val m = cc(Seq((7L, 3L), (3L, 9L), (9L, 2L)).map { case (a, b) => (b, a) })
+    assert(Set(7L, 3L, 9L, 2L).forall(m(_) == 2L))
+  }
+
+  test("shared-shingle mining finds planted near-dups and skips unrelated docs") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "CHANGED")
+    val other = (0 until 40).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val edges = DedupCluster.sharedShingleEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((0L, 1L)))
+  }
+}
