@@ -35,31 +35,68 @@ import graft.Tables
   */
 object DedupCluster {
 
+  /** Bounded doc-list collector: gathers up to `cap` values per
+    * group and then stops. Any shingle whose list hits `cap` has
+    * document frequency >= cap and gets dropped wholesale, so (a)
+    * no aggregation buffer ever holds more than `cap` ids — a
+    * stop-shingle appearing in 10^8 docs costs the same memory as
+    * one appearing in 51 — and (b) truncation never corrupts a kept
+    * group (a group below `cap` was collected exactly). Which ids
+    * survive inside an over-cap buffer is arbitrary; it doesn't
+    * matter, the group is discarded.
+    */
+  private def boundedCollect(cap: Int) = udaf(
+    new org.apache.spark.sql.expressions.Aggregator[
+        Long, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
+      def zero = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def reduce(b: scala.collection.mutable.ArrayBuffer[Long], a: Long) = {
+        if (b.length < cap) b += a; b
+      }
+      def merge(b1: scala.collection.mutable.ArrayBuffer[Long],
+                b2: scala.collection.mutable.ArrayBuffer[Long]) = {
+        val need = cap - b1.length
+        if (need > 0) b1 ++= b2.take(need); b1
+      }
+      def finish(b: scala.collection.mutable.ArrayBuffer[Long]) = b.toArray
+      def bufferEncoder =
+        org.apache.spark.sql.Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
+      def outputEncoder =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    })
+
   /** Candidate edges: docs sharing >= `minShared` distinct word
     * n-grams, with shingles appearing in more than `maxDf` docs
-    * dropped first (the standard stop-shingle cut — it bounds every
-    * join bucket to `maxDf` docs, so candidate volume is at most
-    * |shingles|·maxDf² and never quadratic in the corpus).
+    * dropped (the standard stop-shingle cut). Shape: per-doc
+    * distinct shingles are computed map-side (array_distinct before
+    * the explode — no dedup shuffle), then ONE groupBy(shingle)
+    * gathers each rare shingle's doc list with bounded memory, the
+    * i<j pairs explode from the sorted list (<= maxDf²/2 per
+    * shingle), and one final groupBy counts shared shingles per
+    * pair. Two shuffles of the shingle stream total — the earlier
+    * distinct + df-join + self-join shape paid four — and candidate
+    * volume stays <= |shingles|·maxDf²/2, never corpus-quadratic.
     */
   def sharedShingleEdges(docs: DataFrame, n: Int = 3, maxDf: Int = 50,
                          minShared: Int = 3): DataFrame = {
     val sh = docs
       .withColumn("l", split(col("text"), " "))
       .filter(size(col("l")) >= n)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         s"""transform(sequence(0, size(l) - $n),
            |  i -> concat_ws(' ', ${(0 until n).map(j => s"l[i+$j]").mkString(", ")}))"""
-          .stripMargin)).as("g"))
-      .distinct()
-    val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("g")
-    val shr = sh.join(rare, Seq("g"))
-    shr.as("a")
-      .join(shr.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .stripMargin))).as("g"))
+    val grouped = sh.groupBy(col("g"))
+      .agg(boundedCollect(maxDf + 1)(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(sort_array(col("ds")).as("ds"))
+    grouped
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    y -> struct(ds[i] AS ida, y AS idb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .select("ida", "idb")
   }
 
   /** Connected components of an undirected pair graph.
@@ -75,37 +112,64 @@ object DedupCluster {
     // the plan back to a leaf; on a multi-executor cluster swap in
     // reliable checkpoint(dir) so a lost executor can't drop a slice
     // of the label table mid-computation.
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+    var edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
-    var lastSum = labels.agg(sum(col("comp"))).head().getLong(0)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(labels("id"),
-          least(labels("comp"), coalesce(col("nmin"), labels("comp"))).as("comp"))
-      // pointer jump: follow the label one hop (comp := comp(comp)),
-      // compressing chains so rounds go O(log d) not O(d)
-      val lut = stepped.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val next = stepped.join(lut, stepped("comp") === lut("cid"), "left")
-        .select(stepped("id"), coalesce(col("ccomp"), stepped("comp")).as("comp"))
+    // Size the loop's parallelism from the measured edge count (the
+    // checkpoint already materialized it, so count() is ~free): each
+    // round is 4 tiny jobs, and running a 200-edge graph on the
+    // session's 32 shuffle partitions spends 10x more time scheduling
+    // empty tasks than computing. ~500k edges per partition keeps a
+    // web-scale graph at the session default while a small one
+    // collapses to a couple of tasks.
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1, math.min(sessionParts, (edges.count() / 500000L).toInt + 1))
+    // Run the loop's shuffles at the graph's own parallelism, not the
+    // session's: every round is three shuffles over |V|+|E| rows, and
+    // a 10k-edge graph scheduled across 32 partitions spends its
+    // wall-clock on empty tasks. At web scale parts == sessionParts
+    // and this is a no-op. Restored in finally — the session is
+    // shared with whatever query runs next.
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      edges = edges.repartition(parts, col("src")).localCheckpoint(true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = s == lastSum
-      lastSum = s
-      iter += 1
-    }
-    edges.unpersist()
-    labels
+      var lastSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val nbrMin = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+        val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+          .select(labels("id"),
+            least(labels("comp"), coalesce(col("nmin"), labels("comp"))).as("comp"))
+        // pointer jump: follow the label one hop (comp := comp(comp)),
+        // compressing chains so rounds go O(log d) not O(d)
+        val lut = stepped.select(col("id").as("cid"), col("comp").as("ccomp"))
+        val next = stepped.join(lut, stepped("comp") === lut("cid"), "left")
+          .select(stepped("id"), coalesce(col("ccomp"), stepped("comp")).as("comp"))
+          .localCheckpoint(true)
+        val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = s == lastSum
+        lastSum = s
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
+
+  /** The candidate-edge half alone, oracle-checked separately so the
+    * mining join's plan (the scale-relevant piece — see EXPLAINS.md)
+    * is pinned independently of the iterative closure.
+    */
+  def ccEdges(s: SparkSession, dir: String): DataFrame =
+    sharedShingleEdges(Tables.load(s, dir, "documents"))
 
   /** The full operator over `documents`: mine edges, cluster, mark
     * the canonical (min-id) member of each cluster. Oracle: DuckDB

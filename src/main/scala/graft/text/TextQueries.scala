@@ -346,6 +346,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"    -> (dedupMinhash _),
     "q_dedup_cc"         -> (DedupCluster.dedupCluster _),
+    "q_dedup_cc_edges"   -> (DedupCluster.ccEdges _),
     "q_split_hash"       -> (hashSplit _),
     "q_pack_sequences"   -> (packSequences _),
     "q_text_repetition"  -> (repetition _),
@@ -384,6 +385,18 @@ object TextQueries {
         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
         |SELECT id AS doc_id, min(r) AS comp, (min(r) = id)::INT AS is_canonical
         |FROM reach GROUP BY id""".stripMargin,
+    "q_dedup_cc_edges" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l)-1),
+        |      i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)
+        |    WHERE len(l) >= 3)),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+        |shr AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g))
+        |SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+        |FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "q_split_hash" ->
       """SELECT doc_id, b AS bucket,
         |  CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'

@@ -103,7 +103,12 @@ object ScaleProbe {
       "q_sim_sig_rerank",
       // round-5: full near-dup pair mining — width-adaptive buckets
       // hold candidate volume ~linear as the corpus grows
-      "q_dedup_cosine")
+      "q_dedup_cosine",
+      // round-8: connected-components closure over mined pairs — the
+      // df<=50 shingle cap bounds candidate volume, and pointer
+      // jumping keeps the round count ~constant as replicas deepen
+      // the clusters (x16 corpus = 16 exact copies per doc)
+      "q_dedup_cc")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+
