@@ -343,7 +343,53 @@ object TextQueries {
         (col("top2_frac") <= 0.20 && col("dup3_frac") <= 0.18).cast("int").as("keep"))
   }
 
+  /** Domain mixing: downsample each source to a target weight with
+    * DETERMINISTIC hash-rate sampling — a doc is kept iff its md5
+    * bucket falls under the source's acceptance threshold, so the
+    * mixture is reproducible run-to-run and engine-to-engine (the
+    * same property as [[hashSplit]]; `rand()`-based sampling can't
+    * give it). Weights here cycle 1.0/0.5/0.25/0.1 by source number;
+    * a real pipeline feeds its mixture table in. Map-only filter +
+    * one aggregate.
+    */
+  def mixSources(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("srcn", substring(col("source"), 4, 10).cast("int"))
+      .withColumn("w",
+        when(col("srcn") % 4 === 0, 1.0).when(col("srcn") % 4 === 1, 0.5)
+          .when(col("srcn") % 4 === 2, 0.25).otherwise(0.1))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"), lit(":"),
+          col("text")).cast("binary")), 1, 2), 16, 10).cast("int"))
+      .withColumn("kept", (col("bucket") < col("w") * 256).cast("int"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+
+  /** Benchmark-contamination check: flag training docs sharing any
+    * word-5-gram with the held-out set (source src0 stands in for
+    * the benchmark). The benchmark's distinct shingles BROADCAST —
+    * eval sets are tiny next to the corpus, so the probe is a
+    * map-side semi-join at any corpus size; output is per-doc
+    * overlapping-gram counts.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def grams(df: DataFrame) = df
+      .withColumn("l", split(col("text"), " "))
+      .filter(size(col("l")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(l) - 5),
+          |  i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4]))"""
+          .stripMargin))).as("g"))
+    val bench = grams(docs.filter(col("source") === "src0")).select("g").distinct()
+    grams(docs.filter(col("source") =!= "src0"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_sources"      -> (mixSources _),
+    "q_contamination"    -> (contamination _),
     "q_dedup_minhash"    -> (dedupMinhash _),
     "q_dedup_cc"         -> (DedupCluster.dedupCluster _),
     "q_dedup_cc_edges"   -> (DedupCluster.ccEdges _),
@@ -385,6 +431,29 @@ object TextQueries {
         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
         |SELECT id AS doc_id, min(r) AS comp, (min(r) = id)::INT AS is_canonical
         |FROM reach GROUP BY id""".stripMargin,
+    "q_mix_sources" ->
+      """SELECT source, w, count(*) AS n_total, sum(kept)::BIGINT AS n_kept
+        |FROM (
+        |  SELECT source,
+        |    CASE substr(source, 4)::INT % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+        |         WHEN 2 THEN 0.25 ELSE 0.1 END AS w,
+        |    (('0x' || substr(md5('mix:' || doc_id::VARCHAR || ':' || text), 1, 2))::INT
+        |      < CASE substr(source, 4)::INT % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+        |             WHEN 2 THEN 0.25 ELSE 0.1 END * 256)::INT AS kept
+        |  FROM documents)
+        |GROUP BY source, w""".stripMargin,
+    "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, len(l) - 3),
+        |    i -> l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]))) AS g
+        |  FROM (SELECT doc_id, source, string_split(text,' ') AS l FROM documents)
+        |  WHERE len(l) >= 5),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM g JOIN bench USING (g)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id""".stripMargin,
     "q_dedup_cc_edges" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, g FROM (

@@ -169,6 +169,14 @@ object ScaleProbe {
       w.println("plan is already output-bound on this data; the width dial matters when")
       w.println("interval spans dwarf the bucket (replication-bound), not here.")
       w.println()
+      w.println("q_dedup_cc's non-monotone row is the stop-shingle cut reacting to the")
+      w.println("replica corpus, not noise: the multiplier gives every doc N exact copies,")
+      w.println("so shingle document frequency scales by N and at x16 most shingles cross")
+      w.println("the df<=50 cut and drop out - the candidate graph (and the work) shrinks.")
+      w.println("That is the cap doing its job (candidate volume bounded by df^2 per")
+      w.println("shingle); on a real corpus df grows with corpus breadth, not in lockstep")
+      w.println("with size, and the x4 point (~3x at 4x rows) is the representative one.")
+      w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
       queries.foreach { case (q, mk0) =>
