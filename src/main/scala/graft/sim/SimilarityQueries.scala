@@ -331,7 +331,29 @@ object SimilarityQueries {
         F.cosineSimilarity(col("emb_a"), col("emb_b")).as("cos"))
   }
 
+  /** Embedding storage prep: L2 norm + per-vector int8 quantization
+    * (scale 127/max|x|) — the compression pass a 100 TB embedding
+    * store runs before ANN indexing (4x smaller than float32, cheap
+    * SIMD distance on the int8 lattice). Pure projection, no
+    * shuffle; all math forced to DOUBLE so the oracle's IEEE ops are
+    * bit-identical (same discipline as the cosine queries below).
+    * The quantized array joins to a string because the driver's
+    * comparator hashes scalar columns.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "embeddings")
+      .withColumn("maxabs",
+        array_max(transform(col("embedding"), y => abs(y.cast("double")))))
+      .select(col("vec_id"),
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double"))).as("l2"),
+        array_join(transform(col("embedding"),
+          x => when(col("maxabs") === 0.0d, 0)
+            .otherwise(floor(x.cast("double") * lit(127.0d) / col("maxabs")).cast("int"))),
+          ",").as("q8"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (embedQuantize _),
     "q_sim_topk"     -> (cosineTopK _),
     "q_sim_sig_rerank" -> ((s: SparkSession, d: String) => annSigRerank(s, d)),
     "q_dedup_cosine" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
@@ -352,6 +374,16 @@ object SimilarityQueries {
       " / (" + normD.replace("%A", a) + " * " + normD.replace("%A", b) + ")"
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """SELECT vec_id,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> (x::DOUBLE)*(x::DOUBLE)))) AS l2,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CASE WHEN list_max(list_transform(embedding,
+        |                 y -> abs(y::DOUBLE))) = 0 THEN 0
+        |         ELSE floor((x::DOUBLE) * 127.0 / list_max(list_transform(embedding,
+        |                 y -> abs(y::DOUBLE))))::INT END), ',') AS q8
+        |FROM embeddings""".stripMargin,
     // exact brute-force over the same planted corpus: the blocking
     // must find EVERY >= 0.98 pair (planted twins sit at ~0.99997 —
     // far from both the threshold and the driver's rounding; natural
