@@ -101,9 +101,19 @@ object DedupCluster {
 
   /** Connected components of an undirected pair graph.
     * @param pairs (ida, idb) candidate pairs, one direction
+    * @param checkpointDir when set, per-round state snapshots use
+    *   RELIABLE checkpoints into this directory instead of
+    *   executor-local storage — on a multi-executor cluster a lost
+    *   executor then re-reads its slice of the label table from
+    *   shared storage instead of failing the job. Local mode and
+    *   tests run fine without it.
     * @return (id, comp) — comp is the min id reachable from id
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     // Every round references the previous label table THREE times
     // (neighbor-min join, the least() merge, the jump LUT) — without
     // lineage truncation the logical plan doubles per round and the
@@ -112,9 +122,8 @@ object DedupCluster {
     // the plan back to a leaf; on a multi-executor cluster swap in
     // reliable checkpoint(dir) so a lost executor can't drop a slice
     // of the label table mid-computation.
-    var edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
-      .localCheckpoint(true)
+    var edges = snap(pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst"))))
     // Size the loop's parallelism from the measured edge count (the
     // checkpoint already materialized it, so count() is ~free): each
     // round is 4 tiny jobs, and running a 200-edge graph on the
@@ -133,10 +142,9 @@ object DedupCluster {
     // shared with whatever query runs next.
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try {
-      edges = edges.repartition(parts, col("src")).localCheckpoint(true)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp"))
-        .localCheckpoint(true)
+      edges = snap(edges.repartition(parts, col("src")))
+      var labels = snap(edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
       var lastSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       var iter = 0
       var converged = false
@@ -149,9 +157,8 @@ object DedupCluster {
         // pointer jump: follow the label one hop (comp := comp(comp)),
         // compressing chains so rounds go O(log d) not O(d)
         val lut = stepped.select(col("id").as("cid"), col("comp").as("ccomp"))
-        val next = stepped.join(lut, stepped("comp") === lut("cid"), "left")
-          .select(stepped("id"), coalesce(col("ccomp"), stepped("comp")).as("comp"))
-          .localCheckpoint(true)
+        val next = snap(stepped.join(lut, stepped("comp") === lut("cid"), "left")
+          .select(stepped("id"), coalesce(col("ccomp"), stepped("comp")).as("comp")))
         val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
         labels.unpersist()
         labels = next

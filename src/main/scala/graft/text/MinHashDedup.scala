@@ -48,7 +48,10 @@ object MinHashDedup {
            |  i -> concat_ws(' ', slice(__toks, i + 1, $shingleLen)))""".stripMargin)).as("__sh"))
       .select(col(idCol),
         xxhash64(col("__sh")).bitwiseAND(lit(0x7fffffffL)).as("__h"))
-      .distinct()
+    // no distinct: min() over duplicate shingle hashes is the same
+    // min, and the dedup shuffle costs more than the partial
+    // aggregation absorbs — the groupBy's map-side min compresses
+    // each partition to k longs per doc before anything moves
     // h_i(x) = (a_i * x + b_i) mod p, min-aggregated per doc
     val mins = (0 until k).map { i =>
       val a = math.abs(mix(2L * i)) % (Prime - 1) + 1

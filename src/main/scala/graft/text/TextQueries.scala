@@ -242,13 +242,15 @@ object TextQueries {
     * oracle in DuckDB.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // per-doc distinct computed map-side (array_distinct before the
+    // explode) — the old explode-then-distinct paid a full shuffle of
+    // the shingle stream before any of the three consumers below
     val sh = t(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)).as("sh"))
-      .distinct()
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin))).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x")
       .join(sh.withColumn("doc_id", col("doc_id") - 1).as("y"), Seq("doc_id", "sh"))
@@ -372,19 +374,30 @@ object TextQueries {
     * map-side semi-join at any corpus size; output is per-doc
     * overlapping-gram counts.
     */
+  private def grams5(df: DataFrame): DataFrame = df
+    .withColumn("l", split(col("text"), " "))
+    .filter(size(col("l")) >= 5)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      """transform(sequence(0, size(l) - 5),
+        |  i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4]))"""
+        .stripMargin))).as("g"))
+
+  /** Core contamination probe, shared by the batch query and the
+    * streaming twin: works unchanged on a streaming `docs` frame —
+    * the gram explode is stateless and the broadcast side is static,
+    * so each micro-batch probes the same in-memory benchmark set
+    * (stream-static join; the aggregation carries the running
+    * per-doc counts).
+    */
+  def contaminationPairs(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    grams5(docs)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    def grams(df: DataFrame) = df
-      .withColumn("l", split(col("text"), " "))
-      .filter(size(col("l")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(l) - 5),
-          |  i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4]))"""
-          .stripMargin))).as("g"))
-    val bench = grams(docs.filter(col("source") === "src0")).select("g").distinct()
-    grams(docs.filter(col("source") =!= "src0"))
-      .join(broadcast(bench), Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val bench = grams5(docs.filter(col("source") === "src0")).select("g").distinct()
+    contaminationPairs(docs.filter(col("source") =!= "src0"), bench)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

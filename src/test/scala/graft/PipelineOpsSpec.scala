@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.text.{DedupCluster, TextQueries}
+
+/** Round-8 pipeline operators: streaming contamination twin, packing
+  * math, mixing determinism, reliable-checkpoint CC path.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming contamination equals the batch probe on the same docs") {
+    val benchDocs = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val benchGrams = benchDocs
+      .withColumn("l", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(0, size(l) - 5),
+          |  i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4]))""".stripMargin)).as("g"))
+      .distinct()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // contains 2 bench 5-grams
+      (2L, "one two three four five six"),             // clean
+      (3L, "zz alpha beta gamma delta epsilon"))       // 1 bench 5-gram
+      .toDF("doc_id", "text")
+    val expected = TextQueries.contaminationPairs(docs, benchGrams)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val input = MemoryStream[(Long, String)](77, spark, None)
+    val q = TextQueries.contaminationPairs(input.toDF().toDF("doc_id", "text"), benchGrams)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("contam_stream").start()
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon zeta eta"), (2L, "one two three four five six"))
+      q.processAllAvailable()
+      input.addData((3L, "zz alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      val got = spark.table("contam_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"stream $got vs batch $expected")
+      assert(expected.keySet == Set(1L, 3L) && expected(1L) == 2L && expected(3L) == 1L)
+    } finally q.stop()
+  }
+
+  test("sequence packing math matches a per-shard reference fold") {
+    val out = TextQueries.packSequences(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, nTok, startSeq, startOff, endSeq) =>
+        assert(startSeq == cum / 512 && startOff == cum % 512)
+        assert(endSeq == (cum + nTok - 1) / 512)
+        cum += nTok
+      }
+    }
+  }
+
+  test("hash mixing is deterministic and respects per-source weights") {
+    val a = TextQueries.mixSources(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val b = TextQueries.mixSources(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(a.sorted.sameElements(b.sorted))
+    a.foreach { case (src, w, total, kept) =>
+      assert(kept <= total)
+      val n = src.drop(3).toInt
+      val expW = Seq(1.0, 0.5, 0.25, 0.1)(n % 4)
+      assert(w == expW, s"$src weight $w != $expW")
+      if (w == 1.0) assert(kept == total)
+    }
+  }
+
+  test("connected components with a reliable checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val m = DedupCluster.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("ida", "idb"),
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+}
