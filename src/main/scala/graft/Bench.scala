@@ -41,7 +41,7 @@ object Bench {
     "q_over_frames", "q_window_topn", "q_cep_pattern",
     "q_sql_match_recognize", "q_tvf_session", "q_join_inner",
     "q_cdc_debezium", "q_bucketed_join", "q_pb_roundtrip", "q_pb_nested",
-    "q_raw_roundtrip", "q_avro_registry", "q_dedup_cosine", "q_text_gopher",
+    "q_raw_roundtrip", "q_avro_registry", "q_avro_glue", "q_dedup_cosine", "q_text_gopher",
     "q_dedup_cc", "q_text_repetition", "q_pack_sequences")
 
   private def num(v: Double): String =

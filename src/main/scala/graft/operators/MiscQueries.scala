@@ -391,6 +391,36 @@ object MiscQueries {
         sum(col("ln")).as("sum_ln"))
   }
 
+  /** AWS Glue registry envelope round-trip
+    * (flink-avro-glue-schema-registry): encode∘decode with ZLIB body
+    * compression is the identity on every lineitem row, so the
+    * aggregates equal the plain-column aggregates. Exercises the
+    * version-UUID framing, the deflate/inflate path and writer-schema
+    * resolution in the hot path.
+    */
+  def avroGlue(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AvroGlueFormat
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", DoubleType),
+      StructField("rf", StringType), StructField("ln", IntegerType)))
+    val opts = Map("avro-glue.registry" -> "fake://q-avro-glue",
+      "avro-glue.compression" -> "ZLIB")
+    val payload = AvroGlueFormat.encode(struct(
+      col("l_orderkey").cast("long").as("k"),
+      col("l_extendedprice").cast("double").as("p"),
+      col("l_returnflag").as("rf"),
+      col("l_linenumber").cast("int").as("ln")), schema, opts, "lineitem")
+    t(s, dir, "lineitem")
+      .select(AvroGlueFormat.decode(payload, schema, opts).as("m"))
+      .select(col("m.k").as("k"), col("m.p").as("p"),
+        col("m.rf").as("rf"), col("m.ln").as("ln"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("p").cast("decimal(20,4)")).cast("double").as("sum_p"),
+        sum(col("ln")).as("sum_ln"))
+  }
+
   /** Hadoop SequenceFile K/V round-trip (flink-sequence-file): the
     * nation table writes as Text/Text pairs through the DDL sink and
     * reads back via the Hadoop input format — the aggregate matches
@@ -496,6 +526,7 @@ object MiscQueries {
     "q_pb_roundtrip" -> (pbRoundtrip _),
     "q_pb_nested" -> (pbNested _),
     "q_avro_registry" -> (avroRegistry _),
+    "q_avro_glue" -> (avroGlue _),
     "q_seqfile_roundtrip" -> (seqfileRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_multimodal_decode" -> (multimodalDecode _),
@@ -542,6 +573,14 @@ object MiscQueries {
         |FROM nation""".stripMargin,
     // avro-confluent encode∘decode is the identity (framing + binary
     // avro resolve back to the source columns)
+    // glue envelope encode∘decode identity — same oracle shape as the
+    // confluent envelope
+    "q_avro_glue" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  sum(l_orderkey)::BIGINT AS sum_k,
+        |  sum(l_extendedprice::DECIMAL(20,4))::DOUBLE AS sum_p,
+        |  sum(l_linenumber)::BIGINT AS sum_ln
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_avro_registry" ->
       """SELECT l_returnflag AS rf, count(*) AS n,
         |  sum(l_orderkey)::BIGINT AS sum_k,

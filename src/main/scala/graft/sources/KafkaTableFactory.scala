@@ -124,7 +124,8 @@ object KafkaTableFactory {
     // field', bare 'csv.field-delimiter'. Substring matching would
     // leak unrelated keys that merely embed the format name (e.g. a
     // hypothetical 'scan.raw.x') into the format maps
-    val fmtPrefixes = Seq("raw.", "json.", "csv.", "protobuf.", "avro-confluent.")
+    val fmtPrefixes = Seq("raw.", "json.", "csv.", "protobuf.", "avro-confluent.",
+      "avro-glue.")
     Translated(base ++ startup, valueFormat, keyFormat, keyFields, include, upsert,
       options.filter { case (k, _) =>
         val unsided = k.stripPrefix("key.").stripPrefix("value.")
@@ -243,6 +244,29 @@ object KafkaTableFactory {
           "topic for the TopicNameStrategy subject — declare " +
           "'avro-confluent.subject' or use a single 'topic'"))
 
+  /** Side-resolved avro-glue options: `key./value.`-prefixed keys win
+    * over bare ones, flattened back to the names [[AvroGlueFormat]]
+    * reads.
+    */
+  private def glueOptions(opts: Map[String, String], prefix: String): Map[String, String] =
+    Seq("avro-glue.registry", "avro-glue.compression").flatMap { k =>
+      opts.get(s"$prefix$k").orElse(opts.get(k)).map(k -> _)
+    }.toMap
+
+  /** Glue schema name: explicit 'avro-glue.schema-name' override, else
+    * the AWS default naming strategy — the transport (topic) name,
+    * `-key`-suffixed on the key side.
+    */
+  private def glueSchemaName(t: Translated, prefix: String): String =
+    t.formatOptions.get(s"${prefix}avro-glue.schema-name")
+      .orElse(t.formatOptions.get("avro-glue.schema-name"))
+      .orElse(t.sparkOptions.get("subscribe")
+        .map(tp => if (prefix == "key.") s"$tp-key" else tp))
+      .getOrElse(sys.error(
+        "avro-glue encode: a topic-pattern table has no concrete topic " +
+          "for the schema name — declare 'avro-glue.schema-name' or use " +
+          "a single 'topic'"))
+
   /** Write half of debezium-avro-confluent
     * (DebeziumAvroSerializationSchema.java): the same per-row mapping
     * as the json CDC write half — +I/+U emit op 'c' with the after
@@ -277,7 +301,8 @@ object KafkaTableFactory {
           "insert-only value format (the reference rejects this pairing too)")
       return decodeDebeziumAvro(records, physical, t)
     }
-    val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent")
+    val implemented = Set("json", "csv", "raw", "protobuf", "avro-confluent",
+      "avro-glue")
     require(implemented.contains(t.valueFormat),
       s"kafka value format '${t.valueFormat}' is not implemented " +
         s"(${implemented.mkString("/")} are)")
@@ -304,6 +329,9 @@ object KafkaTableFactory {
         PbFormat.decode(col("value"), valueSchema, t.formatOptions, "value.")
       case "avro-confluent" =>
         AvroConfluentFormat.decode(col("value"), valueSchema, t.formatOptions, "value.")
+      case "avro-glue" =>
+        AvroGlueFormat.decode(col("value"), valueSchema,
+          glueOptions(t.formatOptions, "value."))
     }
     val kj: Column = t.keyFormat match {
       case _ if keyFields.isEmpty => lit(null)
@@ -315,6 +343,9 @@ object KafkaTableFactory {
         PbFormat.decode(col("key"), keySchema, t.formatOptions, "key.")
       case Some("avro-confluent") =>
         AvroConfluentFormat.decode(col("key"), keySchema, t.formatOptions, "key.")
+      case Some("avro-glue") =>
+        AvroGlueFormat.decode(col("key"), keySchema,
+          glueOptions(t.formatOptions, "key."))
       case Some("csv") =>
         from_csv(col("key").cast("string"), keySchema, csvOptions("key."))
       case _ => from_json(col("key").cast("string"), keySchema)
@@ -411,6 +442,9 @@ object KafkaTableFactory {
         case "avro-confluent" =>
           AvroConfluentFormat.encode(payload, schema, t.formatOptions, prefix,
             confluentSubjectBase(t, prefix))
+        case "avro-glue" =>
+          AvroGlueFormat.encode(payload, schema,
+            glueOptions(t.formatOptions, prefix), glueSchemaName(t, prefix))
       }
     }
     val keyCol: Column = t.keyFormat match {

@@ -39,6 +39,7 @@ object DumpPlans {
     "q_dedup_cosine" -> "embedding near-dup mining: (table,bucket) self-equi-join with width-adaptive buckets — candidate volume ~linear, exact cosine filter on candidates only, no all-pairs",
     "q_pb_nested" -> "protobuf composites: nested message/packed repeated/map encode+decode stay one codegen'd map-only projection — composite shapes add zero shuffles over the flat codec",
     "q_avro_registry" -> "avro-confluent envelope: registry hit once per distinct schema id per task (cached datum readers), then map-only decode into a two-phase agg",
+    "q_avro_glue" -> "avro-glue envelope: version-UUID framing + per-record zlib body, decode evaluated ONCE per row (single avro_glue_decode in the plan), map-only into a two-phase agg — zlib JNI is the cost and it scales embarrassingly parallel",
     "q_dedup_cc_edges" -> "near-dup candidate mining, two shuffles total: per-doc distinct shingles map-side (no dedup shuffle), ONE groupBy(shingle) gathering doc lists through the capped collector (ObjectHashAggregate partial+final; a stop-shingle in 10^8 docs costs the same 51-slot buffer as one in 51 — the skew cap), i<j pairs explode from each list (<= df^2/2 per shingle, never corpus-quadratic), one final pair-count aggregate. These edges feed the iterative CC closure (q_dedup_cc)",
     "q_pack_sequences" -> "sequence packing: ONE window per source shard (no global sort) — each shard's token stream chunks into 512-token sequences independently, the shape a sharded 100 TB corpus packs in anyway",
     "q_split_hash" -> "deterministic md5 split: pure map-only projection in one WholeStageCodegen span — reproducible train/val/test assignment at any scale, no shuffle at all",
