@@ -400,7 +400,175 @@ object TextQueries {
     contaminationPairs(docs.filter(col("source") =!= "src0"), bench)
   }
 
+  /** Corpus-trained bigram language-model scoring — the CCNet/KenLM
+    * quality gate (Wenzek et al. 2020): documents whose token stream
+    * is improbable under a corpus LM are boilerplate/noise. Here the
+    * LM is the corpus's own bigram model with add-k smoothing
+    * (k=0.5): P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V). Per doc emits
+    * the bigram count, mean log-probability and perplexity.
+    *
+    * Plan shape: two count aggregates (bigram, unigram — shuffles
+    * carry distinct grams, not the token stream, thanks to partial
+    * aggregation), then the doc's bigram stream equi-joins the count
+    * tables on their natural keys and folds back to one row per doc.
+    * V rides along as a broadcast 1-row crossjoin, never a driver
+    * action. At 100 TB the model table is Zipf-truncated (count
+    * floor) and broadcast instead of shuffle-joined — the join keys
+    * and smoothing are unchanged, which is why the exact variant is
+    * the one under oracle test.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val uni = toks.select(explode(col("l")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val bg = toks.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("cb") + 0.5) / (col("cu") + col("v") * 0.5)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), avg(col("logp")).as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
+  /** Stratified sampling: exactly `perStratum` docs per language,
+    * chosen by DETERMINISTIC hash order (md5 of "samp:docId:lang") —
+    * the reproducible eval-set carve-out ([[hashSplit]]'s property,
+    * but with an exact per-stratum count, which rate sampling cannot
+    * guarantee). The rank<=k filter over row_number plans as
+    * WindowGroupLimit: each map task keeps only its local top-k per
+    * stratum BEFORE the exchange, so the shuffle carries
+    * O(partitions·k·strata) rows — a giant stratum never sorts
+    * corpus-wide.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val perStratum = 40
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("hk", md5(concat(lit("samp:"), col("doc_id").cast("string"),
+        lit(":"), col("lang")).cast("binary")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .select(col("lang"), col("doc_id"), col("rk"))
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per document. tf and df
+    * come from the same (doc,term) count aggregate (df is a second
+    * fold over it — the doc-term pairs shuffle once); idf is
+    * smoothed sklearn-style ln((N+1)/(df+1))+1 with N a broadcast
+    * 1-row crossjoin. Ranking is INTEGER-only (tf desc, df asc —
+    * frequent-here and rare-elsewhere — then term) so the row_number
+    * cut is reproducible across engines: ordering by the float score
+    * would make the oracle hash hostage to ulp differences between
+    * ln implementations. The rank filter plans as WindowGroupLimit
+    * (map-side top-k before the exchange), same shape as
+    * [[stratifiedSample]].
+    */
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(ndocs))
+      .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        (col("tf") * col("idf")).as("score"))
+  }
+
+  /** Incremental dedup against a prior-snapshot fingerprint store —
+    * the shape every RECURRING ingestion runs: yesterday's corpus is
+    * already deduped, today's batch must reject (a) docs whose
+    * content hash exists in the store and (b) intra-batch repeats,
+    * keeping one canonical row. Source 'src1' stands in for the new
+    * batch; everything else is the store. One distinct over the
+    * store + a left join on the hash + a per-hash first-row window
+    * over the batch. At production scale the store is a table
+    * BUCKETED on h, so the join and the day's store update are both
+    * exchange-free on the store side; the batch (small next to the
+    * store) shuffles only itself.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("h", md5(col("text").cast("binary")))
+    val prior = docs.filter(col("source") =!= "src1").select(col("h")).distinct()
+    val batch = docs.filter(col("source") === "src1")
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    batch
+      .join(prior.withColumn("in_prior", lit(1)), Seq("h"), "left")
+      .withColumn("dup_prior", coalesce(col("in_prior"), lit(0)))
+      .withColumn("first_in_batch", (row_number().over(w) === 1).cast("int"))
+      .withColumn("ingest",
+        (col("dup_prior") === 0 && col("first_in_batch") === 1).cast("int"))
+      .select(col("doc_id"), col("h"), col("dup_prior"),
+        col("first_in_batch"), col("ingest"))
+  }
+
+  /** Vocabulary induction + OOV-rate analysis — the tokenizer-
+    * coverage question every pipeline answers before training: with a
+    * top-V frequency vocabulary, what fraction of each document's
+    * token occurrences falls outside it? Vocab = top 64 tokens by
+    * (count desc, token asc) — an INTEGER+string ordering, so the cut
+    * is reproducible across engines. The unpartitioned rank<=V plans
+    * as WindowGroupLimit (each map task forwards only its local top-V,
+    * the single merge sees partitions·V rows, never the vocabulary);
+    * the induced vocab then BROADCASTS back against the token stream
+    * — vocab size is a constant, so the per-doc OOV fold is map-side
+    * at any corpus size.
+    */
+  def vocabOov(s: SparkSession, dir: String): DataFrame = {
+    val vocabSize = 64
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      .filter(col("rk") <= vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+  }
+
+  /** Streaming twin of [[dedupIncremental]] — continuous ingestion
+    * instead of a daily batch: works unchanged on a streaming `docs`
+    * frame. The content hash is a stateless projection, intra-batch
+    * keep-first becomes streaming `dropDuplicates` keyed state
+    * (first arrival wins, the streaming analog of the batch
+    * min-doc_id window), and the store probe is a stream-static
+    * LEFT ANTI join — the fingerprint store is static for the run,
+    * so each micro-batch probes it without state. Emits exactly the
+    * rows to ingest; spec-asserted equal to the batch operator on
+    * the same data (PipelineOpsSpec).
+    */
+  def ingestStream(docs: DataFrame, priorHashes: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text").cast("binary")))
+      .dropDuplicates("h")
+      .join(priorHashes, Seq("h"), "left_anti")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_oov"        -> (vocabOov _),
+    "q_lm_perplexity"    -> (lmPerplexity _),
+    "q_sample_stratified" -> (stratifiedSample _),
+    "q_tfidf_topk"       -> (tfidfTopk _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_mix_sources"      -> (mixSources _),
     "q_contamination"    -> (contamination _),
     "q_dedup_minhash"    -> (dedupMinhash _),
@@ -420,6 +588,68 @@ object TextQueries {
     "q_dedup_ngram"      -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rk
+        |    FROM toks GROUP BY w)
+        |  WHERE rk <= 64)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |    AS oov_rate
+        |FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+        |GROUP BY doc_id""".stripMargin,
+    "q_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |uni AS (SELECT w1, count(*) AS cu
+        |        FROM (SELECT unnest(l) AS w1 FROM toks) GROUP BY w1),
+        |v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(l)), i -> l[i]||' '||l[i+1])) AS g
+        |       FROM toks WHERE len(l) >= 2),
+        |cb AS (SELECT g, count(*) AS cb FROM bg GROUP BY g),
+        |sc AS (SELECT doc_id, ln((cb + 0.5) / (cu + 0.5 * v.v)) AS logp
+        |       FROM bg JOIN cb USING (g)
+        |       JOIN uni ON uni.w1 = split_part(g, ' ', 1), v)
+        |SELECT doc_id, count(*) AS n_bg, avg(logp) AS avg_logp,
+        |  exp(-avg(logp)) AS ppl
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('samp:' || doc_id::VARCHAR || ':' || lang), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+        |SELECT doc_id, rk, term, tf, df, score FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, term ASC) AS rk
+        |  FROM tfc JOIN dfc USING (term), nd)
+        |WHERE rk <= 3""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |prior AS (SELECT DISTINCT h FROM d WHERE source <> 'src1')
+        |SELECT doc_id, h, dup_prior, first_in_batch,
+        |  (dup_prior = 0 AND first_in_batch = 1)::INT AS ingest
+        |FROM (
+        |  SELECT doc_id, h,
+        |    (h IN (SELECT h FROM prior))::INT AS dup_prior,
+        |    (row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)::INT
+        |      AS first_in_batch
+        |  FROM d WHERE source = 'src1')""".stripMargin,
     // same edge mining (rare word-3-grams shared >= 3), closed into
     // components with a recursive CTE instead of label propagation
     "q_dedup_cc" ->

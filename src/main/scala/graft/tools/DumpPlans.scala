@@ -44,7 +44,12 @@ object DumpPlans {
     "q_pack_sequences" -> "sequence packing: ONE window per source shard (no global sort) — each shard's token stream chunks into 512-token sequences independently, the shape a sharded 100 TB corpus packs in anyway",
     "q_split_hash" -> "deterministic md5 split: pure map-only projection in one WholeStageCodegen span — reproducible train/val/test assignment at any scale, no shuffle at all",
     "q_text_repetition" -> "repetition scoring: two explode->two-phase-agg branches (2-grams, 3-grams) joined on doc_id — shingle-stream shuffle volume, same linear shape as the dedup shinglers",
-    "q_catalog_federation" -> "jdbc catalog federation: the DSv2 catalog path pushes the WHOLE aggregate into the external engine (PushedAggregates COUNT/SUM + PushedGroupByExpressions — the dump shows Derby executing the GROUP BY) — at scale the federated DB returns 25 rows, not the table")
+    "q_catalog_federation" -> "jdbc catalog federation: the DSv2 catalog path pushes the WHOLE aggregate into the external engine (PushedAggregates COUNT/SUM + PushedGroupByExpressions — the dump shows Derby executing the GROUP BY) — at scale the federated DB returns 25 rows, not the table",
+    "q_lm_perplexity" -> "corpus bigram LM scoring: gram-count aggregates are partial+final (shuffles carry distinct grams, not the token stream), V is a broadcast 1-row crossjoin (no driver action), doc bigrams equi-join the model tables on natural keys — at 100 TB the Zipf-truncated model broadcasts instead",
+    "q_sample_stratified" -> "stratified sample: rank<=k over deterministic md5 order plans as WindowGroupLimit — map-side top-k per stratum BEFORE the exchange, so a giant stratum never sorts corpus-wide",
+    "q_tfidf_topk" -> "TF-IDF keywords: tf and df fold from ONE (doc,term) aggregate, integer-only rank cut via WindowGroupLimit; float score rides along but never orders — cross-engine-stable top-k",
+    "q_dedup_incremental" -> "incremental dedup vs fingerprint store: store distinct + left join on h + per-hash first-row window over the batch only — with the store bucketed on h, the store side is exchange-free; the day's batch shuffles only itself",
+    "q_vocab_oov" -> "vocab induction + OOV: unpartitioned rank<=V plans as WindowGroupLimit (map tasks forward local top-V, the merge sees partitions*V rows, never the vocabulary), induced vocab broadcasts back against the token stream — map-side OOV fold at any corpus size")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

@@ -108,7 +108,11 @@ object ScaleProbe {
       // df<=50 shingle cap bounds candidate volume, and pointer
       // jumping keeps the round count ~constant as replicas deepen
       // the clusters (x16 corpus = 16 exact copies per doc)
-      "q_dedup_cc")
+      "q_dedup_cc",
+      // round-8: corpus bigram-LM scoring — gram-count aggs shuffle
+      // distinct grams (sublinear in tokens under Zipf), the scoring
+      // joins shuffle the bigram stream once; must stay ~linear
+      "q_lm_perplexity")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

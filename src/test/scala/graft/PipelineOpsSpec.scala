@@ -42,6 +42,37 @@ class PipelineOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup equals the batch ingest set") {
+    // prior-snapshot store: hashes of two known texts
+    val prior = Seq("dup one", "dup two").toDF("text")
+      .select(md5(col("text").cast("binary")).as("h"))
+    val batch = Seq(
+      (10L, "fresh alpha"),   // new content -> ingest
+      (11L, "dup one"),       // in store -> reject
+      (12L, "fresh alpha"),   // intra-stream repeat -> reject
+      (13L, "fresh beta"))    // new content -> ingest
+      .toDF("doc_id", "text")
+    val expected = TextQueries.ingestStream(batch, prior)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected == Set(10L, 13L))
+
+    val input = MemoryStream[(Long, String)](78, spark, None)
+    val q = TextQueries.ingestStream(input.toDF().toDF("doc_id", "text"), prior)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_stream").start()
+    try {
+      input.addData((10L, "fresh alpha"), (11L, "dup one"))
+      q.processAllAvailable()
+      // repeat arrives in a LATER micro-batch: dropDuplicates state
+      // must remember the first arrival across batches
+      input.addData((12L, "fresh alpha"), (13L, "fresh beta"))
+      q.processAllAvailable()
+      val got = spark.table("ingest_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+    } finally q.stop()
+  }
+
   test("sequence packing math matches a per-shard reference fold") {
     val out = TextQueries.packSequences(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
