@@ -563,7 +563,60 @@ object TextQueries {
       .dropDuplicates("h")
       .join(priorHashes, Seq("h"), "left_anti")
 
+  /** Curriculum length-binning: assign every doc to one of 10
+    * length deciles (short→long ordering is the classic curriculum
+    * schedule) WITHOUT a global sort. A naive ntile() over the
+    * corpus plans as a single-partition window — the anti-pattern at
+    * 100 TB. Instead: the n_tok HISTOGRAM aggregates first (distinct
+    * lengths, thousands of rows at any corpus size), the cumulative
+    * fold and bin boundaries compute on the histogram, and the
+    * bin map BROADCASTS back onto the doc stream — integer-only
+    * arithmetic (cum_before·10 / total) so the deciles are exact and
+    * engine-reproducible, and docs with equal length always share a
+    * bin. One corpus-sized aggregate + one map-side join.
+    */
+  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val hist = docs.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("total"))))
+      // `div`, not `/`: Spark's / is DOUBLE division even on longs, and
+      // a true quotient of k-epsilon can round UP to k before the int
+      // cast — the oracle's integer // would floor to k-1 at exactly
+      // the bin boundaries. Integer division matches bit-for-bit.
+      .select(col("n_tok"),
+        least(lit(9L), expr("((cum - cnt) * 10) div total"))
+          .cast("int").as("bin"))
+    docs.join(broadcast(bins), Seq("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("bin"))
+  }
+
+  /** Corpus report card: doc counts, token volume and mean length
+    * rolled up over every (lang × source) combination plus each
+    * margin and the grand total — CUBE, the one-pass answer to "what
+    * is in this corpus" that every curation run reports. Grouping
+    * columns are never null in the data, so the standard
+    * coalesce-to-'ALL' labeling is unambiguous. One Expand + one
+    * two-phase aggregate; shuffle carries 4 grouping rows per input
+    * row of partial state, not the corpus.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tok"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_tok"), col("avg_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum_bins"  -> (curriculumBins _),
+    "q_corpus_report"    -> (corpusReport _),
     "q_vocab_oov"        -> (vocabOov _),
     "q_lm_perplexity"    -> (lmPerplexity _),
     "q_sample_stratified" -> (stratifiedSample _),
@@ -588,6 +641,26 @@ object TextQueries {
     "q_dedup_ngram"      -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "q_curriculum_bins" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+        |           FROM documents),
+        |hist AS (SELECT n_tok, count(*) AS cnt FROM d GROUP BY n_tok),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM hist),
+        |bins AS (
+        |  SELECT n_tok,
+        |    least(9, (cum - cnt) * 10 // total)::INT AS bin
+        |  FROM (SELECT n_tok, cnt, sum(cnt) OVER (ORDER BY n_tok
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |        FROM hist), tot)
+        |SELECT doc_id, d.n_tok, bin FROM d JOIN bins ON d.n_tok = bins.n_tok"""
+        .stripMargin,
+    "q_corpus_report" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS total_tok,
+        |  sum(n_chars)::DOUBLE / count(*) AS avg_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)""".stripMargin,
     "q_vocab_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
