@@ -352,7 +352,39 @@ object SimilarityQueries {
             .otherwise(floor(x.cast("double") * lit(127.0d) / col("maxabs")).cast("int"))),
           ",").as("q8"))
 
+  /** Sparse sign random projection (Achlioptas 2003, the
+    * Johnson-Lindenstrauss workhorse): project every embedding to 16
+    * dims with a ±1 matrix derived DETERMINISTICALLY from md5 of the
+    * (input-dim, output-dim) index pair — no stored matrix, no RNG
+    * state, any engine regenerates the identical projection (the
+    * reproducibility property [[graft.text.TextQueries.hashSplit]]
+    * relies on, applied to linear algebra). Distances are preserved
+    * within JL bounds, so this is the 4x compute/storage reduction
+    * pass ahead of LSH/IVF indexing. Map-only projection, no
+    * shuffle; components emit as floor(v*1000) integers joined to a
+    * string — float->double products are exact (24+24 < 53 mantissa
+    * bits) and both engines fold the sum left-to-right, so the
+    * quantized components are bit-identical to the oracle.
+    */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val dOut = 16
+    graft.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr(
+          s"""array_join(transform(sequence(0, ${dOut - 1}), j ->
+             |  cast(floor(aggregate(sequence(0, size(embedding) - 1),
+             |    cast(0.0 as double),
+             |    (acc, i) -> acc + cast(embedding[i] as double) *
+             |      (case when substring(md5(cast(concat('rp:', cast(i as string),
+             |                ':', cast(j as string)) as binary)), 1, 1) < '8'
+             |            then cast(1.0 as double)
+             |            else cast(-1.0 as double) end))
+             |    * cast(1000.0 as double)) as bigint)), ',')""".stripMargin)
+          .as("proj16"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_rp" -> (randomProjection _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_sim_topk"     -> (cosineTopK _),
     "q_sim_sig_rerank" -> ((s: SparkSession, d: String) => annSigRerank(s, d)),
@@ -374,6 +406,16 @@ object SimilarityQueries {
       " / (" + normD.replace("%A", a) + " * " + normD.replace("%A", b) + ")"
 
   val oracle: Map[String, String] = Map(
+    "q_embed_rp" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(range(0, 16), j ->
+        |    floor(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |      embedding[i]::DOUBLE *
+        |      (CASE WHEN substr(md5('rp:' || (i-1)::VARCHAR || ':' || j::VARCHAR),
+        |                  1, 1) < '8'
+        |            THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)))
+        |      * 1000.0::DOUBLE)::BIGINT), ',') AS proj16
+        |FROM embeddings""".stripMargin,
     "q_embed_quantize" ->
       """SELECT vec_id,
         |  sqrt(list_sum(list_transform(embedding,
