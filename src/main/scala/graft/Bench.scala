@@ -42,7 +42,9 @@ object Bench {
     "q_sql_match_recognize", "q_tvf_session", "q_join_inner",
     "q_cdc_debezium", "q_bucketed_join", "q_pb_roundtrip", "q_pb_nested",
     "q_raw_roundtrip", "q_avro_registry", "q_avro_glue", "q_dedup_cosine", "q_text_gopher",
-    "q_dedup_cc", "q_text_repetition", "q_pack_sequences")
+    "q_dedup_cc", "q_text_repetition", "q_pack_sequences",
+    "q_lm_perplexity", "q_tfidf_topk", "q_vocab_oov",
+    "q_curriculum_bins", "q_dedup_incremental", "q_embed_rp")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

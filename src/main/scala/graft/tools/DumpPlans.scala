@@ -50,7 +50,8 @@ object DumpPlans {
     "q_tfidf_topk" -> "TF-IDF keywords: tf and df fold from ONE (doc,term) aggregate, integer-only rank cut via WindowGroupLimit; float score rides along but never orders — cross-engine-stable top-k",
     "q_dedup_incremental" -> "incremental dedup vs fingerprint store: store distinct + left join on h + per-hash first-row window over the batch only — with the store bucketed on h, the store side is exchange-free; the day's batch shuffles only itself",
     "q_vocab_oov" -> "vocab induction + OOV: unpartitioned rank<=V plans as WindowGroupLimit (map tasks forward local top-V, the merge sees partitions*V rows, never the vocabulary), induced vocab broadcasts back against the token stream — map-side OOV fold at any corpus size",
-    "q_curriculum_bins" -> "curriculum length-deciles without a global sort: the corpus-sized work is ONE groupBy(n_tok) aggregate; the only Window runs over the tiny length histogram, and the bin map returns as a BroadcastHashJoin — no single-partition ntile anywhere")
+    "q_curriculum_bins" -> "curriculum length-deciles without a global sort: the corpus-sized work is ONE groupBy(n_tok) aggregate; the only Window runs over the tiny length histogram, and the bin map returns as a BroadcastHashJoin — no single-partition ntile anywhere",
+    "q_embed_rp" -> "Achlioptas random projection: one map-only projection stage, no shuffle, no stored matrix — the ±1 entries regenerate from md5(i,j) inside the expression, so a 100 TB corpus projects at scan speed with zero broadcast state")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a
