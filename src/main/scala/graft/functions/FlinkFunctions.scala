@@ -31,6 +31,7 @@ object FlinkFunctions {
     else org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.LongType)
 
   def fingerprint64(c: Column): Column = toCol(Fingerprint64(toExpr(c)))
+  def nfcNormalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))
@@ -133,6 +134,7 @@ object FlinkFunctions {
       reg.createOrReplaceTempFunction(name, b, "built-in")
 
     reg1("fingerprint64") { es => Fingerprint64(es.head) }
+    reg1("nfc_normalize") { es => NfcNormalize(es.head) }
     reg1("simhash64") { es => SimHash64(es.head) }
     reg1("cosine_similarity") { es => CosineSimilarity(es(0), es(1)) }
     reg1("dot_product") { es => DotProduct(es(0), es(1)) }

@@ -70,4 +70,15 @@ object TextHash {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Unicode NFC normalization. The already-normalized check is the
+    * fast path — ASCII (most web text) short-circuits without
+    * allocating, so the codegen'd call costs one scan per string.
+    */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

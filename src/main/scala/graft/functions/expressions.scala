@@ -127,3 +127,21 @@ case class HammingDistance64(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "hamming64"
 }
+
+/** Unicode NFC normalization — Spark ships no normalizer, and text
+  * dedup needs one: composed (U+00E9) and decomposed (e + U+0301)
+  * spellings of the same text must hash identically before any
+  * fingerprint/minhash pass. Codegen'd static call; ASCII
+  * short-circuits inside [[TextHash.nfc]].
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}

@@ -614,7 +614,27 @@ object TextQueries {
         coalesce(col("source"), lit("ALL")).as("source"),
         col("n_docs"), col("total_tok"), col("avg_chars"))
 
+  /** CCNet-style text normalization — the canonicalization pass
+    * BEFORE any hashing/dedup, so trivially-different encodings of
+    * the same content collapse: Unicode NFC (native codegen'd
+    * [[graft.functions.NfcNormalize]] — composed and decomposed
+    * accents unify; Spark ships no normalizer), lowercase,
+    * punctuation stripped to spaces (letters/digits/whitespace
+    * survive, any script), whitespace collapsed, trimmed. Pure
+    * map-only projection; the normalized hash rides along to show
+    * the dedup key this feeds.
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(F.nfcNormalize(col("text"))),
+      "[^\\p{L}\\p{N}\\s]+", " "), "\\s+", " "))
+    t(s, dir, "documents").select(
+      col("doc_id"), norm.as("norm"),
+      length(norm).as("n_norm"), md5(norm.cast("binary")).as("h_norm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize"   -> (normalizeText _),
     "q_curriculum_bins"  -> (curriculumBins _),
     "q_corpus_report"    -> (corpusReport _),
     "q_vocab_oov"        -> (vocabOov _),
@@ -641,6 +661,15 @@ object TextQueries {
     "q_dedup_ngram"      -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      lower(nfc_normalize(text)),
+        |      '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, length(norm) AS n_norm, md5(norm) AS h_norm
+        |FROM n""".stripMargin,
     "q_curriculum_bins" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
         |           FROM documents),

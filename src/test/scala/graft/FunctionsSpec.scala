@@ -81,6 +81,29 @@ class FunctionsSpec extends SparkSpec {
     assert(b1 >= 0 && b1 < 256)
   }
 
+  test("nfc_normalize unifies composed and decomposed unicode; ASCII is identity (no copy)") {
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    assert(composed != decomposed)
+    val nc = TextHash.nfc(UTF8String.fromString(composed))
+    val nd = TextHash.nfc(UTF8String.fromString(decomposed))
+    assert(nc === nd, "NFC must unify the two spellings")
+    // the dedup property this exists for: identical fingerprints after NFC
+    assert(TextHash.fingerprint64(nc) === TextHash.fingerprint64(nd))
+    // ASCII fast path returns the SAME UTF8String instance — no allocation
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(TextHash.nfc(ascii) eq ascii)
+    // catalyst expression path (codegen) matches the kernel
+    val viaExpr = Seq(decomposed).toDF("t")
+      .select(F.nfcNormalize($"t")).first().getString(0)
+    assert(viaExpr === nc.toString)
+    // SQL-registered name
+    F.registerAll(spark)
+    val viaSql = Seq(decomposed).toDF("t").createOrReplaceTempView("nfc_in")
+    assert(spark.sql("SELECT nfc_normalize(t) FROM nfc_in").first().getString(0)
+      === nc.toString)
+  }
+
   test("SQL registration exposes flink-name functions") {
     graft.functions.FlinkFunctions.registerAll(spark)
     val r = spark.sql(
