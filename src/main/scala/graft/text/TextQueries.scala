@@ -633,7 +633,56 @@ object TextQueries {
       length(norm).as("n_norm"), md5(norm.cast("binary")).as("h_norm"))
   }
 
+  /** End-to-end curation pipeline — the flagship composition: NFC
+    * normalization → Gopher quality gate → exact dedup on the
+    * NORMALIZED hash (so trivially-different encodings collapse) →
+    * deterministic train/val/test split of the survivors → per-split
+    * corpus report. Every stage is an already-oracle-checked operator
+    * reused semantically unchanged; what this query pins is the
+    * COMPOSITION — stage boundaries are plain Columns/DataFrames, so
+    * normalize+quality+split all evaluate in the scan's single fused
+    * pass and the only shuffles are the dedup's (map-side
+    * WindowGroupLimit-pruned) hash exchange and the final 3-row
+    * aggregate. That fusion is the point at 100 TB: a pipeline of
+    * five "tools" costs one corpus scan + one shuffle, not five jobs.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    // quality gate INLINE on the same scan as normalization — joining
+    // normalizeText against gopherQuality would re-scan the corpus
+    // and join it back to itself on doc_id; as a filter Column the
+    // gate fuses into the scan's projection (EXPLAINS.md shows ONE
+    // parquet scan)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val awl = aggregate(toks, lit(0), (acc, x) => acc + length(x)).cast("double") / nTok
+    val alphaRatio = size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("double") / nTok
+    val stopHits = size(filter(toks, x => x.isin(stopwords.map(lit): _*).cast("boolean")))
+    val keepCond = nTok >= 30 && awl >= 3.0 && awl <= 10.0 &&
+      alphaRatio >= 0.9 && stopHits >= 1
+    val normC = trim(regexp_replace(regexp_replace(
+      lower(F.nfcNormalize(col("text"))),
+      "[^\\p{L}\\p{N}\\s]+", " "), "\\s+", " "))
+    val canon = t(s, dir, "documents")
+      .filter(keepCond)
+      .select(col("doc_id"), normC.as("norm"),
+        md5(normC.cast("binary")).as("h_norm"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("h_norm")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    canon
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("norm"))
+          .cast("binary")), 1, 2), 16, 10).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("norm"), " ")).cast("long")).as("n_tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e"     -> (pipelineE2e _),
     "q_text_normalize"   -> (normalizeText _),
     "q_curriculum_bins"  -> (curriculumBins _),
     "q_corpus_report"    -> (corpusReport _),
@@ -661,6 +710,42 @@ object TextQueries {
     "q_dedup_ngram"      -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      lower(nfc_normalize(text)),
+        |      '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      len(string_split(text, ' ')) AS n_tok,
+        |      list_sum(list_transform(string_split(text, ' '),
+        |        x -> length(x)))::DOUBLE / len(string_split(text, ' ')) AS awl,
+        |      len(list_filter(string_split(text, ' '),
+        |          x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+        |        / len(string_split(text, ' ')) AS alpha_ratio,
+        |      len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits
+        |    FROM documents)
+        |  WHERE n_tok >= 30 AND awl >= 3.0 AND awl <= 10.0
+        |    AND alpha_ratio >= 0.9 AND stop_hits >= 1),
+        |canon AS (
+        |  SELECT doc_id, norm FROM (
+        |    SELECT n.doc_id, n.norm, row_number() OVER (
+        |      PARTITION BY md5(n.norm) ORDER BY n.doc_id) AS rk
+        |    FROM n JOIN g ON n.doc_id = g.doc_id)
+        |  WHERE rk = 1)
+        |SELECT
+        |  CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  sum(len(string_split(norm, ' ')))::BIGINT AS n_tok
+        |FROM (SELECT doc_id, norm,
+        |        ('0x' || substr(md5(doc_id::VARCHAR || ':' || norm), 1, 2))::INT AS b
+        |      FROM canon)
+        |GROUP BY 1""".stripMargin,
     "q_text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,
