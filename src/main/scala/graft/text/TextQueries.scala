@@ -439,6 +439,43 @@ object TextQueries {
       .withColumn("ppl", exp(-col("avg_logp")))
   }
 
+  /** The 100 TB variant [[lmPerplexity]]'s scaladoc promises: the
+    * model tables ZIPF-TRUNCATE at a count floor and BROADCAST, so
+    * scoring is a map-side pass over the corpus — no shuffle of the
+    * doc bigram stream at all (the exact variant shuffle-joins it
+    * twice). Under Zipf, a floor of 2 keeps the grams that carry
+    * almost all probability mass while cutting the model to a
+    * fraction of the corpus; grams below the floor fall back to the
+    * smoothing mass (cb→0) and unseen contexts to the floor count
+    * itself — both engines compute the same coalesce, so even the
+    * truncated scores are oracle-exact. At minCount=1 this reduces
+    * to [[lmPerplexity]] identically.
+    */
+  def lmPerplexityTruncated(s: SparkSession, dir: String, minCount: Int = 2): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+    val uni = toks.select(explode(col("l")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val bg = toks.filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbT = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val uniT = uni.filter(col("cu") >= minCount)
+    bg.join(broadcast(cbT), Seq("w1", "w2"), "left")
+      .join(broadcast(uniT), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce(col("cb"), lit(0L)) + 0.5) /
+          (coalesce(col("cu"), lit(minCount.toLong)) + col("v") * 0.5)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), avg(col("logp")).as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+  }
+
   /** Stratified sampling: exactly `perStratum` docs per language,
     * chosen by DETERMINISTIC hash order (md5 of "samp:docId:lang") —
     * the reproducible eval-set carve-out ([[hashSplit]]'s property,
@@ -688,6 +725,7 @@ object TextQueries {
     "q_corpus_report"    -> (corpusReport _),
     "q_vocab_oov"        -> (vocabOov _),
     "q_lm_perplexity"    -> (lmPerplexity _),
+    "q_lm_ppl_truncated" -> ((s: SparkSession, d: String) => lmPerplexityTruncated(s, d)),
     "q_sample_stratified" -> (stratifiedSample _),
     "q_tfidf_topk"       -> (tfidfTopk _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -801,6 +839,23 @@ object TextQueries {
         |sc AS (SELECT doc_id, ln((cb + 0.5) / (cu + 0.5 * v.v)) AS logp
         |       FROM bg JOIN cb USING (g)
         |       JOIN uni ON uni.w1 = split_part(g, ' ', 1), v)
+        |SELECT doc_id, count(*) AS n_bg, avg(logp) AS avg_logp,
+        |  exp(-avg(logp)) AS ppl
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "q_lm_ppl_truncated" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |uni AS (SELECT w1, count(*) AS cu
+        |        FROM (SELECT unnest(l) AS w1 FROM toks) GROUP BY w1),
+        |v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(l)), i -> l[i]||' '||l[i+1])) AS g
+        |       FROM toks WHERE len(l) >= 2),
+        |cbt AS (SELECT g, count(*) AS cb FROM bg GROUP BY g HAVING count(*) >= 2),
+        |unit AS (SELECT w1, cu FROM uni WHERE cu >= 2),
+        |sc AS (SELECT doc_id,
+        |         ln((coalesce(cb, 0) + 0.5) / (coalesce(cu, 2) + 0.5 * v.v)) AS logp
+        |       FROM bg LEFT JOIN cbt USING (g)
+        |       LEFT JOIN unit ON unit.w1 = split_part(g, ' ', 1), v)
         |SELECT doc_id, count(*) AS n_bg, avg(logp) AS avg_logp,
         |  exp(-avg(logp)) AS ppl
         |FROM sc GROUP BY doc_id""".stripMargin,

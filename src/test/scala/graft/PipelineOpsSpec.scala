@@ -73,6 +73,22 @@ class PipelineOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("truncated-broadcast LM at minCount=1 reduces to the exact model") {
+    val exact = TextQueries.lmPerplexity(spark, sfDir)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    val t1 = TextQueries.lmPerplexityTruncated(spark, sfDir, minCount = 1)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(exact.keySet == t1.keySet)
+    exact.foreach { case (k, v) => assert(math.abs(v - t1(k)) < 1e-9) }
+    // at the production floor the scores shift (smoothing mass absorbs
+    // rare grams) but stay finite and the model stays discriminative:
+    // not all docs collapse to one score
+    val t2 = TextQueries.lmPerplexityTruncated(spark, sfDir, minCount = 2)
+      .select("avg_logp").as[Double].collect()
+    assert(t2.forall(v => !v.isNaN && !v.isInfinite))
+    assert(t2.distinct.length > t2.length / 2)
+  }
+
   test("sequence packing math matches a per-shard reference fold") {
     val out = TextQueries.packSequences(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
