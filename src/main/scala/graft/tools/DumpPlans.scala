@@ -52,7 +52,8 @@ object DumpPlans {
     "q_vocab_oov" -> "vocab induction + OOV: unpartitioned rank<=V plans as WindowGroupLimit (map tasks forward local top-V, the merge sees partitions*V rows, never the vocabulary), induced vocab broadcasts back against the token stream — map-side OOV fold at any corpus size",
     "q_curriculum_bins" -> "curriculum length-deciles without a global sort: the corpus-sized work is ONE groupBy(n_tok) aggregate; the only Window runs over the tiny length histogram, and the bin map returns as a BroadcastHashJoin — no single-partition ntile anywhere",
     "q_embed_rp" -> "Achlioptas random projection: one map-only projection stage, no shuffle, no stored matrix — the ±1 entries regenerate from md5(i,j) inside the expression, so a 100 TB corpus projects at scan speed with zero broadcast state",
-    "q_pipeline_e2e" -> "five-stage curation pipeline (normalize → quality gate → dedup → split → report) composed from the individual operators: Catalyst fuses the map-only stages into the scan's codegen span, so the whole pipeline costs one corpus scan + the dedup shuffle + a 3-row aggregate — composition is free, not five jobs")
+    "q_pipeline_e2e" -> "five-stage curation pipeline (normalize → quality gate → dedup → split → report) composed from the individual operators: Catalyst fuses the map-only stages into the scan's codegen span, so the whole pipeline costs one corpus scan + the dedup shuffle + a 3-row aggregate — composition is free, not five jobs",
+    "q_lm_ppl_truncated" -> "truncated-broadcast LM: the doc bigram stream never shuffles — model lookups are BroadcastHashJoins, per-doc partials collapse map-side (explode keeps a doc's bigrams co-located), so the only exchanges under the scoring side carry one row per doc; the model aggregates shuffle distinct grams only")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

@@ -112,7 +112,11 @@ object ScaleProbe {
       // round-8: corpus bigram-LM scoring — gram-count aggs shuffle
       // distinct grams (sublinear in tokens under Zipf), the scoring
       // joins shuffle the bigram stream once; must stay ~linear
-      "q_lm_perplexity")
+      "q_lm_perplexity",
+      // round-8: five-stage curation composition (one scan + dedup
+      // shuffle + 3-row agg) and the top-V vocab induction whose
+      // WindowGroupLimit merge sees partitions*V rows, not the vocab
+      "q_pipeline_e2e", "q_vocab_oov")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+
