@@ -79,7 +79,11 @@ object Bench {
       try timed(s, "q1_agg") catch { case _: Throwable => () }
     }
 
+    // Optional trailing args restrict the run (local iteration);
+    // the driver passes none and gets the full battery.
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
     val results = names.map { n =>
       val s = root.newSession()
       Tables.registerAll(s, sfDir)

@@ -40,6 +40,7 @@ object FlinkFunctions {
   def lshBucket(c: Column, nBits: Int): Column = toCol(LshBucket(toExpr(c), nBits))
   def lshBucket(c: Column, nBits: Int, seed: Int): Column = toCol(LshBucket(toExpr(c), nBits, seed))
   def lshSignature(c: Column, nBits: Int): Column = toCol(LshSignature(toExpr(c), nBits))
+  def rpProject(c: Column, dOut: Int): Column = toCol(RpProject(toExpr(c), dOut))
   def hammingSig(a: Column, b: Column): Column = toCol(HammingSignature(toExpr(a), toExpr(b)))
   def hamming64(a: Column, b: Column): Column =
     toCol(HammingDistance64(asLong(toExpr(a)), asLong(toExpr(b))))

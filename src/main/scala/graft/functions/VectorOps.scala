@@ -112,4 +112,54 @@ object VectorOps {
     }
     d
   }
+
+  /** Achlioptas ±1 sign matrices for [[rpProject]], keyed by
+    * (dIn, dOut) and built once per JVM (so once per executor). Entry
+    * rule: first hex nibble of md5("rp:i:j") < 8 → +1 else -1 — the
+    * identical derivation the DuckDB oracle evaluates in SQL, so any
+    * engine regenerates the same matrix from nothing but the index
+    * pair. Layout is row-major [j][i] for a cache-friendly inner loop.
+    */
+  private val rpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def rpSigns(dIn: Int, dOut: Int): Array[Array[Double]] =
+    rpCache.computeIfAbsent((dIn, dOut), { key =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(key._2, key._1) { (j, i) =>
+        md.reset()
+        val d = md.digest(
+          s"rp:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((d(0) & 0xff) >>> 4) < 8) 1.0 else -1.0
+      }
+    })
+
+  /** Sign random projection of an ARRAY<FLOAT> vector to `dOut` dims,
+    * each component quantized floor(v*1000) and the results joined to
+    * a CSV string — the whole q_embed_rp row body in one codegen'd
+    * static call. The sign matrix comes from the per-JVM cache above;
+    * the hot loop is dOut fused multiply-accumulate passes with no
+    * hashing and no allocation beyond the output string.
+    * Accumulation is left-to-right in double (float→double products
+    * are exact), bit-identical to the oracle's list_sum fold.
+    */
+  def rpProject(a: ArrayData, dOut: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val n = a.numElements()
+    val signs = rpSigns(n, dOut)
+    val sb = new java.lang.StringBuilder(dOut * 8)
+    var j = 0
+    while (j < dOut) {
+      val row = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * row(i)
+        i += 1
+      }
+      if (j > 0) sb.append(',')
+      sb.append(math.floor(acc * 1000.0).toLong)
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
 }

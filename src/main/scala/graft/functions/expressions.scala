@@ -145,3 +145,22 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
   override def prettyName: String = "nfc_normalize"
 }
+
+/** Achlioptas sign random projection of an ARRAY<FLOAT> vector to
+  * `dOut` dims, quantized floor(v*1000) and CSV-joined (see
+  * [[VectorOps.rpProject]]). The ±1 matrix is md5-derived per
+  * (dIn, dOut) ONCE per JVM — never in the per-row path, which the
+  * interpreted higher-order-function formulation (transform +
+  * aggregate lambdas) could not avoid.
+  */
+case class RpProject(child: Expression, dOut: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.rpProject(v.asInstanceOf[ArrayData], dOut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.rpProject($c, $dOut)")
+  override protected def withNewChildInternal(c: Expression): RpProject = copy(child = c)
+  override def prettyName: String = "rp_project"
+}

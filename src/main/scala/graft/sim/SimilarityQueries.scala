@@ -360,28 +360,25 @@ object SimilarityQueries {
     * reproducibility property [[graft.text.TextQueries.hashSplit]]
     * relies on, applied to linear algebra). Distances are preserved
     * within JL bounds, so this is the 4x compute/storage reduction
-    * pass ahead of LSH/IVF indexing. Map-only projection, no
-    * shuffle; components emit as floor(v*1000) integers joined to a
-    * string — float->double products are exact (24+24 < 53 mantissa
-    * bits) and both engines fold the sum left-to-right, so the
-    * quantized components are bit-identical to the oracle.
+    * pass ahead of LSH/IVF indexing.
+    *
+    * The matrix entries depend only on (i, j), never on the row, so
+    * the md5 derivation runs ONCE per JVM ([[graft.functions
+    * .VectorOps.rpProject]]'s per-executor cache) and the per-row
+    * work is a single codegen'd static call doing 16 fused
+    * multiply-accumulate passes — no hashing, no lambda
+    * interpretation, no intermediate arrays in the hot loop (the
+    * naive formulation paid 1,024 md5 calls per row; even with
+    * literal sign arrays, interpreted zip_with/aggregate lambdas were
+    * ~6x off scan speed). Map-only projection, no shuffle; components
+    * emit as floor(v*1000) integers joined to a string —
+    * float->double products are exact (24+24 < 53 mantissa bits) and
+    * both engines fold the sum left-to-right, so the quantized
+    * components are bit-identical to the oracle.
     */
-  def randomProjection(s: SparkSession, dir: String): DataFrame = {
-    val dOut = 16
+  def randomProjection(s: SparkSession, dir: String): DataFrame =
     graft.Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        expr(
-          s"""array_join(transform(sequence(0, ${dOut - 1}), j ->
-             |  cast(floor(aggregate(sequence(0, size(embedding) - 1),
-             |    cast(0.0 as double),
-             |    (acc, i) -> acc + cast(embedding[i] as double) *
-             |      (case when substring(md5(cast(concat('rp:', cast(i as string),
-             |                ':', cast(j as string)) as binary)), 1, 1) < '8'
-             |            then cast(1.0 as double)
-             |            else cast(-1.0 as double) end))
-             |    * cast(1000.0 as double)) as bigint)), ',')""".stripMargin)
-          .as("proj16"))
-  }
+      .select(col("vec_id"), F.rpProject(col("embedding"), 16).as("proj16"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_rp" -> (randomProjection _),

@@ -230,11 +230,19 @@ object TextQueries {
     * candidate generation stays near-linear. Rows-only (no SQL
     * oracle); recall is spec-tested against brute force and the
     * width dial is spec-pinned in SimRecallSpec.
+    *
+    * Adaptive width needs only the order of magnitude of the corpus
+    * size — at 100 TB pass `knownRows` from catalog stats (ANALYZE
+    * TABLE rowCount) instead of paying a counting pass; the fallback
+    * counts a single pruned id column (parquet metadata count, no
+    * data scan). Same convention as
+    * [[graft.sim.SimilarityQueries.nearDupPairs]].
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, dir: String,
+      knownRows: Option[Long] = None): DataFrame = {
     val docs = t(s, dir, "documents")
-    // parquet row count is metadata-only — not a data scan
-    simhashPairs(docs, bands = adaptiveSimhashBands(docs.count()), maxHamming = 16)
+    val nDocs = knownRows.getOrElse(docs.select(col("doc_id")).count())
+    simhashPairs(docs, bands = adaptiveSimhashBands(nDocs), maxHamming = 16)
   }
 
   /** Word-3-gram Jaccard similarity of adjacent doc_id pairs —
@@ -744,7 +752,7 @@ object TextQueries {
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_redact"      -> (redactPii _),
     "q_dedup_exact"      -> (dedupExact _),
-    "q_dedup_simhash"    -> (dedupSimhash _),
+    "q_dedup_simhash"    -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "q_dedup_ngram"      -> (ngramJaccard _))
 
   val oracle: Map[String, String] = Map(

@@ -104,6 +104,34 @@ class FunctionsSpec extends SparkSpec {
       === nc.toString)
   }
 
+  test("rp_project matches the per-row md5 SQL formulation; plan has no per-row md5") {
+    // The naive HOF formulation q_embed_rp shipped in round 8 — kept
+    // here as the semantic oracle for the native expression.
+    val naive = expr(
+      """array_join(transform(sequence(0, 15), j ->
+        |  cast(floor(aggregate(sequence(0, size(v) - 1),
+        |    cast(0.0 as double),
+        |    (acc, i) -> acc + cast(v[i] as double) *
+        |      (case when substring(md5(cast(concat('rp:', cast(i as string),
+        |                ':', cast(j as string)) as binary)), 1, 1) < '8'
+        |            then cast(1.0 as double)
+        |            else cast(-1.0 as double) end))
+        |    * cast(1000.0 as double)) as bigint)), ',')""".stripMargin)
+    val vecs = Seq(
+      Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat),
+      Array.tabulate(64)(i => (i % 7 - 3).toFloat),
+      Array.fill(64)(0f),
+      Array.tabulate(8)(i => i.toFloat) // ragged dim exercises the (dIn,dOut) cache
+    ).toDF("v")
+    val got = vecs.select(F.rpProject($"v", 16).as("a"), naive.as("b")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // the executed plan must carry the one static call, no md5
+    val plan = vecs.select(F.rpProject($"v", 16))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rp_project"))
+    assert(!plan.toLowerCase.contains("md5"), "sign matrix must not be derived per row")
+  }
+
   test("SQL registration exposes flink-name functions") {
     graft.functions.FlinkFunctions.registerAll(spark)
     val r = spark.sql(

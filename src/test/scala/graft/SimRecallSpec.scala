@@ -43,6 +43,25 @@ class SimRecallSpec extends SparkSpec {
     }
   }
 
+  test("dedupSimhash knownRows hook skips the count and matches the counted path") {
+    import graft.text.TextQueries
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    // catalog-stats path (knownRows) must pick the same band width —
+    // and therefore emit the identical pair set — as the counting
+    // fallback; at 100 TB the caller passes ANALYZE-TABLE rowCount
+    // and no count action runs at all.
+    val withStats = TextQueries.dedupSimhash(spark, sfDir, knownRows = Some(n))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val counted = TextQueries.dedupSimhash(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withStats === counted)
+    // an order-of-magnitude-correct estimate keeps the same width:
+    // the dial moves in powers of 2^width, not per-row
+    assert(TextQueries.adaptiveSimhashBands(n) ===
+      TextQueries.adaptiveSimhashBands(n + n / 4))
+  }
+
   test("shipped adaptive config recalls ALL pairs under the pigeonhole bound") {
     // b bands guarantee recall 1.0 at Hamming < b: the 500-doc corpus
     // ships 4 bands (Manku et al.'s production setting: 64-bit
