@@ -272,13 +272,61 @@ object TextQueries {
           .as("jaccard"))
   }
 
-  /** MinHash+LSH near-dup candidate pairs (see [[MinHashDedup]]).
-    * Rows-only driver check; the estimator's accuracy is spec-tested
-    * against exact Jaccard on known near-dups.
+  /** MinHash+LSH near-dup detection with an exact-Jaccard VERIFY
+    * stage — the full production pipeline: shingle → minhash → banded
+    * LSH blocking → signature-estimate prefilter (all in
+    * [[MinHashDedup]]) → exact word-3-gram Jaccard recomputed for the
+    * surviving candidates only. The estimate stays internal; the
+    * OUTPUT carries the verified exact Jaccard, which DuckDB can
+    * brute-force over the same shingle sets — so the query is
+    * hash-checkable against the oracle (the trick that made
+    * q_dedup_cosine oracle-checkable: blocking recall at the planted
+    * near-dup similarity ~0.99 is 1 - (1-j^r)^b ≈ 1 - 4e-12, i.e.
+    * deterministic-in-practice on any corpus whose true dups sit far
+    * above the threshold; MinHashSpec pins recall on planted pairs).
+    *
+    * Scale shape: the verify join explodes shingles ONLY for docs
+    * that appear in some candidate pair (broadcast semi-join on the
+    * candidate id set) — at 100 TB the exact recomputation touches
+    * the ~duplicate slice of the corpus, not the corpus.
     */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    MinHashDedup.candidatePairs(
-      t(s, dir, "documents"), "doc_id", "text", k = 32, bands = 8, threshold = 0.4)
+  def dedupMinhash(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // The candidate set is referenced twice below (doc-id semi-join
+    // and pair semi-join); persisting the few surviving pairs stops
+    // the whole minhash+LSH subtree from being recomputed per
+    // reference — same convention as ivfAnn's cached index.
+    val cands = MinHashDedup.candidatePairs(
+        docs, "doc_id", "text", k = 32, bands = 8, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val candDocs = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    // distinct word-3-gram shingles, restricted to candidate docs
+    val sh = docs
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** Deterministic content-hash train/val/test split (80/10/10):
     * bucket = first md5 byte of "docId:text", so the assignment is
@@ -739,7 +787,7 @@ object TextQueries {
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_mix_sources"      -> (mixSources _),
     "q_contamination"    -> (contamination _),
-    "q_dedup_minhash"    -> (dedupMinhash _),
+    "q_dedup_minhash"    -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "q_dedup_cc"         -> (DedupCluster.dedupCluster _),
     "q_dedup_cc_edges"   -> (DedupCluster.ccEdges _),
     "q_split_hash"       -> (hashSplit _),
@@ -1072,6 +1120,27 @@ object TextQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dup
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // Brute-force exact Jaccard over ALL pairs — matches the Spark
+    // side because LSH blocking recall at the corpus's true-dup
+    // similarity (~0.99) is 1-4e-12 and every output row is verified
+    // with the same exact Jaccard before emission.
+    "q_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |         generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh x JOIN sh y ON y.sh = x.sh AND y.doc_id > x.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.4""".stripMargin,
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         |              WHERE len(string_split(text, ' ')) >= 3),
