@@ -71,11 +71,22 @@ object TextHash {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Unicode NFC normalization. The already-normalized check is the
-    * fast path — ASCII (most web text) short-circuits without
-    * allocating, so the codegen'd call costs one scan per string.
+  /** Unicode NFC normalization. Pure-ASCII strings (most web text)
+    * are detected by a byte scan over the raw UTF8String — high bit
+    * clear for every byte — and return the input instance untouched:
+    * no String copy, no Normalizer call, one scan per string. Only
+    * non-ASCII input pays the toString + isNormalized check (itself
+    * usually cheaper than normalize for already-NFC text).
     */
   def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -499,13 +499,22 @@ object TextQueries {
     * model tables ZIPF-TRUNCATE at a count floor and BROADCAST, so
     * scoring is a map-side pass over the corpus — no shuffle of the
     * doc bigram stream at all (the exact variant shuffle-joins it
-    * twice). Under Zipf, a floor of 2 keeps the grams that carry
-    * almost all probability mass while cutting the model to a
-    * fraction of the corpus; grams below the floor fall back to the
-    * smoothing mass (cb→0) and unseen contexts to the floor count
-    * itself — both engines compute the same coalesce, so even the
-    * truncated scores are oracle-exact. At minCount=1 this reduces
-    * to [[lmPerplexity]] identically.
+    * twice). Grams below the floor fall back to the smoothing mass
+    * (cb→0) and unseen contexts to the floor count itself — both
+    * engines compute the same coalesce, so even the truncated scores
+    * are oracle-exact. At minCount=1 this reduces to [[lmPerplexity]]
+    * identically.
+    *
+    * `minCount` is the SIZE dial, not a fixed production constant:
+    * the truncated model must fit the broadcast budget
+    * (spark.sql.autoBroadcastJoinThreshold / executor memory), so at
+    * corpus scale the floor is tuned UP until the surviving-gram
+    * count does — under Zipf the model shrinks roughly geometrically
+    * in the floor, so a floor in the tens suffices at web scale where
+    * floor=2 (fine for the test corpora) would still leave a model
+    * far beyond any broadcast limit. Callers who cannot bound the
+    * model should fall back to [[lmPerplexity]]'s shuffle joins —
+    * same scores, exchange-bound plan.
     */
   def lmPerplexityTruncated(s: SparkSession, dir: String, minCount: Int = 2): DataFrame = {
     val toks = t(s, dir, "documents")
@@ -618,8 +627,9 @@ object TextQueries {
     * token occurrences falls outside it? Vocab = top 64 tokens by
     * (count desc, token asc) — an INTEGER+string ordering, so the cut
     * is reproducible across engines. The unpartitioned rank<=V plans
-    * as WindowGroupLimit (each map task forwards only its local top-V,
-    * the single merge sees partitions·V rows, never the vocabulary);
+    * as WindowGroupLimit / TakeOrderedAndProject (each map task
+    * forwards only its local top-V, the single merge sees
+    * partitions·V rows, never the vocabulary);
     * the induced vocab then BROADCASTS back against the token stream
     * — vocab size is a constant, so the per-doc OOV fold is map-side
     * at any corpus size.
@@ -629,6 +639,14 @@ object TextQueries {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // Unpartitioned window BY DESIGN (bench logs a WindowExec
+      // single-partition warning — accepted, not a latent corpus
+      // sort): rank<=V plans as WindowGroupLimit or, on Spark 4,
+      // TakeOrderedAndProject (LimitPushDownThroughWindow) — either
+      // way each map task forwards only its local top-V and the
+      // single merge sees partitions·V rows, never the vocabulary.
+      // Spec-pinned in PipelineOpsSpec ("bounded-window
+      // intermediates").
       .withColumn("rk", row_number().over(
         Window.orderBy(col("c").desc, col("w").asc)))
       .filter(col("rk") <= vocabSize)
@@ -648,8 +666,12 @@ object TextQueries {
     * min-doc_id window), and the store probe is a stream-static
     * LEFT ANTI join — the fingerprint store is static for the run,
     * so each micro-batch probes it without state. Emits exactly the
-    * rows to ingest; spec-asserted equal to the batch operator on
-    * the same data (PipelineOpsSpec).
+    * rows to ingest. Keep-first is FIRST-ARRIVAL order: in streaming
+    * that is well-defined (micro-batch order); in batch mode
+    * dropDuplicates keeps an arbitrary row per hash — use
+    * [[dedupIncremental]]'s min-doc_id window when a deterministic
+    * batch twin is needed (PipelineOpsSpec asserts the stream against
+    * exactly that semantics).
     */
   def ingestStream(docs: DataFrame, priorHashes: DataFrame): DataFrame =
     docs.withColumn("h", md5(col("text").cast("binary")))
@@ -672,6 +694,12 @@ object TextQueries {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
     val hist = docs.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+    // Unpartitioned window BY DESIGN (bench logs a WindowExec
+    // single-partition warning — accepted, not a latent corpus sort):
+    // the input is the LENGTH HISTOGRAM, whose cardinality is the
+    // number of distinct doc lengths — bounded by the max doc length,
+    // thousands of rows at any corpus size. Spec-pinned in
+    // PipelineOpsSpec ("bounded-window intermediates").
     val w = Window.orderBy(col("n_tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bins = hist

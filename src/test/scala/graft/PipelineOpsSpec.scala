@@ -42,7 +42,7 @@ class PipelineOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming incremental dedup equals the batch ingest set") {
+  test("streaming incremental dedup equals the deterministic batch ingest set") {
     // prior-snapshot store: hashes of two known texts
     val prior = Seq("dup one", "dup two").toDF("text")
       .select(md5(col("text").cast("binary")).as("h"))
@@ -52,7 +52,17 @@ class PipelineOpsSpec extends SparkSpec {
       (12L, "fresh alpha"),   // intra-stream repeat -> reject
       (13L, "fresh beta"))    // new content -> ingest
       .toDF("doc_id", "text")
-    val expected = TextQueries.ingestStream(batch, prior)
+    // Deterministic batch twin = dedupIncremental's min-doc_id
+    // keep-first semantics (a batch dropDuplicates would keep an
+    // ARBITRARY row per hash — partition/arrival-order dependent).
+    // The stream below feeds doc 10 in an earlier micro-batch than
+    // its repeat 12, so streaming first-arrival == min-doc_id here.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    val expected = batch
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(prior, Seq("h"), "left_anti")
       .select("doc_id").as[Long].collect().toSet
     assert(expected == Set(10L, 13L))
 
@@ -117,6 +127,31 @@ class PipelineOpsSpec extends SparkSpec {
       assert(w == expW, s"$src weight $w != $expW")
       if (w == 1.0) assert(kept == total)
     }
+  }
+
+  test("bounded-window intermediates: the two unpartitioned windows never see the corpus") {
+    // vocabOov: the global rank<=V window must plan as WindowGroupLimit
+    // — each map task forwards only its local top-V, so the single
+    // partition materializes partitions·V rows, not the vocabulary.
+    // (LimitPushDownThroughWindow may rewrite rank<=V into
+    // TakeOrderedAndProject — same property, per-task local top-V.)
+    val vocabPlan = TextQueries.vocabOov(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("WindowGroupLimit")
+        || vocabPlan.contains("TakeOrderedAndProject"),
+      "vocab top-V must be pruned map-side before the exchange")
+    // curriculumBins: the cumulative window's input is the length
+    // HISTOGRAM — cardinality = distinct doc lengths, a tiny fraction
+    // of the corpus (and bounded by max doc length regardless of
+    // corpus size).
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val distinctLengths = docs
+      .select(size(split(col("text"), " ")).as("n_tok")).distinct().count()
+    assert(distinctLengths < nDocs / 2,
+      s"histogram ($distinctLengths) should be far smaller than the corpus ($nDocs)")
+    val maxLen = docs.select(max(size(split(col("text"), " ")))).first().getInt(0)
+    assert(distinctLengths <= maxLen)
   }
 
   test("connected components with a reliable checkpoint dir") {
