@@ -410,16 +410,35 @@ object TextQueries {
     * a real pipeline feeds its mixture table in. Map-only filter +
     * one aggregate.
     */
+  /** Per-row mixing core: stateless keep/drop flag from the
+    * deterministic md5 bucket — works unchanged on a STREAMING frame
+    * (no state, no shuffle), which is what makes the streaming twin
+    * below a one-liner.
+    */
+  def mixFlags(docs: DataFrame): DataFrame = docs
+    .withColumn("srcn", substring(col("source"), 4, 10).cast("int"))
+    .withColumn("w",
+      when(col("srcn") % 4 === 0, 1.0).when(col("srcn") % 4 === 1, 0.5)
+        .when(col("srcn") % 4 === 2, 0.25).otherwise(0.1))
+    .withColumn("bucket",
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"), lit(":"),
+        col("text")).cast("binary")), 1, 2), 16, 10).cast("int"))
+    .withColumn("kept", (col("bucket") < col("w") * 256).cast("int"))
+
   def mixSources(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("srcn", substring(col("source"), 4, 10).cast("int"))
-      .withColumn("w",
-        when(col("srcn") % 4 === 0, 1.0).when(col("srcn") % 4 === 1, 0.5)
-          .when(col("srcn") % 4 === 2, 0.25).otherwise(0.1))
-      .withColumn("bucket",
-        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"), lit(":"),
-          col("text")).cast("binary")), 1, 2), 16, 10).cast("int"))
-      .withColumn("kept", (col("bucket") < col("w") * 256).cast("int"))
+    mixFlags(t(s, dir, "documents"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+
+  /** Streaming twin of [[mixSources]]: the keep/drop decision is a
+    * per-row hash — no state — so the same [[mixFlags]] core runs on
+    * a streaming frame; the per-source report becomes a streaming
+    * aggregation (complete/update mode) whose running counts converge
+    * to the batch report on the same rows (PipelineOpsSpec).
+    * Filtering the actual mixture (`kept = 1`) is pure append mode.
+    */
+  def mixSourcesStream(docs: DataFrame): DataFrame =
+    mixFlags(docs)
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
 
@@ -690,10 +709,12 @@ object TextQueries {
     * engine-reproducible, and docs with equal length always share a
     * bin. One corpus-sized aggregate + one map-side join.
     */
-  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val hist = docs.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+  /** The decile bin map (n_tok → bin) derived from a corpus
+    * snapshot — the static half of curriculum binning, shared by the
+    * batch query and the streaming twin below.
+    */
+  def lengthBinMap(docsTok: DataFrame): DataFrame = {
+    val hist = docsTok.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
     // Unpartitioned window BY DESIGN (bench logs a WindowExec
     // single-partition warning — accepted, not a latent corpus sort):
     // the input is the LENGTH HISTOGRAM, whose cardinality is the
@@ -702,7 +723,7 @@ object TextQueries {
     // PipelineOpsSpec ("bounded-window intermediates").
     val w = Window.orderBy(col("n_tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bins = hist
+    hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("total"))))
       // `div`, not `/`: Spark's / is DOUBLE division even on longs, and
@@ -712,9 +733,30 @@ object TextQueries {
       .select(col("n_tok"),
         least(lit(9L), expr("((cum - cnt) * 10) div total"))
           .cast("int").as("bin"))
-    docs.join(broadcast(bins), Seq("n_tok"))
+  }
+
+  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs.join(broadcast(lengthBinMap(docs)), Seq("n_tok"))
       .select(col("doc_id"), col("n_tok"), col("bin"))
   }
+
+  /** Streaming twin of [[curriculumBins]], run via `foreachBatch`:
+    * the bin map comes from a STATIC snapshot (yesterday's histogram
+    * — recomputing deciles per micro-batch would let a doc's bin
+    * drift mid-run), and each arriving micro-batch left-joins it
+    * map-side (broadcast). Docs whose length is absent from the
+    * snapshot get bin -1 — "unbinned until the next snapshot
+    * refresh" — rather than being silently dropped or mis-binned.
+    * Spec-asserted equal to the batch operator when the snapshot
+    * covers the stream (PipelineOpsSpec).
+    */
+  def assignCurriculumBins(docs: DataFrame, binMap: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(broadcast(binMap), Seq("n_tok"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("bin"), lit(-1)).as("bin"))
 
   /** Corpus report card: doc counts, token volume and mean length
     * rolled up over every (lang × source) combination plus each

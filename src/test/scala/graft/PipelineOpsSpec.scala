@@ -129,6 +129,62 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming mix report converges to the batch report on the same rows") {
+    val rows = Seq(
+      (1L, "aa bb cc", "src0"), (2L, "dd ee", "src0"),
+      (3L, "ff gg hh ii", "src1"), (4L, "jj kk", "src1"),
+      (5L, "ll mm nn", "src2"), (6L, "oo pp qq rr", "src3"))
+    val expected = TextQueries.mixSourcesStream(
+        rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+
+    val input = MemoryStream[(Long, String, String)](79, spark, None)
+    val q = TextQueries.mixSourcesStream(input.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mix_stream").start()
+    try {
+      input.addData(rows.take(3).map { case (a, b, c) => (a, b, c) }: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3).map { case (a, b, c) => (a, b, c) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("mix_stream")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+    } finally q.stop()
+  }
+
+  test("foreachBatch curriculum binning over a static bin map equals the batch operator") {
+    val corpus = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a b c d e"), (6L, "a b"), (7L, "a b c d e f"), (8L, "a"))
+      .toDF("doc_id", "text")
+    val binMap = TextQueries.lengthBinMap(
+      corpus.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok")))
+      .persist()
+    val expected = TextQueries.assignCurriculumBins(corpus, binMap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the snapshot-covered stream must reproduce the batch assignment
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long, Int), Unit]
+    val input = MemoryStream[(Long, String)](80, spark, None)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextQueries.assignCurriculumBins(batch, binMap)
+          .collect().foreach(r => got.put((r.getLong(0), r.getLong(1), r.getInt(2)), ()))
+      }.start()
+    try {
+      input.addData((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      q.processAllAvailable()
+      input.addData((5L, "a b c d e"), (6L, "a b"), (7L, "a b c d e f"), (8L, "a"))
+      q.processAllAvailable()
+      assert(got.keySet.toSet == expected, s"stream ${got.keySet} vs batch $expected")
+    } finally q.stop()
+    // a length OUTSIDE the snapshot is flagged -1, never mis-binned
+    val unseen = TextQueries.assignCurriculumBins(
+      Seq((99L, "a b c d e f g h i j")).toDF("doc_id", "text"), binMap)
+      .collect().head
+    assert(unseen.getInt(2) == -1)
+  }
+
   test("bounded-window intermediates: the two unpartitioned windows never see the corpus") {
     // vocabOov: the global rank<=V window must plan as WindowGroupLimit
     // — each map task forwards only its local top-V, so the single
