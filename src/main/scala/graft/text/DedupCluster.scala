@@ -16,8 +16,10 @@ import graft.Tables
   *
   * Algorithm: hash-min label propagation with pointer jumping.
   * Each round every node takes the min label over itself and its
-  * neighbors (join edges→labels, groupBy dst, min), then compresses
-  * paths by re-resolving its label through the label table
+  * neighbors — the "itself" half rides on self-loop edges added once
+  * up front, so the whole step is ONE join edges→labels + groupBy
+  * dst min (no separate merge join) — then compresses paths by
+  * re-resolving its label through the label table
   * (comp := comp(comp)). Plain hash-min needs O(diameter) rounds;
   * the jumping step halves label-chain depth each round, giving
   * O(log d) — the Kiveris et al. (2014) "Connected Components in
@@ -114,8 +116,8 @@ object DedupCluster {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    // Every round references the previous label table THREE times
-    // (neighbor-min join, the least() merge, the jump LUT) — without
+    // Every round references the previous label table twice
+    // (neighbor-min join, the jump LUT) — without
     // lineage truncation the logical plan doubles per round and the
     // driver dies analyzing it long before the data is big.
     // localCheckpoint materializes each round's ~|V| rows and cuts
@@ -142,18 +144,26 @@ object DedupCluster {
     // shared with whatever query runs next.
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try {
-      edges = snap(edges.repartition(parts, col("src")))
       var labels = snap(edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp")))
+      // Empty graph → nothing to propagate; skip the loop entirely
+      // (replica corpora can stop-shingle every edge away — the cap
+      // doing its job shouldn't still pay iteration scheduling).
+      if (labels.isEmpty) { edges.unpersist(); return labels }
+      // Self-loops fold the "least(own, neighbor-min)" merge INTO the
+      // neighbor-min aggregate: with (id, id) edges present, one
+      // join + groupBy-min computes the stepped label directly — the
+      // separate labels left-join the first formulation paid per
+      // round is gone (a join and its exchange fewer per round).
+      edges = snap(edges.union(labels.select(col("id").as("src"), col("id").as("dst")))
+        .repartition(parts, col("src")))
       var lastSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       var iter = 0
       var converged = false
       while (iter < maxIter && !converged) {
-        val nbrMin = edges.join(labels, edges("src") === labels("id"))
-          .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
-        val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-          .select(labels("id"),
-            least(labels("comp"), coalesce(col("nmin"), labels("comp"))).as("comp"))
+        val stepped = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("comp"))
+          .select(col("dst").as("id"), col("comp"))
         // pointer jump: follow the label one hop (comp := comp(comp)),
         // compressing chains so rounds go O(log d) not O(d)
         val lut = stepped.select(col("id").as("cid"), col("comp").as("ccomp"))
