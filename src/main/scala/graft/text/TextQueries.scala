@@ -293,14 +293,29 @@ object TextQueries {
   def dedupMinhash(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     val docs = t(s, dir, "documents")
-    // The candidate set is referenced twice below (doc-id semi-join
-    // and pair semi-join); persisting the few surviving pairs stops
-    // the whole minhash+LSH subtree from being recomputed per
-    // reference — same convention as ivfAnn's cached index.
+    // The candidate set is referenced twice in the verify stage
+    // (doc-id semi-join and pair semi-join); persisting the few
+    // surviving pairs stops the whole minhash+LSH subtree from being
+    // recomputed per reference — same convention as ivfAnn's cached
+    // index.
     val cands = MinHashDedup.candidatePairs(
         docs, "doc_id", "text", k = 32, bands = 8, threshold = threshold)
       .select(col("id_a"), col("id_b"))
       .persist()
+    verifyExactJaccard(docs, cands, threshold)
+  }
+
+  /** Exact word-3-gram Jaccard VERIFY stage, shared by every blocking
+    * front-end ([[dedupMinhash]], [[dedupSimhashVerified]]): recompute
+    * the true Jaccard for candidate pairs only and keep those at or
+    * above `threshold`. The shingle recount is restricted to docs
+    * appearing in some candidate pair (broadcast semi-join), so at
+    * 100 TB the verify cost scales with the duplicate slice of the
+    * corpus, not the corpus. `cands` should be persisted by the
+    * caller when its lineage is expensive (it is referenced twice).
+    */
+  def verifyExactJaccard(docs: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
     val candDocs = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     // distinct word-3-gram shingles, restricted to candidate docs
@@ -328,6 +343,43 @@ object TextQueries {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash blocking + exact-Jaccard verify — the same
+    * estimate→verify production pipeline as [[dedupMinhash]] with the
+    * OTHER standard blocker in front (Manku et al. WWW'07: 64-bit
+    * simhash, multi-band collision blocking). SimHash's regime is
+    * NEAR-IDENTICAL duplicates: a ~0.98+-Jaccard pair differs in a
+    * couple of tokens, its signatures in a handful of bits, and band
+    * collision is effectively certain (b bands are pigeonhole-exact
+    * below Hamming b) — whereas at moderate similarity (0.8-0.95)
+    * token-level churn moves enough vote margins that Hamming can
+    * exceed the band tolerance; minhash is the blocker for that band
+    * of the dial. Hence the 0.98 default here vs minhash's 0.4 — and
+    * within its regime the verified output is deterministic and
+    * oracle-checkable with the same brute-force SQL, pinning that the
+    * blocker reaches the full near-identical pair set on this corpus.
+    * The rows-only q_dedup_simhash keeps reporting the raw candidate
+    * pairs + Hamming distances (engine-specific, spec-evidenced).
+    */
+  def dedupSimhashVerified(s: SparkSession, dir: String,
+      threshold: Double = 0.98): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // 8 bands of 8 bits with the PIGEONHOLE-CONSISTENT Hamming cut:
+    // every pair below Hamming 8 is guaranteed found (some band must
+    // be clean) AND kept (hd <= 7 passes the cut) — the found-set and
+    // the kept-set boundaries coincide, so the cut discards only
+    // chance band collisions (hd ~ 32) without touching the
+    // guarantee. A >=0.98-Jaccard pair differs by a token or two —
+    // single-digit signature bits (SimRecallSpec measures every such
+    // pair under Hamming 8 on this corpus) — inside the guarantee.
+    // Precision is the verify stage's job; the cut exists so the
+    // exact-Jaccard recount runs over ~true pairs, not the ~half
+    // corpus that chance collisions would drag in.
+    val cands = simhashPairs(docs, bands = 8, maxHamming = 7)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    verifyExactJaccard(docs, cands, threshold)
+  }
+
   /** Deterministic content-hash train/val/test split (80/10/10):
     * bucket = first md5 byte of "docId:text", so the assignment is
     * reproducible across runs, engines and re-shards — the property
@@ -345,6 +397,68 @@ object TextQueries {
         when(col("bucket") < 204, "train")
           .when(col("bucket") < 230, "val")
           .otherwise("test").as("split"))
+
+  /** Paragraph-level exact dedup (the RefinedWeb/Gopher
+    * intra-corpus boilerplate cut): duplicate PASSAGES are removed
+    * corpus-wide even when their containing documents differ —
+    * headers, footers, licence blocks, navigation chrome. "Paragraph"
+    * here is a fixed 16-token chunk (this synthetic corpus has no
+    * newlines; a real corpus swaps in split-on-newline — the chunker
+    * is the only substitution point). Keep-first rule: a chunk
+    * survives only at its minimal (doc_id, idx) occurrence, so the
+    * result is deterministic and engine-reproducible.
+    *
+    * Plan shape: chunk explode (map-side), keep-first as rank=1 over
+    * (chunk) — WindowGroupLimit prunes to one row per chunk per map
+    * task BEFORE the exchange — then one groupBy(doc) reassembles
+    * surviving chunks in order. Two shuffles of the chunk stream
+    * total; no corpus-wide sort anywhere.
+    */
+  def dedupParagraphs(s: SparkSession, dir: String, chunkTokens: Int = 16): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(tk) - 1) div $chunkTokens),
+           |  i -> concat_ws(' ', slice(tk, i * $chunkTokens + 1, $chunkTokens)))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "chunk")
+      .filter(col("chunk") =!= "")
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+    val kept = chunks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", (col("rn") === 1).cast("int"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep")).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN keep = 1 THEN struct(idx, chunk) END)), x -> x.chunk)"))
+          .as("kept_text"))
+  }
+
+  /** Deterministic training-shard assignment — the WRITE side of a
+    * pretraining pipeline: every doc gets a (shard, pos) slot where
+    * shard = md5 bucket mod nShards and pos = rank of the doc's md5
+    * key within its shard. The md5 ordering IS the global shuffle
+    * (pseudo-random, engine- and rerun-reproducible — rand() gives
+    * neither), realized with NO corpus-wide sort: the window is
+    * PARTITIONED by shard, so each shard sorts its own 1/nShards
+    * slice — at 100 TB that is the per-output-file sort every
+    * sharded writer already pays, and shard count scales with the
+    * cluster. A doc's slot never changes when the corpus is
+    * re-partitioned (the reshard-stability property [[hashSplit]]
+    * gives the train/eval split, extended to the full training
+    * order).
+    */
+  def shardAssign(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .withColumn("k", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 4), 16, 10).cast("int"), lit(nShards)))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 
   /** Sequence packing: concatenate each shard's docs in doc_id order
     * and chunk the token stream into fixed 512-token training
@@ -858,6 +972,9 @@ object TextQueries {
     "q_mix_sources"      -> (mixSources _),
     "q_contamination"    -> (contamination _),
     "q_dedup_minhash"    -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
+    "q_dedup_simhash_v"  -> ((s: SparkSession, d: String) => dedupSimhashVerified(s, d)),
+    "q_dedup_paragraph"  -> ((s: SparkSession, d: String) => dedupParagraphs(s, d)),
+    "q_shard_assign"     -> ((s: SparkSession, d: String) => shardAssign(s, d)),
     "q_dedup_cc"         -> (DedupCluster.dedupCluster _),
     "q_dedup_cc_edges"   -> (DedupCluster.ccEdges _),
     "q_split_hash"       -> (hashSplit _),
@@ -1077,6 +1194,52 @@ object TextQueries {
         |SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
         |FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // Same brute-force verify as q_dedup_minhash: the two queries pin
+    // that BOTH standard blockers (minhash-LSH, simhash bands) reach
+    // the full true-pair set on this corpus.
+    "q_dedup_simhash_v" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |         generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh x JOIN sh y ON y.sh = x.sh AND y.doc_id > x.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.98""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(tk[(i*16+1):(i*16+16)], ' ') AS chunk
+        |  FROM toks, unnest(generate_series(0, (len(tk) - 1) // 16)) AS t(i)
+        |  WHERE array_to_string(tk[(i*16+1):(i*16+16)], ' ') <> ''),
+        |marked AS (
+        |  SELECT doc_id, idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')
+        |    AS kept_text
+        |FROM marked GROUP BY doc_id""".stripMargin,
+    "q_shard_assign" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('shard:' || doc_id::VARCHAR) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ('0x' || substr(k, 1, 4))::INT % 8 AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY ('0x' || substr(k, 1, 4))::INT % 8
+        |    ORDER BY k, doc_id) AS pos
+        |FROM keyed""".stripMargin,
     "q_split_hash" ->
       """SELECT doc_id, b AS bucket,
         |  CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'

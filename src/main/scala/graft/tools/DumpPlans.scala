@@ -17,7 +17,6 @@ object DumpPlans {
     "q_topn" -> "rank limit pushed into the shuffle (WindowGroupLimit)",
     "q_window_topn" -> "window-scoped rank keeps the WindowGroupLimit pushdown",
     "q_asof_native" -> "custom AsOfJoinExec: EnsureRequirements inserts co-partitioning exchanges + (key,time) sorts",
-    "q_dedup_minhash" -> "MinHash: explode + map-side min aggregates, bucket equi-join, no all-pairs",
     "q_dedup_simhash" -> "multi-band blocking: one equi-join on (band, value), first-band filter instead of dedup shuffle",
     "q_sim_sig_rerank" -> "signature prefilter: sigs materialize behind one exchange; cost model = one linear popcount corpus scan PER QUERY of a BOUNDED batch (nQueries=100 cap — r4's corpus-fraction query set made this O(n^2/50)), then top-C exact rerank on C=64 candidates",
     "q_sql_match_recognize" -> "MATCH_RECOGNIZE: DEFINE predicates below the single PARTITION BY exchange",
@@ -51,7 +50,11 @@ object DumpPlans {
     "q_dedup_incremental" -> "incremental dedup vs fingerprint store: store distinct + left join on h + per-hash first-row window over the batch only — with the store bucketed on h, the store side is exchange-free; the day's batch shuffles only itself",
     "q_vocab_oov" -> "vocab induction + OOV: unpartitioned rank<=V plans as WindowGroupLimit (map tasks forward local top-V, the merge sees partitions*V rows, never the vocabulary), induced vocab broadcasts back against the token stream — map-side OOV fold at any corpus size",
     "q_curriculum_bins" -> "curriculum length-deciles without a global sort: the corpus-sized work is ONE groupBy(n_tok) aggregate; the only Window runs over the tiny length histogram, and the bin map returns as a BroadcastHashJoin — no single-partition ntile anywhere",
-    "q_embed_rp" -> "Achlioptas random projection: one map-only projection stage, no shuffle, no stored matrix — the ±1 entries regenerate from md5(i,j) inside the expression, so a 100 TB corpus projects at scan speed with zero broadcast state",
+    "q_embed_rp" -> "Achlioptas random projection: one map-only projection stage, no shuffle, no stored matrix — the ±1 entries derive from md5(i,j) ONCE per executor JVM (VectorOps.rpProject cache) and the row body is a single whole-stage-codegen'd static call (the r8 interpreted-HOF formulation paid 1,024 md5 calls per row: 2.6 s at sf0.1 vs 0.12 s now). A 100 TB corpus projects at scan speed with zero broadcast state",
+    "q_dedup_minhash" -> "MinHash+LSH with exact-Jaccard VERIFY: banded LSH blocking (shuffles carry |docs|·k signature longs, never all-pairs), then the exact recount runs ONLY over candidate docs — the broadcast semi-join restricts the shingle explode to the duplicate slice of the corpus, so verify cost scales with dup density, not corpus size; output is the verified exact Jaccard (oracle-checkable), the estimate stays internal",
+    "q_dedup_simhash_v" -> "SimHash blocking + exact-Jaccard verify in the near-identical regime: 8 bands of 8 bits with the pigeonhole-consistent hd<=7 cut — every pair below Hamming 8 is BOTH guaranteed found (some band clean) and kept, so the cut discards only chance collisions (hd~32) before the verify recount; same verify-stage economics as q_dedup_minhash",
+    "q_dedup_paragraph" -> "paragraph-level exact dedup (RefinedWeb/Gopher boilerplate cut): chunk explode map-side, keep-first as rank=1 over (chunk) — WindowGroupLimit forwards one row per chunk per map task BEFORE the exchange — then one groupBy(doc) reassembles survivors in order; two shuffles of the chunk stream, no corpus-wide sort",
+    "q_shard_assign" -> "deterministic training-shard assignment: the md5 key IS the global shuffle (engine- and rerun-reproducible), realized shard-locally — the window partitions by shard, so each shard sorts 1/nShards of the corpus (the per-output-file sort a sharded writer already pays) and shard count scales with the cluster; no global sort",
     "q_pipeline_e2e" -> "five-stage curation pipeline (normalize → quality gate → dedup → split → report) composed from the individual operators: Catalyst fuses the map-only stages into the scan's codegen span, so the whole pipeline costs one corpus scan + the dedup shuffle + a 3-row aggregate — composition is free, not five jobs",
     "q_lm_ppl_truncated" -> "truncated-broadcast LM: the doc bigram stream never shuffles — model lookups are BroadcastHashJoins, per-doc partials collapse map-side (explode keeps a doc's bigrams co-located), so the only exchanges under the scoring side carry one row per doc; the model aggregates shuffle distinct grams only")
 

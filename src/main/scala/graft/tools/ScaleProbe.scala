@@ -116,7 +116,12 @@ object ScaleProbe {
       // round-8: five-stage curation composition (one scan + dedup
       // shuffle + 3-row agg) and the top-V vocab induction whose
       // WindowGroupLimit merge sees partitions*V rows, not the vocab
-      "q_pipeline_e2e", "q_vocab_oov")
+      "q_pipeline_e2e", "q_vocab_oov",
+      // round-9: estimate→verify dedups (verify cost must track dup
+      // density, not corpus size), paragraph-level dedup (two chunk
+      // shuffles, WindowGroupLimit keep-first), shard assignment
+      // (per-shard sort only — must stay ~linear)
+      "q_dedup_minhash", "q_dedup_paragraph", "q_shard_assign")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

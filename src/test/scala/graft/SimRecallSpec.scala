@@ -62,6 +62,40 @@ class SimRecallSpec extends SparkSpec {
       TextQueries.adaptiveSimhashBands(n + n / 4))
   }
 
+  test("verified simhash: near-identical pairs sit inside the hd<8 pigeonhole guarantee") {
+    import graft.text.TextQueries
+    val docs = Tables.load(spark, sfDir, "documents")
+    // brute-force exact word-3-gram Jaccard >= 0.98 (the oracle set)
+    val sh = docs.withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truePairs = sh.select(col("doc_id").as("id_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), Seq("id_b"))
+      .filter(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.98)
+      .select("id_a", "id_b")
+    // the guarantee's premise: every such pair is under Hamming 8 —
+    // so 8 bands MUST find it (pigeonhole) and hd<=7 MUST keep it
+    val sigs = docs.select(col("doc_id"), F.simhash64(col("text")).as("sig"))
+    val withHd = truePairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(F.hamming64(col("sig_a"), col("sig_b")).as("hd"))
+    val maxHd = withHd.agg(coalesce(max(col("hd")), lit(0))).head().getInt(0)
+    assert(maxHd < 8, s"a >=0.98-Jaccard pair at hd=$maxHd breaks the pigeonhole premise")
+    // and the operator's output equals the brute-force set exactly
+    val got = TextQueries.dedupSimhashVerified(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = truePairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
+  }
+
   test("shipped adaptive config recalls ALL pairs under the pigeonhole bound") {
     // b bands guarantee recall 1.0 at Hamming < b: the 500-doc corpus
     // ships 4 bands (Manku et al.'s production setting: 64-bit
