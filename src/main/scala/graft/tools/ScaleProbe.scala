@@ -190,6 +190,17 @@ object ScaleProbe {
       w.println("shingle); on a real corpus df grows with corpus breadth, not in lockstep")
       w.println("with size, and the x4 point (~3x at 4x rows) is the representative one.")
       w.println()
+      w.println("q_dedup_minhash's ratio is range-join's story at full volume: the")
+      w.println("multiplier turns every doc into an ~N-member near-identical clique")
+      w.println("(replicas are perturbed, not copies, so the exact-dedup shortcut does")
+      w.println("not apply), and true pairs grow ~N^2/2 per clique - measured OUTPUT is")
+      w.println("256 pairs at x1, 34k at x4, 665k at x16 (~2,600x), while wall grows")
+      w.println("only ~50x: time per VERIFIED pair falls ~50x as the verify stage's")
+      w.println("fixed costs amortize. The operator is output-bound on this synthetic")
+      w.println("replication; a real corpus's dup fraction stays roughly constant with")
+      w.println("size, which is the ~linear x4 point (0.9s -> 3.6s at 4x rows with 133x")
+      w.println("the output).")
+      w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
       queries.foreach { case (q, mk0) =>
