@@ -34,6 +34,16 @@ object GraftSql {
 
   private val mrCounter = new AtomicInteger(0)
 
+  // Hive-alias catalogs (CREATE CATALOG ... type 'hive' in a
+  // hive-enabled session): names that resolve to spark_catalog.
+  // Keyed per session so parallel sessions don't see each other's
+  // aliases.
+  private val hiveAliases =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def catalogKey(spark: SparkSession, name: String): String =
+    System.identityHashCode(spark.sessionState).toString + "/" + name
+
   private final case class Splice(start: Int, end: Int, text: String)
 
   private final case class SessionTvf(source: String, tsCol: String, gap: String,
@@ -807,9 +817,13 @@ object GraftSql {
       return spark.emptyDataFrame
     }
     // USE CATALOG c (SqlUseCatalog) — Spark spells it SET CATALOG;
-    // accept the reference's form
+    // accept the reference's form. A hive-alias catalog (CREATE
+    // CATALOG ... type 'hive' in a hive-enabled session) resolves to
+    // spark_catalog: the session catalog IS the Hive metastore there.
     if (toks.length == 3 && toks.head.is("USE") && toks(1).is("CATALOG")) {
-      spark.catalog.setCurrentCatalog(cleanName(toks(2).text))
+      val name = cleanName(toks(2).text)
+      spark.catalog.setCurrentCatalog(
+        if (hiveAliases.containsKey(catalogKey(spark, name))) "spark_catalog" else name)
       return spark.emptyDataFrame
     }
     // CREATE CATALOG c WITH ('type' = ...) (SqlCreateCatalog).
@@ -851,10 +865,28 @@ object GraftSql {
           "CREATE CATALOG type 'generic_in_memory': the session catalog is " +
             "already in-memory — CREATE DATABASE inside it gives the same " +
             "isolation the reference's GenericInMemoryCatalog provides")
-        case "hive" => sys.error(
-          "CREATE CATALOG type 'hive': needs a Hive metastore service — " +
-            "environmental residue; Spark's native Hive support binds via " +
-            "spark.sql.catalogImplementation=hive at session build")
+        case "hive" =>
+          // Spark's native Hive support IS the HiveCatalog: a session
+          // built with catalogImplementation=hive persists DDL through
+          // the real Hive metastore as its session catalog, so the
+          // reference's two-statement idiom (CREATE CATALOG hive ... ;
+          // USE CATALOG hive) works verbatim — the name becomes an
+          // alias of spark_catalog (HiveCatalogSpec proves metastore
+          // DDL, partitioned writes, pruning and cross-session
+          // persistence end-to-end in this container). The
+          // implementation is fixed per SharedState, so a plain
+          // session cannot flip mid-flight: reasoned rejection with
+          // the bind instructions.
+          val impl =
+            try spark.conf.get("spark.sql.catalogImplementation")
+            catch { case _: Exception => "in-memory" }
+          if (impl != "hive") sys.error(
+            "CREATE CATALOG type 'hive': this session was built with the " +
+              "in-memory catalog; Hive binds at session build — start the " +
+              "session with spark.sql.catalogImplementation=hive (plus " +
+              "hive.metastore.uris or an embedded Derby ConnectionURL) and " +
+              "the session catalog IS the Hive metastore catalog")
+          hiveAliases.put(catalogKey(spark, name), java.lang.Boolean.TRUE)
         case other => sys.error(s"CREATE CATALOG: unknown type '$other' " +
           "(jdbc is implemented; generic_in_memory/hive are rejected with reason)")
       }
@@ -868,6 +900,7 @@ object GraftSql {
       require(name != "spark_catalog", "DROP CATALOG: 'spark_catalog' is reserved")
       require(spark.catalog.currentCatalog() != name,
         s"DROP CATALOG: '$name' is the current catalog (USE CATALOG another first)")
+      hiveAliases.remove(catalogKey(spark, name))
       spark.conf.getAll.keys.filter(k =>
           k == s"spark.sql.catalog.$name" || k.startsWith(s"spark.sql.catalog.$name."))
         .foreach(spark.conf.unset)
