@@ -87,13 +87,65 @@ final case class FakeRegistryClient(url: String) extends SchemaRegistry {
     Option(s.bySubject.get(subject)).map(_.intValue())
 }
 
+/** Real HTTP client for the PUBLIC Confluent Schema Registry REST
+  * API (docs.confluent.io/platform/current/schema-registry/develop/
+  * api.html): `GET /schemas/ids/{id}` to resolve a writer schema,
+  * `POST /subjects/{subject}/versions` to register. Bodies are the
+  * published `{"schema": "<json-escaped avro schema>"}` envelope with
+  * the v1 content type; Jackson (on Spark's classpath) handles the
+  * escaping. The client is consulted once per distinct schema id per
+  * expression (the decode path caches readers), so the HTTP hop is
+  * O(distinct schemas), never per record.
+  *
+  * SchemaRegistryHttpSpec drives this client against an in-process
+  * JDK HttpServer speaking the same API — the full wire path runs in
+  * this container; a production registry only changes the url.
+  */
+final case class HttpRegistryClient(url: String) extends SchemaRegistry {
+  @transient private lazy val http = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  private def base = url.stripSuffix("/")
+
+  def schemaById(id: Int): String = {
+    val resp = http.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/schemas/ids/$id"))
+        .header("Accept", "application/vnd.schemaregistry.v1+json").GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"schema registry $url: GET /schemas/ids/$id -> ${resp.statusCode()} ${resp.body()}")
+    val node = mapper.readTree(resp.body())
+    require(node.has("schema"), s"schema registry $url: no 'schema' in ${resp.body()}")
+    node.get("schema").asText()
+  }
+
+  def register(subject: String, schemaJson: String): Int = {
+    val body = mapper.createObjectNode()
+    body.put("schema", schemaJson)
+    val resp = http.send(
+      java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"$base/subjects/$subject/versions"))
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
+        .build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"schema registry $url: POST /subjects/$subject/versions -> " +
+        s"${resp.statusCode()} ${resp.body()}")
+    val node = mapper.readTree(resp.body())
+    require(node.has("id"), s"schema registry $url: no 'id' in ${resp.body()}")
+    node.get("id").asInt()
+  }
+}
+
 object RegistryClients {
   def forUrl(url: String): SchemaRegistry =
     if (url.startsWith("fake://")) FakeRegistryClient(url)
+    else if (url.startsWith("http://") || url.startsWith("https://"))
+      HttpRegistryClient(url)
     else sys.error(
-      s"avro-confluent registry '$url': the HTTP registry client needs a " +
-        "reachable Schema Registry service — environmental residue in this " +
-        "container; use a fake:// url for an in-process registry")
+      s"avro-confluent registry '$url': use http(s):// for a Schema " +
+        "Registry service or fake://<name> for an in-process registry")
 }
 
 object AvroConfluentCodec {
