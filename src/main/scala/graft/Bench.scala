@@ -44,7 +44,9 @@ object Bench {
     "q_raw_roundtrip", "q_avro_registry", "q_avro_glue", "q_dedup_cosine", "q_text_gopher",
     "q_dedup_cc", "q_text_repetition", "q_pack_sequences",
     "q_lm_perplexity", "q_tfidf_topk", "q_vocab_oov",
-    "q_curriculum_bins", "q_dedup_incremental", "q_embed_rp")
+    "q_curriculum_bins", "q_dedup_incremental", "q_embed_rp",
+    "q_dedup_simhash_v", "q_dedup_paragraph", "q_shard_assign",
+    "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

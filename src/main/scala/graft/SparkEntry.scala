@@ -21,6 +21,7 @@ object SparkEntry {
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
       MiscQueries.queries ++ TpchQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
+      graft.text.SelectionQueries.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
       graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries ++
       graft.sources.CdcQueries.queries ++ graft.sources.JdbcQueries.queries
@@ -30,6 +31,7 @@ object SparkEntry {
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
       MiscQueries.oracle ++ TpchQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
+      graft.text.SelectionQueries.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++
       graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle ++
       graft.sources.CdcQueries.oracle ++ graft.sources.JdbcQueries.oracle

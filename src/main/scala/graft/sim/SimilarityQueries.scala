@@ -306,13 +306,53 @@ object SimilarityQueries {
     * planted pairs through the blocking.
     */
   def cosineNearDup(s: SparkSession, dir: String, threshold: Double = 0.98,
-      tables: Int = 4): DataFrame = {
+      tables: Int = 4): DataFrame =
+    nearDupPairs(plantedCorpus(s, dir), "vec_id", "embedding", threshold, tables)
+
+  /** The embeddings table plus one perturbed twin (±0.1% per element,
+    * cosine ≈ 0.9999) for every 100th vector — the shared fixture of
+    * the embedding-dedup queries (the synthetic vectors are
+    * near-random, so true near-dups must be planted for the operators
+    * to have anything to find).
+    */
+  def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val twins = emb.filter(col("vec_id") % 100 === 0)
       .select((col("vec_id") + 1000000000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> CAST(x * (1.0d + 0.001d * sin(i + 1)) AS FLOAT))")
           .as("embedding"))
-    nearDupPairs(emb.unionByName(twins), "vec_id", "embedding", threshold, tables)
+    emb.unionByName(twins)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — collapse groups of embedding-space near-
+    * duplicates to one canonical member each. Pair mining alone
+    * ([[cosineNearDup]]) is not a dedup: A~B and B~C must keep ONE
+    * document even when A~C was never mined, so the mined pairs
+    * close under [[graft.text.DedupCluster.connectedComponents]]
+    * (hash-min + pointer jumping, O(log d) rounds) and every corpus
+    * vector reports its cluster plus whether it is the canonical
+    * (min-id) member. Scale shape: LSH-blocked pair mining (never
+    * all-pairs) + the CC loop at graph-sized parallelism + one
+    * left join back to the corpus — the same 100 TB structure as the
+    * text-side q_dedup_cc, applied to the embedding modality. The
+    * paper clusters with k-means before the intra-cluster cosine
+    * cut; LSH blocking plays that role here deterministically, which
+    * is what keeps the whole operator oracle-checkable (DuckDB
+    * brute-forces exact cosine and closes the pair graph with a
+    * recursive CTE).
+    */
+  def semDedup(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
+    val corpus = plantedCorpus(s, dir)
+    val pairs = nearDupPairs(corpus, "vec_id", "embedding", threshold)
+      .select(col("id_a").as("ida"), col("id_b").as("idb"))
+    val comps = graft.text.DedupCluster.connectedComponents(pairs)
+    corpus.select(col("vec_id"))
+      .join(comps, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("comp"),
+        (coalesce(col("comp"), col("vec_id")) === col("vec_id")).cast("int")
+          .as("is_canonical"))
   }
 
   /** Embedding-cosine near-duplicate pairs: adjacent-id pairing
@@ -386,6 +426,7 @@ object SimilarityQueries {
     "q_sim_topk"     -> (cosineTopK _),
     "q_sim_sig_rerank" -> ((s: SparkSession, d: String) => annSigRerank(s, d)),
     "q_dedup_cosine" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
+    "q_semdedup"     -> ((s: SparkSession, d: String) => semDedup(s, d)),
     "q_sim_ivf_ann"  -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "q_sim_adjacent" -> (cosineAdjacent _))
 
@@ -428,6 +469,34 @@ object SimilarityQueries {
     // far from both the threshold and the driver's rounding; natural
     // pairs top out ~0.5). DuckDB's 1-based range(i) matches Spark's
     // 0-based (x, i) -> sin(i + 1) perturbation exactly.
+    // Same planted corpus + brute-force cosine pairs as
+    // q_dedup_cosine, closed into components with a recursive CTE
+    // (the q_dedup_cc pattern) — every corpus vector must report the
+    // identical (comp, is_canonical) as the LSH-blocked + CC plan.
+    "q_semdedup" ->
+      s"""WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> (embedding[i] * (1.0 + 0.001 * sin(i)))::FLOAT)
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE ${cosD("a.embedding", "b.embedding")} >= 0.98),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+        |          UNION ALL SELECT idb, ida FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT c.vec_id,
+        |  coalesce(cmp.comp, c.vec_id) AS comp,
+        |  (coalesce(cmp.comp, c.vec_id) = c.vec_id)::INT AS is_canonical
+        |FROM corpus c LEFT JOIN cmp ON cmp.id = c.vec_id""".stripMargin,
     "q_dedup_cosine" ->
       s"""WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -1,0 +1,199 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Data-SELECTION operators — the "which docs make the training set"
+  * half of a pretraining pipeline, downstream of cleaning/dedup:
+  * model-based quality scoring (the fastText-style classifier gate
+  * of CCNet/LLaMA/FineWeb), token-budget selection (keep the best
+  * docs until a token budget is spent — the DataComp/DoReMi-style
+  * curation step), and winnowing fingerprints (Schleimer et al.
+  * SIGMOD'03 — the local-min fingerprint scheme MOSS popularized,
+  * the third standard dedup blocker besides minhash/simhash).
+  *
+  * Every operator here is integer-exact end to end, so the DuckDB
+  * oracle matches bit for bit, and every per-doc stage is map-only —
+  * the shapes that survive a 100 TB corpus unchanged.
+  */
+object SelectionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------
+  // Quality-classifier inference
+  // ---------------------------------------------------------------
+
+  /** Per-token weight of the hashed-bag-of-words linear model: the
+    * token hashes into one of 1024 buckets (feature hashing — the
+    * trick that fixes model size regardless of vocabulary, collisions
+    * included by design), and the bucket carries an integer weight in
+    * [-32768, 32767]. Weights here DERIVE from md5 of the bucket id —
+    * a stand-in for learned parameters that keeps the whole query
+    * engine-reproducible; a real model binds the same way with its
+    * 2^k weights inlined or broadcast, the plan shape unchanged.
+    */
+  private def tokenWeight(tok: Column): Column = {
+    val bucket =
+      conv(substring(md5(concat(lit("qb:"), tok).cast("binary")), 1, 4), 16, 10)
+        .cast("int") % 1024
+    conv(substring(md5(concat(lit("qw:"), bucket.cast("string")).cast("binary")), 1, 4),
+      16, 10).cast("long") - 32768L
+  }
+
+  /** Per-row classifier core: doc logit = sum of token weights, an
+    * exact BIGINT (no float accumulation → bit-identical across
+    * engines and fold orders). Stateless projection — runs unchanged
+    * on a STREAMING frame, which makes the streaming twin a
+    * one-liner (SelectionOpsSpec asserts batch == stream).
+    */
+  def qualityFlags(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + tokenWeight(x)).as("logit"))
+      .withColumn("keep", (col("logit") > 0L).cast("int"))
+
+  /** The `queries()` entry: hashed-linear-model quality scoring over
+    * `documents` — one map-only pass (token explode never leaves the
+    * row: `aggregate` folds inside the projection), no shuffle, no
+    * UDF; the model evaluation is entirely codegen'd builtins.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityFlags(t(s, dir, "documents"))
+
+  // ---------------------------------------------------------------
+  // Token-budget selection
+  // ---------------------------------------------------------------
+
+  /** Select the highest-quality documents until a token budget is
+    * spent — greedily from the top quality bucket down, stopping
+    * BEFORE the bucket that would overshoot (never exceeds budget;
+    * bucket granularity is the documented selection unit). The
+    * 100 TB shape is the same trick as curriculumBins: NO global
+    * sort-by-score (the naive cumsum-over-ordered-docs is a
+    * single-partition window over the corpus). Instead the per-token
+    * quality score quantizes to 256 buckets, a histogram aggregates
+    * (bucket, tokens) — ≤ 256 rows at ANY corpus size — the
+    * cumulative fold runs on the histogram, and the per-bucket keep
+    * flag broadcast-joins back onto the doc stream. All integer
+    * math: score = ((logit + 32768·n_tok)·256) div (65536·n_tok) is
+    * the per-token mean shifted to [0, 255] with floor division on
+    * non-negative operands, identical in Spark (`div`) and DuckDB
+    * (`//`).
+    *
+    * @param budgetPermille token budget as permille of corpus tokens
+    */
+  def tokenBudgetSelect(s: SparkSession, dir: String,
+      budgetPermille: Int = 250): DataFrame = {
+    val scored = qualityFlags(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tok"), col("logit"))
+      .withColumn("pbucket",
+        expr("((logit + 32768L * n_tok) * 256L) div (65536L * n_tok)"))
+    val hist = scored.groupBy(col("pbucket")).agg(sum(col("n_tok")).as("btoks"))
+    // hist is a bounded intermediate (≤ 256 rows by construction —
+    // pbucket ∈ [0, 255]) so the unpartitioned window is a single
+    // tiny task, not a corpus sort; same accepted pattern as the
+    // curriculum-bin histogram.
+    val wDesc = Window.orderBy(col("pbucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = hist
+      .withColumn("cum", sum(col("btoks")).over(wDesc))
+      .crossJoin(broadcast(hist.agg(sum(col("btoks")).as("total"))))
+      .select(col("pbucket"),
+        (col("cum") * 1000L <= col("total") * budgetPermille).cast("int").as("kept"))
+    scored.join(broadcast(flags), Seq("pbucket"))
+      .select(col("doc_id"), col("n_tok"), col("pbucket"), col("kept"))
+  }
+
+  // ---------------------------------------------------------------
+  // Winnowing fingerprints
+  // ---------------------------------------------------------------
+
+  /** Winnowing document fingerprints (Schleimer et al. SIGMOD'03):
+    * hash every k-gram (k=4), slide a window of w=8 consecutive
+    * hashes, select each window's minimum — the selected VALUES form
+    * the fingerprint set. The scheme's guarantee: any shared token
+    * run of ≥ w+k-1 tokens between two documents yields at least one
+    * shared fingerprint (spec-asserted with a planted shared
+    * passage), while only ~2/(w+1) of all gram hashes are kept.
+    * Position tie-breaking doesn't affect the VALUE set (equal
+    * minima are one distinct value), so the output is engine-exact:
+    * DuckDB re-derives the same md5-based 32-bit gram hashes and
+    * window minima. Entirely map-only — the gram hashing, window
+    * minima and distinct fold all happen inside one projection via
+    * higher-order functions; no explode, no shuffle.
+    */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("l", split(col("text"), " "))
+      .filter(size(col("l")) >= 11) // k+w-1 tokens → ≥1 window
+      .withColumn("hs", expr(
+        """transform(sequence(0, size(l) - 4), i ->
+          |  cast(conv(substring(md5(cast(
+          |    concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3]) as binary)),
+          |    1, 8), 16, 10) as bigint))""".stripMargin))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(0, size(hs) - 8), j -> array_min(slice(hs, j + 1, 8))))"))
+      .select(col("doc_id"),
+        (size(col("hs")) - lit(7)).as("n_win"),
+        size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> (qualityClassifier _),
+    "q_token_budget"       -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
+    "q_text_winnow"        -> (winnowFingerprints _))
+
+  private val logitSql =
+    """list_sum(list_transform(l, x ->
+      |      ('0x' || substr(md5('qw:' ||
+      |         (('0x' || substr(md5('qb:' || x), 1, 4))::INT % 1024)::VARCHAR),
+      |         1, 4))::BIGINT - 32768))::BIGINT""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_classifier" ->
+      s"""SELECT doc_id, n_tok, logit, (logit > 0)::INT AS keep FROM (
+        |  SELECT doc_id, len(l) AS n_tok, $logitSql AS logit
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, len(l) AS n_tok, $logitSql AS logit
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |b AS (SELECT doc_id, n_tok,
+        |        ((logit + 32768 * n_tok) * 256) // (65536 * n_tok) AS pbucket
+        |      FROM s),
+        |h AS (SELECT pbucket, sum(n_tok) AS btoks FROM b GROUP BY pbucket),
+        |c AS (SELECT pbucket,
+        |        sum(btoks) OVER (ORDER BY pbucket DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(btoks) OVER () AS total
+        |      FROM h)
+        |SELECT b.doc_id, b.n_tok, b.pbucket,
+        |  (c.cum * 1000 <= c.total * 250)::INT AS kept
+        |FROM b JOIN c USING (pbucket)""".stripMargin,
+    "q_text_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, len(l) - 2), i ->
+        |    ('0x' || substr(md5(l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]),
+        |     1, 8))::BIGINT) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE len(l) >= 11),
+        |f AS (
+        |  SELECT doc_id, len(hs) - 7 AS n_win,
+        |    list_distinct(list_transform(range(1, len(hs) - 6), j ->
+        |      list_aggregate(hs[j:j+7], 'min'))) AS fps
+        |  FROM g)
+        |SELECT doc_id, n_win, len(fps) AS n_fp,
+        |  list_aggregate(fps, 'min') AS fp_min,
+        |  list_aggregate(fps, 'max') AS fp_max,
+        |  list_sum(fps)::BIGINT AS fp_sum
+        |FROM f""".stripMargin)
+}

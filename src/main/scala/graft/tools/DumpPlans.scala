@@ -56,7 +56,11 @@ object DumpPlans {
     "q_dedup_paragraph" -> "paragraph-level exact dedup (RefinedWeb/Gopher boilerplate cut): chunk explode map-side, keep-first as rank=1 over (chunk) — WindowGroupLimit forwards one row per chunk per map task BEFORE the exchange — then one groupBy(doc) reassembles survivors in order; two shuffles of the chunk stream, no corpus-wide sort",
     "q_shard_assign" -> "deterministic training-shard assignment: the md5 key IS the global shuffle (engine- and rerun-reproducible), realized shard-locally — the window partitions by shard, so each shard sorts 1/nShards of the corpus (the per-output-file sort a sharded writer already pays) and shard count scales with the cluster; no global sort",
     "q_pipeline_e2e" -> "five-stage curation pipeline (normalize → quality gate → dedup → split → report) composed from the individual operators: Catalyst fuses the map-only stages into the scan's codegen span, so the whole pipeline costs one corpus scan + the dedup shuffle + a 3-row aggregate — composition is free, not five jobs",
-    "q_lm_ppl_truncated" -> "truncated-broadcast LM: the doc bigram stream never shuffles — model lookups are BroadcastHashJoins, per-doc partials collapse map-side (explode keeps a doc's bigrams co-located), so the only exchanges under the scoring side carry one row per doc; the model aggregates shuffle distinct grams only")
+    "q_lm_ppl_truncated" -> "truncated-broadcast LM: the doc bigram stream never shuffles — model lookups are BroadcastHashJoins, per-doc partials collapse map-side (explode keeps a doc's bigrams co-located), so the only exchanges under the scoring side carry one row per doc; the model aggregates shuffle distinct grams only",
+    "q_quality_classifier" -> "hashed-linear-model quality scoring (the fastText-style gate): the whole model evaluation — token hash → 1024-way feature bucket → integer weight → exact BIGINT fold — is ONE codegen'd projection; map-only, no shuffle, no UDF, and a learned model binds as a 2^k-entry broadcast with the identical plan shape",
+    "q_token_budget" -> "token-budget selection WITHOUT a sort-by-score: the corpus-sized work is one groupBy(pbucket) aggregate (<= 256 rows by construction), the cumulative keep/drop fold runs on that bounded histogram, and per-bucket flags return as a BroadcastHashJoin — the naive ordered-cumsum is a single-partition window over the corpus, the 100 TB anti-pattern this plan avoids",
+    "q_text_winnow" -> "winnowing fingerprints (Schleimer et al. SIGMOD'03): gram hashing, the w-window minima and the distinct fold all evaluate INSIDE one projection via higher-order functions — no explode, no shuffle; a 100 TB corpus fingerprints at scan speed, emitting ~2/(w+1) of gram hashes as the fingerprint set",
+    "q_semdedup" -> "SemDeDup (Abbas et al. 2023): LSH-blocked cosine pair mining (width-adaptive buckets, never all-pairs) + the hash-min/pointer-jump CC closure at graph-sized parallelism + one left join back to the corpus — semantic cluster collapse for the embedding modality with the same 100 TB structure as the text-side q_dedup_cc")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

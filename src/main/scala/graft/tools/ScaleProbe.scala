@@ -121,7 +121,12 @@ object ScaleProbe {
       // density, not corpus size), paragraph-level dedup (two chunk
       // shuffles, WindowGroupLimit keep-first), shard assignment
       // (per-shard sort only — must stay ~linear)
-      "q_dedup_minhash", "q_dedup_paragraph", "q_shard_assign")
+      "q_dedup_minhash", "q_dedup_paragraph", "q_shard_assign",
+      // round-9 selection family: classifier + winnow are map-only
+      // (must track scan speed), token budget is histogram-bounded
+      // (the cumsum never grows with the corpus), semdedup's CC loop
+      // rides the embedding pair graph
+      "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

@@ -44,9 +44,14 @@ class AvroConfluentSpec extends SparkSpec {
     assert(c.latestId("t-value") === Some(id1))
     assert(c.latestId("never-registered") === None)
     intercept[IllegalArgumentException](c.schemaById(9999))
+    // http(s):// binds the real REST client (construction is lazy —
+    // no socket until a call; SchemaRegistryHttpSpec drives the wire);
+    // anything else still fails loudly
+    assert(RegistryClients.forUrl("http://registry:8081")
+      .isInstanceOf[graft.sources.HttpRegistryClient])
     val e = intercept[RuntimeException](
-      RegistryClients.forUrl("http://registry:8081"))
-    assert(e.getMessage.contains("environmental"))
+      RegistryClients.forUrl("bogus://registry"))
+    assert(e.getMessage.contains("fake://"))
   }
 
   test("encode/decode round-trip through column expressions over lineitem") {
