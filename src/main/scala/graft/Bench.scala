@@ -46,7 +46,8 @@ object Bench {
     "q_lm_perplexity", "q_tfidf_topk", "q_vocab_oov",
     "q_curriculum_bins", "q_dedup_incremental", "q_embed_rp",
     "q_dedup_simhash_v", "q_dedup_paragraph", "q_shard_assign",
-    "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup")
+    "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup",
+    "q_dedup_bloom", "q_kmeans")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -427,6 +427,7 @@ object SimilarityQueries {
     "q_sim_sig_rerank" -> ((s: SparkSession, d: String) => annSigRerank(s, d)),
     "q_dedup_cosine" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
     "q_semdedup"     -> ((s: SparkSession, d: String) => semDedup(s, d)),
+    "q_kmeans"       -> ((s: SparkSession, d: String) => KMeansDataflow.kmeansAssign(s, d)),
     "q_sim_ivf_ann"  -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "q_sim_adjacent" -> (cosineAdjacent _))
 
@@ -469,6 +470,7 @@ object SimilarityQueries {
     // far from both the threshold and the driver's rounding; natural
     // pairs top out ~0.5). DuckDB's 1-based range(i) matches Spark's
     // 0-based (x, i) -> sin(i + 1) perturbation exactly.
+    "q_kmeans" -> KMeansDataflow.oracleSql(),
     // Same planted corpus + brute-force cosine pairs as
     // q_dedup_cosine, closed into components with a recursive CTE
     // (the q_dedup_cc pattern) — every corpus vector must report the

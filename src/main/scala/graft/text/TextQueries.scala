@@ -969,6 +969,7 @@ object TextQueries {
     "q_sample_stratified" -> (stratifiedSample _),
     "q_tfidf_topk"       -> (tfidfTopk _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_bloom"      -> (BloomDedup.dedupIncrementalBloom _),
     "q_mix_sources"      -> (mixSources _),
     "q_contamination"    -> (contamination _),
     "q_dedup_minhash"    -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
@@ -1125,6 +1126,20 @@ object TextQueries {
         |  FROM tfc JOIN dfc USING (term), nd)
         |WHERE rk <= 3""".stripMargin,
     "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |prior AS (SELECT DISTINCT h FROM d WHERE source <> 'src1')
+        |SELECT doc_id, h, dup_prior, first_in_batch,
+        |  (dup_prior = 0 AND first_in_batch = 1)::INT AS ingest
+        |FROM (
+        |  SELECT doc_id, h,
+        |    (h IN (SELECT h FROM prior))::INT AS dup_prior,
+        |    (row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)::INT
+        |      AS first_in_batch
+        |  FROM d WHERE source = 'src1')""".stripMargin,
+    // The Bloom-prefiltered variant is exact BY CONSTRUCTION (no
+    // false negatives; false positives only re-check against the
+    // store), so its oracle is the same plain incremental-dedup SQL.
+    "q_dedup_bloom" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
         |prior AS (SELECT DISTINCT h FROM d WHERE source <> 'src1')
         |SELECT doc_id, h, dup_prior, first_in_batch,

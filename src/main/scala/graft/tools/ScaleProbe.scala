@@ -126,7 +126,10 @@ object ScaleProbe {
       // (must track scan speed), token budget is histogram-bounded
       // (the cumsum never grows with the corpus), semdedup's CC loop
       // rides the embedding pair graph
-      "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup")
+      "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup",
+      // round-9: bloom probe must stay map-side (filter size fixed),
+      // k-means iterations shuffle k·d partials, never the corpus
+      "q_dedup_bloom", "q_kmeans")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+
