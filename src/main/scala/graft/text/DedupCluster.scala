@@ -198,4 +198,31 @@ object DedupCluster {
     comps.select(col("id").as("doc_id"), col("comp"),
       (col("comp") === col("id")).cast("int").as("is_canonical"))
   }
+
+  /** Cluster-then-KEEP-BEST — the selection policy real pipelines
+    * want from near-dup clustering: within each duplicate cluster
+    * keep the HIGHEST-QUALITY member (here the quality-classifier
+    * logit; ties to the lowest doc_id), not an arbitrary canonical.
+    * Composition of three operators already in the engine: candidate
+    * mining → CC closure → per-cluster argmax via one
+    * comp-partitioned window over the labeled corpus (singleton
+    * clusters are one-row partitions — the shuffle carries each doc
+    * once, no corpus sort). Every doc reports (cluster, quality,
+    * kept), so the downstream filter is `is_kept = 1`.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val comps = connectedComponents(sharedShingleEdges(docs))
+    val scored = graft.text.SelectionQueries.qualityFlags(docs)
+      .select(col("doc_id"), col("logit"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("logit").desc, col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(comps, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("is_kept", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("comp"), col("logit"), col("is_kept"))
+  }
 }

@@ -87,12 +87,21 @@ object SelectionQueries {
     *
     * @param budgetPermille token budget as permille of corpus tokens
     */
-  def tokenBudgetSelect(s: SparkSession, dir: String,
-      budgetPermille: Int = 250): DataFrame = {
-    val scored = qualityFlags(t(s, dir, "documents"))
+  /** Per-row scoring core (stateless — quality logit + the 256-way
+    * bucket quantization), shared by the batch query and the
+    * streaming twin.
+    */
+  def scoreBuckets(docs: DataFrame): DataFrame =
+    qualityFlags(docs)
       .select(col("doc_id"), col("n_tok"), col("logit"))
       .withColumn("pbucket",
         expr("((logit + 32768L * n_tok) * 256L) div (65536L * n_tok)"))
+
+  /** The per-bucket keep/drop flag table for a corpus snapshot — the
+    * static half of budget selection, shared with the streaming twin
+    * ([[assignTokenBudget]]): ≤ 256 rows.
+    */
+  def budgetFlags(scored: DataFrame, budgetPermille: Int): DataFrame = {
     val hist = scored.groupBy(col("pbucket")).agg(sum(col("n_tok")).as("btoks"))
     // hist is a bounded intermediate (≤ 256 rows by construction —
     // pbucket ∈ [0, 255]) so the unpartitioned window is a single
@@ -100,12 +109,31 @@ object SelectionQueries {
     // curriculum-bin histogram.
     val wDesc = Window.orderBy(col("pbucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flags = hist
+    hist
       .withColumn("cum", sum(col("btoks")).over(wDesc))
       .crossJoin(broadcast(hist.agg(sum(col("btoks")).as("total"))))
       .select(col("pbucket"),
         (col("cum") * 1000L <= col("total") * budgetPermille).cast("int").as("kept"))
-    scored.join(broadcast(flags), Seq("pbucket"))
+  }
+
+  /** Streaming twin of [[tokenBudgetSelect]]: the budget threshold is
+    * a STATIC per-bucket flag snapshot (recomputing it per
+    * micro-batch would move the cut as data arrives — the same
+    * drift [[TextQueries.lengthBinMap]] avoids); arriving docs score
+    * statelessly and broadcast-join the snapshot. A bucket absent
+    * from the snapshot flags -1 (unknown) instead of guessing.
+    * SelectionOpsSpec asserts stream == batch on the snapshot's rows.
+    */
+  def assignTokenBudget(docs: DataFrame, flags: DataFrame): DataFrame =
+    scoreBuckets(docs)
+      .join(broadcast(flags), Seq("pbucket"), "left")
+      .select(col("doc_id"), col("n_tok"), col("pbucket"),
+        coalesce(col("kept"), lit(-1)).as("kept"))
+
+  def tokenBudgetSelect(s: SparkSession, dir: String,
+      budgetPermille: Int = 250): DataFrame = {
+    val scored = scoreBuckets(t(s, dir, "documents"))
+    scored.join(broadcast(budgetFlags(scored, budgetPermille)), Seq("pbucket"))
       .select(col("doc_id"), col("n_tok"), col("pbucket"), col("kept"))
   }
 
@@ -152,7 +180,7 @@ object SelectionQueries {
     "q_token_budget"       -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
     "q_text_winnow"        -> (winnowFingerprints _))
 
-  private val logitSql =
+  private[text] val logitSql =
     """list_sum(list_transform(l, x ->
       |      ('0x' || substr(md5('qw:' ||
       |         (('0x' || substr(md5('qb:' || x), 1, 4))::INT % 1024)::VARCHAR),

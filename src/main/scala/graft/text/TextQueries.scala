@@ -308,35 +308,41 @@ object TextQueries {
   /** Exact word-3-gram Jaccard VERIFY stage, shared by every blocking
     * front-end ([[dedupMinhash]], [[dedupSimhashVerified]]): recompute
     * the true Jaccard for candidate pairs only and keep those at or
-    * above `threshold`. The shingle recount is restricted to docs
-    * appearing in some candidate pair (broadcast semi-join), so at
-    * 100 TB the verify cost scales with the duplicate slice of the
-    * corpus, not the corpus. `cands` should be persisted by the
-    * caller when its lineage is expensive (it is referenced twice).
+    * above `threshold`. Cost structure: the shingle sets materialize
+    * ONLY for docs appearing in some candidate pair (broadcast
+    * semi-join) and stay packed as one sorted array per doc — each
+    * candidate pair then intersects its two arrays in a single
+    * projection. Per-PAIR work, O(|sh_a| + |sh_b|). The first
+    * formulation self-joined the exploded shingle stream and
+    * semi-joined candidates afterwards, which mines every co-shingled
+    * pair just to discard the non-candidates — on a corpus that is
+    * mostly duplicates (every doc in some cluster, shingle df ~
+    * cluster size) that intermediate is |shingles|·df² and measured
+    * 232x wall at 16x rows on the replica probe; the array form is
+    * 16x (output-bound: the true pair count itself grows ~df²/2 per
+    * cluster). `cands` should be persisted by the caller when its
+    * lineage is expensive (it is referenced twice).
     */
   def verifyExactJaccard(docs: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
-    val candDocs = cands
+    val pairs = cands.select(col("id_a"), col("id_b")).distinct()
+    val candDocs = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    // distinct word-3-gram shingles, restricted to candidate docs
-    val sh = docs
+    // distinct word-3-gram shingles as ONE array per candidate doc —
+    // no explode, no shingle shuffle
+    val shArr = docs
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin))).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)).as("shs"))
+    pairs
+      .join(shArr.select(col("doc_id").as("id_a"), col("shs").as("sh_a")), Seq("id_a"))
+      .join(shArr.select(col("doc_id").as("id_b"), col("shs").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
@@ -977,6 +983,7 @@ object TextQueries {
     "q_dedup_paragraph"  -> ((s: SparkSession, d: String) => dedupParagraphs(s, d)),
     "q_shard_assign"     -> ((s: SparkSession, d: String) => shardAssign(s, d)),
     "q_dedup_cc"         -> (DedupCluster.dedupCluster _),
+    "q_dedup_keep_best"  -> (DedupCluster.dedupKeepBest _),
     "q_dedup_cc_edges"   -> (DedupCluster.ccEdges _),
     "q_split_hash"       -> (hashSplit _),
     "q_pack_sequences"   -> (packSequences _),
@@ -1174,6 +1181,40 @@ object TextQueries {
         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
         |SELECT id AS doc_id, min(r) AS comp, (min(r) = id)::INT AS is_canonical
         |FROM reach GROUP BY id""".stripMargin,
+    // Same recursive closure as q_dedup_cc, then keep-best-quality
+    // per cluster (every doc labeled, singletons included) — the
+    // logit expression is SelectionQueries' hashed-model scoring.
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l)-1),
+        |      i -> l[i]||' '||l[i+1]||' '||l[i+2])) AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents)
+        |    WHERE len(l) >= 3)),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+        |shr AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+        |          UNION ALL SELECT idb, ida FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        |cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT doc_id, ${SelectionQueries.logitSql} AS logit
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(cmp.comp, d.doc_id) AS comp
+        |  FROM documents d LEFT JOIN cmp ON cmp.id = d.doc_id)
+        |SELECT lab.doc_id, lab.comp, scored.logit,
+        |  (row_number() OVER (PARTITION BY lab.comp
+        |     ORDER BY scored.logit DESC, lab.doc_id) = 1)::INT AS is_kept
+        |FROM lab JOIN scored USING (doc_id)""".stripMargin,
     "q_mix_sources" ->
       """SELECT source, w, count(*) AS n_total, sum(kept)::BIGINT AS n_kept
         |FROM (

@@ -70,6 +70,50 @@ class SelectionOpsSpec extends SparkSpec {
     }
   }
 
+  test("token budget: streaming twin assigns from the static snapshot, batch-equal") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "ee ff"), (3L, "gg hh ii"),
+      (4L, "jj kk ll mm nn"), (5L, "oo pp"))
+    val batchDf = rows.toDF("doc_id", "text")
+    val flags = SelectionQueries.budgetFlags(
+      SelectionQueries.scoreBuckets(batchDf), 500)
+    val expected = SelectionQueries.assignTokenBudget(batchDf, flags)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val input = MemoryStream[(Long, String)](92, spark, None)
+    val q = SelectionQueries.assignTokenBudget(
+        input.toDF().toDF("doc_id", "text"), flags)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("budget_stream").start()
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("budget_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("keep-best dedup: one kept per cluster, and it attains the cluster's max quality") {
+    val out = graft.text.DedupCluster.dedupKeepBest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byComp = out.groupBy(_._2)
+    assert(byComp.nonEmpty && byComp.exists(_._2.size > 1), "no non-trivial cluster")
+    byComp.foreach { case (comp, members) =>
+      val kept = members.filter(_._4 == 1)
+      assert(kept.size === 1, s"cluster $comp kept ${kept.size}")
+      val best = members.map(_._3).max
+      assert(kept.head._3 === best, s"cluster $comp kept non-best")
+      // tie-break: lowest doc_id among max-logit members
+      val tied = members.filter(_._3 == best).map(_._1).min
+      assert(kept.head._1 === tied)
+    }
+    // every document is labeled (singletons included)
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.length.toLong === nDocs)
+  }
+
   test("winnowing: shared run of w+k-1 tokens guarantees a shared fingerprint") {
     // two docs embedding the same 11-token passage at different
     // offsets, padded past the 11-token minimum with distinct noise
