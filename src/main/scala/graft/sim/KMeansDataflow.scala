@@ -61,11 +61,12 @@ object KMeansDataflow {
       .select(col("vec_id"), col("q"),
         col("m.c").as("cell"), col("m.d").as("d2"))
 
-  /** Run `iters` Lloyd iterations over the embeddings table; returns
-    * the final per-vector (vec_id, cell, d2) assignment.
+  /** Run `iters` Lloyd iterations; returns the final assignment
+    * frame (vec_id, q, cell, d2) plus the fitted centroids — the
+    * model half feeds [[SimilarityQueries.ivfAnnDeterministic]].
     */
-  def kmeansAssign(s: SparkSession, dir: String,
-      k: Int = 8, iters: Int = 3): DataFrame = {
+  def fit(s: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): (DataFrame, Seq[Seq[Long]]) = {
     val q = quantized(s, dir)
     // deterministic init: the k lowest-id vectors, cell = id rank
     var cents: Seq[Seq[Long]] = q.orderBy(col("vec_id")).limit(k).collect()
@@ -85,14 +86,29 @@ object KMeansDataflow {
         old.indices.map(d => sums.getOrElse((cell, d), old(d)))
       }
     }
-    assign(q, cents).select(col("vec_id"), col("cell"), col("d2"))
+    (assign(q, cents), cents)
   }
 
-  /** DuckDB oracle: the same quantization, init, iterations and
-    * integer means, unrolled as a CTE chain (one assignment + one
-    * update CTE per iteration).
+  /** The `queries()` entry: final per-vector (vec_id, cell, d2). */
+  def kmeansAssign(s: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame =
+    fit(s, dir, k, iters)._1.select(col("vec_id"), col("cell"), col("d2"))
+
+  /** Exact squared L2 between the quantized column `q` and each
+    * centroid, exposed for the IVF probe (cell ranked by distance,
+    * ties to the lowest cell id).
     */
-  def oracleSql(k: Int = 8, iters: Int = 3): String = {
+  def cellRanking(cents: Seq[Seq[Long]]): Column =
+    array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(d2(c).as("d"), lit(j).as("c")) }: _*))
+
+  /** DuckDB oracle CTE chain: the same quantization, init,
+    * iterations and integer means, unrolled (one assignment + one
+    * update CTE per iteration), ending at `afin` (final assignment)
+    * with the fitted centroids still addressable as [[finalCentCte]]
+    * — the prefix the deterministic-IVF oracle extends.
+    */
+  def oracleCtes(k: Int = 8, iters: Int = 3): String = {
     val header =
       s"""WITH q AS (
          |  SELECT vec_id,
@@ -129,6 +145,12 @@ object KMeansDataflow {
       assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i", s"c${i - 1}")
     }.mkString(",\n")
     val fin = assignCte("afin", s"c$iters")
-    s"$header,\n$body,\n$fin\nSELECT vec_id, cell, d2 FROM afin"
+    s"$header,\n$body,\n$fin"
   }
+
+  /** Name of the final-centroid CTE inside [[oracleCtes]]. */
+  def finalCentCte(iters: Int = 3): String = s"c$iters"
+
+  def oracleSql(k: Int = 8, iters: Int = 3): String =
+    s"${oracleCtes(k, iters)}\nSELECT vec_id, cell, d2 FROM afin"
 }

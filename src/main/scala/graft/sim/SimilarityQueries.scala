@@ -355,6 +355,44 @@ object SimilarityQueries {
           .as("is_canonical"))
   }
 
+  /** Deterministic IVF ANN — the end-to-end approximate-nearest-
+    * neighbor pipeline (partition → probe → exact rerank) with every
+    * stage engine-reproducible, which makes the WHOLE ANN
+    * oracle-checkable (few engines can hash-match an ANN query):
+    * cells come from [[KMeansDataflow]]'s integer-exact Lloyd fit
+    * instead of MLlib (whose RNG/float folds are engine-private —
+    * that variant stays as the rows-only `q_sim_ivf_ann`), each
+    * bounded query ranks cells by exact integer d2 against the k·d
+    * centroid literals (map-only, ties to the lowest cell), probes
+    * its `nProbe` nearest cells' members, and exact-reranks with the
+    * double-math cosine. Same scale shape as [[ivfAnn]]: per-query
+    * cost ≈ nProbe/nCells of the corpus, no all-pairs anywhere.
+    */
+  def ivfAnnDeterministic(s: SparkSession, dir: String, nCells: Int = 8,
+      nProbe: Int = 2, k: Int = 5, iters: Int = 3): DataFrame = {
+    val (assigned, cents) = KMeansDataflow.fit(s, dir, nCells, iters)
+    val members = assigned.select(col("vec_id"), col("cell"))
+    val probes = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q"))
+      .withColumn("pr",
+        explode(slice(KMeansDataflow.cellRanking(cents), 1, nProbe)))
+      .select(col("q_id"), col("pr.c").as("cell"))
+    val emb = t(s, dir, "embeddings")
+    val qEmb = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = broadcast(probes)
+      .join(members, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.select(col("q_id"), col("vec_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: adjacent-id pairing
     * (vec_id, vec_id+1) with exact cosine — the SQL-expressible slice
     * of embedding dedup, oracle-checked against DuckDB's
@@ -428,6 +466,7 @@ object SimilarityQueries {
     "q_dedup_cosine" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
     "q_semdedup"     -> ((s: SparkSession, d: String) => semDedup(s, d)),
     "q_kmeans"       -> ((s: SparkSession, d: String) => KMeansDataflow.kmeansAssign(s, d)),
+    "q_sim_ivf_det"  -> ((s: SparkSession, d: String) => ivfAnnDeterministic(s, d)),
     "q_sim_ivf_ann"  -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "q_sim_adjacent" -> (cosineAdjacent _))
 
@@ -471,6 +510,36 @@ object SimilarityQueries {
     // pairs top out ~0.5). DuckDB's 1-based range(i) matches Spark's
     // 0-based (x, i) -> sin(i + 1) perturbation exactly.
     "q_kmeans" -> KMeansDataflow.oracleSql(),
+    // Extends the k-means CTE chain: probe = per-query cell ranking
+    // by the same exact integer d2, candidates = probed cells'
+    // members, rerank = the double-math cosine — the whole ANN
+    // pipeline hash-matched end to end.
+    "q_sim_ivf_det" -> (KMeansDataflow.oracleCtes(8, 3) + "," +
+      s"""
+        |queries AS (SELECT vec_id AS q_id, q AS qq FROM q WHERE vec_id % 50 = 0),
+        |probe AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT queries.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY queries.q_id ORDER BY
+        |        list_sum(list_transform(range(1, len(qq) + 1),
+        |          i -> (qq[i] - c.q[i]) * (qq[i] - c.q[i]))), c.cell) AS rn
+        |    FROM queries, ${KMeansDataflow.finalCentCte(3)} c)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT probe.q_id, afin.vec_id
+        |  FROM probe JOIN afin USING (cell)
+        |  WHERE afin.vec_id <> probe.q_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    ${cosD("qe.embedding", "ve.embedding")} AS cos
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+        |  JOIN embeddings ve ON ve.vec_id = cand.vec_id)
+        |SELECT q_id, vec_id, cos, rnk FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin),
     // Same planted corpus + brute-force cosine pairs as
     // q_dedup_cosine, closed into components with a recursive CTE
     // (the q_dedup_cc pattern) — every corpus vector must report the

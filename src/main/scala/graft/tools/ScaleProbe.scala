@@ -129,7 +129,10 @@ object ScaleProbe {
       "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup",
       // round-9: bloom probe must stay map-side (filter size fixed),
       // k-means iterations shuffle k·d partials, never the corpus
-      "q_dedup_bloom", "q_kmeans")
+      "q_dedup_bloom", "q_kmeans",
+      // round-9: the other verify front-end and the keep-best
+      // composition (CC + quality + one comp-partitioned window)
+      "q_dedup_simhash_v", "q_dedup_keep_best", "q_sim_ivf_det")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+
@@ -153,16 +156,20 @@ object ScaleProbe {
 
     def run(mk0: (String, Int) => DataFrame, dir: String, m: Int): Double = {
       val mk = () => mk0(dir, m)
+      // GC barrier: a heavy predecessor (a 100M-row x16 join) leaves
+      // collector debt that otherwise bills seconds to whatever tiny
+      // map-only query runs next — measured 0.13 s vs 3.58 s for the
+      // same query across runs before this barrier existed
+      System.gc()
       mk().write.format("noop").mode("overwrite").save() // warm
-      // min of two timed passes — same rationale as Bench (one
-      // contended pass otherwise reads as a fake regression)
-      math.min(
-        { val t0 = System.nanoTime()
-          mk().write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9 },
-        { val t0 = System.nanoTime()
-          mk().write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9 })
+      // min of three timed passes — same rationale as Bench (one
+      // contended pass otherwise reads as a fake regression; min is
+      // the right statistic for one-sided contention noise)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
 
     val w = new PrintWriter(new OutputStreamWriter(new FileOutputStream(out), "UTF-8"))

@@ -61,6 +61,25 @@ class BloomKMeansSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("ivf deterministic: nProbe = nCells degenerates to exact brute-force top-k") {
+    import graft.sim.SimilarityQueries
+    import graft.functions.{FlinkFunctions => F}
+    val ann = SimilarityQueries.ivfAnnDeterministic(spark, sfDir,
+        nCells = 4, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val brute = emb.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosineSimilarity(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ann === brute)
+  }
+
   test("kmeans: equidistant point breaks ties to the lowest cell id") {
     val dir = java.nio.file.Files.createTempDirectory("kmeans_tie").toString
     // centroids stay at exactly (0,0) and (4,0) (each blob is a
