@@ -329,14 +329,22 @@ object TextQueries {
     val candDocs = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     // distinct word-3-gram shingles as ONE array per candidate doc —
-    // no explode, no shingle shuffle
+    // no explode, no shingle shuffle. Elements are 60-bit md5 hashes,
+    // not strings: a pair's join payload is BOTH members' arrays, and
+    // on clique-heavy corpora that amplification (cliqueSize ·
+    // arraySize per doc) dominates shuffle volume — 8-byte longs beat
+    // ~25-byte strings ~3x. The oracle intersects the SAME hashes, so
+    // even a collision (P ≈ |a|·|b|/2^60 per pair) is shared
+    // bit-for-bit across engines.
     val shArr = docs
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)).as("shs"))
+          |  i -> cast(conv(substring(md5(cast(
+          |    concat_ws(' ', toks[i], toks[i+1], toks[i+2]) as binary)),
+          |    1, 15), 16, 10) as bigint))""".stripMargin)).as("shs"))
     pairs
       .join(shArr.select(col("doc_id").as("id_a"), col("shs").as("sh_a")), Seq("id_a"))
       .join(shArr.select(col("doc_id").as("id_b"), col("shs").as("sh_b")), Seq("id_b"))
@@ -1258,7 +1266,8 @@ object TextQueries {
         |              WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
         |         generate_series(1, len(tk) - 2),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |         i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+        |               1, 15))::BIGINT)) AS sh
         |       FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
@@ -1418,7 +1427,8 @@ object TextQueries {
         |              WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
         |         generate_series(1, len(tk) - 2),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |         i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+        |               1, 15))::BIGINT)) AS sh
         |       FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter

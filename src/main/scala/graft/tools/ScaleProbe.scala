@@ -205,16 +205,26 @@ object ScaleProbe {
       w.println("shingle); on a real corpus df grows with corpus breadth, not in lockstep")
       w.println("with size, and the x4 point (~3x at 4x rows) is the representative one.")
       w.println()
-      w.println("q_dedup_minhash's ratio is range-join's story at full volume: the")
-      w.println("multiplier turns every doc into an ~N-member near-identical clique")
-      w.println("(replicas are perturbed, not copies, so the exact-dedup shortcut does")
-      w.println("not apply), and true pairs grow ~N^2/2 per clique - measured OUTPUT is")
-      w.println("256 pairs at x1, 34k at x4, 665k at x16 (~2,600x), while wall grows")
-      w.println("only ~50x: time per VERIFIED pair falls ~50x as the verify stage's")
-      w.println("fixed costs amortize. The operator is output-bound on this synthetic")
-      w.println("replication; a real corpus's dup fraction stays roughly constant with")
-      w.println("size, which is the ~linear x4 point (0.9s -> 3.6s at 4x rows with 133x")
-      w.println("the output).")
+      w.println("The verify-family rows (q_dedup_minhash, q_dedup_simhash_v) are")
+      w.println("range-join's story at full volume: the multiplier turns every doc into")
+      w.println("an ~N-member near-identical clique (replicas are perturbed, not copies,")
+      w.println("so the exact-dedup shortcut does not apply) and true pairs grow ~N^2/2")
+      w.println("per clique - minhash's OUTPUT is 256 pairs at x1, 34k at x4, 665k at")
+      w.println("x16 (~2,600x) while wall grows only single-digit x: the per-pair array")
+      w.println("intersection makes verify cost track the VERIFIED pair count, and even")
+      w.println("that sub-linearly (the earlier shingle-stream self-join formulation")
+      w.println("measured 232x wall here - |shingles|*df^2 intermediates - before the")
+      w.println("per-pair rewrite). A real corpus's dup fraction stays roughly constant")
+      w.println("with size, which is the ~linear x4 point.")
+      w.println()
+      w.println("Round-9 family notes: q_quality_classifier / q_text_winnow are map-only")
+      w.println("projections and q_token_budget adds one bounded (<=256-row) histogram -")
+      w.println("their ratios are scan-speed rows. q_dedup_keep_best and q_semdedup")
+      w.println("inherit the CC loop, so keep_best shares q_dedup_cc's non-monotone")
+      w.println("stop-shingle shape at x16 while semdedup's pair graph (planted twins)")
+      w.println("grows only linearly. q_kmeans's per-iteration work is one corpus map +")
+      w.println("a k*d-bounded aggregate - near-linear by construction - and")
+      w.println("q_sim_ivf_det rides the same fit plus a bounded probe batch.")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
