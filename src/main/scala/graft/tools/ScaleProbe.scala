@@ -156,10 +156,17 @@ object ScaleProbe {
 
     def run(mk0: (String, Int) => DataFrame, dir: String, m: Int): Double = {
       val mk = () => mk0(dir, m)
-      // GC barrier: a heavy predecessor (a 100M-row x16 join) leaves
-      // collector debt that otherwise bills seconds to whatever tiny
-      // map-only query runs next — measured 0.13 s vs 3.58 s for the
-      // same query across runs before this barrier existed
+      // State barrier — the probe's round-2 lesson, same as Bench's
+      // round-2 lesson with sessions: operators that persist/
+      // checkpoint internals (the verify stage's candidate cache,
+      // CC's per-round label snapshots) accumulate across ~100
+      // invocations in this one JVM, and the resulting memory
+      // pressure billed 10x phantom slowdowns to late queries
+      // (q_dedup_minhash x16: 35 s in-probe vs 3.3 s in a fresh JVM,
+      // three fresh JVMs agreeing). Drop every cached plan and
+      // persisted/checkpointed RDD, then GC, before each timing.
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       mk().write.format("noop").mode("overwrite").save() // warm
       // min of three timed passes — same rationale as Bench (one
