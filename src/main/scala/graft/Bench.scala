@@ -97,6 +97,14 @@ object Bench {
           None
         }
       }
+      // State barrier (ScaleProbe's lesson applied here): fresh
+      // sessions do NOT bound persisted/checkpointed RDDs — those are
+      // SparkContext-level, so operators that cache internals (the
+      // verify stage's candidate pairs, CC label snapshots) leak
+      // across the battery and bill memory-pressure slowdowns to
+      // whatever runs late.
+      s.sqlContext.clearCache()
+      root.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       n -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }

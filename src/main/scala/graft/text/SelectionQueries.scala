@@ -132,7 +132,13 @@ object SelectionQueries {
 
   def tokenBudgetSelect(s: SparkSession, dir: String,
       budgetPermille: Int = 250): DataFrame = {
-    val scored = scoreBuckets(t(s, dir, "documents"))
+    // scored feeds BOTH the histogram and the output join; without
+    // materialization the md5-heavy scoring projection runs twice
+    // (measured ~2x wall). The persisted frame is 4 narrow columns —
+    // at cluster scale cache-or-recompute is the standard narrow-
+    // projection tradeoff, and the dedupMinhash candidate cache is
+    // the same convention.
+    val scored = scoreBuckets(t(s, dir, "documents")).persist()
     scored.join(broadcast(budgetFlags(scored, budgetPermille)), Seq("pbucket"))
       .select(col("doc_id"), col("n_tok"), col("pbucket"), col("kept"))
   }

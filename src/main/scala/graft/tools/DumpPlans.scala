@@ -58,7 +58,7 @@ object DumpPlans {
     "q_pipeline_e2e" -> "five-stage curation pipeline (normalize → quality gate → dedup → split → report) composed from the individual operators: Catalyst fuses the map-only stages into the scan's codegen span, so the whole pipeline costs one corpus scan + the dedup shuffle + a 3-row aggregate — composition is free, not five jobs",
     "q_lm_ppl_truncated" -> "truncated-broadcast LM: the doc bigram stream never shuffles — model lookups are BroadcastHashJoins, per-doc partials collapse map-side (explode keeps a doc's bigrams co-located), so the only exchanges under the scoring side carry one row per doc; the model aggregates shuffle distinct grams only",
     "q_quality_classifier" -> "hashed-linear-model quality scoring (the fastText-style gate): the whole model evaluation — token hash → 1024-way feature bucket → integer weight → exact BIGINT fold — is ONE codegen'd projection; map-only, no shuffle, no UDF, and a learned model binds as a 2^k-entry broadcast with the identical plan shape",
-    "q_token_budget" -> "token-budget selection WITHOUT a sort-by-score: the corpus-sized work is one groupBy(pbucket) aggregate (<= 256 rows by construction), the cumulative keep/drop fold runs on that bounded histogram, and per-bucket flags return as a BroadcastHashJoin — the naive ordered-cumsum is a single-partition window over the corpus, the 100 TB anti-pattern this plan avoids",
+    "q_token_budget" -> "token-budget selection WITHOUT a sort-by-score: the corpus-sized work is one groupBy(pbucket) aggregate (<= 256 rows by construction), the cumulative keep/drop fold runs on that bounded histogram, and per-bucket flags return as a BroadcastHashJoin — the naive ordered-cumsum is a single-partition window over the corpus, the 100 TB anti-pattern this plan avoids. The scored projection is cached (InMemoryRelation in the dump): it feeds both the histogram and the output join, and recomputing the md5-heavy scoring measured ~2x wall",
     "q_text_winnow" -> "winnowing fingerprints (Schleimer et al. SIGMOD'03): gram hashing, the w-window minima and the distinct fold all evaluate INSIDE one projection via higher-order functions — no explode, no shuffle; a 100 TB corpus fingerprints at scan speed, emitting ~2/(w+1) of gram hashes as the fingerprint set",
     "q_semdedup" -> "SemDeDup (Abbas et al. 2023): LSH-blocked cosine pair mining (width-adaptive buckets, never all-pairs) + the hash-min/pointer-jump CC closure at graph-sized parallelism + one left join back to the corpus — semantic cluster collapse for the embedding modality with the same 100 TB structure as the text-side q_dedup_cc",
     "q_dedup_bloom" -> "Bloom-prefiltered incremental dedup: the 128 KiB filter builds as ONE distributed bit_or aggregate over the store's key positions and BROADCASTS to the batch — the store-sized exact join then runs only for the maybe-dup slice (definite-new rows bypass it); no false negatives by construction, so the output (and oracle) is exactly q_dedup_incremental's",
