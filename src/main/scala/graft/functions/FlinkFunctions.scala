@@ -135,6 +135,19 @@ object FlinkFunctions {
       reg.createOrReplaceTempFunction(name, b, "built-in")
 
     reg1("fingerprint64") { es => Fingerprint64(es.head) }
+    // hashed-linear-model quality logit (the SelectionQueries
+    // scoring) as a SQL scalar: the canonical SQL text parses once
+    // per call site and the call's argument grafts onto the
+    // placeholder, so the SQL surface and the DataFrame operator
+    // share one definition
+    reg1("quality_logit") { es =>
+      spark.sessionState.sqlParser
+        .parseExpression(graft.text.SelectionQueries.logitSparkSql("__ql_arg__"))
+        .transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name == "__ql_arg__" => es.head
+        }
+    }
     reg1("nfc_normalize") { es => NfcNormalize(es.head) }
     reg1("simhash64") { es => SimHash64(es.head) }
     reg1("cosine_similarity") { es => CosineSimilarity(es(0), es(1)) }

@@ -36,13 +36,19 @@ object SelectionQueries {
     * engine-reproducible; a real model binds the same way with its
     * 2^k weights inlined or broadcast, the plan shape unchanged.
     */
-  private def tokenWeight(tok: Column): Column = {
-    val bucket =
-      conv(substring(md5(concat(lit("qb:"), tok).cast("binary")), 1, 4), 16, 10)
-        .cast("int") % 1024
-    conv(substring(md5(concat(lit("qw:"), bucket.cast("string")).cast("binary")), 1, 4),
-      16, 10).cast("long") - 32768L
-  }
+  /** The whole model evaluation as Spark SQL text over a column
+    * reference — the SINGLE definition shared by the DataFrame
+    * operator below and the `quality_logit` SQL scalar
+    * ([[graft.functions.FlinkFunctions.registerAll]] parses this and
+    * grafts the call's argument in), so the two surfaces cannot
+    * drift.
+    */
+  def logitSparkSql(ref: String): String =
+    s"""aggregate(split($ref, ' '), 0L, (acc, x) -> acc +
+       |  (cast(conv(substring(md5(cast(concat('qw:', cast(
+       |     (cast(conv(substring(md5(cast(concat('qb:', x) as binary)),
+       |        1, 4), 16, 10) as int) % 1024) as string)) as binary)),
+       |     1, 4), 16, 10) as bigint) - 32768L))""".stripMargin
 
   /** Per-row classifier core: doc logit = sum of token weights, an
     * exact BIGINT (no float accumulation → bit-identical across
@@ -52,9 +58,8 @@ object SelectionQueries {
     */
   def qualityFlags(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), size(col("toks")).as("n_tok"),
-        aggregate(col("toks"), lit(0L), (acc, x) => acc + tokenWeight(x)).as("logit"))
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+        expr(logitSparkSql("text")).as("logit"))
       .withColumn("keep", (col("logit") > 0L).cast("int"))
 
   /** The `queries()` entry: hashed-linear-model quality scoring over
@@ -147,6 +152,48 @@ object SelectionQueries {
   // Winnowing fingerprints
   // ---------------------------------------------------------------
 
+  /** The quality scorer through the SQL front door: `quality_logit`
+    * registers as a codegen'd SQL scalar (one shared definition with
+    * [[qualityFlags]]), so a migrating SQL user writes the gate as a
+    * WHERE clause. Oracle-checked like the DataFrame twin.
+    */
+  def qualitySql(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.sql.GraftSql.sql(s,
+      """SELECT doc_id, quality_logit(text) AS logit,
+        |  cast(quality_logit(text) > 0 as int) AS keep
+        |FROM documents""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------
+  // Text cleanup
+  // ---------------------------------------------------------------
+
+  /** Pre-tokenization text cleanup — the C4/Dolma-style scrub that
+    * runs before any quality scoring: control characters become
+    * spaces, Unicode replacement characters (mojibake residue) are
+    * dropped, whitespace runs collapse, edges trim; per-category
+    * counts ride along for corpus auditing. Pure projection
+    * (codegen'd regexp_replace chain) — map-only at any scale. The
+    * synthetic corpus is clean, so deterministic dirt seeds from the
+    * text itself (mirrored verbatim in the oracle, the redactPii
+    * convention) — the regexes must actually fire to be verified.
+    */
+  def cleanText(s: SparkSession, dir: String): DataFrame = {
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("\u0001 bad\u0007ctl\uFFFD  double")).as("text"))
+    seeded.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[\\x00-\\x1f\\x7f]"), lit(0)))
+        .as("n_ctrl"),
+      size(regexp_extract_all(col("text"), lit("�"), lit(0)))
+        .as("n_repl"),
+      trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "[\\x00-\\x1f\\x7f]", " "), "�", ""), "  +", " "))
+        .as("cleaned"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. SIGMOD'03):
     * hash every k-gram (k=4), slide a window of w=8 consecutive
     * hashes, select each window's minimum — the selected VALUES form
@@ -162,7 +209,14 @@ object SelectionQueries {
     * higher-order functions; no explode, no shuffle.
     */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    winnowCore(t(s, dir, "documents"))
+
+  /** Stateless winnowing core — runs unchanged on a STREAMING frame
+    * (fingerprints are per-row; no state, no shuffle), spec-asserted
+    * batch == stream (SelectionOpsSpec).
+    */
+  def winnowCore(docs: DataFrame): DataFrame =
+    docs
       .withColumn("l", split(col("text"), " "))
       .filter(size(col("l")) >= 11) // k+w-1 tokens → ≥1 window
       .withColumn("hs", expr(
@@ -183,6 +237,8 @@ object SelectionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> (qualityClassifier _),
+    "q_sql_quality"        -> (qualitySql _),
+    "q_text_clean"         -> (cleanText _),
     "q_token_budget"       -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
     "q_text_winnow"        -> (winnowFingerprints _))
 
@@ -193,6 +249,25 @@ object SelectionQueries {
       |         1, 4))::BIGINT - 32768))::BIGINT""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sql_quality" ->
+      s"""SELECT doc_id, logit, (logit > 0)::INT AS keep FROM (
+        |  SELECT doc_id, $logitSql AS logit
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))""".stripMargin,
+    // chr(1)/chr(7) control chars + chr(65533) replacement char +
+    // a double space, seeded identically to the Spark side
+    "q_text_clean" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || chr(1) || ' bad' || chr(7) || 'ctl' || chr(65533)
+        |      || '  double' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[\x00-\x1f\x7f]')) AS n_ctrl,
+        |  len(regexp_extract_all(text, chr(65533))) AS n_repl,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), chr(65533), '', 'g'),
+        |    '  +', ' ', 'g')) AS cleaned
+        |FROM seeded""".stripMargin,
     "q_quality_classifier" ->
       s"""SELECT doc_id, n_tok, logit, (logit > 0)::INT AS keep FROM (
         |  SELECT doc_id, len(l) AS n_tok, $logitSql AS logit

@@ -144,6 +144,35 @@ class SelectionOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("fp_min") === sets(1L).min)
   }
 
+  test("winnowing: stateless core runs unchanged on a streaming frame") {
+    val rows = (1L to 6L).map(i =>
+      (i, (1 to 14).map(j => s"w${i}_$j").mkString(" ")))
+    val batch = SelectionQueries.winnowCore(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val input = MemoryStream[(Long, String)](93, spark, None)
+    val q = SelectionQueries.winnowCore(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("winnow_stream").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("winnow_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("quality classifier: SQL scalar quality_logit matches the DataFrame operator") {
+    graft.functions.FlinkFunctions.registerAll(spark)
+    val docs = Seq((1L, "the quick brown fox"), (2L, "alpha beta")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ql_docs")
+    val viaSql = spark.sql("SELECT doc_id, quality_logit(text) AS logit FROM ql_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = SelectionQueries.qualityFlags(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaSql === viaDf)
+  }
+
   test("winnowing: selection density is ~2/(w+1) of gram hashes") {
     val fp = SelectionQueries.winnowFingerprints(spark, sfDir)
       .agg(sum(col("n_fp")).cast("double").as("fp"),
