@@ -47,7 +47,8 @@ object Bench {
     "q_curriculum_bins", "q_dedup_incremental", "q_embed_rp",
     "q_dedup_simhash_v", "q_dedup_paragraph", "q_shard_assign",
     "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup",
-    "q_dedup_bloom", "q_kmeans", "q_dedup_keep_best", "q_sim_ivf_det")
+    "q_dedup_bloom", "q_kmeans", "q_dedup_keep_best", "q_sim_ivf_det",
+    "q_pipeline_select")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -234,9 +234,42 @@ object SelectionQueries {
         aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
 
   // ---------------------------------------------------------------
+  // Selection-stack composition
+  // ---------------------------------------------------------------
+
+  /** The round-9 SELECTION pipeline end to end — quality gate →
+    * token-budget cut over the gated docs → reshard-stable shard
+    * assignment of the selected set → per-shard report — every stage
+    * semantically identical to its standalone operator (the
+    * pipelineE2e discipline applied to the selection stack). Plan
+    * shape: the gate and scoring fuse into the scan's projection,
+    * the budget histogram is one bounded aggregate broadcast back,
+    * shard assignment is a per-shard window over only the SELECTED
+    * slice, and the report is a tiny final aggregate — one corpus
+    * scan, one bounded-histogram exchange, one selected-slice window
+    * shuffle, nothing corpus-sorted.
+    */
+  def pipelineSelect(s: SparkSession, dir: String, nShards: Int = 8,
+      budgetPermille: Int = 500): DataFrame = {
+    val gated = scoreBuckets(t(s, dir, "documents"))
+      .filter(col("logit") > 0L).persist()
+    val selected = gated
+      .join(broadcast(budgetFlags(gated, budgetPermille)), Seq("pbucket"))
+      .filter(col("kept") === 1)
+      .withColumn("k", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 4), 16, 10).cast("int"), lit(nShards)))
+    selected
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> (qualityClassifier _),
+    "q_pipeline_select"    -> ((s: SparkSession, d: String) => pipelineSelect(s, d)),
     "q_sql_quality"        -> (qualitySql _),
     "q_text_clean"         -> (cleanText _),
     "q_token_budget"       -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
@@ -249,6 +282,28 @@ object SelectionQueries {
       |         1, 4))::BIGINT - 32768))::BIGINT""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_select" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, len(l) AS n_tok, $logitSql AS logit
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |g AS (SELECT doc_id, n_tok,
+        |        ((logit + 32768 * n_tok) * 256) // (65536 * n_tok) AS pbucket
+        |      FROM s WHERE logit > 0),
+        |h AS (SELECT pbucket, sum(n_tok) AS btoks FROM g GROUP BY pbucket),
+        |c AS (SELECT pbucket,
+        |        sum(btoks) OVER (ORDER BY pbucket DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(btoks) OVER () AS total
+        |      FROM h),
+        |sel AS (
+        |  SELECT g.doc_id, g.n_tok,
+        |    ('0x' || substr(md5('shard:' || g.doc_id::VARCHAR), 1, 4))::INT % 8
+        |      AS shard
+        |  FROM g JOIN c USING (pbucket)
+        |  WHERE c.cum * 1000 <= c.total * 500)
+        |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_toks,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM sel GROUP BY shard""".stripMargin,
     "q_sql_quality" ->
       s"""SELECT doc_id, logit, (logit > 0)::INT AS keep FROM (
         |  SELECT doc_id, $logitSql AS logit

@@ -64,7 +64,8 @@ object DumpPlans {
     "q_dedup_bloom" -> "Bloom-prefiltered incremental dedup: the 128 KiB filter builds as ONE distributed bit_or aggregate over the store's key positions and BROADCASTS to the batch — the store-sized exact join then runs only for the maybe-dup slice (definite-new rows bypass it); no false negatives by construction, so the output (and oracle) is exactly q_dedup_incremental's",
     "q_kmeans" -> "deterministic dataflow k-means (Lloyd's): assignment is MAP-ONLY — k·d centroid literals ride in the plan and the argmin is one codegen'd struct-min expression per row, no join — and the update's only exchange carries k·d partial (cell,dim) sums per partition, never the corpus; integer quantization makes every distance an exact BIGINT, so the clustering is engine-reproducible (and oracle-checkable), which library k-means is not",
     "q_dedup_keep_best" -> "cluster keep-best: the CC closure labels only clustered docs (a tiny table next to the corpus), every doc left-joins its label, quality scores ride the same scan, and the per-cluster argmax is ONE comp-partitioned window — each doc crosses the wire once; no corpus sort, no second scan",
-    "q_sim_ivf_det" -> "deterministic IVF ANN: the probe ranks cells MAP-ONLY against k·d centroid literals (array_sort over codegen'd struct distances — no centroid join), candidate volume ≈ nProbe/nCells of the corpus via one broadcast equi-join on cell, exact cosine + WindowGroupLimit top-k on candidates only")
+    "q_sim_ivf_det" -> "deterministic IVF ANN: the probe ranks cells MAP-ONLY against k·d centroid literals (array_sort over codegen'd struct distances — no centroid join), candidate volume ≈ nProbe/nCells of the corpus via one broadcast equi-join on cell, exact cosine + WindowGroupLimit top-k on candidates only",
+    "q_pipeline_select" -> "selection-stack composition (quality gate → token budget → shard assign → report): gate + scoring fuse into the scan's codegen span, the budget histogram is one bounded aggregate broadcast back, and the report aggregates the SELECTED slice — one corpus scan, a <=256-row exchange, one small final agg; the cached gated frame (InMemoryRelation) is the histogram/join dual-reference, the tokenBudget convention")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

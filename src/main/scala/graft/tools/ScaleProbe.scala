@@ -132,7 +132,8 @@ object ScaleProbe {
       "q_dedup_bloom", "q_kmeans",
       // round-9: the other verify front-end and the keep-best
       // composition (CC + quality + one comp-partitioned window)
-      "q_dedup_simhash_v", "q_dedup_keep_best", "q_sim_ivf_det")
+      "q_dedup_simhash_v", "q_dedup_keep_best", "q_sim_ivf_det",
+      "q_pipeline_select")
     val queries: Seq[(String, (String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((d: String, _: Int) =>
         graft.SparkEntry.queries(q)(spark, d))) :+

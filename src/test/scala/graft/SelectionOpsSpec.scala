@@ -114,6 +114,21 @@ class SelectionOpsSpec extends SparkSpec {
     assert(out.length.toLong === nDocs)
   }
 
+  test("pipeline select: shards partition the selection, tokens within budget") {
+    val out = SelectionQueries.pipelineSelect(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet.size === out.length) // one row per shard
+    assert(out.forall(_._2 > 0))
+    val gatedToks = SelectionQueries
+      .scoreBuckets(Tables.load(spark, sfDir, "documents"))
+      .filter(col("logit") > 0L)
+      .agg(sum(col("n_tok"))).collect().head.getLong(0)
+    val selToks = out.map(_._3).sum
+    assert(selToks <= gatedToks / 2,
+      s"selected $selToks tokens over the 500-permille budget of $gatedToks")
+    assert(selToks > 0)
+  }
+
   test("winnowing: shared run of w+k-1 tokens guarantees a shared fingerprint") {
     // two docs embedding the same 11-token passage at different
     // offsets, padded past the 11-token minimum with distinct noise
