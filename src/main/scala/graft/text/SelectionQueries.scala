@@ -8,13 +8,18 @@ import graft.Tables
 /** Data-SELECTION operators — the "which docs make the training set"
   * half of a pretraining pipeline, downstream of cleaning/dedup:
   * model-based quality scoring (the fastText-style classifier gate
-  * of CCNet/LLaMA/FineWeb), token-budget selection (keep the best
-  * docs until a token budget is spent — the DataComp/DoReMi-style
-  * curation step), and winnowing fingerprints (Schleimer et al.
-  * SIGMOD'03 — the local-min fingerprint scheme MOSS popularized,
-  * the third standard dedup blocker besides minhash/simhash).
+  * of CCNet/LLaMA/FineWeb; also registered as the `quality_logit`
+  * SQL scalar), token-budget selection (keep the best docs until a
+  * token budget is spent — the DataComp/DoReMi-style curation step,
+  * with a static-snapshot streaming twin), winnowing fingerprints
+  * (Schleimer et al. SIGMOD'03 — the local-min fingerprint scheme
+  * MOSS popularized, the third standard dedup blocker besides
+  * minhash/simhash), C4/Dolma-style pre-tokenization text cleanup,
+  * and the end-to-end selection-stack composition
+  * ([[pipelineSelect]]).
   *
-  * Every operator here is integer-exact end to end, so the DuckDB
+  * Every operator here is integer-exact end to end (the cleanup's
+  * string output excepted — it is byte-deterministic), so the DuckDB
   * oracle matches bit for bit, and every per-doc stage is map-only —
   * the shapes that survive a 100 TB corpus unchanged.
   */

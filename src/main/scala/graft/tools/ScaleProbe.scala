@@ -134,16 +134,16 @@ object ScaleProbe {
       // composition (CC + quality + one comp-partitioned window)
       "q_dedup_simhash_v", "q_dedup_keep_best", "q_sim_ivf_det",
       "q_pipeline_select")
-    val queries: Seq[(String, (String, Int) => DataFrame)] =
-      entryQueries.map(q => q -> ((d: String, _: Int) =>
-        graft.SparkEntry.queries(q)(spark, d))) :+
+    val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
+      entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
+        graft.SparkEntry.queries(q)(s, d))) :+
         // the fixed-width simhash probe goes quadratic as bucket
         // density rises; this companion widens bands with the corpus
         // (8x8-bit -> 4x16-bit -> 2x32-bit) to hold density — the
         // recall-for-cost dial a real corpus turns at scale
-        ("simhash width-scaled" -> ((d: String, m: Int) =>
+        ("simhash width-scaled" -> ((s: SparkSession, d: String, m: Int) =>
           graft.text.TextQueries.simhashPairs(
-            Tables.load(spark, d, "documents"),
+            Tables.load(s, d, "documents"),
             bands = m match { case 1 => 8; case 4 => 4; case _ => 2 },
             maxHamming = 16))) :+
         // the fixed-width range join concentrates 16x the events into
@@ -152,11 +152,15 @@ object ScaleProbe {
         // bucket with density holds occupancy constant at the price
         // of linear interval replication — the dial a real corpus
         // turns (RangeJoin scaladoc)
-        ("range-join width-scaled" -> ((d: String, m: Int) =>
-          graft.operators.JoinQueries.rangeJoinWidth(spark, d, 600000000L / m)))
+        ("range-join width-scaled" -> ((s: SparkSession, d: String, m: Int) =>
+          graft.operators.JoinQueries.rangeJoinWidth(s, d, 600000000L / m)))
 
-    def run(mk0: (String, Int) => DataFrame, dir: String, m: Int): Double = {
-      val mk = () => mk0(dir, m)
+    def run(mk0: (SparkSession, String, Int) => DataFrame, dir: String, m: Int): Double = {
+      // Fresh session per timing (Bench's round-2 lesson): catalog,
+      // conf and temp-view state stay bounded however many queries
+      // the battery grows to.
+      val sess = spark.newSession()
+      val mk = () => mk0(sess, dir, m)
       // State barrier — the probe's round-2 lesson, same as Bench's
       // round-2 lesson with sessions: operators that persist/
       // checkpoint internals (the verify stage's candidate cache,
