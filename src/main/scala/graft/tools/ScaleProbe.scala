@@ -190,6 +190,10 @@ object ScaleProbe {
       w.println()
       w.println(s"Input: `$sfDir` materialized at x1/x4/x16 (fact tables replicated with")
       w.println("shifted keys, so join/group cardinality scales with rows; dims copied).")
+      // run with -Xmx24g: larger heaps produced rare multi-second GC
+      // pauses that even min-of-three could not filter (round-9
+      // finding — a 48g heap made single rows read 10x slow at
+      // random while three fresh JVMs agreed on the fast number)
       w.println("local[32], noop sink, warm pass excluded; timings are REAL SparkEntry")
       w.println("queries over the scaled parquet. t16/t1 near (or below) 16 = the plan")
       w.println("scales linearly; far above 16 = a super-linear bottleneck.")
