@@ -24,7 +24,9 @@ object SparkEntry {
       graft.text.SelectionQueries.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
       graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries ++
-      graft.sources.CdcQueries.queries ++ graft.sources.JdbcQueries.queries
+      graft.sources.CdcQueries.queries ++ graft.sources.JdbcQueries.queries ++
+      graft.text.SubstringDedup.queries ++ graft.text.ChunkOps.queries ++
+      graft.graph.GraphQueries.queries
 
   def oracleSql: Map[String, String] =
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
@@ -34,5 +36,7 @@ object SparkEntry {
       graft.text.SelectionQueries.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++
       graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle ++
-      graft.sources.CdcQueries.oracle ++ graft.sources.JdbcQueries.oracle
+      graft.sources.CdcQueries.oracle ++ graft.sources.JdbcQueries.oracle ++
+      graft.text.SubstringDedup.oracle ++ graft.text.ChunkOps.oracle ++
+      graft.graph.GraphQueries.oracle
 }

@@ -1,0 +1,187 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics as dataflow — the Gelly family (the reference's
+  * graph library; no main sources in this snapshot, so like
+  * [[graft.text.DedupCluster]] these are re-expressed from the
+  * published algorithms, not translated). The graph is derived from
+  * the relational tables: customers and suppliers are nodes (id
+  * disambiguated even/odd), `lineitem JOIN orders` provides the
+  * edges. Everything iterative keeps corpus-sized work inside
+  * equi-join shuffles with per-round persistence — the vertex-centric
+  * ("think like a vertex") model mapped onto joins, which is exactly
+  * how Pregel-on-dataflow systems execute it.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Distinct customer–supplier edges; node ids 2*custkey / 2*suppkey+1. */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  /** Per-node degree of the undirected trade graph. One distinct +
+    * one count shuffle; degree of a node = its distinct neighbors
+    * (the edge set is deduplicated, self-loops are impossible by the
+    * even/odd id encoding).
+    */
+  def degrees(s: SparkSession, dir: String): DataFrame = {
+    val e0 = bipartiteEdges(s, dir)
+    e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Fixed-iteration PageRank (Page et al. 1999; d = 0.85, 5 rounds,
+    * rank_0 = 1) over the undirected trade graph, each direction a
+    * directed edge. One round = join(ranks, out-edges) -> per-target
+    * sum — two shuffles over edge-sized data, the degree pre-joined
+    * into the edge table ONCE so the loop body never recomputes it.
+    * Ranks persist per round and the previous round unpersists, so
+    * lineage stays one round deep (the [[graft.text.DedupCluster]]
+    * iteration discipline; swap persist for reliable checkpoints on
+    * a cluster). No driver-side data: the loop is a fixed count, the
+    * only action is the per-round materialization.
+    */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 5, d: Double = 0.85): DataFrame =
+    pageRankOnEdges(bipartiteEdges(s, dir), iters, d)
+
+  /** Core over any distinct (src, dst) undirected edge frame. */
+  def pageRankOnEdges(e0: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, Seq("src")).persist()
+    val nodes = deg.select(col("src").as("node")).persist()
+    var r = nodes.withColumn("rank", lit(1.0)).persist()
+    r.count()
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - d) + lit(d) * coalesce(col("cs"), lit(0.0))).as("rank"))
+        .persist()
+      next.count()
+      r.unpersist()
+      r = next
+    }
+    val out = r.select(col("node"), col("rank"))
+    ed.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** Triangle count on the supplier co-purchase graph (suppliers
+    * linked when they serve >= `minShared` common orders — the
+    * support threshold every production co-occurrence graph applies,
+    * and what keeps edge density scale-stable). Counting uses the
+    * DEGREE-ORDERED orientation (Cohen 2009 / Suri-Vassilvitskii
+    * WWW'11 MR-triangles): orient each edge from its lower-(degree,
+    * id) endpoint to the higher, making a DAG where every triangle
+    * survives as exactly one path u->v->w plus the closing edge
+    * u->w; the orientation caps every node's out-degree at
+    * O(sqrt(E)), which bounds the path-enumeration join that a naive
+    * all-orders count lets blow up on skewed (celebrity) nodes. The
+    * oracle counts the same triangles with the simple a<b formulation
+    * — orientation changes the join cost, never the count.
+    */
+  def triangles(s: SparkSession, dir: String, minShared: Int = 5): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.ok").as("ok"), col("x.sk").as("a"), col("y.sk").as("b"))
+      .distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("a"), col("b"))
+    trianglesOnEdges(e)
+  }
+
+  /** Core over any deduplicated a<b undirected edge frame. */
+  def trianglesOnEdges(eIn: DataFrame): DataFrame = {
+    val e = eIn.persist()
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val ed = e
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+    val oriented = ed.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+    out
+  }
+
+  // Unrolled PageRank rounds for the DuckDB oracle (same fixed-point
+  // arithmetic; double noise is far below the compare's 1e-2 rounding).
+  private def prOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node, 0.15 + 0.85 * coalesce(s.cs, 0) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT ed.dst AS node, sum(r${i - 1}.rank / ed.deg) AS cs
+         |    FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
+         |    GROUP BY ed.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |n AS (SELECT src AS node FROM deg),
+       |r0 AS (SELECT node, 1.0 AS rank FROM n),
+       |$rounds
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree" -> ((s: SparkSession, d: String) => degrees(s, d)),
+    "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "q_graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_degree" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+        |SELECT src AS node, count(*) AS degree FROM e GROUP BY src""".stripMargin,
+    "q_graph_pagerank" -> prOracle(5),
+    "q_graph_triangles" ->
+      """WITH co AS (
+        |  SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |ed AS (
+        |  SELECT a, b FROM co GROUP BY a, b HAVING count(*) >= 5),
+        |nodes AS (SELECT a AS n FROM ed UNION SELECT b FROM ed),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+        |       JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM ed) AS n_edges,
+        |       n_triangles
+        |FROM tri""".stripMargin)
+}

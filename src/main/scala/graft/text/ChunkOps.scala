@@ -1,0 +1,195 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Context-window preparation operators: overlapping chunking (the
+  * RAG / long-document training splitter), hashed bag-of-words
+  * linear classification (the fastText serving shape), and BPE merge
+  * induction. All three are the map-heavy shapes a 100 TB corpus
+  * needs: chunking is a pure per-row explode, classification is a
+  * broadcast join against a model table, and BPE learning runs its
+  * iterations over the VOCABULARY table (corpus-sized work happens
+  * exactly once, in the word-count shuffle).
+  */
+object ChunkOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Overlapping fixed-size chunker: emit a chunk every `stride`
+    * tokens, `chunkTok` tokens long (final chunks may be shorter).
+    * Deterministic, stateless, map-only — the whole operator lives in
+    * the scan's projection, so it runs at scan speed on any corpus
+    * and unchanged on a stream (no state, no shuffle; spec-asserted
+    * batch == stream over [[chunkCore]]).
+    */
+  def chunkOverlap(s: SparkSession, dir: String,
+      chunkTok: Int = 64, stride: Int = 48): DataFrame =
+    chunkCore(t(s, dir, "documents"), chunkTok, stride)
+
+  /** Stateless core, shared by the batch query and the streaming twin. */
+  def chunkCore(docs: DataFrame, chunkTok: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), col("tk"),
+        posexplode(expr(s"sequence(0, size(tk) - 1, $stride)")))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start_tok")
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(chunkTok), size(col("tk")) - col("start_tok")).as("n_tok_chunk"),
+        concat_ws(" ", expr(s"slice(tk, start_tok + 1, $chunkTok)")).as("chunk_text"))
+
+  /** Hashed bag-of-words linear classifier — fastText's serving path
+    * (Joulin et al. 2016): token -> md5 hash -> one of B weight
+    * buckets, document score = sigmoid(mean bucket weight). The model
+    * is a B-row WEIGHT TABLE broadcast to every executor, so scoring
+    * any corpus is one explode + broadcast hash join + one doc-keyed
+    * aggregate — no shuffle wider than (doc_id, partial sums). The
+    * weights here are derived deterministically from the bucket id
+    * (md5-seeded pseudo-model) so the oracle re-derives them; a real
+    * deployment swaps in a trained table, same plan. The decision
+    * threshold is 1e-9, not 0: weights are rationals with denominator
+    * 2*65535, so a true-zero score can only be EXACT cancellation —
+    * both engines then land within float noise of 0 and agree on the
+    * label; any true-nonzero score is >= 1/131070, far above it.
+    */
+  def classifierHashed(s: SparkSession, dir: String, buckets: Int = 256): DataFrame = {
+    val weights = s.range(buckets.toLong).select(
+      col("id").cast("int").as("bucket"),
+      (conv(substring(md5(concat(lit("w:"), col("id").cast("string")).cast("binary")),
+        1, 4), 16, 10).cast("double") / 65535.0 - 0.5).as("wt"))
+    val feats = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("bigint"),
+          lit(buckets)).cast("int"))
+    feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("raw"))
+      .select(col("doc_id"), col("n_tok"),
+        (lit(1.0) / (lit(1.0) + exp(-col("raw") / col("n_tok")))).as("prob"),
+        (col("raw") > 1e-9).as("label"))
+  }
+
+  /** Adjacent-token pair frequencies — the selection statistic of a
+    * BPE merge step, ranked. One explode + one count shuffle whose
+    * keys are DISTINCT pairs (map-side partial agg collapses the
+    * corpus before the exchange); ties broken lexicographically so
+    * the top-k is engine-exact.
+    */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("pair"))
+      .limit(k)
+
+  /** Character-level BPE merge induction (Sennrich et al. 2016) as
+    * dataflow. The corpus collapses ONCE into a (word, freq) vocab
+    * table (one shuffle — the only corpus-sized step at any scale);
+    * each of the `nMerges` iterations then runs entirely over that
+    * BOUNDED vocab: count adjacent symbol pairs weighted by word
+    * freq, pick the argmax (ties broken lexicographically so the
+    * merge sequence is deterministic), and splice the winning pair
+    * into every word's symbol array with a left-to-right
+    * non-overlapping fold (a merged symbol can never equal the merge
+    * left `l` — `r` is nonempty — so the fold cannot cascade past
+    * the sequential-scan semantics). Returns (rank, lhs, rhs, freq)
+    * — the learned merge table in order. Spec-verified against a
+    * hand-computed fixture (ChunkOpsSpec); the corpus query is
+    * rows-only (iterative re-tokenization is not one SQL oracle).
+    */
+  def bpeLearn(s: SparkSession, docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    import scala.collection.mutable.ArrayBuffer
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(w, ''), x -> x <> '')").as("sym"), col("freq"))
+      .persist()
+    vocab.count() // materialize: iterations start from the cached vocab
+    val merges = ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    for (r <- 1 to nMerges if !done) {
+      // 1-row scalar argmax over the bounded vocab — not a data collect
+      val best = vocab
+        .filter(size(col("sym")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(sym) - 2), i -> struct(sym[i] AS l, sym[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(desc("pf"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, rr, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, pf))
+        def sqlLit(v: String) =
+          "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val (lS, rS) = (sqlLit(l), sqlLit(rr))
+        val merged = vocab
+          .withColumn("sym", expr(
+            s"""aggregate(sym, cast(array() as array<string>),
+               |  (acc, x) -> CASE
+               |    WHEN size(acc) = 0 THEN array(x)
+               |    WHEN element_at(acc, -1) = $lS AND x = $rS
+               |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat($lS, $rS)))
+               |    ELSE concat(acc, array(x)) END)""".stripMargin))
+          .persist()
+        merged.count() // pin this round; then drop the previous lineage
+        vocab.unpersist()
+        vocab = merged
+      }
+    }
+    vocab.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
+    "q_classifier_hashed" -> ((s: SparkSession, d: String) => classifierHashed(s, d)),
+    "q_bpe_pairs" -> ((s: SparkSession, d: String) => bpePairs(s, d)),
+    "q_bpe_merges" -> ((s: SparkSession, d: String) =>
+      bpeLearn(s, Tables.load(s, d, "documents"))))
+
+  val oracle: Map[String, String] = Map(
+    "q_chunk_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  (u.s // 48)::INT AS chunk_idx,
+        |  u.s::INT AS start_tok,
+        |  least(64, len(tk) - u.s)::INT AS n_tok_chunk,
+        |  array_to_string(tk[(u.s + 1):(u.s + 64)], ' ') AS chunk_text
+        |FROM toks, unnest(generate_series(0, len(tk) - 1, 48)) AS u(s)""".stripMargin,
+    "q_classifier_hashed" ->
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    sum(('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 4))::BIGINT / 65535.0 - 0.5)
+        |      AS raw
+        |  FROM feats GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  1.0 / (1.0 + exp(-raw / n_tok)) AS prob,
+        |  raw > 0.000000001 AS label
+        |FROM scored""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |pairs AS (
+        |  SELECT tk[i + 1] || ' ' || tk[i + 2] AS pair
+        |  FROM toks, unnest(generate_series(0, len(tk) - 2)) AS t(i)
+        |  WHERE len(tk) >= 2)
+        |SELECT pair, count(*) AS freq
+        |FROM pairs GROUP BY pair
+        |ORDER BY freq DESC, pair ASC
+        |LIMIT 20""".stripMargin)
+}

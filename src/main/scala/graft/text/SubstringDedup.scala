@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better" — the ExactSubstr
+  * pipeline): any token run of length >= L that occurs more than once
+  * ANYWHERE in the corpus is removed from every occurrence except the
+  * first, even when the containing documents are otherwise unrelated.
+  * This is the strongest of the dedup family — [[TextQueries.dedupExact]]
+  * removes whole-document copies, [[TextQueries.dedupParagraphs]]
+  * removes aligned fixed chunks, and this removes ARBITRARILY ALIGNED
+  * duplicated spans (the paper's motivating case: boilerplate, quoted
+  * passages, licence text at any offset).
+  *
+  * The paper builds a corpus-wide suffix array; a single shared suffix
+  * array is exactly the shape that does NOT distribute. The dataflow
+  * re-expression: every length-L sliding gram (stride 1) becomes one
+  * (gram-hash, doc, pos) record, duplicated grams are found with ONE
+  * hash-shuffle on the gram hash, and every occurrence after the
+  * global-minimum (doc_id, pos) marks its L token positions for
+  * removal. Overlapping duplicated grams dissolve into a per-document
+  * removed-position SET (bounded by document length, never by corpus
+  * size), and the surviving text is rebuilt in one map-side pass over
+  * the original token array. Total cost: one shuffle of ~n_tokens
+  * 16-byte records + one doc-keyed aggregation of only the DUPLICATED
+  * region — the same O(corpus tokens) a distributed suffix-array
+  * construction pays per round, with no global order anywhere.
+  *
+  * Gram identity is a 60-bit md5 prefix (the repo-wide shingle-hash
+  * convention): cross-engine reproducible (DuckDB derives the same
+  * value) and collision-odds ~n^2/2^60 — at 10^11 grams a handful of
+  * false merges of 16-token spans, the same tolerance the MinHash
+  * family already accepts. Keep-first is the paper's tie rule made
+  * deterministic: the minimal (doc_id, pos) occurrence survives.
+  *
+  * Reference lineage: the reference engine has no substring dedup —
+  * this is part of the training-pipeline family the survey adds on
+  * top (SURVEY.md "beyond the reference").
+  */
+object SubstringDedup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** See object doc. Output per document: token count, number of
+    * token positions removed, and the surviving text with every
+    * duplicated-span occurrence (except the corpus-first) cut out.
+    */
+  def dedupSubstring(s: SparkSession, dir: String, L: Int = 16): DataFrame =
+    dedupSubstringCore(t(s, dir, "documents"), L)
+
+  /** Core over any (doc_id, text) frame — fixture-testable. */
+  def dedupSubstringCore(docs: DataFrame, L: Int = 16): DataFrame = {
+    val toks = docs.withColumn("tk", split(col("text"), " "))
+    // One record per sliding L-gram: (gh, doc_id, p). The transform +
+    // posexplode stays inside the scan's projection — no shuffle yet.
+    val grams = toks
+      .filter(size(col("tk")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - $L),
+           |  i -> cast(conv(substring(md5(cast(
+           |    concat_ws(' ', slice(tk, i + 1, $L)) as binary)), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gh")
+    // THE shuffle: cluster by gram hash; every occurrence after the
+    // global-minimum (doc_id, p) is a duplicate to cut.
+    val w = Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("p"))
+    val dupOcc = grams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+    // Dissolve overlapping dup grams into a per-doc removed-position
+    // set — the explode is L x (duplicated grams only), not corpus-wide.
+    val removed = dupOcc
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${L - 1})")).as("rp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("rp")).as("rem"))
+    // Map-side rebuild against the original token array.
+    toks
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tok"),
+        coalesce(size(col("rem")), lit(0)).as("n_removed"),
+        concat_ws(" ", filter(col("tk"),
+          (_, i) => !array_contains(coalesce(col("rem"), expr("array()")), i)))
+          .as("kept_text"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> ((s: SparkSession, d: String) => dedupSubstring(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS p,
+        |    ('0x' || substr(md5(array_to_string(tk[(i+1):(i+16)], ' ')), 1, 15))::BIGINT AS gh
+        |  FROM toks, unnest(generate_series(0, len(tk) - 16)) AS t(i)
+        |  WHERE len(tk) >= 16),
+        |dup AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+        |  FROM grams),
+        |rem AS (
+        |  SELECT DISTINCT d.doc_id, u.rp
+        |  FROM dup d, unnest(generate_series(d.p, d.p + 15)) AS u(rp)
+        |  WHERE d.rn > 1),
+        |ragg AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+        |pos AS (
+        |  SELECT t.doc_id, u.i, t.tk[u.i] AS tok
+        |  FROM toks t, unnest(generate_series(1, len(t.tk))) AS u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS txt
+        |  FROM pos p LEFT JOIN rem ON rem.doc_id = p.doc_id AND rem.rp = p.i - 1
+        |  WHERE rem.rp IS NULL
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id, len(t.tk)::INT AS n_tok,
+        |  coalesce(r.n_removed, 0)::INT AS n_removed,
+        |  coalesce(k.txt, '') AS kept_text
+        |FROM toks t
+        |LEFT JOIN ragg r USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)""".stripMargin)
+}

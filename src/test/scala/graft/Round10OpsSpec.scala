@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.text.{ChunkOps, SubstringDedup}
+import graft.graph.GraphQueries
+
+/** Round-10 operators: exact-substring dedup (Lee et al. ExactSubstr),
+  * overlapping chunker (+streaming twin), hashed linear classifier,
+  * BPE merge induction, and the graph family (degree/PageRank/
+  * triangles) on fixture graphs with hand-computed answers.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 18 shared tokens planted at different offsets in doc 1 and doc 2.
+  private val passage = (1 to 18).map(i => s"p$i").mkString(" ")
+
+  test("substring dedup removes the later occurrence of a shared span, keeps the first") {
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $passage z1 z2"),
+      (2L, s"b1 $passage y1 y2 y3 y4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16 c17"))
+      .toDF("doc_id", "text")
+    val out = SubstringDedup.dedupSubstringCore(docs, L = 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 is the minimal occurrence — untouched
+    assert(out(1L).getInt(2) == 0)
+    assert(out(1L).getString(3) == s"a1 a2 a3 $passage z1 z2")
+    // doc 2 loses exactly the 18 shared tokens (3 overlapping 16-grams
+    // dissolve into one 18-token span), surrounding text survives
+    assert(out(2L).getInt(2) == 18)
+    assert(out(2L).getString(3) == "b1 y1 y2 y3 y4")
+    // doc 3 shares nothing and is shorter than L+1 grams' worth of dups
+    assert(out(3L).getInt(2) == 0)
+    assert(out(3L).getString(3).startsWith("c1 c2"))
+  }
+
+  test("substring dedup is position-exact: a doc duplicating its own span keeps one copy") {
+    val docs = Seq((7L, s"$passage m1 m2 $passage")).toDF("doc_id", "text")
+    val r = SubstringDedup.dedupSubstringCore(docs, L = 16).collect()(0)
+    assert(r.getInt(2) == 18) // second occurrence removed
+    assert(r.getString(3) == s"$passage m1 m2")
+  }
+
+  test("overlapping chunker covers every token with the documented stride geometry") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((5L, text)).toDF("doc_id", "text")
+    val rows = ChunkOps.chunkCore(docs, chunkTok = 64, stride = 48)
+      .orderBy("chunk_idx").collect()
+    assert(rows.map(_.getInt(2)).toSeq == Seq(0, 48, 96))   // start_tok
+    assert(rows.map(_.getInt(3)).toSeq == Seq(64, 52, 4))   // n_tok_chunk
+    // chunk 0 and 1 overlap on tokens 49..64 (16 tokens)
+    val c0 = rows(0).getString(4).split(" ")
+    val c1 = rows(1).getString(4).split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    // the tail chunk repeats chunk 1's last 4 tokens (t97..t100)
+    assert(rows(2).getString(4).split(" ").toSeq == c1.takeRight(4).toSeq)
+  }
+
+  test("chunker runs unchanged on a stream (stateless map-only twin)") {
+    val docs = Seq((1L, "a b c d e"), (2L, (1 to 70).map("w" + _).mkString(" ")))
+    val expected = ChunkOps.chunkCore(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, String)](91, spark, None)
+    val q = ChunkOps.chunkCore(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream").collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("hashed classifier matches an independent md5 derivation for a one-token doc") {
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    // independent derivation with java.security, no Spark functions
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val bucket = (java.lang.Long.parseLong(md5hex("hello").take(8), 16) % 256).toInt
+    val wt = java.lang.Long.parseLong(md5hex(s"w:$bucket").take(4), 16).toDouble / 65535.0 - 0.5
+    val feats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("bigint"),
+          lit(256)).cast("int"))
+    assert(feats.collect()(0).getInt(2) == bucket)
+    // run the real operator against a temp parquet dir shaped like testdata
+    val dir = java.nio.file.Files.createTempDirectory("clf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ChunkOps.classifierHashed(spark, dir).collect()(0)
+    val expProb = 1.0 / (1.0 + math.exp(-wt))
+    assert(math.abs(out.getDouble(2) - expProb) < 1e-12)
+    assert(out.getBoolean(3) == (wt > 1e-9))
+  }
+
+  test("BPE learns the classic merge sequence on a hand-computed vocab") {
+    val docs = Seq((1L, "ab ab ab abc")).toDF("doc_id", "text")
+    val merges = ChunkOps.bpeLearn(spark, docs, nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair (a,b) freq 4 merges first; then (ab,c) freq 1; then nothing
+    assert(merges.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "c", 1L)))
+  }
+
+  test("BPE merge splice is left-to-right non-overlapping") {
+    // "aaaa" with merge (a,a): -> [aa, aa], not [aa, a, a] or cascade [aaaa]
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = ChunkOps.bpeLearn(spark, docs, nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: pairs of "aaaa" = (a,a) x3 weighted by freq 2 -> 6
+    assert(merges(0) == ((1, "a", "a", 6L)))
+    // round 2: symbols are [aa, aa] per word -> pair (aa,aa) freq 2
+    assert(merges(1) == ((2, "aa", "aa", 2L)))
+  }
+
+  test("PageRank one round on a path graph matches the hand computation") {
+    val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphQueries.pageRankOnEdges(e0, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.575) < 1e-9)  // 0.15 + 0.85 * (1/2)
+    assert(math.abs(r(2L) - 1.85) < 1e-9)   // 0.15 + 0.85 * (1 + 1)
+    assert(math.abs(r(3L) - 0.575) < 1e-9)
+  }
+
+  test("PageRank conserves total mass on a regular graph") {
+    // 4-cycle: every node keeps rank exactly 1.0 at every iteration
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = GraphQueries.pageRankOnEdges(e0, iters = 5)
+      .collect().map(x => x.getDouble(1))
+    assert(r.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("degree-ordered triangle count is exact on a fixture graph") {
+    // triangles {1,2,3} and {2,3,4}; edge (4,5) closes nothing
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = GraphQueries.trianglesOnEdges(e).collect()(0)
+    assert(out.getLong(0) == 5L)  // n_nodes
+    assert(out.getLong(1) == 6L)  // n_edges
+    assert(out.getLong(2) == 2L)  // n_triangles
+  }
+}
