@@ -132,6 +132,79 @@ object GraphQueries {
     out
   }
 
+  /** Bounded-hop single-source shortest paths (the Gelly
+    * SingleSourceShortestPaths shape on a unit-weight graph, which
+    * makes it level-synchronous BFS): from the minimum node id
+    * (always present, engine-agnostic), `maxHops` rounds of
+    * relax-and-min. One round = frontier⋈edges + a per-node min —
+    * two edge-bounded shuffles, lineage kept one round deep. The hop
+    * bound is a feature, not a shortcut: "k-hop neighborhood of a
+    * seed set" is the production query (fraud rings, crawl frontiers),
+    * and an unbounded diameter sweep is just this loop run to a
+    * fixpoint. Unreached nodes are absent from the output.
+    */
+  def sssp(s: SparkSession, dir: String, maxHops: Int = 6): DataFrame =
+    ssspOnEdges(bipartiteEdges(s, dir), maxHops)
+
+  /** Core over any distinct (src, dst) undirected edge frame. */
+  def ssspOnEdges(e0: DataFrame, maxHops: Int = 6): DataFrame = {
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    // 1-row scalar: the deterministic source seed, not a data collect
+    val source = e.agg(min(col("src"))).head().getLong(0)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0).as("dist")).persist()
+    dist.count()
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist()
+      next.count()
+      dist.unpersist()
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** Label-propagation community detection (Raghavan et al. 2007;
+    * Gelly ships it as LabelPropagation): labels start as node ids;
+    * each synchronous round every node adopts its neighbors' most
+    * frequent label, ties to the smallest label — both rules exactly
+    * the reference library's, and what makes a fixed 3-round run
+    * engine-deterministic (oracle-checkable, which float-free LPA
+    * permits and most graph libs' async/randomized variants do not).
+    * One round = edges⋈labels + a (node,label) count + a per-node
+    * argmax window — all edge-bounded shuffles.
+    */
+  def labelPropagation(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    labelPropOnEdges(bipartiteEdges(s, dir), iters)
+
+  /** Core over any distinct (src, dst) undirected edge frame. */
+  def labelPropOnEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    labels.count()
+    for (_ <- 1 to iters) {
+      val byNbr = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst").as("n"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("n")).orderBy(desc("cnt"), asc("label"))
+      val next = byNbr
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("n").as("node"), col("label"))
+        .persist()
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    e.unpersist()
+    labels
+  }
+
   // Unrolled PageRank rounds for the DuckDB oracle (same fixed-point
   // arithmetic; double noise is far below the compare's 1e-2 rounding).
   private def prOracle(iters: Int): String = {
@@ -155,10 +228,53 @@ object GraphQueries {
        |SELECT node, rank FROM r$iters""".stripMargin
   }
 
+  // Unrolled BFS rounds for the DuckDB oracle.
+  private def ssspOracle(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d${i - 1}.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |d0 AS (SELECT min(src) AS node, 0 AS dist FROM e),
+       |$rounds
+       |SELECT node, dist FROM d$maxHops""".stripMargin
+  }
+
+  // Unrolled label-propagation rounds for the DuckDB oracle.
+  private def lpOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l${i - 1}.label,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l${i - 1}.label ASC) AS rn
+         |    FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node
+         |    GROUP BY e.dst, l${i - 1}.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds
+       |SELECT node, label FROM l$iters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_degree" -> ((s: SparkSession, d: String) => degrees(s, d)),
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
-    "q_graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
+    "q_graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)),
+    "q_graph_sssp" -> ((s: SparkSession, d: String) => sssp(s, d)),
+    "q_graph_labelprop" -> ((s: SparkSession, d: String) => labelPropagation(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q_graph_degree" ->
@@ -168,6 +284,8 @@ object GraphQueries {
         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
         |SELECT src AS node, count(*) AS degree FROM e GROUP BY src""".stripMargin,
     "q_graph_pagerank" -> prOracle(5),
+    "q_graph_sssp" -> ssspOracle(6),
+    "q_graph_labelprop" -> lpOracle(3),
     "q_graph_triangles" ->
       """WITH co AS (
         |  SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b

@@ -133,6 +133,27 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("SSSP computes hop distances from the minimum node; the hop bound prunes") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val d = GraphQueries.ssspOnEdges(e0, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    val d2 = GraphQueries.ssspOnEdges(e0, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 2)) // node 4 beyond the bound
+  }
+
+  test("label propagation separates two bridged triangles into two communities") {
+    // triangles {1,2,3} and {4,5,6} with bridge (3,4); 3 synchronous
+    // rounds of most-frequent-neighbor-label (ties to smallest) —
+    // hand-traced: 1,2,3 -> label 1 and 4,5,6 -> label 3
+    val e0 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val l = GraphQueries.labelPropOnEdges(e0, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("degree-ordered triangle count is exact on a fixture graph") {
     // triangles {1,2,3} and {2,3,4}; edge (4,5) closes nothing
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
