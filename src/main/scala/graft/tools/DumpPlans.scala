@@ -65,7 +65,13 @@ object DumpPlans {
     "q_kmeans" -> "deterministic dataflow k-means (Lloyd's): assignment is MAP-ONLY — k·d centroid literals ride in the plan and the argmin is one codegen'd struct-min expression per row, no join — and the update's only exchange carries k·d partial (cell,dim) sums per partition, never the corpus; integer quantization makes every distance an exact BIGINT, so the clustering is engine-reproducible (and oracle-checkable), which library k-means is not",
     "q_dedup_keep_best" -> "cluster keep-best: the CC closure labels only clustered docs (a tiny table next to the corpus), every doc left-joins its label, quality scores ride the same scan, and the per-cluster argmax is ONE comp-partitioned window — each doc crosses the wire once; no corpus sort, no second scan",
     "q_sim_ivf_det" -> "deterministic IVF ANN: the probe ranks cells MAP-ONLY against k·d centroid literals (array_sort over codegen'd struct distances — no centroid join), candidate volume ≈ nProbe/nCells of the corpus via one broadcast equi-join on cell, exact cosine + WindowGroupLimit top-k on candidates only",
-    "q_pipeline_select" -> "selection-stack composition (quality gate → token budget → shard assign → report): gate + scoring fuse into the scan's codegen span, the budget histogram is one bounded aggregate broadcast back, and the report aggregates the SELECTED slice — one corpus scan, a <=256-row exchange, one small final agg; the cached gated frame (InMemoryRelation) is the histogram/join dual-reference, the tokenBudget convention")
+    "q_pipeline_select" -> "selection-stack composition (quality gate → token budget → shard assign → report): gate + scoring fuse into the scan's codegen span, the budget histogram is one bounded aggregate broadcast back, and the report aggregates the SELECTED slice — one corpus scan, a <=256-row exchange, one small final agg; the cached gated frame (InMemoryRelation) is the histogram/join dual-reference, the tokenBudget convention",
+    "q_dedup_substring" -> "exact-substring dedup (Lee et al. ExactSubstr as dataflow): sliding 60-bit gram hashes explode inside the scan's projection, ONE hash-shuffle window ranks global occurrences, rank>1 spans dissolve into per-doc removed-position sets (collect_set bounded by doc length), and the surviving text rebuilds in a map-side lambda against the original token array — the corpus-wide suffix array replaced by one corpus-tokens-sized exchange",
+    "q_chunk_overlap" -> "overlapping chunker: the stride sequence + slice explode lives entirely in the scan's projection — map-only, zero exchanges, stream-identical; a 100 TB corpus chunks at scan speed",
+    "q_classifier_hashed" -> "hashed linear classifier, the fastText SERVING join: token explode → bucket hash → BroadcastHashJoin against the 256-row weight table → one doc-keyed two-phase agg; a trained model of any 2^k size binds into the same broadcast slot with zero plan change",
+    "q_bpe_pairs" -> "BPE pair statistic: adjacent-pair explode collapses map-side (partial agg carries DISTINCT pairs, not the token stream) before one exchange + TakeOrdered top-k with lexicographic ties",
+    "q_graph_pagerank" -> "PageRank round: ranks equi-join the degree-pre-joined edge table, per-target sums are partial+final — two edge-sized exchanges per round, degree computed ONCE, lineage cut to one round by per-round persists (reliable checkpoints on a cluster)",
+    "q_graph_triangles" -> "degree-ordered triangle count: orientation (low-degree -> high-degree endpoint) caps every node's out-degree at O(sqrt E), so the path-enumeration join e1(u,v)⋈e2(v,w) and the closing-edge join e3(u,w) are both bounded equi hash joins — the skew-killer that survives celebrity nodes at 100 TB; the support threshold keeps edge density scale-stable before any of it runs")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

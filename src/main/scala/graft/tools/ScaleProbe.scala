@@ -133,7 +133,14 @@ object ScaleProbe {
       // round-9: the other verify front-end and the keep-best
       // composition (CC + quality + one comp-partitioned window)
       "q_dedup_simhash_v", "q_dedup_keep_best", "q_sim_ivf_det",
-      "q_pipeline_select")
+      "q_pipeline_select",
+      // round 10: substring dedup (the x16 replicas are ~94% mutual
+      // duplicates by construction — its growth is honest output-bound
+      // span removal, the fully-duplicated-corpus worst case), chunker,
+      // classifier, BPE statistic, graph family
+      "q_dedup_substring", "q_chunk_overlap", "q_classifier_hashed",
+      "q_bpe_pairs", "q_graph_degree", "q_graph_pagerank",
+      "q_graph_triangles", "q_graph_sssp", "q_graph_labelprop")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
