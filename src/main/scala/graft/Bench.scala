@@ -50,7 +50,8 @@ object Bench {
     "q_dedup_bloom", "q_kmeans", "q_dedup_keep_best", "q_sim_ivf_det",
     "q_pipeline_select",
     "q_dedup_substring", "q_chunk_overlap", "q_classifier_hashed",
-    "q_bpe_pairs", "q_graph_pagerank", "q_graph_triangles")
+    "q_bpe_pairs", "q_graph_pagerank", "q_graph_triangles",
+    "q_dsir_select", "q_cluster_sample")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -458,7 +458,28 @@ object SimilarityQueries {
     graft.Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), F.rpProject(col("embedding"), 16).as("proj16"))
 
+  /** Cluster-balanced sampling — the diversity-selection step over a
+    * semantic clustering (the SemDeDup/DiverseEvol family's "take a
+    * few per cluster" move, which plain rate sampling cannot give):
+    * the deterministic k-means assignment partitions the corpus, and
+    * each cluster contributes its first `per` members in md5 order
+    * (the engine-reproducible pseudo-random pick — the shardAssign
+    * convention). rank<=per over a cell-partitioned window plans as
+    * WindowGroupLimit: map tasks forward only their local top-per
+    * rows per cell, so no cluster ever sorts corpus-wide.
+    */
+  def clusterSample(s: SparkSession, dir: String, per: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(md5(concat(lit("cb:"), col("vec_id").cast("string")).cast("binary")),
+        col("vec_id"))
+    KMeansDataflow.kmeansAssign(s, dir)
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= per)
+      .select(col("vec_id"), col("cell"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_sample" -> ((s: SparkSession, d: String) => clusterSample(s, d)),
     "q_embed_rp" -> (randomProjection _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_sim_topk"     -> (cosineTopK _),
@@ -510,6 +531,15 @@ object SimilarityQueries {
     // pairs top out ~0.5). DuckDB's 1-based range(i) matches Spark's
     // 0-based (x, i) -> sin(i + 1) perturbation exactly.
     "q_kmeans" -> KMeansDataflow.oracleSql(),
+    // Extends the k-means chain with the md5-ordered per-cell pick.
+    "q_cluster_sample" -> (KMeansDataflow.oracleCtes(8, 3) +
+      """
+        |SELECT vec_id, cell, pos FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY md5('cb:' || vec_id::VARCHAR), vec_id) AS pos
+        |  FROM afin)
+        |WHERE pos <= 2""".stripMargin),
     // Extends the k-means CTE chain: probe = per-query cell ranking
     // by the same exact integer d2, candidates = probed cells'
     // members, rerank = the double-math cosine — the whole ANN

