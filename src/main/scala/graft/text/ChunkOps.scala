@@ -54,12 +54,25 @@ object ChunkOps {
     * both engines then land within float noise of 0 and agree on the
     * label; any true-nonzero score is >= 1/131070, far above it.
     */
-  def classifierHashed(s: SparkSession, dir: String, buckets: Int = 256): DataFrame = {
-    val weights = s.range(buckets.toLong).select(
+  def classifierHashed(s: SparkSession, dir: String, buckets: Int = 256): DataFrame =
+    classifierCore(t(s, dir, "documents"), weightTable(s, buckets), buckets)
+
+  /** The md5-seeded pseudo-model — a real deployment swaps in a
+    * trained table of the same (bucket, wt) shape.
+    */
+  def weightTable(s: SparkSession, buckets: Int = 256): DataFrame =
+    s.range(buckets.toLong).select(
       col("id").cast("int").as("bucket"),
       (conv(substring(md5(concat(lit("w:"), col("id").cast("string")).cast("binary")),
         1, 4), 16, 10).cast("double") / 65535.0 - 0.5).as("wt"))
-    val feats = t(s, dir, "documents")
+
+  /** Stateless scoring core over any (doc_id, text) frame against a
+    * STATIC weight table — runs unchanged on a stream (the model is a
+    * snapshot, arriving docs broadcast-join it; Round10OpsSpec asserts
+    * batch == stream).
+    */
+  def classifierCore(docs: DataFrame, weights: DataFrame, buckets: Int = 256): DataFrame = {
+    val feats = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("bucket",
         pmod(conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("bigint"),

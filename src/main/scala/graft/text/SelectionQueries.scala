@@ -262,19 +262,32 @@ object SelectionQueries {
     */
   def dsirSelect(s: SparkSession, dir: String,
       buckets: Int = 1024, targetSource: String = "src0"): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val docs = t(s, dir, "documents")
+    dsirScore(dsirModel(s, docs, buckets, targetSource), dsirBuckets(docs, buckets))
+  }
+
+  private def dsirBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("b",
         pmod(conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("bigint"),
           lit(buckets)))
+
+  /** The B-row importance model built from a reference corpus — a
+    * STATIC snapshot in the streaming twin (per-batch models would
+    * drift the selection boundary; the tokenBudget convention).
+    */
+  def dsirModel(s: SparkSession, docs: DataFrame,
+      buckets: Int = 1024, targetSource: String = "src0"): DataFrame = {
+    val toks = dsirBuckets(docs, buckets)
     val srcCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("cs"))
     val tgtCnt = toks.filter(col("source") === targetSource)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val totals = toks.agg(
       count(lit(1)).as("ns"),
       count(when(col("source") === targetSource, 1)).as("nt"))
-    val model = s.range(buckets.toLong).select(col("id").as("b"))
+    s.range(buckets.toLong).select(col("id").as("b"))
       .join(srcCnt, Seq("b"), "left")
       .join(tgtCnt, Seq("b"), "left")
       .crossJoin(totals)
@@ -285,12 +298,26 @@ object SelectionQueries {
         // 93/475 off-target on this corpus)
         (log((coalesce(col("ct"), lit(0L)) + 0.01) / (col("nt") + 0.01 * buckets)) -
          log((coalesce(col("cs"), lit(0L)) + 0.01) / (col("ns") + 0.01 * buckets))).as("w"))
+  }
+
+  /** Stateless scoring half: arriving (already bucketed) tokens
+    * broadcast-join the model snapshot — runs unchanged on a
+    * streaming frame (Round10OpsSpec asserts batch == stream).
+    */
+  def dsirScore(model: DataFrame, toks: DataFrame): DataFrame =
     toks.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("logw"))
       .select(col("doc_id"), col("n_tok"), col("logw"),
         (col("logw") > 1e-9).as("keep"))
-  }
+
+  /** Streaming DSIR: score an arriving doc stream against the static
+    * model built from a reference corpus.
+    */
+  def dsirStream(s: SparkSession, refDocs: DataFrame, stream: DataFrame,
+      buckets: Int = 1024, targetSource: String = "src0"): DataFrame =
+    dsirScore(dsirModel(s, refDocs, buckets, targetSource),
+      dsirBuckets(stream, buckets))
 
   // ---------------------------------------------------------------
   // Selection-stack composition

@@ -151,6 +151,44 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("hashed classifier scores a stream identically to batch (static weight table)") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "zeta"))
+    val weights = ChunkOps.weightTable(spark)
+    val expected = ChunkOps.classifierCore(docs.toDF("doc_id", "text"), weights)
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, String)](92, spark, None)
+    val q = ChunkOps.classifierCore(input.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("clf_stream").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      assert(spark.table("clf_stream").collect().map(_.toSeq).toSet == expected)
+    } finally q.stop()
+  }
+
+  test("DSIR scores a stream identically to batch against the static model snapshot") {
+    val ref = Seq((1L, "alpha alpha beta", "src0"), (2L, "gamma gamma delta", "src1"),
+        (3L, "alpha gamma", "src1"))
+      .toDF("doc_id", "text", "source")
+    val arriving = Seq((10L, "alpha alpha", "srcX"), (11L, "gamma delta", "srcX"))
+    val expected = graft.text.SelectionQueries
+      .dsirStream(spark, ref, arriving.toDF("doc_id", "text", "source"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, String, String)](93, spark, None)
+    val q = graft.text.SelectionQueries
+      .dsirStream(spark, ref, input.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dsir_stream").start()
+    try {
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+      assert(spark.table("dsir_stream").collect().map(_.toSeq).toSet == expected)
+    } finally q.stop()
+  }
+
   test("PageRank one round on a path graph matches the hand computation") {
     val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val r = GraphQueries.pageRankOnEdges(e0, iters = 1)
