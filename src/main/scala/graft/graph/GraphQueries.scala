@@ -58,25 +58,25 @@ object GraphQueries {
   def pageRankOnEdges(e0: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Lazy persists, no per-round actions: the rank chain is LINEAR
+    // (each round's output has exactly one consumer), so the whole
+    // fixed-iteration loop plans as ONE job — 2 exchanges per round,
+    // no per-round scheduling floor. ed/nodes are multiply-consumed
+    // and cache on first materialization inside that job. An
+    // open-ended fixpoint loop would switch to the DedupCluster
+    // per-round-checkpoint discipline instead.
     val ed = e.join(deg, Seq("src")).persist()
     val nodes = deg.select(col("src").as("node")).persist()
-    var r = nodes.withColumn("rank", lit(1.0)).persist()
-    r.count()
+    var r = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(1 - d) + lit(d) * coalesce(col("cs"), lit(0.0))).as("rank"))
-        .persist()
-      next.count()
-      r.unpersist()
-      r = next
     }
-    val out = r.select(col("node"), col("rank"))
-    ed.unpersist(); nodes.unpersist()
-    out
+    r.select(col("node"), col("rank"))
   }
 
   /** Triangle count on the supplier co-purchase graph (suppliers
@@ -94,8 +94,12 @@ object GraphQueries {
     * — orientation changes the join cost, never the count.
     */
   def triangles(s: SparkSession, dir: String, minShared: Int = 5): DataFrame = {
+    // pre-distinct (order, supplier): k same-supplier lineitems in one
+    // order would otherwise multiply the pair explode k^2-fold before
+    // the distinct
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
     val e = li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
       .select(col("x.ok").as("ok"), col("x.sk").as("a"), col("y.sk").as("b"))
@@ -151,20 +155,20 @@ object GraphQueries {
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
     // 1-row scalar: the deterministic source seed, not a data collect
     val source = e.agg(min(col("src"))).head().getLong(0)
+    // Each round's dist feeds TWO consumers (the relax join and the
+    // union) — the lazy per-round persist makes both read one cached
+    // copy inside the single final job; without it recompute doubles
+    // per round. No per-round count(): the loop still plans as ONE
+    // job with 2 exchanges per round instead of maxHops jobs.
     var dist = e.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0).as("dist")).persist()
-    dist.count()
+      .select(lit(source).as("node"), lit(0).as("dist"))
     for (_ <- 1 to maxHops) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      val next = dist.union(relaxed)
+      dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .persist()
-      next.count()
-      dist.unpersist()
-      dist = next
     }
-    e.unpersist()
     dist
   }
 
@@ -185,23 +189,19 @@ object GraphQueries {
   def labelPropOnEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    // Linear label chain (one consumer per round) — same one-job
+    // shape as pageRankOnEdges, no per-round actions.
     var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    labels.count()
+      .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val byNbr = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst").as("n"), col("label")).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("n")).orderBy(desc("cnt"), asc("label"))
-      val next = byNbr
+      labels = byNbr
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("n").as("node"), col("label"))
-        .persist()
-      next.count()
-      labels.unpersist()
-      labels = next
     }
-    e.unpersist()
     labels
   }
 

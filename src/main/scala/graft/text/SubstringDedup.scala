@@ -89,8 +89,51 @@ object SubstringDedup {
           .as("kept_text"))
   }
 
+  /** Fuzzy (edit-distance-verified) near-dup pairs — the
+    * RefinedWeb-style "approximately equal" check with a fully
+    * cross-engine-deterministic pipeline: candidates are document
+    * pairs sharing any 8-token run (the same 60-bit gram machinery
+    * as [[dedupSubstring]], one L=8 sliding pass), grams whose
+    * document frequency exceeds `maxDf` are dropped ENTIRELY before
+    * pairing (the stop-gram cut, [[graft.text.DedupCluster]]'s
+    * skew-cap convention — a boilerplate gram in 10^8 docs would
+    * otherwise mint df^2/2 pairs), and each surviving pair pays one
+    * exact Levenshtein verify (identical DP in Spark and DuckDB).
+    * Verify cost tracks the CANDIDATE count, never the corpus;
+    * candidate count tracks real duplication plus a capped
+    * boilerplate tail.
+    */
+  def dedupFuzzy(s: SparkSession, dir: String,
+      maxDist: Int = 20, maxDf: Int = 20): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tk) - 8),
+          |  i -> cast(conv(substring(md5(cast(
+          |    concat_ws(' ', slice(tk, i + 1, 8)) as binary)), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)).as("gh"))
+      .distinct()
+    val rare = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("gh"))
+    val blocked = grams.join(rare, Seq("gh"))
+    val cands = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_substring" -> ((s: SparkSession, d: String) => dedupSubstring(s, d)))
+    "q_dedup_substring" -> ((s: SparkSession, d: String) => dedupSubstring(s, d)),
+    "q_dedup_fuzzy" -> ((s: SparkSession, d: String) => dedupFuzzy(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_substring" ->
@@ -122,5 +165,22 @@ object SubstringDedup {
         |  coalesce(k.txt, '') AS kept_text
         |FROM toks t
         |LEFT JOIN ragg r USING (doc_id)
-        |LEFT JOIN kept k USING (doc_id)""".stripMargin)
+        |LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q_dedup_fuzzy" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(array_to_string(tk[(i+1):(i+8)], ' ')), 1, 15))::BIGINT AS gh
+        |  FROM toks, unnest(generate_series(0, len(tk) - 8)) AS t(i)
+        |  WHERE len(tk) >= 8),
+        |rare AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) <= 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |  WHERE a.gh IN (SELECT gh FROM rare))
+        |SELECT c.id_a, c.id_b, levenshtein(da.text, db.text)::INT AS dist
+        |FROM cand c
+        |JOIN documents da ON da.doc_id = c.id_a
+        |JOIN documents db ON db.doc_id = c.id_b
+        |WHERE levenshtein(da.text, db.text) <= 20""".stripMargin)
 }

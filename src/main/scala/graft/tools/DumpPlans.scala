@@ -71,7 +71,10 @@ object DumpPlans {
     "q_classifier_hashed" -> "hashed linear classifier, the fastText SERVING join: token explode → bucket hash → BroadcastHashJoin against the 256-row weight table → one doc-keyed two-phase agg; a trained model of any 2^k size binds into the same broadcast slot with zero plan change",
     "q_bpe_pairs" -> "BPE pair statistic: adjacent-pair explode collapses map-side (partial agg carries DISTINCT pairs, not the token stream) before one exchange + TakeOrdered top-k with lexicographic ties",
     "q_graph_pagerank" -> "PageRank round: ranks equi-join the degree-pre-joined edge table, per-target sums are partial+final — two edge-sized exchanges per round, degree computed ONCE, lineage cut to one round by per-round persists (reliable checkpoints on a cluster)",
-    "q_graph_triangles" -> "degree-ordered triangle count: orientation (low-degree -> high-degree endpoint) caps every node's out-degree at O(sqrt E), so the path-enumeration join e1(u,v)⋈e2(v,w) and the closing-edge join e3(u,w) are both bounded equi hash joins — the skew-killer that survives celebrity nodes at 100 TB; the support threshold keeps edge density scale-stable before any of it runs")
+    "q_graph_triangles" -> "degree-ordered triangle count: orientation (low-degree -> high-degree endpoint) caps every node's out-degree at O(sqrt E), so the path-enumeration join e1(u,v)⋈e2(v,w) and the closing-edge join e3(u,w) are both bounded equi hash joins — the skew-killer that survives celebrity nodes at 100 TB; the support threshold keeps edge density scale-stable before any of it runs",
+    "q_dsir_select" -> "DSIR importance selection: both hashed-ngram models are <=B-row aggregates (partial agg collapses the token stream to B buckets per map task BEFORE each exchange) and the scoring side is one BroadcastHashJoin + a doc-keyed two-phase agg — the corpus never shuffles wider than (doc_id, partials), the truncated-LM economics applied to data selection",
+    "q_cluster_sample" -> "cluster-balanced sampling: the k-means fit's map-only assignment feeds a cell-partitioned rank<=2 that plans as WindowGroupLimit — map tasks forward only their local top-2 per cell, so no cluster ever sorts corpus-wide; the md5 ordering is the engine-reproducible pseudo-random pick",
+    "q_dedup_fuzzy" -> "fuzzy edit-distance dedup: 8-gram blocking is one gram-hash aggregate (the df<=20 stop-gram cut kills boilerplate skew BEFORE pairing), the candidate self-join runs on rare grams only, and the Levenshtein verify is a map stage over candidate pairs — verify cost tracks candidates, never the corpus")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

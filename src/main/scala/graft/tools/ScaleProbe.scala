@@ -141,7 +141,7 @@ object ScaleProbe {
       "q_dedup_substring", "q_chunk_overlap", "q_classifier_hashed",
       "q_bpe_pairs", "q_graph_degree", "q_graph_pagerank",
       "q_graph_triangles", "q_graph_sssp", "q_graph_labelprop",
-      "q_dsir_select", "q_cluster_sample")
+      "q_dsir_select", "q_cluster_sample", "q_dedup_fuzzy")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
@@ -249,6 +249,23 @@ object ScaleProbe {
       w.println("grows only linearly. q_kmeans's per-iteration work is one corpus map +")
       w.println("a k*d-bounded aggregate - near-linear by construction - and")
       w.println("q_sim_ivf_det rides the same fit plus a bounded probe batch.")
+      w.println()
+      w.println("Round-10 family notes: q_dedup_substring's x16 replicas are ~94%")
+      w.println("MUTUAL duplicates by construction (only each replica's final gram")
+      w.println("differs), so its removal work - dup-gram explode + per-doc span sets -")
+      w.println("covers nearly the whole corpus at x16 where a real corpus removes a")
+      w.println("few percent; its growth is honest output-bound span removal, the")
+      w.println("fully-duplicated-corpus worst case, and the x4 point is the")
+      w.println("representative one. q_chunk_overlap / q_classifier_hashed /")
+      w.println("q_dsir_select are map-only or broadcast-join shapes (scan-speed rows);")
+      w.println("q_bpe_pairs shuffles DISTINCT pairs only. The graph family scales in")
+      w.println("GRAPH size: replicas shift keys, so x16 is 16 disjoint copies of the")
+      w.println("x1 graph - pagerank/labelprop do per-round edge-sized joins on a 16x")
+      w.println("edge table; sssp explores only replica 0's component (the min-id seed)")
+      w.println("but every frontier join still scans the full edge table, which is the")
+      w.println("at-scale cost being probed; triangles' support threshold (>=5 shared")
+      w.println("orders) keeps density scale-stable, so its mining self-join dominates.")
+      w.println("q_cluster_sample rides the k-means fit plus one WindowGroupLimit cut.")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")

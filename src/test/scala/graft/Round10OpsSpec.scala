@@ -43,6 +43,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getString(3) == s"$passage m1 m2")
   }
 
+  test("fuzzy dedup verifies blocked pairs by edit distance; stop-grams mint no pairs") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to 8).map(i => s"bp$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    val docs =
+      Seq((1L, s"$shared tail one"), (2L, s"$shared tail two")) ++ // near-identical pair
+      Seq((3L, "totally different content with no shared runs at all x1 x2 x3")) ++
+      // 25 docs sharing ONLY a df=25 boilerplate gram (> maxDf=20):
+      // the stop-gram cut must drop it, so they pair with nothing
+      (100L to 124L).map(i => (i, s"$boiler unique$i " + (1 to 9).map(j => s"u${i}_$j").mkString(" ")))
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SubstringDedup.dedupFuzzy(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3)))  // one edit: "one" -> "two" is 3 substitutions
+  }
+
   test("overlapping chunker covers every token with the documented stride geometry") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val docs = Seq((5L, text)).toDF("doc_id", "text")
