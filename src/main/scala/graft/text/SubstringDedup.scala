@@ -22,9 +22,9 @@ import graft.Tables
   * (gram-hash, doc, pos) record, duplicated grams are found with ONE
   * hash-shuffle on the gram hash, and every occurrence after the
   * global-minimum (doc_id, pos) marks its L token positions for
-  * removal. Overlapping duplicated grams dissolve into a per-document
-  * removed-position SET (bounded by document length, never by corpus
-  * size), and the surviving text is rebuilt in one map-side pass over
+  * removal. Overlapping duplicated grams dissolve into per-document
+  * MERGED REMOVAL INTERVALS (bounded by document length, never by
+  * corpus size), and the surviving text is rebuilt in one map-side pass over
   * the original token array. Total cost: one shuffle of ~n_tokens
   * 16-byte records + one doc-keyed aggregation of only the DUPLICATED
   * region — the same O(corpus tokens) a distributed suffix-array
@@ -72,20 +72,36 @@ object SubstringDedup {
     val dupOcc = grams
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
-    // Dissolve overlapping dup grams into a per-doc removed-position
-    // set — the explode is L x (duplicated grams only), not corpus-wide.
-    val removed = dupOcc
-      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${L - 1})")).as("rp"))
+    // Dissolve overlapping dup grams into per-doc MERGED INTERVALS:
+    // only the L-gram START positions cross the wire (sorted fold
+    // merges [p, p+L-1] spans inside the projection), not L rows per
+    // dup gram — on a heavily-duplicated corpus that is the
+    // difference between shuffling dup-starts and shuffling L x the
+    // duplicated token volume. Bounded by doc length either way.
+    val spans = dupOcc
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("rp")).as("rem"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("iv", expr(
+        s"""aggregate(ps, cast(array() as array<struct<s:int,e:int>>),
+           |  (acc, x) -> CASE
+           |    WHEN size(acc) = 0 THEN array(named_struct('s', x, 'e', x + ${L - 1}))
+           |    WHEN x <= element_at(acc, -1).e + 1
+           |      THEN concat(slice(acc, 1, size(acc) - 1),
+           |           array(named_struct('s', element_at(acc, -1).s,
+           |                 'e', greatest(element_at(acc, -1).e, x + ${L - 1}))))
+           |    ELSE concat(acc, array(named_struct('s', x, 'e', x + ${L - 1}))) END)"""
+          .stripMargin))
+      .select(col("doc_id"), col("iv"))
     // Map-side rebuild against the original token array.
     toks
-      .join(removed, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("iv", coalesce(col("iv"),
+        expr("cast(array() as array<struct<s:int,e:int>>)")))
       .select(col("doc_id"),
         size(col("tk")).as("n_tok"),
-        coalesce(size(col("rem")), lit(0)).as("n_removed"),
-        concat_ws(" ", filter(col("tk"),
-          (_, i) => !array_contains(coalesce(col("rem"), expr("array()")), i)))
+        expr("aggregate(iv, 0, (a, v) -> a + v.e - v.s + 1)").as("n_removed"),
+        expr(
+          "concat_ws(' ', filter(tk, (x, i) -> NOT exists(iv, v -> i >= v.s AND i <= v.e)))")
           .as("kept_text"))
   }
 
