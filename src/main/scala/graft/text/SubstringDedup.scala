@@ -105,6 +105,65 @@ object SubstringDedup {
           .as("kept_text"))
   }
 
+  /** The duplicated-gram STORE of a corpus: every L-gram hash that
+    * occurs more than once (the grams [[dedupSubstring]] cuts). The
+    * static side of the streaming twin — an ingestion pipeline
+    * rebuilds it per snapshot, exactly like dedupIncremental's
+    * fingerprint store.
+    */
+  def dupGramStore(docs: DataFrame, L: Int = 16): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= L)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(tk) - $L),
+           |  i -> cast(conv(substring(md5(cast(
+           |    concat_ws(' ', slice(tk, i + 1, $L)) as binary)), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("gh"))
+
+  /** Streaming ExactSubstr twin: arriving documents are redacted
+    * against the STATIC duplicated-gram store — grams explode
+    * statelessly, hit the store in a stream-static join, and the
+    * per-doc span merge + rebuild runs as an update-mode aggregate
+    * (keyed state = one row per redacted doc). Emits only documents
+    * that matched at least one store gram; Round10OpsSpec asserts
+    * stream == the equivalent batch redaction.
+    */
+  def dedupSubstringStream(store: DataFrame, docs: DataFrame, L: Int = 16): DataFrame = {
+    val grams = docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= L)
+      .select(col("doc_id"), col("text"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - $L),
+           |  i -> cast(conv(substring(md5(cast(
+           |    concat_ws(' ', slice(tk, i + 1, $L)) as binary)), 1, 15), 16, 10) as bigint))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gh")
+    grams.join(store, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("text")).as("text"),
+        sort_array(collect_list(col("p"))).as("ps"))
+      .withColumn("iv", expr(
+        s"""aggregate(ps, cast(array() as array<struct<s:int,e:int>>),
+           |  (acc, x) -> CASE
+           |    WHEN size(acc) = 0 THEN array(named_struct('s', x, 'e', x + ${L - 1}))
+           |    WHEN x <= element_at(acc, -1).e + 1
+           |      THEN concat(slice(acc, 1, size(acc) - 1),
+           |           array(named_struct('s', element_at(acc, -1).s,
+           |                 'e', greatest(element_at(acc, -1).e, x + ${L - 1}))))
+           |    ELSE concat(acc, array(named_struct('s', x, 'e', x + ${L - 1}))) END)"""
+          .stripMargin))
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("aggregate(iv, 0, (a, v) -> a + v.e - v.s + 1)").as("n_removed"),
+        expr(
+          "concat_ws(' ', filter(tk, (x, i) -> NOT exists(iv, v -> i >= v.s AND i <= v.e)))")
+          .as("kept_text"))
+  }
+
   /** Fuzzy (edit-distance-verified) near-dup pairs — the
     * RefinedWeb-style "approximately equal" check with a fully
     * cross-engine-deterministic pipeline: candidates are document

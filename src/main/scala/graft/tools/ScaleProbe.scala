@@ -266,6 +266,12 @@ object ScaleProbe {
       w.println("at-scale cost being probed; triangles' support threshold (>=5 shared")
       w.println("orders) keeps density scale-stable, so its mining self-join dominates.")
       w.println("q_cluster_sample rides the k-means fit plus one WindowGroupLimit cut.")
+      w.println("q_dedup_fuzzy joins the verify family's output-bound rows: replicas")
+      w.println("ARE near-identical pairs (one appended token, edit distance ~3), so")
+      w.println("true candidates grow ~N^2 per replica clique exactly like minhash's -")
+      w.println("the Levenshtein verify tracks the TRUE pair count, and the stop-gram")
+      w.println("cut keeps boilerplate from adding to it. A real corpus's dup fraction")
+      w.println("stays roughly constant with size (the ~linear story the x1 row tells).")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")

@@ -43,6 +43,30 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getString(3) == s"$passage m1 m2")
   }
 
+  test("streaming substring redaction against a static gram store equals batch") {
+    val corpus = Seq((1L, s"a1 a2 $passage b1"), (2L, s"c1 $passage d1 d2"))
+      .toDF("doc_id", "text")
+    val store = SubstringDedup.dupGramStore(corpus)
+    val arriving = Seq(
+      (10L, s"x1 x2 $passage y1"),          // contains the stored passage
+      (11L, "nothing shared with the corpus here at all zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9"))
+    val expected = SubstringDedup
+      .dedupSubstringStream(store, arriving.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    // batch sanity first: doc 10 loses exactly the 18-token passage
+    assert(expected == Set(Seq(10L, 18, "x1 x2 y1")))
+    val input = MemoryStream[(Long, String)](94, spark, None)
+    val q = SubstringDedup
+      .dedupSubstringStream(store, input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("substr_stream").start()
+    try {
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+      assert(spark.table("substr_stream").collect().map(_.toSeq).toSet == expected)
+    } finally q.stop()
+  }
+
   test("fuzzy dedup verifies blocked pairs by edit distance; stop-grams mint no pairs") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
     val boiler = (1 to 8).map(i => s"bp$i").mkString(" ")
