@@ -93,22 +93,38 @@ object GraphQueries {
     * oracle counts the same triangles with the simple a<b formulation
     * — orientation changes the join cost, never the count.
     */
-  def triangles(s: SparkSession, dir: String, minShared: Int = 5): DataFrame = {
+  /** Support-thresholded supplier co-purchase edges (a < b). */
+  private def coPurchaseEdges(s: SparkSession, dir: String, minShared: Int): DataFrame = {
     // pre-distinct (order, supplier): k same-supplier lineitems in one
     // order would otherwise multiply the pair explode k^2-fold before
     // the distinct
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
-    val e = li.as("x").join(li.as("y"),
+    li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
       .select(col("x.ok").as("ok"), col("x.sk").as("a"), col("y.sk").as("b"))
       .distinct()
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("a"), col("b"))
-    trianglesOnEdges(e)
   }
+
+  def triangles(s: SparkSession, dir: String, minShared: Int = 5): DataFrame =
+    trianglesOnEdges(coPurchaseEdges(s, dir, minShared))
+
+  /** Connected components of the co-purchase graph — the Gelly
+    * ConnectedComponents entry as a first-class GRAPH query, closing
+    * over [[graft.text.DedupCluster.connectedComponents]] (hash-min
+    * label propagation + pointer jumping, O(log d) rounds, per-round
+    * lineage truncation — the same closure the dedup family runs;
+    * component label = min node id, so the output is deterministic).
+    */
+  def connectedComp(s: SparkSession, dir: String, minShared: Int = 5): DataFrame =
+    graft.text.DedupCluster.connectedComponents(
+        coPurchaseEdges(s, dir, minShared)
+          .select(col("a").as("ida"), col("b").as("idb")))
+      .select(col("id").as("node"), col("comp"))
 
   /** Core over any deduplicated a<b undirected edge frame. */
   def trianglesOnEdges(eIn: DataFrame): DataFrame = {
@@ -274,7 +290,8 @@ object GraphQueries {
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q_graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)),
     "q_graph_sssp" -> ((s: SparkSession, d: String) => sssp(s, d)),
-    "q_graph_labelprop" -> ((s: SparkSession, d: String) => labelPropagation(s, d)))
+    "q_graph_labelprop" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
+    "q_graph_cc" -> ((s: SparkSession, d: String) => connectedComp(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q_graph_degree" ->
@@ -286,6 +303,19 @@ object GraphQueries {
     "q_graph_pagerank" -> prOracle(5),
     "q_graph_sssp" -> ssspOracle(6),
     "q_graph_labelprop" -> lpOracle(3),
+    "q_graph_cc" ->
+      """WITH RECURSIVE co AS (
+        |  SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |ed AS (SELECT a, b FROM co GROUP BY a, b HAVING count(*) >= 5),
+        |edges AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+        |SELECT id AS node, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
     "q_graph_triangles" ->
       """WITH co AS (
         |  SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b

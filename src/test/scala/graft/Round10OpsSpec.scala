@@ -267,6 +267,16 @@ class Round10OpsSpec extends SparkSpec {
     assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("graph CC labels every co-purchase node with its component's min id") {
+    val out = GraphQueries.connectedComp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    assert(out.forall { case (node, comp) => comp <= node })
+    // component labels are themselves member nodes
+    val nodes = out.map(_._1).toSet
+    assert(out.map(_._2).toSet.subsetOf(nodes))
+  }
+
   test("degree-ordered triangle count is exact on a fixture graph") {
     // triangles {1,2,3} and {2,3,4}; edge (4,5) closes nothing
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
