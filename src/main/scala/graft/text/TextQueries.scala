@@ -1394,6 +1394,51 @@ object TextQueries {
         |    / len(string_split(text, ' ')) AS stop_ratio,
         |  len(regexp_extract_all(text, '[.,!?]'))::DOUBLE / length(text) AS punct_ratio
         |FROM documents""".stripMargin,
+    // FNV-1a re-derived byte-for-byte in SQL (the corpus is pure
+    // ASCII, verified: 0 docs where octet_length <> length): HUGEINT
+    // fold with mod-2^64 wraparound, xor emulated on the low byte
+    // (b < 256), simhash votes per bit via an exact 2**bit power.
+    // Upgraded from rows-only in round 10 — bit-exact vs the native
+    // codegen'd Fingerprint64/SimHash64 expressions.
+    "q_text_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> ascii(substr(text, i, 1))::BIGINT)),
+        |      (h, b) -> (((h - h % 256) + xor((h % 256)::BIGINT, b)::HUGEINT)
+        |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hf
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(tk) + 1),
+        |          i -> ascii(substr(tk, i, 1))::BIGINT)),
+        |      (h, b) -> (((h - h % 256) + xor((h % 256)::BIGINT, b)::HUGEINT)
+        |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (h // (2 ** b.bit)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 THEN (2 ** bit)::HUGEINT ELSE 0::HUGEINT END) AS hs
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN fp.hf >= 9223372036854775808::HUGEINT
+        |       THEN (fp.hf - 18446744073709551616::HUGEINT)::BIGINT
+        |       ELSE fp.hf::BIGINT END AS fp64,
+        |  CASE WHEN coalesce(sh.hs, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |       THEN (sh.hs - 18446744073709551616::HUGEINT)::BIGINT
+        |       ELSE coalesce(sh.hs, 0::HUGEINT)::BIGINT END AS sh64
+        |FROM documents d JOIN fp USING (doc_id) LEFT JOIN sh USING (doc_id)""".stripMargin,
     "q_text_langid" ->
       """WITH s AS (SELECT doc_id, lang,
         |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS s_en,
