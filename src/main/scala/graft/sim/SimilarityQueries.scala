@@ -531,6 +531,89 @@ object SimilarityQueries {
     // pairs top out ~0.5). DuckDB's 1-based range(i) matches Spark's
     // 0-based (x, i) -> sin(i + 1) perturbation exactly.
     "q_kmeans" -> KMeansDataflow.oracleSql(),
+    // The 512-bit random-hyperplane ANN pipeline re-derived END TO END
+    // (upgraded from rows-only in round 10): the splitmix64 avalanche
+    // runs in HUGEINT with mod-2^64 wraparound — 64-bit xor via signed
+    // BIGINT xor with sign-bridging CASEs, the two wide multiplies
+    // split high/low 32 bits so INT128 never overflows — then sign
+    // bits fold per (vector, bit) in ascending-dim order (the same
+    // sequential double sum as the codegen'd expression), hamming
+    // prefilter to top-64 with (hd, vec_id) ties, exact double cosine
+    // rerank. Verified bit-identical (cos maxdiff 0.0) before landing.
+    "q_sim_sig_rerank" ->
+      """WITH grid AS (
+        |  SELECT b.bit, i.i
+        |  FROM (SELECT unnest(range(0, 512)) AS bit) b,
+        |       (SELECT unnest(range(1, 65)) AS i) i),
+        |h0 AS (
+        |  SELECT bit, i,
+        |    ((bit::HUGEINT * 4294967296::HUGEINT + (i - 1)::HUGEINT
+        |      + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z
+        |  FROM grid),
+        |s1 AS (
+        |  SELECT bit, i,
+        |    (CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616::HUGEINT ELSE x::HUGEINT END) AS z
+        |  FROM (SELECT bit, i,
+        |    xor(CASE WHEN z >= 9223372036854775808::HUGEINT THEN (z - 18446744073709551616::HUGEINT)::BIGINT ELSE z::BIGINT END,
+        |        CASE WHEN z // 1073741824::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN (z // 1073741824::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+        |             ELSE (z // 1073741824::HUGEINT)::BIGINT END) AS x FROM h0)),
+        |m1 AS (
+        |  SELECT bit, i,
+        |    ((z * 484763065::HUGEINT) % 18446744073709551616::HUGEINT
+        |     + ((z * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS z
+        |  FROM s1),
+        |s2 AS (
+        |  SELECT bit, i,
+        |    (CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616::HUGEINT ELSE x::HUGEINT END) AS z
+        |  FROM (SELECT bit, i,
+        |    xor(CASE WHEN z >= 9223372036854775808::HUGEINT THEN (z - 18446744073709551616::HUGEINT)::BIGINT ELSE z::BIGINT END,
+        |        CASE WHEN z // 134217728::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN (z // 134217728::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+        |             ELSE (z // 134217728::HUGEINT)::BIGINT END) AS x FROM m1)),
+        |m2 AS (
+        |  SELECT bit, i,
+        |    ((z * 321982955::HUGEINT) % 18446744073709551616::HUGEINT
+        |     + ((z * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS z
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT bit, i,
+        |    (CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616::HUGEINT ELSE x::HUGEINT END) AS z
+        |  FROM (SELECT bit, i,
+        |    xor(CASE WHEN z >= 9223372036854775808::HUGEINT THEN (z - 18446744073709551616::HUGEINT)::BIGINT ELSE z::BIGINT END,
+        |        CASE WHEN z // 2147483648::HUGEINT >= 9223372036854775808::HUGEINT
+        |             THEN (z // 2147483648::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+        |             ELSE (z // 2147483648::HUGEINT)::BIGINT END) AS x FROM m2)),
+        |rf AS (
+        |  SELECT bit, list(((z // 2048::HUGEINT)::DOUBLE / 9007199254740992.0 - 0.5) ORDER BY i) AS rl
+        |  FROM s3 GROUP BY bit),
+        |bits AS (
+        |  SELECT e.vec_id, rf.bit,
+        |    (list_sum(list_transform(range(1, 65), k -> e.embedding[k]::DOUBLE * rf.rl[k])) >= 0)::INT AS s
+        |  FROM embeddings e, rf),
+        |sigs AS (SELECT vec_id, list(s ORDER BY bit) AS sig FROM bits GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, sig AS q_sig FROM sigs WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |pre AS (
+        |  SELECT q.q_id, s.vec_id,
+        |    list_sum(list_transform(range(1, 513), k -> (q.q_sig[k] <> s.sig[k])::INT)) AS hd
+        |  FROM sigs s, q WHERE s.vec_id <> q.q_id),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS hrnk
+        |    FROM pre) WHERE hrnk <= 64),
+        |qe AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |scored AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> qe.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(qe.qv, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN qe ON qe.q_id = c.q_id)
+        |SELECT q_id, vec_id, cos, rnk FROM (
+        |  SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
     // Extends the k-means chain with the md5-ordered per-cell pick.
     "q_cluster_sample" -> (KMeansDataflow.oracleCtes(8, 3) +
       """
