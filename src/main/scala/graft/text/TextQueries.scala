@@ -227,9 +227,11 @@ object TextQueries {
   /** Driver query: width-adaptive multi-band blocking at Hamming ≤ 16
     * — 16-bit bands at the 500-doc test corpora (Manku et al.'s
     * production 4-way split), widening as the corpus grows so
-    * candidate generation stays near-linear. Rows-only (no SQL
-    * oracle); recall is spec-tested against brute force and the
-    * width dial is spec-pinned in SimRecallSpec.
+    * candidate generation stays near-linear. Oracle-checked as of
+    * round 10 (the oracle re-derives signatures and bands in SQL,
+    * pinned to the adaptive rule's width at the gate corpus); recall
+    * is spec-tested against brute force and the width dial is
+    * spec-pinned in SimRecallSpec.
     *
     * Adaptive width needs only the order of magnitude of the corpus
     * size — at 100 TB pass `knownRows` from catalog stats (ANALYZE
@@ -1394,6 +1396,52 @@ object TextQueries {
         |    / len(string_split(text, ' ')) AS stop_ratio,
         |  len(regexp_extract_all(text, '[.,!?]'))::DOUBLE / length(text) AS punct_ratio
         |FROM documents""".stripMargin,
+    // Simhash blocking re-derived end to end (upgraded from rows-only
+    // in round 10): same FNV/vote machinery as q_text_fingerprint's
+    // oracle, band split hardcoded to the adaptive rule's value AT THE
+    // GATE CORPUS (500 docs -> 4 bands of 16 bits; the Spark side
+    // widens with corpus size), pair emitted once per any equal band
+    // (DISTINCT ≡ the plan's first-equal-band rule), hd via
+    // bit_count(xor). Verified pair-for-pair (2,483 rows) vs the
+    // codegen'd expressions before landing.
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(tk) + 1),
+        |          i -> ascii(substr(tk, i, 1))::BIGINT)),
+        |      (h, b) -> (((h - h % 256) + xor((h % 256)::BIGINT, b)::HUGEINT)
+        |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (h // (2 ** b.bit)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sigs AS (
+        |  SELECT d.doc_id,
+        |    coalesce((SELECT sum(CASE WHEN vote > 0 THEN (2 ** bit)::HUGEINT ELSE 0::HUGEINT END)
+        |              FROM bits WHERE bits.doc_id = d.doc_id), 0::HUGEINT) AS usig
+        |  FROM documents d),
+        |bands AS (
+        |  SELECT doc_id, usig, b.bd,
+        |    ((usig // (2 ** (16 * b.bd))::HUGEINT) % 65536::HUGEINT)::BIGINT AS bval
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS bd) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.usig AS ua, b.usig AS ub
+        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  bit_count(xor(
+        |    CASE WHEN ua >= 9223372036854775808::HUGEINT THEN (ua - 18446744073709551616::HUGEINT)::BIGINT ELSE ua::BIGINT END,
+        |    CASE WHEN ub >= 9223372036854775808::HUGEINT THEN (ub - 18446744073709551616::HUGEINT)::BIGINT ELSE ub::BIGINT END))::INT AS hd
+        |FROM pairs
+        |WHERE bit_count(xor(
+        |    CASE WHEN ua >= 9223372036854775808::HUGEINT THEN (ua - 18446744073709551616::HUGEINT)::BIGINT ELSE ua::BIGINT END,
+        |    CASE WHEN ub >= 9223372036854775808::HUGEINT THEN (ub - 18446744073709551616::HUGEINT)::BIGINT ELSE ub::BIGINT END)) <= 16""".stripMargin,
     // FNV-1a re-derived byte-for-byte in SQL (the corpus is pure
     // ASCII, verified: 0 docs where octet_length <> length): HUGEINT
     // fold with mod-2^64 wraparound, xor emulated on the low byte
