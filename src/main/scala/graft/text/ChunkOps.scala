@@ -85,6 +85,66 @@ object ChunkOps {
         (col("raw") > 1e-9).as("label"))
   }
 
+  /** First-fit-decreasing sequence packing with a BOUNDED open-bin
+    * buffer — the padding-minimizing packer (vs
+    * [[TextQueries.packSequences]]' sequential chunker, which splits
+    * docs across boundaries; this one keeps every doc whole and
+    * minimizes pad tokens). Per shard, docs arrive longest-first and
+    * first-fit into 512-token bins; at most `openBins` bins stay
+    * open — when the buffer is full the tightest (least-remaining)
+    * bin closes, which is what makes the state O(openBins) however
+    * large the shard is (the streaming-packer trick; unbounded FFD
+    * state grows with the shard). Deterministic: the shard hash, the
+    * (n_tok desc, doc_id) order and first-fit are all
+    * order-functions of the input — mapPartitions here is genuinely
+    * imperative per-partition logic, the documented last-resort case.
+    * Each partition holds whole shards (repartition by shard,
+    * sort-within by (shard, len desc, id)); docs longer than the cap
+    * are clamped (this corpus tops out far below 512 — a real corpus
+    * runs [[chunkOverlap]] first).
+    */
+  def packBestFit(s: SparkSession, dir: String,
+      cap: Int = 512, nShards: Int = 8, openBins: Int = 16): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")), lit(cap)).as("n_tok"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("int"), lit(nShards)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("shard"))
+      .as[(Long, Int, Int)]
+    docs.mapPartitions { it =>
+      var shard = -1
+      var nextBin = 0
+      // open bins: (binId, usedTokens), insertion-ordered for first-fit
+      var bins = Vector.empty[(Int, Int)]
+      it.map { case (docId, nTok, sh) =>
+        if (sh != shard) { shard = sh; nextBin = 0; bins = Vector.empty }
+        val fit = bins.indexWhere { case (_, used) => used + nTok <= cap }
+        val (binId, offset) =
+          if (fit >= 0) {
+            val (b, used) = bins(fit)
+            bins = bins.updated(fit, (b, used + nTok))
+            (b, used)
+          } else {
+            if (bins.size >= openBins) {
+              // close the tightest bin — least remaining capacity
+              val evict = bins.zipWithIndex.minBy { case ((_, used), i) => (cap - used, i) }._2
+              bins = bins.patch(evict, Nil, 1)
+            }
+            val b = nextBin
+            nextBin += 1
+            bins = bins :+ ((b, nTok))
+            (b, 0)
+          }
+        (docId, sh, binId, offset, nTok)
+      }
+    }.toDF("doc_id", "shard", "bin", "offset", "n_tok")
+  }
+
   /** Adjacent-token pair frequencies — the selection statistic of a
     * BPE merge step, ranked. One explode + one count shuffle whose
     * keys are DISTINCT pairs (map-side partial agg collapses the
@@ -205,6 +265,7 @@ object ChunkOps {
     "q_bpe_pairs" -> ((s: SparkSession, d: String) => bpePairs(s, d)),
     "q_bpe_merges" -> ((s: SparkSession, d: String) =>
       bpeLearn(s, Tables.load(s, d, "documents"))),
+    "q_pack_bestfit" -> ((s: SparkSession, d: String) => packBestFit(s, d)),
     "q_bpe_encode" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
       // learn-then-encode composition; the merge table is the bounded

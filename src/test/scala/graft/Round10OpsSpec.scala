@@ -137,6 +137,31 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.getBoolean(3) == (wt > 1e-9))
   }
 
+  test("best-fit packer: first-fit-decreasing with whole docs, hand-computed bins") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("ffd").toString
+    Seq(doc(1, 300), doc(2, 300), doc(3, 212), doc(4, 212), doc(5, 100))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ChunkOps.packBestFit(spark, dir, cap = 512, nShards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    // FFD: 300->bin0, 300->bin1, 212 fills bin0, 212 fills bin1, 100->bin2
+    assert(out == Map(1L -> ((0, 0)), 2L -> ((1, 0)),
+      3L -> ((0, 300)), 4L -> ((1, 300)), 5L -> ((2, 0))))
+  }
+
+  test("best-fit packer: bounded open-bin buffer evicts the tightest bin") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("ffd1").toString
+    Seq(doc(1, 6), doc(2, 5), doc(3, 4), doc(4, 3))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ChunkOps.packBestFit(spark, dir, cap = 10, nShards = 1, openBins = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    // 6->bin0; 5 can't fit, bin0 evicted, ->bin1; 4 fits bin1 at 5; 3 -> bin2
+    assert(out == Map(1L -> ((0, 0)), 2L -> ((1, 0)), 3L -> ((1, 5)), 4L -> ((2, 0))))
+  }
+
   test("BPE learns the classic merge sequence on a hand-computed vocab") {
     val docs = Seq((1L, "ab ab ab abc")).toDF("doc_id", "text")
     val merges = ChunkOps.bpeLearn(spark, docs, nMerges = 5)
