@@ -320,6 +320,61 @@ object SelectionQueries {
       dsirBuckets(stream, buckets))
 
   // ---------------------------------------------------------------
+  // Round-10 curation funnel
+  // ---------------------------------------------------------------
+
+  /** The round-10 curation FUNNEL end to end: Gopher quality gate →
+    * exact-substring redaction of the survivors → DSIR importance
+    * selection on the REDACTED text — each stage semantically
+    * identical to its standalone operator (the pipelineE2e
+    * composition discipline), reported as a 4-row (stage, docs,
+    * tokens) funnel. Plan shape: the gate fuses into the scan, the
+    * redaction pays its one gram-hash exchange over only the GATED
+    * slice, the DSIR models aggregate the redacted token stream to
+    * ≤B rows and broadcast back, and the funnel is four 1-row
+    * aggregates — no stage rescans the corpus.
+    */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val gated = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok0", size(col("toks")))
+      .withColumn("awl",
+        aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).cast("double")
+          / col("n_tok0"))
+      .withColumn("alpha_ratio",
+        size(filter(col("toks"), x => x.rlike("[a-zA-Z]"))).cast("double")
+          / col("n_tok0"))
+      .withColumn("stop_hits",
+        size(filter(col("toks"),
+          x => x.isin(Seq("the", "a", "of", "and", "to").map(lit): _*).cast("boolean"))))
+      .filter(col("n_tok0") >= 30 && col("awl") >= 3.0 && col("awl") <= 10.0 &&
+        col("alpha_ratio") >= 0.9 && col("stop_hits") >= 1)
+      .select(col("doc_id"), col("text"), col("source"))
+      .persist()
+    val red = SubstringDedup.dedupSubstringCore(
+        gated.select(col("doc_id"), col("text")), L = 16)
+      .persist()
+    val dsDocs = red.select(col("doc_id"), col("kept_text").as("text"))
+      .join(gated.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val keepers = dsirScore(dsirModel(s, dsDocs), dsirBuckets(dsDocs, 1024))
+      .filter(col("keep"))
+      .select(col("doc_id"))
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val funnel =
+      row("raw", docs.select(size(split(col("text"), " ")).as("nt")))
+        .union(row("quality", gated.select(size(split(col("text"), " ")).as("nt"))))
+        .union(row("substring_dedup",
+          red.select((col("n_tok") - col("n_removed")).as("nt"))))
+        .union(row("dsir",
+          red.join(keepers, Seq("doc_id"))
+            .select((col("n_tok") - col("n_removed")).as("nt"))))
+    funnel
+  }
+
+  // ---------------------------------------------------------------
   // Selection-stack composition
   // ---------------------------------------------------------------
 
@@ -360,7 +415,8 @@ object SelectionQueries {
     "q_text_clean"         -> (cleanText _),
     "q_token_budget"       -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
     "q_text_winnow"        -> (winnowFingerprints _),
-    "q_dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)))
+    "q_dsir_select"        -> ((s: SparkSession, d: String) => dsirSelect(s, d)),
+    "q_pipeline_curate"    -> ((s: SparkSession, d: String) => pipelineCurate(s, d)))
 
   private[text] val logitSql =
     """list_sum(list_transform(l, x ->
@@ -469,5 +525,74 @@ object SelectionQueries {
         |SELECT t.doc_id, count(*) AS n_tok, sum(m.w) AS logw,
         |  sum(m.w) > 0.000000001 AS keep
         |FROM toks t JOIN model m USING (b)
-        |GROUP BY t.doc_id""".stripMargin)
+        |GROUP BY t.doc_id""".stripMargin,
+    "q_pipeline_curate" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text, source
+        |  FROM (
+        |    SELECT doc_id, text, source,
+        |      len(string_split(text, ' ')) AS n_tok0,
+        |      list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |        / len(string_split(text, ' ')) AS awl,
+        |      len(list_filter(string_split(text, ' '),
+        |          x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+        |        / len(string_split(text, ' ')) AS alpha_ratio,
+        |      len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits
+        |    FROM documents)
+        |  WHERE n_tok0 >= 30 AND awl >= 3.0 AND awl <= 10.0
+        |    AND alpha_ratio >= 0.9 AND stop_hits >= 1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM gated),
+        |grams AS (
+        |  SELECT doc_id, i AS p,
+        |    ('0x' || substr(md5(array_to_string(tk[(i+1):(i+16)], ' ')), 1, 15))::BIGINT AS gh
+        |  FROM toks, unnest(generate_series(0, len(tk) - 16)) AS t(i)
+        |  WHERE len(tk) >= 16),
+        |dup AS (
+        |  SELECT doc_id, p, row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+        |  FROM grams),
+        |rem AS (
+        |  SELECT DISTINCT d.doc_id, u.rp
+        |  FROM dup d, unnest(generate_series(d.p, d.p + 15)) AS u(rp)
+        |  WHERE d.rn > 1),
+        |ragg AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+        |red AS (
+        |  SELECT t.doc_id, len(t.tk) AS n_tok, coalesce(r.n_removed, 0) AS n_removed
+        |  FROM toks t LEFT JOIN ragg r USING (doc_id)),
+        |pos AS (
+        |  SELECT t.doc_id, u.i, t.tk[u.i] AS tok
+        |  FROM toks t, unnest(generate_series(1, len(t.tk))) AS u(i)),
+        |keptt AS (
+        |  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS txt
+        |  FROM pos p LEFT JOIN rem ON rem.doc_id = p.doc_id AND rem.rp = p.i - 1
+        |  WHERE rem.rp IS NULL GROUP BY p.doc_id),
+        |dsdocs AS (
+        |  SELECT r.doc_id, coalesce(k.txt, '') AS text, g.source
+        |  FROM red r LEFT JOIN keptt k USING (doc_id) JOIN gated g USING (doc_id)),
+        |dtoks AS (
+        |  SELECT doc_id, source, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM dsdocs)),
+        |tot AS (
+        |  SELECT count(*) AS ns, count(*) FILTER (WHERE source = 'src0') AS nt FROM dtoks),
+        |csx AS (SELECT b, count(*) AS cs FROM dtoks GROUP BY b),
+        |ctx AS (SELECT b, count(*) AS ct FROM dtoks WHERE source = 'src0' GROUP BY b),
+        |model AS (
+        |  SELECT g.b,
+        |    ln((coalesce(ctx.ct, 0) + 0.01) / (tot.nt + 0.01 * 1024)) -
+        |    ln((coalesce(csx.cs, 0) + 0.01) / (tot.ns + 0.01 * 1024)) AS w
+        |  FROM generate_series(0, 1023) AS g(b)
+        |  LEFT JOIN csx USING (b) LEFT JOIN ctx USING (b), tot),
+        |sc AS (
+        |  SELECT t.doc_id, sum(m.w) AS logw
+        |  FROM dtoks t JOIN model m USING (b) GROUP BY t.doc_id),
+        |keepers AS (SELECT doc_id FROM sc WHERE logw > 0.000000001)
+        |SELECT 'raw' AS stage, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM documents
+        |UNION ALL
+        |SELECT 'quality', count(*), sum(len(string_split(text, ' ')))::BIGINT FROM gated
+        |UNION ALL
+        |SELECT 'substring_dedup', count(*), sum(n_tok - n_removed)::BIGINT FROM red
+        |UNION ALL
+        |SELECT 'dsir', count(*), sum(n_tok - n_removed)::BIGINT
+        |FROM red JOIN keepers USING (doc_id)""".stripMargin)
 }

@@ -76,7 +76,8 @@ object DumpPlans {
     "q_cluster_sample" -> "cluster-balanced sampling: the k-means fit's map-only assignment feeds a cell-partitioned rank<=2 that plans as WindowGroupLimit — map tasks forward only their local top-2 per cell, so no cluster ever sorts corpus-wide; the md5 ordering is the engine-reproducible pseudo-random pick",
     "q_dedup_fuzzy" -> "fuzzy edit-distance dedup: 8-gram blocking is one gram-hash aggregate (the df<=20 stop-gram cut kills boilerplate skew BEFORE pairing), the candidate self-join runs on rare grams only, and the Levenshtein verify is a map stage over candidate pairs — verify cost tracks candidates, never the corpus",
     "q_graph_cc" -> "graph connected components: the co-purchase edge mining feeds the dedup family's hash-min/pointer-jump closure — iterative equi-joins at graph-sized parallelism with per-round lineage truncation; the one operator family here that is deliberately NOT one job (open-ended fixpoint loop, convergence-checked per round)",
-    "q_pack_bestfit" -> "best-fit sequence packing: repartition by shard + sort-within-partitions (shard, len desc) + one mapPartitions pass holding O(openBins) state — whole docs, minimized padding, no global sort; the genuinely-imperative per-partition case where mapPartitions is the right tool")
+    "q_pack_bestfit" -> "best-fit sequence packing: repartition by shard + sort-within-partitions (shard, len desc) + one mapPartitions pass holding O(openBins) state — whole docs, minimized padding, no global sort; the genuinely-imperative per-partition case where mapPartitions is the right tool",
+    "q_pipeline_curate" -> "curation funnel (gate → substring redaction → DSIR): the quality gate fuses into the scan, the redaction's gram exchange covers only the GATED slice, the DSIR models collapse the redacted token stream to <=1024 rows and broadcast back, and the funnel is four 1-row aggregates — three-operator composition without a corpus rescan")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a
