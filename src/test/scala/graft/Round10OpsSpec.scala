@@ -195,6 +195,17 @@ class Round10OpsSpec extends SparkSpec {
     assert(raw.getLong(2) == 8L)
   }
 
+  test("curation funnel is monotone: each stage keeps a subset of the previous") {
+    val rows = graft.text.SelectionQueries.pipelineCurate(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("raw", "quality", "substring_dedup", "dsir"))
+    assert(rows("raw")._1 >= rows("quality")._1)
+    assert(rows("quality")._1 == rows("substring_dedup")._1) // redaction drops tokens, not docs
+    assert(rows("substring_dedup")._1 >= rows("dsir")._1)
+    assert(rows("quality")._2 >= rows("substring_dedup")._2)  // tokens only shrink
+    assert(rows("raw")._1 > 0 && rows("dsir")._2 >= 0)
+  }
+
   test("DSIR ranks target-like docs above off-distribution docs") {
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
     Seq((1L, "alpha alpha alpha", "src0"),
