@@ -79,6 +79,40 @@ object GraphQueries {
     r.select(col("node"), col("rank"))
   }
 
+  /** Personalized PageRank (the random-walk-with-restart variant:
+    * all teleport mass returns to a SEED node instead of spreading
+    * uniformly — "importance relative to this entity", the
+    * recommendation / fraud-neighborhood query). Seed = the minimum
+    * node id (deterministic, the SSSP convention); same one-job
+    * linear-chain shape as [[pageRankOnEdges]]. Total mass stays
+    * exactly 1 per round (no dangling nodes by construction), which
+    * the spec pins.
+    */
+  def personalizedPageRank(s: SparkSession, dir: String,
+      iters: Int = 5, d: Double = 0.85): DataFrame =
+    pprOnEdges(bipartiteEdges(s, dir), iters, d)
+
+  /** Core over any distinct (src, dst) undirected edge frame. */
+  def pprOnEdges(e0: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, Seq("src")).persist()
+    val nodes = deg.select(col("src").as("node")).persist()
+    val seed = e.agg(min(col("src"))).head().getLong(0) // 1-row scalar seed
+    var r = nodes.withColumn("rank",
+      when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, lit(1 - d)).otherwise(lit(0.0)) +
+            lit(d) * coalesce(col("cs"), lit(0.0))).as("rank"))
+    }
+    r.select(col("node"), col("rank"))
+  }
+
   /** Triangle count on the supplier co-purchase graph (suppliers
     * linked when they serve >= `minShared` common orders — the
     * support threshold every production co-occurrence graph applies,
@@ -285,7 +319,35 @@ object GraphQueries {
        |SELECT node, label FROM l$iters""".stripMargin
   }
 
+  // Unrolled personalized-PageRank rounds for the DuckDB oracle.
+  private def pprOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT nsd.node,
+         |    (CASE WHEN nsd.node = nsd.seed THEN 0.15 ELSE 0 END)
+         |      + 0.85 * coalesce(s.cs, 0) AS rank
+         |  FROM nsd LEFT JOIN (
+         |    SELECT ed.dst AS node, sum(p${i - 1}.rank / ed.deg) AS cs
+         |    FROM ed JOIN p${i - 1} ON ed.src = p${i - 1}.node
+         |    GROUP BY ed.dst) s ON s.node = nsd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |n AS (SELECT src AS node FROM deg),
+       |sd AS (SELECT min(src) AS seed FROM e),
+       |nsd AS (SELECT n.node, sd.seed FROM n, sd),
+       |p0 AS (SELECT node, (CASE WHEN node = seed THEN 1.0 ELSE 0.0 END) AS rank
+       |       FROM nsd),
+       |$rounds
+       |SELECT node, rank FROM p$iters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_ppr" -> ((s: SparkSession, d: String) => personalizedPageRank(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => degrees(s, d)),
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q_graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)),
@@ -301,6 +363,7 @@ object GraphQueries {
         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
         |SELECT src AS node, count(*) AS degree FROM e GROUP BY src""".stripMargin,
     "q_graph_pagerank" -> prOracle(5),
+    "q_graph_ppr" -> pprOracle(5),
     "q_graph_sssp" -> ssspOracle(6),
     "q_graph_labelprop" -> lpOracle(3),
     "q_graph_cc" ->

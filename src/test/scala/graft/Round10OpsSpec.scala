@@ -274,6 +274,18 @@ class Round10OpsSpec extends SparkSpec {
     assert(math.abs(r(3L) - 0.575) < 1e-9)
   }
 
+  test("personalized PageRank restarts at the seed and conserves unit mass") {
+    val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = GraphQueries.pprOnEdges(e0, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // seed=1: p0 = (1,0,0); p1(1)=0.15, p1(2)=0.85*(1/1)=0.85, p1(3)=0
+    assert(math.abs(r1(1L) - 0.15) < 1e-9)
+    assert(math.abs(r1(2L) - 0.85) < 1e-9)
+    assert(math.abs(r1(3L) - 0.0) < 1e-9)
+    val r5 = GraphQueries.pprOnEdges(e0, iters = 5).collect().map(_.getDouble(1))
+    assert(math.abs(r5.sum - 1.0) < 1e-9) // restart-to-seed keeps unit mass
+  }
+
   test("PageRank conserves total mass on a regular graph") {
     // 4-cycle: every node keeps rank exactly 1.0 at every iteration
     val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
