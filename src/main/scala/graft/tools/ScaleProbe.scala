@@ -142,7 +142,7 @@ object ScaleProbe {
       "q_bpe_pairs", "q_graph_degree", "q_graph_pagerank",
       "q_graph_triangles", "q_graph_sssp", "q_graph_labelprop",
       "q_dsir_select", "q_cluster_sample", "q_dedup_fuzzy", "q_graph_cc",
-      "q_pipeline_curate", "q_pack_bestfit")
+      "q_pipeline_curate", "q_pack_bestfit", "q_graph_ppr")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
