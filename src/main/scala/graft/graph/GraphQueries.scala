@@ -45,11 +45,12 @@ object GraphQueries {
     * directed edge. One round = join(ranks, out-edges) -> per-target
     * sum — two shuffles over edge-sized data, the degree pre-joined
     * into the edge table ONCE so the loop body never recomputes it.
-    * Ranks persist per round and the previous round unpersists, so
-    * lineage stays one round deep (the [[graft.text.DedupCluster]]
-    * iteration discipline; swap persist for reliable checkpoints on
-    * a cluster). No driver-side data: the loop is a fixed count, the
-    * only action is the per-round materialization.
+    * The rank chain is deliberately LAZY and LINEAR: no per-round
+    * persist or action, so the whole fixed-iteration loop plans as
+    * ONE job (see the body comment) — only the multiply-consumed
+    * edge/node tables cache. An open-ended fixpoint run would switch
+    * to the [[graft.text.DedupCluster]] per-round-checkpoint
+    * discipline instead.
     */
   def pageRank(s: SparkSession, dir: String, iters: Int = 5, d: Double = 0.85): DataFrame =
     pageRankOnEdges(bipartiteEdges(s, dir), iters, d)
@@ -98,7 +99,9 @@ object GraphQueries {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, Seq("src")).persist()
     val nodes = deg.select(col("src").as("node")).persist()
-    val seed = e.agg(min(col("src"))).head().getLong(0) // 1-row scalar seed
+    // 1-row scalar seed; Number-generic so int/bigint src columns both
+    // satisfy the any-edge-frame contract
+    val seed = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
     var r = nodes.withColumn("rank",
       when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)))
     for (_ <- 1 to iters) {
@@ -203,13 +206,19 @@ object GraphQueries {
   /** Core over any distinct (src, dst) undirected edge frame. */
   def ssspOnEdges(e0: DataFrame, maxHops: Int = 6): DataFrame = {
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    // 1-row scalar: the deterministic source seed, not a data collect
-    val source = e.agg(min(col("src"))).head().getLong(0)
+    // 1-row scalar: the deterministic source seed, not a data collect;
+    // Number-generic so int/bigint src columns both work
+    val source = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
     // Each round's dist feeds TWO consumers (the relax join and the
     // union) — the lazy per-round persist makes both read one cached
     // copy inside the single final job; without it recompute doubles
     // per round. No per-round count(): the loop still plans as ONE
-    // job with 2 exchanges per round instead of maxHops jobs.
+    // job with 2 exchanges per round instead of maxHops jobs. The
+    // cached frames are BOUNDED at maxHops by construction (an
+    // unpersist before the final action would just disable the cache,
+    // not free it — nothing has materialized yet); an open-ended
+    // sweep must use [[ssspFixpointOnEdges]], which materializes
+    // eagerly and unpersists behind itself.
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"))
     for (_ <- 1 to maxHops) {
@@ -222,13 +231,52 @@ object GraphQueries {
     dist
   }
 
+  /** Unbounded-diameter SSSP run to a FIXPOINT — the variant the
+    * bounded-hop scaladoc invites, with the open-ended-loop
+    * discipline it requires ([[graft.text.DedupCluster]]): each round
+    * materializes via localCheckpoint (truncating lineage so the plan
+    * does not grow by a join per round — swap for reliable
+    * checkpoints on a cluster), the convergence probe rides the same
+    * materialization (one count of changed nodes), and the superseded
+    * round UNPERSISTS behind the loop so the driver holds at most two
+    * cached frames no matter the graph diameter. Converges in
+    * O(diameter) rounds; identical output to [[ssspOnEdges]] with
+    * maxHops >= diameter (spec-pinned in Round10OpsSpec).
+    */
+  def ssspFixpointOnEdges(e0: DataFrame): DataFrame = {
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val source = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .union(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val improved = next.as("n")
+        .join(dist.as("p"), col("n.node") === col("p.node"), "left")
+        .filter(col("p.node").isNull || col("n.dist") < col("p.dist"))
+        .limit(1).count()
+      dist.unpersist()
+      dist = next
+      converged = improved == 0
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Label-propagation community detection (Raghavan et al. 2007;
     * Gelly ships it as LabelPropagation): labels start as node ids;
     * each synchronous round every node adopts its neighbors' most
-    * frequent label, ties to the smallest label — both rules exactly
-    * the reference library's, and what makes a fixed 3-round run
-    * engine-deterministic (oracle-checkable, which float-free LPA
-    * permits and most graph libs' async/randomized variants do not).
+    * frequent label, frequency ties broken DETERMINISTICALLY to the
+    * smallest label — a convention this engine fixes (published LPA
+    * leaves tie order unspecified and library variants differ), and
+    * what makes a fixed 3-round run engine-deterministic
+    * (oracle-checkable, which float-free LPA permits and most graph
+    * libs' async/randomized variants do not).
     * One round = edges⋈labels + a (node,label) count + a per-node
     * argmax window — all edge-bounded shuffles.
     */

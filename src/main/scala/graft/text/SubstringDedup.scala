@@ -173,7 +173,12 @@ object SubstringDedup {
     * pairing (the stop-gram cut, [[graft.text.DedupCluster]]'s
     * skew-cap convention — a boilerplate gram in 10^8 docs would
     * otherwise mint df^2/2 pairs), and each surviving pair pays one
-    * exact Levenshtein verify (identical DP in Spark and DuckDB).
+    * THRESHOLD-BOUNDED Levenshtein verify: Spark's 3-arg
+    * `levenshtein(l, r, bound)` runs the banded DP — O(bound·len)
+    * per pair with early exit, returning -1 past the bound — so a
+    * 100 KB × 100 KB candidate pair costs ~2·10^6 cells instead of
+    * the full DP's 10^10. The DuckDB oracle keeps the unbounded DP
+    * plus the same `<= maxDist` filter: identical survivors.
     * Verify cost tracks the CANDIDATE count, never the corpus;
     * candidate count tracks real duplication plus a capped
     * boilerplate tail.
@@ -201,8 +206,8 @@ object SubstringDedup {
     cands
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

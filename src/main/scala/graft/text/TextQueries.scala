@@ -655,17 +655,24 @@ object TextQueries {
     * identically.
     *
     * `minCount` is the SIZE dial, not a fixed production constant:
-    * the truncated model must fit the broadcast budget
-    * (spark.sql.autoBroadcastJoinThreshold / executor memory), so at
-    * corpus scale the floor is tuned UP until the surviving-gram
-    * count does — under Zipf the model shrinks roughly geometrically
-    * in the floor, so a floor in the tens suffices at web scale where
-    * floor=2 (fine for the test corpora) would still leave a model
-    * far beyond any broadcast limit. Callers who cannot bound the
-    * model should fall back to [[lmPerplexity]]'s shuffle joins —
-    * same scores, exchange-bound plan.
+    * under Zipf the model shrinks roughly geometrically in the floor,
+    * so a floor in the tens suffices at web scale where floor=2 (fine
+    * for the test corpora) would still leave a model far beyond any
+    * broadcast limit. The broadcast hint is therefore GATED, not
+    * unconditional: the truncated model's row count (caller-supplied
+    * `knownModelRows` from catalog stats at scale, one counting pass
+    * over the already-truncated aggregates otherwise — the
+    * [[dedupSimhash]]/`nearDupPairs` knownRows convention) times a
+    * conservative 64-byte row width must fit `broadcastCapBytes`
+    * (default mirrors Spark's 10 MB autoBroadcastJoinThreshold).
+    * A model past the cap falls back to [[lmPerplexity]]-style plain
+    * joins — identical scores, exchange-bound plan — instead of an
+    * executor-OOMing forced broadcast. Both plan shapes are pinned in
+    * PipelineOpsSpec ("broadcast hint is gated").
     */
-  def lmPerplexityTruncated(s: SparkSession, dir: String, minCount: Int = 2): DataFrame = {
+  def lmPerplexityTruncated(s: SparkSession, dir: String, minCount: Int = 2,
+      broadcastCapBytes: Long = 10L << 20,
+      knownModelRows: Option[Long] = None): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("l"))
     val uni = toks.select(explode(col("l")).as("w1"))
@@ -679,8 +686,16 @@ object TextQueries {
     val cbT = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minCount)
     val uniT = uni.filter(col("cu") >= minCount)
-    bg.join(broadcast(cbT), Seq("w1", "w2"), "left")
-      .join(broadcast(uniT), Seq("w1"), "left")
+    // Gate the broadcast on estimated model size: rows × 64 B
+    // (two short tokens + a long + struct overhead, deliberately
+    // conservative). The fallback count runs the truncated
+    // aggregates once extra at gate scale; at 100 TB the caller
+    // passes knownModelRows and no action fires here.
+    val modelRows = knownModelRows.getOrElse(cbT.count() + uniT.count())
+    val fits = modelRows * 64L <= broadcastCapBytes
+    val hint = (d: DataFrame) => if (fits) broadcast(d) else d
+    bg.join(hint(cbT), Seq("w1", "w2"), "left")
+      .join(hint(uniT), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
         log((coalesce(col("cb"), lit(0L)) + 0.5) /
@@ -1398,12 +1413,14 @@ object TextQueries {
         |FROM documents""".stripMargin,
     // Simhash blocking re-derived end to end (upgraded from rows-only
     // in round 10): same FNV/vote machinery as q_text_fingerprint's
-    // oracle, band split hardcoded to the adaptive rule's value AT THE
-    // GATE CORPUS (500 docs -> 4 bands of 16 bits; the Spark side
-    // widens with corpus size), pair emitted once per any equal band
-    // (DISTINCT ≡ the plan's first-equal-band rule), hd via
-    // bit_count(xor). Verified pair-for-pair (2,483 rows) vs the
-    // codegen'd expressions before landing.
+    // oracle, band split derived from count(documents) by the SAME
+    // adaptive rule as adaptiveSimhashBands (first w in 4/8/16/32
+    // with nDocs <= 2^w; 500 gate docs -> 4 bands of 16 bits), so the
+    // oracle tracks the Spark side at any scale factor instead of
+    // silently mismatching off the gate corpus. Pair emitted once per
+    // any equal band (DISTINCT ≡ the plan's first-equal-band rule),
+    // hd via bit_count(xor). Verified pair-for-pair (2,483 rows) vs
+    // the codegen'd expressions before landing.
     "q_dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
@@ -1427,10 +1444,16 @@ object TextQueries {
         |    coalesce((SELECT sum(CASE WHEN vote > 0 THEN (2 ** bit)::HUGEINT ELSE 0::HUGEINT END)
         |              FROM bits WHERE bits.doc_id = d.doc_id), 0::HUGEINT) AS usig
         |  FROM documents d),
+        |params AS (
+        |  SELECT w, 64 // w AS nb FROM (
+        |    SELECT CASE WHEN n <= 16 THEN 4 WHEN n <= 256 THEN 8
+        |                WHEN n <= 65536 THEN 16 ELSE 32 END AS w
+        |    FROM (SELECT count(*) AS n FROM documents))),
         |bands AS (
         |  SELECT doc_id, usig, b.bd,
-        |    ((usig // (2 ** (16 * b.bd))::HUGEINT) % 65536::HUGEINT)::BIGINT AS bval
-        |  FROM sigs, (SELECT unnest(range(0, 4)) AS bd) b),
+        |    ((usig // (2 ** (p.w * b.bd))::HUGEINT) % (2 ** p.w)::HUGEINT)::BIGINT AS bval
+        |  FROM sigs, params p, (SELECT unnest(range(0, 16)) AS bd) b
+        |  WHERE b.bd < p.nb),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.usig AS ua, b.usig AS ub
         |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bval = b.bval AND a.doc_id < b.doc_id)

@@ -56,7 +56,7 @@ object DumpPlans {
     "q_dedup_paragraph" -> "paragraph-level exact dedup (RefinedWeb/Gopher boilerplate cut): chunk explode map-side, keep-first as rank=1 over (chunk) — WindowGroupLimit forwards one row per chunk per map task BEFORE the exchange — then one groupBy(doc) reassembles survivors in order; two shuffles of the chunk stream, no corpus-wide sort",
     "q_shard_assign" -> "deterministic training-shard assignment: the md5 key IS the global shuffle (engine- and rerun-reproducible), realized shard-locally — the window partitions by shard, so each shard sorts 1/nShards of the corpus (the per-output-file sort a sharded writer already pays) and shard count scales with the cluster; no global sort",
     "q_pipeline_e2e" -> "five-stage curation pipeline (normalize → quality gate → dedup → split → report) composed from the individual operators: Catalyst fuses the map-only stages into the scan's codegen span, so the whole pipeline costs one corpus scan + the dedup shuffle + a 3-row aggregate — composition is free, not five jobs",
-    "q_lm_ppl_truncated" -> "truncated-broadcast LM: the doc bigram stream never shuffles — model lookups are BroadcastHashJoins, per-doc partials collapse map-side (explode keeps a doc's bigrams co-located), so the only exchanges under the scoring side carry one row per doc; the model aggregates shuffle distinct grams only",
+    "q_lm_ppl_truncated" -> "truncated-broadcast LM: the doc bigram stream never shuffles — model lookups are BroadcastHashJoins, per-doc partials collapse map-side (explode keeps a doc's bigrams co-located), so the only exchanges under the scoring side carry one row per doc; the model aggregates shuffle distinct grams only. The broadcast hint is SIZE-GATED (model rows x 64 B vs a 10 MB cap, knownModelRows from catalog stats at scale) — a model past the cap falls back to plain exchange joins instead of an executor-OOMing forced broadcast",
     "q_quality_classifier" -> "hashed-linear-model quality scoring (the fastText-style gate): the whole model evaluation — token hash → 1024-way feature bucket → integer weight → exact BIGINT fold — is ONE codegen'd projection; map-only, no shuffle, no UDF, and a learned model binds as a 2^k-entry broadcast with the identical plan shape",
     "q_token_budget" -> "token-budget selection WITHOUT a sort-by-score: the corpus-sized work is one groupBy(pbucket) aggregate (<= 256 rows by construction), the cumulative keep/drop fold runs on that bounded histogram, and per-bucket flags return as a BroadcastHashJoin — the naive ordered-cumsum is a single-partition window over the corpus, the 100 TB anti-pattern this plan avoids. The scored projection is cached (InMemoryRelation in the dump): it feeds both the histogram and the output join, and recomputing the md5-heavy scoring measured ~2x wall",
     "q_text_winnow" -> "winnowing fingerprints (Schleimer et al. SIGMOD'03): gram hashing, the w-window minima and the distinct fold all evaluate INSIDE one projection via higher-order functions — no explode, no shuffle; a 100 TB corpus fingerprints at scan speed, emitting ~2/(w+1) of gram hashes as the fingerprint set",
@@ -66,11 +66,11 @@ object DumpPlans {
     "q_dedup_keep_best" -> "cluster keep-best: the CC closure labels only clustered docs (a tiny table next to the corpus), every doc left-joins its label, quality scores ride the same scan, and the per-cluster argmax is ONE comp-partitioned window — each doc crosses the wire once; no corpus sort, no second scan",
     "q_sim_ivf_det" -> "deterministic IVF ANN: the probe ranks cells MAP-ONLY against k·d centroid literals (array_sort over codegen'd struct distances — no centroid join), candidate volume ≈ nProbe/nCells of the corpus via one broadcast equi-join on cell, exact cosine + WindowGroupLimit top-k on candidates only",
     "q_pipeline_select" -> "selection-stack composition (quality gate → token budget → shard assign → report): gate + scoring fuse into the scan's codegen span, the budget histogram is one bounded aggregate broadcast back, and the report aggregates the SELECTED slice — one corpus scan, a <=256-row exchange, one small final agg; the cached gated frame (InMemoryRelation) is the histogram/join dual-reference, the tokenBudget convention",
-    "q_dedup_substring" -> "exact-substring dedup (Lee et al. ExactSubstr as dataflow): sliding 60-bit gram hashes explode inside the scan's projection, ONE hash-shuffle window ranks global occurrences, rank>1 spans dissolve into per-doc removed-position sets (collect_set bounded by doc length), and the surviving text rebuilds in a map-side lambda against the original token array — the corpus-wide suffix array replaced by one corpus-tokens-sized exchange",
+    "q_dedup_substring" -> "exact-substring dedup (Lee et al. ExactSubstr as dataflow): sliding 60-bit gram hashes explode inside the scan's projection, ONE hash-shuffle window ranks global occurrences, rank>1 gram starts collect per doc (collect_list bounded by doc length) and fold into MERGED removal intervals inside one projection, and the surviving text rebuilds in a map-side lambda testing each token position against those intervals — the corpus-wide suffix array replaced by one corpus-tokens-sized exchange",
     "q_chunk_overlap" -> "overlapping chunker: the stride sequence + slice explode lives entirely in the scan's projection — map-only, zero exchanges, stream-identical; a 100 TB corpus chunks at scan speed",
     "q_classifier_hashed" -> "hashed linear classifier, the fastText SERVING join: token explode → bucket hash → BroadcastHashJoin against the 256-row weight table → one doc-keyed two-phase agg; a trained model of any 2^k size binds into the same broadcast slot with zero plan change",
     "q_bpe_pairs" -> "BPE pair statistic: adjacent-pair explode collapses map-side (partial agg carries DISTINCT pairs, not the token stream) before one exchange + TakeOrdered top-k with lexicographic ties",
-    "q_graph_pagerank" -> "PageRank round: ranks equi-join the degree-pre-joined edge table, per-target sums are partial+final — two edge-sized exchanges per round, degree computed ONCE, lineage cut to one round by per-round persists (reliable checkpoints on a cluster)",
+    "q_graph_pagerank" -> "PageRank round: ranks equi-join the degree-pre-joined edge table, per-target sums are partial+final — two edge-sized exchanges per round, degree computed ONCE; the rank chain is lazy and LINEAR (one consumer per round) so the whole fixed-iteration loop plans as a single job, only the multiply-read edge/node tables cache",
     "q_graph_triangles" -> "degree-ordered triangle count: orientation (low-degree -> high-degree endpoint) caps every node's out-degree at O(sqrt E), so the path-enumeration join e1(u,v)⋈e2(v,w) and the closing-edge join e3(u,w) are both bounded equi hash joins — the skew-killer that survives celebrity nodes at 100 TB; the support threshold keeps edge density scale-stable before any of it runs",
     "q_dsir_select" -> "DSIR importance selection: both hashed-ngram models are <=B-row aggregates (partial agg collapses the token stream to B buckets per map task BEFORE each exchange) and the scoring side is one BroadcastHashJoin + a doc-keyed two-phase agg — the corpus never shuffles wider than (doc_id, partials), the truncated-LM economics applied to data selection",
     "q_cluster_sample" -> "cluster-balanced sampling: the k-means fit's map-only assignment feeds a cell-partitioned rank<=2 that plans as WindowGroupLimit — map tasks forward only their local top-2 per cell, so no cluster ever sorts corpus-wide; the md5 ordering is the engine-reproducible pseudo-random pick",

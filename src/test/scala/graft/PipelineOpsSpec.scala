@@ -52,6 +52,7 @@ class PipelineOpsSpec extends SparkSpec {
       (12L, "fresh alpha"),   // intra-stream repeat -> reject
       (13L, "fresh beta"))    // new content -> ingest
       .toDF("doc_id", "text")
+      .repartition(7) // scramble partition/arrival order: the twin must not depend on it
     // Deterministic batch twin = dedupIncremental's min-doc_id
     // keep-first semantics (a batch dropDuplicates would keep an
     // ARBITRARY row per hash — partition/arrival-order dependent).
@@ -97,6 +98,30 @@ class PipelineOpsSpec extends SparkSpec {
       .select("avg_logp").as[Double].collect()
     assert(t2.forall(v => !v.isNaN && !v.isInfinite))
     assert(t2.distinct.length > t2.length / 2)
+  }
+
+  test("truncated-LM broadcast hint is gated on estimated model size") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // tiny gate corpus under the default 10 MB cap: model tables
+    // broadcast (2 hints) + the always-broadcast 1-row vocab = 3
+    val on = TextQueries.lmPerplexityTruncated(spark, sfDir)
+    assert(hints(on) == 3, s"expected gated-on hints, got ${hints(on)}")
+    // cap 0 = the 100 TB too-big-model path: only the vocab hint
+    // survives; the model tables fall back to plain (exchange) joins
+    val off = TextQueries.lmPerplexityTruncated(spark, sfDir, broadcastCapBytes = 0L)
+    assert(hints(off) == 1, s"expected gated-off hints, got ${hints(off)}")
+    // knownModelRows is trusted verbatim (catalog-stats path): a huge
+    // claimed model gates the hint off with no counting action
+    val stats = TextQueries.lmPerplexityTruncated(spark, sfDir,
+      knownModelRows = Some(1L << 40))
+    assert(hints(stats) == 1)
+    // both plan shapes score identically
+    val a = on.select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    val b = off.select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9) }
   }
 
   test("sequence packing math matches a per-shard reference fold") {

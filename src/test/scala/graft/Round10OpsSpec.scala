@@ -304,6 +304,23 @@ class Round10OpsSpec extends SparkSpec {
     assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 2)) // node 4 beyond the bound
   }
 
+  test("fixpoint SSSP converges to the bounded-hop result past the diameter") {
+    // chain of 5 (diameter 4) plus a disconnected pair {10,11}: the
+    // fixpoint loop must stop on its own and never reach 10/11
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("src", "dst")
+    val fp = GraphQueries.ssspFixpointOnEdges(e0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val bounded = GraphQueries.ssspOnEdges(e0, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(fp == bounded)
+    // int-typed edge frame satisfies the generic contract (Number seed)
+    val eInt = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val fpInt = GraphQueries.ssspFixpointOnEdges(eInt)
+      .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    assert(fpInt == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("label propagation separates two bridged triangles into two communities") {
     // triangles {1,2,3} and {4,5,6} with bridge (3,4); 3 synchronous
     // rounds of most-frequent-neighbor-label (ties to smallest) —
