@@ -174,8 +174,10 @@ object ChunkOps {
     * left `l` — `r` is nonempty — so the fold cannot cascade past
     * the sequential-scan semantics). Returns (rank, lhs, rhs, freq)
     * — the learned merge table in order. Spec-verified against a
-    * hand-computed fixture (ChunkOpsSpec); the corpus query is
-    * rows-only (iterative re-tokenization is not one SQL oracle).
+    * hand-computed fixture (ChunkOpsSpec); the merge-table query is
+    * rows-only (the per-round driver argmax is not one SQL statement)
+    * but the learn-then-encode composition IS oracle-checked end to
+    * end — see [[bpeEncodeOracle]].
     */
   /** Left-to-right non-overlapping merge of the pair (l, r) in the
     * `sym` array, as one SQL fold — shared by learn and encode.
@@ -275,7 +277,68 @@ object ChunkOps {
       bpeEncode(s, docs, merges)
     }))
 
+  /** DuckDB twin of learn-then-encode, unrolled `nMerges` rounds (the
+    * graph-oracle discipline). The splice fold is re-expressed as a
+    * left-to-right non-overlapping string replace over a delimited
+    * symbol encoding: a word's symbols render as
+    * `' ' || join(sym, '  ') || ' '` (single-space sentinels, double-
+    * space boundaries — symbols cannot contain spaces because words
+    * come from a space split), and one merge round is
+    * `replace(s, ' l  r ', ' lr ')`. SQL replace scans left to right
+    * and never rescans its own output, which is exactly the fold's
+    * greedy non-overlapping semantics (adjacent matches work because
+    * each match consumes only ONE space of the two-space boundary);
+    * the delimiters make partial-symbol matches impossible (l must
+    * follow a space and precede a double space — a symbol's interior
+    * has neither). Each round re-derives the weighted pair argmax
+    * from the CURRENT vocab with the same (freq desc, l, r) tie rule,
+    * so the oracle learns the merge table itself — no frozen
+    * constants to drift when the corpus changes.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT tk[j + 1] AS l, tk[j + 2] AS r, sum(freq) AS pf
+         |  FROM (SELECT freq,
+         |          string_split(substr(s, 2, length(s) - 2), '  ') AS tk
+         |        FROM v${i - 1}),
+         |       unnest(generate_series(0, len(tk) - 2)) AS t(j)
+         |  WHERE len(tk) >= 2
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r FROM p$i ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+         |v$i AS (
+         |  SELECT w, freq,
+         |    replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |               ' ' || b.l || b.r || ' ') AS s
+         |  FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |v0 AS (
+       |  SELECT w, freq,
+       |    ' ' || array_to_string(
+       |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+       |      '  ') || ' ' AS s
+       |  FROM words),
+       |$rounds,
+       |enc AS (
+       |  SELECT w,
+       |    len(string_split(substr(s, 2, length(s) - 2), '  ')) AS n_sym
+       |  FROM v$nMerges),
+       |stream AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0)
+       |SELECT doc_id, count(*) AS n_words,
+       |  sum(n_sym)::BIGINT AS n_bpe_tokens
+       |FROM stream JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_chunk_overlap" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
         |SELECT doc_id,
