@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BatchQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
-      MiscQueries.queries ++ TpchQueries.queries ++
+      MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.text.SelectionQueries.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
@@ -31,7 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
-      MiscQueries.oracle ++ TpchQueries.oracle ++
+      MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.text.SelectionQueries.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-DS-shaped end-to-end queries. The reference's own at-scale e2e
+  * gate is the 103-variant TPC-DS battery
+  * (flink-end-to-end-tests/flink-tpcds-test/src/main/java/org/apache/
+  * flink/table/tpcds/TpcdsTestProgram.java:76-85); the container
+  * ships TPC-H-shaped parquet only, so these reproduce the TPC-DS
+  * STRUCTURES the TPC-H 22 lack — multi-channel fact union over a
+  * shared dimension (q5/q71), rank-within-parent over a rollup
+  * hierarchy (q36/q86), a semi+anti chain into a distinct-order
+  * aggregate (q16), and a channel EXCEPT-chain (q87) — on the tables
+  * the DuckDB oracle can check. `l_returnflag` stands in for the
+  * channel axis (three fact slices) and `p_brand -> p_type` for the
+  * category -> class hierarchy.
+  */
+object TpcdsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q5/q71 shape — three channel fact slices UNION ALL'd, joined to
+    * one shared dimension, aggregated per (channel, brand). Each
+    * branch is its own scan with the channel predicate PUSHED to
+    * parquet (the honest multi-fact-table plan: TPC-DS unions three
+    * physical fact tables; pruning reads only the 3 join/measure
+    * columns per branch). The dim side broadcasts — `part` is
+    * dimension-sized at any corpus scale.
+    */
+  def channelSales(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def channel(flag: String, name: String): DataFrame =
+      li.filter(col("l_returnflag") === flag)
+        .select(lit(name).as("channel"), col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sales"))
+    val facts = channel("A", "store")
+      .unionAll(channel("N", "web"))
+      .unionAll(channel("R", "catalog"))
+    facts
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("channel"), col("p_brand"))
+      .agg(count(lit(1)).as("n_sales"), sum(col("sales")).as("revenue"))
+  }
+
+  /** q36/q86 shape — rank WITHIN THE ROLLUP PARENT: aggregate over
+    * ROLLUP(brand, type), then rank rows against their siblings
+    * (partition = hierarchy level + the parent key, which is NULL for
+    * the level-1 subtotals so all brands rank against each other —
+    * exactly q36's `rank_within_parent`). The rank orders by an
+    * integer measure (quantities are whole numbers, summed exactly in
+    * doubles and cast) so ties rank equal deterministically in both
+    * engines — no float-ulp hash hazard. The window input is the
+    * ALREADY-AGGREGATED rollup (|brands| x |types| rows), so the
+    * repeated-ranking stage never touches corpus-sized data.
+    */
+  def rollupRank(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_type"))), col("l_partkey") === col("p_partkey"))
+      .rollup(col("p_brand"), col("p_type"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        (grouping(col("p_brand")) + grouping(col("p_type"))).cast("int")
+          .as("lochierarchy"),
+        grouping(col("p_type")).cast("int").as("gt"))
+    val w = Window
+      .partitionBy(col("lochierarchy"), when(col("gt") === 0, col("p_brand")))
+      .orderBy(col("sum_qty").desc)
+    agg.select(col("p_brand"), col("p_type"), col("lochierarchy"), col("sum_qty"),
+      rank().over(w).as("rank_within_parent"))
+  }
+
+  /** q16 shape — a semi+anti chain into a per-priority aggregate:
+    * orders touching >= 2 distinct suppliers (the EXISTS side, a
+    * grouped-HAVING semi join) that shipped nothing returned (the NOT
+    * EXISTS side, an anti join). Both probe sides reduce to orderkey
+    * sets BEFORE joining, so the wide `orders` rows cross the wire
+    * once; the distinct-supplier count collapses map-side per
+    * orderkey.
+    */
+  def returnsAnti(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val multi = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"))
+      .filter(col("ns") >= 2).select(col("l_orderkey"))
+    val ret = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    t(s, dir, "orders")
+      .join(multi, col("o_orderkey") === multi("l_orderkey"), "left_semi")
+      .join(ret, col("o_orderkey") === ret("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+  }
+
+  /** q87 shape — an EXCEPT chain across channel slices, counted per
+    * segment: customers with a bulk purchase (quantity >= 48), MINUS
+    * those whose bulk purchase was returned, MINUS those who ever
+    * ordered urgent. Each slice distincts down to custkeys before the
+    * set ops, so the EXCEPTs shuffle key sets, never fact rows; the
+    * final segment lookup joins the surviving (small) set to the
+    * customer dim.
+    */
+  def exceptChain(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    def custsByLine(cond: org.apache.spark.sql.Column): DataFrame =
+      li.filter(cond).select(col("l_orderkey")).distinct()
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck")).distinct()
+    val bulk = custsByLine(col("l_quantity") >= 48)
+    val bulkReturned = custsByLine(col("l_returnflag") === "R" && col("l_quantity") >= 48)
+    val urgent = ords.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("ck")).distinct()
+    bulk.except(bulkReturned).except(urgent)
+      .join(t(s, dir, "customer"), col("ck") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcds_channels" -> ((s: SparkSession, d: String) => channelSales(s, d)),
+    "q_tpcds_rollup_rank" -> ((s: SparkSession, d: String) => rollupRank(s, d)),
+    "q_tpcds_returns_anti" -> ((s: SparkSession, d: String) => returnsAnti(s, d)),
+    "q_tpcds_except_chain" -> ((s: SparkSession, d: String) => exceptChain(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "q_tpcds_channels" ->
+      """WITH facts AS (
+        |  SELECT 'store' AS channel, l_partkey,
+        |         l_extendedprice * (1 - l_discount) AS sales
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT 'web', l_partkey, l_extendedprice * (1 - l_discount)
+        |  FROM lineitem WHERE l_returnflag = 'N'
+        |  UNION ALL
+        |  SELECT 'catalog', l_partkey, l_extendedprice * (1 - l_discount)
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT channel, p_brand, count(*) AS n_sales, sum(sales) AS revenue
+        |FROM facts JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpcds_rollup_rank" ->
+      """WITH agg AS (
+        |  SELECT p_brand, p_type,
+        |    (grouping(p_brand) + grouping(p_type))::INT AS lochierarchy,
+        |    grouping(p_type)::INT AS gt,
+        |    sum(l_quantity)::BIGINT AS sum_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ROLLUP(p_brand, p_type))
+        |SELECT p_brand, p_type, lochierarchy, sum_qty,
+        |  rank() OVER (PARTITION BY lochierarchy,
+        |                 CASE WHEN gt = 0 THEN p_brand END
+        |               ORDER BY sum_qty DESC)::INT AS rank_within_parent
+        |FROM agg""".stripMargin,
+    "q_tpcds_returns_anti" ->
+      """WITH multi AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2),
+        |ret AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM multi)
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM ret)
+        |GROUP BY 1""".stripMargin,
+    "q_tpcds_except_chain" ->
+      """WITH bulk AS (
+        |  SELECT DISTINCT o_custkey AS ck
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |bulk_ret AS (
+        |  SELECT DISTINCT o_custkey AS ck
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R' AND l_quantity >= 48),
+        |urgent AS (
+        |  SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |chain AS (
+        |  SELECT ck FROM bulk
+        |  EXCEPT SELECT ck FROM bulk_ret
+        |  EXCEPT SELECT ck FROM urgent)
+        |SELECT c_mktsegment, count(*) AS n_cust
+        |FROM chain JOIN customer ON ck = c_custkey
+        |GROUP BY 1""".stripMargin)
+}
