@@ -77,7 +77,15 @@ object DumpPlans {
     "q_dedup_fuzzy" -> "fuzzy edit-distance dedup: 8-gram blocking is one gram-hash aggregate (the df<=20 stop-gram cut kills boilerplate skew BEFORE pairing), the candidate self-join runs on rare grams only, and the Levenshtein verify is a map stage over candidate pairs — verify cost tracks candidates, never the corpus",
     "q_graph_cc" -> "graph connected components: the co-purchase edge mining feeds the dedup family's hash-min/pointer-jump closure — iterative equi-joins at graph-sized parallelism with per-round lineage truncation; the one operator family here that is deliberately NOT one job (open-ended fixpoint loop, convergence-checked per round)",
     "q_pack_bestfit" -> "best-fit sequence packing: repartition by shard + sort-within-partitions (shard, len desc) + one mapPartitions pass holding O(openBins) state — whole docs, minimized padding, no global sort; the genuinely-imperative per-partition case where mapPartitions is the right tool",
-    "q_pipeline_curate" -> "curation funnel (gate → substring redaction → DSIR): the quality gate fuses into the scan, the redaction's gram exchange covers only the GATED slice, the DSIR models collapse the redacted token stream to <=1024 rows and broadcast back, and the funnel is four 1-row aggregates — three-operator composition without a corpus rescan")
+    "q_pipeline_curate" -> "curation funnel (gate → substring redaction → DSIR): the quality gate fuses into the scan, the redaction's gram exchange covers only the GATED slice, the DSIR models collapse the redacted token stream to <=1024 rows and broadcast back, and the funnel is four 1-row aggregates — three-operator composition without a corpus rescan",
+    "q_graph_degree" -> "undirected degree: one distinct on the mined edge set + one count exchange over node keys — the smallest possible graph plan, and the building block every iterative query below pre-joins ONCE instead of recomputing per round",
+    "q_graph_sssp" -> "bounded-hop SSSP (level-synchronous BFS): 6 unrolled relax-and-min rounds, each one frontier⋈edges equi-join + a per-node min — two edge-bounded exchanges per round; dist persists lazily per round because each round feeds TWO consumers (the relax join and the union), yet the whole loop still plans as ONE job; the open-ended variant (ssspFixpointOnEdges) switches to per-round localCheckpoint + convergence probe and unpersists behind itself",
+    "q_graph_labelprop" -> "label propagation: each round is edges⋈labels + a (node,label) count + a per-node argmax window — all edge-bounded shuffles, frequency ties broken deterministically to the smallest label; the label chain is LINEAR (one consumer per round) so the fixed 3-round run plans as one job, same shape as pagerank",
+    "q_graph_ppr" -> "personalized PageRank (random-walk-with-restart): identical one-job linear-chain loop as q_graph_pagerank — two edge-sized exchanges per round, degree pre-joined once — with teleport mass concentrated on the deterministic seed node; total mass stays exactly 1 per round (no dangling nodes by construction)",
+    "q_tpcds_channels" -> "TPC-DS q5/q71 shape — three channel fact slices UNION ALL'd over one shared dim: each branch is its own parquet scan with the channel predicate PUSHED (PushedFilters per branch, 3-column ReadSchema), the dim side broadcasts, and the union feeds ONE partial+final aggregate — multi-fact-table consolidation without re-shuffling per channel",
+    "q_tpcds_rollup_rank" -> "TPC-DS q36/q86 rank-within-parent: the rollup's Expand + two-phase agg collapse the fact stream FIRST, so the hierarchy-partitioned rank window runs over |brands|x|types| pre-aggregated rows — the repeated-ranking stage never touches corpus-sized data",
+    "q_tpcds_returns_anti" -> "TPC-DS q16 shape — semi+anti chain: both probe sides reduce to orderkey SETS before touching orders (grouped-HAVING for the multi-supplier EXISTS, distinct for the returns NOT EXISTS), so the wide fact rows cross the wire exactly once through one left-semi + one left-anti hash join",
+    "q_tpcds_except_chain" -> "TPC-DS q87 EXCEPT chain: every channel slice distincts down to custkeys BEFORE the set ops, so the two EXCEPTs shuffle key sets, never fact rows; the surviving (small) set joins the customer dim for the segment rollup")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a
