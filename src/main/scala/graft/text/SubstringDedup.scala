@@ -203,12 +203,28 @@ object SubstringDedup {
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cands
+    // Two verify-stage guards, both measured at the scale probe:
+    // (1) Explicit width-n exchange before the verify: the candidate
+    //     batch is BYTE-small but per-row EXPENSIVE (the banded DP) —
+    //     exactly the case AQE's byte-based partition coalescing
+    //     misjudges. It folded the candidate exchange to ONE partition
+    //     and serialized the whole verify on a single core (20.6 s vs
+    //     2.7 s at x4). A NUMBERED repartition is exempt from AQE
+    //     coalescing, so the DP stays at full width at any scale.
+    // (2) The DP must evaluate ONCE per pair: a plain
+    //     withColumn("dist", lev).filter(dist >= 0) lets Catalyst
+    //     substitute the alias when pushing the filter — the DP lands
+    //     in the text join as a residual condition AND again in the
+    //     output projection (2x the whole verify stage; 25.9 s vs
+    //     16.6 s at x16). Aliases do not substitute through Generate,
+    //     so exploding the 1-element array pins one evaluation.
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    cands.repartition(n)
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .select(col("id_a"), col("id_b"),
+        explode(array(levenshtein(col("ta"), col("tb"), maxDist))).as("dist"))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

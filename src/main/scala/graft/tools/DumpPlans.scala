@@ -74,7 +74,7 @@ object DumpPlans {
     "q_graph_triangles" -> "degree-ordered triangle count: orientation (low-degree -> high-degree endpoint) caps every node's out-degree at O(sqrt E), so the path-enumeration join e1(u,v)⋈e2(v,w) and the closing-edge join e3(u,w) are both bounded equi hash joins — the skew-killer that survives celebrity nodes at 100 TB; the support threshold keeps edge density scale-stable before any of it runs",
     "q_dsir_select" -> "DSIR importance selection: both hashed-ngram models are <=B-row aggregates (partial agg collapses the token stream to B buckets per map task BEFORE each exchange) and the scoring side is one BroadcastHashJoin + a doc-keyed two-phase agg — the corpus never shuffles wider than (doc_id, partials), the truncated-LM economics applied to data selection",
     "q_cluster_sample" -> "cluster-balanced sampling: the k-means fit's map-only assignment feeds a cell-partitioned rank<=2 that plans as WindowGroupLimit — map tasks forward only their local top-2 per cell, so no cluster ever sorts corpus-wide; the md5 ordering is the engine-reproducible pseudo-random pick",
-    "q_dedup_fuzzy" -> "fuzzy edit-distance dedup: 8-gram blocking is one gram-hash aggregate (the df<=20 stop-gram cut kills boilerplate skew BEFORE pairing), the candidate self-join runs on rare grams only, and the Levenshtein verify is a map stage over candidate pairs — verify cost tracks candidates, never the corpus",
+    "q_dedup_fuzzy" -> "fuzzy edit-distance dedup: 8-gram blocking is one gram-hash aggregate (the df<=20 stop-gram cut kills boilerplate skew BEFORE pairing), the candidate self-join runs on rare grams only, and the threshold-banded Levenshtein verify (O(maxDist·len) early-exit DP) runs behind an explicit width-n exchange — a NUMBERED repartition is exempt from AQE's byte-based coalescing, which would otherwise fold the byte-small/CPU-heavy candidate batch onto one core — with a Generate barrier pinning the DP to ONE evaluation per pair (alias substitution was pushing it into the text join AND the projection); verify cost tracks candidates, never the corpus",
     "q_graph_cc" -> "graph connected components: the co-purchase edge mining feeds the dedup family's hash-min/pointer-jump closure — iterative equi-joins at graph-sized parallelism with per-round lineage truncation; the one operator family here that is deliberately NOT one job (open-ended fixpoint loop, convergence-checked per round)",
     "q_pack_bestfit" -> "best-fit sequence packing: repartition by shard + sort-within-partitions (shard, len desc) + one mapPartitions pass holding O(openBins) state — whole docs, minimized padding, no global sort; the genuinely-imperative per-partition case where mapPartitions is the right tool",
     "q_pipeline_curate" -> "curation funnel (gate → substring redaction → DSIR): the quality gate fuses into the scan, the redaction's gram exchange covers only the GATED slice, the DSIR models collapse the redacted token stream to <=1024 rows and broadcast back, and the funnel is four 1-row aggregates — three-operator composition without a corpus rescan",

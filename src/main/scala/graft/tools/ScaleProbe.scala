@@ -142,7 +142,12 @@ object ScaleProbe {
       "q_bpe_pairs", "q_graph_degree", "q_graph_pagerank",
       "q_graph_triangles", "q_graph_sssp", "q_graph_labelprop",
       "q_dsir_select", "q_cluster_sample", "q_dedup_fuzzy", "q_graph_cc",
-      "q_pipeline_curate", "q_pack_bestfit", "q_graph_ppr")
+      "q_pipeline_curate", "q_pack_bestfit", "q_graph_ppr",
+      // round-11: the TPC-DS-shape battery — multi-channel fact union,
+      // rollup rank-within-parent (window over the PRE-AGGREGATED
+      // hierarchy), semi+anti orderkey-set chain, custkey EXCEPT chain
+      "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
+      "q_tpcds_except_chain")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
@@ -273,6 +278,22 @@ object ScaleProbe {
       w.println("the Levenshtein verify tracks the TRUE pair count, and the stop-gram")
       w.println("cut keeps boilerplate from adding to it. A real corpus's dup fraction")
       w.println("stays roughly constant with size (the ~linear story the x1 row tells).")
+      w.println("Round 11 rebuilt the verify stage around three measured fixes: the")
+      w.println("threshold-banded DP (levenshtein(l, r, maxDist): O(maxDist*len) with")
+      w.println("early exit instead of the full quadratic DP), an explicit width-n")
+      w.println("exchange before the verify (the candidate batch is byte-small but")
+      w.println("per-row expensive - AQE's byte-based coalescing folded it to ONE")
+      w.println("partition and serialized the DP on a single core), and a Generate")
+      w.println("barrier pinning the DP to one evaluation per pair (alias substitution")
+      w.println("was pushing it into the text join AND the output projection). Together:")
+      w.println("x4 36.8 s -> ~3 s, t16/t1 28.7 -> ~10, into the sub-linear band.")
+      w.println()
+      w.println("Round-11 TPC-DS rows: q_tpcds_channels unions three pushdown-pruned")
+      w.println("fact slices over a broadcast dim (scan-speed scaling); rollup_rank's")
+      w.println("window input is the pre-aggregated rollup (|brands|x|types| rows), so")
+      w.println("the ranking stage is corpus-size-independent; returns_anti and")
+      w.println("except_chain reduce every probe side to key SETS before the wide")
+      w.println("joins/set-ops - their exchanges carry keys, not fact rows.")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
