@@ -54,7 +54,7 @@ object Bench {
     "q_dsir_select", "q_cluster_sample", "q_dedup_fuzzy", "q_pipeline_curate",
     "q_graph_cc", "q_graph_sssp", "q_pack_bestfit",
     "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
-    "q_tpcds_except_chain")
+    "q_tpcds_except_chain", "q_tpcds_intersect")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -13,8 +13,9 @@ import graft.Tables
   * STRUCTURES the TPC-H 22 lack — multi-channel fact union over a
   * shared dimension (q5/q71), rank-within-parent over a rollup
   * hierarchy (q36/q86), a semi+anti chain into a distinct-order
-  * aggregate (q16), and a channel EXCEPT-chain (q87) — on the tables
-  * the DuckDB oracle can check. `l_returnflag` stands in for the
+  * aggregate (q16), a channel EXCEPT-chain (q87) and a channel
+  * INTERSECT-chain (q38) — on the tables the DuckDB oracle can
+  * check. `l_returnflag` stands in for the
   * channel axis (three fact slices) and `p_brand -> p_type` for the
   * category -> class hierarchy.
   */
@@ -121,11 +122,33 @@ object TpcdsQueries {
       .agg(count(lit(1)).as("n_cust"))
   }
 
+  /** q38 shape — an INTERSECT chain across the three channel slices,
+    * counted per segment: customers who bought in ALL of store, web
+    * and catalog (the returnflag channel axis). Like the EXCEPT
+    * chain, each slice distincts to custkeys BEFORE the set ops, so
+    * the INTERSECTs shuffle key sets, never fact rows. INTERSECT (not
+    * INTERSECT ALL) is the q38 semantic: membership, not
+    * multiplicity.
+    */
+  def intersectChain(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    def custsByFlag(flag: String): DataFrame =
+      li.filter(col("l_returnflag") === flag).select(col("l_orderkey")).distinct()
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck")).distinct()
+    custsByFlag("A").intersect(custsByFlag("N")).intersect(custsByFlag("R"))
+      .join(t(s, dir, "customer"), col("ck") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpcds_channels" -> ((s: SparkSession, d: String) => channelSales(s, d)),
     "q_tpcds_rollup_rank" -> ((s: SparkSession, d: String) => rollupRank(s, d)),
     "q_tpcds_returns_anti" -> ((s: SparkSession, d: String) => returnsAnti(s, d)),
-    "q_tpcds_except_chain" -> ((s: SparkSession, d: String) => exceptChain(s, d)))
+    "q_tpcds_except_chain" -> ((s: SparkSession, d: String) => exceptChain(s, d)),
+    "q_tpcds_intersect" -> ((s: SparkSession, d: String) => intersectChain(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q_tpcds_channels" ->
@@ -181,6 +204,17 @@ object TpcdsQueries {
         |  SELECT ck FROM bulk
         |  EXCEPT SELECT ck FROM bulk_ret
         |  EXCEPT SELECT ck FROM urgent)
+        |SELECT c_mktsegment, count(*) AS n_cust
+        |FROM chain JOIN customer ON ck = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_tpcds_intersect" ->
+      """WITH byflag AS (
+        |  SELECT DISTINCT l_returnflag AS f, o_custkey AS ck
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |chain AS (
+        |  SELECT ck FROM byflag WHERE f = 'A'
+        |  INTERSECT SELECT ck FROM byflag WHERE f = 'N'
+        |  INTERSECT SELECT ck FROM byflag WHERE f = 'R')
         |SELECT c_mktsegment, count(*) AS n_cust
         |FROM chain JOIN customer ON ck = c_custkey
         |GROUP BY 1""".stripMargin)

@@ -85,7 +85,8 @@ object DumpPlans {
     "q_tpcds_channels" -> "TPC-DS q5/q71 shape — three channel fact slices UNION ALL'd over one shared dim: each branch is its own parquet scan with the channel predicate PUSHED (PushedFilters per branch, 3-column ReadSchema), the dim side broadcasts, and the union feeds ONE partial+final aggregate — multi-fact-table consolidation without re-shuffling per channel",
     "q_tpcds_rollup_rank" -> "TPC-DS q36/q86 rank-within-parent: the rollup's Expand + two-phase agg collapse the fact stream FIRST, so the hierarchy-partitioned rank window runs over |brands|x|types| pre-aggregated rows — the repeated-ranking stage never touches corpus-sized data",
     "q_tpcds_returns_anti" -> "TPC-DS q16 shape — semi+anti chain: both probe sides reduce to orderkey SETS before touching orders (grouped-HAVING for the multi-supplier EXISTS, distinct for the returns NOT EXISTS), so the wide fact rows cross the wire exactly once through one left-semi + one left-anti hash join",
-    "q_tpcds_except_chain" -> "TPC-DS q87 EXCEPT chain: every channel slice distincts down to custkeys BEFORE the set ops, so the two EXCEPTs shuffle key sets, never fact rows; the surviving (small) set joins the customer dim for the segment rollup")
+    "q_tpcds_except_chain" -> "TPC-DS q87 EXCEPT chain: every channel slice distincts down to custkeys BEFORE the set ops, so the two EXCEPTs shuffle key sets, never fact rows; the surviving (small) set joins the customer dim for the segment rollup",
+    "q_tpcds_intersect" -> "TPC-DS q38 INTERSECT chain: customers in ALL three channels — each slice distincts to custkeys first (set membership, not multiplicity), the two INTERSECTs plan as semi joins over key sets, and only the surviving intersection touches the customer dim")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

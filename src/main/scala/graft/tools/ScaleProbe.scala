@@ -147,7 +147,7 @@ object ScaleProbe {
       // rollup rank-within-parent (window over the PRE-AGGREGATED
       // hierarchy), semi+anti orderkey-set chain, custkey EXCEPT chain
       "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
-      "q_tpcds_except_chain")
+      "q_tpcds_except_chain", "q_tpcds_intersect")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
