@@ -47,7 +47,7 @@ object Bench {
     "q_curriculum_bins", "q_dedup_incremental", "q_embed_rp",
     "q_dedup_simhash_v", "q_dedup_paragraph", "q_shard_assign",
     "q_quality_classifier", "q_token_budget", "q_text_winnow", "q_semdedup",
-    "q_dedup_bloom", "q_kmeans", "q_dedup_keep_best", "q_sim_ivf_det",
+    "q_dedup_bloom", "q_dedup_minhash_inc", "q_kmeans", "q_dedup_keep_best", "q_sim_ivf_det",
     "q_pipeline_select",
     "q_dedup_substring", "q_chunk_overlap", "q_classifier_hashed",
     "q_bpe_pairs", "q_graph_pagerank", "q_graph_triangles",

@@ -62,22 +62,32 @@ object MinHashDedup {
       .select(col(idCol), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
   }
 
+  /** Banded LSH bucket keys: one row per (doc, band) with the band's
+    * hash — the blocking key both the self-join ([[candidatePairs]])
+    * and the incremental store-probe
+    * ([[TextQueries.dedupIncrementalMinhash]]) bucket on. `sigs` must
+    * come from [[signatures]] with the same `k`.
+    */
+  def banded(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    sigs.select(col(idCol), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   /** Candidate near-dup pairs via banded LSH + signature-agreement
     * Jaccard estimate, filtered at `threshold`.
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     val sigs = signatures(docs, idCol, textCol, k)
-    val banded = sigs.select(col(idCol), col("sig"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $r + 1, $r)))")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
+    val banded0 = banded(sigs, idCol, k, bands)
+    val a = banded0.select(col("band"), col("band_hash"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
+    val b = banded0.select(col("band"), col("band_hash"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))

@@ -785,6 +785,78 @@ object TextQueries {
         col("first_in_batch"), col("ingest"))
   }
 
+  /** Incremental NEAR-dup dedup against a prior-snapshot corpus —
+    * [[dedupIncremental]]'s recurring-ingestion shape upgraded from
+    * exact content hashes to MinHash+LSH near-duplication (the
+    * "dedup today's crawl against the existing corpus" operator):
+    * the store (every source but 'src1') is already deduped; a batch
+    * ('src1') doc is rejected when it is a VERIFIED near-dup of
+    * (a) any store doc (`dup_prior`) or (b) any smaller-doc_id batch
+    * doc (`dup_batch` — the deterministic one-pass greedy rule;
+    * chained near-dup sets needing transitive closure are
+    * [[DedupCluster]]'s job).
+    *
+    * Scale shape: signatures compute over store+batch in ONE shingle
+    * pass (|docs|·k-long shuffle); the banded bucket join puts the
+    * BATCH on the probe side and restricts partners to store docs or
+    * smaller batch ids, so store×store pairs — the corpus-quadratic
+    * bulk an unrestricted self-join would mine — never form. The
+    * estimate prefilter and the exact-Jaccard verify
+    * ([[verifyExactJaccard]]) then run over candidate pairs only. At
+    * production scale the store's banded signatures are a
+    * MATERIALIZED table bucketed on (band, band_hash) — the daily
+    * probe shuffles only the batch's signatures, and the store's
+    * signature table grows append-only with ingested docs.
+    * Oracle: brute-force exact Jaccard batch-vs-partners (same
+    * recall-≈-1 argument as q_dedup_minhash — LSH recall at the
+    * corpus's true-dup similarity ~0.99 is 1-4e-12, and every
+    * emitted flag is exact-verified).
+    */
+  def dedupIncrementalMinhash(s: SparkSession, dir: String,
+      threshold: Double = 0.4, k: Int = 32, bands: Int = 8): DataFrame =
+    dedupIncrementalMinhashOn(t(s, dir, "documents"), "src1", threshold, k, bands)
+
+  /** Core over any (doc_id, text, source) frame; `batchSource` marks
+    * the incoming batch, every other source is the store.
+    */
+  def dedupIncrementalMinhashOn(docs: DataFrame, batchSource: String,
+      threshold: Double = 0.4, k: Int = 32, bands: Int = 8): DataFrame = {
+    val flagged = docs.withColumn("is_batch",
+      (col("source") === batchSource).cast("int"))
+    val sigs = MinHashDedup.signatures(flagged, "doc_id", "text", k)
+      .join(flagged.select(col("doc_id"), col("is_batch")), Seq("doc_id"))
+    val banded = MinHashDedup.banded(sigs, "doc_id", k, bands)
+      .join(sigs.select(col("doc_id"), col("is_batch")), Seq("doc_id"))
+    val probe = banded.filter(col("is_batch") === 1)
+      .select(col("band"), col("band_hash"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val build = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"), col("is_batch").as("a_batch"))
+    val cands = build
+      .join(probe, Seq("band", "band_hash"))
+      .filter(col("a_batch") === 0 || col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
+      .filter(col("est") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val verified = verifyExactJaccard(docs, cands, threshold)
+      .join(flagged.select(col("doc_id").as("id_a"),
+        (lit(1) - col("is_batch")).as("from_store")), Seq("id_a"))
+    val flags = verified.groupBy(col("id_b").as("doc_id"))
+      .agg(max(col("from_store")).cast("int").as("dp"),
+        max(lit(1) - col("from_store")).cast("int").as("db"))
+    flagged.filter(col("is_batch") === 1).select(col("doc_id"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dp"), lit(0)).as("dup_prior"),
+        coalesce(col("db"), lit(0)).as("dup_batch"))
+      .withColumn("ingest",
+        (col("dup_prior") === 0 && col("dup_batch") === 0).cast("int"))
+  }
+
   /** Vocabulary induction + OOV-rate analysis — the tokenizer-
     * coverage question every pipeline answers before training: with a
     * top-V frequency vocabulary, what fraction of each document's
@@ -841,6 +913,56 @@ object TextQueries {
     docs.withColumn("h", md5(col("text").cast("binary")))
       .dropDuplicates("h")
       .join(priorHashes, Seq("h"), "left_anti")
+
+  /** One ingestion step of the NEAR-dup store: dedups `batchDocs`
+    * (doc_id, text) against `storeDocs` and against itself via
+    * [[dedupIncrementalMinhashOn]] — the per-micro-batch kernel of
+    * [[ingestStreamMinhash]], also usable directly as the daily-batch
+    * driver.
+    */
+  def ingestBatchMinhash(storeDocs: DataFrame, batchDocs: DataFrame,
+      threshold: Double = 0.4, k: Int = 32, bands: Int = 8): DataFrame = {
+    val u = storeDocs.select(col("doc_id"), col("text"), lit("__store").as("source"))
+      .unionByName(batchDocs.select(col("doc_id"), col("text"), lit("__batch").as("source")))
+    dedupIncrementalMinhashOn(u, "__batch", threshold, k, bands)
+  }
+
+  /** Streaming twin of [[dedupIncrementalMinhash]] — continuous
+    * NEAR-dup ingestion against a GROWING corpus store: each
+    * micro-batch dedups against the parquet store at `storeDir` AND
+    * against itself, appends the ingested docs to the store, and the
+    * next micro-batch probes the grown store — so a doc arriving in
+    * batch 7 that is a near-dup of a doc ingested in batch 2 is
+    * rejected, which the stream-static anti-join of [[ingestStream]]
+    * cannot express (its store is frozen for the run). foreachBatch
+    * is the right tool, not stream state: the "state" here is the
+    * whole corpus's signature store — it belongs in a table,
+    * exactly where the batch pipeline keeps it, not in per-key
+    * executor state. Exactly-once: foreachBatch may replay a batch on
+    * recovery; the append is idempotent at the doc_id level because a
+    * replayed doc re-probes the same store and re-derives the same
+    * flags (dup rows in the store dir after a crash mid-append are
+    * possible — production uses a transactional table format; the
+    * probe semantics tolerate them since ANY matching store doc
+    * rejects).
+    * At production scale the store holds banded SIGNATURES bucketed
+    * on (band, band_hash), not raw text — this twin re-signs the
+    * store each batch for fixture simplicity, the batch core's
+    * documented materialization note covers the real layout.
+    */
+  def ingestStreamMinhash(docs: DataFrame, storeDir: String,
+      threshold: Double = 0.4, k: Int = 32, bands: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val store = sess.read.parquet(storeDir)
+        val kept = ingestBatchMinhash(store, batch, threshold, k, bands)
+          .filter(col("ingest") === 1)
+          .join(batch.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+        kept.write.mode("append").parquet(storeDir)
+    }
 
   /** Curriculum length-binning: assign every doc to one of 10
     * length deciles (short→long ordering is the classic curriculum
@@ -1000,6 +1122,7 @@ object TextQueries {
     "q_sample_stratified" -> (stratifiedSample _),
     "q_tfidf_topk"       -> (tfidfTopk _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_minhash_inc" -> ((s: SparkSession, d: String) => dedupIncrementalMinhash(s, d)),
     "q_dedup_bloom"      -> (BloomDedup.dedupIncrementalBloom _),
     "q_mix_sources"      -> (mixSources _),
     "q_contamination"    -> (contamination _),
@@ -1168,6 +1291,45 @@ object TextQueries {
         |    (row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)::INT
         |      AS first_in_batch
         |  FROM d WHERE source = 'src1')""".stripMargin,
+    // Brute-force exact Jaccard batch-vs-(store ∪ smaller batch ids)
+    // — same recall-≈-1 argument as q_dedup_minhash's oracle: LSH
+    // recall at the corpus's true-dup similarity is 1-4e-12 and every
+    // emitted flag is exact-verified, so the blocked pipeline and the
+    // brute force agree pair-for-pair.
+    "q_dedup_minhash_inc" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |         generate_series(1, len(tk) - 2),
+        |         i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+        |               1, 15))::BIGINT)) AS sh
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |srcs AS (SELECT doc_id, (source = 'src1')::INT AS is_batch FROM documents),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh x JOIN sh y ON y.sh = x.sh
+        |  JOIN srcs sx ON sx.doc_id = x.doc_id
+        |  JOIN srcs sy ON sy.doc_id = y.doc_id
+        |  WHERE sy.is_batch = 1 AND (sx.is_batch = 0 OR x.doc_id < y.doc_id)
+        |  GROUP BY 1, 2),
+        |ver AS (
+        |  SELECT id_a, id_b, sx.is_batch AS a_batch
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  JOIN srcs sx ON sx.doc_id = id_a
+        |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.4),
+        |flags AS (
+        |  SELECT id_b AS doc_id,
+        |    max(1 - a_batch)::INT AS fp, max(a_batch)::INT AS fb
+        |  FROM ver GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(f.fp, 0)::INT AS dup_prior,
+        |  coalesce(f.fb, 0)::INT AS dup_batch,
+        |  (coalesce(f.fp, 0) = 0 AND coalesce(f.fb, 0) = 0)::INT AS ingest
+        |FROM documents d LEFT JOIN flags f ON f.doc_id = d.doc_id
+        |WHERE d.source = 'src1'""".stripMargin,
     // The Bloom-prefiltered variant is exact BY CONSTRUCTION (no
     // false negatives; false positives only re-check against the
     // store), so its oracle is the same plain incremental-dedup SQL.

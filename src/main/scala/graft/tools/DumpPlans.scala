@@ -48,6 +48,7 @@ object DumpPlans {
     "q_sample_stratified" -> "stratified sample: rank<=k over deterministic md5 order plans as WindowGroupLimit — map-side top-k per stratum BEFORE the exchange, so a giant stratum never sorts corpus-wide",
     "q_tfidf_topk" -> "TF-IDF keywords: tf and df fold from ONE (doc,term) aggregate, integer-only rank cut via WindowGroupLimit; float score rides along but never orders — cross-engine-stable top-k",
     "q_dedup_incremental" -> "incremental dedup vs fingerprint store: store distinct + left join on h + per-hash first-row window over the batch only — with the store bucketed on h, the store side is exchange-free; the day's batch shuffles only itself",
+    "q_dedup_minhash_inc" -> "incremental NEAR-dup dedup (dedup today's crawl against the corpus): one shingle pass signs store+batch, the banded LSH join keeps the BATCH on the probe side and restricts partners to store docs or smaller batch ids — store×store pairs, the corpus-quadratic bulk of an unrestricted self-join, never form; estimate prefilter + exact-Jaccard verify over candidates only; at scale the store's banded signatures are a materialized table bucketed on (band, band_hash) and the daily probe shuffles only the batch",
     "q_vocab_oov" -> "vocab induction + OOV: unpartitioned rank<=V plans as WindowGroupLimit (map tasks forward local top-V, the merge sees partitions*V rows, never the vocabulary), induced vocab broadcasts back against the token stream — map-side OOV fold at any corpus size",
     "q_curriculum_bins" -> "curriculum length-deciles without a global sort: the corpus-sized work is ONE groupBy(n_tok) aggregate; the only Window runs over the tiny length histogram, and the bin map returns as a BroadcastHashJoin — no single-partition ntile anywhere",
     "q_embed_rp" -> "Achlioptas random projection: one map-only projection stage, no shuffle, no stored matrix — the ±1 entries derive from md5(i,j) ONCE per executor JVM (VectorOps.rpProject cache) and the row body is a single whole-stage-codegen'd static call (the r8 interpreted-HOF formulation paid 1,024 md5 calls per row: 2.6 s at sf0.1 vs 0.12 s now). A 100 TB corpus projects at scan speed with zero broadcast state",

@@ -147,7 +147,10 @@ object ScaleProbe {
       // rollup rank-within-parent (window over the PRE-AGGREGATED
       // hierarchy), semi+anti orderkey-set chain, custkey EXCEPT chain
       "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
-      "q_tpcds_except_chain", "q_tpcds_intersect")
+      "q_tpcds_except_chain", "q_tpcds_intersect",
+      // round-11: incremental near-dup dedup — the banded store-probe
+      // must scale with the BATCH (store×store pairs never form)
+      "q_dedup_minhash_inc")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
@@ -294,6 +297,12 @@ object ScaleProbe {
       w.println("the ranking stage is corpus-size-independent; returns_anti and")
       w.println("except_chain reduce every probe side to key SETS before the wide")
       w.println("joins/set-ops - their exchanges carry keys, not fact rows.")
+      w.println("q_dedup_minhash_inc (incremental near-dup dedup) shares the verify")
+      w.println("family's output-bound shape - every replica clique makes each batch")
+      w.println("doc a near-dup of ~N partners - but its banded join keeps the BATCH")
+      w.println("on the probe side and restricts partners to store docs or smaller")
+      w.println("batch ids, so store-x-store pairs (the corpus-quadratic bulk) never")
+      w.println("form at any multiplier.")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")

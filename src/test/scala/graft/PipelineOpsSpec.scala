@@ -243,4 +243,68 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
+
+  test("incremental minhash dedup flags store near-dups, batch near-dups and fresh docs") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val fresh = "completely different content with novel words arranged in " +
+      "an entirely new and unrelated order for this test document"
+    val docs = Seq(
+      (1L, base, "store"),                 // the already-ingested corpus
+      (2L, "another stored document about ships sailing across the wide " +
+        "open ocean under a pale winter sky this morning", "store"),
+      (10L, base + " extra", "batch"),     // near-dup of store doc 1 -> dup_prior
+      (11L, fresh, "batch"),               // novel -> ingest
+      (12L, fresh + " appended", "batch"), // near-dup of SMALLER batch id 11 -> dup_batch
+      (13L, "tiny doc", "batch"))          // < 3 tokens: no shingles -> ingest
+      .toDF("doc_id", "text", "source")
+      .repartition(5) // flags must not depend on partition layout
+    val got = TextQueries.dedupIncrementalMinhashOn(docs, "batch")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got == Map(
+      10L -> ((1, 0, 0)),
+      11L -> ((0, 0, 1)),
+      12L -> ((0, 1, 0)),
+      13L -> ((0, 0, 1))), s"got $got")
+  }
+
+  test("streaming minhash ingest rejects near-dups of docs ingested in EARLIER micro-batches") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val fresh = "completely different content with novel words arranged in " +
+      "an entirely new and unrelated order for this test document"
+    val other = "yet another body of text whose tokens overlap with nothing " +
+      "else appearing anywhere in this particular fixture corpus"
+    val storeDir = java.nio.file.Files.createTempDirectory("mh_store").toString
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(storeDir)
+
+    val input = MemoryStream[(Long, String)](79, spark, None)
+    val q = TextQueries.ingestStreamMinhash(
+        input.toDF().toDF("doc_id", "text"), storeDir).start()
+    try {
+      // batch 1: near-dup of the SEEDED store doc rejected, fresh kept
+      input.addData((10L, base + " extra"), (11L, fresh))
+      q.processAllAvailable()
+      // batch 2: near-dup of doc 11 — ingested one micro-batch AGO,
+      // visible only because the store grew — rejected; novel kept
+      input.addData((12L, fresh + " appended"), (13L, other))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(storeDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 11L, 13L), s"store holds $ids")
+    } finally q.stop()
+  }
+
+  test("incremental minhash dedup is a no-op on an all-fresh batch") {
+    val docs = Seq(
+      (1L, "one stored document full of very ordinary words in a line", "store"),
+      (20L, "a genuinely fresh batch document with its own vocabulary here", "batch"),
+      (21L, "and a second unrelated batch item containing other tokens entirely", "batch"))
+      .toDF("doc_id", "text", "source")
+    val got = TextQueries.dedupIncrementalMinhashOn(docs, "batch")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == Map(20L -> 1, 21L -> 1), s"got $got")
+  }
 }
