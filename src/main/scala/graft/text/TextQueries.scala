@@ -914,6 +914,18 @@ object TextQueries {
       .dropDuplicates("h")
       .join(priorHashes, Seq("h"), "left_anti")
 
+  /** The NEAR-dup store's at-scale layout: banded LSH signatures, one
+    * row per (doc, band) — materialize with
+    * `bucketBy(n, "band", "band_hash")` and the daily probe's bucket
+    * join plans with NO exchange on the store side (the batch alone
+    * shuffles; BucketedTableSpec pins the plan shape). Append the
+    * ingested docs' rows after each batch and the store stays
+    * probe-ready without re-signing.
+    */
+  def bandedSignatures(docs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame =
+    MinHashDedup.banded(
+      MinHashDedup.signatures(docs, "doc_id", "text", k), "doc_id", k, bands)
+
   /** One ingestion step of the NEAR-dup store: dedups `batchDocs`
     * (doc_id, text) against `storeDocs` and against itself via
     * [[dedupIncrementalMinhashOn]] — the per-micro-batch kernel of

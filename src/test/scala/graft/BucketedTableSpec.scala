@@ -74,6 +74,61 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
+  test("bucketed signature store: the near-dup probe shuffles only the batch") {
+    import spark.implicits._
+    val store = (1L to 40L).map(i =>
+        (i, s"store doc number $i with its own padding tokens aa$i bb$i cc$i dd$i ee$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "store doc number 7 with its own padding tokens aa7 bb7 cc7 dd7 ee7 extra"),
+      (101L, "a wholly new batch document with entirely fresh vocabulary")).toDF("doc_id", "text")
+    GraftCatalog.executeDdl(spark,
+      """CREATE TABLE sig_store (doc_id BIGINT, sig ARRAY<BIGINT>,
+        |  band INT, band_hash BIGINT)
+        |WITH ('connector' = 'filesystem', 'buckets' = '8',
+        |  'bucket-by' = 'band,band_hash')""".stripMargin)
+    try {
+      GraftCatalog.insertInto(spark, "sig_store",
+        graft.text.TextQueries.bandedSignatures(store), overwrite = true)
+      val probe = graft.text.TextQueries.bandedSignatures(batch)
+        .select(col("band"), col("band_hash"),
+          col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val joined = spark.table("sig_store")
+        .join(probe, Seq("band", "band_hash"))
+        .select(col("doc_id").as("id_a"), col("id_b"))
+        .distinct()
+      val (pairs, plan) = withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        (joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet,
+          joined.queryExecution.executedPlan.toString)
+      }
+      // the store near-dup collides with its batch twin; the fresh doc hits nothing
+      assert(pairs.contains(7L -> 100L), s"pairs $pairs")
+      assert(!pairs.exists(_._2 == 101L), s"pairs $pairs")
+      // the store side reads pre-bucketed: exactly ONE exchange on
+      // the (band, band_hash) join key — the batch side's — and no
+      // exchange between the sig_store scan and the join (the plan's
+      // other exchanges are the batch's internal signature aggregate
+      // and the output distinct, both batch-sized); an unbucketed
+      // store would add a join-key exchange carrying the (at scale)
+      // corpus-sized signature table
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"),
+        s"store scan not bucketed:\n$plan")
+      val bandKeyExchanges = "Exchange hashpartitioning\\(band"
+        .r.findAllIn(plan).size
+      assert(bandKeyExchanges == 1,
+        s"expected only the batch side to shuffle on the bucket key:\n$plan")
+      val storeSide = plan.substring(plan.indexOf("SortMergeJoin"),
+        plan.indexOf("FileScan parquet spark_catalog.default.sig_store"))
+      assert(!storeSide.contains("Exchange"),
+        s"store side re-shuffled:\n$plan")
+    } finally {
+      GraftCatalog.executeDdl(spark, "DROP TABLE sig_store")
+    }
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
