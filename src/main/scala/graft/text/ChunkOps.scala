@@ -174,10 +174,11 @@ object ChunkOps {
     * left `l` — `r` is nonempty — so the fold cannot cascade past
     * the sequential-scan semantics). Returns (rank, lhs, rhs, freq)
     * — the learned merge table in order. Spec-verified against a
-    * hand-computed fixture (ChunkOpsSpec); the merge-table query is
-    * rows-only (the per-round driver argmax is not one SQL statement)
-    * but the learn-then-encode composition IS oracle-checked end to
-    * end — see [[bpeEncodeOracle]].
+    * hand-computed fixture (ChunkOpsSpec) AND oracle-checked: DuckDB
+    * unrolls the same per-round argmax+splice over the vocab (the
+    * graph-oracle discipline) and emits the merge table itself — see
+    * [[bpeRoundsSql]] / [[bpeMergesOracle]]; the learn-then-encode
+    * composition is separately oracle-checked via [[bpeEncodeOracle]].
     */
   /** Left-to-right non-overlapping merge of the pair (l, r) in the
     * `sym` array, as one SQL fold — shared by learn and encode.
@@ -277,8 +278,10 @@ object ChunkOps {
       bpeEncode(s, docs, merges)
     }))
 
-  /** DuckDB twin of learn-then-encode, unrolled `nMerges` rounds (the
-    * graph-oracle discipline). The splice fold is re-expressed as a
+  /** Shared WITH-clause body for the DuckDB BPE oracles: the learn
+    * loop unrolled `nMerges` rounds (the graph-oracle discipline),
+    * ending at vocab v`nMerges` with per-round argmax rows b1..bN.
+    * The splice fold is re-expressed as a
     * left-to-right non-overlapping string replace over a delimited
     * symbol encoding: a word's symbols render as
     * `' ' || join(sym, '  ') || ' '` (single-space sentinels, double-
@@ -295,7 +298,7 @@ object ChunkOps {
     * so the oracle learns the merge table itself — no frozen
     * constants to drift when the corpus changes.
     */
-  private def bpeEncodeOracle(nMerges: Int): String = {
+  private def bpeRoundsSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""p$i AS (
          |  SELECT tk[j + 1] AS l, tk[j + 2] AS r, sum(freq) AS pf
@@ -305,14 +308,14 @@ object ChunkOps {
          |       unnest(generate_series(0, len(tk) - 2)) AS t(j)
          |  WHERE len(tk) >= 2
          |  GROUP BY 1, 2),
-         |b$i AS (SELECT l, r FROM p$i ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+         |b$i AS (SELECT l, r, pf FROM p$i ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
          |v$i AS (
          |  SELECT w, freq,
          |    replace(s, ' ' || b.l || '  ' || b.r || ' ',
          |               ' ' || b.l || b.r || ' ') AS s
          |  FROM v${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
@@ -322,7 +325,24 @@ object ChunkOps {
        |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
        |      '  ') || ' ' AS s
        |  FROM words),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of the merge-table LEARN itself: each unrolled round's
+    * 1-row argmax (b1..bN) IS a merge-table row — union them with their
+    * rank. Same per-round re-derivation as the encode oracle, so there
+    * are no frozen constants to drift when the corpus changes.
+    */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val rows = (1 to nMerges).map { i =>
+      s"SELECT $i::INT AS rank, l AS lhs, r AS rhs, pf::BIGINT AS freq FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundsSql(nMerges)}
+       |$rows""".stripMargin
+  }
+
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    s"""WITH ${bpeRoundsSql(nMerges)},
        |enc AS (
        |  SELECT w,
        |    len(string_split(substr(s, 2, length(s) - 2), '  ')) AS n_sym
@@ -339,6 +359,7 @@ object ChunkOps {
 
   val oracle: Map[String, String] = Map(
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    "q_bpe_merges" -> bpeMergesOracle(8),
     "q_chunk_overlap" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
         |SELECT doc_id,
