@@ -26,6 +26,7 @@ object SparkEntry {
       graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries ++
       graft.sources.CdcQueries.queries ++ graft.sources.JdbcQueries.queries ++
       graft.text.SubstringDedup.queries ++ graft.text.ChunkOps.queries ++
+      graft.text.RetrievalQueries.queries ++ graft.text.CollocationQueries.queries ++
       graft.graph.GraphQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle ++
       graft.sources.CdcQueries.oracle ++ graft.sources.JdbcQueries.oracle ++
       graft.text.SubstringDedup.oracle ++ graft.text.ChunkOps.oracle ++
+      graft.text.RetrievalQueries.oracle ++ graft.text.CollocationQueries.oracle ++
       graft.graph.GraphQueries.oracle
 }

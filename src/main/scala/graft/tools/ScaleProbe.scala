@@ -150,7 +150,10 @@ object ScaleProbe {
       "q_tpcds_except_chain", "q_tpcds_intersect",
       // round-11: incremental near-dup dedup — the banded store-probe
       // must scale with the BATCH (store×store pairs never form)
-      "q_dedup_minhash_inc")
+      "q_dedup_minhash_inc",
+      // round-11: BM25 retrieval — one corpus-token shuffle, the
+      // query-term and stats tables broadcast at any corpus size
+      "q_text_bm25")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
@@ -303,6 +306,10 @@ object ScaleProbe {
       w.println("on the probe side and restricts partners to store docs or smaller")
       w.println("batch ids, so store-x-store pairs (the corpus-quadratic bulk) never")
       w.println("form at any multiplier.")
+      w.println("q_text_bm25 (BM25 ranked retrieval) pays one corpus-token shuffle for")
+      w.println("the tf table; the query-term table (8 rows by construction) and the")
+      w.println("1-row stats broadcast, so growth tracks the token stream plus the")
+      w.println("matched-doc output - replicas multiply both linearly.")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
