@@ -62,12 +62,22 @@ object RetrievalQueries {
     * table (8 rows, df attached) ⋈ broadcast 1-row corpus stats,
     * then a (query, doc)-keyed sum — partial aggregation collapses
     * per-term contributions map-side.
+    *
+    * The tf table PERSISTS: it has three consumers (probe, document
+    * frequencies, corpus stats), and without the pin Catalyst
+    * specializes each subtree (constraint inference pushes the
+    * query-term length filter into one copy, column pruning drops
+    * the count from another — spec-demonstrated), so the corpus
+    * text would be scanned and re-tokenized three times. The cached
+    * tf IS the index table a retrieval deployment materializes
+    * anyway ([[postings]] is its on-disk form); queries probe the
+    * index, they don't re-tokenize the corpus.
     */
   def bm25(s: SparkSession, dir: String): DataFrame =
     bm25Core(t(s, dir, "documents"))
 
   def bm25Core(docs: DataFrame): DataFrame = {
-    val tf = tfTable(docs)
+    val tf = tfTable(docs).persist()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // top-8 cut FIRST (TakeOrderedAndProject — map-side top-k, no
     // global exchange), then the pairing row_number runs over the
@@ -80,10 +90,14 @@ object RetrievalQueries {
       .withColumn("rn", row_number().over(qw))
       .select((((col("rn") - 1) / 2).cast("int") + 1).as("query_id"),
         col("term"), col("df"))
-    val stats = docs
-      .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+    // corpus stats fold from the SAME tf table (per-doc frame first:
+    // (doc_id, dl) is one doc-keyed exchange of id pairs) — a separate
+    // docs-scan branch would re-read the fat text column a third time
+    // at 100 TB; this way every branch hangs off the ONE token shuffle
+    // and AQE's ReuseExchange runs the scan once (spec-pinned)
+    val stats = tf.groupBy(col("doc_id"), col("dl")).agg(count(lit(1)))
       .agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(col("tk"))).as("avgdl"))
+        avg(col("dl")).as("avgdl"))
     val k1 = 1.2
     val b = 0.75
     tf.join(broadcast(qterms), Seq("term"))

@@ -49,7 +49,7 @@ object DumpPlans {
     "q_tfidf_topk" -> "TF-IDF keywords: tf and df fold from ONE (doc,term) aggregate, integer-only rank cut via WindowGroupLimit; float score rides along but never orders — cross-engine-stable top-k",
     "q_dedup_incremental" -> "incremental dedup vs fingerprint store: store distinct + left join on h + per-hash first-row window over the batch only — with the store bucketed on h, the store side is exchange-free; the day's batch shuffles only itself",
     "q_dedup_minhash_inc" -> "incremental NEAR-dup dedup (dedup today's crawl against the corpus): one shingle pass signs store+batch, the banded LSH join keeps the BATCH on the probe side and restricts partners to store docs or smaller batch ids — store×store pairs, the corpus-quadratic bulk of an unrestricted self-join, never form; estimate prefilter + exact-Jaccard verify over candidates only; at scale the store's banded signatures are a materialized table bucketed on (band, band_hash) and the daily probe shuffles only the batch",
-    "q_text_bm25" -> "BM25 ranked retrieval: ONE corpus-token shuffle builds the (doc,dl,term,tf) table (dl carried through the aggregate as a functionally-dependent key — no separate doc-length join); document frequencies, the corpus-derived 8-term query table (TakeOrderedAndProject cut, the pairing window sees 8 rows) and the 1-row stats all ride as broadcasts, and the final (query,doc) sum partial-aggregates map-side — scores every matching doc without a float-ordered rank cut (the tfidf ulp lesson), leaving top-k to the proven WindowGroupLimit shape",
+    "q_text_bm25" -> "BM25 ranked retrieval: ONE corpus-token shuffle builds the (doc,dl,term,tf) INDEX table (dl carried through the aggregate as a functionally-dependent key — no doc-length join), which PERSISTS because its three consumers (probe, document frequencies, corpus stats) otherwise specialize into three corpus re-tokenizations (constraint inference and column pruning defeat exchange reuse — RetrievalSpec demonstrates); the 8-term query table and 1-row stats broadcast, the (query,doc) sum partial-aggregates map-side, and no float ever orders a cut (the tfidf ulp lesson) — a deployment materializes the index as a table (the postings form) and probes it",
     "q_text_postings" -> "inverted-index postings for the df band [2,400]: the only exchange carries (term,doc_id) pairs for the banded slice; the band's upper cap is the skew contract — stop-dense terms (the one-reducer-materializes-half-the-corpus hazard) are cut before the collect_list, bounding every postings array by the cap",
     "q_text_pmi" -> "PMI collocations: unigram and adjacent-bigram count aggregates whose exchanges carry DISTINCT grams (partial agg collapses the token stream map-side), the top-k cut is INTEGER-ordered TakeOrdered (cb desc, words) BEFORE the unigram joins — so the joins and the float PMI computation touch k rows, and the unigram side stays vocab-sized (broadcastable under a size gate at deploy time)",
     "q_vocab_oov" -> "vocab induction + OOV: unpartitioned rank<=V plans as WindowGroupLimit (map tasks forward local top-V, the merge sees partitions*V rows, never the vocabulary), induced vocab broadcasts back against the token stream — map-side OOV fold at any corpus size",

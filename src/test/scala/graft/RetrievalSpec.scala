@@ -49,6 +49,26 @@ class RetrievalSpec extends SparkSpec {
     assert(out.keys.map(_._1).toSet == Set(1, 2, 3, 4))
   }
 
+  test("bm25: the persisted tf table is the index — input tokenized once, 3 consumers hit the cache") {
+    // without the persist, exchange reuse CANNOT save the scan:
+    // constraint inference pushes the query-term length filter into
+    // the probe's tf subtree and column pruning drops the count from
+    // the df branch, so the three subtrees canonicalize differently
+    // and the corpus text re-tokenizes three times
+    val conf = spark.conf
+    val old = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = RetrievalQueries.bm25Core(docs)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // 3 InMemoryTableScans = probe + df + stats all read the index;
+      // the only LocalTableScan/Generate left sits INSIDE the cached
+      // relation's build plan, which executes once
+      assert(plan.split("InMemoryTableScan").length - 1 >= 3, plan)
+    } finally conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("postings: df band keeps interior terms, sorted doc lists, stop-dense terms cut") {
     val out = RetrievalQueries.postingsCore(docs, lo = 2, hi = 5).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
