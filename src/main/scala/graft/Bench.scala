@@ -54,8 +54,9 @@ object Bench {
     "q_dsir_select", "q_cluster_sample", "q_dedup_fuzzy", "q_pipeline_curate",
     "q_graph_cc", "q_graph_sssp", "q_pack_bestfit",
     "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
-    "q_tpcds_except_chain", "q_tpcds_intersect",
-    "q_text_bm25", "q_text_postings", "q_text_pmi")
+    "q_tpcds_except_chain", "q_tpcds_intersect", "q_tpcds_yoy",
+    "q_text_bm25", "q_text_postings", "q_text_pmi",
+    "q_graph_kcore", "q_sample_weighted")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

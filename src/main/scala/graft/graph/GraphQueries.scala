@@ -40,6 +40,60 @@ object GraphQueries {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Bounded k-core peel (Seidman 1983): `rounds` synchronous rounds
+    * of "drop every node with residual degree < k and every edge
+    * touching one", then report the survivors with their residual
+    * degree. The synchronous peel is the distributed form of
+    * Batagelj–Zaveršnik's sequential O(m) algorithm; run far enough
+    * it converges to the exact k-core, and the FIXED round budget is
+    * what makes the operator engine-deterministic (the oracle unrolls
+    * the same rounds — same discipline as the bounded [[sssp]]).
+    * The graph is customer–part co-purchase restricted to bulk lines
+    * (quantity >= 45, pushed to the parquet scan): unlike the dense
+    * customer–supplier graph (which peels in ONE round at any k — no
+    * cascade to exercise), this one cascades for 8+ rounds at k=3,
+    * so the bounded peel is doing real work. One round = one degree
+    * aggregate + two semi joins, all edge-bounded shuffles. Unlike
+    * the linear-chain loops (pagerank) or the two-consumer sssp, each
+    * round here REFERENCES the previous edge frame three times (the
+    * degree aggregate feeding BOTH semi joins, plus the join input),
+    * and the lazy-persist one-job trick collapses under that fan-out
+    * (measured 82 s at sf0.1 vs 3 s with eager rounds) — so this loop
+    * uses the [[graft.text.DedupCluster]] open-ended discipline
+    * instead: per-round localCheckpoint (lineage truncated, plan
+    * stays one round deep) and the superseded round unpersists behind
+    * the loop, holding at most two cached edge frames.
+    */
+  def kcore(s: SparkSession, dir: String, k: Int = 3, rounds: Int = 6): DataFrame = {
+    val e0 = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    kcoreOnEdges(e0, k, rounds)
+  }
+
+  /** Core over any distinct (src, dst) undirected edge frame. */
+  def kcoreOnEdges(e0: DataFrame, k: Int = 3, rounds: Int = 6): DataFrame = {
+    var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      val next = e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      e.unpersist()
+      e = next
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("src").as("node"), col("deg"))
+  }
+
   /** Fixed-iteration PageRank (Page et al. 1999; d = 0.85, 5 rounds,
     * rank_0 = 1) over the undirected trade graph, each direction a
     * directed edge. One round = join(ranks, out-edges) -> per-target
@@ -394,7 +448,25 @@ object GraphQueries {
        |SELECT node, rank FROM p$iters""".stripMargin
   }
 
+  // Unrolled peel rounds for the DuckDB oracle.
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val body = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS (SELECT p.src, p.dst FROM e${i - 1} p
+         |  JOIN k$i a ON p.src = a.src JOIN k$i b ON p.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0x AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= 45),
+       |e0 AS (SELECT src, dst FROM e0x UNION ALL SELECT dst, src FROM e0x),
+       |$body
+       |SELECT src AS node, count(*) AS deg FROM e$rounds
+       |GROUP BY src HAVING count(*) >= $k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
     "q_graph_ppr" -> ((s: SparkSession, d: String) => personalizedPageRank(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => degrees(s, d)),
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
@@ -404,6 +476,7 @@ object GraphQueries {
     "q_graph_cc" -> ((s: SparkSession, d: String) => connectedComp(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_kcore" -> kcoreOracle(3, 6),
     "q_graph_degree" ->
       """WITH e0 AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

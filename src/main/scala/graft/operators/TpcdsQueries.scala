@@ -143,7 +143,42 @@ object TpcdsQueries {
       .agg(count(lit(1)).as("n_cust"))
   }
 
+  /** q11/q74 shape — year-over-year spend growth via a SELF-JOIN of
+    * the per-(customer, year) aggregate. The plan is declared as one
+    * aggregate read twice, and Catalyst does one better than exchange
+    * reuse: the period filters sit on a GROUPING column, so they push
+    * THROUGH the aggregate to each branch's scan — each side
+    * aggregates only its own year's rows (strictly less exchange
+    * traffic than agg-everything-then-reuse), and only customers
+    * active in BOTH years survive the join. The growth CUT compares
+    * the two DECIMAL sums directly (spend_1997 > spend_1996 ⟺ ratio
+    * > 1) — decimal sums are fold-order independent and exact, so the
+    * cut cannot flap on a float ulp the way a ratio-of-double-sums
+    * comparison could; the double ratio is projection-only output.
+    * Scale shape: the aggregate collapses the fact table to
+    * |customers|·|years| rows before the self-join, so the join
+    * shuffles dimension-sized data however large `orders` grows.
+    */
+  def yoyRatio(s: SparkSession, dir: String, y1: Int = 1996, y2: Int = 1997): DataFrame = {
+    val byYear = t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("o_custkey"), col("yr"))
+      .agg(sum(col("p")).as("spend"))
+    val a = byYear.filter(col("yr") === y1)
+      .select(col("o_custkey").as("custkey"), col("spend").as("s1"))
+    val b = byYear.filter(col("yr") === y2)
+      .select(col("o_custkey").as("custkey"), col("spend").as("s2"))
+    a.join(b, Seq("custkey"))
+      .filter(col("s2") > col("s1"))
+      .select(col("custkey"),
+        col("s1").cast("double").as(s"spend_$y1"),
+        col("s2").cast("double").as(s"spend_$y2"),
+        (col("s2").cast("double") / col("s1").cast("double")).as("ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcds_yoy" -> ((s: SparkSession, d: String) => yoyRatio(s, d)),
     "q_tpcds_channels" -> ((s: SparkSession, d: String) => channelSales(s, d)),
     "q_tpcds_rollup_rank" -> ((s: SparkSession, d: String) => rollupRank(s, d)),
     "q_tpcds_returns_anti" -> ((s: SparkSession, d: String) => returnsAnti(s, d)),
@@ -151,6 +186,16 @@ object TpcdsQueries {
     "q_tpcds_intersect" -> ((s: SparkSession, d: String) => intersectChain(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcds_yoy" ->
+      """WITH by_year AS (
+        |  SELECT o_custkey, extract(year FROM o_orderdate)::INT AS yr,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y1.o_custkey AS custkey,
+        |  y1.spend::DOUBLE AS spend_1996, y2.spend::DOUBLE AS spend_1997,
+        |  y2.spend::DOUBLE / y1.spend::DOUBLE AS ratio
+        |FROM by_year y1 JOIN by_year y2 ON y1.o_custkey = y2.o_custkey
+        |WHERE y1.yr = 1996 AND y2.yr = 1997 AND y2.spend > y1.spend""".stripMargin,
     "q_tpcds_channels" ->
       """WITH facts AS (
         |  SELECT 'store' AS channel, l_partkey,

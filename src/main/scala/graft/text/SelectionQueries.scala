@@ -407,8 +407,57 @@ object SelectionQueries {
   }
 
   // ---------------------------------------------------------------
+  // Weighted sampling
+  // ---------------------------------------------------------------
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+    * weight-proportional sample of k docs WITHOUT replacement that
+    * supports unbiased subset-sum estimation — the statistically
+    * sound way to eyeball a 100 TB corpus's token mass from k rows.
+    * Each doc draws priority u/w (u an md5-derived 60-bit uniform, w
+    * the doc's token count); the k SMALLEST priorities are the
+    * sample, and each sampled doc estimates its weight class as
+    * max(w, tau) with tau the (k+1)-th priority — summing `est` over
+    * any sampled subset is an unbiased estimator of that subset's
+    * true token sum. Deterministic end to end: u is a hash, and the
+    * ordering key is ONE exactly-rounded IEEE division of
+    * exactly-rounded long→double casts — bit-identical in any engine,
+    * so even the top-k CUT is engine-stable (the ln-based
+    * Efraimidis–Spirakis key would hostage the cut to libm ulp
+    * differences; u/w is the same sampling design with an
+    * arithmetic-only key). Scale shape: one map-side projection +
+    * TakeOrderedAndProject (per-partition heap of k+1, driver merges
+    * heads — no global sort, no full shuffle); the tau window runs
+    * over the k+1 collected rows only.
+    */
+  def prioritySample(s: SparkSession, dir: String, k: Int = 64): DataFrame =
+    prioritySampleCore(t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w")), k)
+
+  /** Core over any (doc_id, w) frame with positive integer weights. */
+  def prioritySampleCore(weighted: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val pri = weighted
+      .filter(col("w") >= 1)
+      .withColumn("u", expr(
+        """cast(conv(substring(md5(cast(concat('ps:', cast(doc_id as string))
+          |  as binary)), 1, 15), 16, 10) as bigint)""".stripMargin))
+      .withColumn("prio", col("u").cast("double") / col("w").cast("double"))
+    val top = pri.orderBy(col("prio").asc, col("doc_id").asc).limit(k + 1)
+    val byPrio = W.orderBy(col("prio").asc, col("doc_id").asc)
+    top
+      .withColumn("rnk", row_number().over(byPrio))
+      .withColumn("tau", max(col("prio")).over(
+        byPrio.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("w"),
+        greatest(col("w").cast("double"), col("tau")).as("est"))
+  }
+
+  // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted"    -> ((s: SparkSession, d: String) => prioritySample(s, d)),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_pipeline_select"    -> ((s: SparkSession, d: String) => pipelineSelect(s, d)),
     "q_sql_quality"        -> (qualitySql _),
@@ -425,6 +474,19 @@ object SelectionQueries {
       |         1, 4))::BIGINT - 32768))::BIGINT""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """WITH scored AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS w,
+        |    ('0x' || substr(md5('ps:' || doc_id::VARCHAR), 1, 15))::BIGINT AS u
+        |  FROM documents),
+        |pri AS (SELECT doc_id, w, u::DOUBLE / w::DOUBLE AS prio
+        |        FROM scored WHERE w >= 1),
+        |top AS (SELECT * FROM pri ORDER BY prio, doc_id LIMIT 65),
+        |rk AS (SELECT doc_id, w, prio,
+        |         row_number() OVER (ORDER BY prio, doc_id) AS rnk,
+        |         max(prio) OVER () AS tau FROM top)
+        |SELECT doc_id, w, greatest(w::DOUBLE, tau) AS est FROM rk
+        |WHERE rnk <= 64""".stripMargin,
     "q_pipeline_select" ->
       s"""WITH s AS (
         |  SELECT doc_id, len(l) AS n_tok, $logitSql AS logit

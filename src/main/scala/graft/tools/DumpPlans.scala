@@ -90,7 +90,10 @@ object DumpPlans {
     "q_tpcds_rollup_rank" -> "TPC-DS q36/q86 rank-within-parent: the rollup's Expand + two-phase agg collapse the fact stream FIRST, so the hierarchy-partitioned rank window runs over |brands|x|types| pre-aggregated rows — the repeated-ranking stage never touches corpus-sized data",
     "q_tpcds_returns_anti" -> "TPC-DS q16 shape — semi+anti chain: both probe sides reduce to orderkey SETS before touching orders (grouped-HAVING for the multi-supplier EXISTS, distinct for the returns NOT EXISTS), so the wide fact rows cross the wire exactly once through one left-semi + one left-anti hash join",
     "q_tpcds_except_chain" -> "TPC-DS q87 EXCEPT chain: every channel slice distincts down to custkeys BEFORE the set ops, so the two EXCEPTs shuffle key sets, never fact rows; the surviving (small) set joins the customer dim for the segment rollup",
-    "q_tpcds_intersect" -> "TPC-DS q38 INTERSECT chain: customers in ALL three channels — each slice distincts to custkeys first (set membership, not multiplicity), the two INTERSECTs plan as semi joins over key sets, and only the surviving intersection touches the customer dim")
+    "q_tpcds_intersect" -> "TPC-DS q38 INTERSECT chain: customers in ALL three channels — each slice distincts to custkeys first (set membership, not multiplicity), the two INTERSECTs plan as semi joins over key sets, and only the surviving intersection touches the customer dim",
+    "q_tpcds_yoy" -> "TPC-DS q11/q74 YoY self-join of one per-(customer,year) aggregate: the period filters sit on a GROUPING column, so Catalyst pushes them THROUGH the aggregate to each branch's scan — each side aggregates only its own year's rows (strictly less exchange traffic than agg-everything-then-ReuseExchange), the self-join moves |customers|-sized rows however large orders grows, and the growth CUT compares exact DECIMAL sums (fold-order independent — no float-ulp flap on the filter); the double ratio is projection-only output",
+    "q_graph_kcore" -> "bounded k-core peel: 6 synchronous peel rounds, each ONE degree aggregate + two left-semi joins — all edge-bounded exchanges; the quantity>=45 sparsifier is PUSHED to the parquet scan so the graph shrinks at the source; each round references the prior edge frame THREE times (degree agg feeding both semi joins + the join input), so the loop runs the DedupCluster eager discipline — per-round localCheckpoint truncating lineage, superseded round unpersisted, at most two cached frames (the lazy one-job trick measured 82 s vs 3 s under this fan-out)",
+    "q_sample_weighted" -> "priority sampling (weight-proportional k-sample + unbiased subset-sum estimator): map-only key projection, then TakeOrderedAndProject — per-partition heaps of k+1 rows, driver merges heads, NO global sort and no corpus shuffle; the tau/estimator window runs over the k+1 surviving rows only, and the ordering key is one exactly-rounded IEEE division (arithmetic-only, so even the cut is engine-stable)")
 
   /** Per-query session overrides applied around the dump — used where
     * the sf0.01 plan would hide the at-scale shape (e.g. a

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.GraphQueries
+import graft.operators.TpcdsQueries
+import graft.text.SelectionQueries
+
+/** Round-11 operators: bounded k-core peel (cascade on a hand-built
+  * path+clique graph), priority sampling (Duffield–Lund–Thorup keys
+  * recomputed in plain Scala), and the TPC-DS q11/q74 YoY-ratio
+  * shape's decimal-exact growth cut.
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k-core peel cascades down a path and keeps the clique") {
+    // path 1-2-3-4 hanging off clique {10,11,12,13}: at k=2 the path
+    // peels ONE NODE PER ROUND (degree falls to 1 only after the
+    // outer neighbor left), the clique's internal degree stays 3
+    val clique = for {
+      a <- Seq(10L, 11L, 12L, 13L); b <- Seq(10L, 11L, 12L, 13L) if a < b
+    } yield (a, b)
+    val e = (clique ++ Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 10L)))
+      .toDF("src", "dst")
+    val out = GraphQueries.kcoreOnEdges(e, k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out.values.forall(_ == 3L))
+    // under-budgeted peel (2 rounds) still holds a path remnant: node
+    // 4 keeps degree 2 until round 4 removes its inner neighbor (node
+    // 3 survives e2 but fails the final residual-degree bar)
+    val part = GraphQueries.kcoreOnEdges(e, k = 2, rounds = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(part == Set(4L, 10L, 11L, 12L, 13L))
+  }
+
+  test("priority sample matches the hand-computed DLT sample and estimator") {
+    val rows = Seq((1L, 3L), (2L, 50L), (3L, 7L), (4L, 41L), (5L, 2L),
+      (6L, 19L), (7L, 11L), (8L, 29L))
+    val k = 3
+    // replicate the operator's key derivation in plain Scala
+    def u60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ps:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val pri = rows.map { case (id, w) => (id, w, u60(id).toDouble / w.toDouble) }
+      .sortBy { case (id, _, p) => (p, id) }
+    val tau = pri(k)._3
+    val expected = pri.take(k)
+      .map { case (id, w, _) => (id, w, math.max(w.toDouble, tau)) }.toSet
+    val got = SelectionQueries.prioritySampleCore(rows.toDF("doc_id", "w"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // the estimator never reports less than the true weight
+    assert(got.forall { case (_, w, est) => est >= w.toDouble })
+  }
+
+  test("YoY ratio joins only both-year customers and cuts on exact decimal compare") {
+    val out = TpcdsQueries.yoyRatio(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every surviving row grew: ratio > 1 and spend_1997 > spend_1996
+    assert(rows.forall(r => r.getDouble(3) > 1.0 && r.getDouble(2) > r.getDouble(1)))
+    // the cut happens on the decimal sums: recompute one customer's
+    // years from the raw table and confirm membership agrees
+    val byYear = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("o_custkey"), col("yr")).agg(sum(col("p")).as("spend"))
+      .filter(col("yr").isin(1996, 1997))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    val grew = byYear.collect {
+      case ((ck, 1996), s96) if byYear.get((ck, 1997)).exists(_.compareTo(s96) > 0) => ck
+    }.toSet
+    assert(rows.map(_.getLong(0)).toSet == grew)
+  }
+}
