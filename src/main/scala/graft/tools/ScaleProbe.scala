@@ -153,7 +153,11 @@ object ScaleProbe {
       "q_dedup_minhash_inc",
       // round-11: BM25 retrieval — one corpus-token shuffle, the
       // query-term and stats tables broadcast at any corpus size
-      "q_text_bm25")
+      "q_text_bm25",
+      // round-11: bounded k-core peel (6 eager rounds, ≤2 cached
+      // frames), priority sampling (TakeOrdered, no corpus shuffle),
+      // TPC-DS YoY self-join (filters pushed through the aggregate)
+      "q_graph_kcore", "q_sample_weighted", "q_tpcds_yoy")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
@@ -310,6 +314,14 @@ object ScaleProbe {
       w.println("the tf table; the query-term table (8 rows by construction) and the")
       w.println("1-row stats broadcast, so growth tracks the token stream plus the")
       w.println("matched-doc output - replicas multiply both linearly.")
+      w.println("q_graph_kcore (bounded k-core peel) runs 6 eager edge-bounded rounds")
+      w.println("(degree agg + two semi joins each) - wall tracks edge count times the")
+      w.println("fixed round budget; replicas add disjoint copies of the same graph,")
+      w.println("so the peel cascade depth is unchanged and scaling is pure volume.")
+      w.println("q_sample_weighted is a map-only key projection into TakeOrdered")
+      w.println("per-partition heaps of k+1 - a scan-speed row at any multiplier.")
+      w.println("q_tpcds_yoy pushes the period filters through the per-(customer,year)")
+      w.println("aggregate to each branch scan; the self-join moves customer-sized rows.")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
