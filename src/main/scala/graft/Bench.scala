@@ -56,7 +56,8 @@ object Bench {
     "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
     "q_tpcds_except_chain", "q_tpcds_intersect", "q_tpcds_yoy",
     "q_text_bm25", "q_text_postings", "q_text_pmi",
-    "q_graph_kcore", "q_sample_weighted")
+    "q_graph_kcore", "q_sample_weighted", "q_layout_zorder",
+    "q_embed_standardize")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -20,6 +20,7 @@ object SparkEntry {
     BatchQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
       MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++
+      LayoutQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.text.SelectionQueries.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
       MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++
+      LayoutQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.text.SelectionQueries.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++

@@ -70,6 +70,26 @@ object AggQueries {
         avg(col("c_acctbal")).as("avg_bal"),
         count(lit(1)).as("n"))
 
+  /** Exact inverse-distribution aggregates — PERCENTILE_CONT (the
+    * SQL:2003 surface Calcite validates for the reference:
+    * flink-table-planner .../calcite/sql/validate/SqlValidatorImpl
+    * .java) and the array form over several fractions at once. Both
+    * engines interpolate linearly on the sorted group, and the
+    * fractions land on exact ranks for whole-number quantities, so
+    * the values compare exactly; all outputs are value columns, no
+    * float ever orders a cut. Exact percentiles sort per group —
+    * the right tool for bounded groups (here: 3 return flags); a
+    * 100 TB ungrouped quantile switches to approx_percentile's
+    * mergeable sketch instead.
+    */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+        expr("percentile_cont(0.5D) WITHIN GROUP (ORDER BY l_extendedprice)").as("med_price"),
+        expr("percentile_cont(0.9D) WITHIN GROUP (ORDER BY l_discount)").as("p90_disc"))
+
   /** LISTAGG (BuiltInFunctionDefinitions LISTAGG + CollectAggFunction)
     * — deterministic via sort-before-join of the collected list.
     */
@@ -127,6 +147,7 @@ object AggQueries {
     "q_agg_cube"         -> (aggCube _),
     "q_agg_groupingsets" -> (aggGroupingSets _),
     "q_agg_stats"        -> (aggStats _),
+    "q_agg_percentile"   -> (aggPercentile _),
     "q_agg_listagg"      -> (aggListagg _),
     "q_agg_maxby"        -> (aggMaxBy _),
     "q_agg_approx"       -> (aggApprox _))
@@ -165,6 +186,12 @@ object AggQueries {
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |  avg(c_acctbal) AS avg_bal, count(*) AS n
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  quantile_cont(l_extendedprice, 0.5) AS med_price,
+        |  quantile_cont(l_discount, 0.9) AS p90_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_agg_listagg" ->
       """SELECT c_nationkey,
         |  string_agg(c_name, '|' ORDER BY c_name) AS names,

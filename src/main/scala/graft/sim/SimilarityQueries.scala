@@ -430,6 +430,51 @@ object SimilarityQueries {
             .otherwise(floor(x.cast("double") * lit(127.0d) / col("maxabs")).cast("int"))),
           ",").as("q8"))
 
+  /** Per-DIMENSION corpus standardization (the z-score pass ahead of
+    * PCA / k-means / any distance that should not let one
+    * high-variance dimension dominate): every embedding component
+    * maps to (x - mean_d) / std_d with the moments taken over the
+    * whole corpus per dimension. The cross-engine hazard is the
+    * corpus-sized float SUM (fold-order dependent), so the moments
+    * run over 1e-6-QUANTIZED components in plain integers: m =
+    * floor(x·10^6) sums exactly in long, m² sums exactly in
+    * decimal(38,0) — fold-order independent, no float→decimal cast
+    * whose tie-rounding engines could disagree on — and mean/std
+    * derive from the exact integer sums in double (casts, one
+    * division, one sqrt: each exactly rounded, bit-identical in any
+    * engine; the 1e-6 quantization bias is ~10^-5 of the data
+    * scale). Scale shape: one posexplode into a (dim)-keyed
+    * partial+final aggregate (the exchange carries nDims rows per
+    * task, not the corpus), the 128-row moment table broadcasts
+    * back, and vectors reassemble position-keyed. Components emit
+    * floor(z·1000) integers joined to a string (the
+    * [[randomProjection]] output discipline — the driver's
+    * comparator hashes scalars).
+    */
+  def embedStandardize(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("m", floor(col("x").cast("double") * lit(1000000.0d)).cast("long"))
+    val stats = dims.groupBy(col("d")).agg(
+        sum(col("m")).as("sx"),
+        sum(col("m").cast("decimal(19,0)") * col("m").cast("decimal(19,0)"))
+          .as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("d"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt(col("sxx").cast("double") / col("n").cast("double")
+          - (col("sx").cast("double") / col("n").cast("double"))
+            * (col("sx").cast("double") / col("n").cast("double"))).as("sd"))
+    dims.join(broadcast(stats), Seq("d"))
+      .select(col("vec_id"), col("d"),
+        floor((col("x").cast("double") * lit(1000000.0d) - col("mu")) / col("sd")
+          * lit(1000.0d)).cast("long").as("z"))
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("d"), col("z")))),
+        p => p.getField("z")), ",").as("z1000"))
+  }
+
   /** Sparse sign random projection (Achlioptas 2003, the
     * Johnson-Lindenstrauss workhorse): project every embedding to 16
     * dims with a ±1 matrix derived DETERMINISTICALLY from md5 of the
@@ -482,6 +527,7 @@ object SimilarityQueries {
     "q_cluster_sample" -> ((s: SparkSession, d: String) => clusterSample(s, d)),
     "q_embed_rp" -> (randomProjection _),
     "q_embed_quantize" -> (embedQuantize _),
+    "q_embed_standardize" -> (embedStandardize _),
     "q_sim_topk"     -> (cosineTopK _),
     "q_sim_sig_rerank" -> ((s: SparkSession, d: String) => annSigRerank(s, d)),
     "q_dedup_cosine" -> ((s: SparkSession, d: String) => cosineNearDup(s, d)),
@@ -525,6 +571,26 @@ object SimilarityQueries {
         |         ELSE floor((x::DOUBLE) * 127.0 / list_max(list_transform(embedding,
         |                 y -> abs(y::DOUBLE))))::INT END), ',') AS q8
         |FROM embeddings""".stripMargin,
+    "q_embed_standardize" ->
+      """WITH dims AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, d, x::DOUBLE AS x,
+        |        floor(x::DOUBLE * 1000000)::BIGINT AS m FROM dims),
+        |st AS (
+        |  SELECT d, sum(m)::DOUBLE AS sxd,
+        |         sum(m::HUGEINT * m::HUGEINT)::DOUBLE AS sxxd,
+        |         count(*)::DOUBLE AS n
+        |  FROM q GROUP BY d),
+        |mo AS (SELECT d, sxd / n AS mu,
+        |         sqrt(sxxd / n - (sxd / n) * (sxd / n)) AS sd FROM st),
+        |z AS (
+        |  SELECT q.vec_id, q.d,
+        |    floor((q.x * 1000000 - mo.mu) / mo.sd * 1000)::BIGINT AS z
+        |  FROM q JOIN mo ON q.d = mo.d)
+        |SELECT vec_id, string_agg(z::VARCHAR, ',' ORDER BY d) AS z1000
+        |FROM z GROUP BY vec_id""".stripMargin,
     // exact brute-force over the same planted corpus: the blocking
     // must find EVERY >= 0.98 pair (planted twins sit at ~0.99997 —
     // far from both the threshold and the driver's rounding; natural

@@ -157,7 +157,12 @@ object ScaleProbe {
       // round-11: bounded k-core peel (6 eager rounds, ≤2 cached
       // frames), priority sampling (TakeOrdered, no corpus shuffle),
       // TPC-DS YoY self-join (filters pushed through the aggregate)
-      "q_graph_kcore", "q_sample_weighted", "q_tpcds_yoy")
+      "q_graph_kcore", "q_sample_weighted", "q_tpcds_yoy",
+      // round-11: z-order layout audit (1-row stats broadcast + map-only
+      // Morton projection + file-id-keyed agg — must track scan speed)
+      // and per-dimension standardization (posexplode into a dim-keyed
+      // partial+final agg; exchange carries nDims rows per task)
+      "q_layout_zorder", "q_embed_standardize")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
@@ -322,6 +327,13 @@ object ScaleProbe {
       w.println("per-partition heaps of k+1 - a scan-speed row at any multiplier.")
       w.println("q_tpcds_yoy pushes the period filters through the per-(customer,year)")
       w.println("aggregate to each branch scan; the self-join moves customer-sized rows.")
+      w.println("q_layout_zorder is one 1-row stats aggregate broadcast back in-plan,")
+      w.println("a map-only Morton projection, and a ~256-file-id-keyed aggregate -")
+      w.println("scan-speed at any multiplier.")
+      w.println("q_embed_standardize posexplodes into a dim-keyed partial+final")
+      w.println("aggregate (the exchange carries nDims rows per task, never the")
+      w.println("corpus); the moment table broadcasts back, so growth is the")
+      w.println("component stream read twice.")
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")

@@ -57,6 +57,66 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.forall { case (_, w, est) => est >= w.toDouble })
   }
 
+  test("exact percentile interpolates the SQL:2003 inverse-distribution way") {
+    // sorted [10,20,40]: rank = f*(n-1); 0.25 -> 10+0.5*(20-10)=15,
+    // 0.5 -> 20, 0.9 -> 20+0.8*(40-20)=36
+    val r = Seq(10.0, 40.0, 20.0).toDF("x")
+      .agg(expr("percentile(x, array(0.25D, 0.5D, 0.9D))").as("q"))
+      .head().getSeq[Double](0)
+    assert(r == Seq(15.0, 20.0, 36.0))
+    val agg = graft.operators.AggQueries.aggPercentile(spark, sfDir).collect()
+    assert(agg.length == 3) // one row per return flag
+    agg.foreach { row =>
+      val q = row.getSeq[Double](1)
+      assert(q(0) <= q(1) && q(1) <= q(2)) // quartiles ordered
+    }
+  }
+
+  test("Morton interleave puts dim-a bits even, dim-b bits odd") {
+    import graft.operators.LayoutQueries
+    val out = Seq((15L, 0L), (0L, 15L), (255L, 255L), (0L, 0L))
+      .toDF("a", "b")
+      .select(LayoutQueries.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(85L, 170L, 65535L, 0L)) // 0b01010101, 0b10101010
+  }
+
+  test("z-order layout yields files narrow in BOTH dimensions") {
+    val zones = graft.operators.LayoutQueries.zorderLayout(spark, sfDir).collect()
+    assert(zones.length > 50)
+    val (gp, gs) = {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .agg(min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      ((li.getLong(1) - li.getLong(0)).toDouble, (li.getLong(3) - li.getLong(2)).toDouble)
+    }
+    // every file's zone-map extent covers a small fraction of BOTH key
+    // ranges on average — the property a single-column sort cannot give
+    val frP = zones.map(r => (r.getLong(3) - r.getLong(2)) / gp).sum / zones.length
+    val frS = zones.map(r => (r.getLong(5) - r.getLong(4)) / gs).sum / zones.length
+    assert(frP < 0.2, s"partkey extent fraction $frP")
+    assert(frS < 0.2, s"suppkey extent fraction $frS")
+    // and the files tile the whole table
+    assert(zones.map(_.getLong(1)).sum ==
+      Tables.load(spark, sfDir, "lineitem").count())
+  }
+
+  test("per-dimension standardization centers and scales every dimension") {
+    val rows = graft.sim.SimilarityQueries.embedStandardize(spark, sfDir)
+      .collect().map(_.getString(1).split(",").map(_.toLong / 1000.0))
+    val nDims = rows.head.length
+    assert(rows.forall(_.length == nDims))
+    // each dimension's z-scores: mean ~0 (floor bias pulls slightly
+    // low), std ~1
+    (0 until nDims by 17).foreach { d =>
+      val zs = rows.map(_(d))
+      val mu = zs.sum / zs.length
+      val sd = math.sqrt(zs.map(z => (z - mu) * (z - mu)).sum / zs.length)
+      assert(math.abs(mu) < 0.05, s"dim $d mean $mu")
+      assert(math.abs(sd - 1.0) < 0.05, s"dim $d std $sd")
+    }
+  }
+
   test("YoY ratio joins only both-year customers and cuts on exact decimal compare") {
     val out = TpcdsQueries.yoyRatio(spark, sfDir)
     val rows = out.collect()
