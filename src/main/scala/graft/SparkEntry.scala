@@ -22,7 +22,7 @@ object SparkEntry {
       MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++
       LayoutQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
-      graft.text.SelectionQueries.queries ++
+      graft.text.SelectionQueries.queries ++ graft.text.FrequencyOps.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
       graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries ++
       graft.sources.CdcQueries.queries ++ graft.sources.JdbcQueries.queries ++
@@ -36,7 +36,7 @@ object SparkEntry {
       MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++
       LayoutQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
-      graft.text.SelectionQueries.oracle ++
+      graft.text.SelectionQueries.oracle ++ graft.text.FrequencyOps.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++
       graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle ++
       graft.sources.CdcQueries.oracle ++ graft.sources.JdbcQueries.oracle ++

@@ -32,6 +32,8 @@ object FlinkFunctions {
 
   def fingerprint64(c: Column): Column = toCol(Fingerprint64(toExpr(c)))
   def nfcNormalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
+  def charEntropy(c: Column): Column = toCol(CharEntropy(toExpr(c)))
+  def tokenEntropy(c: Column): Column = toCol(TokenEntropy(toExpr(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(toExpr(a), toExpr(b)))

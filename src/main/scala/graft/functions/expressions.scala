@@ -128,6 +128,37 @@ case class HammingDistance64(left: Expression, right: Expression)
   override def prettyName: String = "hamming64"
 }
 
+/** Shannon entropy (bits) of a string's code-point distribution —
+  * the gibberish/boilerplate signal of a quality gate, computed in
+  * one map-only pass per document (no explode, no shuffle).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(c)
+  override def prettyName: String = "char_entropy"
+}
+
+/** Shannon entropy (bits) of a string's whitespace-token
+  * distribution — near zero for template/keyword-stuffed pages.
+  */
+case class TokenEntropy(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.tokenEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): TokenEntropy = copy(c)
+  override def prettyName: String = "token_entropy"
+}
+
 /** Unicode NFC normalization — Spark ships no normalizer, and text
   * dedup needs one: composed (U+00E9) and decomposed (e + U+0301)
   * spellings of the same text must hash identically before any

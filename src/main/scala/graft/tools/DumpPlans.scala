@@ -94,6 +94,8 @@ object DumpPlans {
     "q_tpcds_yoy" -> "TPC-DS q11/q74 YoY self-join of one per-(customer,year) aggregate: the period filters sit on a GROUPING column, so Catalyst pushes them THROUGH the aggregate to each branch's scan — each side aggregates only its own year's rows (strictly less exchange traffic than agg-everything-then-ReuseExchange), the self-join moves |customers|-sized rows however large orders grows, and the growth CUT compares exact DECIMAL sums (fold-order independent — no float-ulp flap on the filter); the double ratio is projection-only output",
     "q_graph_kcore" -> "bounded k-core peel: 6 synchronous peel rounds, each ONE degree aggregate + two left-semi joins — all edge-bounded exchanges; the quantity>=45 sparsifier is PUSHED to the parquet scan so the graph shrinks at the source; each round references the prior edge frame THREE times (degree agg feeding both semi joins + the join input), so the loop runs the DedupCluster eager discipline — per-round localCheckpoint truncating lineage, superseded round unpersisted, at most two cached frames (the lazy one-job trick measured 82 s vs 3 s under this fan-out)",
     "q_layout_zorder" -> "Z-order layout audit (the OPTIMIZE ZORDER move): 1-row min/max stats broadcast back IN-PLAN (no driver action), min-max-scale each dimension to an 8-bit cell with integer div, Morton-interleave in one codegen'd shift-or-mask projection, and aggregate the zone-map table per target file — the only exchanges carry the 1-row stats and ~256 file ids; at 100 TB the same zv feeds repartitionByRange at write time so every file covers ~1/16 of BOTH key ranges and zone maps prune either predicate",
+    "q_heavy_hitters" -> "exact φ-frequent tokens at Misra–Gries memory bounds: phase 1 is ONE map-only corpus scan emitting ≤k survivors + 1 totals row per partition (bounded state however heavy the tail — the thing a plain groupBy's per-partition hash table can't promise), phase 2 re-scans with the candidate set broadcast so the only aggregate exchange carries candidate tokens, never the vocabulary; the final cut is an integer compare (cnt·phi > n) — zero false negatives by pigeonhole (k ≥ phi), zero false positives by exact recount",
+    "q_text_entropy" -> "per-document char + token Shannon entropy: ONE map-only projection over two codegen'd native expressions (CharEntropy/TokenEntropy — histogram built per row inside the generated code, ASCII array fast path) — no explode, no shuffle, no aggregate; the quality-gate signal at parquet scan speed",
     "q_sample_weighted" -> "priority sampling (weight-proportional k-sample + unbiased subset-sum estimator): map-only key projection, then TakeOrderedAndProject — per-partition heaps of k+1 rows, driver merges heads, NO global sort and no corpus shuffle; the tau/estimator window runs over the k+1 surviving rows only, and the ordering key is one exactly-rounded IEEE division (arithmetic-only, so even the cut is engine-stable)")
 
   /** Per-query session overrides applied around the dump — used where

@@ -162,7 +162,11 @@ object ScaleProbe {
       // Morton projection + file-id-keyed agg — must track scan speed)
       // and per-dimension standardization (posexplode into a dim-keyed
       // partial+final agg; exchange carries nDims rows per task)
-      "q_layout_zorder", "q_embed_standardize")
+      "q_layout_zorder", "q_embed_standardize",
+      // round-11: heavy hitters (two corpus scans, ≤k+1 summary rows
+      // per partition then candidate-only recount exchange) and the
+      // map-only entropy projection (must track scan speed)
+      "q_heavy_hitters", "q_text_entropy")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+

@@ -117,6 +117,62 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries keeps every local heavyweight at bounded width") {
+    import graft.text.FrequencyOps
+    // 1000 'hot' + 600 distinct cold tokens through a width-3 summary:
+    // eviction rounds fire constantly, yet hot (freq > n/3) must survive
+    val stream = Seq.fill(1000)("hot") ++ (1 to 600).map(i => s"cold$i")
+    val out = FrequencyOps.misraGries(stream.iterator, k = 3).toSeq
+    val survivors = out.filter(_._1 != null)
+    assert(survivors.size <= 3)
+    assert(survivors.exists(_._1 == "hot"))
+    assert(out.find(_._1 == null).get._3 == 1600L) // totals sentinel
+    // MG lower bound: survivor count undercounts by at most n/k
+    val hotLb = survivors.find(_._1 == "hot").get._2
+    assert(hotLb >= 1000L - 1600L / 3)
+  }
+
+  test("heavy hitters equals brute force under adversarial partitioning") {
+    import graft.text.FrequencyOps
+    // tokens shuffled across 7 partitions; the pigeonhole bound must
+    // hold whatever slice of each heavy token a partition sees
+    val toks = (Seq.fill(300)("aaa") ++ Seq.fill(120)("bbb") ++
+      (1 to 500).map(i => s"tail$i") ++ Seq.fill(80)("ccc")).toDS()
+      .repartition(7)
+    val got = FrequencyOps.heavyHittersOn(toks, phi = 10, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = 300 + 120 + 500 + 80
+    val brute = Map("aaa" -> 300L, "bbb" -> 120L, "ccc" -> 80L)
+      .filter { case (_, c) => c * 10 > n } // 1000/10=100: aaa, bbb
+    assert(got == brute)
+  }
+
+  test("entropy expressions match closed-form values on both code paths") {
+    import graft.text.FrequencyOps
+    val rows = Seq(
+      (1L, "aab"),            // ASCII path: H = log2(3) - (2 log2 2)/3
+      (2L, "abcd"),           // uniform: exactly 2.0 bits
+      (3L, "x x x x"),        // tokens all equal -> tok_h = 0
+      (4L, "éaé"),  // non-ASCII path, 2-cp alphabet
+      (5L, "𝄞𝄞")) // surrogate pair = ONE code point
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        graft.functions.FlinkFunctions.charEntropy(col("text")).as("ch"),
+        graft.functions.FlinkFunctions.tokenEntropy(col("text")).as("th"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val h3 = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(math.abs(got(1L)._1 - h3) < 1e-12)
+    assert(got(2L)._1 == 2.0)
+    assert(got(3L)._2 == 0.0)
+    assert(math.abs(got(4L)._1 -
+      (math.log(3.0) / math.log(2.0) - 2.0 / 3.0)) < 1e-12)
+    assert(got(5L)._1 == 0.0) // two copies of one code point
+    // the corpus projection is map-only: no exchange in the plan
+    val plan = FrequencyOps.textEntropy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("YoY ratio joins only both-year customers and cuts on exact decimal compare") {
     val out = TpcdsQueries.yoyRatio(spark, sfDir)
     val rows = out.collect()
