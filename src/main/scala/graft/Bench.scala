@@ -57,7 +57,8 @@ object Bench {
     "q_tpcds_except_chain", "q_tpcds_intersect", "q_tpcds_yoy",
     "q_text_bm25", "q_text_postings", "q_text_pmi",
     "q_graph_kcore", "q_sample_weighted", "q_layout_zorder",
-    "q_embed_standardize", "q_heavy_hitters", "q_text_entropy")
+    "q_embed_standardize", "q_heavy_hitters", "q_text_entropy",
+    "q_sim_pq_ann")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -23,7 +23,8 @@ object SparkEntry {
       LayoutQueries.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.text.SelectionQueries.queries ++ graft.text.FrequencyOps.queries ++
-      graft.sim.SimilarityQueries.queries ++ graft.changelog.ChangelogQueries.queries ++
+      graft.sim.SimilarityQueries.queries ++ graft.sim.PqAnn.queries ++
+      graft.changelog.ChangelogQueries.queries ++
       graft.cep.CepOps.queries ++ graft.sql.SqlQueries.queries ++
       graft.sources.CdcQueries.queries ++ graft.sources.JdbcQueries.queries ++
       graft.text.SubstringDedup.queries ++ graft.text.ChunkOps.queries ++
@@ -37,7 +38,8 @@ object SparkEntry {
       LayoutQueries.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.text.SelectionQueries.oracle ++ graft.text.FrequencyOps.oracle ++
-      graft.sim.SimilarityQueries.oracle ++ graft.changelog.ChangelogQueries.oracle ++
+      graft.sim.SimilarityQueries.oracle ++ graft.sim.PqAnn.oracle ++
+      graft.changelog.ChangelogQueries.oracle ++
       graft.cep.CepOps.oracle ++ graft.sql.SqlQueries.oracle ++
       graft.sources.CdcQueries.oracle ++ graft.sources.JdbcQueries.oracle ++
       graft.text.SubstringDedup.oracle ++ graft.text.ChunkOps.oracle ++

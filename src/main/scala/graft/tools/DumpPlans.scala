@@ -96,6 +96,7 @@ object DumpPlans {
     "q_layout_zorder" -> "Z-order layout audit (the OPTIMIZE ZORDER move): 1-row min/max stats broadcast back IN-PLAN (no driver action), min-max-scale each dimension to an 8-bit cell with integer div, Morton-interleave in one codegen'd shift-or-mask projection, and aggregate the zone-map table per target file — the only exchanges carry the 1-row stats and ~256 file ids; at 100 TB the same zv feeds repartitionByRange at write time so every file covers ~1/16 of BOTH key ranges and zone maps prune either predicate",
     "q_heavy_hitters" -> "exact φ-frequent tokens at Misra–Gries memory bounds: phase 1 is ONE map-only corpus scan emitting ≤k survivors + 1 totals row per partition (bounded state however heavy the tail — the thing a plain groupBy's per-partition hash table can't promise), phase 2 re-scans with the candidate set broadcast so the only aggregate exchange carries candidate tokens, never the vocabulary; the final cut is an integer compare (cnt·phi > n) — zero false negatives by pigeonhole (k ≥ phi), zero false positives by exact recount",
     "q_text_entropy" -> "per-document char + token Shannon entropy: ONE map-only projection over two codegen'd native expressions (CharEntropy/TokenEntropy — histogram built per row inside the generated code, ASCII array fast path) — no explode, no shuffle, no aggregate; the quality-gate signal at parquet scan speed",
+    "q_sim_pq_ann" -> "product quantization ANN (8x4-bit codes + ADC + exact rerank): the fit loop's only exchange carries (sub,cell,dim) partials (d·k rows per partition, the bounded iterate-broadcast), ENCODE is one map-only projection with the codebooks as plan literals (128 floats -> 8 nibbles, no shuffle), and scoring reads codes map-only too — the per-query ADC distance tables re-enter the plan as literal arrays, so adist is m array lookups + a sum; the shortlist WindowGroupLimit and the broadcast-semi rerank are the only wide steps, and every number in the output is exact BIGINT",
     "q_sample_weighted" -> "priority sampling (weight-proportional k-sample + unbiased subset-sum estimator): map-only key projection, then TakeOrderedAndProject — per-partition heaps of k+1 rows, driver merges heads, NO global sort and no corpus shuffle; the tau/estimator window runs over the k+1 surviving rows only, and the ordering key is one exactly-rounded IEEE division (arithmetic-only, so even the cut is engine-stable)")
 
   /** Per-query session overrides applied around the dump — used where

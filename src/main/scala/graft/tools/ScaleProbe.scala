@@ -166,7 +166,11 @@ object ScaleProbe {
       // round-11: heavy hitters (two corpus scans, ≤k+1 summary rows
       // per partition then candidate-only recount exchange) and the
       // map-only entropy projection (must track scan speed)
-      "q_heavy_hitters", "q_text_entropy")
+      "q_heavy_hitters", "q_text_entropy",
+      // round-11: PQ ANN — fit exchanges d·k partials, encode is one
+      // map-only projection, ADC tables are plan literals, the only
+      // scoring exchange is the shortlist window's survivors
+      "q_sim_pq_ann")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+

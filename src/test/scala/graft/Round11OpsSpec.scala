@@ -173,6 +173,55 @@ class Round11OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("PQ with nVec <= k and no Lloyd rounds degenerates to exact brute force") {
+    import graft.sim.PqAnn
+    // 12 vectors, 8 dims, m=2: with k=16 >= nVec and iters=0 the
+    // codebook IS the corpus subvectors, every code hits d2=0, and
+    // ADC distances equal exact distances — PQ == brute force
+    val vecs = (0L until 12L).map(i =>
+      (i, (0 until 8).map(j => ((i * 7 + j * 13) % 19) - 9L)))
+    val q = vecs.toDF("vec_id", "q")
+    val out = PqAnn.pqAnnOn(q, m = 2, k = 16, iters = 0,
+        nq = 2, topK = 3, shortR = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val brute = (0L until 2L).flatMap { qid =>
+      val qv = vecs(qid.toInt)._2
+      vecs.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (vid, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (vid, d) => (d, vid) }
+        .take(3).zipWithIndex
+        .map { case ((vid, d), i) => (qid, vid, d, i + 1) }
+    }
+    assert(out.sortBy(r => (r._1, r._4)).toSeq == brute)
+  }
+
+  test("PQ shortlist plus exact rerank reaches high recall on the gate corpus") {
+    import graft.sim.PqAnn
+    val out = PqAnn.pqAnn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 50) // 5 queries x top-10
+    // brute force over the same quantized vectors, in plain Scala
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0d) as bigint))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq)
+    val byId = vecs.toMap
+    val qids = vecs.map(_._1).sorted.take(5)
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val brute = qids.flatMap { qid =>
+      vecs.filter(_._1 != qid)
+        .map { case (vid, v) => (qid, vid, d2(byId(qid), v)) }
+        .sortBy { case (_, vid, d) => (d, vid) }.take(10)
+    }.toSet
+    // every reported distance is EXACT (the rerank contract) ...
+    out.foreach { case (qid, vid, d) => assert(d == d2(byId(qid), byId(vid))) }
+    // ... and the 4-bit-code shortlist keeps ~94% of the true top-10
+    val recall = out.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.85, s"recall@10 $recall")
+  }
+
   test("YoY ratio joins only both-year customers and cuts on exact decimal compare") {
     val out = TpcdsQueries.yoyRatio(spark, sfDir)
     val rows = out.collect()
