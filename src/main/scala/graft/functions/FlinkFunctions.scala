@@ -151,6 +151,8 @@ object FlinkFunctions {
         }
     }
     reg1("nfc_normalize") { es => NfcNormalize(es.head) }
+    reg1("char_entropy") { es => CharEntropy(es.head) }
+    reg1("token_entropy") { es => TokenEntropy(es.head) }
     reg1("simhash64") { es => SimHash64(es.head) }
     reg1("cosine_similarity") { es => CosineSimilarity(es(0), es(1)) }
     reg1("dot_product") { es => DotProduct(es(0), es(1)) }

@@ -177,7 +177,33 @@ object TpcdsQueries {
         (col("s2").cast("double") / col("s1").cast("double")).as("ratio"))
   }
 
+  /** q88 shape — eight filtered COUNTs over disjoint time bands,
+    * returned as ONE row of eight columns. The published SQL writes
+    * this as eight scalar subqueries cross-joined (`FROM (SELECT
+    * count(*) s1 ...), (SELECT count(*) s2 ...), ...`), which a naive
+    * plan runs as eight fact scans; the engine-native statement is
+    * ONE scan of conditional aggregates — each band is a
+    * `sum(CASE WHEN ...)` with map-side partials, so the fact table
+    * crosses the pipeline once and the only exchange is eight partial
+    * longs per partition. Each band carries its own secondary
+    * predicate (q88's rotating household-demographic filter, here a
+    * rotating value threshold); bands key on `hour(ts)` — both
+    * engines evaluate it in the session's UTC. The cuts compare
+    * STORED doubles against literals — no arithmetic, so the band
+    * membership is engine-exact.
+    */
+  def timeBands(s: SparkSession, dir: String): DataFrame = {
+    val bands = (8 until 16).map { h =>
+      sum(when(col("h") === h && col("value") >= (h % 3) * 10.0, 1L)
+        .otherwise(0L)).as(s"h$h")
+    }
+    t(s, dir, "events")
+      .select(hour(col("ts")).as("h"), col("value"))
+      .agg(bands.head, bands.tail: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcds_timebands" -> ((s: SparkSession, d: String) => timeBands(s, d)),
     "q_tpcds_yoy" -> ((s: SparkSession, d: String) => yoyRatio(s, d)),
     "q_tpcds_channels" -> ((s: SparkSession, d: String) => channelSales(s, d)),
     "q_tpcds_rollup_rank" -> ((s: SparkSession, d: String) => rollupRank(s, d)),
@@ -186,6 +212,10 @@ object TpcdsQueries {
     "q_tpcds_intersect" -> ((s: SparkSession, d: String) => intersectChain(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcds_timebands" ->
+      (8 until 16).map { h =>
+        s"  sum(CASE WHEN hour(ts) = $h AND value >= ${(h % 3) * 10}.0 THEN 1 ELSE 0 END)::BIGINT AS h$h"
+      }.mkString("SELECT\n", ",\n", "\nFROM events"),
     "q_tpcds_yoy" ->
       """WITH by_year AS (
         |  SELECT o_custkey, extract(year FROM o_orderdate)::INT AS yr,

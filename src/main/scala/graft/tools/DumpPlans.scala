@@ -92,6 +92,7 @@ object DumpPlans {
     "q_tpcds_except_chain" -> "TPC-DS q87 EXCEPT chain: every channel slice distincts down to custkeys BEFORE the set ops, so the two EXCEPTs shuffle key sets, never fact rows; the surviving (small) set joins the customer dim for the segment rollup",
     "q_tpcds_intersect" -> "TPC-DS q38 INTERSECT chain: customers in ALL three channels — each slice distincts to custkeys first (set membership, not multiplicity), the two INTERSECTs plan as semi joins over key sets, and only the surviving intersection touches the customer dim",
     "q_tpcds_yoy" -> "TPC-DS q11/q74 YoY self-join of one per-(customer,year) aggregate: the period filters sit on a GROUPING column, so Catalyst pushes them THROUGH the aggregate to each branch's scan — each side aggregates only its own year's rows (strictly less exchange traffic than agg-everything-then-ReuseExchange), the self-join moves |customers|-sized rows however large orders grows, and the growth CUT compares exact DECIMAL sums (fold-order independent — no float-ulp flap on the filter); the double ratio is projection-only output",
+    "q_tpcds_timebands" -> "TPC-DS q88 shape (eight filtered COUNTs over disjoint time bands): the published SQL cross-joins eight scalar subqueries — eight fact scans in a naive plan; here each band is a sum(CASE ...) in ONE conditional-aggregate pass, so the fact table crosses the pipeline once, partials fold map-side, and the only exchange is eight longs per partition into a 1-row result",
     "q_graph_kcore" -> "bounded k-core peel: 6 synchronous peel rounds, each ONE degree aggregate + two left-semi joins — all edge-bounded exchanges; the quantity>=45 sparsifier is PUSHED to the parquet scan so the graph shrinks at the source; each round references the prior edge frame THREE times (degree agg feeding both semi joins + the join input), so the loop runs the DedupCluster eager discipline — per-round localCheckpoint truncating lineage, superseded round unpersisted, at most two cached frames (the lazy one-job trick measured 82 s vs 3 s under this fan-out)",
     "q_layout_zorder" -> "Z-order layout audit (the OPTIMIZE ZORDER move): 1-row min/max stats broadcast back IN-PLAN (no driver action), min-max-scale each dimension to an 8-bit cell with integer div, Morton-interleave in one codegen'd shift-or-mask projection, and aggregate the zone-map table per target file — the only exchanges carry the 1-row stats and ~256 file ids; at 100 TB the same zv feeds repartitionByRange at write time so every file covers ~1/16 of BOTH key ranges and zone maps prune either predicate",
     "q_heavy_hitters" -> "exact φ-frequent tokens at Misra–Gries memory bounds: phase 1 is ONE map-only corpus scan emitting ≤k survivors + 1 totals row per partition (bounded state however heavy the tail — the thing a plain groupBy's per-partition hash table can't promise), phase 2 re-scans with the candidate set broadcast so the only aggregate exchange carries candidate tokens, never the vocabulary; the final cut is an integer compare (cnt·phi > n) — zero false negatives by pigeonhole (k ≥ phi), zero false positives by exact recount",

@@ -104,6 +104,15 @@ class FunctionsSpec extends SparkSpec {
       === nc.toString)
   }
 
+  test("entropy expressions are SQL-callable under their registered names") {
+    F.registerAll(spark)
+    Seq("aab").toDF("t").createOrReplaceTempView("ent_in")
+    val r = spark.sql("SELECT char_entropy(t) AS ch, token_entropy(t) AS th FROM ent_in")
+      .first()
+    assert(math.abs(r.getDouble(0) - (math.log(3.0) / math.log(2.0) - 2.0 / 3.0)) < 1e-12)
+    assert(r.getDouble(1) == 0.0) // single token
+  }
+
   test("rp_project matches the per-row md5 SQL formulation; plan has no per-row md5") {
     // The naive HOF formulation q_embed_rp shipped in round 8 — kept
     // here as the semantic oracle for the native expression.

@@ -222,6 +222,17 @@ class Round11OpsSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall@10 $recall")
   }
 
+  test("q88-shape multiband counts run as ONE scan of conditional aggregates") {
+    val df = TpcdsQueries.timeBands(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // eight bands, one fact scan, no join — the rewrite that beats
+    // q88's literal eight-subquery cross join
+    assert(plan.split("Scan parquet").length - 1 == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    val row = df.head()
+    assert((0 until 8).map(row.getLong).sum > 0)
+  }
+
   test("YoY ratio joins only both-year customers and cuts on exact decimal compare") {
     val out = TpcdsQueries.yoyRatio(spark, sfDir)
     val rows = out.collect()
