@@ -90,6 +90,27 @@ object AggQueries {
         expr("percentile_cont(0.5D) WITHIN GROUP (ORDER BY l_extendedprice)").as("med_price"),
         expr("percentile_cont(0.9D) WITHIN GROUP (ORDER BY l_discount)").as("p90_disc"))
 
+  /** SQL:2003 linear-regression aggregates (the Calcite REGR_* /
+    * COVAR_* / CORR surface): slope/intercept/r² of extendedprice
+    * against quantity per return flag. Both engines fold doubles in
+    * their own partial order, so values agree to ~1e-12 relative and
+    * the driver's 1e-2 rounding absorbs the ulp spread — the same
+    * contract `q_agg_stats`' stddev/var battery has run on since
+    * round 2. All outputs are value columns; nothing filters or
+    * ranks on a float.
+    */
+  def aggRegr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covs"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("covp"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("icept"),
+        regr_r2(col("l_extendedprice"), col("l_quantity")).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+
   /** LISTAGG (BuiltInFunctionDefinitions LISTAGG + CollectAggFunction)
     * — deterministic via sort-before-join of the collected list.
     */
@@ -148,6 +169,7 @@ object AggQueries {
     "q_agg_groupingsets" -> (aggGroupingSets _),
     "q_agg_stats"        -> (aggStats _),
     "q_agg_percentile"   -> (aggPercentile _),
+    "q_agg_regr"         -> (aggRegr _),
     "q_agg_listagg"      -> (aggListagg _),
     "q_agg_maxby"        -> (aggMaxBy _),
     "q_agg_approx"       -> (aggApprox _))
@@ -191,6 +213,16 @@ object AggQueries {
         |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
         |  quantile_cont(l_extendedprice, 0.5) AS med_price,
         |  quantile_cont(l_discount, 0.9) AS p90_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  corr(l_quantity, l_extendedprice) AS corr_qp,
+        |  covar_samp(l_quantity, l_extendedprice) AS covs,
+        |  covar_pop(l_quantity, l_extendedprice) AS covp,
+        |  regr_slope(l_extendedprice, l_quantity) AS slope,
+        |  regr_intercept(l_extendedprice, l_quantity) AS icept,
+        |  regr_r2(l_extendedprice, l_quantity) AS r2,
+        |  regr_count(l_extendedprice, l_quantity)::BIGINT AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_agg_listagg" ->
       """SELECT c_nationkey,

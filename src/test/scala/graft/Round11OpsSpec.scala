@@ -72,6 +72,20 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("regression aggregates match the closed-form least-squares fit") {
+    // points (1,2),(2,4),(3,7): slope = cov/var = 5/2, icept = mean_y - slope*mean_x
+    val r = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 7.0)).toDF("x", "y")
+      .agg(regr_slope(col("y"), col("x")).as("s"),
+        regr_intercept(col("y"), col("x")).as("i"),
+        regr_count(col("y"), col("x")).as("n"),
+        corr(col("x"), col("y")).as("c"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(1) - (13.0 / 3.0 - 2.5 * 2.0)) < 1e-12)
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) > 0.99) // near-collinear fixture
+  }
+
   test("Morton interleave puts dim-a bits even, dim-b bits odd") {
     import graft.operators.LayoutQueries
     val out = Seq((15L, 0L), (0L, 15L), (255L, 255L), (0L, 0L))
