@@ -91,7 +91,30 @@ object CalcSetQueries {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("tok")).as("nd_tok"), count(lit(1)).as("n_tok"))
 
+  /** UNPIVOT (SQL:2016 / Calcite; Spark's `Dataset.unpivot`) — wide
+    * measure columns melted to (id, measure, val) long form, the
+    * inverse of conditional-aggregation pivoting. Runs as a
+    * projection+Expand over the already-aggregated 3-row frame —
+    * at scale the melt happens AFTER the aggregate, so the corpus
+    * never replicates per measure. The values cast to one common
+    * double type (unpivot's contract); the oracle re-derives the
+    * melt as a UNION ALL so it runs on any engine.
+    */
+  def unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice")).cast("double").as("sum_price"),
+        avg(col("l_discount")).as("avg_disc"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+      "measure", "val")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (unpivot _),
     "q_calc"          -> (calc _),
     "q_values"        -> (values _),
     "q_sort_limit"    -> (sortLimit _),
@@ -104,6 +127,18 @@ object CalcSetQueries {
     "q_lateral_agg"   -> (lateralAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    sum(l_quantity)::DOUBLE AS sum_qty,
+        |    sum(l_extendedprice)::DOUBLE AS sum_price,
+        |    avg(l_discount) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'avg_disc', avg_disc FROM wide""".stripMargin,
     "q_calc" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1.0 - l_discount) AS net,

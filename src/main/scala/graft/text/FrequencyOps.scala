@@ -117,13 +117,19 @@ object FrequencyOps {
   }
 
   /** Per-document character and token Shannon entropy (bits): one
-    * map-only projection over two codegen'd expressions.
+    * map-only projection over two codegen'd expressions. Stateless,
+    * so [[textEntropyOn]] runs unchanged on a streaming frame — the
+    * quality gate applies at ingest with zero state (spec-asserted
+    * batch ≡ stream in Round11OpsSpec).
     */
   def textEntropy(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        FlinkFunctions.charEntropy(col("text")).as("char_h"),
-        FlinkFunctions.tokenEntropy(col("text")).as("tok_h"))
+    textEntropyOn(t(s, dir, "documents"))
+
+  /** [[textEntropy]] over any (doc_id, text) frame — batch or stream. */
+  def textEntropyOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      FlinkFunctions.charEntropy(col("text")).as("char_h"),
+      FlinkFunctions.tokenEntropy(col("text")).as("tok_h"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),

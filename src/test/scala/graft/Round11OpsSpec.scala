@@ -187,6 +187,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("entropy projection runs unchanged on a stream (batch == stream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.FrequencyOps
+    val docs = Seq((1L, "aab"), (2L, "a b a b c"))
+    val expected = FrequencyOps.textEntropyOn(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, String)](97, spark, None)
+    val q = FrequencyOps.textEntropyOn(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("entropy_stream").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      assert(spark.table("entropy_stream").collect().map(_.toSeq).toSet == expected)
+    } finally q.stop()
+  }
+
   test("PQ with nVec <= k and no Lloyd rounds degenerates to exact brute force") {
     import graft.sim.PqAnn
     // 12 vectors, 8 dims, m=2: with k=16 >= nVec and iters=0 the
