@@ -59,7 +59,9 @@ object Bench {
     "q_text_bm25", "q_text_postings", "q_text_pmi",
     "q_graph_kcore", "q_sample_weighted", "q_layout_zorder",
     "q_embed_standardize", "q_heavy_hitters", "q_text_entropy",
-    "q_sim_pq_ann")
+    "q_sim_pq_ann",
+    "q_funnel", "q_cohort_retention", "q_outlier_mad",
+    "q_drift_kl", "q_retrieval_rrf")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

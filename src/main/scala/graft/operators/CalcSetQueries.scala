@@ -100,6 +100,27 @@ object CalcSetQueries {
     * double type (unpivot's contract); the oracle re-derives the
     * melt as a UNION ALL so it runs on any engine.
     */
+  /** PIVOT — UNPIVOT's inverse (SQL:2016 optional feature T431;
+    * Spark's relational pivot): orders totals spread to one column
+    * per priority class. The value list is EXPLICIT, which is the
+    * scale contract — with values given, pivot is a single
+    * partial+final aggregate over conditional sums (no
+    * distinct-values pre-pass scanning the fact table, no driver
+    * collect); the oracle is the equivalent CASE spread. Columns
+    * renamed to identifier-safe names (parquet rejects the raw
+    * '4-NOT SPECIFIED').
+    */
+  def pivotPriorities(s: SparkSession, dir: String): DataFrame = {
+    val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+    val wide = t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .pivot("o_orderpriority", vals)
+      .agg(sum(col("o_totalprice")))
+    vals.zip(names).foldLeft(wide) { case (d, (v, n)) => d.withColumnRenamed(v, n) }
+  }
+
   def unpivot(s: SparkSession, dir: String): DataFrame = {
     val wide = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -115,6 +136,7 @@ object CalcSetQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> (unpivot _),
+    "q_pivot" -> (pivotPriorities _),
     "q_calc"          -> (calc _),
     "q_values"        -> (values _),
     "q_sort_limit"    -> (sortLimit _),
@@ -127,6 +149,14 @@ object CalcSetQueries {
     "q_lateral_agg"   -> (lateralAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS p_urgent,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS p_high,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS p_medium,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS p_notspec,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS p_low
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

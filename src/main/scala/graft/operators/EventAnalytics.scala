@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product/event analytics over the event stream — the conversion
+  * funnel, cohort retention, and robust outlier batteries every
+  * warehouse's behavioral layer ships (the reference expresses these
+  * as SQL-surface window/agg pipelines over its event tables rather
+  * than dedicated exec nodes; the funnel-step semantics follow the
+  * windowed-funnel operator popularized by ClickHouse/Amplitude, the
+  * robust z-score is Iglewicz & Hoaglin 1993).
+  *
+  * Scale shapes, in order: the funnel is ONE user-partitioned
+  * sort-window pass (three layered running-mins reuse a single
+  * exchange+sort — Spark plans identical window specs into one
+  * Window chain) followed by a user-keyed max and a tiny depth
+  * count; cohort retention is one user-keyed first-touch aggregate
+  * re-joined to the stream (AQE broadcasts the user-sized side at
+  * gate scale, a plain user-keyed shuffle join beyond the threshold
+  * — both correct) and one (cohort, week)-keyed count; the MAD
+  * battery is two percentile aggregates whose outputs are
+  * |event_type|-row broadcasts, so the corpus crosses the wire only
+  * for its own scan.
+  */
+object EventAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Windowed conversion funnel (first-touch anchored): for the step
+    * sequence view → click → purchase, the deepest stage each user
+    * reaches where every later step happens strictly after the
+    * previous one and inside `windowHours` of the user's FIRST
+    * stage-1 event. First-touch anchoring (the earliest view opens
+    * the only window) is the deterministic variant — "any chain"
+    * funnels are order-sensitive under ties; here every per-row
+    * value is a running min over (ts, event_id) order, so the result
+    * is a pure function of the event set.
+    *
+    * One user-partitioned sort carries all three layers: s1 is the
+    * running min of stage-1 times, s2 the running min of stage-2
+    * times qualified against s1, s3 likewise against s2 — each layer
+    * reads the previous layer's column on the SAME row, so the three
+    * Window operators share one exchange and one sort. Output is the
+    * depth histogram (5 rows at most), so everything after the
+    * per-user max is driver-trivial.
+    */
+  def funnel(s: SparkSession, dir: String, windowHours: Int = 24): DataFrame =
+    funnelOnEvents(t(s, dir, "events"), Seq("view", "click", "purchase"), windowHours)
+
+  /** Core over any (user_id, ts, event_type, event_id) frame. */
+  def funnelOnEvents(ev: DataFrame, steps: Seq[String], windowHours: Int): DataFrame = {
+    require(steps.size == 3, "fixed 3-step funnel (the oracle unrolls the layers)")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val horizon = expr(s"INTERVAL $windowHours HOURS")
+    val staged = ev
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("s1", min(when(col("event_type") === steps(0), col("ts"))).over(w))
+      .withColumn("s2", min(when(col("event_type") === steps(1) &&
+        col("ts") > col("s1") && col("ts") <= col("s1") + horizon, col("ts"))).over(w))
+      .withColumn("s3", min(when(col("event_type") === steps(2) &&
+        col("ts") > col("s2") && col("ts") <= col("s1") + horizon, col("ts"))).over(w))
+      .withColumn("stage",
+        when(col("s3").isNotNull, 3).when(col("s2").isNotNull, 2)
+          .when(col("s1").isNotNull, 1).otherwise(0))
+    staged
+      .groupBy(col("user_id")).agg(max(col("stage")).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("users"))
+  }
+
+  /** Cohort retention: users bucketed by the ISO week of their first
+    * event (the cohort), activity counted per (cohort, whole weeks
+    * since first touch). The week offset divides raw epoch seconds —
+    * a calendar-free contract both engines compute bit-identically —
+    * while the cohort label itself is calendar week (date_trunc), the
+    * axis a retention chart wants.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortOnEvents(t(s, dir, "events"))
+
+  def cohortOnEvents(ev: DataFrame): DataFrame = {
+    val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    ev.join(first, Seq("user_id"))
+      .select(
+        date_trunc("week", col("first_ts")).as("cohort_week"),
+        floor((col("ts").cast("double") - col("first_ts").cast("double")) / 604800d)
+          .cast("int").as("wk"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  /** Robust outliers via the modified z-score (Iglewicz & Hoaglin
+    * 1993): per event_type, |x − median| / (1.4826 · MAD) > 3.5 flags
+    * the tails a mean/stddev gate misses when the tails themselves
+    * corrupt the mean. Exact interpolated percentiles (the
+    * [[AggQueries]] percentile battery pinned Spark `percentile` ≡
+    * DuckDB `quantile_cont`); both stat tables are |event_type|-row
+    * broadcasts, so the plan is two stat aggregates plus one
+    * broadcast-joined filter scan — the corpus never shuffles.
+    */
+  def madOutliers(s: SparkSession, dir: String, cut: Double = 3.5): DataFrame =
+    madOnEvents(t(s, dir, "events"), cut)
+
+  def madOnEvents(ev: DataFrame, cut: Double): DataFrame = {
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("z", abs(col("value") - col("med")) / (lit(1.4826) * col("mad")))
+      .filter(col("z") > cut)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
+    "q_cohort_retention" -> ((s: SparkSession, d: String) => cohortRetention(s, d)),
+    "q_outlier_mad" -> ((s: SparkSession, d: String) => madOutliers(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    // Layered running-mins over one (user, ts, event_id)-ordered
+    // window — the same three-layer chain the DataFrame builds; ROWS
+    // frames spelled out because DuckDB's bare ORDER BY default is
+    // RANGE (ties would collapse).
+    "q_funnel" ->
+      """WITH l1 AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+        |  FROM events),
+        |l2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1
+        |                     AND ts <= s1 + INTERVAL '24 hours' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+        |  FROM l1),
+        |l3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2
+        |                     AND ts <= s1 + INTERVAL '24 hours' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3
+        |  FROM l2),
+        |per_user AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+        |             WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        |  FROM l3 GROUP BY user_id)
+        |SELECT depth, count(*) AS users FROM per_user GROUP BY depth""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH first_touch AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT date_trunc('week', first_ts) AS cohort_week,
+        |  floor((epoch(ts) - epoch(first_ts)) / 604800)::INT AS wk,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM events JOIN first_touch USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT event_type, any_value(med) AS med,
+        |    quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events JOIN med USING (event_type) GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  abs(value - med) / (1.4826 * mad) AS z
+        |FROM events JOIN mad USING (event_type)
+        |WHERE abs(value - med) / (1.4826 * mad) > 3.5""".stripMargin)
+}

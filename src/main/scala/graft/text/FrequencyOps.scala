@@ -131,8 +131,71 @@ object FrequencyOps {
       FlinkFunctions.charEntropy(col("text")).as("char_h"),
       FlinkFunctions.tokenEntropy(col("text")).as("tok_h"))
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over the
+    * token unigram distributions, Laplace-smoothed with α = 0.5 over
+    * the shared corpus vocabulary (Kullback & Leibler 1951; the
+    * domain-shift monitor a mixed-source training pipeline watches —
+    * a source whose token distribution drifts from the mix is the
+    * one to re-weight or re-crawl). Reported in millinats so the
+    * 2-decimal oracle rounding keeps signal.
+    *
+    * Scale shape: ONE corpus-token shuffle builds (source, term)
+    * counts; everything after is vocabulary-bounded — corpus term
+    * totals are a vocab-sized re-aggregate, source totals an
+    * |sources|-row broadcast, and the smoothed cross join is
+    * |sources| × |vocab| with the absent-term contribution folded in
+    * CLOSED FORM (absent terms share one p₀ per source, so the sum
+    * over them is p₀·Σ_absent ln(p₀/q_t) = computed from the
+    * PRESENT rows and two totals — no |sources|×|vocab| expansion
+    * materializes at any scale).
+    */
+  def sourceDriftKl(s: SparkSession, dir: String): DataFrame =
+    driftKlOn(t(s, dir, "documents"))
+
+  def driftKlOn(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tk"))
+    val st = tok.groupBy(col("source"), col("tk"))
+      .agg(count(lit(1)).as("c_st")).persist()
+    val corpus = st.groupBy(col("tk")).agg(sum(col("c_st")).as("c_t"))
+    val totals = corpus.agg(sum(col("c_t")).as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    // Present terms contribute p·ln(p/q) directly. Absent terms all
+    // share p0 = α/(n_s + αV); their Σ ln q_t term needs only the
+    // corpus-wide Σ ln q_t minus the present terms' — so the plan
+    // carries two scalar folds instead of a vocab×sources expand.
+    val alpha = 0.5
+    val qlog = corpus.crossJoin(broadcast(totals))
+      .select(col("tk"), col("c_t"),
+        log((col("c_t") + alpha) / (col("n") + lit(alpha) * col("v"))).as("lnq"))
+    val sumLnqAll = qlog.agg(sum(col("lnq")).as("sum_lnq_all"))
+    val present = st
+      .join(qlog, Seq("tk"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p", (col("c_st") + alpha) / (col("n_s") + lit(alpha) * col("v")))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("p") * (log(col("p")) - col("lnq"))).as("kl_present"),
+        count(lit(1)).cast("double").as("n_terms"),
+        sum(col("lnq")).as("sum_lnq_present"))
+    present
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(sumLnqAll))
+      .withColumn("p0", lit(alpha) / (col("n_s") + lit(alpha) * col("v")))
+      .withColumn("kl_absent",
+        (col("v") - col("n_terms")) * col("p0") * log(col("p0"))
+          - col("p0") * (col("sum_lnq_all") - col("sum_lnq_present")))
+      .select(col("source"),
+        ((col("kl_present") + col("kl_absent")) * 1000d).as("kl_millinats"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "q_drift_kl" -> ((s: SparkSession, d: String) => sourceDriftKl(s, d)),
     "q_text_entropy" -> (textEntropy _))
 
   val oracle: Map[String, String] = Map(
@@ -149,6 +212,30 @@ object FrequencyOps {
         |FROM tok, tot
         |GROUP BY tk, n
         |HAVING count(*) * 200 > n""".stripMargin,
+    // The oracle materializes the full |sources|×|vocab| smoothed
+    // grid (fine at gate scale) — agreeing with the Spark side's
+    // closed-form absent-mass fold proves the algebra, not just the
+    // arithmetic.
+    "q_drift_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+        |  FROM documents),
+        |st AS (SELECT source, tk, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT tk, count(*) AS c_t FROM tok GROUP BY tk),
+        |tot AS (SELECT sum(c_t) AS n, count(*)::DOUBLE AS v FROM corpus),
+        |srct AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+        |grid AS (
+        |  SELECT s.source, c.tk, c.c_t, coalesce(st.c_st, 0) AS c_st
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN corpus c
+        |  LEFT JOIN st ON st.source = s.source AND st.tk = c.tk)
+        |SELECT g.source,
+        |  1000 * sum(
+        |    ((g.c_st + 0.5) / (srct.n_s + 0.5 * tot.v))
+        |    * ln(((g.c_st + 0.5) / (srct.n_s + 0.5 * tot.v))
+        |         / ((g.c_t + 0.5) / (tot.n + 0.5 * tot.v)))) AS kl_millinats
+        |FROM grid g JOIN srct USING (source), tot
+        |GROUP BY g.source""".stripMargin,
     "q_text_entropy" ->
       """WITH ce AS (
         |  SELECT doc_id, entropy(c) AS char_h

@@ -131,8 +131,75 @@ object RetrievalQueries {
       .filter(col("df").between(lo, hi))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) of
+    * two rankers over the shared query set: BM25 and plain TF-IDF
+    * (tf/dl · ln(N/df)) — the hybrid-retrieval shape that fuses a
+    * lexical and a second scorer without score calibration, since
+    * RRF consumes RANKS only: rrf = 1/(60+r_a) + 1/(60+r_b), k = 60
+    * per the paper. Both rankers score exactly the docs containing a
+    * query term, so the fused candidate set is one inner join.
+    *
+    * Determinism contract: ranks order by the score ROUNDED to a
+    * 1e-6 grid (ties then by doc_id) — float sums reach the grid
+    * identically across engines (the ulp-vs-rank lesson from
+    * [[TextQueries.tfidfTopk]]), and every OUTPUT number (ranks, the
+    * rrf sum of two small-integer reciprocals) is then exactly
+    * reproducible — no raw float ordering anywhere.
+    *
+    * Plan: the ONE tf shuffle feeds a single probe join whose
+    * aggregate computes BOTH scores in one pass; the rank windows
+    * run over the scored slice (docs-with-query-terms), partitioned
+    * by query — corpus-sized data never reaches a window.
+    */
+  def rrfFusion(s: SparkSession, dir: String, topK: Int = 10): DataFrame =
+    rrfCore(t(s, dir, "documents"), topK)
+
+  def rrfCore(docs: DataFrame, topK: Int): DataFrame = {
+    val tf = tfTable(docs).persist()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qw = Window.orderBy(col("df").desc, col("term").asc)
+    val qterms = df
+      .filter(length(col("term")) >= 4)
+      .orderBy(col("df").desc, col("term").asc).limit(8)
+      .withColumn("rn", row_number().over(qw))
+      .select((((col("rn") - 1) / 2).cast("int") + 1).as("query_id"),
+        col("term"), col("df"))
+    val stats = tf.groupBy(col("doc_id"), col("dl")).agg(count(lit(1)))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+    val k1 = 1.2
+    val b = 0.75
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_bm25",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("c_tfidf",
+        col("tf").cast("double") / col("dl") * log(col("n_docs") / col("df")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c_bm25")), 6).as("s_bm25"),
+        round(sum(col("c_tfidf")), 6).as("s_tfidf"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_bm25").desc, col("doc_id").asc)
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("s_tfidf").desc, col("doc_id").asc)
+    val fused = scored
+      .withColumn("rank_bm25", row_number().over(wa))
+      .withColumn("rank_tfidf", row_number().over(wb))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60) + col("rank_bm25")) + lit(1.0) / (lit(60) + col("rank_tfidf")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        col("rank_bm25"), col("rank_tfidf"), col("rrf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
+    "q_retrieval_rrf" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "q_text_postings" -> ((s: SparkSession, d: String) => postings(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +222,41 @@ object RetrievalQueries {
         |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
         |FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id), stats
         |GROUP BY 1, 2""".stripMargin,
+    // Same CTE spine as q_text_bm25 + the tfidf twin score, ranks on
+    // the shared 1e-6 score grid, integer-reciprocal fusion.
+    "q_retrieval_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.w AS term FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |    unnest(tk) AS u(w) WHERE length(u.w) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qterms AS (
+        |  SELECT ((rn - 1) // 2 + 1)::INT AS query_id, term, df FROM (
+        |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+        |    FROM df WHERE length(term) >= 4) WHERE rn <= 8),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s_bm25,
+        |    round(sum(tf::DOUBLE / dl * ln(n_docs / df)), 6) AS s_tfidf
+        |  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id), stats
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s_bm25 DESC, doc_id) AS rank_bm25,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s_tfidf DESC, doc_id) AS rank_tfidf
+        |  FROM scored),
+        |fused AS (
+        |  SELECT *, 1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_tfidf) AS rrf
+        |  FROM ranked)
+        |SELECT query_id, doc_id, rank_bm25, rank_tfidf, rrf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 10""".stripMargin,
     "q_text_postings" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, u.w AS term FROM (
