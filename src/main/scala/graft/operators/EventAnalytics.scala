@@ -120,10 +120,100 @@ object EventAnalytics {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
 
+  /** Sessionization as gaps-and-islands: a session breaks after
+    * `gapMinutes` of inactivity (the batch twin of the streaming
+    * session window — [[graft.streaming.StreamingOps]] holds the
+    * incremental variant; this is the definition a warehouse runs
+    * over history). Per-session output: ordinal, span, event count.
+    *
+    * Both window layers (the lag that flags a break, the running sum
+    * that numbers sessions) share ONE (user)-partitioned (ts,
+    * event_id) sort — Spark chains same-spec Window operators behind
+    * a single exchange — and the session roll-up re-uses the same
+    * user-keyed partitioning, so the event stream crosses the wire
+    * once.
+    */
+  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionizeOnEvents(t(s, dir, "events"), gapMinutes)
+
+  def sessionizeOnEvents(ev: DataFrame, gapMinutes: Int): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runsum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("brk",
+        when(col("ts").cast("double") - lag(col("ts"), 1).over(order).cast("double")
+          > gapMinutes * 60d, 1L).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("brk")).over(runsum))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        // integer microsecond floor-div: engines disagree on
+        // double->long rounding, never on BIGINT division
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .divide(lit(1000000L)).cast("long").as("duration_sec"))
+  }
+
+  /** First-order next-event transition counts + probabilities (the
+    * Markov chain a product-analytics "user flow" view draws): lead
+    * over each user's (ts, event_id) order pairs every event with its
+    * successor, transitions broken at session gaps (same 30-minute
+    * rule as [[sessionize]]) so overnight returns don't mint edges.
+    * The probability normalizer is a window over the transition
+    * matrix itself — |event_types|² rows, nothing corpus-sized.
+    */
+  def transitionMatrix(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    transitionsOnEvents(t(s, dir, "events"), gapMinutes)
+
+  def transitionsOnEvents(ev: DataFrame, gapMinutes: Int): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(order))
+      .withColumn("gap_ok",
+        lead(col("ts"), 1).over(order).cast("double") - col("ts").cast("double")
+          <= gapMinutes * 60d)
+      .filter(col("next_type").isNotNull && col("gap_ok"))
+    val norm = Window.partitionBy(col("event_type"))
+    pairs.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(norm))
+  }
+
+  /** A/B experiment readout with a deterministic hash assignment
+    * (md5 of the user id — the split is reproducible from the data
+    * alone, the [[graft.text.TextQueries.hashSplit]] property) and a
+    * Welch t statistic per event_type (unequal variances — arms are
+    * never balanced in observational splits). One conditional-sum
+    * aggregate pass over the events; every output is closed-form, so
+    * the oracle re-derives the whole readout.
+    */
+  def experimentLift(s: SparkSession, dir: String): DataFrame =
+    liftOnEvents(t(s, dir, "events"))
+
+  def liftOnEvents(ev: DataFrame): DataFrame = {
+    val armed = ev.withColumn("arm",
+      when(substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B"))
+    armed.groupBy(col("event_type"))
+      .agg(
+        count(when(col("arm") === "A", 1)).as("n_a"),
+        count(when(col("arm") === "B", 1)).as("n_b"),
+        avg(when(col("arm") === "A", col("value"))).as("mean_a"),
+        avg(when(col("arm") === "B", col("value"))).as("mean_b"),
+        var_samp(when(col("arm") === "A", col("value"))).as("var_a"),
+        var_samp(when(col("arm") === "B", col("value"))).as("var_b"))
+      .withColumn("lift", col("mean_b") - col("mean_a"))
+      .withColumn("t_welch",
+        col("lift") / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("lift"), col("t_welch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q_cohort_retention" -> ((s: SparkSession, d: String) => cohortRetention(s, d)),
-    "q_outlier_mad" -> ((s: SparkSession, d: String) => madOutliers(s, d)))
+    "q_outlier_mad" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
+    "q_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
+    "q_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(s, d)),
+    "q_experiment_lift" -> ((s: SparkSession, d: String) => experimentLift(s, d)))
 
   val oracle: Map[String, String] = Map(
     // Layered running-mins over one (user, ts, event_id)-ordered
@@ -174,5 +264,54 @@ object EventAnalytics {
         |SELECT event_id, event_type, value,
         |  abs(value - med) / (1.4826 * mad) AS z
         |FROM events JOIN mad USING (event_type)
-        |WHERE abs(value - med) / (1.4826 * mad) > 3.5""".stripMargin)
+        |WHERE abs(value - med) / (1.4826 * mad) > 3.5""".stripMargin,
+    // ROWS frame spelled out on the running sum (DuckDB's bare ORDER
+    // BY default is RANGE; timestamp ties would merge break flags).
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    epoch(lead(ts) OVER w) - epoch(ts) AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cnt AS (
+        |  SELECT event_type, next_type, count(*) AS n FROM pairs
+        |  WHERE next_type IS NOT NULL AND gap <= 1800
+        |  GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  n::DOUBLE / sum(n) OVER (PARTITION BY event_type) AS p
+        |FROM cnt""".stripMargin,
+    "q_experiment_lift" ->
+      """WITH armed AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (arm = 'A') AS n_a,
+        |    count(*) FILTER (arm = 'B') AS n_b,
+        |    avg(value) FILTER (arm = 'A') AS mean_a,
+        |    avg(value) FILTER (arm = 'B') AS mean_b,
+        |    var_samp(value) FILTER (arm = 'A') AS var_a,
+        |    var_samp(value) FILTER (arm = 'B') AS var_b
+        |  FROM armed GROUP BY event_type)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b,
+        |  mean_b - mean_a AS lift,
+        |  (mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b) AS t_welch
+        |FROM stats""".stripMargin)
 }

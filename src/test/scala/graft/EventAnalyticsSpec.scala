@@ -70,6 +70,58 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(got.head.getDouble(3) - 998.0 / 1.4826) < 1e-9)
   }
 
+  test("sessionize: 30-minute gaps break sessions; spans and counts are exact") {
+    val events = ev(Seq(
+      (1L, 0L, "a"), (1L, 600L, "b"),          // session 0: 2 events, 600 s
+      (1L, 600L + 2401L, "c"),                 // 40:01 gap -> session 1
+      (2L, 0L, "a"),                           // lone event -> one session
+      (3L, 0L, "a"), (3L, 1800L, "b")))        // exactly 30:00 -> NOT a break
+    val got = EventAnalytics.sessionizeOnEvents(events, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, 0L) -> (2L, 600L), (1L, 1L) -> (1L, 0L),
+      (2L, 0L) -> (1L, 0L),
+      (3L, 0L) -> (2L, 1800L)))
+  }
+
+  test("transition matrix: session gaps cut edges; rows normalize per source type") {
+    val events = ev(Seq(
+      (1L, 0L, "a"), (1L, 60L, "b"),           // a -> b
+      (1L, 60L + 2000L, "c"),                  // gap > 30 min: b -> c suppressed
+      (2L, 0L, "a"), (2L, 30L, "a"),           // a -> a
+      (2L, 60L, "b")))                         // a -> b (second)
+    val got = EventAnalytics.transitionsOnEvents(events, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> (2L, 2.0 / 3), ("a", "a") -> (1L, 1.0 / 3)))
+  }
+
+  test("experiment lift: arms re-derive from JVM md5 and the Welch t is closed-form") {
+    val users = (1L to 40L)
+    val events = users.map(u => (u, "buy", u.toDouble))
+      .toDF("user_id", "event_type", "value")
+      .withColumnRenamed("user_id", "user_id")
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val a = users.filter(arm(_) == "A").map(_.toDouble)
+    val b = users.filter(arm(_) == "B").map(_.toDouble)
+    def meanOf(xs: Seq[Double]) = xs.sum / xs.size
+    def varOf(xs: Seq[Double]) = {
+      val m = meanOf(xs); xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val lift = meanOf(b) - meanOf(a)
+    val t = lift / math.sqrt(varOf(a) / a.size + varOf(b) / b.size)
+    val row = EventAnalytics.liftOnEvents(events).collect().head
+    assert(row.getLong(1) == a.size && row.getLong(2) == b.size)
+    assert(math.abs(row.getDouble(5) - lift) < 1e-9)
+    assert(math.abs(row.getDouble(6) - t) < 1e-9)
+  }
+
   test("KL drift closed form equals the brute-force smoothed sum") {
     val docs = Seq(
       (1L, "x x y", "A"), (2L, "x z", "B"))
