@@ -243,6 +243,89 @@ object GraphQueries {
     out
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * 2·T(v) / (deg(v)·(deg(v)−1)) over the supplier co-purchase
+    * graph — the "how clique-ish is this node's neighborhood" signal
+    * community detection and fraud scoring both read. Triangle
+    * instances enumerate through the SAME degree-ordered DAG as
+    * [[trianglesOnEdges]] (out-degree capped at O(√E), so the
+    * path-enumeration join never blows up on hub nodes); each found
+    * triangle then credits all three corners via one explode, and the
+    * per-node count joins back to the degree table. Nodes with
+    * degree < 2 have no defined coefficient and are excluded (the
+    * standard convention).
+    */
+  def clusteringCoefficient(s: SparkSession, dir: String, minShared: Int = 5): DataFrame =
+    clusteringOnEdges(coPurchaseEdges(s, dir, minShared))
+
+  /** Core over any deduplicated a<b undirected edge frame. */
+  def clusteringOnEdges(eIn: DataFrame): DataFrame = {
+    val e = eIn.persist()
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val ed = e
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+    val oriented = ed.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val triPerNode = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("dg") >= 2)
+      .join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("dg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        (coalesce(col("tri"), lit(0L)).cast("double") * 2.0 /
+          (col("dg") * (col("dg") - 1))).as("coeff"))
+  }
+
+  /** HITS hubs and authorities (Kleinberg 1999) on the DIRECTED
+    * customer→supplier purchase graph: customers are hubs ("knows
+    * where to buy"), suppliers authorities ("worth buying from").
+    * Mutual reinforcement runs UN-normalized for `iters` rounds —
+    * scores grow like λ₁^iters, harmless in double for any bounded
+    * iteration count — and each side normalizes ONCE at the end to
+    * L1 mass 1. Deferring the normalization is what keeps the loop a
+    * LINEAR chain (a per-round scalar normalizer would give every
+    * round's frame two consumers and double the lineage per round —
+    * the [[pageRankOnEdges]] one-job discipline); the final frames
+    * are the only fan-out (output + their own mass sum) and lazily
+    * persist.
+    */
+  def hits(s: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    hitsOnEdges(bipartiteEdges(s, dir), iters)
+
+  /** Core over any distinct directed (src, dst) edge frame. */
+  def hitsOnEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
+    val e = e0.persist()
+    var hub = e.select(col("src").as("node")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .withColumnRenamed("dst", "node")
+      hub = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .withColumnRenamed("src", "node")
+    }
+    val hn = hub.persist()
+    val an = auth.persist()
+    val hsum = hn.agg(sum(col("h")).as("s"))
+    val asum = an.agg(sum(col("a")).as("s"))
+    hn.crossJoin(broadcast(hsum))
+      .select(lit("hub").as("side"), col("node"), (col("h") / col("s")).as("score"))
+      .union(an.crossJoin(broadcast(asum))
+        .select(lit("auth").as("side"), col("node"), (col("a") / col("s")).as("score")))
+  }
+
   /** Bounded-hop single-source shortest paths (the Gelly
     * SingleSourceShortestPaths shape on a unit-weight graph, which
     * makes it level-synchronous BFS): from the minimum node id
@@ -465,7 +548,31 @@ object GraphQueries {
        |GROUP BY src HAVING count(*) >= $k""".stripMargin
   }
 
+  // Unrolled mutual-reinforcement rounds for the DuckDB oracle;
+  // normalization folds in at the end exactly as hitsOnEdges does.
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT e0.dst AS node, sum(h${i - 1}.h) AS a
+         |  FROM e0 JOIN h${i - 1} ON e0.src = h${i - 1}.node GROUP BY e0.dst),
+         |h$i AS (
+         |  SELECT e0.src AS node, sum(a$i.a) AS h
+         |  FROM e0 JOIN a$i ON e0.dst = a$i.node GROUP BY e0.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM e0),
+       |$rounds
+       |SELECT 'hub' AS side, node, h / (SELECT sum(h) FROM h$iters) AS score
+       |FROM h$iters
+       |UNION ALL
+       |SELECT 'auth', node, a / (SELECT sum(a) FROM a$iters) FROM a$iters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_clustering" -> ((s: SparkSession, d: String) => clusteringCoefficient(s, d)),
+    "q_graph_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
     "q_graph_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
     "q_graph_ppr" -> ((s: SparkSession, d: String) => personalizedPageRank(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => degrees(s, d)),
@@ -476,6 +583,29 @@ object GraphQueries {
     "q_graph_cc" -> ((s: SparkSession, d: String) => connectedComp(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_hits" -> hitsOracle(3),
+    // Per-node triangle credit via the simple a<b triple formulation;
+    // the Spark side's degree orientation changes join cost, never
+    // which corners each triangle credits.
+    "q_graph_clustering" ->
+      """WITH co AS (
+        |  SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |ed AS (SELECT a, b FROM co GROUP BY a, b HAVING count(*) >= 5),
+        |deg AS (SELECT n, count(*) AS dg FROM (
+        |  SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY n),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+        |       JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT n, count(*) AS tri FROM (
+        |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY n)
+        |SELECT deg.n AS node, dg AS degree,
+        |  coalesce(tn.tri, 0)::BIGINT AS n_tri,
+        |  coalesce(tn.tri, 0) * 2.0 / (dg * (dg - 1)) AS coeff
+        |FROM deg LEFT JOIN tn USING (n) WHERE dg >= 2""".stripMargin,
     "q_graph_kcore" -> kcoreOracle(3, 6),
     "q_graph_degree" ->
       """WITH e0 AS (

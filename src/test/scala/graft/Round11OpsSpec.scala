@@ -283,4 +283,27 @@ class Round11OpsSpec extends SparkSpec {
     }.toSet
     assert(rows.map(_.getLong(0)).toSet == grew)
   }
+
+  test("clustering coefficient: triangle corners score 1, the bridge scores 1/3") {
+    // triangle {1,2,3} plus pendant 3-4: deg(3)=3, others cap at the
+    // convention (deg<2 excluded -> node 4 absent)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphQueries.clusteringOnEdges(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> (2L, 1L, 1.0), 2L -> (2L, 1L, 1.0), 3L -> (3L, 1L, 1.0 / 3)))
+  }
+
+  test("HITS: two mutual-reinforcement rounds match the hand-unrolled scores") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    // h0=1: a1 = {10:2, 11:1}; h1 = {1:3, 2:2}
+    // a2 = {10:5, 11:3}; h2 = {1:8, 2:5} -> L1-normalized per side
+    val got = GraphQueries.hitsOnEdges(e, iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expect = Map(
+      ("hub", 1L) -> 8.0 / 13, ("hub", 2L) -> 5.0 / 13,
+      ("auth", 10L) -> 5.0 / 8, ("auth", 11L) -> 3.0 / 8)
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, k) }
+  }
 }
