@@ -20,7 +20,7 @@ object SparkEntry {
     BatchQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
       MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++
-      LayoutQueries.queries ++ EventAnalytics.queries ++
+      LayoutQueries.queries ++ EventAnalytics.queries ++ Profiler.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.text.SelectionQueries.queries ++ graft.text.FrequencyOps.queries ++
       graft.sim.SimilarityQueries.queries ++ graft.sim.PqAnn.queries ++
@@ -35,7 +35,7 @@ object SparkEntry {
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
       MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++
-      LayoutQueries.oracle ++ EventAnalytics.oracle ++
+      LayoutQueries.oracle ++ EventAnalytics.oracle ++ Profiler.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.text.SelectionQueries.oracle ++ graft.text.FrequencyOps.oracle ++
       graft.sim.SimilarityQueries.oracle ++ graft.sim.PqAnn.oracle ++

@@ -48,6 +48,60 @@ object StatefulOps {
         })
   }
 
+  // ---- streaming funnel ----------------------------------------------
+
+  /** Funnel event: user, event-time micros, funnel stage index
+    * (0-based; events outside the step sequence are filtered before
+    * the operator).
+    */
+  case class FunnelEvent(userId: Long, tsMicros: Long, stage: Int)
+  case class FunnelState(s1: Long, s2: Long, s3: Long, emitted: Int) // Long.MaxValue = unset
+  case class FunnelEmit(userId: Long, depth: Int)
+
+  /** Streaming twin of [[graft.operators.EventAnalytics.funnel]]
+    * (first-touch anchored 3-step funnel): per-user state is three
+    * running-min timestamps — O(1) per key however long the stream —
+    * updated per event with the same strictly-after + inside-window
+    * qualification the batch window expressions apply. Emits the
+    * user's depth whenever it deepens (update semantics). Within a
+    * micro-batch events sort by event time before folding; across
+    * micro-batches arrival order must respect event time for the
+    * first-touch anchor to match the batch answer exactly (the
+    * [[graft.text.TextQueries.ingestStream]] convention — a
+    * retroactive earlier view cannot re-anchor already-qualified
+    * later stages).
+    */
+  def funnelStream(ds: Dataset[FunnelEvent], windowMicros: Long): Dataset[FunnelEmit] = {
+    import ds.sparkSession.implicits._
+    val unset = Long.MaxValue
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset, 0))
+          rows.toSeq.sortBy(e => (e.tsMicros, e.stage)).foreach { e =>
+            st = e.stage match {
+              case 0 if e.tsMicros < st.s1 => st.copy(s1 = e.tsMicros)
+              case 1 if st.s1 != unset && e.tsMicros > st.s1 &&
+                e.tsMicros <= st.s1 + windowMicros && e.tsMicros < st.s2 =>
+                st.copy(s2 = e.tsMicros)
+              case 2 if st.s2 != unset && e.tsMicros > st.s2 &&
+                st.s1 != unset && e.tsMicros <= st.s1 + windowMicros &&
+                e.tsMicros < st.s3 =>
+                st.copy(s3 = e.tsMicros)
+              case _ => st
+            }
+          }
+          val depth =
+            if (st.s3 != unset) 3 else if (st.s2 != unset) 2
+            else if (st.s1 != unset) 1 else 0
+          val out =
+            if (depth > st.emitted) Iterator.single(FunnelEmit(user, depth))
+            else Iterator.empty
+          state.update(st.copy(emitted = math.max(depth, st.emitted)))
+          out
+        })
+  }
+
   // ---- streaming as-of join -----------------------------------------
 
   /** Tagged union input for the as-of join: side 0 = build

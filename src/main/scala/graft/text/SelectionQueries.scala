@@ -454,9 +454,39 @@ object SelectionQueries {
         greatest(col("w").cast("double"), col("tau")).as("est"))
   }
 
+  /** Temperature-scaled source mixing weights (the mC4 / XLM-R
+    * α-sampling rule, Conneau et al. 2020, α = 0.3): the corpus-share
+    * vector p flattens to q ∝ p^α, boosting low-resource sources by
+    * the upsample factor q/p while hot sources downweight. This is
+    * the PLANNING query of a mixture pipeline — its output (one row
+    * per source) parameterizes the rate sampler [[graft.text
+    * .TextQueries.mixSources]] actually applies per row. Corpus-sized
+    * work is one map-only token-count projection into a |sources|-row
+    * aggregate; the normalizers ride a broadcast 1-row crossjoin.
+    */
+  def temperatureMix(s: SparkSession, dir: String, alpha: Double = 0.3): DataFrame =
+    temperatureMixOn(t(s, dir, "documents"), alpha)
+
+  def temperatureMixOn(docs: DataFrame, alpha: Double): DataFrame = {
+    val perSource = docs
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("n_tokens"))
+    val totals = perSource.agg(sum(col("n_tokens")).cast("double").as("n_all"))
+    val shared = perSource.crossJoin(broadcast(totals))
+      .withColumn("p", col("n_tokens") / col("n_all"))
+      .withColumn("pa", pow(col("p"), alpha))
+    val z = shared.agg(sum(col("pa")).as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("p"),
+        (col("pa") / col("z")).as("q"),
+        (col("pa") / col("z") / col("p")).as("upsample"))
+  }
+
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_temperature"    -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q_sample_weighted"    -> ((s: SparkSession, d: String) => prioritySample(s, d)),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_pipeline_select"    -> ((s: SparkSession, d: String) => pipelineSelect(s, d)),
@@ -474,6 +504,20 @@ object SelectionQueries {
       |         1, 4))::BIGINT - 32768))::BIGINT""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_mix_temperature" ->
+      """WITH per_source AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::DOUBLE AS n_all FROM per_source),
+        |shared AS (
+        |  SELECT source, n_tokens, n_tokens / n_all AS p,
+        |    pow(n_tokens / n_all, 0.3) AS pa
+        |  FROM per_source, tot),
+        |z AS (SELECT sum(pa) AS z FROM shared)
+        |SELECT source, n_tokens, p, pa / z AS q, pa / z / p AS upsample
+        |FROM shared, z""".stripMargin,
     "q_sample_weighted" ->
       """WITH scored AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS w,

@@ -40,6 +40,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map(3 -> 1L, 2 -> 2L, 1 -> 2L, 0 -> 1L))
   }
 
+  test("streaming funnel twin: per-user depths converge to the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelEmit}
+    val raw = Seq(
+      (1L, 0L, "view"), (1L, 1 * H, "click"), (1L, 2 * H, "purchase"),
+      (2L, 0L, "view"), (2L, 25 * H, "click"),
+      (3L, 0L, "click"), (3L, 1 * H, "purchase"), (3L, 2 * H, "view"),
+      (4L, 0L, "error"),
+      (5L, 0L, "view"), (5L, 1 * H, "click"), (5L, 26 * H, "purchase"),
+      (6L, 0L, "view"), (6L, 1 * H, "click"))
+    val batchDepths = EventAnalytics
+      .funnelOnEvents(ev(raw), Seq("view", "click", "purchase"), windowHours = 24)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val stages = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val fev = raw.collect { case (u, sec, ty) if stages.contains(ty) =>
+      FunnelEvent(u, sec * 1000000L, stages(ty))
+    }
+    val (early, late) = fev.partition(_.tsMicros <= 2 * H * 1000000L)
+    val input = MemoryStream[FunnelEvent](91, spark, None)
+    val q = StatefulOps.funnelStream(input.toDS(), windowMicros = 24L * 3600 * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      input.addData(early.sortBy(_.tsMicros)); q.processAllAvailable()
+      input.addData(late.sortBy(_.tsMicros)); q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[FunnelEmit].collect()
+        .groupBy(_.userId).map { case (u, es) => u -> es.map(_.depth).max }
+      // streaming emits per-user max depth; batch reports the depth
+      // histogram — compare user-by-user for depth >= 1
+      val batchPerUser = Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2, 6L -> 2)
+      assert(got == batchPerUser)
+      // and the histogram view of the stream matches the batch query
+      val hist = batchPerUser.values.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+      assert(batchDepths.filter(_._1 > 0) == hist)
+    } finally q.stop()
+  }
+
   test("cohort retention: calendar-week cohorts x epoch-week offsets") {
     val day = 86400L
     val jan1 = 1704067200L // 2024-01-01 (a Monday) 00:00 UTC

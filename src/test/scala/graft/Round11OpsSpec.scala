@@ -294,6 +294,33 @@ class Round11OpsSpec extends SparkSpec {
       1L -> (2L, 1L, 1.0), 2L -> (2L, 1L, 1.0), 3L -> (3L, 1L, 1.0 / 3)))
   }
 
+  test("profiler melts one aggregate row into exact per-column censuses") {
+    val df = Seq(
+      (Option(1), "x"), (Option.empty[Int], "x"), (Option(2), "y"))
+      .toDF("a", "b")
+    val got = graft.operators.Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("a" -> (3L, 1L, 2L), "b" -> (3L, 0L, 2L)))
+  }
+
+  test("temperature mixing flattens shares: alpha=0.3 upsamples the small source") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", "big"),   // 8 tokens
+      (2L, "z", "small"))               // 1 token
+      .toDF("doc_id", "text", "source")
+    val got = SelectionQueries.temperatureMixOn(docs, alpha = 0.3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val pBig = 8.0 / 9; val pSmall = 1.0 / 9
+    val z = math.pow(pBig, 0.3) + math.pow(pSmall, 0.3)
+    val (qBig, qSmall) = (math.pow(pBig, 0.3) / z, math.pow(pSmall, 0.3) / z)
+    assert(got("big")._1 == 8L && got("small")._1 == 1L)
+    assert(math.abs(got("big")._3 - qBig) < 1e-12)
+    assert(math.abs(got("small")._3 - qSmall) < 1e-12)
+    assert(got("small")._4 > 1.0 && got("big")._4 < 1.0) // flattening direction
+    assert(math.abs(got("small")._4 - qSmall / pSmall) < 1e-9)
+  }
+
   test("HITS: two mutual-reinforcement rounds match the hand-unrolled scores") {
     val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
     // h0=1: a1 = {10:2, 11:1}; h1 = {1:3, 2:2}
