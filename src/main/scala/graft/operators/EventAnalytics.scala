@@ -207,7 +207,39 @@ object EventAnalytics {
         col("mean_a"), col("mean_b"), col("lift"), col("t_welch"))
   }
 
+  /** Hourly event counts gap-filled against a generated calendar
+    * spine, plus a trailing 24-slot moving average — the time-series
+    * densification every monitoring/forecasting pipeline needs
+    * (an absent hour must be an explicit zero or the moving window
+    * silently shrinks). The corpus is scanned ONCE into the hourly
+    * aggregate; the spine derives from that aggregate's min/max (a
+    * 1-row broadcast), so the generated (type × hour) grid is
+    * time-range-bounded and never touches the fact table again. The
+    * moving average windows over the filled series — |types|·|hours|
+    * rows, partitioned by type.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillOnEvents(t(s, dir, "events"))
+
+  def gapFillOnEvents(ev: DataFrame): DataFrame = {
+    val hourly = ev
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
+      .persist()
+    val span = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val spine = span
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .crossJoin(hourly.select(col("event_type")).distinct())
+    val filled = spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-23, Window.currentRow)
+    filled.withColumn("ma_24h", avg(col("n_events")).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_timeseries_fill" -> ((s: SparkSession, d: String) => gapFill(s, d)),
     "q_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q_cohort_retention" -> ((s: SparkSession, d: String) => cohortRetention(s, d)),
     "q_outlier_mad" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
@@ -265,6 +297,24 @@ object EventAnalytics {
         |  abs(value - med) / (1.4826 * mad) AS z
         |FROM events JOIN mad USING (event_type)
         |WHERE abs(value - med) / (1.4826 * mad) > 3.5""".stripMargin,
+    "q_timeseries_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+        |spine AS (
+        |  SELECT t.event_type, g.hour
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t
+        |  CROSS JOIN (
+        |    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |    FROM span) g),
+        |filled AS (
+        |  SELECT s.event_type, s.hour, coalesce(h.n, 0) AS n_events
+        |  FROM spine s LEFT JOIN hourly h USING (event_type, hour))
+        |SELECT event_type, hour, n_events,
+        |  avg(n_events) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS ma_24h
+        |FROM filled""".stripMargin,
     // ROWS frame spelled out on the running sum (DuckDB's bare ORDER
     // BY default is RANGE; timestamp ties would merge break flags).
     "q_sessionize" ->

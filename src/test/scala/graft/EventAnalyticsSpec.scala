@@ -160,6 +160,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(6) - t) < 1e-9)
   }
 
+  test("gap fill: absent hours appear as zeros and the MA window never shrinks") {
+    val events = ev(Seq(
+      (1L, 0L, "a"), (1L, 0L, "a"),      // hour 0: 2 events
+      (1L, 3 * H + 60L, "a"),            // hour 3: 1 event; hours 1,2 gap
+      (2L, 2 * H, "b")))                 // b only in hour 2
+    val got = EventAnalytics.gapFillOnEvents(events).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // spine spans hour 0..3 for BOTH types
+    assert(got.size == 8)
+    assert(got(("a", "1970-01-01T01:00:00Z"))._1 == 0L)
+    assert(got(("a", "1970-01-01T00:00:00Z")) == (2L, 2.0))
+    // trailing 24-row frame at hour 3 covers hours 0..3 -> (2+0+0+1)/4
+    assert(got(("a", "1970-01-01T03:00:00Z")) == (1L, 0.75))
+    assert(got(("b", "1970-01-01T02:00:00Z"))._1 == 1L)
+    assert(got(("b", "1970-01-01T03:00:00Z")) == (0L, 0.25))
+  }
+
   test("KL drift closed form equals the brute-force smoothed sum") {
     val docs = Seq(
       (1L, "x x y", "A"), (2L, "x z", "B"))
