@@ -61,7 +61,10 @@ object Bench {
     "q_embed_standardize", "q_heavy_hitters", "q_text_entropy",
     "q_sim_pq_ann",
     "q_funnel", "q_cohort_retention", "q_outlier_mad",
-    "q_drift_kl", "q_retrieval_rrf")
+    "q_drift_kl", "q_retrieval_rrf",
+    "q_sessionize", "q_transition_matrix", "q_experiment_lift",
+    "q_graph_clustering", "q_graph_hits", "q_profile_table",
+    "q_mix_temperature", "q_timeseries_fill")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -170,7 +170,30 @@ object ScaleProbe {
       // round-11: PQ ANN — fit exchanges d·k partials, encode is one
       // map-only projection, ADC tables are plan literals, the only
       // scoring exchange is the shortlist window's survivors
-      "q_sim_pq_ann")
+      "q_sim_pq_ann",
+      // round-11 event analytics: funnel + sessionize ride ONE
+      // user-partitioned sort each (layered windows chain), the
+      // transition matrix adds only a |types|^2 normalizer, the A/B
+      // readout is a single conditional-aggregate pass — all must
+      // track the event-scan speed
+      "q_funnel", "q_sessionize", "q_transition_matrix", "q_experiment_lift",
+      // round-11: KL drift's only corpus shuffle is the (source,term)
+      // count; the absent-mass fold is closed-form (two scalars), so
+      // growth must follow the token stream
+      "q_drift_kl",
+      // round-11: RRF fusion re-uses the BM25 tf shuffle and scores
+      // both rankers in one aggregate pass; rank windows see only the
+      // docs-with-query-terms slice
+      "q_retrieval_rrf",
+      // round-11 graph: clustering coefficient rides the same
+      // degree-ordered DAG as the triangle count (corner-credit
+      // explode adds 3 rows per triangle); HITS is a pagerank-shaped
+      // linear chain (2 edge exchanges per round)
+      "q_graph_clustering", "q_graph_hits",
+      // round-11: profiler is one aggregate pass (Expand width =
+      // |columns| — constant), gap fill one hourly aggregate + a
+      // range-bounded spine, temperature mix a map-only token count
+      "q_profile_table", "q_timeseries_fill", "q_mix_temperature")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
