@@ -64,7 +64,8 @@ object Bench {
     "q_drift_kl", "q_retrieval_rrf",
     "q_sessionize", "q_transition_matrix", "q_experiment_lift",
     "q_graph_clustering", "q_graph_hits", "q_profile_table",
-    "q_mix_temperature", "q_timeseries_fill")
+    "q_mix_temperature", "q_timeseries_fill",
+    "q_table_checksum", "q_value_histogram")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

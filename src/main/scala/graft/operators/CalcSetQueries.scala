@@ -121,6 +121,21 @@ object CalcSetQueries {
     vals.zip(names).foldLeft(wide) { case (d, (v, n)) => d.withColumnRenamed(v, n) }
   }
 
+  /** The same pivot through the SQL front door — Spark's SQL:2016
+    * PIVOT clause with value aliases (explicit IN list, same
+    * single-aggregate scale contract as [[pivotPriorities]]).
+    */
+  def sqlPivot(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_pivot_src")
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice
+        |  FROM orders_pivot_src)
+        |PIVOT (sum(o_totalprice) FOR o_orderpriority IN (
+        |  '1-URGENT' AS p_urgent, '2-HIGH' AS p_high, '3-MEDIUM' AS p_medium,
+        |  '4-NOT SPECIFIED' AS p_notspec, '5-LOW' AS p_low))""".stripMargin)
+  }
+
   def unpivot(s: SparkSession, dir: String): DataFrame = {
     val wide = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -137,6 +152,7 @@ object CalcSetQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot" -> (unpivot _),
     "q_pivot" -> (pivotPriorities _),
+    "q_sql_pivot" -> (sqlPivot _),
     "q_calc"          -> (calc _),
     "q_values"        -> (values _),
     "q_sort_limit"    -> (sortLimit _),
@@ -150,6 +166,15 @@ object CalcSetQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS p_urgent,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS p_high,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS p_medium,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS p_notspec,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS p_low
+        |FROM orders GROUP BY 1""".stripMargin,
+    // the SQL-clause twin computes the identical spread
+    "q_sql_pivot" ->
       """SELECT year(o_orderdate) AS yr,
         |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS p_urgent,
         |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS p_high,

@@ -48,10 +48,75 @@ object Profiler {
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority")
 
+  /** Per-shard table checksum — the anti-entropy primitive a
+    * replicated/warehouse pipeline uses to compare two copies of a
+    * table without moving either (compare 32 checksums, re-sync only
+    * shards that differ). Each row folds to a 60-bit integer via md5
+    * over an explicit engine-stable rendering (integers, strings, and
+    * epoch-micros — no raw float formatting, the cross-engine
+    * hazard), and shards fold them with BIT_XOR: commutative and
+    * associative (partition order can't matter) and overflow-free
+    * where a BIGINT sum of 60-bit values is not. Map-only projection
+    * into a |shards|-row aggregate.
+    */
+  def tableChecksum(s: SparkSession, dir: String, shards: Int = 32): DataFrame =
+    checksumOn(Tables.load(s, dir, "orders"), shards)
+
+  def checksumOn(o: DataFrame, shards: Int): DataFrame = {
+    o.select(
+        pmod(col("o_orderkey"), lit(shards.toLong)).as("shard"),
+        conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), unix_micros(col("o_orderdate")))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("rh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("checksum"))
+  }
+
+  /** Equi-width value histogram per event_type (20 bins over the
+    * type's own min/max): the distribution sketch a profiler draws.
+    * Two passes — a |types|-row min/max aggregate broadcast back,
+    * then one binning aggregate; bin ids are floor((x−lo)/(hi−lo)·k)
+    * clamped to k−1, every step an exactly-rounded IEEE op both
+    * engines share.
+    */
+  def valueHistogram(s: SparkSession, dir: String, bins: Int = 20): DataFrame =
+    histogramOn(Tables.load(s, dir, "events"), bins)
+
+  def histogramOn(ev: DataFrame, bins: Int): DataFrame = {
+    val span = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(broadcast(span), Seq("event_type"))
+      .withColumn("bin",
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * bins),
+          lit(bins - 1L)).cast("int"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_profile_table" -> ((s: SparkSession, d: String) => profileOrders(s, d)))
+    "q_profile_table" -> ((s: SparkSession, d: String) => profileOrders(s, d)),
+    "q_table_checksum" -> ((s: SparkSession, d: String) => tableChecksum(s, d)),
+    "q_value_histogram" -> ((s: SparkSession, d: String) => valueHistogram(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_table_checksum" ->
+      """SELECT o_orderkey % 32 AS shard, count(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+        |    o_orderpriority || '|' || epoch_us(o_orderdate)), 1, 15))::BIGINT)
+        |    AS checksum
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_value_histogram" ->
+      """WITH span AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  least(floor((value - lo) / (hi - lo) * 20), 19)::INT AS bin,
+        |  count(*) AS n
+        |FROM events JOIN span USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
     "q_profile_table" -> orderCols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  count(*) - count($c) AS n_null,

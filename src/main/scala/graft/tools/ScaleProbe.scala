@@ -193,7 +193,10 @@ object ScaleProbe {
       // round-11: profiler is one aggregate pass (Expand width =
       // |columns| — constant), gap fill one hourly aggregate + a
       // range-bounded spine, temperature mix a map-only token count
-      "q_profile_table", "q_timeseries_fill", "q_mix_temperature")
+      "q_profile_table", "q_timeseries_fill", "q_mix_temperature",
+      // round-11: checksum is one map-only fold into a 32-row sum,
+      // histogram two scans with a broadcast span — both scan-bound
+      "q_table_checksum", "q_value_histogram")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+

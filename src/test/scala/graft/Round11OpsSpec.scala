@@ -303,6 +303,53 @@ class Round11OpsSpec extends SparkSpec {
     assert(got == Map("a" -> (3L, 1L, 2L), "b" -> (3L, 0L, 2L)))
   }
 
+  test("table checksum: order-independent, JVM-recomputable, perturbation-localized") {
+    def mkOrders(rows: Seq[(Long, Long, String, String, Long)]) =
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "us")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          timestamp_micros(col("us")).as("o_orderdate"))
+    val base = Seq(
+      (1L, 7L, "O", "1-URGENT", 1000000L),
+      (2L, 8L, "F", "5-LOW", 2000000L),
+      (33L, 9L, "O", "2-HIGH", 3000000L)) // 33 % 32 = shard 1 with key 33
+    val a = graft.operators.Profiler.checksumOn(mkOrders(base), shards = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = graft.operators.Profiler.checksumOn(
+        mkOrders(base).repartition(7), shards = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b) // commutative fold: partitioning cannot matter
+    // JVM recompute of shard 2's single row (key 2)
+    def rowHash(k: Long, c: Long, st: String, pr: String, us: Long): Long = {
+      val s = s"$k|$c|$st|$pr|$us"
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(x => f"$x%02x").mkString.take(15), 16)
+    }
+    assert(a(2L) == (1L, rowHash(2L, 8L, "F", "5-LOW", 2000000L)))
+    // perturb the shard-1 rows only: shards 1 changes, 2 doesn't
+    val pert = base.map { case r @ (k, c, st, pr, us) =>
+      if (k % 32 == 1) (k, c + 1, st, pr, us) else r
+    }
+    val p = graft.operators.Profiler.checksumOn(mkOrders(pert), shards = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p(2L) == a(2L) && p(1L) != a(1L))
+  }
+
+  test("value histogram: bins derive from per-type min/max with a clamped top edge") {
+    val ev = Seq(
+      (1L, "a", 0.0), (2L, "a", 5.0), (3L, "a", 10.0),
+      (4L, "b", 1.0), (5L, "b", 1.0), (6L, "b", 3.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.operators.Profiler.histogramOn(ev, bins = 20).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // type a: lo 0 hi 10 -> bins 0, 10, clamp(20)->19
+    // type b: lo 1 hi 3  -> bins 0 (x2), clamp(20)->19
+    assert(got == Map(
+      ("a", 0) -> 1L, ("a", 10) -> 1L, ("a", 19) -> 1L,
+      ("b", 0) -> 2L, ("b", 19) -> 1L))
+  }
+
   test("temperature mixing flattens shares: alpha=0.3 upsamples the small source") {
     val docs = Seq(
       (1L, "a b c d e f g h", "big"),   // 8 tokens
