@@ -548,6 +548,55 @@ object GraphQueries {
        |GROUP BY src HAVING count(*) >= $k""".stripMargin
   }
 
+  /** Bounded-hop BFS through the SQL front door's RECURSIVE CTE —
+    * Spark ≥4.0 executes `WITH RECURSIVE` natively (iterative
+    * union-all expansion), so the same closure [[ssspOnEdges]] builds
+    * as a DataFrame loop ships as ONE SQL statement; DuckDB runs the
+    * identical recursion. Spark doesn't yet support the cycle-safe
+    * UNION-distinct form, so the recursion is DEPTH-BOUNDED
+    * (`d < maxHops`, the same bounded-sweep contract as
+    * [[ssspOnEdges]]) and the outer `min(d)` collapses revisits. Hop
+    * bound 3 on the support-thresholded co-purchase graph keeps the
+    * path enumeration (which UNION ALL cannot prune) at
+    * deg·avgdeg^(hops−1) rows — bounded because the support
+    * threshold caps density scale-stably.
+    */
+  def sqlRecursiveBfs(s: SparkSession, dir: String,
+      maxHops: Int = 3, minShared: Int = 5): DataFrame =
+    sqlRecursiveBfsOn(s, coPurchaseEdges(s, dir, minShared), maxHops)
+
+  /** Core over any deduplicated a<b undirected edge frame. */
+  def sqlRecursiveBfsOn(s: SparkSession, edges: DataFrame, maxHops: Int): DataFrame = {
+    edges.createOrReplaceTempView("copurchase_ed")
+    s.sql(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a AS src, b AS dst FROM copurchase_ed
+         |  UNION ALL
+         |  SELECT b, a FROM copurchase_ed),
+         |seed AS (SELECT min(src) AS node FROM e),
+         |reach(node, d) AS (
+         |  SELECT node, 0 FROM seed
+         |  UNION ALL
+         |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+         |  WHERE r.d < $maxHops)
+         |SELECT node, min(d) AS dist FROM reach GROUP BY node""".stripMargin)
+  }
+
+  private def recBfsOracle(maxHops: Int): String =
+    s"""WITH RECURSIVE co AS (
+       |  SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+       |ed AS (SELECT a, b FROM co GROUP BY a, b HAVING count(*) >= 5),
+       |e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+       |seed AS (SELECT min(src) AS node FROM e),
+       |reach(node, d) AS (
+       |  SELECT node, 0 FROM seed
+       |  UNION ALL
+       |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.d < $maxHops)
+       |SELECT node, min(d) AS dist FROM reach GROUP BY node""".stripMargin
+
   // Unrolled mutual-reinforcement rounds for the DuckDB oracle;
   // normalization folds in at the end exactly as hitsOnEdges does.
   private def hitsOracle(iters: Int): String = {
@@ -573,6 +622,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_clustering" -> ((s: SparkSession, d: String) => clusteringCoefficient(s, d)),
     "q_graph_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
+    "q_sql_recursive" -> ((s: SparkSession, d: String) => sqlRecursiveBfs(s, d)),
     "q_graph_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
     "q_graph_ppr" -> ((s: SparkSession, d: String) => personalizedPageRank(s, d)),
     "q_graph_degree" -> ((s: SparkSession, d: String) => degrees(s, d)),
@@ -584,6 +634,7 @@ object GraphQueries {
 
   val oracle: Map[String, String] = Map(
     "q_graph_hits" -> hitsOracle(3),
+    "q_sql_recursive" -> recBfsOracle(3),
     // Per-node triangle credit via the simple a<b triple formulation;
     // the Spark side's degree orientation changes join cost, never
     // which corners each triangle credits.

@@ -368,6 +368,14 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(got("small")._4 - qSmall / pSmall) < 1e-9)
   }
 
+  test("recursive-CTE BFS: hop bound prunes, min(d) collapses cycle revisits") {
+    // path 1-2-3-4 plus cycle edge 1-3: dists 1:0, 2:1, 3:1, 4:2 at 2 hops
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val got = GraphQueries.sqlRecursiveBfsOn(spark, e, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("HITS: two mutual-reinforcement rounds match the hand-unrolled scores") {
     val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
     // h0=1: a1 = {10:2, 11:1}; h1 = {1:3, 2:2}
