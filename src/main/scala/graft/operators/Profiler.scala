@@ -40,6 +40,29 @@ object Profiler {
       .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
   }
 
+  /** The at-scale variant: `approx_count_distinct` (HLL++, rsd 5%)
+    * replaces the exact distincts, which removes the multi-distinct
+    * Expand entirely — ONE streaming aggregate pass whatever the
+    * column count (ProfilerSpec pins the Expand-free plan and the
+    * error band). Not oracle-checked: the sketch is engine-specific,
+    * the `q_agg_approx` convention.
+    */
+  def profileApprox(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"null__${f.name}"),
+        approx_count_distinct(col(f.name)).as(s"dist__${f.name}"))
+    } :+ count(lit(1)).as("n_rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields
+      .map(f => s"'${f.name}', `null__${f.name}`, `dist__${f.name}`")
+      .mkString(", ")
+    row.select(col("n_rows"),
+        expr(s"stack(${fields.length}, $stackArgs) AS (col_name, n_null, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+  }
+
   /** Driver query: profile the orders table. */
   def profileOrders(s: SparkSession, dir: String): DataFrame =
     profile(Tables.load(s, dir, "orders"))

@@ -336,6 +336,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(p(2L) == a(2L) && p(1L) != a(1L))
   }
 
+  test("approx profiler: Expand-free single pass, distincts inside the HLL band") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val approx = graft.operators.Profiler.profileApprox(orders)
+    // the exactness cost (multi-distinct Expand) must be GONE
+    val plan = approx.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Expand"), s"approx profile still expands:\n${plan.take(1500)}")
+    val exactPlan = graft.operators.Profiler.profile(orders)
+      .queryExecution.executedPlan.toString()
+    assert(exactPlan.contains("Expand")) // and the exact one documents why
+    val exact = graft.operators.Profiler.profile(orders).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.operators.Profiler.profileApprox(orders).collect().foreach { r =>
+      val (c, est) = (r.getString(0), r.getLong(3))
+      assert(math.abs(est - exact(c)) <= math.max(2.0, 0.15 * exact(c)), c)
+    }
+  }
+
   test("value histogram: bins derive from per-type min/max with a clamped top edge") {
     val ev = Seq(
       (1L, "a", 0.0), (2L, "a", 5.0), (3L, "a", 10.0),
