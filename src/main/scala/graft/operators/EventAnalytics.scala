@@ -152,6 +152,36 @@ object EventAnalytics {
           .divide(lit(1000000L)).cast("long").as("duration_sec"))
   }
 
+  /** Hourly session concurrency (interval occupancy): how many
+    * sessions were live in each hour — the capacity-planning series
+    * behind "peak concurrent users". Sessions come from the same
+    * gaps-and-islands pass as [[sessionize]]; each session then
+    * EXPLODES to the hours it touches (bounded by session length —
+    * the classic sweep-line needs a global time order, which is a
+    * one-partition hazard at scale; the hour-grain explode is the
+    * distributed form) and one (hour) count folds occupancy. The
+    * explode factor is |session hours|, bounded by the gap rule
+    * (a session outlives its last event by at most the gap), so
+    * shuffle volume stays proportional to session time, not events².
+    */
+  def sessionConcurrency(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    concurrencyOnEvents(t(s, dir, "events"), gapMinutes)
+
+  def concurrencyOnEvents(ev: DataFrame, gapMinutes: Int): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runsum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("brk",
+        when(col("ts").cast("double") - lag(col("ts"), 1).over(order).cast("double")
+          > gapMinutes * 60d, 1L).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("brk")).over(runsum))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      .groupBy(col("hour")).agg(count(lit(1)).as("live_sessions"))
+  }
+
   /** First-order next-event transition counts + probabilities (the
     * Markov chain a product-analytics "user flow" view draws): lead
     * over each user's (ts, event_id) order pairs every event with its
@@ -244,6 +274,7 @@ object EventAnalytics {
     "q_cohort_retention" -> ((s: SparkSession, d: String) => cohortRetention(s, d)),
     "q_outlier_mad" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
     "q_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
+    "q_session_concurrency" -> ((s: SparkSession, d: String) => sessionConcurrency(s, d)),
     "q_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(s, d)),
     "q_experiment_lift" -> ((s: SparkSession, d: String) => experimentLift(s, d)))
 
@@ -331,6 +362,24 @@ object EventAnalytics {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "q_session_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM numbered GROUP BY user_id, session_seq),
+        |hours AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM sessions)
+        |SELECT hour, count(*) AS live_sessions FROM hours GROUP BY hour""".stripMargin,
     "q_transition_matrix" ->
       """WITH pairs AS (
         |  SELECT event_type,

@@ -196,7 +196,10 @@ object ScaleProbe {
       "q_profile_table", "q_timeseries_fill", "q_mix_temperature",
       // round-11: checksum is one map-only fold into a 32-row sum,
       // histogram two scans with a broadcast span — both scan-bound
-      "q_table_checksum", "q_value_histogram")
+      "q_table_checksum", "q_value_histogram",
+      // round-11: native recursive CTE — the min-id seed explores one
+      // replica's component, so seeded-BFS work is locality-bounded
+      "q_sql_recursive")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+

@@ -123,6 +123,20 @@ class EventAnalyticsSpec extends SparkSpec {
       (3L, 0L) -> (2L, 1800L)))
   }
 
+  test("session concurrency: sessions credit every hour they touch") {
+    val events = ev(Seq(
+      (1L, 45 * 60L, "a"), (1L, 70 * 60L, "a"),   // 25-min gap: ONE session h0..h1
+      (2L, 60 * 60L, "a"),                          // u2 session inside h1
+      (1L, 4 * H, "a")))                            // u1 second session in h4
+    val got = EventAnalytics.concurrencyOnEvents(events, gapMinutes = 30)
+      .collect()
+      .map(r => r.getTimestamp(0).toInstant.toString -> r.getLong(1)).toMap
+    assert(got == Map(
+      "1970-01-01T00:00:00Z" -> 1L,
+      "1970-01-01T01:00:00Z" -> 2L,
+      "1970-01-01T04:00:00Z" -> 1L))
+  }
+
   test("transition matrix: session gaps cut edges; rows normalize per source type") {
     val events = ev(Seq(
       (1L, 0L, "a"), (1L, 60L, "b"),           // a -> b
