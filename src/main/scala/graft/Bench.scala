@@ -65,7 +65,8 @@ object Bench {
     "q_sessionize", "q_transition_matrix", "q_experiment_lift",
     "q_graph_clustering", "q_graph_hits", "q_profile_table",
     "q_mix_temperature", "q_timeseries_fill",
-    "q_table_checksum", "q_value_histogram")
+    "q_table_checksum", "q_value_histogram",
+    "q_session_concurrency", "q_sql_recursive")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -567,7 +567,12 @@ object GraphQueries {
 
   /** Core over any deduplicated a<b undirected edge frame. */
   def sqlRecursiveBfsOn(s: SparkSession, edges: DataFrame, maxHops: Int): DataFrame = {
-    edges.createOrReplaceTempView("copurchase_ed")
+    // materialize the edge derivation ONCE: the iterative UnionLoop
+    // re-evaluates referenced plans each round, and re-running the
+    // lineitem self-join per hop took the query from ~1 s of edge
+    // build to ~10 s at sf0.1 (measured) — the checkpoint truncates
+    // the lineage so every round rescans the bounded edge table only
+    edges.localCheckpoint().createOrReplaceTempView("copurchase_ed")
     s.sql(
       s"""WITH RECURSIVE e AS (
          |  SELECT a AS src, b AS dst FROM copurchase_ed

@@ -199,7 +199,10 @@ object ScaleProbe {
       "q_table_checksum", "q_value_histogram",
       // round-11: native recursive CTE — the min-id seed explores one
       // replica's component, so seeded-BFS work is locality-bounded
-      "q_sql_recursive")
+      "q_sql_recursive",
+      // round-11: session concurrency — one user sort + an
+      // hour-bounded interval explode; must track the session count
+      "q_session_concurrency")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
