@@ -30,8 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reader splits each file finer by seeking avro sync markers
   * (byte-range splits, see `planInputPartitions` below) — read
   * parallelism is bounded below by write parallelism and scales with
-  * file size. Column pruning pushes into the reader (unrequested
-  * fields are never converted).
+  * file size. Column pruning pushes into the DECODER: the pruned
+  * reader schema makes avro-core byte-skip unrequested fields, so
+  * they are never allocated, let alone converted.
+  *
+  * Schema evolution (the long-lived-dataset contract, same rules as
+  * the reference's flink-avro reader-schema resolution): each file
+  * resolves its embedded writer schema against the DDL-declared
+  * table schema — added nullable columns read as null from old
+  * files, int→long / float→double / string↔bytes promotions widen
+  * old narrow files to the current DDL, and narrowing or a
+  * non-nullable evolved column fails loudly at open, not per row.
   */
 object AvroFormat {
 
@@ -77,6 +86,62 @@ object AvroFormat {
       s"avro container format on $what: nested ROW column '${f.name}' is not " +
         "supported by the file writer/reader (flat columns only; the " +
         "avro-confluent codec handles nested records)"))
+
+  /** One reader-side avro field for a Spark column (the same type
+    * mapping as [[toAvroSchema]], factored so the per-file resolved
+    * reader schema below can reuse it).
+    */
+  private[sources] def toAvroField(f: StructField): ASchema.Field = {
+    val base = f.dataType match {
+      case LongType    => ASchema.create(ASchema.Type.LONG)
+      case IntegerType => ASchema.create(ASchema.Type.INT)
+      case DoubleType  => ASchema.create(ASchema.Type.DOUBLE)
+      case FloatType   => ASchema.create(ASchema.Type.FLOAT)
+      case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+      case StringType  => ASchema.create(ASchema.Type.STRING)
+      case BinaryType  => ASchema.create(ASchema.Type.BYTES)
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+      case other => sys.error(s"avro format: unsupported type $other")
+    }
+    val s =
+      if (f.nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
+      else base
+    new ASchema.Field(f.name, s, null,
+      if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
+  }
+
+  /** The RESOLVED reader schema for one file: the writer record's full
+    * name (so avro's schema-resolution name check passes against any
+    * writer) carrying the TABLE's columns and types. Handing this to
+    * the datum reader makes avro-core apply the published resolution
+    * rules at DECODE time:
+    *
+    *  - pruning: writer fields absent here are byte-SKIPPED, never
+    *    materialized (deeper than the previous convert-then-drop);
+    *  - evolution: a table column a v1 file lacks reads as its null
+    *    default (the column must be nullable — enforced loudly here,
+    *    not as a per-row NPE mid-scan);
+    *  - promotion: writer int→long, float→double, string↔bytes widen
+    *    per the avro spec, so old narrow files serve a widened DDL;
+    *    narrowing fails loudly at resolution, not silently per row.
+    *
+    * The reference's flink-avro performs the identical composition —
+    * AvroDeserializationSchema resolves writer-vs-reader schemas so
+    * long-lived topics/dirs evolve without rewrites.
+    */
+  private[sources] def resolvedReaderSchema(
+      writer: ASchema, required: StructType): ASchema = {
+    val fields = required.fields.map { f =>
+      if (writer.getField(f.name) == null)
+        require(f.nullable, s"avro schema evolution: column '${f.name}' is " +
+          s"missing from writer schema '${writer.getFullName}' and is NOT " +
+          "nullable — evolved columns need a null default")
+      toAvroField(f)
+    }
+    ASchema.createRecord(writer.getName, null, writer.getNamespace, false,
+      util.Arrays.asList(fields: _*))
+  }
 
   /** Avro → Spark schema (the reader's inference path). */
   def toSparkSchema(schema: ASchema): StructType = {
@@ -225,6 +290,9 @@ class AvroSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val splitSize = opts.getLong("splitSize", 128L * 1024 * 1024)
     require(splitSize > 0, s"splitSize must be positive, got $splitSize")
+    // declared (external-metadata) schemas bypass inferSchema, so the
+    // flat-surface check must run here too — loudly at plan time
+    AvroFormat.validateFlat(schema, "declared schema")
     // the schema-only marker exists so empty relations stay readable;
     // it never needs a scan task
     val files = listFiles(opts).filterNot(_._1.endsWith("part-schema.avro"))
@@ -261,12 +329,11 @@ private class AvroTable(files: Seq[(String, Long)], tableSchema: StructType, spl
                 AvroFilePartition(f, start, math.min(start + splitSize, len)))
             }.map(p => p: InputPartition).toArray
           override def createReaderFactory(): PartitionReaderFactory = {
-            val requiredNames = required.fieldNames
-            val requiredTypes = required.fields.map(_.dataType)
+            val requiredSchema = required
             new PartitionReaderFactory {
               override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
                 val fp = p.asInstanceOf[AvroFilePartition]
-                new AvroFileReader(fp.file, fp.start, fp.end, requiredNames, requiredTypes)
+                new AvroFileReader(fp.file, fp.start, fp.end, requiredSchema)
               }
             }
           }
@@ -279,13 +346,20 @@ private case class AvroFilePartition(file: String, start: Long, end: Long)
     extends InputPartition
 
 private class AvroFileReader(file: String, start: Long, end: Long,
-    names: Array[String], types: Array[DataType])
+    required: StructType)
     extends PartitionReader[InternalRow] {
+  private val names: Array[String] = required.fieldNames
+  private val types: Array[DataType] = required.fields.map(_.dataType)
   private val stream = {
     val in = new org.apache.avro.mapred.FsInput(new Path(file), new Configuration())
     try {
-      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
-        in, new GenericDatumReader[GenericRecord]())
+      val datumReader = new GenericDatumReader[GenericRecord]()
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](in, datumReader)
+      // hand avro-core the resolved reader schema (pruned columns +
+      // evolution defaults + type promotion) — resolution then runs at
+      // decode: skipped fields never allocate, promoted values arrive
+      // already widened to the reader type
+      datumReader.setExpected(AvroFormat.resolvedReaderSchema(r.getSchema, required))
       // seek to the first sync point at-or-after `start`; blocks whose
       // sync precedes `end` belong to this split (avro's standard
       // split contract — each block is read by exactly one range)
@@ -303,13 +377,18 @@ private class AvroFileReader(file: String, start: Long, end: Long,
   private val tsScale: Array[Long] = names.indices.map { i =>
     if (types(i) != TimestampType) 1L
     else {
+      // null = evolved column absent from this file's writer schema
+      // (reads as the null default; no scaling applies)
       val f = stream.getSchema.getField(names(i))
-      val s =
-        if (f.schema().getType == ASchema.Type.UNION)
-          f.schema().getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
-        else f.schema()
-      if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-millis") 1000L
-      else 1L
+      if (f == null) 1L
+      else {
+        val s =
+          if (f.schema().getType == ASchema.Type.UNION)
+            f.schema().getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+          else f.schema()
+        if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-millis") 1000L
+        else 1L
+      }
     }
   }.toArray
 

@@ -85,6 +85,52 @@ class AvroFormatSpec extends SparkSpec {
       === n * (n - 1) / 2)
   }
 
+  test("schema evolution: added nullable column reads as null from v1 files, " +
+      "values from v2 files") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_avro_evolve").toString
+    val d = s"$base/t"
+    // v1 files: (id, name); later the table gains a nullable score
+    AvroFormat.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1), d)
+    AvroFormat.append(Seq((3L, "c", 0.5), (4L, "d", 1.5)).toDF("id", "name", "score")
+      .coalesce(1), d)
+    val v2 = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val back = spark.read.format("graft.sources.AvroSource").schema(v2).load(d)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(back === Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5)), (4L, "d", Some(1.5))))
+    // a NON-nullable evolved column must fail loudly at open, not NPE per row
+    val bad = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("boom", LongType, nullable = false)))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.AvroSource").schema(bad).load(d).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("schema evolution: int->long and float->double promotions widen old files; " +
+      "narrowing fails loudly") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_avro_promote").toString
+    val d = s"$base/t"
+    AvroFormat.write(Seq((7, 1.5f), (8, -2.5f)).toDF("n", "x").coalesce(1), d)
+    val widened = StructType(Seq(StructField("n", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false)))
+    val back = spark.read.format("graft.sources.AvroSource").schema(widened).load(d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back === Set((7L, 1.5), (8L, -2.5)))
+    // narrowing (writer int -> reader... writer long -> reader int) must not
+    // silently truncate
+    val d2 = s"$base/longs"
+    AvroFormat.write(Seq(Tuple1(1L)).toDF("id").coalesce(1), d2)
+    val narrow = StructType(Seq(StructField("id", IntegerType, nullable = false)))
+    intercept[Exception] {
+      spark.read.format("graft.sources.AvroSource").schema(narrow).load(d2).collect()
+    }
+  }
+
   test("events table round-trips byte-for-byte through avro (driver query shape)") {
     val agg = operators.MiscQueries.avroRoundtrip(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
