@@ -319,7 +319,7 @@ object GraftCatalog {
       val r1 = if (fmt == "csv" || withSchema)
         r.schema(StructType(declared.fields.filterNot(f => partKeys.contains(f.name))))
       else r
-      if (fmt == "csv") r1.option("header", options.getOrElse("csv.header", "false"))
+      if (fmt == "csv") r1.options(csvSparkOptions(options, write = false))
       else r1
     }
     val loaded =
@@ -433,7 +433,7 @@ object GraftCatalog {
     }
     val reader = spark.readStream.format(sink.format).schema(schema)
     val r2 = if (sink.format == "csv")
-      reader.option("header", sink.options.getOrElse("csv.header", "false")) else reader
+      reader.options(csvSparkOptions(sink.options, write = false)) else reader
     applyEventTime(table, applyFileMetaCols(table, r2.load(sink.path)))
   }
 
@@ -531,7 +531,7 @@ object GraftCatalog {
       val wp = if (staticPartition.nonEmpty)
         wp0.option("partitionOverwriteMode", "dynamic") else wp0
       val w2 = if (sink.format == "csv")
-        wp.option("header", sink.options.getOrElse("csv.header", "false")) else wp
+        wp.options(csvSparkOptions(sink.options, write = true)) else wp
       // 'compression' (or '<format>.compression') — the flink-compress
       // analog: text formats write .gz/.bz2/... files (Spark reads
       // them back transparently), parquet/orc switch their internal
@@ -556,7 +556,7 @@ object GraftCatalog {
       else {
         val reader = spark.read.format(sink.format)
         val r2 = if (sink.format == "csv")
-          reader.option("header", sink.options.getOrElse("csv.header", "false"))
+          reader.options(csvSparkOptions(sink.options, write = false))
             .schema(tableSchemas.getOrElse(table, target))
           else reader
         applyFileMetaCols(table, r2.load(sink.path))
@@ -678,15 +678,48 @@ object GraftCatalog {
     * 'compaction.every' batches (default 10). Use as
     * `stream.writeStream.foreachBatch(GraftCatalog.rollingSink(t))`.
     */
-  /** Spark reader/writer options for a table's file format (csv
-    * header today; parquet/orc/json need none) plus the file-side
+  /** The flink-csv option surface mapped onto Spark's CSV reader/
+    * writer options: `csv.header`, `csv.field-delimiter`,
+    * `csv.quote-character` / `csv.disable-quote-character` (mutually
+    * exclusive, like the reference factory), `csv.escape-character`,
+    * `csv.null-literal`, and on the READ side `csv.ignore-parse-errors`
+    * (→ DROPMALFORMED) and `csv.allow-comments` (→ '#' comment lines,
+    * the reference's fixed comment marker). Out of scope with reason:
+    * `csv.array-element-delimiter` — Spark's CSV source has no array
+    * columns to delimit (the reference flattens arrays into one cell).
+    */
+  private[graft] def csvSparkOptions(
+      options: Map[String, String], write: Boolean): Map[String, String] = {
+    require(!(options.get("csv.disable-quote-character").exists(_.toBoolean) &&
+        options.contains("csv.quote-character")),
+      "csv.disable-quote-character and csv.quote-character are mutually exclusive")
+    val m = scala.collection.mutable.LinkedHashMap[String, String](
+      "header" -> options.getOrElse("csv.header", "false"))
+    options.get("csv.field-delimiter").foreach(m("sep") = _)
+    // NUL is univocity's disable sentinel: turns quoting off on
+    // both the parser and the writer
+    if (options.get("csv.disable-quote-character").exists(_.toBoolean))
+      m("quote") = "\u0000"
+    options.get("csv.quote-character").foreach(m("quote") = _)
+    options.get("csv.escape-character").foreach(m("escape") = _)
+    options.get("csv.null-literal").foreach(m("nullValue") = _)
+    if (!write) {
+      if (options.get("csv.ignore-parse-errors").exists(_.toBoolean))
+        m("mode") = "DROPMALFORMED"
+      if (options.get("csv.allow-comments").exists(_.toBoolean))
+        m("comment") = "#"
+    }
+    m.toMap
+  }
+
+  /** Spark reader/writer options for a table's file format (the csv
+    * surface above; parquet/orc/json need none) plus the file-side
     * schema (declared columns minus the partition keys, which live in
     * directory names) — what the rolling sink and compaction must
     * carry so non-self-describing formats survive a rewrite.
     */
   private def fileFormatOptions(table: String, sink: SinkInfo): Map[String, String] =
-    if (sink.format == "csv")
-      Map("header" -> sink.options.getOrElse("csv.header", "false"))
+    if (sink.format == "csv") csvSparkOptions(sink.options, write = true)
     else Map.empty
 
   private def fileSchemaOf(table: String): Option[StructType] =
@@ -1407,8 +1440,9 @@ object GraftCatalog {
           val reader = spark.read.format(fmt)
           val withSchema =
             tableSchemas.get(name).map(reader.schema).getOrElse(reader)
-          val r2 = if (fmt == "csv") withSchema.option("header",
-            options.getOrElse("csv.header", "false")) else withSchema
+          val r2 = if (fmt == "csv")
+            withSchema.options(csvSparkOptions(options, write = false))
+          else withSchema
           applyFileMetaCols(name, r2.load(path))
         }
       // the reference's flink-connector-jdbc surface, proven against

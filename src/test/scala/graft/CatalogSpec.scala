@@ -53,6 +53,50 @@ class CatalogSpec extends SparkSpec {
       assert(keyed(spark.table(t)) === expect, t)
   }
 
+  test("flink-csv option surface: field-delimiter, null-literal, quote round-trip; " +
+      "ignore-parse-errors + allow-comments on read") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csvopts").toString
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE semi_csv (id BIGINT, name STRING, note STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/semi',
+         |      'format' = 'csv', 'csv.field-delimiter' = ';',
+         |      'csv.null-literal' = 'NIL', 'csv.quote-character' = '|')""".stripMargin)
+    import spark.implicits._
+    GraftCatalog.insertInto(spark, "semi_csv",
+      Seq((1L, "alpha", null.asInstanceOf[String]), (2L, "be;ta", "x"))
+        .toDF("id", "name", "note"), overwrite = true)
+    // the files on disk really use ';', 'NIL' and '|'-quoting
+    val txt = new java.io.File(s"$base/semi").listFiles
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).mkString("\n")
+    assert(txt.contains("NIL"), s"null-literal must serialize: $txt")
+    assert(txt.contains("|be;ta|"), s"embedded delimiter must be |-quoted: $txt")
+    val back = spark.table("semi_csv").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(back === Set((1L, "alpha", None), (2L, "be;ta", Some("x"))))
+
+    // read-side: malformed rows drop under ignore-parse-errors, '#' lines skip
+    val dirty = new java.io.File(s"$base/dirty"); dirty.mkdirs()
+    val w = new java.io.PrintWriter(s"$base/dirty/part-0.csv")
+    w.println("# comment line"); w.println("1;ok"); w.println("not_a_number;bad")
+    w.println("2;fine"); w.close()
+    GraftCatalog.executeDdl(spark,
+      s"""CREATE TABLE dirty_csv (id BIGINT, name STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/dirty',
+         |      'format' = 'csv', 'csv.field-delimiter' = ';',
+         |      'csv.ignore-parse-errors' = 'true', 'csv.allow-comments' = 'true')""".stripMargin)
+    val got = spark.table("dirty_csv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "ok"), (2L, "fine")))
+
+    // disable-quote + quote-character together is a loud config error
+    intercept[IllegalArgumentException] {
+      GraftCatalog.csvSparkOptions(
+        Map("csv.quote-character" -> "'", "csv.disable-quote-character" -> "true"),
+        write = false)
+    }
+  }
+
   test("'compression' option: gzip csv writes .gz files that read back transparently (flink-compress analog)") {
     val src = Tables.load(spark, sfDir, "nation")
     val base = java.nio.file.Files.createTempDirectory("graft_gz").toString
