@@ -13,8 +13,11 @@ import graft.Tables
   * STRUCTURES the TPC-H 22 lack — multi-channel fact union over a
   * shared dimension (q5/q71), rank-within-parent over a rollup
   * hierarchy (q36/q86), a semi+anti chain into a distinct-order
-  * aggregate (q16), a channel EXCEPT-chain (q87) and a channel
-  * INTERSECT-chain (q38) — on the tables the DuckDB oracle can
+  * aggregate (q16), a channel EXCEPT-chain (q87), a channel
+  * INTERSECT-chain (q38), two cumulative revenue series full-outer
+  * joined with carried-forward running totals (q51) and a
+  * channel-overlap full-outer count (q97) — on the tables the
+  * DuckDB oracle can
   * check. `l_returnflag` stands in for the
   * channel axis (three fact slices) and `p_brand -> p_type` for the
   * category -> class hierarchy.
@@ -202,7 +205,82 @@ object TpcdsQueries {
       .agg(bands.head, bands.tail: _*)
   }
 
+  /** q51 shape — two per-channel cumulative quantity series FULL OUTER
+    * joined, keeping the (part, month) points where the web running
+    * total has overtaken the store one. The TPC-DS original's key move
+    * survives: the running totals are re-derived AFTER the full outer
+    * join as running MAXes over the COALESCED keys, so months missing
+    * from one channel carry that channel's last total forward instead
+    * of dropping the row or comparing against null. Determinism: the
+    * measure is the integer quantity (the revenue product rounds a
+    * full-precision double to cents, and HALF_UP vs banker's rounding
+    * disagreed by one cent on real rows) - long sums are exact, so
+    * both the running totals and the overtake cut are engine-exact.
+    * Scale shape: both windows
+    * partition by partkey over month-grain aggregates (|parts|·|months|
+    * rows), never fact rows; the fact table is read once per channel
+    * with the flag predicate pushed to the scan.
+    */
+  def cumulOvertake(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def channelCum(flag: String, cumName: String): DataFrame = {
+      val monthly = li.filter(col("l_returnflag") === flag)
+        .select(col("l_partkey").as("pk"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("mo"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("pk"), col("mo"))
+        .agg(sum(col("qty")).as("mqty"))
+      val w = Window.partitionBy(col("pk")).orderBy(col("mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.select(col("pk"), col("mo"), sum(col("mqty")).over(w).as(cumName))
+    }
+    val web = channelCum("N", "web_cum")
+    val store = channelCum("A", "store_cum")
+    val joined = web.as("w").join(store.as("st"),
+        col("w.pk") === col("st.pk") && col("w.mo") === col("st.mo"), "full_outer")
+      .select(coalesce(col("w.pk"), col("st.pk")).as("item"),
+        coalesce(col("w.mo"), col("st.mo")).as("mo"),
+        col("web_cum"), col("store_cum"))
+    val w2 = Window.partitionBy(col("item")).orderBy(col("mo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .select(col("item"), col("mo"),
+        max(col("web_cum")).over(w2).as("web_c"),
+        max(col("store_cum")).over(w2).as("store_c"))
+      .filter(col("web_c") > col("store_c"))
+      .select(col("item"), col("mo"),
+        col("web_c").as("web_cumulative"),
+        col("store_c").as("store_cumulative"))
+  }
+
+  /** q97 shape — channel purchase overlap: ONE row counting customers
+    * who bought only in store, only on the web, or in both, via a
+    * FULL OUTER join of the two channels' distinct-customer sets. Each
+    * side distincts down to custkeys before the join (key sets cross
+    * the wire, never fact rows) and the three counts are conditional
+    * aggregates over the joined null pattern — integer-exact.
+    */
+  def channelOverlap(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    def custs(flag: String, out: String): DataFrame =
+      li.filter(col("l_returnflag") === flag).select(col("l_orderkey")).distinct()
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as(out)).distinct()
+    custs("A", "sck").join(custs("N", "wck"),
+        col("sck") === col("wck"), "full_outer")
+      .agg(
+        sum(when(col("sck").isNotNull && col("wck").isNull, 1L).otherwise(0L))
+          .as("store_only"),
+        sum(when(col("sck").isNull && col("wck").isNotNull, 1L).otherwise(0L))
+          .as("web_only"),
+        sum(when(col("sck").isNotNull && col("wck").isNotNull, 1L).otherwise(0L))
+          .as("both_channels"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcds_cumul" -> ((s: SparkSession, d: String) => cumulOvertake(s, d)),
+    "q_tpcds_overlap" -> ((s: SparkSession, d: String) => channelOverlap(s, d)),
     "q_tpcds_timebands" -> ((s: SparkSession, d: String) => timeBands(s, d)),
     "q_tpcds_yoy" -> ((s: SparkSession, d: String) => yoyRatio(s, d)),
     "q_tpcds_channels" -> ((s: SparkSession, d: String) => channelSales(s, d)),
@@ -212,6 +290,51 @@ object TpcdsQueries {
     "q_tpcds_intersect" -> ((s: SparkSession, d: String) => intersectChain(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcds_cumul" ->
+      """WITH web AS (
+        |  SELECT l_partkey AS pk,
+        |    (extract(year FROM l_shipdate) * 100 + extract(month FROM l_shipdate))::INT AS mo,
+        |    sum(l_quantity::BIGINT) AS mqty
+        |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2),
+        |store AS (
+        |  SELECT l_partkey AS pk,
+        |    (extract(year FROM l_shipdate) * 100 + extract(month FROM l_shipdate))::INT AS mo,
+        |    sum(l_quantity::BIGINT) AS mqty
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2),
+        |webc AS (
+        |  SELECT pk, mo, sum(mqty) OVER (PARTITION BY pk ORDER BY mo
+        |    ROWS UNBOUNDED PRECEDING) AS web_cum FROM web),
+        |storec AS (
+        |  SELECT pk, mo, sum(mqty) OVER (PARTITION BY pk ORDER BY mo
+        |    ROWS UNBOUNDED PRECEDING) AS store_cum FROM store),
+        |joined AS (
+        |  SELECT coalesce(w.pk, s.pk) AS item, coalesce(w.mo, s.mo) AS mo,
+        |         w.web_cum, s.store_cum
+        |  FROM webc w FULL OUTER JOIN storec s ON w.pk = s.pk AND w.mo = s.mo),
+        |carried AS (
+        |  SELECT item, mo,
+        |    max(web_cum) OVER (PARTITION BY item ORDER BY mo
+        |      ROWS UNBOUNDED PRECEDING) AS web_c,
+        |    max(store_cum) OVER (PARTITION BY item ORDER BY mo
+        |      ROWS UNBOUNDED PRECEDING) AS store_c
+        |  FROM joined)
+        |SELECT item, mo, web_c::BIGINT AS web_cumulative,
+        |       store_c::BIGINT AS store_cumulative
+        |FROM carried WHERE web_c > store_c""".stripMargin,
+    "q_tpcds_overlap" ->
+      """WITH sc AS (
+        |  SELECT DISTINCT o_custkey AS ck
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'A'),
+        |wc AS (
+        |  SELECT DISTINCT o_custkey AS ck
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'N')
+        |SELECT
+        |  sum(CASE WHEN sc.ck IS NOT NULL AND wc.ck IS NULL THEN 1 ELSE 0 END)::BIGINT AS store_only,
+        |  sum(CASE WHEN sc.ck IS NULL AND wc.ck IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS web_only,
+        |  sum(CASE WHEN sc.ck IS NOT NULL AND wc.ck IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS both_channels
+        |FROM sc FULL OUTER JOIN wc ON sc.ck = wc.ck""".stripMargin,
     "q_tpcds_timebands" ->
       (8 until 16).map { h =>
         s"  sum(CASE WHEN hour(ts) = $h AND value >= ${(h % 3) * 10}.0 THEN 1 ELSE 0 END)::BIGINT AS h$h"
