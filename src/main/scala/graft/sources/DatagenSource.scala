@@ -35,7 +35,11 @@ class DatagenSource extends TableProvider {
       opts.getInt("partitions", 4),
       opts.getLong("rowsPerPartition", 1000L),
       opts.getLong("seed", 42L),
-      opts.getLong("maxRows", Long.MaxValue))
+      opts.getLong("maxRows", Long.MaxValue),
+      Option(opts.get("splitRates"))
+        .map(_.split(",").map(_.trim.toLong).toSeq),
+      opts.getLong("alignment.max-drift-seconds", Long.MaxValue),
+      opts.getLong("maxRowsPerSplit", Long.MaxValue))
   }
 }
 
@@ -55,7 +59,9 @@ object DatagenSource {
   }
 }
 
-private class DatagenTable(partitions: Int, rowsPerPartition: Long, seed: Long, maxRows: Long)
+private class DatagenTable(partitions: Int, rowsPerPartition: Long, seed: Long, maxRows: Long,
+    splitRates: Option[Seq[Long]] = None, maxDriftSeconds: Long = Long.MaxValue,
+    maxRowsPerSplit: Long = Long.MaxValue)
     extends Table with SupportsRead {
   override def name(): String = s"datagen($partitions x $rowsPerPartition, seed=$seed)"
   override def schema(): StructType = DatagenSource.schema
@@ -80,7 +86,12 @@ private class DatagenTable(partitions: Int, rowsPerPartition: Long, seed: Long, 
         // (rowsPerPartition acts as rows-per-trigger-per-split,
         // like the reference datagen's rows-per-second)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DatagenMicroBatchStream(partitions, rowsPerPartition, seed, maxRows)
+          splitRates match {
+            case Some(rates) =>
+              new AlignedDatagenStream(rates, maxDriftSeconds, maxRowsPerSplit, seed)
+            case None =>
+              new DatagenMicroBatchStream(partitions, rowsPerPartition, seed, maxRows)
+          }
       }
     }
 }
@@ -133,6 +144,102 @@ private class DatagenMicroBatchStream(partitions: Int, rowsPerTrigger: Long, see
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Watermark ALIGNMENT across skewed splits — the reference's
+  * split-level alignment (flink-core api/common/eventtime/
+  * WatermarkAlignmentParams.java:30 `maxAllowedWatermarkDrift`;
+  * flink-runtime source/coordinator/SourceCoordinator.java:168
+  * `announceCombinedWatermark`: maxAllowedWatermark = combined MIN
+  * watermark + drift, splits ahead of it pause until the laggard
+  * catches up).
+  *
+  * Each split has its own rows-per-trigger rate (`splitRates`) and
+  * its own event-time frontier (1 s cadence per row within a split,
+  * so the frontier in SECONDS equals the row count). Per trigger a
+  * split may advance at most to `min(all frontiers) + maxDrift` —
+  * the coordinator cap — so a 10× faster split cannot run away from
+  * the group, which is what bounds downstream watermark skew (and
+  * with it late-data drops and join/agg state) when one kafka
+  * partition or backfill split is much faster than another.
+  *
+  * Why the cap is enforced at the OFFSET level: Spark has no
+  * pause-split RPC, but the micro-batch offset vector IS the split
+  * frontier set — capping a split's next offset is exactly
+  * "pause until the combined watermark moves".
+  */
+private class AlignedDatagenStream(rates: Seq[Long], maxDriftSeconds: Long,
+    maxRowsPerSplit: Long, seed: Long)
+    extends MicroBatchStream {
+  require(rates.nonEmpty && rates.forall(_ > 0), s"splitRates must be positive: $rates")
+  private var counts: Seq[Long] = Seq.fill(rates.size)(0L)
+
+  override def initialOffset(): Offset = DatagenVectorOffset(Seq.fill(rates.size)(0L))
+
+  override def latestOffset(): Offset = {
+    // the combined (minimum) frontier BEFORE this trigger — the same
+    // one-cycle-stale view the reference's periodic announce uses
+    val minFrontier = counts.min
+    val cap =
+      if (maxDriftSeconds == Long.MaxValue) Long.MaxValue
+      else minFrontier + maxDriftSeconds // 1 row == 1 s of event time
+    counts = counts.zip(rates).map { case (c, r) =>
+      // never retreat: a split already past the cap holds, not rewinds
+      math.max(c, math.min(math.min(c + r, maxRowsPerSplit), cap))
+    }
+    DatagenVectorOffset(counts)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    DatagenVectorOffset("""\d+""".r.findAllIn(json).map(_.toLong).toSeq)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DatagenVectorOffset].counts
+    val e = end.asInstanceOf[DatagenVectorOffset].counts
+    s.indices.flatMap { i =>
+      if (s(i) < e(i)) Some(AlignedSplitPartition(i, s(i), e(i), seed): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new AlignedSplitReader(p.asInstanceOf[AlignedSplitPartition])
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class DatagenVectorOffset(counts: Seq[Long]) extends Offset {
+  override def json(): String = counts.mkString("""{"c":[""", ",", "]}")
+}
+
+private case class AlignedSplitPartition(split: Int, from: Long, until: Long, seed: Long)
+    extends InputPartition
+
+private class AlignedSplitReader(p: AlignedSplitPartition)
+    extends PartitionReader[InternalRow] {
+  private var rowIdx = p.from - 1
+  private val keys = Array("alpha", "beta", "gamma", "delta").map(UTF8String.fromString)
+  private val baseMicros = 1704067200000000L
+
+  override def next(): Boolean = { rowIdx += 1; rowIdx < p.until }
+  override def get(): InternalRow = {
+    // ids are unique across splits; event time advances 1 s per row
+    // WITHIN a split, so per-split frontiers genuinely skew when the
+    // rates differ
+    val id = p.split * 1000000000L + rowIdx
+    val h = DatagenSource.mix(p.seed ^ id)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    row.setLong(0, id)
+    row.setLong(1, baseMicros + rowIdx * 1000000L)
+    row.update(2, keys(math.floorMod(h, keys.length.toLong).toInt))
+    row.setDouble(3, (h >>> 11).toDouble / (1L << 53).toDouble * 100.0)
+    row
+  }
+  override def close(): Unit = ()
 }
 
 private case class DatagenRangePartition(from: Long, until: Long, seed: Long)

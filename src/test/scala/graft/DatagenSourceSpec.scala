@@ -40,6 +40,50 @@ class DatagenSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark alignment caps a fast split at the combined min frontier + drift " +
+      "(WatermarkAlignmentParams semantics)") {
+    // split 0 produces 10x faster; 1 row = 1 s of event time per split
+    def run(drift: Option[Long]): Seq[(Long, Long, Long)] = {
+      val frontiers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val reader = spark.readStream.format("graft.sources.DatagenSource")
+        .option("splitRates", "50,5").option("maxRowsPerSplit", 100)
+      val stream = drift.map(d =>
+        reader.option("alignment.max-drift-seconds", d)).getOrElse(reader).load()
+      var fast = -1L; var slow = -1L
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // per-split frontier = max event-second emitted so far
+          // (id encodes the split: split * 1e9 + rowIdx = seconds)
+          val rows = df.select("id").collect().map(_.getLong(0))
+          if (rows.nonEmpty) {
+            val f = rows.filter(_ < 1000000000L)
+            val sl = rows.filter(_ >= 1000000000L).map(_ - 1000000000L)
+            if (f.nonEmpty) fast = math.max(fast, f.max)
+            if (sl.nonEmpty) slow = math.max(slow, sl.max)
+            frontiers.synchronized { frontiers += ((batchId, fast, slow)) }
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      frontiers.toSeq
+    }
+
+    val aligned = run(Some(10L))
+    // every micro-batch: the fast split's frontier stays within
+    // drift of the slow one (the coordinator cap), yet both finish
+    assert(aligned.nonEmpty)
+    aligned.foreach { case (b, f, s) =>
+      assert(f - s <= 10L, s"batch $b: fast frontier $f ran ${f - s}s ahead (> drift 10)")
+    }
+    val (_, fFinal, sFinal) = aligned.last
+    assert(fFinal === 99L && sFinal === 99L, "both splits must drain to maxRowsPerSplit")
+
+    // without alignment the same source skews far past 10 s
+    val free = run(None)
+    assert(free.exists { case (_, f, s) => f - s > 10L },
+      "unaligned run must show the fast split running away")
+  }
+
   test("aggregates over generated event time") {
     val n = gen(2, 200)
       .groupBy(window(col("ts"), "1 minute"), col("key"))
