@@ -86,6 +86,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     root.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(root)
 
     def timed(s: SparkSession, name: String): Double = {
       val t0 = System.nanoTime()
@@ -97,6 +98,7 @@ object Bench {
     // JVM warmup (JIT, codegen compiler, parquet footers) — uncounted
     locally {
       val s = root.newSession()
+      graft.plans.GraftExtensions.install(s)
       Tables.registerAll(s, sfDir)
       try timed(s, "q1_agg") catch { case _: Throwable => () }
     }
@@ -108,6 +110,7 @@ object Bench {
       .filter(n => only.isEmpty || only.contains(n))
     val results = names.map { n =>
       val s = root.newSession()
+      graft.plans.GraftExtensions.install(s)
       Tables.registerAll(s, sfDir)
       val ts = (1 to passes).flatMap { _ =>
         try Some(timed(s, n))

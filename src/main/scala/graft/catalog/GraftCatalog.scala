@@ -263,19 +263,42 @@ object GraftCatalog {
     * reference computes these into the catalog for the planner
     * (row counts feeding join-reorder/broadcast decisions); here
     * Spark's file-size estimation already drives broadcast planning,
-    * so the recorded stats serve the introspection surface.
+    * the recorded row count also feeds join planning through the injected StatsBroadcastJoin rule (relations Spark cannot size broadcast after ANALYZE).
     */
   case class ColumnStats(ndv: Long, nullCount: Long, min: String, max: String)
   case class TableStats(rowCount: Long, columns: Map[String, ColumnStats])
 
   private val tableStats =
     scala.collection.concurrent.TrieMap.empty[String, TableStats]
+  // keyed by the CANONICALIZED leaf relation: optimizer rules run
+  // after EliminateSubqueryAliases has stripped view names, so the
+  // StatsBroadcastJoin lookup must match the relation itself
+  private val planStats = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (String, TableStats)]
 
-  def recordStats(table: String, stats: TableStats): Unit =
-    tableStats.put(table.toLowerCase(java.util.Locale.ROOT), stats)
+  def recordStats(table: String, stats: TableStats,
+      leaf: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None): Unit = {
+    val key = table.toLowerCase(java.util.Locale.ROOT)
+    tableStats.put(key, stats)
+    // drop stale leaf keys for this table before (re-)recording, so a
+    // re-ANALYZE (or a stats override without a leaf) never leaves an
+    // old row count reachable through the plan-keyed lookup
+    planStats.filterInPlace { case (_, (n, _)) => n != key }
+    leaf.foreach(l => planStats.put(l.canonicalized, (key, stats)))
+  }
 
   def statsOf(table: String): Option[TableStats] =
     tableStats.get(table.toLowerCase(java.util.Locale.ROOT))
+
+  def statsOfLeaf(
+      leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[TableStats] =
+    planStats.get(leaf.canonicalized).map(_._2)
+
+  def clearStats(table: String): Unit = {
+    val key = table.toLowerCase(java.util.Locale.ROOT)
+    tableStats.remove(key)
+    planStats.filterInPlace { case (_, (n, _)) => n != key }
+  }
 
   /** Project a file table's declared METADATA columns from Spark's
     * hidden `_metadata` struct — appended after the physical columns,

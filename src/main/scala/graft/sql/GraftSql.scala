@@ -1038,10 +1038,13 @@ object GraftSql {
       return base.filter(if (notLike) !cond else cond)
     }
     // ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ... | FOR ALL
-    // COLUMNS] — computes and records row/column statistics (the
-    // reference feeds these to its planner; Spark's parquet scans
-    // already size themselves from file metadata, so the recorded
-    // stats serve introspection). Returns the computed stats.
+    // COLUMNS] — computes and records row/column statistics. Like the
+    // reference, the row count FEEDS the planner: the injected
+    // StatsBroadcastJoin rule sizes relations Spark cannot size
+    // (JDBC catalog tables, RDD-backed views) and flips their joins
+    // to broadcast under the threshold (ExtensionsSpec). Parquet
+    // scans already size themselves from file metadata. Returns the
+    // computed stats.
     if (toks.nonEmpty && toks.head.is("ANALYZE") && toks.length >= 5 &&
         toks(1).is("TABLE") && toks(3).is("COMPUTE") && toks(4).is("STATISTICS")) {
       val name = cleanName(toks(2).text)
@@ -1071,8 +1074,14 @@ object GraftSql {
           Option(r.getAs[String](s"__min_$c")).orNull,
           Option(r.getAs[String](s"__max_$c")).orNull)
       }.toMap
+      // also key the stats by the table's leaf relation: the planner
+      // rule looks up after view aliases have been optimized away
+      val leaf = df.queryExecution.analyzed.collectLeaves() match {
+        case Seq(one) => Some(one)
+        case _        => None
+      }
       graft.catalog.GraftCatalog.recordStats(name,
-        graft.catalog.GraftCatalog.TableStats(rowCount, colStats))
+        graft.catalog.GraftCatalog.TableStats(rowCount, colStats), leaf)
       import spark.implicits._
       return (if (cols.isEmpty) Seq(("", rowCount, -1L, -1L, "", ""))
         else cols.map { c =>

@@ -17,6 +17,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(0, 0, 0))
   }
 
+  test("ANALYZE TABLE statistics flip an unsizable-relation join to broadcast " +
+      "(statistics-injected planning)") {
+    GraftExtensions.install(spark)
+    // an RDD-backed view: Spark cannot size it (defaultSizeInBytes =
+    // huge), the same blind spot as a federated JDBC catalog table
+    val dimRows = (0L until 50L).map(i => org.apache.spark.sql.Row(i, s"name_$i"))
+    val dimSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("nm", org.apache.spark.sql.types.StringType, true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(dimRows, 2), dimSchema)
+      .createOrReplaceTempView("dim_unsized")
+    val fact = Tables.load(spark, sfDir, "events")
+      .select((col("event_id") % 50).as("k"), col("value"))
+    def planOf(): String = fact.join(spark.table("dim_unsized"), Seq("k"))
+      .groupBy(col("nm")).agg(sum(col("value")).as("v"))
+      .queryExecution.executedPlan.toString
+
+    // a threshold small enough that the parquet fact side cannot
+    // broadcast by its file size — only the stats-fed dim can fit
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try {
+      graft.catalog.GraftCatalog.clearStats("dim_unsized")
+      val before = planOf()
+      assert(!before.contains("BroadcastHashJoin"),
+        s"unsized relation must not broadcast before ANALYZE:\n$before")
+
+      // the SQL front door's ANALYZE records the row count; the
+      // injected rule then sizes the side and hints BROADCAST
+      graft.sql.GraftSql.sql(spark, "ANALYZE TABLE dim_unsized COMPUTE STATISTICS")
+      val after = planOf()
+      assert(after.contains("BroadcastHashJoin"),
+        s"analyzed 50-row dim must broadcast:\n$after")
+
+      // a row count over the threshold must NOT hint
+      graft.catalog.GraftCatalog.recordStats("dim_unsized",
+        graft.catalog.GraftCatalog.TableStats(500000000L, Map.empty))
+      val big = planOf()
+      assert(!big.contains("BroadcastHashJoin"),
+        s"over-threshold stats must not broadcast:\n$big")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      graft.catalog.GraftCatalog.clearStats("dim_unsized")
+    }
+  }
+
   test("rule preserves null semantics and leaves distinct args alone") {
     GraftExtensions.install(spark)
     val rows = Seq((Some(5L), 6L), (None, 6L)).toDF("a", "b")

@@ -15,6 +15,7 @@ object TestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(s)
     s
   }
 }
