@@ -55,7 +55,7 @@ object Bench {
     "q_graph_cc", "q_graph_sssp", "q_pack_bestfit",
     "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
     "q_tpcds_except_chain", "q_tpcds_intersect", "q_tpcds_yoy",
-    "q_tpcds_timebands", "q_tpcds_cumul", "q_tpcds_overlap",
+    "q_tpcds_timebands", "q_tpcds_cumul", "q_tpcds_overlap", "q_tpcds_freqbest",
     "q_text_bm25", "q_text_postings", "q_text_pmi",
     "q_graph_kcore", "q_sample_weighted", "q_layout_zorder",
     "q_embed_standardize", "q_heavy_hitters", "q_text_entropy",

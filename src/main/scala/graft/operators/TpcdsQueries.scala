@@ -278,7 +278,47 @@ object TpcdsQueries {
           .as("both_channels"))
   }
 
+  /** q23 shape — "frequent items bought by best customers": items in
+    * ≥ 5 distinct orders of the base year (the frequent_ss_items CTE),
+    * customers whose lifetime spend exceeds half the TOP customer's
+    * (q23's `95% of tpcds_cmax` move: a one-row scalar aggregate
+    * BROADCAST back as the threshold — no second pass over customers),
+    * then the next year's revenue restricted to both sets via two
+    * left-semi joins over key sets. Determinism: spend totals are
+    * DECIMAL sums and the cut compares `2·spend > cmax` — a decimal
+    * multiply, never a decimal division whose result scale the two
+    * engines could round differently. Scale shape: the threshold is
+    * one broadcast row, both probe sides collapse to key sets before
+    * the semi joins, and the measured fact slice crosses the pipeline
+    * once into a single-row aggregate.
+    */
+  def frequentBest(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    def liYear(yr: Int): DataFrame =
+      li.join(ords.filter(year(col("o_orderdate")) === yr)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val freq = liYear(1995)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("cnt"))
+      .filter(col("cnt") >= 5).select(col("l_partkey").as("fpk"))
+    val spend = ords
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("o_custkey")).agg(sum(col("p")).as("spend"))
+    val cmax = spend.agg(max(col("spend")).as("cmax"))
+    val best = spend.crossJoin(broadcast(cmax))
+      .filter(col("spend") * 2 > col("cmax"))
+      .select(col("o_custkey").as("bck"))
+    liYear(1996)
+      .join(freq, col("l_partkey") === col("fpk"), "left_semi")
+      .join(best, col("o_custkey") === col("bck"), "left_semi")
+      .agg(count(lit(1)).as("n_sales"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcds_freqbest" -> ((s: SparkSession, d: String) => frequentBest(s, d)),
     "q_tpcds_cumul" -> ((s: SparkSession, d: String) => cumulOvertake(s, d)),
     "q_tpcds_overlap" -> ((s: SparkSession, d: String) => channelOverlap(s, d)),
     "q_tpcds_timebands" -> ((s: SparkSession, d: String) => timeBands(s, d)),
@@ -290,6 +330,24 @@ object TpcdsQueries {
     "q_tpcds_intersect" -> ((s: SparkSession, d: String) => intersectChain(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcds_freqbest" ->
+      """WITH freq AS (
+        |  SELECT l_partkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE extract(year FROM o_orderdate) = 1995
+        |  GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 5),
+        |spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |best AS (
+        |  SELECT o_custkey FROM spend
+        |  WHERE spend * 2 > (SELECT max(spend) FROM spend))
+        |SELECT count(*)::BIGINT AS n_sales,
+        |       sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE extract(year FROM o_orderdate) = 1996
+        |  AND l_partkey IN (SELECT l_partkey FROM freq)
+        |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin,
     "q_tpcds_cumul" ->
       """WITH web AS (
         |  SELECT l_partkey AS pk,

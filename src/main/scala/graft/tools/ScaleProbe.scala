@@ -148,7 +148,7 @@ object ScaleProbe {
       // hierarchy), semi+anti orderkey-set chain, custkey EXCEPT chain
       "q_tpcds_channels", "q_tpcds_rollup_rank", "q_tpcds_returns_anti",
       "q_tpcds_except_chain", "q_tpcds_intersect", "q_tpcds_timebands",
-      "q_tpcds_cumul", "q_tpcds_overlap",
+      "q_tpcds_cumul", "q_tpcds_overlap", "q_tpcds_freqbest",
       // round-11: incremental near-dup dedup — the banded store-probe
       // must scale with the BATCH (store×store pairs never form)
       "q_dedup_minhash_inc",
