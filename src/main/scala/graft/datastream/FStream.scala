@@ -122,6 +122,54 @@ final case class FStream[T](ds: Dataset[T]) {
     FStream(ds.groupByKey(k1).cogroup(other.ds.groupByKey(k2))(
       (k: K, a: Iterator[T], b: Iterator[B]) => f(k, a, b).iterator))
 
+  /** AsyncDataStream.orderedWait / unorderedWait (flink-streaming-java
+    * api/datastream/AsyncDataStream.java:115,165): async I/O per
+    * element with a bounded in-flight window of `capacity` futures per
+    * partition. `ordered = true` emits in input order (head-of-window
+    * await — a slow element delays its successors' EMISSION, never
+    * their launch); `ordered = false` emits in completion order within
+    * the window, the reference's lower-latency mode. A future that
+    * exceeds `timeoutMillis` fails the task — the reference's default
+    * AsyncFunction#timeout behavior. The delegate runs on its own
+    * ExecutionContext (the caller builds the Future); this operator
+    * only windows and awaits, so no thread pool is owned here.
+    */
+  def asyncMap[U: Encoder](capacity: Int, timeoutMillis: Long, ordered: Boolean)(
+      f: T => scala.concurrent.Future[U]): FStream[U] = {
+    require(capacity > 0, "capacity must be positive")
+    FStream(ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      if (ordered) new Iterator[U] {
+        private val window = scala.collection.mutable.Queue.empty[Future[U]]
+        private def fill(): Unit =
+          while (window.size < capacity && it.hasNext) window += f(it.next())
+        fill()
+        override def hasNext: Boolean = window.nonEmpty
+        override def next(): U = {
+          val r = Await.result(window.dequeue(), timeoutMillis.millis)
+          fill(); r
+        }
+      } else new Iterator[U] {
+        private val ec = scala.concurrent.ExecutionContext.parasitic
+        private var inflight = Map.empty[Long, Future[(Long, U)]]
+        private var nextId = 0L
+        private def fill(): Unit =
+          while (inflight.size < capacity && it.hasNext) {
+            val id = nextId; nextId += 1
+            inflight += id -> f(it.next()).map(u => (id, u))(ec)
+          }
+        fill()
+        override def hasNext: Boolean = inflight.nonEmpty
+        override def next(): U = {
+          val (id, u) = Await.result(
+            Future.firstCompletedOf(inflight.values)(ec), timeoutMillis.millis)
+          inflight -= id; fill(); u
+        }
+      }
+    })
+  }
+
   def sinkTo(writer: Dataset[T] => Unit): Unit = writer(ds)
 }
 

@@ -133,4 +133,34 @@ class FStreamSpec extends SparkSpec {
     }.ds.collect().toSet
     assert(out === Set(("x", 3, 10), ("y", 3, 0), ("z", 0, 30)))
   }
+
+  test("asyncMap ordered preserves input order; unordered emits the slow head late " +
+      "(AsyncDataStream orderedWait/unorderedWait)") {
+    import scala.concurrent.Future
+    // ONE partition so emission order is observable; element 1 is slow.
+    // The delegate is a self-contained lambda (the global EC is a
+    // static module access, nothing non-serializable is captured)
+    val src = FStream(spark.createDataset(Seq(1L, 2L, 3L, 4L, 5L, 6L)).coalesce(1))
+    val delayed: Long => Future[Long] = v =>
+      Future { if (v == 1L) Thread.sleep(300); v * 10 }(
+        scala.concurrent.ExecutionContext.global)
+
+    val ordered = src.asyncMap(capacity = 4, timeoutMillis = 10000, ordered = true)(delayed)
+      .ds.collect().toSeq
+    assert(ordered === Seq(10L, 20L, 30L, 40L, 50L, 60L),
+      "ordered mode must emit in input order despite the slow head")
+
+    val unordered = src.asyncMap(capacity = 4, timeoutMillis = 10000, ordered = false)(delayed)
+      .ds.collect().toSeq
+    assert(unordered.toSet === Set(10L, 20L, 30L, 40L, 50L, 60L))
+    assert(unordered.head !== 10L,
+      s"unordered mode must emit a fast element before the 300ms-slow head: $unordered")
+
+    // in-flight never exceeds capacity: a capacity-1 window is strictly
+    // sequential, so total wall >= the slow element's delay and order holds
+    val seq1 = src.asyncMap(capacity = 1, timeoutMillis = 10000, ordered = false)(delayed)
+      .ds.collect().toSeq
+    assert(seq1 === Seq(10L, 20L, 30L, 40L, 50L, 60L),
+      "capacity 1 serializes even the unordered mode")
+  }
 }
