@@ -128,9 +128,36 @@ object JdbcQueries {
          |GROUP BY s_nationkey""".stripMargin)
   }
 
+  /** Statistics-injected federation join — the 100 TB shape the
+    * StatsBroadcastJoin rule exists for: the parquet FACT table
+    * (lineitem) joins a dimension living behind the JDBC catalog,
+    * which Spark cannot size (defaultSizeInBytes → huge → SortMerge,
+    * i.e. the fact table would SHUFFLE for a 100-row dim). ANALYZE
+    * TABLE on the federated table records its row count, the injected
+    * rule sizes it under the broadcast threshold, and the join plans
+    * as BroadcastHashJoin with the fact side never crossing the wire
+    * — the reference's statistics-injected TPC-DS planning applied to
+    * its JdbcCatalog. Plan pinned in JdbcConnectorSpec; results
+    * oracle-checked (the supplier upsert wave touches acctbal only,
+    * so the parquet supplier oracle joins identically).
+    */
+  def fedStatsJoin(s: SparkSession, dir: String): DataFrame = {
+    loadSupplier(s, dir)
+    val cat = s"fed_cat_${key(dir).replaceAll("[.-]", "_")}"
+    GraftSql.sql(s,
+      s"CREATE CATALOG $cat WITH ('type' = 'jdbc', 'base-url' = '${urlOf(dir)}')")
+    GraftSql.sql(s, s"ANALYZE TABLE $cat.APP.SUPP COMPUTE STATISTICS")
+    s.sql(
+      s"""SELECT s_name, count(*) AS n_items,
+         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         |FROM lineitem JOIN $cat.APP.SUPP ON l_suppkey = s_suppkey
+         |GROUP BY s_name""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jdbc_roundtrip" -> jdbcRoundtrip,
     "q_jdbc_lookup" -> jdbcLookup,
+    "q_fed_stats_join" -> fedStatsJoin,
     "q_catalog_federation" -> catalogFederation)
 
   def oracle: Map[String, String] = Map(
@@ -144,6 +171,11 @@ object JdbcQueries {
     "q_jdbc_lookup" ->
       """SELECT s_suppkey, n_name
         |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q_fed_stats_join" ->
+      """SELECT s_name, count(*)::BIGINT AS n_items,
+        |       sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "q_catalog_federation" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |       sum(CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100

@@ -1046,16 +1046,24 @@ object GraftSql {
     // scans already size themselves from file metadata. Returns the
     // computed stats.
     if (toks.nonEmpty && toks.head.is("ANALYZE") && toks.length >= 5 &&
-        toks(1).is("TABLE") && toks(3).is("COMPUTE") && toks(4).is("STATISTICS")) {
-      val name = cleanName(toks(2).text)
+        toks(1).is("TABLE") && toks.exists(_.is("COMPUTE"))) {
+      // the name may be multipart (catalog.schema.table — the
+      // federated-catalog case the native path rejects for v2
+      // tables): everything between TABLE and COMPUTE is the name
+      val ci = toks.indexWhere(_.is("COMPUTE"))
+      require(ci + 1 < toks.length && toks(ci + 1).is("STATISTICS"),
+        "expected COMPUTE STATISTICS")
+      val name = toks.slice(2, ci).filterNot(_.isPunct("."))
+        .map(t => cleanName(t.text)).mkString(".")
       val df = spark.table(name)
+      val rest = toks.drop(ci + 2)
       val cols: Seq[String] =
-        if (toks.length > 5 && toks(5).is("FOR")) {
-          if (toks.length > 7 && toks(6).is("ALL") && toks(7).is("COLUMNS"))
+        if (rest.nonEmpty && rest.head.is("FOR")) {
+          if (rest.length > 2 && rest(1).is("ALL") && rest(2).is("COLUMNS"))
             df.columns.toSeq
           else {
-            require(toks(6).is("COLUMNS"), "expected FOR [ALL] COLUMNS")
-            toks.drop(7).filterNot(_.isPunct(",")).map(t => cleanName(t.text)).toSeq
+            require(rest.length > 1 && rest(1).is("COLUMNS"), "expected FOR [ALL] COLUMNS")
+            rest.drop(2).filterNot(_.isPunct(",")).map(t => cleanName(t.text)).toSeq
           }
         } else Nil
       // ndv via HLL (rsd 1%): exact distinct would shuffle per column —

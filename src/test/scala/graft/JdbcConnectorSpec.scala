@@ -207,6 +207,26 @@ class JdbcConnectorSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("q_fed_stats_join: ANALYZE on the federated table flips the fact join " +
+      "to broadcast (statistics-injected planning)") {
+    val got = graft.sources.JdbcQueries.fedStatsJoin(spark, sfDir)
+    // the unsized JDBC dim would plan SortMerge (fact shuffles); the
+    // recorded row count must flip it to a broadcast of the dim side
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the analyzed federated dim to broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact side must not shuffle for a dim lookup:\n$plan")
+    val want = spark.sql(
+      """SELECT s_name, count(*) AS n_items,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(keyed(got) === keyed(want))
+  }
+
   test("q_jdbc_lookup joins every supplier to its nation name") {
     val got = graft.sources.JdbcQueries.jdbcLookup(spark, sfDir)
     val want = spark.sql(
