@@ -73,20 +73,24 @@ object AggQueries {
   /** Exact inverse-distribution aggregates — PERCENTILE_CONT (the
     * SQL:2003 surface Calcite validates for the reference:
     * flink-table-planner .../calcite/sql/validate/SqlValidatorImpl
-    * .java) and the array form over several fractions at once. Both
-    * engines interpolate linearly on the sorted group, and the
-    * fractions land on exact ranks for whole-number quantities, so
-    * the values compare exactly; all outputs are value columns, no
-    * float ever orders a cut. Exact percentiles sort per group —
-    * the right tool for bounded groups (here: 3 return flags); a
-    * 100 TB ungrouped quantile switches to approx_percentile's
-    * mergeable sketch instead.
+    * .java). Both engines interpolate linearly on the sorted group,
+    * and the fractions land on exact ranks for whole-number
+    * quantities, so the values compare exactly; all outputs are
+    * value columns, no float ever orders a cut. The quartiles are
+    * three scalar columns (not one ARRAY column): the gate's
+    * comparator hashes scalar cells, and a single sort of the group
+    * serves all three cuts anyway. Exact percentiles sort per
+    * group — the right tool for bounded groups (here: 3 return
+    * flags); a 100 TB ungrouped quantile switches to
+    * approx_percentile's mergeable sketch instead.
     */
   def aggPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+        expr("percentile_cont(0.25D) WITHIN GROUP (ORDER BY l_quantity)").as("qty_q1"),
+        expr("percentile_cont(0.5D) WITHIN GROUP (ORDER BY l_quantity)").as("qty_q2"),
+        expr("percentile_cont(0.75D) WITHIN GROUP (ORDER BY l_quantity)").as("qty_q3"),
         expr("percentile_cont(0.5D) WITHIN GROUP (ORDER BY l_extendedprice)").as("med_price"),
         expr("percentile_cont(0.9D) WITHIN GROUP (ORDER BY l_discount)").as("p90_disc"))
 
@@ -210,7 +214,9 @@ object AggQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  quantile_cont(l_quantity, 0.25) AS qty_q1,
+        |  quantile_cont(l_quantity, 0.5) AS qty_q2,
+        |  quantile_cont(l_quantity, 0.75) AS qty_q3,
         |  quantile_cont(l_extendedprice, 0.5) AS med_price,
         |  quantile_cont(l_discount, 0.9) AS p90_disc
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

@@ -119,6 +119,10 @@ object RetrievalQueries {
     * stopword handling) or splits them into fixed-width blocks.
     * Below the cap each collect_list is bounded by `hi`, and the
     * only exchange carries (term, doc_id) pairs for the banded slice.
+    * The list is emitted as a canonical comma-joined string (sorted
+    * numerically BEFORE the cast to string): the gate's comparator
+    * hashes scalar cells, and the string form is also what a posting
+    * file on disk looks like — the ARRAY stays internal.
     */
   def postings(s: SparkSession, dir: String,
       lo: Int = 2, hi: Int = 400): DataFrame =
@@ -127,7 +131,11 @@ object RetrievalQueries {
   def postingsCore(docs: DataFrame, lo: Int, hi: Int): DataFrame = {
     val tf = tfTable(docs).select(col("term"), col("doc_id"))
     tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
       .filter(col("df").between(lo, hi))
   }
 
@@ -263,6 +271,6 @@ object RetrievalQueries {
         |    SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |    unnest(tk) AS u(w) WHERE length(u.w) > 0)
         |SELECT term, count(*)::BIGINT AS df,
-        |  array_agg(doc_id ORDER BY doc_id) AS postings
+        |  array_to_string(array_agg(doc_id ORDER BY doc_id), ',') AS postings
         |FROM toks GROUP BY term HAVING count(*) BETWEEN 2 AND 400""".stripMargin)
 }
