@@ -272,9 +272,24 @@ object GraftCatalog {
     scala.collection.concurrent.TrieMap.empty[String, TableStats]
   // keyed by the CANONICALIZED leaf relation: optimizer rules run
   // after EliminateSubqueryAliases has stripped view names, so the
-  // StatsBroadcastJoin lookup must match the relation itself
-  private val planStats = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (String, TableStats)]
+  // StatsBroadcastJoin lookup must match the relation itself.
+  // LRU-bounded: each entry can pin a LogicalRDD (and its RDD), so a
+  // long-lived driver ANALYZE-ing many distinct views must not
+  // accumulate unbounded plan references — 512 live ANALYZE'd leaves
+  // is far past any real session, and eviction only costs a re-ANALYZE
+  private val MaxPlanStats = 512
+  private val planStats = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (String, TableStats)](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, (String, TableStats)])
+          : Boolean = size() > MaxPlanStats
+    })
+  private def planStatsDropTable(key: String): Unit = planStats.synchronized {
+    planStats.values().removeIf { case (n, _) => n == key }
+  }
 
   def recordStats(table: String, stats: TableStats,
       leaf: Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = None): Unit = {
@@ -283,7 +298,7 @@ object GraftCatalog {
     // drop stale leaf keys for this table before (re-)recording, so a
     // re-ANALYZE (or a stats override without a leaf) never leaves an
     // old row count reachable through the plan-keyed lookup
-    planStats.filterInPlace { case (_, (n, _)) => n != key }
+    planStatsDropTable(key)
     leaf.foreach(l => planStats.put(l.canonicalized, (key, stats)))
   }
 
@@ -292,12 +307,12 @@ object GraftCatalog {
 
   def statsOfLeaf(
       leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[TableStats] =
-    planStats.get(leaf.canonicalized).map(_._2)
+    Option(planStats.get(leaf.canonicalized)).map(_._2)
 
   def clearStats(table: String): Unit = {
     val key = table.toLowerCase(java.util.Locale.ROOT)
     tableStats.remove(key)
-    planStats.filterInPlace { case (_, (n, _)) => n != key }
+    planStatsDropTable(key)
   }
 
   /** Project a file table's declared METADATA columns from Spark's
@@ -1102,6 +1117,9 @@ object GraftCatalog {
       Seq(tableSinks, tableConstraints, tableSchemas, tableMeta, tableUpsert,
         tableCdc, tableOptions, tablePrimaryKeys, tablePartitionKeys, tableMetaCols)
         .foreach(_.remove(name))
+      // a dropped table's ANALYZE stats must not keep feeding the
+      // planner (or pinning the analyzed leaf plan)
+      clearStats(name)
       bumpGeneration(name)
 
     // ALTER TABLE t SET ('k' = 'v', ...) — merge option overrides and

@@ -128,9 +128,16 @@ final case class FStream[T](ds: Dataset[T]) {
     * partition. `ordered = true` emits in input order (head-of-window
     * await — a slow element delays its successors' EMISSION, never
     * their launch); `ordered = false` emits in completion order within
-    * the window, the reference's lower-latency mode. A future that
-    * exceeds `timeoutMillis` fails the task — the reference's default
-    * AsyncFunction#timeout behavior. The delegate runs on its own
+    * the window, the reference's lower-latency mode. The per-element
+    * timer starts at LAUNCH (registration) exactly as the reference's
+    * AsyncFunction#timeout does: an element that exceeds
+    * `timeoutMillis` from its launch fails the task even while other
+    * in-window elements keep completing, and a queued ordered element
+    * never gets capacity × timeout of budget. One deliberate
+    * divergence: a future that completes before we check its expired
+    * timer is emitted, not failed — completion wins the timer race
+    * (the reference cancels the timer on completion; here the check
+    * happens at emission). The delegate runs on its own
     * ExecutionContext (the caller builds the Future); this operator
     * only windows and awaits, so no thread pool is owned here.
     */
@@ -141,30 +148,57 @@ final case class FStream[T](ds: Dataset[T]) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       if (ordered) new Iterator[U] {
-        private val window = scala.collection.mutable.Queue.empty[Future[U]]
+        // (future, launchNanos): the timer runs from launch, so a
+        // queued element's remaining budget shrinks while it waits
+        // behind the head — never capacity × timeout
+        private val window = scala.collection.mutable.Queue.empty[(Future[U], Long)]
         private def fill(): Unit =
-          while (window.size < capacity && it.hasNext) window += f(it.next())
+          while (window.size < capacity && it.hasNext)
+            window += ((f(it.next()), System.nanoTime()))
         fill()
         override def hasNext: Boolean = window.nonEmpty
         override def next(): U = {
-          val r = Await.result(window.dequeue(), timeoutMillis.millis)
+          val (fu, t0) = window.dequeue()
+          val remainMs = timeoutMillis - (System.nanoTime() - t0) / 1000000L
+          // budget 0 => immediate TimeoutException unless already done
+          val r = Await.result(fu, math.max(0L, remainMs).millis)
           fill(); r
         }
       } else new Iterator[U] {
         private val ec = scala.concurrent.ExecutionContext.parasitic
-        private var inflight = Map.empty[Long, Future[(Long, U)]]
+        private var inflight = Map.empty[Long, (Future[(Long, U)], Long)]
         private var nextId = 0L
         private def fill(): Unit =
           while (inflight.size < capacity && it.hasNext) {
             val id = nextId; nextId += 1
-            inflight += id -> f(it.next()).map(u => (id, u))(ec)
+            inflight += id -> ((f(it.next()).map(u => (id, u))(ec), System.nanoTime()))
           }
         fill()
         override def hasNext: Boolean = inflight.nonEmpty
         override def next(): U = {
-          val (id, u) = Await.result(
-            Future.firstCompletedOf(inflight.values)(ec), timeoutMillis.millis)
-          inflight -= id; fill(); u
+          while (inflight.nonEmpty) {
+            // wait only up to the EARLIEST in-flight deadline: a hung
+            // future fails at its own launch+timeout even while other
+            // in-window elements keep completing around it
+            val now = System.nanoTime()
+            val waitMs = inflight.values
+              .map { case (_, t0) => timeoutMillis - (now - t0) / 1000000L }.min
+            try {
+              val (id, u) = Await.result(
+                Future.firstCompletedOf(inflight.values.map(_._1))(ec),
+                math.max(1L, waitMs).millis)
+              inflight -= id; fill(); return u
+            } catch {
+              case te: java.util.concurrent.TimeoutException =>
+                val t = System.nanoTime()
+                if (inflight.values.exists { case (fu2, t0) =>
+                  !fu2.isCompleted && (t - t0) / 1000000L >= timeoutMillis
+                }) throw te
+              // else: spurious wake at a deadline whose future just
+              // completed — loop and collect it
+            }
+          }
+          throw new IllegalStateException("next() on empty async window")
         }
       }
     })

@@ -96,7 +96,12 @@ object StatsBroadcastJoin extends Rule[LogicalPlan] {
   private def statsSize(p: LogicalPlan): Option[Long] =
     sideLeaf(p).flatMap(statsFor).map { st =>
       val width = p.output.map(_.dataType.defaultSize).sum + 8
-      st.rowCount * width
+      // saturate instead of overflowing: an ANALYZE'd (or manually
+      // recorded) row count near Long.MaxValue would wrap negative,
+      // pass the <= threshold filter, and force-broadcast a huge
+      // relation into the driver
+      if (st.rowCount < 0 || st.rowCount > Long.MaxValue / width) Long.MaxValue
+      else st.rowCount * width
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

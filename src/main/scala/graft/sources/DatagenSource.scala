@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,18 +107,37 @@ private case class DatagenOffset(n: Long) extends Offset {
   */
 private class DatagenMicroBatchStream(partitions: Int, rowsPerTrigger: Long, seed: Long,
     maxRows: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   private var latest = 0L
 
   override def initialOffset(): Offset = DatagenOffset(0L)
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // Recovery contract: the frontier counter is driver-side state, so
+  // a restarted query would otherwise re-count from zero, hand back
+  // end offsets BEHIND the committed start, commit that retreated
+  // offset, and re-emit committed rows once the counter re-advances
+  // (observed: 145 duplicate rows in DatagenSourceSpec before this).
+  // SupportsAdmissionControl is the fix Spark designed for exactly
+  // this: latestOffset(start, _) receives the restored start offset
+  // BEFORE the first post-restart advance, so the counter seeds from
+  // it and the frontier never retreats.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    Option(start).foreach(o => latest = math.max(latest, offsetN(o)))
     // bounded by maxRows so drain-style queries (processAllAvailable)
     // terminate; unbounded when the option is unset
     latest = math.min(latest + partitions * rowsPerTrigger, maxRows)
     DatagenOffset(latest)
   }
-  override def deserializeOffset(json: String): Offset =
-    DatagenOffset("""\d+""".r.findFirstIn(json).get.toLong)
+  override def latestOffset(): Offset = latestOffset(null, getDefaultReadLimit)
+  private def offsetN(o: Offset): Long = o match {
+    case d: DatagenOffset => d.n
+    case other => """\d+""".r.findFirstIn(other.json()).get.toLong
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val n = """\d+""".r.findFirstIn(json).get.toLong
+    latest = math.max(latest, n) // belt-and-braces with latestOffset(start, _)
+    DatagenOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DatagenOffset].n
@@ -170,13 +189,22 @@ private class DatagenMicroBatchStream(partitions: Int, rowsPerTrigger: Long, see
   */
 private class AlignedDatagenStream(rates: Seq[Long], maxDriftSeconds: Long,
     maxRowsPerSplit: Long, seed: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   require(rates.nonEmpty && rates.forall(_ > 0), s"splitRates must be positive: $rates")
   private var counts: Seq[Long] = Seq.fill(rates.size)(0L)
 
   override def initialOffset(): Offset = DatagenVectorOffset(Seq.fill(rates.size)(0L))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(): Offset = {
+  // Recovery: same contract as DatagenMicroBatchStream — the
+  // per-split frontier vector is driver-side state, and a restart
+  // must seed it from the restored start offset (element-wise, never
+  // retreat) BEFORE the first advance, or the alignment cap computes
+  // off a zeroed min-frontier and re-advancing ranges re-emit
+  // committed rows. latestOffset(start, _) is where Spark hands the
+  // restored offset over.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    Option(start).foreach(o => seedFrom(offsetVector(o)))
     // the combined (minimum) frontier BEFORE this trigger — the same
     // one-cycle-stale view the reference's periodic announce uses
     val minFrontier = counts.min
@@ -189,9 +217,24 @@ private class AlignedDatagenStream(rates: Seq[Long], maxDriftSeconds: Long,
     }
     DatagenVectorOffset(counts)
   }
+  override def latestOffset(): Offset = latestOffset(null, getDefaultReadLimit)
 
-  override def deserializeOffset(json: String): Offset =
-    DatagenVectorOffset("""\d+""".r.findAllIn(json).map(_.toLong).toSeq)
+  private def offsetVector(o: Offset): Seq[Long] = o match {
+    case v: DatagenVectorOffset => v.counts
+    case other => """\d+""".r.findAllIn(other.json()).map(_.toLong).toSeq
+  }
+  private def seedFrom(v: Seq[Long]): Unit = {
+    require(v.size == rates.size,
+      s"checkpointed offset has ${v.size} splits, source has ${rates.size} — " +
+        "splitRates changed across a restart")
+    counts = counts.zip(v).map { case (c, n) => math.max(c, n) }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val v = """\d+""".r.findAllIn(json).map(_.toLong).toSeq
+    seedFrom(v) // belt-and-braces with latestOffset(start, _)
+    DatagenVectorOffset(v)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DatagenVectorOffset].counts

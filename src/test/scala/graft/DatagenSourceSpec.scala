@@ -84,6 +84,45 @@ class DatagenSourceSpec extends SparkSpec {
       "unaligned run must show the fast split running away")
   }
 
+  test("restart against the checkpoint re-emits nothing: the frontier seeds from " +
+      "the committed offset, not zero") {
+    // both datagen streams keep their frontier in driver-side state;
+    // recovery must seed it from deserializeOffset or the committed
+    // offset retreats and re-advancing ranges duplicate output
+    val base = java.nio.file.Files.createTempDirectory("graft_datagen_ckpt").toString
+    def run(ckpt: String, reader: org.apache.spark.sql.streaming.DataStreamReader,
+        ids: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+      val q = reader.load().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = df.select("id").collect().map(_.getLong(0))
+          ids.synchronized { ids ++= got }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // aligned (vector-offset) stream
+    val alignedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def alignedReader = spark.readStream.format("graft.sources.DatagenSource")
+      .option("splitRates", "50,5").option("maxRowsPerSplit", 100)
+    run(s"$base/aligned", alignedReader, alignedIds)
+    assert(alignedIds.size === 200 && alignedIds.distinct.size === 200)
+    run(s"$base/aligned", alignedReader, alignedIds) // fresh stream, same checkpoint
+    assert(alignedIds.size === 200,
+      s"aligned restart re-emitted ${alignedIds.size - 200} committed rows")
+
+    // scalar-offset stream
+    val scalarIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def scalarReader = spark.readStream.format("graft.sources.DatagenSource")
+      .option("partitions", 2).option("rowsPerPartition", 50).option("maxRows", 300)
+    run(s"$base/scalar", scalarReader, scalarIds)
+    assert(scalarIds.size === 300 && scalarIds.distinct.size === 300)
+    run(s"$base/scalar", scalarReader, scalarIds)
+    assert(scalarIds.size === 300,
+      s"scalar restart re-emitted ${scalarIds.size - 300} committed rows")
+  }
+
   test("aggregates over generated event time") {
     val n = gen(2, 200)
       .groupBy(window(col("ts"), "1 minute"), col("key"))

@@ -150,11 +150,22 @@ class FStreamSpec extends SparkSpec {
     assert(ordered === Seq(10L, 20L, 30L, 40L, 50L, 60L),
       "ordered mode must emit in input order despite the slow head")
 
-    val unordered = src.asyncMap(capacity = 4, timeoutMillis = 10000, ordered = false)(delayed)
+    // Deterministic fast-before-slow, no wall-clock race: element 1's
+    // future can only complete once f(5) has been CALLED — and with
+    // capacity 4, launching element 5 requires a window slot freed by
+    // a fast element's emission. So the first emitted element is a
+    // fast one by construction, on any scheduler.
+    val gated: Long => Future[Long] = v =>
+      if (v == 5L) { AsyncGate.launch5.countDown(); Future.successful(50L) }
+      else Future {
+        if (v == 1L) AsyncGate.launch5.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        v * 10
+      }(scala.concurrent.ExecutionContext.global)
+    val unordered = src.asyncMap(capacity = 4, timeoutMillis = 10000, ordered = false)(gated)
       .ds.collect().toSeq
     assert(unordered.toSet === Set(10L, 20L, 30L, 40L, 50L, 60L))
     assert(unordered.head !== 10L,
-      s"unordered mode must emit a fast element before the 300ms-slow head: $unordered")
+      s"unordered mode must emit a fast element before the gated head: $unordered")
 
     // in-flight never exceeds capacity: a capacity-1 window is strictly
     // sequential, so total wall >= the slow element's delay and order holds
@@ -163,4 +174,45 @@ class FStreamSpec extends SparkSpec {
     assert(seq1 === Seq(10L, 20L, 30L, 40L, 50L, 60L),
       "capacity 1 serializes even the unordered mode")
   }
+
+  test("asyncMap timer runs from LAUNCH: a queued ordered element never gets " +
+      "capacity x timeout, a hung unordered future fails mid-window") {
+    import scala.concurrent.Future
+
+    // ordered: three 0/400/900ms elements launch together (capacity 3);
+    // element 3's 600ms budget expires at launch+600 < its 900ms
+    // completion, even though only ~200ms of AWAIT time lands on it —
+    // the per-await accounting this pins against would let it pass
+    val src3 = FStream(spark.createDataset(Seq(0L, 400L, 900L)).coalesce(1))
+    // EC referenced INSIDE the lambda (static module access) so the
+    // shipped closure captures nothing non-serializable
+    val sleeper: Long => Future[Long] = ms =>
+      Future { Thread.sleep(ms); ms }(scala.concurrent.ExecutionContext.global)
+    val exOrd = intercept[Exception] {
+      src3.asyncMap(capacity = 3, timeoutMillis = 600, ordered = true)(sleeper)
+        .ds.collect()
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(exOrd).exists(_.isInstanceOf[java.util.concurrent.TimeoutException]),
+      s"expected a launch-anchored timeout, got: $exOrd")
+
+    // unordered: a 10s-hung element among instant ones must fail the
+    // task at ITS deadline, not survive while neighbors complete
+    val src6 = FStream(spark.createDataset(Seq(10000L, 0L, 0L, 0L, 0L, 0L)).coalesce(1))
+    val exUno = intercept[Exception] {
+      src6.asyncMap(capacity = 4, timeoutMillis = 300, ordered = false)(sleeper)
+        .ds.collect()
+    }
+    assert(chain(exUno).exists(_.isInstanceOf[java.util.concurrent.TimeoutException]),
+      s"expected a launch-anchored timeout, got: $exUno")
+  }
+}
+
+/** Static gate for the asyncMap determinism test: a lambda shipped to
+  * the (local) executor reaches it as a module access, nothing
+  * non-serializable is captured.
+  */
+object AsyncGate {
+  val launch5 = new java.util.concurrent.CountDownLatch(1)
 }
