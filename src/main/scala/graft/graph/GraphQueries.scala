@@ -20,6 +20,18 @@ object GraphQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** persist() only if this plan isn't already cached
+    * (Dataset.storageLevel consults the session CacheManager by
+    * canonical plan). The *OnEdges cores all derive their helper
+    * frames from the same shared edge plans, so two graph queries in
+    * one session would otherwise persist identical plans twice —
+    * `WARN CacheManager: Asked to cache already cached data` and a
+    * no-op second persist.
+    */
+  private def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.persist()
+
   /** Distinct customer–supplier edges; node ids 2*custkey / 2*suppkey+1. */
   private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -120,8 +132,8 @@ object GraphQueries {
     // and cache on first materialization inside that job. An
     // open-ended fixpoint loop would switch to the DedupCluster
     // per-round-checkpoint discipline instead.
-    val ed = e.join(deg, Seq("src")).persist()
-    val nodes = deg.select(col("src").as("node")).persist()
+    val ed = persistOnce(e.join(deg, Seq("src")))
+    val nodes = persistOnce(deg.select(col("src").as("node")))
     var r = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("node"))
@@ -151,8 +163,8 @@ object GraphQueries {
   def pprOnEdges(e0: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, Seq("src")).persist()
-    val nodes = deg.select(col("src").as("node")).persist()
+    val ed = persistOnce(e.join(deg, Seq("src")))
+    val nodes = persistOnce(deg.select(col("src").as("node")))
     // 1-row scalar seed; Number-generic so int/bigint src columns both
     // satisfy the any-edge-frame contract
     val seed = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
@@ -219,19 +231,18 @@ object GraphQueries {
 
   /** Core over any deduplicated a<b undirected edge frame. */
   def trianglesOnEdges(eIn: DataFrame): DataFrame = {
-    val e = eIn.persist()
+    val e = persistOnce(eIn)
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val ed = e
       .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
-    val oriented = ed.select(
+    val oriented = persistOnce(ed.select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+      .select(col("e.u").as("u"), col("e.v").as("v")))
     val tri = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
       .join(oriented.as("e3"),
@@ -260,19 +271,18 @@ object GraphQueries {
 
   /** Core over any deduplicated a<b undirected edge frame. */
   def clusteringOnEdges(eIn: DataFrame): DataFrame = {
-    val e = eIn.persist()
+    val e = persistOnce(eIn)
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val ed = e
       .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
-    val oriented = ed.select(
+    val oriented = persistOnce(ed.select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+      .select(col("e.u").as("u"), col("e.v").as("v")))
     val triPerNode = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
       .join(oriented.as("e3"),
@@ -305,7 +315,7 @@ object GraphQueries {
 
   /** Core over any distinct directed (src, dst) edge frame. */
   def hitsOnEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
-    val e = e0.persist()
+    val e = persistOnce(e0)
     var hub = e.select(col("src").as("node")).distinct().withColumn("h", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
@@ -342,7 +352,7 @@ object GraphQueries {
 
   /** Core over any distinct (src, dst) undirected edge frame. */
   def ssspOnEdges(e0: DataFrame, maxHops: Int = 6): DataFrame = {
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val e = persistOnce(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     // 1-row scalar: the deterministic source seed, not a data collect;
     // Number-generic so int/bigint src columns both work
     val source = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
@@ -381,7 +391,7 @@ object GraphQueries {
     * maxHops >= diameter (spec-pinned in Round10OpsSpec).
     */
   def ssspFixpointOnEdges(e0: DataFrame): DataFrame = {
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val e = persistOnce(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     val source = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
@@ -423,7 +433,7 @@ object GraphQueries {
   /** Core over any distinct (src, dst) undirected edge frame. */
   def labelPropOnEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val e = persistOnce(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     // Linear label chain (one consumer per round) — same one-job
     // shape as pageRankOnEdges, no per-round actions.
     var labels = e.select(col("src").as("node")).distinct()
