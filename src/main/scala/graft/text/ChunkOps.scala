@@ -101,7 +101,9 @@ object ChunkOps {
     * Each partition holds whole shards (repartition by shard,
     * sort-within by (shard, len desc, id)); docs longer than the cap
     * are clamped (this corpus tops out far below 512 — a real corpus
-    * runs [[chunkOverlap]] first).
+    * runs [[chunkOverlap]] first). That end-to-end determinism is
+    * what makes the oracle possible: DuckDB replays the identical
+    * fold as a recursive CTE (see the `q_pack_bestfit` oracle).
     */
   def packBestFit(s: SparkSession, dir: String,
       cap: Int = 512, nShards: Int = 8, openBins: Int = 16): DataFrame = {
@@ -360,6 +362,55 @@ object ChunkOps {
   val oracle: Map[String, String] = Map(
     "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_bpe_merges" -> bpeMergesOracle(8),
+    // FFD replay as a recursive CTE: the packer is deterministic given
+    // (shard hash, n_tok-desc/doc_id order, cap, openBins), so DuckDB
+    // re-runs it one doc per recursion step per shard — bins carried
+    // as a STRUCT(b, used)[] state list; first-fit = first index with
+    // room, eviction = tightest-remaining (lowest index on ties),
+    // exactly the mapPartitions fold. Upgraded rows-only → checked in
+    // round 12, the same unroll discipline that upgraded the BPE pair.
+    "q_pack_bestfit" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    least(len(string_split(text, ' ')), 512)::INT AS n_tok,
+        |    ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 4))::INT % 8 AS shard
+        |  FROM documents),
+        |ordered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id)::INT AS rn
+        |  FROM docs),
+        |rec AS (
+        |  SELECT shard, 0::INT AS rn,
+        |    CAST([] AS STRUCT(b INTEGER, used INTEGER)[]) AS bins,
+        |    0::INT AS next_bin,
+        |    NULL::BIGINT AS doc_id, NULL::INT AS bin, NULL::INT AS off, NULL::INT AS n_tok
+        |  FROM (SELECT DISTINCT shard FROM docs)
+        |  UNION ALL
+        |  SELECT r.shard, o.rn,
+        |    CASE WHEN s1.fit > 0
+        |      THEN list_transform(range(1, len(r.bins) + 1),
+        |        i -> CASE WHEN i = s1.fit
+        |          THEN {'b': r.bins[i].b, 'used': r.bins[i].used + o.n_tok}
+        |          ELSE r.bins[i] END)
+        |      ELSE list_append(s2.kept, {'b': r.next_bin, 'used': o.n_tok}) END,
+        |    (CASE WHEN s1.fit > 0 THEN r.next_bin ELSE r.next_bin + 1 END)::INT,
+        |    o.doc_id,
+        |    (CASE WHEN s1.fit > 0 THEN r.bins[s1.fit].b ELSE r.next_bin END)::INT,
+        |    (CASE WHEN s1.fit > 0 THEN r.bins[s1.fit].used ELSE 0 END)::INT,
+        |    o.n_tok
+        |  FROM rec r
+        |  JOIN ordered o ON o.shard = r.shard AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT coalesce(list_filter(range(1, len(r.bins) + 1),
+        |      i -> r.bins[i].used + o.n_tok <= 512)[1], 0)::INT AS fit) s1,
+        |  LATERAL (SELECT CASE
+        |      WHEN s1.fit > 0 OR len(r.bins) < 16 THEN r.bins
+        |      ELSE list_transform(
+        |        list_filter(range(1, len(r.bins) + 1),
+        |          i -> i <> list_filter(range(1, len(r.bins) + 1),
+        |                 j -> 512 - r.bins[j].used =
+        |                      list_min(list_transform(r.bins, x -> 512 - x.used)))[1]),
+        |        i -> r.bins[i]) END AS kept) s2
+        |)
+        |SELECT doc_id, shard, bin, off AS "offset", n_tok FROM rec WHERE rn > 0""".stripMargin,
     "q_chunk_overlap" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
         |SELECT doc_id,
