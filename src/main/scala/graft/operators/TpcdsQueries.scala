@@ -15,10 +15,11 @@ import graft.Tables
   * hierarchy (q36/q86), a semi+anti chain into a distinct-order
   * aggregate (q16), a channel EXCEPT-chain (q87), a channel
   * INTERSECT-chain (q38), two cumulative revenue series full-outer
-  * joined with carried-forward running totals (q51) and a
-  * channel-overlap full-outer count (q97) — on the tables the
-  * DuckDB oracle can
-  * check. `l_returnflag` stands in for the
+  * joined with carried-forward running totals (q51), a
+  * channel-overlap full-outer count (q97), a hierarchy-wide windowed
+  * rank over a deep rollup (q67) and a two-pass fact self-join with a
+  * twice-bound mutated dimension (q64) — on the tables the DuckDB
+  * oracle can check. `l_returnflag` stands in for the
   * channel axis (three fact slices) and `p_brand -> p_type` for the
   * category -> class hierarchy.
   */
@@ -317,7 +318,84 @@ object TpcdsQueries {
         sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
+  /** q67 shape — one BIG rollup over the item hierarchy PLUS the time
+    * axis, then a windowed rank over the WHOLE rollup output
+    * partitioned by the top hierarchy level only (q67 ranks every
+    * (category … store) rollup row against its category's other rows,
+    * subtotals included, and keeps the top 100 — unlike
+    * [[rollupRank]]'s per-parent sibling rank). `p_brand -> p_type ->
+    * order-year` stands in for category -> class -> (year, qoy, moy).
+    * The measure is an exactly-summed integer quantity so ranks (and
+    * the rk <= 10 cut) are tie-stable across engines. Scale shape:
+    * the rank's input is the already-aggregated rollup (|brand| x
+    * |type| x |years| rows + subtotals), never corpus-sized; the
+    * lineitem⋈orders fact-fact join shuffles on orderkey (bucket both
+    * facts on orderkey at 100 TB and it's exchange-free), and the
+    * item dim broadcasts.
+    */
+  def hierarchyRank(s: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val agg = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("d_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .rollup(col("p_brand"), col("p_type"), col("d_year"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("sum_qty").desc)
+    agg.select(col("p_brand"), col("p_type"), col("d_year"), col("sum_qty"),
+        rank().over(w).cast("int").as("rk"))
+      .filter(col("rk") <= topK)
+  }
+
+  /** q64 shape — the same aggregated fact subquery instantiated TWICE
+    * (consecutive years) and self-joined on the item, with the q64
+    * retention predicate (`cs2.cnt <= cs1.cnt`) and the SAME
+    * dimension bound twice under different aliases with an inequality
+    * BETWEEN the bindings — q64's "customer moved / demographics
+    * changed between the purchases" pattern, here as "the item's lead
+    * supplier nation changed between the years". Scale shape: each
+    * year pass is one fact-fact join + per-item aggregate (item-keyed
+    * shuffle), the self-join runs item-keyed on the two AGGREGATED
+    * (item-sized) sides, and both dim bindings broadcast the same
+    * supplier⋈nation snapshot — the dim is read once, bound twice.
+    */
+  def crossYearResale(s: SparkSession, dir: String,
+      y1: Int = 1995, y2: Int = 1996): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+    def sales(yr: Int): DataFrame = li
+      .join(ords.filter(year(col("o_orderdate")) === yr).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        min(col("l_suppkey")).as("lead_supp"))
+    val cs1 = sales(y1).select(col("l_partkey"), col("cnt").as("cnt1"),
+      col("rev").as("rev1"), col("lead_supp").as("supp1"))
+    val cs2 = sales(y2).select(col("l_partkey"), col("cnt").as("cnt2"),
+      col("rev").as("rev2"), col("lead_supp").as("supp2"))
+    val supNation = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    cs1.join(cs2, Seq("l_partkey"))
+      .filter(col("cnt2") <= col("cnt1"))
+      .join(broadcast(supNation
+        .select(col("s_suppkey").as("supp1"), col("n_name").as("nation1"))), Seq("supp1"))
+      .join(broadcast(supNation
+        .select(col("s_suppkey").as("supp2"), col("n_name").as("nation2"))), Seq("supp2"))
+      .filter(col("nation1") =!= col("nation2"))
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_partkey"), col("cnt1"), col("cnt2"),
+        col("nation1"), col("nation2"), col("rev1"), col("rev2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcds_hier_rank" -> ((s: SparkSession, d: String) => hierarchyRank(s, d)),
+    "q_tpcds_resale" -> ((s: SparkSession, d: String) => crossYearResale(s, d)),
     "q_tpcds_freqbest" -> ((s: SparkSession, d: String) => frequentBest(s, d)),
     "q_tpcds_cumul" -> ((s: SparkSession, d: String) => cumulOvertake(s, d)),
     "q_tpcds_overlap" -> ((s: SparkSession, d: String) => channelOverlap(s, d)),
@@ -330,6 +408,41 @@ object TpcdsQueries {
     "q_tpcds_intersect" -> ((s: SparkSession, d: String) => intersectChain(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcds_hier_rank" ->
+      """WITH agg AS (
+        |  SELECT p_brand, p_type,
+        |    extract(year FROM o_orderdate)::INT AS d_year,
+        |    sum(l_quantity)::BIGINT AS sum_qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY ROLLUP(p_brand, p_type, d_year))
+        |SELECT * FROM (
+        |  SELECT p_brand, p_type, d_year, sum_qty,
+        |    rank() OVER (PARTITION BY p_brand ORDER BY sum_qty DESC)::INT AS rk
+        |  FROM agg)
+        |WHERE rk <= 10""".stripMargin,
+    "q_tpcds_resale" ->
+      """WITH sales AS (
+        |  SELECT l_partkey, extract(year FROM o_orderdate)::INT AS yr,
+        |    count(*)::BIGINT AS cnt,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev,
+        |    min(l_suppkey) AS lead_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE extract(year FROM o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |sn AS (
+        |  SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT p_brand, l_partkey, cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+        |  n1.n_name AS nation1, n2.n_name AS nation2,
+        |  cs1.rev AS rev1, cs2.rev AS rev2
+        |FROM sales cs1 JOIN sales cs2 USING (l_partkey)
+        |JOIN sn n1 ON n1.s_suppkey = cs1.lead_supp
+        |JOIN sn n2 ON n2.s_suppkey = cs2.lead_supp
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE cs1.yr = 1995 AND cs2.yr = 1996
+        |  AND cs2.cnt <= cs1.cnt AND n1.n_name <> n2.n_name""".stripMargin,
     "q_tpcds_freqbest" ->
       """WITH freq AS (
         |  SELECT l_partkey FROM lineitem
