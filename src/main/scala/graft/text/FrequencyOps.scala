@@ -193,6 +193,24 @@ object FrequencyOps {
         ((col("kl_present") + col("kl_absent")) * 1000d).as("kl_millinats"))
   }
 
+  /** Exact phase-2 recount for a [[MgStore]]'s candidates over the
+    * accumulated corpus — the batch operator's recount join applied
+    * to a store folded across micro-batches: map-side broadcast semi
+    * filter, candidate-only aggregate exchange, integer φ cut against
+    * the store's stream-long total.
+    */
+  def recountExact(toks: org.apache.spark.sql.Dataset[String],
+      store: MgStore, phi: Int): DataFrame = {
+    val cands = toks.sparkSession
+      .createDataFrame(store.candidates.map(Tuple1(_)))
+      .toDF("tk")
+    toks.toDF("tk")
+      .join(broadcast(cands), Seq("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(phi.toLong) > lit(store.total))
+      .select(col("tk"), col("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "q_drift_kl" -> ((s: SparkSession, d: String) => sourceDriftKl(s, d)),
@@ -250,4 +268,49 @@ object FrequencyOps {
         |  GROUP BY doc_id)
         |SELECT ce.doc_id, ce.char_h, te.tok_h
         |FROM ce JOIN te ON ce.doc_id = te.doc_id""".stripMargin)
+}
+
+/** Mergeable Misra–Gries store — the streaming heavy-hitters twin's
+  * state. Each micro-batch contributes its per-partition MG(k)
+  * summaries (a bounded collect: ≤ partitions × (k+1) rows); the
+  * store SUMS counters and, when more than k survive, compacts by
+  * subtracting the (k+1)-th largest value and dropping non-positive
+  * counters — the mergeable-summaries merge rule (Agarwal et al.,
+  * PODS'12), which keeps cumulative undercount ≤ n/(k+1) over the
+  * WHOLE stream however many batches fold in. With k ≥ φ the same
+  * pigeonhole as the batch operator gives zero false negatives, so
+  * `candidates` supersets every φ-frequent token and
+  * [[FrequencyOps.recountExact]] finishes the job exactly. State is
+  * O(k) at all times: the reference's streaming-first stance for the
+  * frequent-items census, fold-per-batch via foreachBatch.
+  */
+final class MgStore(val k: Int) extends Serializable {
+  private val counters = scala.collection.mutable.HashMap.empty[String, Long]
+  private var n = 0L
+
+  /** Stream-long token total (from the summaries' sentinel rows). */
+  def total: Long = n
+  /** Candidate superset of the φ-frequent tokens seen so far. */
+  def candidates: Seq[String] = counters.keys.toSeq.sorted
+  def size: Int = counters.size
+
+  /** Fold one micro-batch: distributed MG per partition, bounded
+    * driver merge — the only driver-bound data is the summary.
+    */
+  def fold(batch: org.apache.spark.sql.Dataset[String]): Unit =
+    merge(batch.mapPartitions(it => FrequencyOps.misraGries(it, k))(
+      batch.sparkSession.implicits.newProductEncoder[(String, Long, Long)])
+      .collect().toSeq)
+
+  private[graft] def merge(rows: Seq[(String, Long, Long)]): Unit = {
+    rows.foreach {
+      case (null, _, np) => n += np
+      case (tk, lb, _)   => counters.update(tk, counters.getOrElse(tk, 0L) + lb)
+    }
+    if (counters.size > k) {
+      val c = counters.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      counters.mapValuesInPlace((_, v) => v - c)
+      counters.filterInPlace((_, v) => v > 0)
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{FrequencyOps, MgStore}
+
+/** Round-12 operators: the streaming heavy-hitters twin. */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming heavy hitters: per-batch MG summaries folded into a mergeable " +
+      "store + exact recount == the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // planted heavy-tailed stream: the heavies arrive SPREAD ACROSS
+    // batches (no single batch shows their full weight) and the cold
+    // tail churns different tokens every batch, forcing store
+    // compactions between folds
+    val b1 = Seq.fill(120)("aaa") ++ Seq.fill(30)("bbb") ++
+      (1 to 200).map(i => s"cold_a$i")
+    val b2 = Seq.fill(100)("bbb") ++ Seq.fill(80)("aaa") ++
+      (1 to 200).map(i => s"cold_b$i")
+    val b3 = Seq.fill(100)("aaa") ++ Seq.fill(60)("ccc") ++
+      (1 to 110).map(i => s"cold_c$i")
+    val phi = 10
+    val k = 20
+
+    val store = new MgStore(k)
+    val input = MemoryStream[String](91, spark, None)
+    val q = input.toDS().writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[String], _: Long) =>
+        store.fold(df)
+        ()
+      }.start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val all = (b1 ++ b2 ++ b3)
+    assert(store.total === all.size.toLong, "sentinel totals must sum the stream")
+    assert(store.size <= k, "compaction must hold the store at k counters")
+
+    val allDs = all.toDS().repartition(5)
+    val streamed = FrequencyOps.recountExact(allDs, store, phi)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = FrequencyOps.heavyHittersOn(allDs, phi, k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = all.size
+    val brute = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c * phi > n }
+    assert(streamed === brute, s"stream-fold diverged from brute force (n=$n)")
+    assert(streamed === batch, "stream-fold twin must equal the batch operator")
+  }
+
+  test("MgStore merge rule: counters sum, compaction subtracts the (k+1)-th " +
+      "largest and never drops a φ-heavy token") {
+    val store = new MgStore(3)
+    // two summary folds whose union exceeds k=3: compaction must fire
+    store.merge(Seq(("hot", 50L, 0L), ("w1", 3L, 0L), (null, 0L, 60L)))
+    store.merge(Seq(("hot", 40L, 0L), ("w2", 2L, 0L), ("w3", 2L, 0L), (null, 0L, 50L)))
+    assert(store.total === 110L)
+    assert(store.size <= 3)
+    // hot has true weight >= 90 out of 110; any k=3 merge keeps it
+    assert(store.candidates.contains("hot"))
+  }
+}
