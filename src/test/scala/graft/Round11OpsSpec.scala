@@ -67,8 +67,9 @@ class Round11OpsSpec extends SparkSpec {
     val agg = graft.operators.AggQueries.aggPercentile(spark, sfDir).collect()
     assert(agg.length == 3) // one row per return flag
     agg.foreach { row =>
-      val q = row.getSeq[Double](1)
-      assert(q(0) <= q(1) && q(1) <= q(2)) // quartiles ordered
+      // quartiles are three scalar columns (qty_q1..q3) since r12
+      val (q1, q2, q3) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+      assert(q1 <= q2 && q2 <= q3) // quartiles ordered
     }
   }
 
