@@ -203,7 +203,12 @@ object ScaleProbe {
       "q_sql_recursive",
       // round-11: session concurrency — one user sort + an
       // hour-bounded interval explode; must track the session count
-      "q_session_concurrency")
+      "q_session_concurrency",
+      // round-12: q67 hierarchy rank (window over the PRE-AGGREGATED
+      // rollup — the ranked stage must stay hierarchy-sized) and the
+      // q64 two-pass resale self-join (item-keyed aggregate sides,
+      // dim broadcast twice — must track the two fact passes)
+      "q_tpcds_hier_rank", "q_tpcds_resale")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
