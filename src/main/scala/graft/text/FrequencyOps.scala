@@ -152,12 +152,25 @@ object FrequencyOps {
   def sourceDriftKl(s: SparkSession, dir: String): DataFrame =
     driftKlOn(t(s, dir, "documents"))
 
-  def driftKlOn(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("source"),
+  def driftKlOn(docs: DataFrame): DataFrame =
+    driftKlOnCounts(driftCounts(docs))
+
+  /** The (source, token, count) aggregate both drift front doors
+    * share — the batch op computes it from the corpus in one token
+    * shuffle; the streaming twin accumulates it as per-batch DELTAS
+    * in a store and compacts on read (counts are mergeable by sum,
+    * so delta-append + sum-on-read is exact).
+    */
+  def driftCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tk"))
-    val st = tok.groupBy(col("source"), col("tk"))
-      .agg(count(lit(1)).as("c_st")).persist()
+      .groupBy(col("source"), col("tk"))
+      .agg(count(lit(1)).as("c_st"))
+
+  /** KL readout over a (source, tk, c_st) count table — see
+    * [[sourceDriftKl]] for the algebra and scale notes. */
+  def driftKlOnCounts(stIn: DataFrame): DataFrame = {
+    val st = stIn.persist()
     val corpus = st.groupBy(col("tk")).agg(sum(col("c_st")).as("c_t"))
     val totals = corpus.agg(sum(col("c_t")).as("n"),
       count(lit(1)).cast("double").as("v"))
@@ -192,6 +205,34 @@ object FrequencyOps {
       .select(col("source"),
         ((col("kl_present") + col("kl_absent")) * 1000d).as("kl_millinats"))
   }
+
+  /** Streaming twin of [[sourceDriftKl]] — the continuous
+    * domain-shift monitor: each micro-batch collapses to its
+    * (source, token, count) DELTAS (one batch-sized token shuffle,
+    * the same map-side partial-agg economics as the batch op) and
+    * appends them to the parquet count store at `storeDir`; the KL
+    * readout at any point is [[driftKlFromStore]], which compacts
+    * deltas by sum and runs the identical closed-form algebra. The
+    * state lives in a TABLE, not per-key executor state — like
+    * [[TextQueries.ingestStreamMinhash]], the store IS the batch
+    * pipeline's own artifact, and delta-append keeps each batch's
+    * write O(batch vocabulary), never store-sized. Exactly-once: a
+    * replayed batch re-appends its deltas — production parks the
+    * append behind a transactional table format keyed by batchId
+    * (the same caveat the minhash ingest documents).
+    */
+  def ingestStreamDrift(docs: DataFrame, storeDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        driftCounts(batch).write.mode("append").parquet(storeDir)
+        ()
+    }
+
+  /** KL readout over an [[ingestStreamDrift]] delta store. */
+  def driftKlFromStore(s: SparkSession, storeDir: String): DataFrame =
+    driftKlOnCounts(s.read.parquet(storeDir)
+      .groupBy(col("source"), col("tk")).agg(sum(col("c_st")).as("c_st")))
 
   /** Exact phase-2 recount for a [[MgStore]]'s candidates over the
     * accumulated corpus — the batch operator's recount join applied

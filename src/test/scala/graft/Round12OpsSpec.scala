@@ -54,6 +54,44 @@ class Round12OpsSpec extends SparkSpec {
     assert(streamed === batch, "stream-fold twin must equal the batch operator")
   }
 
+  test("streaming drift monitor: per-batch count deltas folded into the store " +
+      "read out the SAME KL as the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_drift_store").toString + "/st"
+    // three sources with deliberately different token mixes, arriving
+    // interleaved across batches so no single batch sees a source whole
+    val b1 = Seq(("web", "the cat sat on the mat"), ("lab", "alpha beta gamma alpha"))
+    val b2 = Seq(("web", "the dog sat on the log"), ("ref", "the the the alpha"))
+    val b3 = Seq(("lab", "beta beta gamma delta"), ("web", "cat dog mat log"))
+
+    val input = MemoryStream[(String, String)](92, spark, None)
+    val q = FrequencyOps.ingestStreamDrift(
+      input.toDS().toDF("source", "text"), storeDir).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = FrequencyOps.driftKlFromStore(spark, storeDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val batch = FrequencyOps.driftKlOn((b1 ++ b2 ++ b3).toDF("source", "text"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(streamed.keySet === Set("web", "lab", "ref"))
+    assert(batch.keySet === streamed.keySet)
+    streamed.foreach { case (src, kl) =>
+      assert(math.abs(kl - batch(src)) < 1e-9,
+        s"$src: stream-fold $kl vs batch ${batch(src)}")
+    }
+    // the store holds per-batch deltas; compaction must be exact, so
+    // a token split across batches ("the": 4 web + 3 ref arrivals)
+    // reads back its true total
+    val the = spark.read.parquet(storeDir)
+      .filter(col("tk") === "the").groupBy(col("source"))
+      .agg(sum(col("c_st")).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(the === Map("web" -> 4L, "ref" -> 3L))
+  }
+
   test("MgStore merge rule: counters sum, compaction subtracts the (k+1)-th " +
       "largest and never drops a φ-heavy token") {
     val store = new MgStore(3)
