@@ -118,12 +118,78 @@ object Profiler {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Snapshot diff — the keyed two-version audit a data pipeline runs
+    * between ingest snapshots (what changed since the last run; the
+    * freshness/regression gate before a training-data release): FULL
+    * OUTER join on the key, row-content HASH compare, per-key status
+    * added / removed / changed / unchanged. Each side collapses to
+    * (key, md5(content)) map-side, so exactly one narrow column pair
+    * crosses the key-partitioned join — co-partitioned/bucketed
+    * snapshots make it exchange-free, and no corpus-wide sort exists
+    * at any scale. The gate corpus ships one snapshot, so v2 derives
+    * deterministically ([[snapshotV2]]) and the oracle replays it;
+    * production passes two real snapshots to [[snapshotDiffOn]].
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+    snapshotDiffOn(base, snapshotV2(base))
+  }
+
+  /** The deterministic second snapshot: drop doc_id % 97 == 0,
+    * rewrite text for doc_id % 53 == 0, add a re-keyed copy of the
+    * doc_id % 101 == 0 slice above the id space.
+    */
+  def snapshotV2(base: DataFrame): DataFrame =
+    base.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(53L)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(101L)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+
+  def snapshotDiffOn(base: DataFrame, v2: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, h: String): DataFrame =
+      df.select(col("doc_id"),
+        md5(concat_ws("", col("text"), col("lang"), col("source"),
+          col("n_chars")).cast("binary")).as(h))
+    hashed(base, "h1").join(hashed(v2, "h2"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_table" -> ((s: SparkSession, d: String) => profileOrders(s, d)),
     "q_table_checksum" -> ((s: SparkSession, d: String) => tableChecksum(s, d)),
+    "q_snapshot_diff" -> ((s: SparkSession, d: String) => snapshotDiff(s, d)),
     "q_value_histogram" -> ((s: SparkSession, d: String) => valueHistogram(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |h1 AS (
+        |  SELECT doc_id,
+        |    md5(text || '|' || lang || '|' || source || '|' || n_chars) AS h
+        |  FROM documents),
+        |h2 AS (
+        |  SELECT doc_id,
+        |    md5(text || '|' || lang || '|' || source || '|' || n_chars) AS h
+        |  FROM v2)
+        |SELECT coalesce(h1.doc_id, h2.doc_id) AS doc_id,
+        |  CASE WHEN h1.h IS NULL THEN 'added'
+        |       WHEN h2.h IS NULL THEN 'removed'
+        |       WHEN h1.h <> h2.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id""".stripMargin,
     "q_table_checksum" ->
       """SELECT o_orderkey % 32 AS shard, count(*) AS n_rows,
         |  bit_xor(('0x' || substr(md5(
