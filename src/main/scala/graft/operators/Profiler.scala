@@ -160,13 +160,56 @@ object Profiler {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Join-key skew audit — the diagnostic a pipeline runs BEFORE
+    * choosing a mitigation (two-phase salting, AQE skew-join split,
+    * broadcast): per-key counts of a candidate join key, the top-N
+    * heaviest keys with their traffic share, and the max/avg skew
+    * factor. One partial+final count per key (the fact stream
+    * collapses map-side), a TakeOrdered top-N (never a global sort),
+    * and a 1-row stats broadcast; the only window runs over the
+    * top-N rows. All-integer output (ppm via floor division, avg
+    * floored first so max_cnt·1e6 stays far from Long range at any
+    * scale) — exact in both engines. Companion to
+    * [[graft.operators.Salting]]: this op tells you WHERE to apply it.
+    */
+  def skewAudit(s: SparkSession, dir: String, topN: Int = 10): DataFrame =
+    skewAuditOn(Tables.load(s, dir, "lineitem").select(col("l_suppkey").as("key")), topN)
+
+  def skewAuditOn(keys: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val t = c.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    val top = c.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    top.crossJoin(broadcast(t))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("key"), col("cnt"),
+        // integer `div`, not `/` (double division would round where
+        // the oracle floors — the curriculum-bins lesson)
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr("max_cnt * 1000000 div (total div n_keys)").as("skew_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_audit" -> ((s: SparkSession, d: String) => skewAudit(s, d)),
     "q_profile_table" -> ((s: SparkSession, d: String) => profileOrders(s, d)),
     "q_table_checksum" -> ((s: SparkSession, d: String) => tableChecksum(s, d)),
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => snapshotDiff(s, d)),
     "q_value_histogram" -> ((s: SparkSession, d: String) => valueHistogram(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_skew_audit" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT sum(cnt) AS total, count(*) AS n_keys, max(cnt) AS max_cnt FROM c)
+        |SELECT * FROM (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rank, key, cnt,
+        |    (cnt * 1000000 // total)::BIGINT AS share_ppm,
+        |    (max_cnt * 1000000 // (total // n_keys))::BIGINT AS skew_ppm
+        |  FROM c, t)
+        |WHERE rank <= 10""".stripMargin,
     "q_snapshot_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id,
