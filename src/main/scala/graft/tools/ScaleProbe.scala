@@ -208,7 +208,12 @@ object ScaleProbe {
       // rollup — the ranked stage must stay hierarchy-sized) and the
       // q64 two-pass resale self-join (item-keyed aggregate sides,
       // dim broadcast twice — must track the two fact passes)
-      "q_tpcds_hier_rank", "q_tpcds_resale")
+      "q_tpcds_hier_rank", "q_tpcds_resale",
+      // round-12 data management: snapshot diff (two map-side hash
+      // projections into one key-partitioned full outer — must track
+      // the two scans) and the skew audit (per-key partial counts +
+      // TakeOrdered — must track the fact scan)
+      "q_snapshot_diff", "q_skew_audit")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
