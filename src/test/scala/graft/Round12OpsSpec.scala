@@ -92,6 +92,59 @@ class Round12OpsSpec extends SparkSpec {
     assert(the === Map("web" -> 4L, "ref" -> 3L))
   }
 
+  test("property: packBestFit equals an independent in-JVM FFD fold on a " +
+      "randomized corpus (lengths 1..600, cap-clamp edge included)") {
+    import graft.text.ChunkOps
+    // synthetic corpus: seeded lengths spanning the 512-token clamp
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 300L).map { id =>
+      val n = 1 + rnd.nextInt(600)
+      (id, Seq.fill(n)("w").mkString(" "), "en", "synthetic", n.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val got = ChunkOps.packBestFit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+
+    // independent reference: same shard hash (md5 first-4-hex % 8),
+    // same (len desc, id) order, same first-fit + tightest-evict fold
+    def shardOf(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 8
+    }
+    val cap = 512; val openBins = 16
+    val expected = docs.map { case (id, _, _, _, n) =>
+      (id, math.min(n, cap.toLong).toInt, shardOf(id))
+    }.groupBy(_._3).flatMap { case (sh, ds) =>
+      var bins = Vector.empty[(Int, Int)]
+      var nextBin = 0
+      ds.sortBy { case (id, n, _) => (-n, id) }.map { case (id, n, _) =>
+        val fit = bins.indexWhere { case (_, used) => used + n <= cap }
+        val (b, off) =
+          if (fit >= 0) {
+            val (bid, used) = bins(fit)
+            bins = bins.updated(fit, (bid, used + n)); (bid, used)
+          } else {
+            if (bins.size >= openBins) {
+              val evict = bins.zipWithIndex
+                .minBy { case ((_, used), i) => (cap - used, i) }._2
+              bins = bins.patch(evict, Nil, 1)
+            }
+            val bid = nextBin; nextBin += 1
+            bins = bins :+ ((bid, n)); (bid, 0)
+          }
+        (id, sh, b, off, n)
+      }
+    }.toSet
+    assert(got === expected,
+      s"packer diverged from the reference fold: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+  }
+
   test("MgStore merge rule: counters sum, compaction subtracts the (k+1)-th " +
       "largest and never drops a φ-heavy token") {
     val store = new MgStore(3)
