@@ -43,6 +43,48 @@ class SimRecallSpec extends SparkSpec {
     }
   }
 
+  test("the DuckDB oracle's band CASE mirrors adaptiveSimhashBands at every scale") {
+    import graft.text.TextQueries.adaptiveSimhashBands
+    // the q_dedup_simhash oracle derives its band split with this
+    // CASE (TextQueries oracle SQL: n<=16 -> 4-bit ... else 32-bit);
+    // pin it to the Scala rule across the whole dial so the oracle
+    // can never silently diverge when the correctness battery moves
+    // to a corpus of any size — including both threshold EDGES of
+    // every width step
+    def oracleWidth(n: Long): Int =
+      if (n <= 16) 4 else if (n <= 256) 8 else if (n <= 65536) 16 else 32
+    val ns = Seq(1L, 10L, 16L, 17L, 100L, 256L, 257L, 500L, 5000L,
+      65536L, 65537L, 10000000L, 1000000000L)
+    ns.foreach { n =>
+      assert(64 / oracleWidth(n) === adaptiveSimhashBands(n),
+        s"oracle and Scala band rules diverge at n=$n")
+    }
+  }
+
+  test("widened 32-bit bands (the >65536-doc path) still block soundly with the " +
+      "pigeonhole floor") {
+    // the gate corpora all land on 16-bit bands; run the WIDE path
+    // (2 x 32-bit, what a web-scale corpus selects) end to end
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sigs = docs.select(col("doc_id"), F.simhash64(col("text")).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val bruteClose = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        F.hamming64(col("sig_a"), col("sig_b")).as("hd"))
+      .filter(col("hd") <= 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val wide = graft.text.TextQueries.simhashPairs(docs, bands = 2, maxHamming = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = bruteClose.map(t => (t._1, t._2)).toSet
+    assert(wide.subsetOf(bruteSet), "wide blocking must not invent pairs")
+    // pigeonhole: 2 bands guarantee every hd < 2 pair collides in a band
+    val mustFind = bruteClose.filter(_._3 < 2).map(t => (t._1, t._2)).toSet
+    assert(mustFind.subsetOf(wide),
+      s"pigeonhole violated: ${(mustFind diff wide).take(3)}")
+  }
+
   test("dedupSimhash knownRows hook skips the count and matches the counted path") {
     import graft.text.TextQueries
     val docs = Tables.load(spark, sfDir, "documents")
