@@ -483,9 +483,33 @@ object SelectionQueries {
         (col("pa") / col("z") / col("p")).as("upsample"))
   }
 
+  /** Per-source quota cap — the "no single domain may dominate"
+    * curation knob (C4 caps any one URL host; mC4/Dolma cap domains
+    * before mixing): keep at most `cap` docs per source, preferring
+    * longer docs (n_chars desc, doc_id ties) — the deterministic
+    * stand-in for a quality ordering; swap the ORDER BY for
+    * quality_logit to make it keep-best-N. Plans as WindowGroupLimit:
+    * each map task forwards only its local top-`cap` per source, so
+    * the exchange carries at most tasks×cap rows per source and no
+    * source ever sorts corpus-wide — the same plan contract as
+    * [[TextQueries.stratifiedSample]].
+    */
+  def sourceQuota(s: SparkSession, dir: String, cap: Int = 10): DataFrame =
+    sourceQuotaOn(graft.Tables.load(s, dir, "documents"), cap)
+
+  def sourceQuotaOn(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+  }
+
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_quota"       -> ((s: SparkSession, d: String) => sourceQuota(s, d)),
     "q_mix_temperature"    -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q_sample_weighted"    -> ((s: SparkSession, d: String) => prioritySample(s, d)),
     "q_quality_classifier" -> (qualityClassifier _),
@@ -504,6 +528,13 @@ object SelectionQueries {
       |         1, 4))::BIGINT - 32768))::BIGINT""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_source_quota" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
     "q_mix_temperature" ->
       """WITH per_source AS (
         |  SELECT source,

@@ -213,7 +213,11 @@ object ScaleProbe {
       // projections into one key-partitioned full outer — must track
       // the two scans) and the skew audit (per-key partial counts +
       // TakeOrdered — must track the fact scan)
-      "q_snapshot_diff", "q_skew_audit")
+      "q_snapshot_diff", "q_skew_audit",
+      // round-12: per-source quota cap — WindowGroupLimit forwards
+      // each map task's local top-cap per source, so the exchange
+      // must stay tasks×cap per source, never corpus-sorted
+      "q_source_quota")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
