@@ -53,6 +53,12 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    // Validate the stdout budget BEFORE the multi-hour battery, and
+    // with `require` (assert compiles out under -Xelide-below): worst
+    // case per entry is "name":NNNN.NNN, +~90 B of envelope.
+    val hlBound = 90 + headline.map(_.length + 12).sum
+    require(hlBound < 1500,
+      s"headline bench line could reach $hlBound B — trim `headline`, the driver tail is ~2 kB")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // median of 5: run-to-run noise on this machine is ±2x for
@@ -126,7 +132,7 @@ object Bench {
     // capture must always end on a complete, parseable JSON line.
     println(line(results))
     val hl = line(results.filter(r => headline.contains(r._1)))
-    assert(hl.length < 1500,
+    require(hl.length < 1500,
       s"headline bench line ${hl.length} B — trim `headline`, the driver tail is ~2 kB")
     println(hl)
     root.stop()

@@ -166,12 +166,20 @@ final case class FStream[T](ds: Dataset[T]) {
         }
       } else new Iterator[U] {
         private val ec = scala.concurrent.ExecutionContext.parasitic
-        private var inflight = Map.empty[Long, (Future[(Long, U)], Long)]
+        // ONE completion callback per future, registered at launch,
+        // feeding a shared queue — never firstCompletedOf per wait,
+        // which would re-register callbacks on every spurious wakeup
+        // and accumulate them on a long-hung future until it resolves
+        private val done =
+          new java.util.concurrent.LinkedBlockingQueue[(Long, scala.util.Try[U])]()
+        private var inflight = Map.empty[Long, (Future[U], Long)]
         private var nextId = 0L
         private def fill(): Unit =
           while (inflight.size < capacity && it.hasNext) {
             val id = nextId; nextId += 1
-            inflight += id -> ((f(it.next()).map(u => (id, u))(ec), System.nanoTime()))
+            val fu = f(it.next())
+            fu.onComplete(r => done.put((id, r)))(ec)
+            inflight += id -> ((fu, System.nanoTime()))
           }
         fill()
         override def hasNext: Boolean = inflight.nonEmpty
@@ -183,20 +191,20 @@ final case class FStream[T](ds: Dataset[T]) {
             val now = System.nanoTime()
             val waitMs = inflight.values
               .map { case (_, t0) => timeoutMillis - (now - t0) / 1000000L }.min
-            try {
-              val (id, u) = Await.result(
-                Future.firstCompletedOf(inflight.values.map(_._1))(ec),
-                math.max(1L, waitMs).millis)
-              inflight -= id; fill(); return u
-            } catch {
-              case te: java.util.concurrent.TimeoutException =>
-                val t = System.nanoTime()
-                if (inflight.values.exists { case (fu2, t0) =>
-                  !fu2.isCompleted && (t - t0) / 1000000L >= timeoutMillis
-                }) throw te
-              // else: spurious wake at a deadline whose future just
-              // completed — loop and collect it
+            val polled = done.poll(
+              math.max(1L, waitMs), java.util.concurrent.TimeUnit.MILLISECONDS)
+            if (polled != null) {
+              val (id, r) = polled
+              inflight -= id; fill()
+              return r.get // a failed future rethrows its cause, as Await did
             }
+            val t = System.nanoTime()
+            if (inflight.values.exists { case (fu2, t0) =>
+              !fu2.isCompleted && (t - t0) / 1000000L >= timeoutMillis
+            }) throw new java.util.concurrent.TimeoutException(
+              s"async element exceeded $timeoutMillis ms from launch")
+            // else: spurious wake at a deadline whose future just
+            // completed — loop and collect it from the queue
           }
           throw new IllegalStateException("next() on empty async window")
         }

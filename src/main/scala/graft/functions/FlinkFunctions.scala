@@ -134,7 +134,11 @@ object FlinkFunctions {
     val reg = spark.sessionState.functionRegistry
     def reg1(name: String)(b: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
         => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      // idempotent: registerAll is called defensively before SQL-path
+      // queries; re-registering an already-present name would WARN
+      // ("replaced a previously registered function") on every call
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
 
     reg1("fingerprint64") { es => Fingerprint64(es.head) }
     // hashed-linear-model quality logit (the SelectionQueries

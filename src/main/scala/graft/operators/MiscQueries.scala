@@ -136,6 +136,54 @@ object MiscQueries {
       nBits = graft.sim.SimilarityQueries.adaptiveLshBits(n), probeRadius = 2)
   }
 
+  /** Deterministic multimodal ANN twin — the `q_sim_ivf_det`
+    * discipline applied to the media pipeline so the WHOLE
+    * decode → embed → partition → probe → exact-rerank chain is
+    * oracle-checkable (the content-feature variant above stays
+    * rows-only because pixel/PCM features are engine-specific).
+    * The features here are the decoded METADATA as an integer
+    * vector (width, height, frame count, sample rate): Spark
+    * recovers them with the REAL codecs (javax.imageio /
+    * javax.sound.sampled / AviMjpeg header parse), while DuckDB
+    * replays the synthetic corpus generator's closed forms in
+    * doc_id — a green row therefore proves every codec reports the
+    * exact metadata that was encoded, end to end through the ANN.
+    * Shape is real IVF: a deterministic coarse quantizer
+    * (kind stripe × metadata band) buckets the corpus, each query
+    * probes its own cell, candidates equi-join on cell (never
+    * all-pairs), exact integer squared-L2 reranks, WindowGroupLimit
+    * takes top-k — per-query cost ≈ 1/nCells of the corpus at any
+    * scale.
+    */
+  def multimodalAnnDet(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.multimodal.MultimodalOps
+    val dec = MultimodalOps.decode(MultimodalOps.mediaFixture(s, dir)).toDF()
+    val feats = dec.select(col("media_id"),
+        when(col("kind") === "image", 0L)
+          .when(col("kind") === "audio", 1L).otherwise(2L).as("kindi"),
+        col("width").cast("long").as("f0"),
+        col("height").cast("long").as("f1"),
+        col("n_frames").cast("long").as("f2"),
+        col("sample_rate").cast("long").as("f3"))
+      .withColumn("cell",
+        col("kindi") * 16 + pmod(col("f0") + col("f2"), lit(16L)))
+    val queries = feats.filter(col("media_id") % 50 === 0)
+      .select(col("media_id").as("q_id"), col("cell"),
+        col("f0").as("q0"), col("f1").as("q1"),
+        col("f2").as("q2"), col("f3").as("q3"))
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (a - b) * (a - b)
+    val scored = broadcast(queries).join(feats, Seq("cell"))
+      .filter(col("media_id") =!= col("q_id"))
+      .select(col("q_id"), col("media_id"),
+        (sq(col("q0"), col("f0")) + sq(col("q1"), col("f1")) +
+         sq(col("q2"), col("f2")) + sq(col("q3"), col("f3"))).as("d2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("media_id").asc)
+    scored.select(col("q_id"), col("media_id"), col("d2"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Avro format round-trip (formats row of SURVEY §2.1): events →
     * avro container files (graft.sources.AvroFormat, one file per
     * partition, written distributed) → DSv2 read → aggregate. The
@@ -531,6 +579,7 @@ object MiscQueries {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_ann" -> (multimodalAnn _),
+    "q_multimodal_ann_det" -> ((s: SparkSession, d: String) => multimodalAnnDet(s, d)),
     "q_window_join"  -> (windowJoin _),
     "q_lookup_join"  -> (lookupJoin _),
     "q_unnest_pos"   -> (unnestPos _),
@@ -538,6 +587,35 @@ object MiscQueries {
     "q_temporal_sort" -> (temporalSort _))
 
   val oracle: Map[String, String] = Map(
+    // the synthetic media generator keys every encoded payload's
+    // metadata to doc_id (MultimodalOps.syntheticTone / ImageDims /
+    // encodeSyntheticVideo); Spark recovers the values with the REAL
+    // codecs, the oracle replays the generator's closed forms — a
+    // green row proves decode == what was encoded, through the ANN
+    "q_multimodal_ann_det" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 AS kindi,
+        |    CASE doc_id % 3 WHEN 1 THEN 0 ELSE 8 + doc_id % 16 END AS f0,
+        |    CASE doc_id % 3 WHEN 1 THEN 0 ELSE 8 + (doc_id // 16) % 16 END AS f1,
+        |    CASE doc_id % 3 WHEN 0 THEN 1
+        |      WHEN 1 THEN 400 + (doc_id * 31) % 1600
+        |      ELSE 2 + doc_id % 5 END AS f2,
+        |    CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 8000
+        |      ELSE 5 + doc_id % 25 END AS f3
+        |  FROM documents),
+        |c AS (SELECT *, kindi * 16 + (f0 + f2) % 16 AS cell FROM m),
+        |q AS (SELECT media_id AS q_id, cell,
+        |        f0 AS q0, f1 AS q1, f2 AS q2, f3 AS q3
+        |      FROM c WHERE media_id % 50 = 0),
+        |sc AS (
+        |  SELECT q.q_id, c.media_id,
+        |    (q0-f0)*(q0-f0) + (q1-f1)*(q1-f1) +
+        |    (q2-f2)*(q2-f2) + (q3-f3)*(q3-f3) AS d2
+        |  FROM q JOIN c USING (cell) WHERE c.media_id <> q.q_id)
+        |SELECT q_id, media_id, d2, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, media_id) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3""".stripMargin,
     // every row's file has size > 0, a .parquet name and a mod-time,
     // so the metadata-guarded counts must equal count(*)
     "q_metadata_cols" ->

@@ -328,6 +328,7 @@ object FrequencyOps {
 final class MgStore(val k: Int) extends Serializable {
   private val counters = scala.collection.mutable.HashMap.empty[String, Long]
   private var n = 0L
+  private var lastBatch = -1L
 
   /** Stream-long token total (from the summaries' sentinel rows). */
   def total: Long = n
@@ -337,6 +338,19 @@ final class MgStore(val k: Int) extends Serializable {
 
   /** Fold one micro-batch: distributed MG per partition, bounded
     * driver merge — the only driver-bound data is the summary.
+    * Idempotent under foreachBatch's at-least-once replay: Spark
+    * re-delivers a failed micro-batch with the SAME batchId, so a
+    * batch at or below the high-water mark is skipped rather than
+    * double-folded (which would inflate `total` and every counter's
+    * lower bound). Out-of-order ids never occur within one query;
+    * a restart from checkpoint resumes at the first uncommitted id.
+    */
+  def fold(batch: org.apache.spark.sql.Dataset[String], batchId: Long): Unit =
+    if (batchId > lastBatch) { fold(batch); lastBatch = batchId }
+
+  /** Unguarded fold for batch-mode callers that manage their own
+    * delivery (tests, one-shot folds). Streaming callers should pass
+    * the foreachBatch batchId through the two-arg overload.
     */
   def fold(batch: org.apache.spark.sql.Dataset[String]): Unit =
     merge(batch.mapPartitions(it => FrequencyOps.misraGries(it, k))(

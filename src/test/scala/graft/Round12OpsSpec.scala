@@ -27,8 +27,11 @@ class Round12OpsSpec extends SparkSpec {
     val store = new MgStore(k)
     val input = MemoryStream[String](91, spark, None)
     val q = input.toDS().writeStream.outputMode("append")
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[String], _: Long) =>
-        store.fold(df)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[String], id: Long) =>
+        store.fold(df, id)
+        // at-least-once replay of the SAME batchId (what foreachBatch
+        // delivers after a mid-batch failure) must be a no-op
+        store.fold(df, id)
         ()
       }.start()
     try {
