@@ -350,37 +350,46 @@ object TpcdsQueries {
   }
 
   /** q64 shape — the same aggregated fact subquery instantiated TWICE
-    * (consecutive years) and self-joined on the item, with the q64
-    * retention predicate (`cs2.cnt <= cs1.cnt`) and the SAME
-    * dimension bound twice under different aliases with an inequality
-    * BETWEEN the bindings — q64's "customer moved / demographics
-    * changed between the purchases" pattern, here as "the item's lead
-    * supplier nation changed between the years". Scale shape: each
-    * year pass is one fact-fact join + per-item aggregate (item-keyed
-    * shuffle), the self-join runs item-keyed on the two AGGREGATED
-    * (item-sized) sides, and both dim bindings broadcast the same
+    * (consecutive years) with the q64 retention predicate
+    * (`cs2.cnt <= cs1.cnt`) and the SAME dimension bound twice under
+    * different aliases with an inequality BETWEEN the bindings —
+    * q64's "customer moved / demographics changed between the
+    * purchases" pattern, here as "the item's lead supplier nation
+    * changed between the years". Scale shape: the two year passes
+    * fuse into ONE fact scan — lineitem joins orders filtered to
+    * BOTH years once (orderkey-keyed shuffle; bucket both facts on
+    * orderkey at 100 TB and it's exchange-free), and one per-item
+    * aggregate pivots the years out as conditional aggregates, so no
+    * self-join shuffle exists at all (the r12 formulation scanned
+    * and joined the fact once PER YEAR — at 100 TB the second scan
+    * dominates). Both dim bindings broadcast the same
     * supplier⋈nation snapshot — the dim is read once, bound twice.
     */
   def crossYearResale(s: SparkSession, dir: String,
       y1: Int = 1995, y2: Int = 1996): DataFrame = {
     val li = t(s, dir, "lineitem")
     val ords = t(s, dir, "orders")
-    def sales(yr: Int): DataFrame = li
-      .join(ords.filter(year(col("o_orderdate")) === yr).select(col("o_orderkey")),
+    def yearAgg(yr: Int, suffix: String): Seq[org.apache.spark.sql.Column] = {
+      val in = col("yr") === yr
+      Seq(count(when(in, lit(1))).as(s"cnt$suffix"),
+        sum(when(in, col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as(s"rev$suffix"),
+        min(when(in, col("l_suppkey"))).as(s"supp$suffix"))
+    }
+    val aggs = yearAgg(y1, "1") ++ yearAgg(y2, "2")
+    val sales = li
+      .join(ords.filter(year(col("o_orderdate")).isin(y1, y2))
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("yr")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
-        min(col("l_suppkey")).as("lead_supp"))
-    val cs1 = sales(y1).select(col("l_partkey"), col("cnt").as("cnt1"),
-      col("rev").as("rev1"), col("lead_supp").as("supp1"))
-    val cs2 = sales(y2).select(col("l_partkey"), col("cnt").as("cnt2"),
-      col("rev").as("rev2"), col("lead_supp").as("supp2"))
+      .agg(aggs.head, aggs.tail: _*)
+      // items sold in both years — the inner self-join's membership cut
+      .filter(col("cnt1") > 0 && col("cnt2") > 0)
     val supNation = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
-    cs1.join(cs2, Seq("l_partkey"))
+    sales
       .filter(col("cnt2") <= col("cnt1"))
       .join(broadcast(supNation
         .select(col("s_suppkey").as("supp1"), col("n_name").as("nation1"))), Seq("supp1"))

@@ -72,6 +72,78 @@ object RollingFileSink {
         formatOptions, fileSchema)
   }
 
+  /** Exactly-once rolled append — the two-phase commit the reference
+    * expresses as Sink/Committer (flink-core connector/sink2/Sink.java:47:
+    * writers emit committables, a committer finalizes them exactly
+    * once on checkpoint): foreachBatch is at-least-once, so a batch
+    * that crashes anywhere between its write and Spark's offset
+    * commit is RE-DELIVERED with the same batchId, and the plain
+    * [[rolling]] append would duplicate every row. Protocol, crash-
+    * safe at every step boundary:
+    *
+    *  1. committed marker `_commits/<batchId>` exists → the epoch
+    *     already published fully → no-op (post-commit replay).
+    *  2. else roll back any partial attempt of THIS epoch: delete
+    *     the staging dir and every published file carrying the
+    *     epoch's deterministic `b<batchId>-` name prefix (a crash
+    *     mid-publish leaves some files moved; the prefix makes the
+    *     partial publish reversible without touching other epochs).
+    *  3. write the rolled batch to `_staging-<batchId>` (underscore
+    *     prefix: invisible to readers), then publish by renaming
+    *     each staged data file into the target under the epoch
+    *     prefix, preserving partition subdirs.
+    *  4. create the marker — the commit point.
+    *
+    * Readers of the target never see a row twice or zero times once
+    * the marker exists; an uncommitted epoch's rows may be partially
+    * visible mid-crash but are swept by the replay before republish.
+    * Compaction is deliberately NOT run inside the transactional
+    * body (it rewrites OTHER epochs' committed files; a crash there
+    * must not be entangled with this epoch's rollback) — run
+    * [[compact]] as a maintenance pass, the reference's
+    * compact-before-checkpoint stance.
+    */
+  def rollingTx(path: String, format: String, targetFileBytes: Long,
+      partitionKeys: Seq[String] = Nil,
+      formatOptions: Map[String, String] = Map.empty)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val marker = new Path(root, s"_commits/$batchId")
+    if (fs.exists(marker)) return
+    val staging = new Path(root, s"_staging-$batchId")
+    fs.delete(staging, true)
+    val prefix = s"b$batchId-"
+    if (fs.exists(root)) deletePrefixed(fs, root, prefix)
+    writeRolled(batch, staging.toString, format, targetFileBytes,
+      partitionKeys, formatOptions)
+    publish(fs, staging, root, prefix)
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  /** Remove every data file under `root` (recursively, through
+    * partition dirs) whose name carries the epoch prefix.
+    */
+  private def deletePrefixed(fs: FileSystem, root: Path, prefix: String): Unit =
+    fs.listStatus(root).filter(s => isDataFile(s.getPath)).foreach { s =>
+      if (s.isDirectory) deletePrefixed(fs, s.getPath, prefix)
+      else if (s.getPath.getName.startsWith(prefix)) fs.delete(s.getPath, false)
+    }
+
+  /** Move staged data files into the target under the epoch prefix,
+    * mirroring partition subdirectories.
+    */
+  private def publish(fs: FileSystem, from: Path, to: Path, prefix: String): Unit = {
+    fs.mkdirs(to)
+    fs.listStatus(from).filter(s => isDataFile(s.getPath)).foreach { s =>
+      if (s.isDirectory) publish(fs, s.getPath, new Path(to, s.getPath.getName), prefix)
+      else fs.rename(s.getPath, new Path(to, prefix + s.getPath.getName))
+    }
+  }
+
   /** One rolled append: output file count from the batch's estimated
     * size, never fewer than 1.
     */

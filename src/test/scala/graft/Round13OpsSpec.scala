@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.{RollingFileSink, UpsertSink}
+
+/** Round-13 operators: the SINK half of the exactly-once contract.
+  * DatagenSourceSpec pins the source side (restored offsets seed the
+  * frontier); these tests kill a foreachBatch sink mid-epoch and
+  * assert the restart re-commits the interrupted epoch idempotently —
+  * the reference's Sink/Committer two-phase commit
+  * (flink-core connector/sink2/Sink.java:47) on Spark terms.
+  */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Crash injected AFTER the sink body ran but BEFORE Spark commits
+    * the batch's offsets — the exact window where foreachBatch
+    * degrades to at-least-once and re-delivers the epoch on restart.
+    */
+  @volatile private var failNext = false
+
+  private def crashPoint(): Unit =
+    if (failNext) {
+      failNext = false
+      throw new RuntimeException("injected crash after sink write, before offset commit")
+    }
+
+  test("upsert sink: an epoch that crashes after its merge re-commits " +
+      "idempotently on restart (no duplicate, no lost row)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eos_upsert").toString
+    val in = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = StructType.fromDDL("k BIGINT, seq BIGINT, v STRING")
+
+    def start() = spark.readStream.schema(schema).parquet(in)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        UpsertSink.mergePartitioned(Seq("k"), "seq", state, numBuckets = 4)(df, id)
+        crashPoint()
+      }.start()
+
+    Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "seq", "v")
+      .write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // epoch 1: an update + a new key; the merge APPLIES, then the
+    // query dies before the offset commit
+    Seq((1L, 2L, "a2"), (3L, 1L, "c")).toDF("k", "seq", "v")
+      .write.mode("append").parquet(in)
+    failNext = true
+    val q2 = start()
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+
+    // restart from the checkpoint: the SAME epoch re-delivers and the
+    // keep-latest merge must absorb the replay
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val rows = UpsertSink.readPartitioned(spark, state).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq"), r.getAs[String]("v")))
+    assert(rows.length === rows.map(_._1).distinct.length,
+      s"replay duplicated keys: ${rows.toSeq}")
+    assert(rows.toSet === Set((1L, 2L, "a2"), (2L, 1L, "b"), (3L, 1L, "c")),
+      s"replay lost or corrupted rows: ${rows.toSeq}")
+  }
+
+  test("rolling sink tx: a committed epoch's re-delivery is a no-op, and a " +
+      "partial publish (crash mid-rename) rolls back before republish") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eos_roll").toString
+    val out = s"$base/out"
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    RollingFileSink.rollingTx(out, "parquet", 128L << 20)(df0, 0L)
+    // post-commit re-delivery of the SAME epoch: the marker short-circuits
+    RollingFileSink.rollingTx(out, "parquet", 128L << 20)(df0, 0L)
+    assert(spark.read.parquet(out).count() === 2,
+      "re-delivered committed epoch appended duplicates")
+
+    // crash mid-publish of epoch 1: one b1- file landed, no marker —
+    // the replay must sweep it before republishing
+    val staleDir = s"$base/stale"
+    Seq((98L, "stale"), (99L, "stale")).toDF("id", "v")
+      .coalesce(1).write.parquet(staleDir)
+    val part = new java.io.File(staleDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(out, "b1-" + part.getName).toPath)
+    assert(spark.read.parquet(out).count() === 4, "stale partial-publish file not visible")
+    RollingFileSink.rollingTx(out, "parquet", 128L << 20)(
+      Seq((3L, "c")).toDF("id", "v"), 1L)
+    val all = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all === Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"partial publish not rolled back: $all")
+  }
+
+  test("rolling sink tx end-to-end: a streaming query killed between commit " +
+      "and offset-commit restarts without duplicating the epoch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_eos_roll_e2e").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = StructType.fromDDL("id BIGINT, v STRING")
+
+    def start() = spark.readStream.schema(schema).parquet(in)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        RollingFileSink.rollingTx(out, "parquet", 128L << 20)(df, id)
+        crashPoint()
+      }.start()
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(in)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v").write.mode("append").parquet(in)
+    failNext = true
+    val q2 = start()
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"append sink replay broke exactly-once: $got")
+  }
+}
