@@ -402,7 +402,79 @@ object TpcdsQueries {
         col("nation1"), col("nation2"), col("rev1"), col("rev2"))
   }
 
+  /** q78 shape — per-channel "net sales" CTEs that each LEFT ANTI
+    * JOIN their returns before aggregating, then a cross-channel
+    * ratio on the item: q78 drops any (ticket, item) sale that was
+    * returned, aggregates the surviving sales per (item, year) in
+    * each of the three channels, and ratios store against the
+    * others. Here the channel axis is `l_linestatus` (two fact
+    * slices) and the returns set is the channel's `l_returnflag='R'`
+    * (orderkey, partkey) pairs. Scale shape: each channel's returns
+    * set reduces to DISTINCT join keys before the anti join (key
+    * sets cross the wire, never fact rows), both channel aggregates
+    * shuffle on partkey, and the final channel-vs-channel join runs
+    * on the two item-sized AGGREGATED frames. The ratio is integer
+    * ppm over exactly-summed integer quantities — tie-free in any
+    * engine.
+    */
+  def channelRatioNoReturns(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def netChannel(status: String, suffix: String): DataFrame = {
+      val slice = li.filter(col("l_linestatus") === status)
+      val returns = slice.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      slice
+        .join(returns, Seq("l_orderkey", "l_partkey"), "left_anti")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as(s"qty$suffix"),
+          // decimal accumulation: exact + fold-order independent
+          // (the per-row double multiply is IEEE-identical in both
+          // engines; the running SUM is not — see q_join_inner)
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(20,4)")).cast("double").as(s"rev$suffix"))
+    }
+    netChannel("F", "_store").join(netChannel("O", "_web"), Seq("l_partkey"))
+      .filter(col("qty_web") > 0)
+      .select(col("l_partkey"), col("qty_store"), col("qty_web"),
+        expr("qty_store * 1000000 div qty_web").as("ratio_ppm"),
+        col("rev_store"), col("rev_web"))
+  }
+
+  /** q54 shape — a cohort anchored on each customer's FIRST
+    * qualifying purchase month, revenue taken in a RELATIVE month
+    * window after that anchor, then a fixed-width revenue histogram:
+    * q54 finds customers whose first catalog/web purchase of the
+    * target category lands in the cohort month and counts them by
+    * total store revenue in months +1..+3, bucketed by $50. Here the
+    * qualifying purchase is an URGENT order, the anchor is
+    * min(month) of those per customer, the window is months +1..+3,
+    * and revenue buckets are $5000 wide (computed in exact integer
+    * cents — double bucketing at the boundary is an engine-rounding
+    * trap). Scale shape: the cohort is one custkey aggregate, the
+    * fact re-joins it custkey-keyed (one shuffle each side, or
+    * broadcast when the cohort is small), and the histogram
+    * aggregates a customer-sized frame down to bucket counts.
+    */
+  def cohortRevenueWindow(s: SparkSession, dir: String): DataFrame = {
+    val ords = t(s, dir, "orders")
+    val cohort = ords.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(min(date_trunc("month", col("o_orderdate"))).cast("date").as("m0"))
+    val rev = ords
+      .join(cohort, Seq("o_custkey"))
+      .filter(col("o_orderdate").cast("date") >= add_months(col("m0"), 1) &&
+        col("o_orderdate").cast("date") < add_months(col("m0"), 4))
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    rev.select(expr("cents div 500000").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcds_chratio" -> ((s: SparkSession, d: String) => channelRatioNoReturns(s, d)),
+    "q_tpcds_cohort" -> ((s: SparkSession, d: String) => cohortRevenueWindow(s, d)),
     "q_tpcds_hier_rank" -> ((s: SparkSession, d: String) => hierarchyRank(s, d)),
     "q_tpcds_resale" -> ((s: SparkSession, d: String) => crossYearResale(s, d)),
     "q_tpcds_freqbest" -> ((s: SparkSession, d: String) => frequentBest(s, d)),
@@ -417,6 +489,36 @@ object TpcdsQueries {
     "q_tpcds_intersect" -> ((s: SparkSession, d: String) => intersectChain(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcds_chratio" ->
+      """WITH net AS (
+        |  SELECT l_linestatus AS ch, l_partkey,
+        |    sum(l_quantity)::BIGINT AS qty,
+        |    sum((l_extendedprice * (1 - l_discount))::DECIMAL(20,4))::DOUBLE AS rev
+        |  FROM lineitem s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM lineitem r
+        |    WHERE r.l_returnflag = 'R' AND r.l_linestatus = s.l_linestatus
+        |      AND r.l_orderkey = s.l_orderkey AND r.l_partkey = s.l_partkey)
+        |  GROUP BY 1, 2)
+        |SELECT st.l_partkey, st.qty AS qty_store, wb.qty AS qty_web,
+        |  (st.qty * 1000000 // wb.qty)::BIGINT AS ratio_ppm,
+        |  st.rev AS rev_store, wb.rev AS rev_web
+        |FROM net st JOIN net wb USING (l_partkey)
+        |WHERE st.ch = 'F' AND wb.ch = 'O' AND wb.qty > 0""".stripMargin,
+    "q_tpcds_cohort" ->
+      """WITH cohort AS (
+        |  SELECT o_custkey, min(date_trunc('month', o_orderdate))::DATE AS m0
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY 1),
+        |rev AS (
+        |  SELECT o.o_custkey,
+        |    (sum(o_totalprice::DECIMAL(18,2)) * 100)::BIGINT AS cents
+        |  FROM orders o JOIN cohort c USING (o_custkey)
+        |  WHERE o.o_orderdate::DATE >= (c.m0 + INTERVAL 1 MONTH)::DATE
+        |    AND o.o_orderdate::DATE <  (c.m0 + INTERVAL 4 MONTH)::DATE
+        |  GROUP BY 1)
+        |SELECT cents // 500000 AS bucket, count(*)::BIGINT AS n_cust
+        |FROM rev GROUP BY 1""".stripMargin,
     "q_tpcds_hier_rank" ->
       """WITH agg AS (
         |  SELECT p_brand, p_type,

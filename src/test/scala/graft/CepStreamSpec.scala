@@ -65,6 +65,57 @@ class CepStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a partial match spanning micro-batch boundaries survives in the keyed " +
+      "store and matches exactly the batch NFA over the concatenated stream") {
+    val input = MemoryStream[StreamEv](53, spark, None)
+    val withWm = input.toDF()
+      .withColumn("eventTime", timestamp_millis($"tsMillis"))
+      .withWatermark("eventTime", "0 seconds")
+      .as[StreamEv]
+    val out = CepOps.matchPatternStream(withWm,
+      (e: StreamEv) => e.user_id, (e: StreamEv) => (e.tsMillis, e.event_id),
+      (e: StreamEv) => e.tsMillis, pat) { (k: Long, m: Nfa.PatMatch[StreamEv]) =>
+      M(k, m.caps("V").length.toLong, m.caps("P").head.event_id)
+    }
+    val q = out.writeStream.format("memory").queryName("cep_split")
+      .outputMode("append").start()
+    // the V+ P pattern splits across THREE micro-batches for key 1
+    // (views in two batches, the purchase in a third) and across TWO
+    // for key 3 with an idle batch in between — the reference persists
+    // NFA partial matches in keyed state (CepOperator.java:82); here
+    // the CepBuf store must carry the open prefix between batches
+    val all = Seq(
+      StreamEv(1, 1, 1000, "view"), StreamEv(1, 2, 2000, "view"),
+      StreamEv(1, 3, 3000, "view"), StreamEv(1, 4, 4000, "purchase"),
+      StreamEv(1, 5, 5000, "click"),
+      StreamEv(3, 31, 1500, "view"), StreamEv(3, 32, 6000, "purchase"),
+      StreamEv(3, 33, 7000, "click"))
+    try {
+      input.addData(StreamEv(1, 1, 1000, "view"), StreamEv(3, 31, 1500, "view"))
+      q.processAllAvailable()
+      input.addData(StreamEv(1, 2, 2000, "view"), StreamEv(1, 3, 3000, "view"))
+      q.processAllAvailable()
+      input.addData(StreamEv(1, 4, 4000, "purchase"), StreamEv(1, 5, 5000, "click"))
+      q.processAllAvailable()
+      input.addData(StreamEv(3, 32, 6000, "purchase"), StreamEv(3, 33, 7000, "click"))
+      q.processAllAvailable()
+      // advance the watermark + fire the event-time timers
+      input.addData(StreamEv(2, 90, 60000, "click"))
+      q.processAllAvailable()
+      input.addData(StreamEv(2, 91, 61000, "click"))
+      q.processAllAvailable()
+      val streamed = spark.table("cep_split").as[M].collect().toSet
+      val batch = CepOps.matchPatternFull(all.toDS(),
+        (e: StreamEv) => e.user_id, (e: StreamEv) => (e.tsMillis, e.event_id),
+        pat) { (k: Long, m: Nfa.PatMatch[StreamEv]) =>
+        M(k, m.caps("V").length.toLong, m.caps("P").head.event_id)
+      }.collect().toSet
+      assert(batch === Set(M(1, 3, 4), M(3, 1, 32)), s"unexpected batch matches: $batch")
+      assert(streamed === batch,
+        s"cross-batch partial match diverged: stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("WITHIN prunes stale matches and bounds state across watermark advances") {
     val input = MemoryStream[StreamEv](52, spark, None)
     val withWm = input.toDF()

@@ -97,6 +97,54 @@ class Round13OpsSpec extends SparkSpec {
       s"partial publish not rolled back: $all")
   }
 
+  test("streaming sessionization twin: out-of-order planted stream folded " +
+      "through watermarked keyed state == the batch gaps-and-islands pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionizeStream
+
+    def ts(hms: String): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s"2024-03-01 $hms")
+    // gap 1 minute; u1 has two sessions (3 events / 2 events), u2 three
+    // single-event sessions; arrivals are OUT OF ORDER across batches
+    // but inside the 10-minute lateness
+    val real = Seq(
+      (1L, ts("10:00:00"), 101L), (1L, ts("10:00:30"), 102L),
+      (1L, ts("10:00:50"), 103L), (1L, ts("10:05:00"), 104L),
+      (1L, ts("10:05:20"), 105L),
+      (2L, ts("10:00:10"), 201L), (2L, ts("10:07:00"), 202L),
+      (2L, ts("10:16:30"), 203L))
+    val batches = Seq(
+      Seq((1L, ts("10:00:00"), 101L), (2L, ts("10:07:00"), 202L),
+        (1L, ts("10:05:20"), 105L)),
+      Seq((1L, ts("10:00:50"), 103L), (1L, ts("10:05:00"), 104L),
+        (2L, ts("10:00:10"), 201L)),
+      Seq((1L, ts("10:00:30"), 102L), (2L, ts("10:16:30"), 203L)),
+      // watermark flush: a far-future event advances the frontier...
+      Seq((999L, java.sql.Timestamp.valueOf("2024-03-02 10:00:00"), 901L)),
+      // ...and a second batch lets the event-time timers fire
+      Seq((999L, java.sql.Timestamp.valueOf("2024-03-02 10:00:01"), 902L)))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)](131, spark, None)
+    val streamed = SessionizeStream.sessionize(
+      input.toDF().toDF("user_id", "ts", "event_id"),
+      gapMinutes = 1, lateness = "10 minutes")
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("r13_sessions").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("r13_sessions")
+      .filter(col("user_id") =!= 999L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.EventAnalytics.sessionizeOnEvents(
+        real.toDF("user_id", "ts", "event_id"), gapMinutes = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty && batch.exists(_._3 > 1), s"weak fixture: $batch")
+    assert(got === batch,
+      s"stream sessions diverged from batch:\n stream=$got\n batch=$batch")
+  }
+
   test("rolling sink tx end-to-end: a streaming query killed between commit " +
       "and offset-commit restarts without duplicating the epoch") {
     val base = java.nio.file.Files.createTempDirectory("graft_eos_roll_e2e").toString
