@@ -44,6 +44,8 @@ object FlinkFunctions {
   def lshSignature(c: Column, nBits: Int): Column = toCol(LshSignature(toExpr(c), nBits))
   def rpProject(c: Column, dOut: Int): Column = toCol(RpProject(toExpr(c), dOut))
   def hammingSig(a: Column, b: Column): Column = toCol(HammingSignature(toExpr(a), toExpr(b)))
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    toCol(CmsEstimate(toExpr(sketch), toExpr(item)))
   def hamming64(a: Column, b: Column): Column =
     toCol(HammingDistance64(asLong(toExpr(a)), asLong(toExpr(b))))
 
@@ -132,13 +134,26 @@ object FlinkFunctions {
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.{expressions => expressions}
     val reg = spark.sessionState.functionRegistry
+    // idempotent at the registerAll level: callers invoke this
+    // defensively before every SQL-path query, and re-registering
+    // each name would WARN ("replaced a previously registered
+    // function") on every call. A per-NAME existence check is wrong
+    // here — several registrations deliberately SHADOW Spark
+    // builtins with the Flink signature (TO_TIMESTAMP_LTZ(millis,
+    // precision) vs Spark's string form), and functionExists sees
+    // the builtin and would skip the shadow. The sentinel marks
+    // "this session already ran registerAll" and nothing else.
+    val sentinel = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fns_registered")
+    if (reg.functionExists(sentinel)) return
     def reg1(name: String)(b: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
-        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      // idempotent: registerAll is called defensively before SQL-path
-      // queries; re-registering an already-present name would WARN
-      // ("replaced a previously registered function") on every call
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, b, "built-in")
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+      // the intentional builtin shadows (cot, to_timestamp_ltz) would
+      // still WARN once on the replace; dropping the stale entry first
+      // makes every registration a silent fresh insert
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+    reg1(sentinel.funcName) { _ => expressions.Literal(true) }
 
     reg1("fingerprint64") { es => Fingerprint64(es.head) }
     // hashed-linear-model quality logit (the SelectionQueries
@@ -161,6 +176,7 @@ object FlinkFunctions {
     reg1("cosine_similarity") { es => CosineSimilarity(es(0), es(1)) }
     reg1("dot_product") { es => DotProduct(es(0), es(1)) }
     reg1("hamming64") { es => HammingDistance64(asLong(es(0)), asLong(es(1))) }
+    reg1("cms_estimate") { es => CmsEstimate(es(0), es(1)) }
     // raw catalyst trees here: Column-built trees would smuggle
     // unresolved ColumnNodes past the analyzer
     reg1("cot") { es =>

@@ -195,3 +195,22 @@ case class RpProject(child: Expression, dOut: Int)
   override protected def withNewChildInternal(c: Expression): RpProject = copy(child = c)
   override def prettyName: String = "rp_project"
 }
+
+/** Point-estimate read of a serialized Count–Min sketch (the BINARY
+  * produced by Spark's `count_min_sketch` aggregate): estimated
+  * occurrence count of STRING `item`. See [[SketchOps.cmsEstimate]]
+  * for the probe-hash == insert-hash argument and the per-task
+  * deserialization memo that keeps this a static codegen call.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(sk: Any, item: Any): Any =
+    SketchOps.cmsEstimate(sk.asInstanceOf[Array[Byte]], item.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, i) => s"graft.functions.SketchOps.cmsEstimate($s, $i)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+  override def prettyName: String = "cms_estimate"
+}

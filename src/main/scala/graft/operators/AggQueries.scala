@@ -175,6 +175,42 @@ object AggQueries {
           <= lit(2 * 0.01) * col("nd_order")).as("ok_order"))
   }
 
+  /** APPROX_PERCENTILE with a checked accuracy contract — the
+    * Greenwald–Khanna gate twin of [[aggApprox]]'s HLL gate. Spark's
+    * approx_percentile(x, p, acc) keeps a mergeable GK summary
+    * (partials fold map-side — the 100 TB path where the exact
+    * percentile's per-group sort is not) and guarantees the returned
+    * ELEMENT's rank is within eps·n of the target rank, eps = 1/acc.
+    * The sketch value is engine-private, so the checked row carries
+    * the CONTRACT instead: the approx value must land between the
+    * exact percentiles at p ± 2·eps (rank error eps·n ⇒ the element
+    * sits between the order statistics at (p−eps)·n and (p+eps)·n,
+    * and the continuous cuts at ±2·eps bracket those with a full
+    * eps·n elements of slack on each side). One pass: the exact
+    * bracketing cuts ride the same hash aggregate — bounded groups
+    * (3 flags) keep the exact side cheap, and the boolean gates plus
+    * exact n / median are what the oracle asserts.
+    */
+  def aggApproxPct(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0 / 1000 // accuracy=1000
+    def pc(q: Double, c: String) =
+      expr(s"percentile_cont(${q}D) WITHIN GROUP (ORDER BY $c)")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        pc(0.5, "l_extendedprice").as("med_exact"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("a90"),
+        pc(0.5 - 2 * eps, "l_extendedprice").as("lo50"),
+        pc(0.5 + 2 * eps, "l_extendedprice").as("hi50"),
+        pc(0.9 - 2 * eps, "l_extendedprice").as("lo90"),
+        pc(0.9 + 2 * eps, "l_extendedprice").as("hi90"))
+      .select(col("l_returnflag"), col("n"), col("med_exact"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok_p50"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok_p90"))
+  }
+
   /** Two-phase salted aggregate on a deliberately skewed key
     * (l_returnflag has 3 values): the hot key spreads over salt
     * buckets before the final merge — must equal a direct GROUP BY
@@ -205,7 +241,8 @@ object AggQueries {
     "q_agg_regr"         -> (aggRegr _),
     "q_agg_listagg"      -> (aggListagg _),
     "q_agg_maxby"        -> (aggMaxBy _),
-    "q_agg_approx"       -> (aggApprox _))
+    "q_agg_approx"       -> (aggApprox _),
+    "q_agg_approx_pct"   -> (aggApproxPct _))
 
   val oracle: Map[String, String] = Map(
     // the HLL++ estimates are engine-private; the CONTRACT is not —
@@ -215,6 +252,13 @@ object AggQueries {
         |  count(DISTINCT l_partkey) AS nd_part,
         |  count(DISTINCT l_orderkey) AS nd_order,
         |  true AS ok_part, true AS ok_order
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the GK sketch values are engine-private; the CONTRACT is not —
+    // exact count/median must match and the ±2·eps rank gates be TRUE
+    "q_agg_approx_pct" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  quantile_cont(l_extendedprice, 0.5) AS med_exact,
+        |  true AS ok_p50, true AS ok_p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_l_quantity

@@ -252,8 +252,50 @@ object FrequencyOps {
       .select(col("tk"), col("cnt"))
   }
 
+  /** Count–Min frequency census with a checked accuracy contract —
+    * the point-query companion to [[heavyHitters]] (MG answers "which
+    * tokens are frequent"; CMS answers "how often is THIS token",
+    * including non-heavy ones, from the same O(w·d) state). The
+    * sketch pass is the 100 TB path: `count_min_sketch` partials are
+    * mergeable counter grids that fold map-side, so ONE
+    * 27 KB-per-partition summary crosses the wire and no token ever
+    * shuffles. The exact side exists only as the audit: top-N tokens
+    * by exact count (two-phase agg + TakeOrdered — candidate-sized,
+    * never a global sort) probe the broadcast sketch through the
+    * codegen'd [[graft.functions.FlinkFunctions.cmsEstimate]] and
+    * emit the Cormode–Muthukrishnan contract as booleans: estimates
+    * never undercount (CMS is one-sided) and overcount by at most
+    * ε·N with probability ≥ δ (seeded ⇒ deterministic, so the
+    * booleans are stable run to run). The oracle recomputes the exact
+    * top-N and asserts literal TRUE — the same checked-sketch
+    * discipline as q_agg_approx / q_agg_approx_pct.
+    */
+  def freqCms(s: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    freqCmsOn(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .where(col("tk") =!= ""), topN)
+
+  /** Core over any single-column token frame — see [[freqCms]]. */
+  def freqCmsOn(toks: DataFrame, topN: Int): DataFrame = {
+    val eps = 0.0005
+    val sk = toks.agg(
+      expr(s"count_min_sketch(tk, ${eps}D, 0.999D, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tk").asc).limit(topN)
+    top.crossJoin(broadcast(sk))
+      .select(col("tk"), col("cnt"),
+        graft.functions.FlinkFunctions.cmsEstimate(col("sk"), col("tk")).as("est"),
+        col("n_total"))
+      .select(col("tk"), col("cnt"),
+        (col("est") >= col("cnt")).as("ok_lower"),
+        (col("est") <= col("cnt") + ceil(lit(eps) * col("n_total"))).as("ok_upper"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "q_freq_cms" -> ((s: SparkSession, d: String) => freqCms(s, d)),
     "q_drift_kl" -> ((s: SparkSession, d: String) => sourceDriftKl(s, d)),
     "q_text_entropy" -> (textEntropy _))
 
@@ -262,6 +304,18 @@ object FrequencyOps {
     // reaches the identical set through the MG candidate superset +
     // recount, so equality here proves zero false negatives AND zero
     // false positives end to end.
+    // the CMS estimates are engine-private; the CONTRACT is not —
+    // the exact top-N counts must match and the one-sided / ε·N
+    // error gates must both be TRUE
+    "q_freq_cms" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+        |  FROM documents)
+        |SELECT tk, count(*) AS cnt, true AS ok_lower, true AS ok_upper
+        |FROM tok
+        |GROUP BY tk
+        |ORDER BY cnt DESC, tk ASC
+        |LIMIT 20""".stripMargin,
     "q_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk

@@ -176,4 +176,42 @@ class Round13OpsSpec extends SparkSpec {
     assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
       s"append sink replay broke exactly-once: $got")
   }
+
+  test("cms_estimate: probe hash == insert hash (one-sided over the " +
+      "WHOLE vocabulary), eps*N overcount bound on the heavy head, " +
+      "SQL name registered, plan stays codegen'd") {
+    // adversarial vocab: empty-adjacent, unicode, shared prefixes —
+    // anything where a probe-side hash mismatch would show as est <
+    // exact (CMS can never undercount when hashes agree)
+    val words = Seq("a", "aa", "ab", "é", "token", "token2", "の", "-", "x" * 100)
+    val rows = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(i * 7 + 1)(w) }
+    val toks = rows.toDF("tk")
+    val n = rows.size.toLong
+    val withEst = toks
+      .crossJoin(broadcast(toks.agg(
+        expr("count_min_sketch(tk, 0.0005D, 0.999D, 42)").as("sk"))))
+      .groupBy(col("tk"), col("sk")).agg(count(lit(1)).as("cnt"))
+      .select(col("tk"), col("cnt"),
+        graft.functions.FlinkFunctions.cmsEstimate(col("sk"), col("tk")).as("est"))
+    val got = withEst.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.forall { case (_, cnt, est) => est >= cnt },
+      s"CMS undercounted — probe hash diverges from insert hash: ${got.mkString(",")}")
+    assert(got.forall { case (_, cnt, est) => est <= cnt + math.ceil(0.0005 * n).toLong },
+      s"CMS overcount above eps*N: ${got.mkString(",")}")
+    // SQL-surface twin returns the identical estimates
+    graft.functions.FlinkFunctions.registerAll(spark)
+    withEst.select(col("tk"), col("est")).createOrReplaceTempView("cms_scala")
+    toks.createOrReplaceTempView("cms_toks")
+    val sqlDiff = spark.sql(
+      """SELECT t.tk FROM
+        |  (SELECT tk, cms_estimate(
+        |     (SELECT count_min_sketch(tk, 0.0005D, 0.999D, 42) FROM cms_toks), tk) AS est
+        |   FROM (SELECT DISTINCT tk FROM cms_toks)) t
+        |JOIN cms_scala s ON s.tk = t.tk AND s.est <> t.est""".stripMargin).count()
+    assert(sqlDiff === 0L, "SQL-name cms_estimate diverged from the Column API")
+    // the probe projection must live inside whole-stage codegen —
+    // CmsEstimate defineCodeGen's into a static call, never a fallback
+    val plan = withEst.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), s"probe fell out of codegen:\n$plan")
+  }
 }
