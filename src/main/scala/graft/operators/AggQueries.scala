@@ -193,22 +193,23 @@ object AggQueries {
     */
   def aggApproxPct(s: SparkSession, dir: String): DataFrame = {
     val eps = 1.0 / 1000 // accuracy=1000
-    def pc(q: Double, c: String) =
-      expr(s"percentile_cont(${q}D) WITHIN GROUP (ORDER BY $c)")
+    // ONE exact-percentile buffer for all five cuts: `percentile(col,
+    // array(...))` shares a single value-counts map per group, where
+    // five independent percentile_cont aggregates would each buffer
+    // the whole group (measured 4.9 s → this shape at sf0.1; same
+    // interpolation, so med_exact still equals quantile_cont)
+    val cuts = Seq(0.5 - 2 * eps, 0.5, 0.5 + 2 * eps, 0.9 - 2 * eps, 0.9 + 2 * eps)
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        pc(0.5, "l_extendedprice").as("med_exact"),
+        expr(s"percentile(l_extendedprice, array(${cuts.map(c => s"${c}D").mkString(",")}))")
+          .as("pc"),
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
-        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("a90"),
-        pc(0.5 - 2 * eps, "l_extendedprice").as("lo50"),
-        pc(0.5 + 2 * eps, "l_extendedprice").as("hi50"),
-        pc(0.9 - 2 * eps, "l_extendedprice").as("lo90"),
-        pc(0.9 + 2 * eps, "l_extendedprice").as("hi90"))
-      .select(col("l_returnflag"), col("n"), col("med_exact"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok_p50"),
-        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok_p90"))
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("a90"))
+      .select(col("l_returnflag"), col("n"), col("pc").getItem(1).as("med_exact"),
+        (col("a50") >= col("pc").getItem(0) && col("a50") <= col("pc").getItem(2)).as("ok_p50"),
+        (col("a90") >= col("pc").getItem(3) && col("a90") <= col("pc").getItem(4)).as("ok_p90"))
   }
 
   /** Two-phase salted aggregate on a deliberately skewed key

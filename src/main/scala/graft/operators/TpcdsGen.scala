@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A deterministic TPC-DS data GENERATOR plus REAL TPC-DS queries over
+  * the generated star schema — the container ships no TPC-DS corpus
+  * (the one residue the shape battery in [[TpcdsQueries]] can't
+  * close), so the generator closes it from the other side: every
+  * column is a CLOSED-FORM integer function of a dense surrogate id,
+  * which means (a) generation is a map-only projection over
+  * `spark.range` — embarrassingly parallel, zero shuffle, any scale —
+  * and (b) the DuckDB oracle can regenerate the identical tables from
+  * `unnest(range(...))` CTEs and run the SAME query text, so the
+  * results are hash-checked end to end, not rows-only. The reference
+  * gates on generated TPC-DS data the same way
+  * (flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram
+  * .java:76-85 runs the 103 variants over dsdgen output); dsdgen's
+  * RNG streams aren't portable across engines, so this generator
+  * trades its distributions for multiplicative-hash columns that ARE.
+  *
+  * The fact volume scales with the host corpus (|store_sales| =
+  * |lineitem|), so sf dials and ScaleProbe's replication dial both
+  * move it; dimensions stay fixed-size (the star-schema contract that
+  * makes every dim join a broadcast).
+  *
+  * Query texts follow the published TPC-DS shapes on this schema:
+  * q3 (brand revenue by year for one manufacturer), q42 (category
+  * revenue one month), q52 (brand revenue one month), q55 (brand
+  * revenue for one manager), q7 (per-item averages under promo +
+  * demographic filters), q93 (per-customer net spend after returns).
+  * Money stays integer CENTS everywhere so no engine ever rounds.
+  */
+object TpcdsGen {
+
+  val N_DATES = 1461L  // four "years", 1998..2001
+  val N_ITEMS = 1000L
+  val N_CUSTS = 2000L
+  val N_STORES = 12L
+  val N_PROMOS = 30L
+
+  /** store_sales row count — scales with the host corpus. */
+  private def nSales(s: SparkSession, dir: String): Long =
+    Tables.load(s, dir, "lineitem").count()
+
+  // ---- generators (map-only projections over a dense id) ----------
+
+  def dateDim(s: SparkSession): DataFrame =
+    s.range(1, N_DATES + 1).toDF("d_date_sk").select(
+      col("d_date_sk"),
+      // floor-div, not Column./ (which is double division)
+      (lit(1998) + floor((col("d_date_sk") - 1) / 365)).cast("int").as("d_year"),
+      (floor(((col("d_date_sk") - 1) % 365) / 31) + 1).cast("int").as("d_moy"))
+
+  def item(s: SparkSession): DataFrame =
+    s.range(1, N_ITEMS + 1).toDF("i_item_sk").select(
+      col("i_item_sk"),
+      (col("i_item_sk") * 7 % 50 + 1).as("i_brand_id"),
+      concat(lit("Brand#"), col("i_item_sk") * 7 % 50 + 1).as("i_brand"),
+      (col("i_item_sk") * 11 % 10 + 1).as("i_category_id"),
+      concat(lit("Category#"), col("i_item_sk") * 11 % 10 + 1).as("i_category"),
+      (col("i_item_sk") * 13 % 100 + 1).as("i_manufact_id"),
+      (col("i_item_sk") * 17 % 40 + 1).as("i_manager_id"))
+
+  def customer(s: SparkSession): DataFrame =
+    s.range(1, N_CUSTS + 1).toDF("c_customer_sk").select(
+      col("c_customer_sk"),
+      (lit(1920) + col("c_customer_sk") * 3 % 80).cast("int").as("c_birth_year"))
+
+  def promotion(s: SparkSession): DataFrame =
+    s.range(1, N_PROMOS + 1).toDF("p_promo_sk").select(
+      col("p_promo_sk"),
+      when(col("p_promo_sk") % 2 === 0, "Y").otherwise("N").as("p_channel_email"),
+      when(col("p_promo_sk") % 3 === 0, "Y").otherwise("N").as("p_channel_event"))
+
+  def storeSales(s: SparkSession, n: Long): DataFrame =
+    s.range(1, n + 1).toDF("ss_ticket_number").select(
+      col("ss_ticket_number"),
+      (col("ss_ticket_number") * 131 % N_DATES + 1).as("ss_sold_date_sk"),
+      (col("ss_ticket_number") * 137 % N_ITEMS + 1).as("ss_item_sk"),
+      (col("ss_ticket_number") * 139 % N_CUSTS + 1).as("ss_customer_sk"),
+      (col("ss_ticket_number") * 7 % N_STORES + 1).as("ss_store_sk"),
+      (col("ss_ticket_number") * 11 % N_PROMOS + 1).as("ss_promo_sk"),
+      (col("ss_ticket_number") * 3 % 100 + 1).as("ss_quantity"),
+      (col("ss_ticket_number") * 151 % 9900 + 100).as("ss_list_price_c"),
+      (col("ss_ticket_number") * 149 % 9900 + 100).as("ss_sales_price_c"))
+      .withColumn("ss_ext_sales_price_c", col("ss_quantity") * col("ss_sales_price_c"))
+
+  /** Every 13th ticket returns part of its quantity. */
+  def storeReturns(s: SparkSession, n: Long): DataFrame =
+    storeSales(s, n)
+      .where(col("ss_ticket_number") % 13 === 0)
+      .select(
+        col("ss_ticket_number").as("sr_ticket_number"),
+        col("ss_item_sk").as("sr_item_sk"),
+        (col("ss_ticket_number") * 5 % col("ss_quantity") + 1).as("sr_return_quantity"))
+
+  /** The shared DuckDB CTE prefix regenerating the identical tables —
+    * every query's oracle SQL starts with this.
+    */
+  def oracleGenSql: String =
+    s"""WITH ids AS (
+       |  SELECT unnest(range(1, (SELECT count(*)+1 FROM lineitem)::BIGINT)) AS id),
+       |date_dim AS (
+       |  SELECT id AS d_date_sk,
+       |    (1998 + (id-1) // 365)::INT AS d_year,
+       |    (((id-1) % 365) // 31 + 1)::INT AS d_moy
+       |  FROM (SELECT unnest(range(1, ${N_DATES + 1})) AS id)),
+       |item AS (
+       |  SELECT id AS i_item_sk,
+       |    id*7 % 50 + 1 AS i_brand_id,
+       |    'Brand#' || (id*7 % 50 + 1) AS i_brand,
+       |    id*11 % 10 + 1 AS i_category_id,
+       |    'Category#' || (id*11 % 10 + 1) AS i_category,
+       |    id*13 % 100 + 1 AS i_manufact_id,
+       |    id*17 % 40 + 1 AS i_manager_id
+       |  FROM (SELECT unnest(range(1, ${N_ITEMS + 1})) AS id)),
+       |customer AS (
+       |  SELECT id AS c_customer_sk, (1920 + id*3 % 80)::INT AS c_birth_year
+       |  FROM (SELECT unnest(range(1, ${N_CUSTS + 1})) AS id)),
+       |promotion AS (
+       |  SELECT id AS p_promo_sk,
+       |    CASE WHEN id % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+       |    CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
+       |  FROM (SELECT unnest(range(1, ${N_PROMOS + 1})) AS id)),
+       |store_sales AS (
+       |  SELECT id AS ss_ticket_number,
+       |    id*131 % $N_DATES + 1 AS ss_sold_date_sk,
+       |    id*137 % $N_ITEMS + 1 AS ss_item_sk,
+       |    id*139 % $N_CUSTS + 1 AS ss_customer_sk,
+       |    id*7 % $N_STORES + 1 AS ss_store_sk,
+       |    id*11 % $N_PROMOS + 1 AS ss_promo_sk,
+       |    id*3 % 100 + 1 AS ss_quantity,
+       |    id*151 % 9900 + 100 AS ss_list_price_c,
+       |    id*149 % 9900 + 100 AS ss_sales_price_c,
+       |    (id*3 % 100 + 1) * (id*149 % 9900 + 100) AS ss_ext_sales_price_c
+       |  FROM ids),
+       |store_returns AS (
+       |  SELECT ss_ticket_number AS sr_ticket_number,
+       |    ss_item_sk AS sr_item_sk,
+       |    ss_ticket_number*5 % ss_quantity + 1 AS sr_return_quantity
+       |  FROM store_sales WHERE ss_ticket_number % 13 = 0)
+       |""".stripMargin
+
+  // ---- the queries (real TPC-DS texts on this schema) --------------
+
+  /** TPC-DS q3: brand revenue by year for one manufacturer in one
+    * month. Fact scans once; both dims broadcast (fixed-size by
+    * construction); the d_moy filter reaches the fact only through
+    * the date join — the classic star-join pruning Catalyst handles
+    * with a broadcast hash join + (at scale) DPP on the date key.
+    */
+  def q3(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, nSales(s, dir))
+      .join(broadcast(dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .where(col("i_manufact_id") === 28 && col("d_moy") === 11)
+      .groupBy(col("d_year"), col("i_brand_id"), col("i_brand"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_agg"))
+
+  /** TPC-DS q42: category revenue for one (month, year). */
+  def q42(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, nSales(s, dir))
+      .join(broadcast(dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .where(col("d_moy") === 11 && col("d_year") === 2000)
+      .groupBy(col("d_year"), col("i_category_id"), col("i_category"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_agg"))
+
+  /** TPC-DS q52: brand revenue for one (month, year). */
+  def q52(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, nSales(s, dir))
+      .join(broadcast(dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .where(col("d_moy") === 11 && col("d_year") === 2000)
+      .groupBy(col("d_year"), col("i_brand_id"), col("i_brand"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("ext_price"))
+
+  /** TPC-DS q55: brand revenue for one manager's items in one month. */
+  def q55(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, nSales(s, dir))
+      .join(broadcast(dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .where(col("i_manager_id") === 28 && col("d_moy") === 11 && col("d_year") === 1999)
+      .groupBy(col("i_brand_id"), col("i_brand"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("ext_price"))
+
+  /** TPC-DS q7: per-item quantity/price averages for sales to one
+    * birth-decade cohort under non-promoted channels (customer
+    * demographics stand in for q7's cd_* columns). Averages are
+    * exact-integer sums divided once at the end, so both engines
+    * produce bit-identical doubles.
+    */
+  def q7(s: SparkSession, dir: String): DataFrame =
+    storeSales(s, nSales(s, dir))
+      .join(broadcast(customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(promotion(s)), col("ss_promo_sk") === col("p_promo_sk"))
+      .where(col("c_birth_year").between(1940, 1949) &&
+        col("p_channel_email") === "N" && col("p_channel_event") === "N")
+      .groupBy(col("ss_item_sk"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("ss_quantity")).cast("double") / count(lit(1))).as("agg1"),
+        (sum(col("ss_list_price_c")).cast("double") / count(lit(1))).as("agg2"),
+        (sum(col("ss_sales_price_c")).cast("double") / count(lit(1))).as("agg3"))
+
+  /** TPC-DS q93: per-customer net spend after subtracting returned
+    * quantity — sales LEFT JOIN returns on (ticket, item), the
+    * returned part re-priced out. The join key is the ticket (dense,
+    * uniform by construction); returns are 1/13th of sales, so the
+    * join's build side is the small one at any scale.
+    */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val n = nSales(s, dir)
+    storeSales(s, n)
+      .join(storeReturns(s, n),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"), "left")
+      .select(col("ss_customer_sk"),
+        ((col("ss_quantity") - coalesce(col("sr_return_quantity"), lit(0L)))
+          * col("ss_sales_price_c")).as("act_sales_c"))
+      .groupBy(col("ss_customer_sk"))
+      .agg(sum(col("act_sales_c")).as("sumsales"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q3"  -> (q3 _),
+    "q_tpcdsgen_q42" -> (q42 _),
+    "q_tpcdsgen_q52" -> (q52 _),
+    "q_tpcdsgen_q55" -> (q55 _),
+    "q_tpcdsgen_q7"  -> (q7 _),
+    "q_tpcdsgen_q93" -> (q93 _))
+
+  val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q3" -> (oracleGenSql +
+      """SELECT d_year, i_brand_id, i_brand, sum(ss_ext_sales_price_c)::BIGINT AS sum_agg
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN item ON ss_item_sk = i_item_sk
+        |WHERE i_manufact_id = 28 AND d_moy = 11
+        |GROUP BY d_year, i_brand_id, i_brand""".stripMargin),
+    "q_tpcdsgen_q42" -> (oracleGenSql +
+      """SELECT d_year, i_category_id, i_category, sum(ss_ext_sales_price_c)::BIGINT AS sum_agg
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN item ON ss_item_sk = i_item_sk
+        |WHERE d_moy = 11 AND d_year = 2000
+        |GROUP BY d_year, i_category_id, i_category""".stripMargin),
+    "q_tpcdsgen_q52" -> (oracleGenSql +
+      """SELECT d_year, i_brand_id, i_brand, sum(ss_ext_sales_price_c)::BIGINT AS ext_price
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN item ON ss_item_sk = i_item_sk
+        |WHERE d_moy = 11 AND d_year = 2000
+        |GROUP BY d_year, i_brand_id, i_brand""".stripMargin),
+    "q_tpcdsgen_q55" -> (oracleGenSql +
+      """SELECT i_brand_id, i_brand, sum(ss_ext_sales_price_c)::BIGINT AS ext_price
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN item ON ss_item_sk = i_item_sk
+        |WHERE i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+        |GROUP BY i_brand_id, i_brand""".stripMargin),
+    "q_tpcdsgen_q7" -> (oracleGenSql +
+      """SELECT ss_item_sk, count(*) AS n,
+        |  sum(ss_quantity)::DOUBLE / count(*) AS agg1,
+        |  sum(ss_list_price_c)::DOUBLE / count(*) AS agg2,
+        |  sum(ss_sales_price_c)::DOUBLE / count(*) AS agg3
+        |FROM store_sales
+        |JOIN customer ON ss_customer_sk = c_customer_sk
+        |JOIN promotion ON ss_promo_sk = p_promo_sk
+        |WHERE c_birth_year BETWEEN 1940 AND 1949
+        |  AND p_channel_email = 'N' AND p_channel_event = 'N'
+        |GROUP BY ss_item_sk""".stripMargin),
+    "q_tpcdsgen_q93" -> (oracleGenSql +
+      """SELECT ss_customer_sk,
+        |  sum((ss_quantity - coalesce(sr_return_quantity, 0)) * ss_sales_price_c)::BIGINT
+        |    AS sumsales
+        |FROM store_sales
+        |LEFT JOIN store_returns
+        |  ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+        |GROUP BY ss_customer_sk""".stripMargin))
+}

@@ -423,3 +423,50 @@ final class MgStore(val k: Int) extends Serializable {
     }
   }
 }
+
+/** Mergeable Count–Min store — the streaming twin of
+  * [[FrequencyOps.freqCms]]'s sketch pass, and [[MgStore]]'s
+  * point-query companion (MG tracks WHO is frequent; CMS answers
+  * HOW OFTEN for any probed token). Each micro-batch folds through
+  * the same `count_min_sketch` aggregate the batch op runs —
+  * partial counter grids merge map-side, ONE serialized sketch
+  * (w·d longs, corpus-size-independent) reaches the driver — and
+  * the store merges it by cell-wise addition
+  * (`CountMinSketch.mergeInPlace`). Because CMS is a linear sketch,
+  * the stream-fold is EXACTLY the batch sketch over the concatenated
+  * stream (same eps/confidence/seed ⇒ same hash rows ⇒ addition
+  * commutes), not merely within-error — Round13OpsSpec asserts
+  * estimate-for-estimate equality. Same batchId replay guard as
+  * [[MgStore]]: foreachBatch re-delivers a failed batch with the
+  * same id, and double-folding a linear sketch would double its
+  * counts.
+  */
+final class CmsStore(eps: Double = 0.0005, conf: Double = 0.999, seed: Int = 42)
+    extends Serializable {
+  import org.apache.spark.util.sketch.CountMinSketch
+  private var sketch: CountMinSketch = null
+  private var n = 0L
+  private var lastBatch = -1L
+
+  def total: Long = n
+
+  /** Fold one micro-batch of tokens (replay-guarded). */
+  def fold(toks: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+    if (batchId > lastBatch) { fold(toks); lastBatch = batchId }
+
+  /** Unguarded fold for batch-mode callers (tests, one-shot). */
+  def fold(toks: org.apache.spark.sql.DataFrame): Unit = {
+    val row = toks.agg(
+      expr(s"count_min_sketch(tk, ${eps}D, ${conf}D, $seed)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val batchSketch = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    if (sketch == null) sketch = batchSketch else sketch.mergeInPlace(batchSketch)
+    n += row.getLong(1)
+  }
+
+  /** Point estimate for a token (0 before any fold). */
+  def estimate(tk: String): Long =
+    if (sketch == null) 0L
+    else sketch.estimateCount(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}

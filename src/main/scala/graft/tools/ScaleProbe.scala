@@ -217,7 +217,24 @@ object ScaleProbe {
       // round-12: per-source quota cap — WindowGroupLimit forwards
       // each map task's local top-cap per source, so the exchange
       // must stay tasks×cap per source, never corpus-sorted
-      "q_source_quota")
+      "q_source_quota",
+      // round-13: the resale fusion halved fact I/O (tracked above);
+      // chratio's anti-join must reduce returns to key SETS before
+      // the wire, cohort's fact re-join is custkey-keyed once
+      "q_tpcds_chratio", "q_tpcds_cohort",
+      // round-13 checked sketches: both must stay one fact pass with
+      // map-side-mergeable summaries (GK buffers / CMS counter
+      // grids) — a super-linear reading here means the exact audit
+      // side started dominating the sketch side
+      "q_agg_approx_pct", "q_freq_cms",
+      // round-13: deterministic multimodal ANN — codec decode is
+      // map-only, the cell probe is one broadcast equi-join, the
+      // rerank is WindowGroupLimit over cell-local candidates
+      "q_multimodal_ann_det",
+      // round-13: generated TPC-DS — |store_sales| tracks |lineitem|,
+      // so the star join (q3) and the fact-fact returns join (q93)
+      // must both scale with the replicated fact
+      "q_tpcdsgen_q3", "q_tpcdsgen_q93")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+

@@ -214,4 +214,33 @@ class Round13OpsSpec extends SparkSpec {
     val plan = withEst.queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback"), s"probe fell out of codegen:\n$plan")
   }
+
+  test("CmsStore: stream-fold across micro-batches EQUALS the batch " +
+      "sketch over the concatenated stream (linear sketch), and a " +
+      "replayed batchId is a no-op") {
+    import graft.text.CmsStore
+    val b1 = Seq("a", "b", "a", "c").toDF("tk")
+    val b2 = Seq("b", "b", "d", "a").toDF("tk")
+    val b3 = Seq("e", "a", "a", "b").toDF("tk")
+    val all = b1.union(b2).union(b3)
+
+    val stream = new CmsStore()
+    stream.fold(b1, 0L); stream.fold(b2, 1L); stream.fold(b3, 2L)
+    // at-least-once replay of the last batch: same id, must not double-fold
+    stream.fold(b3, 2L)
+    val batch = new CmsStore()
+    batch.fold(all)
+
+    assert(stream.total === batch.total)
+    val vocab = Seq("a", "b", "c", "d", "e", "absent")
+    vocab.foreach { tk =>
+      assert(stream.estimate(tk) === batch.estimate(tk),
+        s"linear-sketch merge diverged from one-shot sketch on '$tk'")
+    }
+    // exactness on this tiny vocab: estimates are >= true counts and
+    // the absent token stays within the eps*N overcount bound
+    val exact = Map("a" -> 5L, "b" -> 4L, "c" -> 1L, "d" -> 1L, "e" -> 1L, "absent" -> 0L)
+    vocab.foreach { tk => assert(stream.estimate(tk) >= exact(tk)) }
+    assert(stream.estimate("absent") <= math.ceil(0.0005 * stream.total).toLong)
+  }
 }
