@@ -60,13 +60,21 @@ object TpcdsGen {
       concat(lit("Brand#"), col("i_item_sk") * 7 % 50 + 1).as("i_brand"),
       (col("i_item_sk") * 11 % 10 + 1).as("i_category_id"),
       concat(lit("Category#"), col("i_item_sk") * 11 % 10 + 1).as("i_category"),
+      (col("i_item_sk") * 23 % 25 + 1).as("i_class_id"),
+      concat(lit("Class#"), col("i_item_sk") * 23 % 25 + 1).as("i_class"),
       (col("i_item_sk") * 13 % 100 + 1).as("i_manufact_id"),
-      (col("i_item_sk") * 17 % 40 + 1).as("i_manager_id"))
+      (col("i_item_sk") * 17 % 40 + 1).as("i_manager_id"),
+      (col("i_item_sk") * 19 % 9900 + 100).as("i_current_price_c"))
 
   def customer(s: SparkSession): DataFrame =
     s.range(1, N_CUSTS + 1).toDF("c_customer_sk").select(
       col("c_customer_sk"),
       (lit(1920) + col("c_customer_sk") * 3 % 80).cast("int").as("c_birth_year"))
+
+  def store(s: SparkSession): DataFrame =
+    s.range(1, N_STORES + 1).toDF("s_store_sk").select(
+      col("s_store_sk"),
+      concat(lit("ST"), col("s_store_sk") % 5).as("s_state"))
 
   def promotion(s: SparkSession): DataFrame =
     s.range(1, N_PROMOS + 1).toDF("p_promo_sk").select(
@@ -94,7 +102,11 @@ object TpcdsGen {
       .select(
         col("ss_ticket_number").as("sr_ticket_number"),
         col("ss_item_sk").as("sr_item_sk"),
+        col("ss_customer_sk").as("sr_customer_sk"),
+        col("ss_store_sk").as("sr_store_sk"),
         (col("ss_ticket_number") * 5 % col("ss_quantity") + 1).as("sr_return_quantity"))
+      .withColumn("sr_return_amt_c",
+        col("sr_return_quantity") * (col("sr_ticket_number") * 149 % 9900 + 100))
 
   /** The shared DuckDB CTE prefix regenerating the identical tables —
     * every query's oracle SQL starts with this.
@@ -113,12 +125,18 @@ object TpcdsGen {
        |    'Brand#' || (id*7 % 50 + 1) AS i_brand,
        |    id*11 % 10 + 1 AS i_category_id,
        |    'Category#' || (id*11 % 10 + 1) AS i_category,
+       |    id*23 % 25 + 1 AS i_class_id,
+       |    'Class#' || (id*23 % 25 + 1) AS i_class,
        |    id*13 % 100 + 1 AS i_manufact_id,
-       |    id*17 % 40 + 1 AS i_manager_id
+       |    id*17 % 40 + 1 AS i_manager_id,
+       |    id*19 % 9900 + 100 AS i_current_price_c
        |  FROM (SELECT unnest(range(1, ${N_ITEMS + 1})) AS id)),
        |customer AS (
        |  SELECT id AS c_customer_sk, (1920 + id*3 % 80)::INT AS c_birth_year
        |  FROM (SELECT unnest(range(1, ${N_CUSTS + 1})) AS id)),
+       |store AS (
+       |  SELECT id AS s_store_sk, 'ST' || (id % 5) AS s_state
+       |  FROM (SELECT unnest(range(1, ${N_STORES + 1})) AS id)),
        |promotion AS (
        |  SELECT id AS p_promo_sk,
        |    CASE WHEN id % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
@@ -139,7 +157,11 @@ object TpcdsGen {
        |store_returns AS (
        |  SELECT ss_ticket_number AS sr_ticket_number,
        |    ss_item_sk AS sr_item_sk,
-       |    ss_ticket_number*5 % ss_quantity + 1 AS sr_return_quantity
+       |    ss_customer_sk AS sr_customer_sk,
+       |    ss_store_sk AS sr_store_sk,
+       |    ss_ticket_number*5 % ss_quantity + 1 AS sr_return_quantity,
+       |    (ss_ticket_number*5 % ss_quantity + 1) * (ss_ticket_number*149 % 9900 + 100)
+       |      AS sr_return_amt_c
        |  FROM store_sales WHERE ss_ticket_number % 13 = 0)
        |""".stripMargin
 
@@ -224,7 +246,94 @@ object TpcdsGen {
       .agg(sum(col("act_sales_c")).as("sumsales"))
   }
 
+  /** TPC-DS q1: customers whose store-return total exceeds 1.2× their
+    * store's average. The correlated scalar subquery decorrelates to
+    * one per-store (sum, count) aggregate broadcast back onto the
+    * customer-grain frame, and the 1.2× cut runs in EXACT integers
+    * (total > 1.2·sum/cnt ⟺ 5·total·cnt > 6·sum — no float ever
+    * decides membership). Returns are fact-sized/13; both aggregates
+    * shuffle at return-key grain, the store dim broadcasts.
+    */
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    val ctr = storeReturns(s, nSales(s, dir))
+      .groupBy(col("sr_customer_sk").as("ctr_customer_sk"),
+        col("sr_store_sk").as("ctr_store_sk"))
+      .agg(sum(col("sr_return_amt_c")).as("ctr_total_return"))
+    val perStore = ctr.groupBy(col("ctr_store_sk").as("st_sk"))
+      .agg(sum(col("ctr_total_return")).as("st_sum"), count(lit(1)).as("st_cnt"))
+    ctr
+      .join(broadcast(perStore), col("ctr_store_sk") === col("st_sk"))
+      .where(col("ctr_total_return") * col("st_cnt") * 5 > col("st_sum") * 6)
+      .join(broadcast(store(s).where(col("s_state") === "ST2")),
+        col("ctr_store_sk") === col("s_store_sk"))
+      .select(col("ctr_customer_sk"), col("ctr_store_sk"), col("ctr_total_return"))
+  }
+
+  /** TPC-DS q6-shape: sales counts per category for items priced above
+    * 1.2× their category's average list price (exact-integer cut:
+    * price·cnt·5 > sum·6). The category stats are an item-sized
+    * aggregate broadcast back onto the item dim BEFORE the fact join,
+    * so the fact filters through one broadcast hash join.
+    */
+  def q6(s: SparkSession, dir: String): DataFrame = {
+    val it = item(s)
+    val catStats = it.groupBy(col("i_category_id").as("cat_id"))
+      .agg(sum(col("i_current_price_c")).as("cat_sum"), count(lit(1)).as("cat_cnt"))
+    val pricey = it
+      .join(broadcast(catStats), col("i_category_id") === col("cat_id"))
+      .where(col("i_current_price_c") * col("cat_cnt") * 5 > col("cat_sum") * 6)
+    storeSales(s, nSales(s, dir))
+      .join(broadcast(dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .where(col("d_year") === 2000 && col("d_moy") === 1)
+      .join(broadcast(pricey), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_category"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 10)
+  }
+
+  /** TPC-DS q65-shape: (store, item) pairs whose revenue falls below
+    * half the store's average item revenue. The fact collapses to
+    * (store, item) grain FIRST; the per-store average is a second
+    * store-grain aggregate broadcast back; the below-average cut is
+    * exact integer (rev ≤ avg/2 ⟺ 2·rev·cnt ≤ sum).
+    */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val sa = storeSales(s, nSales(s, dir))
+      .groupBy(col("ss_store_sk"), col("ss_item_sk"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("revenue"))
+    val sb = sa.groupBy(col("ss_store_sk").as("st_sk"))
+      .agg(sum(col("revenue")).as("st_sum"), count(lit(1)).as("st_cnt"))
+    sa.join(broadcast(sb), col("ss_store_sk") === col("st_sk"))
+      .where(col("revenue") * col("st_cnt") * 2 <= col("st_sum"))
+      .join(broadcast(item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .select(col("ss_store_sk"), col("i_brand"), col("ss_item_sk"), col("revenue"))
+  }
+
+  /** TPC-DS q98: per-item revenue plus its share of the item's CLASS
+    * revenue. The share window partitions by class over the
+    * item-sized AGGREGATED frame (never fact rows), and the ratio is
+    * integer ppm floor-div so both engines emit identical longs.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = storeSales(s, nSales(s, dir))
+      .join(broadcast(dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .where(col("d_year") === 2000)
+      .join(broadcast(item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_item_sk"), col("i_class"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("itemrevenue"))
+    agg
+      .withColumn("class_sum",
+        sum(col("itemrevenue")).over(Window.partitionBy(col("i_class"))))
+      .withColumn("revenueratio_ppm", expr("itemrevenue * 1000000 div class_sum"))
+      .drop("class_sum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q1"  -> (q1 _),
+    "q_tpcdsgen_q6"  -> (q6 _),
+    "q_tpcdsgen_q65" -> (q65 _),
+    "q_tpcdsgen_q98" -> (q98 _),
     "q_tpcdsgen_q3"  -> (q3 _),
     "q_tpcdsgen_q42" -> (q42 _),
     "q_tpcdsgen_q52" -> (q52 _),
@@ -233,6 +342,61 @@ object TpcdsGen {
     "q_tpcdsgen_q93" -> (q93 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q1" -> (oracleGenSql +
+      """, ctr AS (
+        |  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+        |    sum(sr_return_amt_c)::BIGINT AS ctr_total_return
+        |  FROM store_returns GROUP BY 1, 2),
+        |per_store AS (
+        |  SELECT ctr_store_sk AS st_sk, sum(ctr_total_return)::BIGINT AS st_sum,
+        |    count(*) AS st_cnt
+        |  FROM ctr GROUP BY 1)
+        |SELECT ctr_customer_sk, ctr_store_sk, ctr_total_return
+        |FROM ctr
+        |JOIN per_store ON ctr_store_sk = st_sk
+        |JOIN store ON ctr_store_sk = s_store_sk
+        |WHERE ctr_total_return * st_cnt * 5 > st_sum * 6 AND s_state = 'ST2'""".stripMargin),
+    "q_tpcdsgen_q6" -> (oracleGenSql +
+      """, cat_stats AS (
+        |  SELECT i_category_id AS cat_id, sum(i_current_price_c)::BIGINT AS cat_sum,
+        |    count(*) AS cat_cnt
+        |  FROM item GROUP BY 1),
+        |pricey AS (
+        |  SELECT i_item_sk, i_category FROM item
+        |  JOIN cat_stats ON i_category_id = cat_id
+        |  WHERE i_current_price_c * cat_cnt * 5 > cat_sum * 6)
+        |SELECT i_category, count(*) AS cnt
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN pricey ON ss_item_sk = i_item_sk
+        |WHERE d_year = 2000 AND d_moy = 1
+        |GROUP BY i_category
+        |HAVING count(*) >= 10""".stripMargin),
+    "q_tpcdsgen_q65" -> (oracleGenSql +
+      """, sa AS (
+        |  SELECT ss_store_sk, ss_item_sk, sum(ss_ext_sales_price_c)::BIGINT AS revenue
+        |  FROM store_sales GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT ss_store_sk AS st_sk, sum(revenue)::BIGINT AS st_sum,
+        |    count(*) AS st_cnt
+        |  FROM sa GROUP BY 1)
+        |SELECT ss_store_sk, i_brand, ss_item_sk, revenue
+        |FROM sa
+        |JOIN sb ON ss_store_sk = st_sk
+        |JOIN item ON ss_item_sk = i_item_sk
+        |WHERE revenue * st_cnt * 2 <= st_sum""".stripMargin),
+    "q_tpcdsgen_q98" -> (oracleGenSql +
+      """, agg AS (
+        |  SELECT i_item_sk, i_class, sum(ss_ext_sales_price_c)::BIGINT AS itemrevenue
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year = 2000
+        |  GROUP BY 1, 2)
+        |SELECT i_item_sk, i_class, itemrevenue,
+        |  (itemrevenue * 1000000 // sum(itemrevenue) OVER (PARTITION BY i_class))::BIGINT
+        |    AS revenueratio_ppm
+        |FROM agg""".stripMargin),
     "q_tpcdsgen_q3" -> (oracleGenSql +
       """SELECT d_year, i_brand_id, i_brand, sum(ss_ext_sales_price_c)::BIGINT AS sum_agg
         |FROM store_sales
