@@ -116,6 +116,36 @@ class PlanSpec extends SparkSpec {
       s"media ANN must prefilter through LSH buckets, not scan all pairs: $p")
   }
 
+  test("generated TPC-DS q3 plans the canonical star: one fact range, " +
+      "broadcast dims only, the aggregate's exchange is the only shuffle") {
+    val p = plan(operators.TpcdsGen.q3(spark, sfDir))
+    // both dims broadcast — a SortMergeJoin against a 1000-row dim
+    // would mean the stats/threshold wiring broke
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the fact id range materializes exactly once (q64's r12 lesson:
+    // a second fact pass is the expensive regression to guard)
+    val factRanges = p.linesIterator.count(l =>
+      l.contains("Arguments: Range (1,") && !l.contains("1462") &&
+        !l.contains("1001") && !l.contains("2001)") && !l.contains("13)") &&
+        !l.contains("31)"))
+    assert(factRanges === 1, s"expected exactly one fact Range, got $factRanges:\n$p")
+  }
+
+  test("generated TPC-DS q98's share window runs over the item-sized " +
+      "aggregate, never fact rows") {
+    val p = plan(operators.TpcdsGen.q98(spark, sfDir))
+    // tree section only (up to the first blank line): the Window's
+    // subtree must reach a HashAggregate before any scan — i.e. the
+    // window consumes the aggregated item frame, not fact rows
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val windowIdx = tree.indexWhere(_.contains("Window"))
+    val firstAgg = tree.indexWhere(_.contains("HashAggregate"))
+    val firstScan = tree.indexWhere(l => l.contains("Range") || l.contains("Scan"))
+    assert(windowIdx >= 0 && firstAgg > windowIdx && firstScan > firstAgg,
+      s"share window must consume the aggregated frame:\n$p")
+  }
+
   test("avro scan prunes to the referenced columns") {
     val df = graft.operators.MiscQueries.avroRoundtrip(spark, sfDir)
     val scan = df.queryExecution.optimizedPlan.collect {
