@@ -85,6 +85,26 @@ object TvfQueries {
       .select(col("pid"), col("vid"))
   }
 
+  /** LEFT OUTER interval join — purchases with no view inside the
+    * window still emit, null-padded (the reference's
+    * IntervalJoinOperator outer emission, TimeIntervalJoin.java).
+    * Same equi-key hash join with the range residual; the join type
+    * alone changes. A narrow tighter window (2 minutes) so unmatched
+    * rows actually exist at gate scale.
+    */
+  def intervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("v_user"), col("ts").as("vts"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+        col("vts") >= col("pts") - expr("INTERVAL '2' MINUTE") &&
+        col("vts") <= col("pts"), "left")
+      .select(col("pid"), col("vid"))
+  }
+
   /** Temporal as-of join: latest click at or before each purchase per
     * user — see [[AsOfJoin]] for the sort-based algorithm.
     */
@@ -137,6 +157,7 @@ object TvfQueries {
     "q_tvf_cumulate"  -> (cumulate _),
     "q_tvf_session"   -> (session _),
     "q_interval_join" -> (intervalJoin _),
+    "q_interval_join_left" -> (intervalJoinLeft _),
     "q_asof_join"     -> (asofJoin _),
     "q_asof_native"   -> (asofJoinNative _),
     "q_cep_pattern"   -> (cepPattern _))
@@ -181,6 +202,12 @@ object TvfQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id
         | AND v.ts >= p.ts - INTERVAL '10 minutes' AND v.ts <= p.ts""".stripMargin,
+    "q_interval_join_left" ->
+      """SELECT p.event_id AS pid, v.event_id AS vid
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL '2 minutes' AND v.ts <= p.ts""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id AS pid, p.user_id, p.ts AS pts,
         |  c.event_id AS cid, c.ts AS cts

@@ -130,12 +130,28 @@ object StreamingOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lateness: String,
-      lowerBound: String, upperBound: String): DataFrame = {
+      lowerBound: String, upperBound: String): DataFrame =
+    intervalJoin(left, right, key, leftTs, rightTs, lateness,
+      lowerBound, upperBound, "inner")
+
+  /** Outer-typed variant — the reference's IntervalJoinOperator emits
+    * the null-padded row for an unmatched outer-side element once the
+    * watermark proves no in-range partner can still arrive
+    * (flink-table-runtime .../join/interval/TimeIntervalJoin.java);
+    * Spark's stream-stream outer join implements exactly that
+    * contract natively when the join condition carries the event-time
+    * bound, so this is the same one-liner with `joinType` — state on
+    * both sides stays watermark-bounded.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lateness: String,
+      lowerBound: String, upperBound: String, joinType: String): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lowerBound") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound"))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound"),
+      joinType)
   }
 }

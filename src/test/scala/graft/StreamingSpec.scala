@@ -214,4 +214,41 @@ class StreamingSpec extends SparkSpec {
       assert(rows.filter(_._1 == 2L) === List((2L, 2L)), s"user 2 must merge: $rows")
     } finally q.stop()
   }
+
+  test("LEFT OUTER interval join: matched pairs emit in-range, the " +
+      "unmatched left row emits null-padded once the watermark proves " +
+      "no partner can arrive (IntervalJoinOperator outer contract)") {
+    val lIn = MemoryStream[(Timestamp, Long, String)](91, spark, None)
+    val rIn = MemoryStream[(Timestamp, Long, String)](92, spark, None)
+    val purchases = lIn.toDF().toDF("pts", "user_id", "pid")
+    val views = rIn.toDF().toDF("vts", "vuser", "vid")
+      .withColumnRenamed("vuser", "user_id")
+    val joined = StreamingOps.intervalJoin(
+      purchases, views, "user_id", "pts", "vts", "5 minutes",
+      "'2' MINUTE", "'0' MINUTE", "leftOuter")
+    val name = nextName()
+    val q = joined.select("pid", "vid").writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      // user 1's purchase at 10:05 has a view 1 min earlier (match);
+      // user 2's purchase at 10:05 has NO view within [-2m, 0]
+      lIn.addData((ts(5), 1L, "p1"), (ts(5), 2L, "p2"))
+      rIn.addData((ts(4), 1L, "v1"), (ts(20), 2L, "v-late"))
+      q.processAllAvailable()
+      // push both watermarks far past the bound so p2 finalizes
+      lIn.addData((ts(59), 9L, "p-adv"))
+      rIn.addData((ts(59), 9L, "v-adv"))
+      q.processAllAvailable()
+      lIn.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 8L, "p-adv2"))
+      rIn.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 8L, "v-adv2"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows.contains(("p1", Some("v1"))), s"in-range match lost: $rows")
+      assert(rows.contains(("p2", None)),
+        s"unmatched left row must emit null-padded after the watermark: $rows")
+      assert(!rows.exists { case (p, v) => p == "p2" && v.isDefined },
+        s"out-of-range view must not match: $rows")
+    } finally q.stop()
+  }
 }
