@@ -143,6 +143,27 @@ object StreamingOps {
     * bound, so this is the same one-liner with `joinType` — state on
     * both sides stays watermark-bounded.
     */
+  /** Streaming window join (StreamExecWindowJoin): both sides assign
+    * the same tumbling window from their own event time, then join on
+    * (window, key) — rows pair only inside a shared window. Spark
+    * supports the window-equality stream-stream join natively (the
+    * watermark flows through `window()` so per-window join state
+    * evicts once the watermark passes the window end — the same
+    * state-cleanup contract the reference's window join gets from
+    * window finality). joinType covers the outer variants.
+    */
+  def windowJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, size: String, lateness: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+      .withColumn("w", window(col(leftTs), size))
+    val r = right.withWatermark(rightTs, lateness)
+      .withColumn("rw", window(col(rightTs), size))
+      .withColumnRenamed(key, s"__r_$key")
+    l.join(r, l("w") === r("rw") && l(key) === r(s"__r_$key"), joinType)
+      .drop("rw", s"__r_$key")
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lateness: String,
       lowerBound: String, upperBound: String, joinType: String): DataFrame = {

@@ -251,4 +251,30 @@ class StreamingSpec extends SparkSpec {
         s"out-of-range view must not match: $rows")
     } finally q.stop()
   }
+
+  test("streaming window join pairs rows only inside a shared tumbling " +
+      "window (StreamExecWindowJoin semantics)") {
+    val lIn = MemoryStream[(Timestamp, Long, String)](93, spark, None)
+    val rIn = MemoryStream[(Timestamp, Long, String)](94, spark, None)
+    val l = lIn.toDF().toDF("lts", "user_id", "lid")
+    val r = rIn.toDF().toDF("rts", "user_id", "rid")
+    val joined = StreamingOps.windowJoinStream(
+      l, r, "user_id", "lts", "rts", "5 minutes", "5 minutes")
+    val name = nextName()
+    val q = joined.select("lid", "rid").writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      // user 1: both sides in window [10:00,10:05) => pair;
+      // user 2: left in [10:00,10:05), right in [10:05,10:10) => no pair
+      lIn.addData((ts(1), 1L, "l1"), (ts(2), 2L, "l2"))
+      rIn.addData((ts(3), 1L, "r1"), (ts(6), 2L, "r2"))
+      q.processAllAvailable()
+      lIn.addData((ts(59), 9L, "l-adv")); rIn.addData((ts(59), 8L, "r-adv"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r0 => (r0.getString(0), r0.getString(1))).toSet
+      assert(rows === Set(("l1", "r1")),
+        s"window join must pair same-window rows only: $rows")
+    } finally q.stop()
+  }
 }
