@@ -45,7 +45,7 @@ object Bench {
     "q_text_gopher", "q_text_bm25", "q_lm_perplexity",
     "q_quality_classifier", "q_token_budget",
     "q_graph_pagerank", "q_graph_triangles", "q_graph_cc", "q_sql_recursive",
-    "q_tpcds_channels", "q_tpcds_freqbest",
+    "q_tpcds_channels", "q_tpcds_freqbest", "q_tpcdsgen_q3", "q_freq_cms",
     "q_funnel", "q_sessionize", "q_pipeline_curate",
     "q_window_topn", "q_cep_pattern")
 

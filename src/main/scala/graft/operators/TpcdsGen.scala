@@ -329,7 +329,30 @@ object TpcdsGen {
       .drop("class_sum")
   }
 
+  /** TPC-DS q59: store weekly revenue compared against the same week
+    * one year later. The fact collapses to (store, week) grain in ONE
+    * aggregate (week is a closed-form floor-div of the date key — no
+    * date join needed), and the year-over-year comparison self-joins
+    * the AGGREGATED 624-row frame, never fact rows; the ratio is
+    * integer ppm floor-div.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val weekly = storeSales(s, nSales(s, dir))
+      .withColumn("wk", expr(s"(ss_sold_date_sk - 1) div 7 + 1"))
+      .groupBy(col("ss_store_sk"), col("wk"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("rev"))
+    val y1 = weekly.where(col("wk") <= 52)
+      .select(col("ss_store_sk").as("store"), col("wk"), col("rev").as("rev1"))
+    val y2 = weekly.where(col("wk") > 52 && col("wk") <= 104)
+      .select(col("ss_store_sk").as("store2"), (col("wk") - 52).as("wk2"),
+        col("rev").as("rev2"))
+    y1.join(y2, col("store") === col("store2") && col("wk") === col("wk2"))
+      .select(col("store"), col("wk"), col("rev1"), col("rev2"))
+      .withColumn("ratio_ppm", expr("rev2 * 1000000 div rev1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q59" -> (q59 _),
     "q_tpcdsgen_q1"  -> (q1 _),
     "q_tpcdsgen_q6"  -> (q6 _),
     "q_tpcdsgen_q65" -> (q65 _),
@@ -342,6 +365,16 @@ object TpcdsGen {
     "q_tpcdsgen_q93" -> (q93 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q59" -> (oracleGenSql +
+      """, weekly AS (
+        |  SELECT ss_store_sk, (ss_sold_date_sk - 1) // 7 + 1 AS wk,
+        |    sum(ss_ext_sales_price_c)::BIGINT AS rev
+        |  FROM store_sales GROUP BY 1, 2)
+        |SELECT y1.ss_store_sk AS store, y1.wk, y1.rev AS rev1, y2.rev AS rev2,
+        |  (y2.rev * 1000000 // y1.rev)::BIGINT AS ratio_ppm
+        |FROM weekly y1
+        |JOIN weekly y2 ON y1.ss_store_sk = y2.ss_store_sk AND y2.wk = y1.wk + 52
+        |WHERE y1.wk <= 52""".stripMargin),
     "q_tpcdsgen_q1" -> (oracleGenSql +
       """, ctr AS (
         |  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
