@@ -145,6 +145,7 @@ object FlinkFunctions {
     // "this session already ran registerAll" and nothing else.
     val sentinel = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fns_registered")
     if (reg.functionExists(sentinel)) return
+    val recorded = scala.collection.mutable.ListBuffer.empty[String]
     def reg1(name: String)(b: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
         => org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
       // the intentional builtin shadows (cot, to_timestamp_ltz) would
@@ -152,6 +153,7 @@ object FlinkFunctions {
       // makes every registration a silent fresh insert
       reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
       reg.createOrReplaceTempFunction(name, b, "built-in")
+      recorded += name
     }
     reg1(sentinel.funcName) { _ => expressions.Literal(true) }
 
@@ -345,6 +347,60 @@ object FlinkFunctions {
           expressions.UnaryMinus(expressions.Cast(expressions.Floor(
             expressions.UnaryMinus(scaled)), org.apache.spark.sql.types.DoubleType))),
         p)
+    }
+    if (allNames.isEmpty) allNames = recorded.toList
+  }
+
+  /** Every SQL name registerAll registers, captured on its first full
+    * run (the surface is static, so one capture serves all sessions).
+    * Drives the module system's UNLOAD path.
+    */
+  @volatile private var allNames: Seq[String] = Nil
+
+  /** The registrations that deliberately SHADOW a Spark builtin with
+    * the Flink signature. Module resolution ORDER decides who wins
+    * these names (first used module wins, like the reference's
+    * ModuleManager.getFunctionDefinition).
+    */
+  private[graft] val shadowNames: Seq[String] = Seq("cot", "to_timestamp_ltz")
+
+  /** UNLOAD MODULE graft: drop every graft-registered SQL name and
+    * restore the Spark builtin for any name that shadowed one, so the
+    * session's function surface is exactly core-module Spark again.
+    */
+  def unregisterAll(spark: SparkSession): Unit = {
+    if (allNames.isEmpty) registerAll(spark) // capture the name list
+    val reg = spark.sessionState.functionRegistry
+    allNames.foreach { n => dropAndRestoreBuiltin(reg, n) }
+  }
+
+  /** LOAD MODULE graft / USE MODULES graft, ...: (re-)register the
+    * full graft surface, shadows included — drops the sentinel first
+    * so registerAll runs even in a session it already initialized.
+    */
+  def reloadAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fns_registered"))
+    registerAll(spark)
+  }
+
+  /** USE MODULES core, graft: graft names stay loaded but core wins
+    * the conflicting (shadow) names — restore those builtins only.
+    */
+  def demoteShadows(spark: SparkSession): Unit =
+    shadowNames.foreach(n =>
+      dropAndRestoreBuiltin(spark.sessionState.functionRegistry, n))
+
+  private def dropAndRestoreBuiltin(
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
+      name: String): Unit = {
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    reg.dropFunction(ident)
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    builtin.lookupFunctionBuilder(ident).foreach { b =>
+      builtin.lookupFunction(ident).foreach { info =>
+        reg.registerFunction(ident, info, b)
+      }
     }
   }
 }

@@ -651,7 +651,7 @@ object GraftSql {
     * `CREATE TABLE ... WITH (...)` delegates to the catalog.
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
-    graft.functions.FlinkFunctions.registerAll(spark)
+    Modules.ensure(spark) // respects LOAD/UNLOAD/USE MODULES state
     val toks = tokenize(text)
     // EXPLAIN [PLAN FOR] <statement> (Flink's explain dialect): the
     // body goes through THIS front door (TVFs, temporal joins,
@@ -816,6 +816,28 @@ object GraftSql {
         org.apache.spark.sql.catalyst.FunctionIdentifier(cleanName(rest.head.text)))
       return spark.emptyDataFrame
     }
+    // LOAD/UNLOAD MODULE, USE MODULES, SHOW [FULL] MODULES — the
+    // reference's module system (function-definition providers with
+    // order-sensitive name resolution); see graft.sql.Modules
+    if (toks.length == 3 && toks.head.is("LOAD") && toks(1).is("MODULE")) {
+      Modules.load(spark, cleanName(toks(2).text).toLowerCase)
+      return spark.emptyDataFrame
+    }
+    if (toks.length == 3 && toks.head.is("UNLOAD") && toks(1).is("MODULE")) {
+      Modules.unload(spark, cleanName(toks(2).text).toLowerCase)
+      return spark.emptyDataFrame
+    }
+    if (toks.length >= 3 && toks.head.is("USE") && toks(1).is("MODULES")) {
+      val names = toks.drop(2).filterNot(_.isPunct(","))
+        .map(t => cleanName(t.text).toLowerCase)
+      Modules.use(spark, names)
+      return spark.emptyDataFrame
+    }
+    if (toks.length == 2 && toks.head.is("SHOW") && toks(1).is("MODULES"))
+      return Modules.showModules(spark)
+    if (toks.length == 3 && toks.head.is("SHOW") && toks(1).is("FULL") &&
+        toks(2).is("MODULES"))
+      return Modules.showFullModules(spark)
     // USE CATALOG c (SqlUseCatalog) — Spark spells it SET CATALOG;
     // accept the reference's form. A hive-alias catalog (CREATE
     // CATALOG ... type 'hive' in a hive-enabled session) resolves to

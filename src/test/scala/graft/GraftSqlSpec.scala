@@ -868,4 +868,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("user_id", "n_actions", "purchase_ts"))
     assert(df.count() > 0)
   }
+
+  test("module system: LOAD/UNLOAD MODULE, USE MODULES order decides " +
+      "shadowed-name resolution, SHOW [FULL] MODULES") {
+    def one(q: String) = GraftSql.sql(spark, q).collect()
+    try {
+      // default: graft first => Flink signature wins the shadow names
+      assert(one("SHOW MODULES").map(_.getString(0)).toSeq === Seq("graft", "core"))
+      assert(one("SELECT to_timestamp_ltz(0, 0) AS t")
+        .head.getTimestamp(0).toInstant.toEpochMilli === 0L)
+      // core first => the Spark builtin (string signature) wins
+      one("USE MODULES core, graft")
+      assert(one("SELECT to_timestamp_ltz('2024-01-02 03:04:05') AS t")
+        .head.getTimestamp(0) != null)
+      // graft names that shadow nothing stay resolvable either way
+      assert(one("SELECT fingerprint64('x') AS f").head.getLong(0) ===
+        one("SELECT fingerprint64('x') AS f").head.getLong(0))
+      // unload graft: flink-only names unresolvable, builtins intact
+      one("UNLOAD MODULE graft")
+      val full = one("SHOW FULL MODULES").map(r => (r.getString(0), r.getBoolean(1)))
+      assert(full.toSeq === Seq(("core", true)))
+      intercept[Exception] { one("SELECT fingerprint64('x')") }
+      assert(one("SELECT cot(1.0) AS c").head.getDouble(0) > 0.6) // builtin cot
+      // reload appends graft to the END of the used order => core
+      // still wins the shadows (the reference's LOAD append contract)
+      one("LOAD MODULE graft")
+      assert(one("SHOW MODULES").map(_.getString(0)).toSeq === Seq("core", "graft"))
+      assert(one("SELECT fingerprint64('x') AS f").nonEmpty)
+      assert(one("SELECT to_timestamp_ltz('2024-01-02 03:04:05') AS t")
+        .head.getTimestamp(0) != null)
+      intercept[Exception] { one("LOAD MODULE graft") }   // already loaded
+      intercept[Exception] { one("UNLOAD MODULE core") }  // declared deviation
+      intercept[Exception] { one("USE MODULES nosuch, core") }
+    } finally one("USE MODULES graft, core") // restore default semantics
+  }
 }
