@@ -212,6 +212,42 @@ object AggQueries {
         (col("a90") >= col("pc").getItem(3) && col("a90") <= col("pc").getItem(4)).as("ok_p90"))
   }
 
+  /** HLL sketch ROLLUP (Datasketches HllSketch via Spark's
+    * hll_sketch_agg/hll_union_agg, the same sketch family the
+    * reference ecosystem uses for distinct rollups): per-group
+    * sketches union to answer the GLOBAL distinct question without
+    * rescanning the fact — the pre-aggregated sketch-table pattern a
+    * warehouse keeps at 100 TB (store 5 sketch binaries, answer any
+    * group combination later). Exact counts ride the key-grain
+    * deduped frame as the AUDIT (same dedup-first shape as
+    * [[aggApprox]] — mixing count(DISTINCT) with a sketch agg in one
+    * aggregate trips Catalyst's distinct-rewrite into per-key sketch
+    * buffers), and the emitted booleans assert |est − exact| ≤
+    * 2·rsd·exact at BOTH levels (lgK=14 ⇒ rsd ≈ 0.81%); the oracle
+    * recomputes exact counts and asserts literal TRUE.
+    */
+  def aggHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 1.04 / math.sqrt(1 << 14)
+    val keys = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey")).distinct()
+    val per = keys.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("nd"),
+        expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    val groups = per.select(col("o_orderpriority").as("grp"), col("nd"),
+      (abs(expr("hll_sketch_estimate(sk)") - col("nd"))
+        <= lit(2 * rsd) * col("nd")).as("ok"))
+    // the global row comes from UNIONING the 5 per-group sketches —
+    // no second fact pass; the exact global is the audit, computed on
+    // the key-grain frame
+    val globalExact = keys.agg(countDistinct(col("o_custkey")).as("nd"))
+    val globalEst = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+    val global = globalExact.crossJoin(globalEst)
+      .select(lit("ALL").as("grp"), col("nd"),
+        (abs(col("est") - col("nd")) <= lit(2 * rsd) * col("nd")).as("ok"))
+    groups.unionByName(global)
+  }
+
   /** Two-phase salted aggregate on a deliberately skewed key
     * (l_returnflag has 3 values): the hot key spreads over salt
     * buckets before the final merge — must equal a direct GROUP BY
@@ -243,7 +279,8 @@ object AggQueries {
     "q_agg_listagg"      -> (aggListagg _),
     "q_agg_maxby"        -> (aggMaxBy _),
     "q_agg_approx"       -> (aggApprox _),
-    "q_agg_approx_pct"   -> (aggApproxPct _))
+    "q_agg_approx_pct"   -> (aggApproxPct _),
+    "q_agg_hll_rollup"   -> (aggHllRollup _))
 
   val oracle: Map[String, String] = Map(
     // the HLL++ estimates are engine-private; the CONTRACT is not —
@@ -254,6 +291,14 @@ object AggQueries {
         |  count(DISTINCT l_orderkey) AS nd_order,
         |  true AS ok_part, true AS ok_order
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the HLL sketch binaries are engine-private; exact counts and
+    // the 2·rsd gates at both rollup levels are the checked output
+    "q_agg_hll_rollup" ->
+      """SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS nd, true AS ok
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'ALL' AS grp, count(DISTINCT o_custkey) AS nd, true AS ok
+        |FROM orders""".stripMargin,
     // the GK sketch values are engine-private; the CONTRACT is not —
     // exact count/median must match and the ±2·eps rank gates be TRUE
     "q_agg_approx_pct" ->

@@ -470,3 +470,47 @@ final class CmsStore(eps: Double = 0.0005, conf: Double = 0.999, seed: Int = 42)
     if (sketch == null) 0L
     else sketch.estimateCount(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
+
+/** Mergeable HLL store — the streaming twin of
+  * [[graft.operators.AggQueries.aggHllRollup]]'s sketch side, and the
+  * third of the sketch-store family ([[MgStore]] frequent-items,
+  * [[CmsStore]] point frequencies, this: distinct counts). Each
+  * micro-batch folds through `hll_sketch_agg` (Datasketches HLL —
+  * register max-folds merge map-side, ONE ~2^lgK-byte binary reaches
+  * the driver per batch) and the readout UNIONS the per-batch
+  * binaries through `hll_union_agg` in a tiny one-row job. Register
+  * max-folds make the union's REGISTER STATE identical to a one-shot
+  * sketch; the ESTIMATE may differ slightly because a freshly-built
+  * sketch reads through the HIP estimator while a union reads the
+  * composite estimator (the published Datasketches contract), so the
+  * twin's pin is the 2·rsd accuracy bound, not bit equality. Same
+  * batchId replay guard as the siblings.
+  */
+final class HllStore(lgK: Int = 14) extends Serializable {
+  private val batches = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+  private var lastBatch = -1L
+
+  def rsd: Double = 1.04 / math.sqrt(1 << lgK)
+
+  /** Fold one micro-batch of a single-column frame named `k`
+    * (replay-guarded). */
+  def fold(keys: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+    if (batchId > lastBatch) { fold(keys); lastBatch = batchId }
+
+  /** Unguarded fold for batch-mode callers (tests, one-shot). */
+  def fold(keys: org.apache.spark.sql.DataFrame): Unit =
+    batches += keys.agg(expr(s"hll_sketch_agg(k, $lgK)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Distinct-count estimate across every folded batch: union the
+    * stored binaries in one |batches|-row job.
+    */
+  def estimate(spark: SparkSession): Long = {
+    if (batches.isEmpty) return 0L
+    val s = spark.implicits
+    import s._
+    batches.toSeq.toDF("sk")
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk, true)) as long)"))
+      .head().getLong(0)
+  }
+}

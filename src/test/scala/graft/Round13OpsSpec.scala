@@ -243,4 +243,20 @@ class Round13OpsSpec extends SparkSpec {
     vocab.foreach { tk => assert(stream.estimate(tk) >= exact(tk)) }
     assert(stream.estimate("absent") <= math.ceil(0.0005 * stream.total).toLong)
   }
+
+  test("HllStore: per-batch sketch folds union to a distinct count " +
+      "within 2*rsd of exact across batches; replayed batchId is a no-op") {
+    import graft.text.HllStore
+    // three batches with overlap: distinct union = 1..1500
+    val b1 = spark.range(1, 1001).toDF("k")
+    val b2 = spark.range(500, 1301).toDF("k")
+    val b3 = spark.range(1200, 1501).toDF("k")
+    val store = new HllStore()
+    store.fold(b1, 0L); store.fold(b2, 1L); store.fold(b3, 2L)
+    store.fold(b3, 2L) // at-least-once replay must not double-fold
+    val est = store.estimate(spark)
+    val exact = 1500L
+    assert(math.abs(est - exact) <= 2 * store.rsd * exact,
+      s"union estimate $est outside 2*rsd of $exact")
+  }
 }
