@@ -95,7 +95,8 @@ object TpcdsGen {
       (col("ss_ticket_number") * 149 % 9900 + 100).as("ss_sales_price_c"))
       .withColumn("ss_ext_sales_price_c", col("ss_quantity") * col("ss_sales_price_c"))
 
-  /** Every 13th ticket returns part of its quantity. */
+  /** Every 13th ticket returns part of its quantity, 1–60 days after
+    * the sale. */
   def storeReturns(s: SparkSession, n: Long): DataFrame =
     storeSales(s, n)
       .where(col("ss_ticket_number") % 13 === 0)
@@ -104,9 +105,25 @@ object TpcdsGen {
         col("ss_item_sk").as("sr_item_sk"),
         col("ss_customer_sk").as("sr_customer_sk"),
         col("ss_store_sk").as("sr_store_sk"),
+        col("ss_sold_date_sk"),
         (col("ss_ticket_number") * 5 % col("ss_quantity") + 1).as("sr_return_quantity"))
       .withColumn("sr_return_amt_c",
         col("sr_return_quantity") * (col("sr_ticket_number") * 149 % 9900 + 100))
+      .withColumn("sr_returned_date_sk",
+        col("ss_sold_date_sk") + col("sr_ticket_number") % 60 + 1)
+      .drop("ss_sold_date_sk")
+
+  /** The second sales channel — half store volume, its own key
+    * mixers, so channel overlaps are non-trivial. */
+  def catalogSales(s: SparkSession, n: Long): DataFrame =
+    s.range(1, n / 2 + 1).toDF("cs_order_number").select(
+      col("cs_order_number"),
+      (col("cs_order_number") * 127 % N_DATES + 1).as("cs_sold_date_sk"),
+      (col("cs_order_number") * 133 % N_ITEMS + 1).as("cs_item_sk"),
+      (col("cs_order_number") * 141 % N_CUSTS + 1).as("cs_customer_sk"),
+      (col("cs_order_number") * 5 % 100 + 1).as("cs_quantity"),
+      (col("cs_order_number") * 157 % 9900 + 100).as("cs_sales_price_c"))
+      .withColumn("cs_ext_sales_price_c", col("cs_quantity") * col("cs_sales_price_c"))
 
   /** The shared DuckDB CTE prefix regenerating the identical tables —
     * every query's oracle SQL starts with this.
@@ -161,8 +178,18 @@ object TpcdsGen {
        |    ss_store_sk AS sr_store_sk,
        |    ss_ticket_number*5 % ss_quantity + 1 AS sr_return_quantity,
        |    (ss_ticket_number*5 % ss_quantity + 1) * (ss_ticket_number*149 % 9900 + 100)
-       |      AS sr_return_amt_c
-       |  FROM store_sales WHERE ss_ticket_number % 13 = 0)
+       |      AS sr_return_amt_c,
+       |    ss_sold_date_sk + ss_ticket_number % 60 + 1 AS sr_returned_date_sk
+       |  FROM store_sales WHERE ss_ticket_number % 13 = 0),
+       |catalog_sales AS (
+       |  SELECT id AS cs_order_number,
+       |    id*127 % $N_DATES + 1 AS cs_sold_date_sk,
+       |    id*133 % $N_ITEMS + 1 AS cs_item_sk,
+       |    id*141 % $N_CUSTS + 1 AS cs_customer_sk,
+       |    id*5 % 100 + 1 AS cs_quantity,
+       |    id*157 % 9900 + 100 AS cs_sales_price_c,
+       |    (id*5 % 100 + 1) * (id*157 % 9900 + 100) AS cs_ext_sales_price_c
+       |  FROM (SELECT unnest(range(1, (SELECT count(*)//2+1 FROM lineitem)::BIGINT)) AS id))
        |""".stripMargin
 
   // ---- the queries (real TPC-DS texts on this schema) --------------
@@ -351,7 +378,53 @@ object TpcdsGen {
       .withColumn("ratio_ppm", expr("rev2 * 1000000 div rev1"))
   }
 
+  /** TPC-DS q97: store/catalog channel overlap — how many customers
+    * bought in one channel only vs both, inside one month. Both
+    * channels collapse to DISTINCT customer key sets BEFORE the FULL
+    * OUTER join (key sets cross the wire, never fact rows), and the
+    * three counts are conditional aggregates over the join's null
+    * pattern — one row out.
+    */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val n = nSales(s, dir)
+    val dd = dateDim(s).where(col("d_year") === 1998 && col("d_moy") === 1)
+    val ss = storeSales(s, n)
+      .join(broadcast(dd), col("ss_sold_date_sk") === col("d_date_sk"))
+      .select(col("ss_customer_sk")).distinct()
+    val cs = catalogSales(s, n)
+      .join(broadcast(dd), col("cs_sold_date_sk") === col("d_date_sk"))
+      .select(col("cs_customer_sk")).distinct()
+    ss.join(cs, col("ss_customer_sk") === col("cs_customer_sk"), "full_outer")
+      .agg(
+        sum(when(col("ss_customer_sk").isNotNull && col("cs_customer_sk").isNull, 1)
+          .otherwise(0)).as("store_only"),
+        sum(when(col("ss_customer_sk").isNull && col("cs_customer_sk").isNotNull, 1)
+          .otherwise(0)).as("catalog_only"),
+        sum(when(col("ss_customer_sk").isNotNull && col("cs_customer_sk").isNotNull, 1)
+          .otherwise(0)).as("both_channels"))
+  }
+
+  /** TPC-DS q50: return-latency histogram per store — returns banded
+    * by days between sale and return (≤30 / 31–60 / >60), counted in
+    * ONE conditional-aggregate pass over the returns (the sale date
+    * rides the return row by construction, so no fact re-join is
+    * needed; the published query joins back through the two date
+    * dims — same bands, one scan here).
+    */
+  def q50(s: SparkSession, dir: String): DataFrame =
+    storeReturns(s, nSales(s, dir))
+      .withColumn("lag_days", col("sr_returned_date_sk")
+        - (col("sr_ticket_number") * 131 % N_DATES + 1))
+      .groupBy(col("sr_store_sk"))
+      .agg(
+        sum(when(col("lag_days") <= 30, 1).otherwise(0)).as("d30"),
+        sum(when(col("lag_days") > 30 && col("lag_days") <= 60, 1).otherwise(0)).as("d31_60"),
+        sum(when(col("lag_days") > 60, 1).otherwise(0)).as("d60plus"),
+        count(lit(1)).as("n_returns"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q97" -> (q97 _),
+    "q_tpcdsgen_q50" -> (q50 _),
     "q_tpcdsgen_q59" -> (q59 _),
     "q_tpcdsgen_q1"  -> (q1 _),
     "q_tpcdsgen_q6"  -> (q6 _),
@@ -365,6 +438,31 @@ object TpcdsGen {
     "q_tpcdsgen_q93" -> (q93 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q97" -> (oracleGenSql +
+      """, dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = 1998 AND d_moy = 1),
+        |ssc AS (SELECT DISTINCT ss_customer_sk FROM store_sales
+        |        JOIN dd ON ss_sold_date_sk = d_date_sk),
+        |csc AS (SELECT DISTINCT cs_customer_sk FROM catalog_sales
+        |        JOIN dd ON cs_sold_date_sk = d_date_sk)
+        |SELECT
+        |  sum(CASE WHEN ss_customer_sk IS NOT NULL AND cs_customer_sk IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS store_only,
+        |  sum(CASE WHEN ss_customer_sk IS NULL AND cs_customer_sk IS NOT NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS catalog_only,
+        |  sum(CASE WHEN ss_customer_sk IS NOT NULL AND cs_customer_sk IS NOT NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS both_channels
+        |FROM ssc FULL OUTER JOIN csc ON ss_customer_sk = cs_customer_sk""".stripMargin),
+    "q_tpcdsgen_q50" -> (oracleGenSql +
+      """SELECT sr_store_sk,
+        |  sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)::BIGINT AS d30,
+        |  sum(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0 END)::BIGINT
+        |    AS d31_60,
+        |  sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END)::BIGINT AS d60plus,
+        |  count(*) AS n_returns
+        |FROM (SELECT sr_store_sk,
+        |        sr_returned_date_sk - (sr_ticket_number*131 % 1461 + 1) AS lag_days
+        |      FROM store_returns)
+        |GROUP BY sr_store_sk""".stripMargin),
     "q_tpcdsgen_q59" -> (oracleGenSql +
       """, weekly AS (
         |  SELECT ss_store_sk, (ss_sold_date_sk - 1) // 7 + 1 AS wk,
