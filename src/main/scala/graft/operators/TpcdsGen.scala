@@ -422,7 +422,37 @@ object TpcdsGen {
         sum(when(col("lag_days") > 60, 1).otherwise(0)).as("d60plus"),
         count(lit(1)).as("n_returns"))
 
+  /** TPC-DS q74: customers whose catalog-channel spend grew FASTER
+    * year-over-year than their store-channel spend. Each channel
+    * collapses to (customer, year) grain first; the year pivot rides
+    * each aggregate as conditional sums (one pass per channel — the
+    * q64 single-scan lesson); the growth comparison cross-multiplies
+    * exact integers (cs2/cs1 > ss2/ss1 ⟺ cs2·ss1 > ss2·cs1 under
+    * positive denominators), so no float ever decides membership.
+    */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val n = nSales(s, dir)
+    val dd = broadcast(dateDim(s).where(col("d_year").isin(1998, 1999)))
+    def yearPivot(df: DataFrame, dateK: String, custK: String, ext: String,
+        p: String): DataFrame =
+      df.join(dd, col(dateK) === col("d_date_sk"))
+        .groupBy(col(custK).as("cust"))
+        .agg(
+          sum(when(col("d_year") === 1998, col(ext)).otherwise(0L)).as(s"${p}1"),
+          sum(when(col("d_year") === 1999, col(ext)).otherwise(0L)).as(s"${p}2"))
+    val ss = yearPivot(storeSales(s, n), "ss_sold_date_sk", "ss_customer_sk",
+      "ss_ext_sales_price_c", "ss")
+    val cs = yearPivot(catalogSales(s, n), "cs_sold_date_sk", "cs_customer_sk",
+      "cs_ext_sales_price_c", "cs")
+      .withColumnRenamed("cust", "ccust")
+    ss.join(cs, col("cust") === col("ccust"))
+      .where(col("ss1") > 0 && col("cs1") > 0 &&
+        col("cs2") * col("ss1") > col("ss2") * col("cs1"))
+      .select(col("cust"), col("ss1"), col("ss2"), col("cs1"), col("cs2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q74" -> (q74 _),
     "q_tpcdsgen_q97" -> (q97 _),
     "q_tpcdsgen_q50" -> (q50 _),
     "q_tpcdsgen_q59" -> (q59 _),
@@ -438,6 +468,22 @@ object TpcdsGen {
     "q_tpcdsgen_q93" -> (q93 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q74" -> (oracleGenSql +
+      """, ssy AS (
+        |  SELECT ss_customer_sk AS cust,
+        |    sum(CASE WHEN d_year = 1998 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss1,
+        |    sum(CASE WHEN d_year = 1999 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss2
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (1998, 1999) GROUP BY 1),
+        |csy AS (
+        |  SELECT cs_customer_sk AS cust,
+        |    sum(CASE WHEN d_year = 1998 THEN cs_ext_sales_price_c ELSE 0 END)::BIGINT AS cs1,
+        |    sum(CASE WHEN d_year = 1999 THEN cs_ext_sales_price_c ELSE 0 END)::BIGINT AS cs2
+        |  FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (1998, 1999) GROUP BY 1)
+        |SELECT ssy.cust, ss1, ss2, cs1, cs2
+        |FROM ssy JOIN csy ON ssy.cust = csy.cust
+        |WHERE ss1 > 0 AND cs1 > 0 AND cs2 * ss1 > ss2 * cs1""".stripMargin),
     "q_tpcdsgen_q97" -> (oracleGenSql +
       """, dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = 1998 AND d_moy = 1),
         |ssc AS (SELECT DISTINCT ss_customer_sk FROM store_sales
