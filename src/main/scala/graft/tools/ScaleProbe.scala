@@ -233,8 +233,15 @@ object ScaleProbe {
       "q_multimodal_ann_det",
       // round-13: generated TPC-DS — |store_sales| tracks |lineitem|,
       // so the star join (q3) and the fact-fact returns join (q93)
-      // must both scale with the replicated fact
-      "q_tpcdsgen_q3", "q_tpcdsgen_q93")
+      // must both scale with the replicated fact; q74 adds the
+      // two-channel (customer,year)-grain pivot join and q97 the
+      // key-set full-outer overlap
+      "q_tpcdsgen_q3", "q_tpcdsgen_q93", "q_tpcdsgen_q74", "q_tpcdsgen_q97",
+      // round-13: HLL rollup (per-group sketches union in a 5-row
+      // job — the fact pass must dominate, the union stay constant)
+      // and the outer interval join (same hash join as inner, null
+      // padding must not change the shuffle shape)
+      "q_agg_hll_rollup", "q_interval_join_left")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+

@@ -259,4 +259,30 @@ class Round13OpsSpec extends SparkSpec {
     assert(math.abs(est - exact) <= 2 * store.rsd * exact,
       s"union estimate $est outside 2*rsd of $exact")
   }
+
+  test("sketch-table pattern: per-group HLL binaries round-trip parquet " +
+      "STORAGE and still union to the right global distinct") {
+    // the warehouse flow: materialize per-group sketches once, answer
+    // any group combination later without touching the fact again
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk_table").toString
+    val fact = spark.range(1, 5001).toDF("k")
+      .withColumn("grp", col("k") % 7)
+    fact.groupBy(col("grp"))
+      .agg(expr("hll_sketch_agg(k, 14)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val est = spark.read.parquet(dir)
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk, true)) as long)"))
+      .head().getLong(0)
+    val exact = 5000L
+    val rsd = 1.04 / math.sqrt(1 << 14)
+    assert(math.abs(est - exact) <= 2 * rsd * exact,
+      s"stored-sketch union estimate $est outside 2*rsd of $exact")
+    // a partial combination (3 of 7 groups) answers from the same table
+    val est3 = spark.read.parquet(dir).where(col("grp") < 3)
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk, true)) as long)"))
+      .head().getLong(0)
+    val exact3 = fact.where(col("grp") < 3).select("k").distinct().count()
+    assert(math.abs(est3 - exact3) <= 2 * rsd * exact3,
+      s"partial-rollup estimate $est3 outside 2*rsd of $exact3")
+  }
 }

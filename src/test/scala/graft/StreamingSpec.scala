@@ -277,4 +277,33 @@ class StreamingSpec extends SparkSpec {
         s"window join must pair same-window rows only: $rows")
     } finally q.stop()
   }
+
+  test("LEFT OUTER streaming window join null-pads an unmatched left " +
+      "row once its window is watermark-final") {
+    val lIn = MemoryStream[(Timestamp, Long, String)](95, spark, None)
+    val rIn = MemoryStream[(Timestamp, Long, String)](96, spark, None)
+    val l = lIn.toDF().toDF("lts", "user_id", "lid")
+    val r = rIn.toDF().toDF("rts", "user_id", "rid")
+    val joined = StreamingOps.windowJoinStream(
+      l, r, "user_id", "lts", "rts", "5 minutes", "5 minutes", "leftOuter")
+    val name = nextName()
+    val q = joined.select("lid", "rid").writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      // user 1 pairs in [10:00,10:05); user 2 has no right-side row
+      lIn.addData((ts(1), 1L, "l1"), (ts(2), 2L, "l2"))
+      rIn.addData((ts(3), 1L, "r1"))
+      q.processAllAvailable()
+      lIn.addData((ts(59), 9L, "l-adv")); rIn.addData((ts(59), 8L, "r-adv"))
+      q.processAllAvailable()
+      lIn.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "l-adv2"))
+      rIn.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 6L, "r-adv2"))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r0 => (r0.getString(0), Option(r0.getString(1)))).toSet
+      assert(rows.contains(("l1", Some("r1"))), s"match lost: $rows")
+      assert(rows.contains(("l2", None)),
+        s"unmatched left row must null-pad once the window is final: $rows")
+    } finally q.stop()
+  }
 }
