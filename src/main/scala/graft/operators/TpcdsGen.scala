@@ -39,6 +39,13 @@ object TpcdsGen {
   val N_CUSTS = 2000L
   val N_STORES = 12L
   val N_PROMOS = 30L
+  val N_HDEMO = 720L
+  val N_WH = 5L
+  val N_SHIPMODES = 20L
+  val N_CC = 6L
+  val N_WEBSITES = 20L
+  val INV_WEEKS = 209L                       // weekly snapshots, 1..1457
+  val INV_ROWS = INV_WEEKS * N_ITEMS * N_WH  // 1,045,000 — fixed-size
 
   /** store_sales row count — scales with the host corpus. */
   private def nSales(s: SparkSession, dir: String): Long =
@@ -51,7 +58,14 @@ object TpcdsGen {
       col("d_date_sk"),
       // floor-div, not Column./ (which is double division)
       (lit(1998) + floor((col("d_date_sk") - 1) / 365)).cast("int").as("d_year"),
-      (floor(((col("d_date_sk") - 1) % 365) / 31) + 1).cast("int").as("d_moy"))
+      (floor(((col("d_date_sk") - 1) % 365) / 31) + 1).cast("int").as("d_moy"),
+      ((col("d_date_sk") - 1) % 7).as("d_dow"),
+      expr("""CASE (d_date_sk - 1) % 7
+              WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+              WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+              ELSE 'Saturday' END""").as("d_day_name"),
+      expr("(d_date_sk - 1) div 7 + 1").as("d_week_seq"),
+      expr("((d_date_sk - 1) % 365) div 31 div 3 + 1").as("d_qoy"))
 
   def item(s: SparkSession): DataFrame =
     s.range(1, N_ITEMS + 1).toDF("i_item_sk").select(
@@ -69,7 +83,43 @@ object TpcdsGen {
   def customer(s: SparkSession): DataFrame =
     s.range(1, N_CUSTS + 1).toDF("c_customer_sk").select(
       col("c_customer_sk"),
-      (lit(1920) + col("c_customer_sk") * 3 % 80).cast("int").as("c_birth_year"))
+      (lit(1920) + col("c_customer_sk") * 3 % 80).cast("int").as("c_birth_year"),
+      concat(lit("Z"), col("c_customer_sk") * 29 % 100).as("c_zip"))
+
+  def householdDemographics(s: SparkSession): DataFrame =
+    s.range(1, N_HDEMO + 1).toDF("hd_demo_sk").select(
+      col("hd_demo_sk"),
+      (col("hd_demo_sk") % 10).as("hd_dep_count"),
+      (col("hd_demo_sk") % 5).as("hd_vehicle_count"),
+      concat(lit("P"), col("hd_demo_sk") % 3).as("hd_buy_potential"))
+
+  def timeDim(s: SparkSession): DataFrame =
+    s.range(0, 86400).toDF("t_time_sk").select(
+      col("t_time_sk"),
+      expr("t_time_sk div 3600").as("t_hour"),
+      expr("(t_time_sk % 3600) div 60").as("t_minute"))
+
+  def warehouse(s: SparkSession): DataFrame =
+    s.range(1, N_WH + 1).toDF("w_warehouse_sk").select(
+      col("w_warehouse_sk"),
+      concat(lit("WH"), col("w_warehouse_sk")).as("w_warehouse_name"),
+      concat(lit("ST"), col("w_warehouse_sk") % 5).as("w_state"))
+
+  def shipMode(s: SparkSession): DataFrame =
+    s.range(1, N_SHIPMODES + 1).toDF("sm_ship_mode_sk").select(
+      col("sm_ship_mode_sk"),
+      concat(lit("TYPE"), col("sm_ship_mode_sk") % 6).as("sm_type"),
+      concat(lit("CARRIER"), col("sm_ship_mode_sk") % 10).as("sm_carrier"))
+
+  def callCenter(s: SparkSession): DataFrame =
+    s.range(1, N_CC + 1).toDF("cc_call_center_sk").select(
+      col("cc_call_center_sk"),
+      concat(lit("CC"), col("cc_call_center_sk")).as("cc_name"))
+
+  def webSite(s: SparkSession): DataFrame =
+    s.range(1, N_WEBSITES + 1).toDF("web_site_sk").select(
+      col("web_site_sk"),
+      concat(lit("SITE"), col("web_site_sk") % 8).as("web_name"))
 
   def store(s: SparkSession): DataFrame =
     s.range(1, N_STORES + 1).toDF("s_store_sk").select(
@@ -92,8 +142,13 @@ object TpcdsGen {
       (col("ss_ticket_number") * 11 % N_PROMOS + 1).as("ss_promo_sk"),
       (col("ss_ticket_number") * 3 % 100 + 1).as("ss_quantity"),
       (col("ss_ticket_number") * 151 % 9900 + 100).as("ss_list_price_c"),
-      (col("ss_ticket_number") * 149 % 9900 + 100).as("ss_sales_price_c"))
+      (col("ss_ticket_number") * 149 % 9900 + 100).as("ss_sales_price_c"),
+      (col("ss_ticket_number") * 173 % 86400).as("ss_sold_time_sk"),
+      (col("ss_ticket_number") * 29 % N_HDEMO + 1).as("ss_hdemo_sk"),
+      (col("ss_ticket_number") * 163 % 5000 + 50).as("ss_wholesale_cost_c"))
       .withColumn("ss_ext_sales_price_c", col("ss_quantity") * col("ss_sales_price_c"))
+      .withColumn("ss_net_profit_c",
+        col("ss_ext_sales_price_c") - col("ss_quantity") * col("ss_wholesale_cost_c"))
 
   /** Every 13th ticket returns part of its quantity, 1–60 days after
     * the sale. */
@@ -122,8 +177,77 @@ object TpcdsGen {
       (col("cs_order_number") * 133 % N_ITEMS + 1).as("cs_item_sk"),
       (col("cs_order_number") * 141 % N_CUSTS + 1).as("cs_customer_sk"),
       (col("cs_order_number") * 5 % 100 + 1).as("cs_quantity"),
-      (col("cs_order_number") * 157 % 9900 + 100).as("cs_sales_price_c"))
+      (col("cs_order_number") * 157 % 9900 + 100).as("cs_sales_price_c"),
+      (col("cs_order_number") * 31 % N_WH + 1).as("cs_warehouse_sk"),
+      (col("cs_order_number") * 43 % N_SHIPMODES + 1).as("cs_ship_mode_sk"),
+      (col("cs_order_number") * 47 % N_CC + 1).as("cs_call_center_sk"),
+      (col("cs_order_number") * 11 % N_PROMOS + 1).as("cs_promo_sk"),
+      (col("cs_order_number") * 59 % 5000).as("cs_ext_discount_amt_c"),
+      (col("cs_order_number") * 193 % 5000 + 50).as("cs_wholesale_cost_c"))
+      .withColumn("cs_ship_date_sk",
+        col("cs_sold_date_sk") + col("cs_order_number") % 90 + 2)
       .withColumn("cs_ext_sales_price_c", col("cs_quantity") * col("cs_sales_price_c"))
+      .withColumn("cs_net_profit_c",
+        col("cs_ext_sales_price_c") - col("cs_quantity") * col("cs_wholesale_cost_c"))
+
+  /** Every 17th catalog order returns part of its quantity. */
+  def catalogReturns(s: SparkSession, n: Long): DataFrame =
+    catalogSales(s, n)
+      .where(col("cs_order_number") % 17 === 0)
+      .select(
+        col("cs_order_number").as("cr_order_number"),
+        col("cs_item_sk").as("cr_item_sk"),
+        col("cs_customer_sk").as("cr_customer_sk"),
+        (col("cs_order_number") * 5 % col("cs_quantity") + 1).as("cr_return_quantity"),
+        ((col("cs_order_number") * 5 % col("cs_quantity") + 1) * col("cs_sales_price_c"))
+          .as("cr_return_amt_c"),
+        (col("cs_sold_date_sk") + col("cs_order_number") % 60 + 1)
+          .as("cr_returned_date_sk"))
+
+  /** The third sales channel — quarter store volume, its own mixers. */
+  def webSales(s: SparkSession, n: Long): DataFrame =
+    s.range(1, n / 4 + 1).toDF("ws_order_number").select(
+      col("ws_order_number"),
+      (col("ws_order_number") * 113 % N_DATES + 1).as("ws_sold_date_sk"),
+      (col("ws_order_number") * 181 % 86400).as("ws_sold_time_sk"),
+      (col("ws_order_number") * 119 % N_ITEMS + 1).as("ws_item_sk"),
+      (col("ws_order_number") * 143 % N_CUSTS + 1).as("ws_bill_customer_sk"),
+      (col("ws_order_number") * 23 % N_HDEMO + 1).as("ws_hdemo_sk"),
+      (col("ws_order_number") * 31 % N_WH + 1).as("ws_warehouse_sk"),
+      (col("ws_order_number") * 41 % N_SHIPMODES + 1).as("ws_ship_mode_sk"),
+      (col("ws_order_number") * 37 % N_WEBSITES + 1).as("ws_web_site_sk"),
+      (col("ws_order_number") * 7 % 100 + 1).as("ws_quantity"),
+      (col("ws_order_number") * 167 % 9900 + 100).as("ws_sales_price_c"),
+      (col("ws_order_number") * 61 % 5000).as("ws_ext_discount_amt_c"),
+      (col("ws_order_number") * 179 % 5000 + 50).as("ws_wholesale_cost_c"))
+      .withColumn("ws_ship_date_sk",
+        col("ws_sold_date_sk") + col("ws_order_number") % 120 + 2)
+      .withColumn("ws_ext_sales_price_c", col("ws_quantity") * col("ws_sales_price_c"))
+      .withColumn("ws_net_profit_c",
+        col("ws_ext_sales_price_c") - col("ws_quantity") * col("ws_wholesale_cost_c"))
+
+  /** Every 11th web order returns part of its quantity. */
+  def webReturns(s: SparkSession, n: Long): DataFrame =
+    webSales(s, n)
+      .where(col("ws_order_number") % 11 === 0)
+      .select(
+        col("ws_order_number").as("wr_order_number"),
+        col("ws_item_sk").as("wr_item_sk"),
+        col("ws_bill_customer_sk").as("wr_refunded_customer_sk"),
+        (col("ws_order_number") * 3 % col("ws_quantity") + 1).as("wr_return_quantity"),
+        ((col("ws_order_number") * 3 % col("ws_quantity") + 1) * col("ws_sales_price_c"))
+          .as("wr_return_amt_c"))
+
+  /** Weekly on-hand snapshots at (date-week × item × warehouse) grain —
+    * fixed-size (like dsdgen's inventory, it scales with items×dates,
+    * not with sales), generated map-only from one dense composite id.
+    */
+  def inventory(s: SparkSession): DataFrame =
+    s.range(1, INV_ROWS + 1).toDF("inv_id").select(
+      expr(s"((inv_id - 1) div ${N_ITEMS * N_WH}) * 7 + 1").as("inv_date_sk"),
+      expr(s"((inv_id - 1) div $N_WH) % $N_ITEMS + 1").as("inv_item_sk"),
+      expr(s"(inv_id - 1) % $N_WH + 1").as("inv_warehouse_sk"),
+      (col("inv_id") * 53 % 1000).as("inv_quantity_on_hand"))
 
   /** The shared DuckDB CTE prefix regenerating the identical tables —
     * every query's oracle SQL starts with this.
@@ -134,8 +258,42 @@ object TpcdsGen {
        |date_dim AS (
        |  SELECT id AS d_date_sk,
        |    (1998 + (id-1) // 365)::INT AS d_year,
-       |    (((id-1) % 365) // 31 + 1)::INT AS d_moy
+       |    (((id-1) % 365) // 31 + 1)::INT AS d_moy,
+       |    (id-1) % 7 AS d_dow,
+       |    CASE (id-1) % 7
+       |      WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+       |      WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+       |      ELSE 'Saturday' END AS d_day_name,
+       |    (id-1) // 7 + 1 AS d_week_seq,
+       |    ((id-1) % 365) // 31 // 3 + 1 AS d_qoy
        |  FROM (SELECT unnest(range(1, ${N_DATES + 1})) AS id)),
+       |household_demographics AS (
+       |  SELECT id AS hd_demo_sk, id % 10 AS hd_dep_count,
+       |    id % 5 AS hd_vehicle_count, 'P' || (id % 3) AS hd_buy_potential
+       |  FROM (SELECT unnest(range(1, ${N_HDEMO + 1})) AS id)),
+       |time_dim AS (
+       |  SELECT id AS t_time_sk, id // 3600 AS t_hour, (id % 3600) // 60 AS t_minute
+       |  FROM (SELECT unnest(range(0, 86400)) AS id)),
+       |warehouse AS (
+       |  SELECT id AS w_warehouse_sk, 'WH' || id AS w_warehouse_name,
+       |    'ST' || (id % 5) AS w_state
+       |  FROM (SELECT unnest(range(1, ${N_WH + 1})) AS id)),
+       |ship_mode AS (
+       |  SELECT id AS sm_ship_mode_sk, 'TYPE' || (id % 6) AS sm_type,
+       |    'CARRIER' || (id % 10) AS sm_carrier
+       |  FROM (SELECT unnest(range(1, ${N_SHIPMODES + 1})) AS id)),
+       |call_center AS (
+       |  SELECT id AS cc_call_center_sk, 'CC' || id AS cc_name
+       |  FROM (SELECT unnest(range(1, ${N_CC + 1})) AS id)),
+       |web_site AS (
+       |  SELECT id AS web_site_sk, 'SITE' || (id % 8) AS web_name
+       |  FROM (SELECT unnest(range(1, ${N_WEBSITES + 1})) AS id)),
+       |inventory AS (
+       |  SELECT ((id-1) // ${N_ITEMS * N_WH}) * 7 + 1 AS inv_date_sk,
+       |    ((id-1) // $N_WH) % $N_ITEMS + 1 AS inv_item_sk,
+       |    (id-1) % $N_WH + 1 AS inv_warehouse_sk,
+       |    id*53 % 1000 AS inv_quantity_on_hand
+       |  FROM (SELECT unnest(range(1, ${INV_ROWS + 1})) AS id)),
        |item AS (
        |  SELECT id AS i_item_sk,
        |    id*7 % 50 + 1 AS i_brand_id,
@@ -149,7 +307,8 @@ object TpcdsGen {
        |    id*19 % 9900 + 100 AS i_current_price_c
        |  FROM (SELECT unnest(range(1, ${N_ITEMS + 1})) AS id)),
        |customer AS (
-       |  SELECT id AS c_customer_sk, (1920 + id*3 % 80)::INT AS c_birth_year
+       |  SELECT id AS c_customer_sk, (1920 + id*3 % 80)::INT AS c_birth_year,
+       |    'Z' || (id*29 % 100) AS c_zip
        |  FROM (SELECT unnest(range(1, ${N_CUSTS + 1})) AS id)),
        |store AS (
        |  SELECT id AS s_store_sk, 'ST' || (id % 5) AS s_state
@@ -169,7 +328,12 @@ object TpcdsGen {
        |    id*3 % 100 + 1 AS ss_quantity,
        |    id*151 % 9900 + 100 AS ss_list_price_c,
        |    id*149 % 9900 + 100 AS ss_sales_price_c,
-       |    (id*3 % 100 + 1) * (id*149 % 9900 + 100) AS ss_ext_sales_price_c
+       |    id*173 % 86400 AS ss_sold_time_sk,
+       |    id*29 % $N_HDEMO + 1 AS ss_hdemo_sk,
+       |    id*163 % 5000 + 50 AS ss_wholesale_cost_c,
+       |    (id*3 % 100 + 1) * (id*149 % 9900 + 100) AS ss_ext_sales_price_c,
+       |    (id*3 % 100 + 1) * (id*149 % 9900 + 100)
+       |      - (id*3 % 100 + 1) * (id*163 % 5000 + 50) AS ss_net_profit_c
        |  FROM ids),
        |store_returns AS (
        |  SELECT ss_ticket_number AS sr_ticket_number,
@@ -188,8 +352,51 @@ object TpcdsGen {
        |    id*141 % $N_CUSTS + 1 AS cs_customer_sk,
        |    id*5 % 100 + 1 AS cs_quantity,
        |    id*157 % 9900 + 100 AS cs_sales_price_c,
-       |    (id*5 % 100 + 1) * (id*157 % 9900 + 100) AS cs_ext_sales_price_c
-       |  FROM (SELECT unnest(range(1, (SELECT count(*)//2+1 FROM lineitem)::BIGINT)) AS id))
+       |    id*31 % $N_WH + 1 AS cs_warehouse_sk,
+       |    id*43 % $N_SHIPMODES + 1 AS cs_ship_mode_sk,
+       |    id*47 % $N_CC + 1 AS cs_call_center_sk,
+       |    id*11 % $N_PROMOS + 1 AS cs_promo_sk,
+       |    id*59 % 5000 AS cs_ext_discount_amt_c,
+       |    id*193 % 5000 + 50 AS cs_wholesale_cost_c,
+       |    id*127 % $N_DATES + 1 + id % 90 + 2 AS cs_ship_date_sk,
+       |    (id*5 % 100 + 1) * (id*157 % 9900 + 100) AS cs_ext_sales_price_c,
+       |    (id*5 % 100 + 1) * (id*157 % 9900 + 100)
+       |      - (id*5 % 100 + 1) * (id*193 % 5000 + 50) AS cs_net_profit_c
+       |  FROM (SELECT unnest(range(1, (SELECT count(*)//2+1 FROM lineitem)::BIGINT)) AS id)),
+       |catalog_returns AS (
+       |  SELECT cs_order_number AS cr_order_number,
+       |    cs_item_sk AS cr_item_sk,
+       |    cs_customer_sk AS cr_customer_sk,
+       |    cs_order_number*5 % cs_quantity + 1 AS cr_return_quantity,
+       |    (cs_order_number*5 % cs_quantity + 1) * cs_sales_price_c AS cr_return_amt_c,
+       |    cs_sold_date_sk + cs_order_number % 60 + 1 AS cr_returned_date_sk
+       |  FROM catalog_sales WHERE cs_order_number % 17 = 0),
+       |web_sales AS (
+       |  SELECT id AS ws_order_number,
+       |    id*113 % $N_DATES + 1 AS ws_sold_date_sk,
+       |    id*181 % 86400 AS ws_sold_time_sk,
+       |    id*119 % $N_ITEMS + 1 AS ws_item_sk,
+       |    id*143 % $N_CUSTS + 1 AS ws_bill_customer_sk,
+       |    id*23 % $N_HDEMO + 1 AS ws_hdemo_sk,
+       |    id*31 % $N_WH + 1 AS ws_warehouse_sk,
+       |    id*41 % $N_SHIPMODES + 1 AS ws_ship_mode_sk,
+       |    id*37 % $N_WEBSITES + 1 AS ws_web_site_sk,
+       |    id*7 % 100 + 1 AS ws_quantity,
+       |    id*167 % 9900 + 100 AS ws_sales_price_c,
+       |    id*61 % 5000 AS ws_ext_discount_amt_c,
+       |    id*179 % 5000 + 50 AS ws_wholesale_cost_c,
+       |    id*113 % $N_DATES + 1 + id % 120 + 2 AS ws_ship_date_sk,
+       |    (id*7 % 100 + 1) * (id*167 % 9900 + 100) AS ws_ext_sales_price_c,
+       |    (id*7 % 100 + 1) * (id*167 % 9900 + 100)
+       |      - (id*7 % 100 + 1) * (id*179 % 5000 + 50) AS ws_net_profit_c
+       |  FROM (SELECT unnest(range(1, (SELECT count(*)//4+1 FROM lineitem)::BIGINT)) AS id)),
+       |web_returns AS (
+       |  SELECT ws_order_number AS wr_order_number,
+       |    ws_item_sk AS wr_item_sk,
+       |    ws_bill_customer_sk AS wr_refunded_customer_sk,
+       |    ws_order_number*3 % ws_quantity + 1 AS wr_return_quantity,
+       |    (ws_order_number*3 % ws_quantity + 1) * ws_sales_price_c AS wr_return_amt_c
+       |  FROM web_sales WHERE ws_order_number % 11 = 0)
        |""".stripMargin
 
   // ---- the queries (real TPC-DS texts on this schema) --------------
