@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BatchQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
-      MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++ TpcdsGen.queries ++
+      MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++
+      TpcdsGen.queries ++ TpcdsGen2.queries ++
       LayoutQueries.queries ++ EventAnalytics.queries ++ Profiler.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.text.SelectionQueries.queries ++ graft.text.FrequencyOps.queries ++
@@ -34,7 +35,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
-      MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++ TpcdsGen.oracle ++
+      MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++
+      TpcdsGen.oracle ++ TpcdsGen2.oracle ++
       LayoutQueries.oracle ++ EventAnalytics.oracle ++ Profiler.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.text.SelectionQueries.oracle ++ graft.text.FrequencyOps.oracle ++

@@ -48,7 +48,7 @@ object TpcdsGen {
   val INV_ROWS = INV_WEEKS * N_ITEMS * N_WH  // 1,045,000 — fixed-size
 
   /** store_sales row count — scales with the host corpus. */
-  private def nSales(s: SparkSession, dir: String): Long =
+  private[operators] def nSales(s: SparkSession, dir: String): Long =
     Tables.load(s, dir, "lineitem").count()
 
   // ---- generators (map-only projections over a dense id) ----------
