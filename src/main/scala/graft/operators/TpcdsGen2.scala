@@ -139,7 +139,130 @@ object TpcdsGen2 {
         sum(when(col("lag_days") > 60 && col("lag_days") <= 90, 1L).otherwise(0L)).as("d61_90"),
         sum(when(col("lag_days") > 90, 1L).otherwise(0L)).as("d90plus"))
 
+  /** TPC-DS q92: total web discount on rows whose discount exceeds
+    * 1.3× their item's in-window average. The correlated scalar
+    * subquery decorrelates to one item-grain (sum, count) aggregate
+    * broadcast back onto the window slice, and the 1.3× cut is
+    * cross-multiplied exact integers (amt·cnt·10 > sum·13).
+    */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val w = G.webSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s)
+        .where(col("d_year") === 2000 && col("d_moy").between(1, 3))),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s).where(col("i_manufact_id") === 35)),
+        col("ws_item_sk") === col("i_item_sk"))
+      .select(col("ws_item_sk"), col("ws_ext_discount_amt_c"))
+    val perItem = w.groupBy(col("ws_item_sk").as("pi_item"))
+      .agg(sum(col("ws_ext_discount_amt_c")).as("pi_sum"), count(lit(1)).as("pi_cnt"))
+    w.join(broadcast(perItem), col("ws_item_sk") === col("pi_item"))
+      .where(col("ws_ext_discount_amt_c") * col("pi_cnt") * 10 > col("pi_sum") * 13)
+      .agg(sum(col("ws_ext_discount_amt_c")).as("excess_discount_c"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-DS q32: the catalog twin of q92 (manufacturer 77, Q2). */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val w = G.catalogSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s)
+        .where(col("d_year") === 2000 && col("d_moy").between(4, 6))),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s).where(col("i_manufact_id") === 77)),
+        col("cs_item_sk") === col("i_item_sk"))
+      .select(col("cs_item_sk"), col("cs_ext_discount_amt_c"))
+    val perItem = w.groupBy(col("cs_item_sk").as("pi_item"))
+      .agg(sum(col("cs_ext_discount_amt_c")).as("pi_sum"), count(lit(1)).as("pi_cnt"))
+    w.join(broadcast(perItem), col("cs_item_sk") === col("pi_item"))
+      .where(col("cs_ext_discount_amt_c") * col("pi_cnt") * 10 > col("pi_sum") * 13)
+      .agg(sum(col("cs_ext_discount_amt_c")).as("excess_discount_c"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-DS q94: web orders sold in 1999, shipped within 60 days from
+    * an ST2 warehouse, and never returned — LEFT ANTI against
+    * web_returns (returns are 1/11th of sales, the natural probe
+    * side), one count + net-profit row out. The published EXISTS
+    * "shipped from a second warehouse" clause is vacuous at this
+    * one-row-per-order grain and is dropped.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    G.webSales(s, n)
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999)),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .where(col("ws_ship_date_sk") - col("ws_sold_date_sk") <= 60)
+      .join(broadcast(G.warehouse(s).where(col("w_state") === "ST2")),
+        col("ws_warehouse_sk") === col("w_warehouse_sk"))
+      .join(G.webReturns(s, n), col("ws_order_number") === col("wr_order_number"),
+        "left_anti")
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("ws_net_profit_c")).as("total_net_profit_c"))
+  }
+
+  /** TPC-DS q16: the catalog twin of q94 — 2001 orders shipped within
+    * 30 days through three call centers, NOT EXISTS catalog_returns.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    G.catalogSales(s, n)
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2001)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .where(col("cs_ship_date_sk") - col("cs_sold_date_sk") <= 30)
+      .join(broadcast(G.callCenter(s)
+        .where(col("cc_name").isin("CC1", "CC2", "CC3"))),
+        col("cs_call_center_sk") === col("cc_call_center_sk"))
+      .join(G.catalogReturns(s, n), col("cs_order_number") === col("cr_order_number"),
+        "left_anti")
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("cs_net_profit_c")).as("total_net_profit_c"))
+  }
+
+  /** TPC-DS q26: per-item quantity/price/discount averages for
+    * catalog sales to one birth-decade cohort on non-promoted
+    * channels — the catalog twin of q7; averages are exact-integer
+    * sums divided once so both engines emit identical doubles.
+    */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    G.catalogSales(s, G.nSales(s, dir))
+      .join(broadcast(G.customer(s)), col("cs_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.promotion(s)), col("cs_promo_sk") === col("p_promo_sk"))
+      .where(col("c_birth_year").between(1950, 1959) &&
+        col("p_channel_email") === "N" && col("p_channel_event") === "N")
+      .groupBy(col("cs_item_sk"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("cs_quantity")).cast("double") / count(lit(1))).as("agg1"),
+        (sum(col("cs_sales_price_c")).cast("double") / count(lit(1))).as("agg2"),
+        (sum(col("cs_ext_discount_amt_c")).cast("double") / count(lit(1))).as("agg3"))
+
+  /** TPC-DS q61: promoted vs total store revenue for one (state,
+    * category, month) — the published pair of filtered scalar
+    * subqueries fused into ONE conditional pass; ratio in integer
+    * ppm.
+    */
+  def q61(s: SparkSession, dir: String): DataFrame =
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s)
+        .where(col("d_year") === 1998 && col("d_moy") === 11)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s).where(col("i_category_id") === 10)),
+        col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(G.store(s).where(col("s_state") === "ST1")),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.promotion(s)), col("ss_promo_sk") === col("p_promo_sk"))
+      .agg(
+        sum(when(col("p_channel_email") === "Y" || col("p_channel_event") === "Y",
+          col("ss_ext_sales_price_c")).otherwise(0L)).as("promotions_c"),
+        sum(col("ss_ext_sales_price_c")).as("total_c"))
+      .withColumn("promo_ratio_ppm", expr("promotions_c * 1000000 div total_c"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q92" -> (q92 _),
+    "q_tpcdsgen_q32" -> (q32 _),
+    "q_tpcdsgen_q94" -> (q94 _),
+    "q_tpcdsgen_q16" -> (q16 _),
+    "q_tpcdsgen_q26" -> (q26 _),
+    "q_tpcdsgen_q61" -> (q61 _),
     "q_tpcdsgen_q43" -> (q43 _),
     "q_tpcdsgen_q88" -> (q88 _),
     "q_tpcdsgen_q96" -> (q96 _),
@@ -148,6 +271,81 @@ object TpcdsGen2 {
     "q_tpcdsgen_q99" -> (q99 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q92" -> (G.oracleGenSql +
+      """, w AS (
+        |  SELECT ws_item_sk, ws_ext_discount_amt_c
+        |  FROM web_sales
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  JOIN item ON ws_item_sk = i_item_sk
+        |  WHERE d_year = 2000 AND d_moy BETWEEN 1 AND 3 AND i_manufact_id = 35),
+        |pi AS (
+        |  SELECT ws_item_sk AS pi_item, sum(ws_ext_discount_amt_c)::BIGINT AS pi_sum,
+        |    count(*) AS pi_cnt
+        |  FROM w GROUP BY 1)
+        |SELECT sum(ws_ext_discount_amt_c)::BIGINT AS excess_discount_c,
+        |  count(*) AS n_rows
+        |FROM w JOIN pi ON ws_item_sk = pi_item
+        |WHERE ws_ext_discount_amt_c * pi_cnt * 10 > pi_sum * 13""".stripMargin),
+    "q_tpcdsgen_q32" -> (G.oracleGenSql +
+      """, w AS (
+        |  SELECT cs_item_sk, cs_ext_discount_amt_c
+        |  FROM catalog_sales
+        |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  JOIN item ON cs_item_sk = i_item_sk
+        |  WHERE d_year = 2000 AND d_moy BETWEEN 4 AND 6 AND i_manufact_id = 77),
+        |pi AS (
+        |  SELECT cs_item_sk AS pi_item, sum(cs_ext_discount_amt_c)::BIGINT AS pi_sum,
+        |    count(*) AS pi_cnt
+        |  FROM w GROUP BY 1)
+        |SELECT sum(cs_ext_discount_amt_c)::BIGINT AS excess_discount_c,
+        |  count(*) AS n_rows
+        |FROM w JOIN pi ON cs_item_sk = pi_item
+        |WHERE cs_ext_discount_amt_c * pi_cnt * 10 > pi_sum * 13""".stripMargin),
+    "q_tpcdsgen_q94" -> (G.oracleGenSql +
+      """SELECT count(*) AS order_count,
+        |  sum(ws_net_profit_c)::BIGINT AS total_net_profit_c
+        |FROM web_sales
+        |JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |JOIN warehouse ON ws_warehouse_sk = w_warehouse_sk
+        |WHERE d_year = 1999 AND ws_ship_date_sk - ws_sold_date_sk <= 60
+        |  AND w_state = 'ST2'
+        |  AND NOT EXISTS (SELECT 1 FROM web_returns
+        |                  WHERE wr_order_number = ws_order_number)""".stripMargin),
+    "q_tpcdsgen_q16" -> (G.oracleGenSql +
+      """SELECT count(*) AS order_count,
+        |  sum(cs_net_profit_c)::BIGINT AS total_net_profit_c
+        |FROM catalog_sales
+        |JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |JOIN call_center ON cs_call_center_sk = cc_call_center_sk
+        |WHERE d_year = 2001 AND cs_ship_date_sk - cs_sold_date_sk <= 30
+        |  AND cc_name IN ('CC1', 'CC2', 'CC3')
+        |  AND NOT EXISTS (SELECT 1 FROM catalog_returns
+        |                  WHERE cr_order_number = cs_order_number)""".stripMargin),
+    "q_tpcdsgen_q26" -> (G.oracleGenSql +
+      """SELECT cs_item_sk, count(*) AS n,
+        |  sum(cs_quantity)::DOUBLE / count(*) AS agg1,
+        |  sum(cs_sales_price_c)::DOUBLE / count(*) AS agg2,
+        |  sum(cs_ext_discount_amt_c)::DOUBLE / count(*) AS agg3
+        |FROM catalog_sales
+        |JOIN customer ON cs_customer_sk = c_customer_sk
+        |JOIN promotion ON cs_promo_sk = p_promo_sk
+        |WHERE c_birth_year BETWEEN 1950 AND 1959
+        |  AND p_channel_email = 'N' AND p_channel_event = 'N'
+        |GROUP BY cs_item_sk""".stripMargin),
+    "q_tpcdsgen_q61" -> (G.oracleGenSql +
+      """SELECT promotions_c, total_c, promotions_c * 1000000 // total_c AS promo_ratio_ppm
+        |FROM (
+        |  SELECT
+        |    sum(CASE WHEN p_channel_email = 'Y' OR p_channel_event = 'Y'
+        |        THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS promotions_c,
+        |    sum(ss_ext_sales_price_c)::BIGINT AS total_c
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  JOIN store ON ss_store_sk = s_store_sk
+        |  JOIN promotion ON ss_promo_sk = p_promo_sk
+        |  WHERE d_year = 1998 AND d_moy = 11 AND i_category_id = 10
+        |    AND s_state = 'ST1')""".stripMargin),
     "q_tpcdsgen_q43" -> (G.oracleGenSql +
       """SELECT s_store_sk, s_state,
         |  sum(CASE WHEN d_dow = 0 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS sun_sales,
