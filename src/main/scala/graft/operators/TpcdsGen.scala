@@ -247,7 +247,7 @@ object TpcdsGen {
       expr(s"((inv_id - 1) div ${N_ITEMS * N_WH}) * 7 + 1").as("inv_date_sk"),
       expr(s"((inv_id - 1) div $N_WH) % $N_ITEMS + 1").as("inv_item_sk"),
       expr(s"(inv_id - 1) % $N_WH + 1").as("inv_warehouse_sk"),
-      (col("inv_id") * 53 % 1000).as("inv_quantity_on_hand"))
+      (col("inv_id") * 53 % 997).as("inv_quantity_on_hand"))
 
   /** The shared DuckDB CTE prefix regenerating the identical tables —
     * every query's oracle SQL starts with this.
@@ -292,7 +292,7 @@ object TpcdsGen {
        |  SELECT ((id-1) // ${N_ITEMS * N_WH}) * 7 + 1 AS inv_date_sk,
        |    ((id-1) // $N_WH) % $N_ITEMS + 1 AS inv_item_sk,
        |    (id-1) % $N_WH + 1 AS inv_warehouse_sk,
-       |    id*53 % 1000 AS inv_quantity_on_hand
+       |    id*53 % 997 AS inv_quantity_on_hand
        |  FROM (SELECT unnest(range(1, ${INV_ROWS + 1})) AS id)),
        |item AS (
        |  SELECT id AS i_item_sk,

@@ -256,7 +256,97 @@ object TpcdsGen2 {
         sum(col("ss_ext_sales_price_c")).as("total_c"))
       .withColumn("promo_ratio_ppm", expr("promotions_c * 1000000 div total_c"))
 
+  /** TPC-DS q21: per (warehouse, item) on-hand totals for the 30 days
+    * either side of a pivot date, kept when the after/before ratio
+    * stays inside [2/3, 3/2] — the before/after split is one
+    * conditional pass over the date-pruned inventory scan, and the
+    * ratio band is cross-multiplied exact integers.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    G.inventory(s)
+      .where(col("inv_date_sk").between(970, 1030))
+      .join(broadcast(G.item(s).where(col("i_current_price_c").between(100, 1500))),
+        col("inv_item_sk") === col("i_item_sk"))
+      .join(broadcast(G.warehouse(s)),
+        col("inv_warehouse_sk") === col("w_warehouse_sk"))
+      .groupBy(col("w_warehouse_name"), col("inv_item_sk"))
+      .agg(
+        sum(when(col("inv_date_sk") < 1000, col("inv_quantity_on_hand")).otherwise(0L))
+          .as("inv_before"),
+        sum(when(col("inv_date_sk") >= 1000, col("inv_quantity_on_hand")).otherwise(0L))
+          .as("inv_after"))
+      .where(col("inv_before") > 0 &&
+        col("inv_after") * 3 >= col("inv_before") * 2 &&
+        col("inv_after") * 2 <= col("inv_before") * 3)
+
+  /** TPC-DS q37: items in a price band with 100–500 units on hand
+    * during a 60-day window that actually sold on the catalog channel
+    * — two EXISTS semi-joins onto the fixed-size item dim; the
+    * catalog side collapses to distinct item keys before joining so
+    * only keys cross the wire.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val invItems = G.inventory(s)
+      .where(col("inv_date_sk").between(900, 960) &&
+        col("inv_quantity_on_hand").between(100, 500))
+      .select(col("inv_item_sk")).distinct()
+    val soldItems = G.catalogSales(s, G.nSales(s, dir))
+      .select(col("cs_item_sk")).distinct()
+    G.item(s).where(col("i_current_price_c").between(2000, 5000))
+      .join(invItems, col("i_item_sk") === col("inv_item_sk"), "left_semi")
+      .join(soldItems, col("i_item_sk") === col("cs_item_sk"), "left_semi")
+      .select(col("i_item_sk"), col("i_current_price_c"))
+  }
+
+  /** TPC-DS q82: the store-channel twin of q37. */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val invItems = G.inventory(s)
+      .where(col("inv_date_sk").between(400, 460) &&
+        col("inv_quantity_on_hand").between(100, 500))
+      .select(col("inv_item_sk")).distinct()
+    val soldItems = G.storeSales(s, G.nSales(s, dir))
+      .select(col("ss_item_sk")).distinct()
+    G.item(s).where(col("i_current_price_c").between(5000, 8000))
+      .join(invItems, col("i_item_sk") === col("inv_item_sk"), "left_semi")
+      .join(soldItems, col("i_item_sk") === col("ss_item_sk"), "left_semi")
+      .select(col("i_item_sk"), col("i_current_price_c"))
+  }
+
+  /** TPC-DS q39: (warehouse, item) pairs whose on-hand quantity is
+    * high-variance in BOTH March and April 2000. The published cov =
+    * stdev/mean > 1 never fires on uniform quantities, so the cut is
+    * cov > 4/5, decided in exact integers from (n, Σx, Σx²):
+    * den²·n·(n·Σx² − (Σx)²) > num²·(n−1)·(Σx)² — sample variance
+    * cross-multiplied against the squared mean, no sqrt, no float.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val m = G.inventory(s)
+      .join(broadcast(G.dateDim(s)
+        .where(col("d_year") === 2000 && col("d_moy").isin(3, 4))),
+        col("inv_date_sk") === col("d_date_sk"))
+      .groupBy(col("inv_warehouse_sk"), col("inv_item_sk"), col("d_moy"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("inv_quantity_on_hand")).as("qsum"),
+        sum(col("inv_quantity_on_hand") * col("inv_quantity_on_hand")).as("qsumsq"))
+      .where(col("qsum") > 0 &&
+        col("n") * (col("n") * col("qsumsq") - col("qsum") * col("qsum")) * 25 >
+          (col("n") - 1) * col("qsum") * col("qsum") * 16)
+    val m1 = m.where(col("d_moy") === 3)
+      .select(col("inv_warehouse_sk").as("w_sk"), col("inv_item_sk").as("i_sk"),
+        col("qsum").as("mean1_sum"), col("n").as("n1"))
+    val m2 = m.where(col("d_moy") === 4)
+      .select(col("inv_warehouse_sk").as("w_sk2"), col("inv_item_sk").as("i_sk2"),
+        col("qsum").as("mean2_sum"), col("n").as("n2"))
+    m1.join(m2, col("w_sk") === col("w_sk2") && col("i_sk") === col("i_sk2"))
+      .select(col("w_sk"), col("i_sk"), col("n1"), col("mean1_sum"),
+        col("n2"), col("mean2_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q21" -> (q21 _),
+    "q_tpcdsgen_q37" -> (q37 _),
+    "q_tpcdsgen_q82" -> (q82 _),
+    "q_tpcdsgen_q39" -> (q39 _),
     "q_tpcdsgen_q92" -> (q92 _),
     "q_tpcdsgen_q32" -> (q32 _),
     "q_tpcdsgen_q94" -> (q94 _),
@@ -271,6 +361,57 @@ object TpcdsGen2 {
     "q_tpcdsgen_q99" -> (q99 _))
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q21" -> (G.oracleGenSql +
+      """SELECT w_warehouse_name, inv_item_sk,
+        |  sum(CASE WHEN inv_date_sk < 1000 THEN inv_quantity_on_hand ELSE 0 END)::BIGINT
+        |    AS inv_before,
+        |  sum(CASE WHEN inv_date_sk >= 1000 THEN inv_quantity_on_hand ELSE 0 END)::BIGINT
+        |    AS inv_after
+        |FROM inventory
+        |JOIN item ON inv_item_sk = i_item_sk
+        |JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk
+        |WHERE inv_date_sk BETWEEN 970 AND 1030
+        |  AND i_current_price_c BETWEEN 100 AND 1500
+        |GROUP BY w_warehouse_name, inv_item_sk
+        |HAVING inv_before > 0 AND inv_after * 3 >= inv_before * 2
+        |  AND inv_after * 2 <= inv_before * 3""".stripMargin),
+    "q_tpcdsgen_q37" -> (G.oracleGenSql +
+      """SELECT i_item_sk, i_current_price_c
+        |FROM item
+        |WHERE i_current_price_c BETWEEN 2000 AND 5000
+        |  AND EXISTS (SELECT 1 FROM inventory
+        |              WHERE inv_item_sk = i_item_sk
+        |                AND inv_date_sk BETWEEN 900 AND 960
+        |                AND inv_quantity_on_hand BETWEEN 100 AND 500)
+        |  AND EXISTS (SELECT 1 FROM catalog_sales WHERE cs_item_sk = i_item_sk)""".stripMargin),
+    "q_tpcdsgen_q82" -> (G.oracleGenSql +
+      """SELECT i_item_sk, i_current_price_c
+        |FROM item
+        |WHERE i_current_price_c BETWEEN 5000 AND 8000
+        |  AND EXISTS (SELECT 1 FROM inventory
+        |              WHERE inv_item_sk = i_item_sk
+        |                AND inv_date_sk BETWEEN 400 AND 460
+        |                AND inv_quantity_on_hand BETWEEN 100 AND 500)
+        |  AND EXISTS (SELECT 1 FROM store_sales WHERE ss_item_sk = i_item_sk)""".stripMargin),
+    "q_tpcdsgen_q39" -> (G.oracleGenSql +
+      """, m AS (
+        |  SELECT inv_warehouse_sk, inv_item_sk, d_moy,
+        |    count(*) AS n, sum(inv_quantity_on_hand)::BIGINT AS qsum,
+        |    sum(inv_quantity_on_hand * inv_quantity_on_hand)::BIGINT AS qsumsq
+        |  FROM inventory
+        |  JOIN date_dim ON inv_date_sk = d_date_sk
+        |  WHERE d_year = 2000 AND d_moy IN (3, 4)
+        |  GROUP BY 1, 2, 3
+        |  HAVING sum(inv_quantity_on_hand) > 0
+        |    AND count(*) * (count(*) * sum(inv_quantity_on_hand * inv_quantity_on_hand)
+        |          - sum(inv_quantity_on_hand) * sum(inv_quantity_on_hand)) * 25 >
+        |        (count(*) - 1) * sum(inv_quantity_on_hand) * sum(inv_quantity_on_hand) * 16)
+        |SELECT m1.inv_warehouse_sk AS w_sk, m1.inv_item_sk AS i_sk,
+        |  m1.n AS n1, m1.qsum AS mean1_sum, m2.n AS n2, m2.qsum AS mean2_sum
+        |FROM m m1
+        |JOIN m m2 ON m1.inv_warehouse_sk = m2.inv_warehouse_sk
+        |  AND m1.inv_item_sk = m2.inv_item_sk
+        |WHERE m1.d_moy = 3 AND m2.d_moy = 4""".stripMargin),
     "q_tpcdsgen_q92" -> (G.oracleGenSql +
       """, w AS (
         |  SELECT ws_item_sk, ws_ext_discount_amt_c
