@@ -178,6 +178,7 @@ object TpcdsGen {
       (col("cs_order_number") * 141 % N_CUSTS + 1).as("cs_customer_sk"),
       (col("cs_order_number") * 5 % 100 + 1).as("cs_quantity"),
       (col("cs_order_number") * 157 % 9900 + 100).as("cs_sales_price_c"),
+      (col("cs_order_number") * 191 % 86400).as("cs_sold_time_sk"),
       (col("cs_order_number") * 31 % N_WH + 1).as("cs_warehouse_sk"),
       (col("cs_order_number") * 43 % N_SHIPMODES + 1).as("cs_ship_mode_sk"),
       (col("cs_order_number") * 47 % N_CC + 1).as("cs_call_center_sk"),
@@ -352,6 +353,7 @@ object TpcdsGen {
        |    id*141 % $N_CUSTS + 1 AS cs_customer_sk,
        |    id*5 % 100 + 1 AS cs_quantity,
        |    id*157 % 9900 + 100 AS cs_sales_price_c,
+       |    id*191 % 86400 AS cs_sold_time_sk,
        |    id*31 % $N_WH + 1 AS cs_warehouse_sk,
        |    id*43 % $N_SHIPMODES + 1 AS cs_ship_mode_sk,
        |    id*47 % $N_CC + 1 AS cs_call_center_sk,

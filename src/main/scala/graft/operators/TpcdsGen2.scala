@@ -342,7 +342,177 @@ object TpcdsGen2 {
         col("n2"), col("mean2_sum"))
   }
 
+  /** Per-channel (item-key, revenue) slice for one month/quarter —
+    * the shared building block of the q33/q56/q60 family: each
+    * channel aggregates to item grain FIRST, then the union re-agg
+    * runs over three item-sized frames (never raw fact rows).
+    */
+  private def channelItemRev(s: SparkSession, dir: String, dd: DataFrame)
+      : Seq[DataFrame] = {
+    val n = G.nSales(s, dir)
+    val ddB = broadcast(dd)
+    Seq(
+      G.storeSales(s, n).join(ddB, col("ss_sold_date_sk") === col("d_date_sk"))
+        .groupBy(col("ss_item_sk").as("item_sk"))
+        .agg(sum(col("ss_ext_sales_price_c")).as("rev")),
+      G.catalogSales(s, n).join(ddB, col("cs_sold_date_sk") === col("d_date_sk"))
+        .groupBy(col("cs_item_sk").as("item_sk"))
+        .agg(sum(col("cs_ext_sales_price_c")).as("rev")),
+      G.webSales(s, n).join(ddB, col("ws_sold_date_sk") === col("d_date_sk"))
+        .groupBy(col("ws_item_sk").as("item_sk"))
+        .agg(sum(col("ws_ext_sales_price_c")).as("rev")))
+  }
+
+  /** TPC-DS q33: total revenue per manufacturer across all three
+    * channels for one category and month — three per-channel
+    * item-grain aggregates UNION ALL'd, then one re-aggregate; the
+    * item dim broadcasts onto the aggregated (item, rev) frames, not
+    * onto facts.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val dd = G.dateDim(s).where(col("d_year") === 1998 && col("d_moy") === 3)
+    val it = broadcast(G.item(s).where(col("i_category_id") === 3))
+    channelItemRev(s, dir, dd)
+      .map(_.join(it, col("item_sk") === col("i_item_sk"))
+        .select(col("i_manufact_id"), col("rev")))
+      .reduce(_ unionAll _)
+      .groupBy(col("i_manufact_id"))
+      .agg(sum(col("rev")).as("total_sales_c"))
+  }
+
+  /** TPC-DS q60: the by-item variant of q33 (category 7, September). */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val dd = G.dateDim(s).where(col("d_year") === 1999 && col("d_moy") === 9)
+    val it = broadcast(G.item(s).where(col("i_category_id") === 7))
+    channelItemRev(s, dir, dd)
+      .map(_.join(it, col("item_sk") === col("i_item_sk"))
+        .select(col("i_item_sk").as("item"), col("rev")))
+      .reduce(_ unionAll _)
+      .groupBy(col("item"))
+      .agg(sum(col("rev")).as("total_sales_c"))
+  }
+
+  /** TPC-DS q58: items whose Q1-1998 revenue is BALANCED across the
+    * three channels — every channel within ±50% of the three-channel
+    * average (the published ±10% band never fires on uniform
+    * multiplicative-hash revenue; the cut stays cross-multiplied
+    * exact integers: 5·S ≤ 30·rev ≤ 15·S with S the channel sum).
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val dd = G.dateDim(s).where(col("d_year") === 1998 && col("d_qoy") === 1)
+    val Seq(ss, cs, ws) = channelItemRev(s, dir, dd).zip(Seq("ss", "cs", "ws"))
+      .map { case (df, p) =>
+        df.select(col("item_sk").as(s"${p}_item"), col("rev").as(s"${p}_rev"))
+      }
+    ss.join(cs, col("ss_item") === col("cs_item"))
+      .join(ws, col("ss_item") === col("ws_item"))
+      .withColumn("total3", col("ss_rev") + col("cs_rev") + col("ws_rev"))
+      .where(
+        col("ss_rev") * 30 >= col("total3") * 5 && col("ss_rev") * 30 <= col("total3") * 15 &&
+        col("cs_rev") * 30 >= col("total3") * 5 && col("cs_rev") * 30 <= col("total3") * 15 &&
+        col("ws_rev") * 30 >= col("total3") * 5 && col("ws_rev") * 30 <= col("total3") * 15)
+      .select(col("ss_item").as("item"), col("ss_rev"), col("cs_rev"), col("ws_rev"))
+  }
+
+  /** TPC-DS q2: catalog+web weekly revenue pivoted by day of week,
+    * compared against the same week one year out — the union collapses
+    * to (week, dow) grain in one pass, the YoY comparison self-joins
+    * the 104-row aggregate, ratios in NULL-guarded integer ppm.
+    */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s))
+    val wk = G.catalogSales(s, n)
+      .select(col("cs_sold_date_sk").as("sold_sk"), col("cs_ext_sales_price_c").as("p"))
+      .unionAll(G.webSales(s, n)
+        .select(col("ws_sold_date_sk").as("sold_sk"), col("ws_ext_sales_price_c").as("p")))
+      .join(dd, col("sold_sk") === col("d_date_sk"))
+      .groupBy(col("d_week_seq"))
+      .agg(
+        sum(when(col("d_dow") === 0, col("p")).otherwise(0L)).as("sun_sales"),
+        sum(when(col("d_dow") === 1, col("p")).otherwise(0L)).as("mon_sales"),
+        sum(when(col("d_dow") === 2, col("p")).otherwise(0L)).as("tue_sales"),
+        sum(when(col("d_dow") === 3, col("p")).otherwise(0L)).as("wed_sales"),
+        sum(when(col("d_dow") === 4, col("p")).otherwise(0L)).as("thu_sales"),
+        sum(when(col("d_dow") === 5, col("p")).otherwise(0L)).as("fri_sales"),
+        sum(when(col("d_dow") === 6, col("p")).otherwise(0L)).as("sat_sales"))
+    val y1 = wk.where(col("d_week_seq") <= 52)
+    val y2 = wk.where(col("d_week_seq") > 52 && col("d_week_seq") <= 104)
+      .select(col("d_week_seq").as("wk2") +: Seq("sun", "mon", "tue", "wed", "thu",
+        "fri", "sat").map(d => col(s"${d}_sales").as(s"${d}2")): _*)
+    val joined = y1.join(y2, col("d_week_seq") === col("wk2") - 52)
+    Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+      .foldLeft(joined) { (df, d) =>
+        df.withColumn(s"${d}_ratio_ppm",
+          expr(s"${d}_sales * 1000000 div nullif(${d}2, 0)"))
+      }
+      .select(col("d_week_seq") +: Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+        .map(d => col(s"${d}_ratio_ppm")): _*)
+  }
+
+  /** TPC-DS q71: brand revenue in the breakfast (7–8h) and dinner
+    * (19–20h) windows across all three channels for one manager's
+    * items, one month — the three facts union as narrow (item, time,
+    * price) projections BEFORE the broadcast time/item joins.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val facts = G.storeSales(s, n)
+      .select(col("ss_item_sk").as("item_sk"), col("ss_sold_time_sk").as("time_sk"),
+        col("ss_sold_date_sk").as("sold_sk"), col("ss_ext_sales_price_c").as("p"))
+      .unionAll(G.catalogSales(s, n)
+        .select(col("cs_item_sk"), col("cs_sold_time_sk"), col("cs_sold_date_sk"),
+          col("cs_ext_sales_price_c")))
+      .unionAll(G.webSales(s, n)
+        .select(col("ws_item_sk"), col("ws_sold_time_sk"), col("ws_sold_date_sk"),
+          col("ws_ext_sales_price_c")))
+    facts
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2001 && col("d_moy") === 12)),
+        col("sold_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s).where(col("i_manager_id") === 1)),
+        col("item_sk") === col("i_item_sk"))
+      .join(broadcast(G.timeDim(s)
+        .where(col("t_hour").isin(7L, 8L, 19L, 20L))),
+        col("time_sk") === col("t_time_sk"))
+      .groupBy(col("i_brand_id"), col("i_brand"), col("t_hour"))
+      .agg(sum(col("p")).as("ext_price_c"))
+  }
+
+  /** TPC-DS q15: catalog revenue by customer zip for one quarter,
+    * keeping low-band zips or big-ticket rows (the published zip
+    * list / >$500 disjunction on this schema's closed-form zips).
+    */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    G.catalogSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2000 && col("d_qoy") === 2)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.customer(s)), col("cs_customer_sk") === col("c_customer_sk"))
+      .where(col("c_customer_sk") * 29 % 100 < 10 || col("cs_ext_sales_price_c") > 900000)
+      .groupBy(col("c_zip"))
+      .agg(sum(col("cs_sales_price_c")).as("total_sales_c"))
+
+  /** TPC-DS q45: web revenue by customer zip for one quarter, keeping
+    * a zip band or a small fixed item-key set (the published "zip in
+    * list OR item in subquery list" disjunction).
+    */
+  def q45(s: SparkSession, dir: String): DataFrame =
+    G.webSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999 && col("d_qoy") === 3)),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.customer(s)), col("ws_bill_customer_sk") === col("c_customer_sk"))
+      .where(col("c_customer_sk") * 29 % 100 >= 90 ||
+        col("ws_item_sk").isin(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L))
+      .groupBy(col("c_zip"))
+      .agg(sum(col("ws_ext_sales_price_c")).as("total_sales_c"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q33" -> (q33 _),
+    "q_tpcdsgen_q60" -> (q60 _),
+    "q_tpcdsgen_q58" -> (q58 _),
+    "q_tpcdsgen_q2"  -> (q2 _),
+    "q_tpcdsgen_q71" -> (q71 _),
+    "q_tpcdsgen_q15" -> (q15 _),
+    "q_tpcdsgen_q45" -> (q45 _),
     "q_tpcdsgen_q21" -> (q21 _),
     "q_tpcdsgen_q37" -> (q37 _),
     "q_tpcdsgen_q82" -> (q82 _),
@@ -360,7 +530,116 @@ object TpcdsGen2 {
     "q_tpcdsgen_q62" -> (q62 _),
     "q_tpcdsgen_q99" -> (q99 _))
 
+  /** Shared per-channel (item, rev) CTE text for the q33/q56/q60
+    * family's oracles. */
+  private def channelRevCte(dateCond: String): String =
+    s""", chan AS (
+       |  SELECT ss_item_sk AS item_sk, sum(ss_ext_sales_price_c)::BIGINT AS rev
+       |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+       |  WHERE $dateCond GROUP BY 1
+       |  UNION ALL
+       |  SELECT cs_item_sk, sum(cs_ext_sales_price_c)::BIGINT
+       |  FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+       |  WHERE $dateCond GROUP BY 1
+       |  UNION ALL
+       |  SELECT ws_item_sk, sum(ws_ext_sales_price_c)::BIGINT
+       |  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+       |  WHERE $dateCond GROUP BY 1)
+       |""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q33" -> (G.oracleGenSql + channelRevCte("d_year = 1998 AND d_moy = 3") +
+      """SELECT i_manufact_id, sum(rev)::BIGINT AS total_sales_c
+        |FROM chan JOIN item ON item_sk = i_item_sk
+        |WHERE i_category_id = 3
+        |GROUP BY i_manufact_id""".stripMargin),
+    "q_tpcdsgen_q60" -> (G.oracleGenSql + channelRevCte("d_year = 1999 AND d_moy = 9") +
+      """SELECT i_item_sk AS item, sum(rev)::BIGINT AS total_sales_c
+        |FROM chan JOIN item ON item_sk = i_item_sk
+        |WHERE i_category_id = 7
+        |GROUP BY i_item_sk""".stripMargin),
+    "q_tpcdsgen_q58" -> (G.oracleGenSql +
+      """, ssr AS (
+        |  SELECT ss_item_sk AS item, sum(ss_ext_sales_price_c)::BIGINT AS ss_rev
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year = 1998 AND d_qoy = 1 GROUP BY 1),
+        |csr AS (
+        |  SELECT cs_item_sk AS item, sum(cs_ext_sales_price_c)::BIGINT AS cs_rev
+        |  FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  WHERE d_year = 1998 AND d_qoy = 1 GROUP BY 1),
+        |wsr AS (
+        |  SELECT ws_item_sk AS item, sum(ws_ext_sales_price_c)::BIGINT AS ws_rev
+        |  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE d_year = 1998 AND d_qoy = 1 GROUP BY 1)
+        |SELECT ssr.item, ss_rev, cs_rev, ws_rev
+        |FROM ssr JOIN csr ON ssr.item = csr.item JOIN wsr ON ssr.item = wsr.item
+        |WHERE ss_rev * 30 >= (ss_rev + cs_rev + ws_rev) * 5
+        |  AND ss_rev * 30 <= (ss_rev + cs_rev + ws_rev) * 15
+        |  AND cs_rev * 30 >= (ss_rev + cs_rev + ws_rev) * 5
+        |  AND cs_rev * 30 <= (ss_rev + cs_rev + ws_rev) * 15
+        |  AND ws_rev * 30 >= (ss_rev + cs_rev + ws_rev) * 5
+        |  AND ws_rev * 30 <= (ss_rev + cs_rev + ws_rev) * 15""".stripMargin),
+    "q_tpcdsgen_q2" -> (G.oracleGenSql +
+      """, wk AS (
+        |  SELECT d_week_seq,
+        |    sum(CASE WHEN d_dow = 0 THEN p ELSE 0 END)::BIGINT AS sun_sales,
+        |    sum(CASE WHEN d_dow = 1 THEN p ELSE 0 END)::BIGINT AS mon_sales,
+        |    sum(CASE WHEN d_dow = 2 THEN p ELSE 0 END)::BIGINT AS tue_sales,
+        |    sum(CASE WHEN d_dow = 3 THEN p ELSE 0 END)::BIGINT AS wed_sales,
+        |    sum(CASE WHEN d_dow = 4 THEN p ELSE 0 END)::BIGINT AS thu_sales,
+        |    sum(CASE WHEN d_dow = 5 THEN p ELSE 0 END)::BIGINT AS fri_sales,
+        |    sum(CASE WHEN d_dow = 6 THEN p ELSE 0 END)::BIGINT AS sat_sales
+        |  FROM (
+        |    SELECT cs_sold_date_sk AS sold_sk, cs_ext_sales_price_c AS p FROM catalog_sales
+        |    UNION ALL
+        |    SELECT ws_sold_date_sk, ws_ext_sales_price_c FROM web_sales)
+        |  JOIN date_dim ON sold_sk = d_date_sk
+        |  GROUP BY d_week_seq)
+        |SELECT y1.d_week_seq,
+        |  y1.sun_sales * 1000000 // nullif(y2.sun_sales, 0) AS sun_ratio_ppm,
+        |  y1.mon_sales * 1000000 // nullif(y2.mon_sales, 0) AS mon_ratio_ppm,
+        |  y1.tue_sales * 1000000 // nullif(y2.tue_sales, 0) AS tue_ratio_ppm,
+        |  y1.wed_sales * 1000000 // nullif(y2.wed_sales, 0) AS wed_ratio_ppm,
+        |  y1.thu_sales * 1000000 // nullif(y2.thu_sales, 0) AS thu_ratio_ppm,
+        |  y1.fri_sales * 1000000 // nullif(y2.fri_sales, 0) AS fri_ratio_ppm,
+        |  y1.sat_sales * 1000000 // nullif(y2.sat_sales, 0) AS sat_ratio_ppm
+        |FROM wk y1
+        |JOIN wk y2 ON y2.d_week_seq = y1.d_week_seq + 52
+        |WHERE y1.d_week_seq <= 52""".stripMargin),
+    "q_tpcdsgen_q71" -> (G.oracleGenSql +
+      """SELECT i_brand_id, i_brand, t_hour, sum(p)::BIGINT AS ext_price_c
+        |FROM (
+        |  SELECT ss_item_sk AS item_sk, ss_sold_time_sk AS time_sk,
+        |    ss_sold_date_sk AS sold_sk, ss_ext_sales_price_c AS p FROM store_sales
+        |  UNION ALL
+        |  SELECT cs_item_sk, cs_sold_time_sk, cs_sold_date_sk, cs_ext_sales_price_c
+        |  FROM catalog_sales
+        |  UNION ALL
+        |  SELECT ws_item_sk, ws_sold_time_sk, ws_sold_date_sk, ws_ext_sales_price_c
+        |  FROM web_sales)
+        |JOIN date_dim ON sold_sk = d_date_sk
+        |JOIN item ON item_sk = i_item_sk
+        |JOIN time_dim ON time_sk = t_time_sk
+        |WHERE d_year = 2001 AND d_moy = 12 AND i_manager_id = 1
+        |  AND t_hour IN (7, 8, 19, 20)
+        |GROUP BY i_brand_id, i_brand, t_hour""".stripMargin),
+    "q_tpcdsgen_q15" -> (G.oracleGenSql +
+      """SELECT c_zip, sum(cs_sales_price_c)::BIGINT AS total_sales_c
+        |FROM catalog_sales
+        |JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |JOIN customer ON cs_customer_sk = c_customer_sk
+        |WHERE d_year = 2000 AND d_qoy = 2
+        |  AND (c_customer_sk * 29 % 100 < 10 OR cs_ext_sales_price_c > 900000)
+        |GROUP BY c_zip""".stripMargin),
+    "q_tpcdsgen_q45" -> (G.oracleGenSql +
+      """SELECT c_zip, sum(ws_ext_sales_price_c)::BIGINT AS total_sales_c
+        |FROM web_sales
+        |JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |JOIN customer ON ws_bill_customer_sk = c_customer_sk
+        |WHERE d_year = 1999 AND d_qoy = 3
+        |  AND (c_customer_sk * 29 % 100 >= 90
+        |       OR ws_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+        |GROUP BY c_zip""".stripMargin),
     "q_tpcdsgen_q21" -> (G.oracleGenSql +
       """SELECT w_warehouse_name, inv_item_sk,
         |  sum(CASE WHEN inv_date_sk < 1000 THEN inv_quantity_on_hand ELSE 0 END)::BIGINT
