@@ -505,7 +505,109 @@ object TpcdsGen2 {
       .groupBy(col("c_zip"))
       .agg(sum(col("ws_ext_sales_price_c")).as("total_sales_c"))
 
+  /** TPC-DS q22: average on-hand quantity rolled up the (category,
+    * brand) hierarchy for one year of snapshots — one date-pruned
+    * inventory pass into a ROLLUP aggregate; the average divides two
+    * exact integer sums once at the end.
+    */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    G.inventory(s)
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2001)),
+        col("inv_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("inv_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_brand"))
+      .agg((sum(col("inv_quantity_on_hand")).cast("double") / count(lit(1))).as("qoh"))
+
+  /** TPC-DS q29-shape: customers who returned a store purchase and
+    * later bought on the catalog channel — ss⋈sr on (ticket, item),
+    * then sr⋈cs keyed on CUSTOMER with the after-the-return residual
+    * (the published item+customer key is vacuously sparse on
+    * independent channel mixers; the customer chain is the query's
+    * intent). Quantities sum per store.
+    */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd99 = broadcast(G.dateDim(s).where(col("d_year") === 1999))
+    val returned = G.storeSales(s, n)
+      .join(dd99, col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(G.storeReturns(s, n),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"))
+      .select(col("ss_store_sk"), col("ss_quantity"), col("sr_return_quantity"),
+        col("sr_customer_sk"), col("sr_returned_date_sk"))
+    val cs = G.catalogSales(s, n)
+      .join(broadcast(G.dateDim(s).where(col("d_year").isin(1999, 2000))
+        .select(col("d_date_sk").as("cd_sk"))),
+        col("cs_sold_date_sk") === col("cd_sk"))
+      .select(col("cs_customer_sk"), col("cs_quantity"), col("cs_sold_date_sk"))
+    returned
+      .join(cs, col("sr_customer_sk") === col("cs_customer_sk") &&
+        col("cs_sold_date_sk") > col("sr_returned_date_sk"))
+      .groupBy(col("ss_store_sk"))
+      .agg(
+        sum(col("ss_quantity")).as("store_sales_quantity"),
+        sum(col("sr_return_quantity")).as("store_returns_quantity"),
+        sum(col("cs_quantity")).as("catalog_sales_quantity"))
+  }
+
+  /** TPC-DS q40: catalog net revenue (sales minus any return) per
+    * (warehouse, item) split before/after a pivot date — returns ride
+    * a LEFT JOIN on the order key (1/17th of sales, the natural build
+    * side), the split is one conditional pass.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    G.catalogSales(s, n)
+      .where(col("cs_sold_date_sk").between(470, 530))
+      .join(broadcast(G.item(s).where(col("i_current_price_c").between(100, 1500))),
+        col("cs_item_sk") === col("i_item_sk"))
+      .join(broadcast(G.warehouse(s)), col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .join(G.catalogReturns(s, n)
+        .select(col("cr_order_number"), col("cr_return_amt_c")),
+        col("cs_order_number") === col("cr_order_number"), "left")
+      .withColumn("net_c", col("cs_ext_sales_price_c") - coalesce(col("cr_return_amt_c"), lit(0L)))
+      .groupBy(col("w_warehouse_name"), col("cs_item_sk"))
+      .agg(
+        sum(when(col("cs_sold_date_sk") < 500, col("net_c")).otherwise(0L)).as("sales_before"),
+        sum(when(col("cs_sold_date_sk") >= 500, col("net_c")).otherwise(0L)).as("sales_after"))
+  }
+
+  /** TPC-DS q5: per-channel sales / returns / profit report rolled up
+    * the (channel, unit) hierarchy — each channel unions its sales
+    * and returns facts as (channel, unit, sales, returns, profit)
+    * deltas, one ROLLUP aggregate on top; returns book their refund
+    * as negative profit.
+    */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    def leg(channel: String, unit: org.apache.spark.sql.Column, sales: org.apache.spark.sql.Column,
+        returns: org.apache.spark.sql.Column, profit: org.apache.spark.sql.Column)(df: DataFrame) =
+      df.select(lit(channel).as("channel"), unit.as("unit_sk"),
+        sales.as("sales_c"), returns.as("returns_c"), profit.as("profit_c"))
+    val legs = Seq(
+      leg("store channel", col("ss_store_sk"), col("ss_ext_sales_price_c"), lit(0L),
+        col("ss_net_profit_c"))(G.storeSales(s, n)),
+      leg("store channel", col("sr_store_sk"), lit(0L), col("sr_return_amt_c"),
+        -col("sr_return_amt_c"))(G.storeReturns(s, n)),
+      leg("catalog channel", col("cs_call_center_sk"), col("cs_ext_sales_price_c"), lit(0L),
+        col("cs_net_profit_c"))(G.catalogSales(s, n)),
+      leg("catalog channel", lit(0L), lit(0L), col("cr_return_amt_c"),
+        -col("cr_return_amt_c"))(G.catalogReturns(s, n)),
+      leg("web channel", col("ws_web_site_sk"), col("ws_ext_sales_price_c"), lit(0L),
+        col("ws_net_profit_c"))(G.webSales(s, n)),
+      leg("web channel", lit(0L), lit(0L), col("wr_return_amt_c"),
+        -col("wr_return_amt_c"))(G.webReturns(s, n)))
+    legs.reduce(_ unionAll _)
+      .rollup(col("channel"), col("unit_sk"))
+      .agg(sum(col("sales_c")).as("sales_c"), sum(col("returns_c")).as("returns_c"),
+        sum(col("profit_c")).as("profit_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q22" -> (q22 _),
+    "q_tpcdsgen_q29" -> (q29 _),
+    "q_tpcdsgen_q40" -> (q40 _),
+    "q_tpcdsgen_q5"  -> (q5 _),
     "q_tpcdsgen_q33" -> (q33 _),
     "q_tpcdsgen_q60" -> (q60 _),
     "q_tpcdsgen_q58" -> (q58 _),
@@ -548,6 +650,80 @@ object TpcdsGen2 {
        |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q22" -> (G.oracleGenSql +
+      """SELECT i_category, i_brand,
+        |  sum(inv_quantity_on_hand)::DOUBLE / count(*) AS qoh
+        |FROM inventory
+        |JOIN date_dim ON inv_date_sk = d_date_sk
+        |JOIN item ON inv_item_sk = i_item_sk
+        |WHERE d_year = 2001
+        |GROUP BY ROLLUP (i_category, i_brand)""".stripMargin),
+    "q_tpcdsgen_q29" -> (G.oracleGenSql +
+      """, returned AS (
+        |  SELECT ss_store_sk, ss_quantity, sr_return_quantity,
+        |    sr_customer_sk, sr_returned_date_sk
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  WHERE d_year = 1999),
+        |cs AS (
+        |  SELECT cs_customer_sk, cs_quantity, cs_sold_date_sk
+        |  FROM catalog_sales
+        |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (1999, 2000))
+        |SELECT ss_store_sk,
+        |  sum(ss_quantity)::BIGINT AS store_sales_quantity,
+        |  sum(sr_return_quantity)::BIGINT AS store_returns_quantity,
+        |  sum(cs_quantity)::BIGINT AS catalog_sales_quantity
+        |FROM returned
+        |JOIN cs ON sr_customer_sk = cs_customer_sk
+        |  AND cs_sold_date_sk > sr_returned_date_sk
+        |GROUP BY ss_store_sk""".stripMargin),
+    "q_tpcdsgen_q40" -> (G.oracleGenSql +
+      """SELECT w_warehouse_name, cs_item_sk,
+        |  sum(CASE WHEN cs_sold_date_sk < 500 THEN net_c ELSE 0 END)::BIGINT
+        |    AS sales_before,
+        |  sum(CASE WHEN cs_sold_date_sk >= 500 THEN net_c ELSE 0 END)::BIGINT
+        |    AS sales_after
+        |FROM (
+        |  SELECT cs_warehouse_sk, cs_item_sk, cs_sold_date_sk,
+        |    cs_ext_sales_price_c - coalesce(cr_return_amt_c, 0) AS net_c
+        |  FROM catalog_sales
+        |  LEFT JOIN catalog_returns ON cs_order_number = cr_order_number
+        |  WHERE cs_sold_date_sk BETWEEN 470 AND 530)
+        |JOIN item ON cs_item_sk = i_item_sk
+        |JOIN warehouse ON cs_warehouse_sk = w_warehouse_sk
+        |WHERE i_current_price_c BETWEEN 100 AND 1500
+        |GROUP BY w_warehouse_name, cs_item_sk""".stripMargin),
+    "q_tpcdsgen_q5" -> (G.oracleGenSql +
+      """SELECT channel, unit_sk,
+        |  sum(sales_c)::BIGINT AS sales_c,
+        |  sum(returns_c)::BIGINT AS returns_c,
+        |  sum(profit_c)::BIGINT AS profit_c
+        |FROM (
+        |  SELECT 'store channel' AS channel, ss_store_sk AS unit_sk,
+        |    ss_ext_sales_price_c AS sales_c, 0 AS returns_c,
+        |    ss_net_profit_c AS profit_c
+        |  FROM store_sales
+        |  UNION ALL
+        |  SELECT 'store channel', sr_store_sk, 0, sr_return_amt_c, -sr_return_amt_c
+        |  FROM store_returns
+        |  UNION ALL
+        |  SELECT 'catalog channel', cs_call_center_sk, cs_ext_sales_price_c, 0,
+        |    cs_net_profit_c
+        |  FROM catalog_sales
+        |  UNION ALL
+        |  SELECT 'catalog channel', 0, 0, cr_return_amt_c, -cr_return_amt_c
+        |  FROM catalog_returns
+        |  UNION ALL
+        |  SELECT 'web channel', ws_web_site_sk, ws_ext_sales_price_c, 0,
+        |    ws_net_profit_c
+        |  FROM web_sales
+        |  UNION ALL
+        |  SELECT 'web channel', 0, 0, wr_return_amt_c, -wr_return_amt_c
+        |  FROM web_returns)
+        |GROUP BY ROLLUP (channel, unit_sk)""".stripMargin),
     "q_tpcdsgen_q33" -> (G.oracleGenSql + channelRevCte("d_year = 1998 AND d_moy = 3") +
       """SELECT i_manufact_id, sum(rev)::BIGINT AS total_sales_c
         |FROM chan JOIN item ON item_sk = i_item_sk
