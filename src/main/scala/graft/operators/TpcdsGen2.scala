@@ -603,7 +603,113 @@ object TpcdsGen2 {
         sum(col("profit_c")).as("profit_c"))
   }
 
+  /** TPC-DS q49: the ten worst-return-rate items per channel — each
+    * channel inner-joins its returns (the 1/11–1/17 build side) to
+    * sales on the order key, collapses to item grain, unions the
+    * three item-sized frames, and ranks inside each channel; the
+    * rank ≤ 10 cut plans as WindowGroupLimit so no channel ever
+    * sorts item-wide, and the rate is integer ppm.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = G.nSales(s, dir)
+    def channel(name: String, sales: DataFrame, saleKey: String, saleItem: String,
+        qty: String, rets: DataFrame, retKey: String, retQty: String): DataFrame =
+      sales.join(rets, col(saleKey) === col(retKey) &&
+          col(saleItem) === col(s"${retKey.take(3)}item_sk"))
+        .groupBy(col(saleItem).as("item"))
+        .agg(sum(col(retQty)).as("ret"), sum(col(qty)).as("sold"))
+        .select(lit(name).as("channel"), col("item"),
+          expr("ret * 1000000 div sold").as("return_ratio_ppm"))
+    val store = channel("store", G.storeSales(s, n), "ss_ticket_number", "ss_item_sk",
+      "ss_quantity", G.storeReturns(s, n), "sr_ticket_number", "sr_return_quantity")
+    val cat = channel("catalog", G.catalogSales(s, n), "cs_order_number", "cs_item_sk",
+      "cs_quantity", G.catalogReturns(s, n), "cr_order_number", "cr_return_quantity")
+    val web = channel("web", G.webSales(s, n), "ws_order_number", "ws_item_sk",
+      "ws_quantity", G.webReturns(s, n), "wr_order_number", "wr_return_quantity")
+    store.unionAll(cat).unionAll(web)
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("channel")).orderBy(col("return_ratio_ppm").desc)))
+      .where(col("rnk") <= 10)
+  }
+
+  /** TPC-DS q63: manager months whose revenue strays more than 10%
+    * from the manager's yearly monthly average — the deviation cut
+    * |rev·n − S|·10 > S·n runs in exact integers over the manager-
+    * sized aggregate (the window never sees fact rows).
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2000)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_manager_id"), col("d_moy"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_sales"))
+      .withColumn("yearly_sum", sum(col("sum_sales")).over(
+        Window.partitionBy(col("i_manager_id"))))
+      .withColumn("n_months", count(lit(1)).over(
+        Window.partitionBy(col("i_manager_id"))))
+      .where(abs(col("sum_sales") * col("n_months") - col("yearly_sum")) * 10 >
+        col("yearly_sum"))
+      .select(col("i_manager_id"), col("d_moy"), col("sum_sales"), col("yearly_sum"))
+  }
+
+  /** TPC-DS q66: the warehouse shipping report — catalog+web volume
+    * for two carriers pivoted into twelve monthly columns, one
+    * conditional pass over the unioned narrow projections.
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val carriers = broadcast(G.shipMode(s)
+      .where(col("sm_carrier").isin("CARRIER1", "CARRIER2")))
+    val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep",
+      "oct", "nov", "dec")
+    G.webSales(s, n)
+      .select(col("ws_warehouse_sk").as("wh_sk"), col("ws_ship_mode_sk").as("sm_sk"),
+        col("ws_sold_date_sk").as("sold_sk"), col("ws_ext_sales_price_c").as("p"))
+      .unionAll(G.catalogSales(s, n)
+        .select(col("cs_warehouse_sk"), col("cs_ship_mode_sk"), col("cs_sold_date_sk"),
+          col("cs_ext_sales_price_c")))
+      .join(carriers, col("sm_sk") === col("sm_ship_mode_sk"))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2000)),
+        col("sold_sk") === col("d_date_sk"))
+      .join(broadcast(G.warehouse(s)), col("wh_sk") === col("w_warehouse_sk"))
+      .groupBy(col("w_warehouse_name"))
+      .agg(
+        sum(when(col("d_moy") === 1, col("p")).otherwise(0L)).as(s"${months.head}_sales"),
+        months.zipWithIndex.tail.map { case (m, i) =>
+          sum(when(col("d_moy") === i + 1, col("p")).otherwise(0L)).as(s"${m}_sales")
+        }: _*)
+  }
+
+  /** TPC-DS q69: customers who bought in a store during one quarter
+    * but on neither catalog nor web — distinct key sets per channel,
+    * one semi and two anti joins (keys cross the wire, never fact
+    * rows), counted per birth decade.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year") === 2000 && col("d_qoy") === 1))
+    val st = G.storeSales(s, n).join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .select(col("ss_customer_sk")).distinct()
+    val wb = G.webSales(s, n).join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .select(col("ws_bill_customer_sk")).distinct()
+    val ct = G.catalogSales(s, n).join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .select(col("cs_customer_sk")).distinct()
+    st
+      .join(wb, col("ss_customer_sk") === col("ws_bill_customer_sk"), "left_anti")
+      .join(ct, col("ss_customer_sk") === col("cs_customer_sk"), "left_anti")
+      .join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .groupBy(expr("(c_birth_year div 10) * 10").as("birth_decade"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q49" -> (q49 _),
+    "q_tpcdsgen_q63" -> (q63 _),
+    "q_tpcdsgen_q66" -> (q66 _),
+    "q_tpcdsgen_q69" -> (q69 _),
     "q_tpcdsgen_q22" -> (q22 _),
     "q_tpcdsgen_q29" -> (q29 _),
     "q_tpcdsgen_q40" -> (q40 _),
@@ -650,6 +756,84 @@ object TpcdsGen2 {
        |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q49" -> (G.oracleGenSql +
+      """, rates AS (
+        |  SELECT 'store' AS channel, ss_item_sk AS item,
+        |    sum(sr_return_quantity)::BIGINT * 1000000 // sum(ss_quantity)::BIGINT
+        |      AS return_ratio_ppm
+        |  FROM store_sales JOIN store_returns
+        |    ON ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'catalog', cs_item_sk,
+        |    sum(cr_return_quantity)::BIGINT * 1000000 // sum(cs_quantity)::BIGINT
+        |  FROM catalog_sales JOIN catalog_returns
+        |    ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'web', ws_item_sk,
+        |    sum(wr_return_quantity)::BIGINT * 1000000 // sum(ws_quantity)::BIGINT
+        |  FROM web_sales JOIN web_returns
+        |    ON ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk
+        |  GROUP BY 2)
+        |SELECT channel, item, return_ratio_ppm, rnk
+        |FROM (SELECT *, rank() OVER (PARTITION BY channel
+        |        ORDER BY return_ratio_ppm DESC) AS rnk
+        |      FROM rates)
+        |WHERE rnk <= 10""".stripMargin),
+    "q_tpcdsgen_q63" -> (G.oracleGenSql +
+      """, m AS (
+        |  SELECT i_manager_id, d_moy, sum(ss_ext_sales_price_c)::BIGINT AS sum_sales
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year = 2000
+        |  GROUP BY 1, 2)
+        |SELECT i_manager_id, d_moy, sum_sales, yearly_sum
+        |FROM (SELECT *,
+        |        sum(sum_sales) OVER (PARTITION BY i_manager_id)::BIGINT AS yearly_sum,
+        |        count(*) OVER (PARTITION BY i_manager_id) AS n_months
+        |      FROM m)
+        |WHERE abs(sum_sales * n_months - yearly_sum) * 10 > yearly_sum""".stripMargin),
+    "q_tpcdsgen_q66" -> (G.oracleGenSql +
+      """SELECT w_warehouse_name,
+        |  sum(CASE WHEN d_moy = 1 THEN p ELSE 0 END)::BIGINT AS jan_sales,
+        |  sum(CASE WHEN d_moy = 2 THEN p ELSE 0 END)::BIGINT AS feb_sales,
+        |  sum(CASE WHEN d_moy = 3 THEN p ELSE 0 END)::BIGINT AS mar_sales,
+        |  sum(CASE WHEN d_moy = 4 THEN p ELSE 0 END)::BIGINT AS apr_sales,
+        |  sum(CASE WHEN d_moy = 5 THEN p ELSE 0 END)::BIGINT AS may_sales,
+        |  sum(CASE WHEN d_moy = 6 THEN p ELSE 0 END)::BIGINT AS jun_sales,
+        |  sum(CASE WHEN d_moy = 7 THEN p ELSE 0 END)::BIGINT AS jul_sales,
+        |  sum(CASE WHEN d_moy = 8 THEN p ELSE 0 END)::BIGINT AS aug_sales,
+        |  sum(CASE WHEN d_moy = 9 THEN p ELSE 0 END)::BIGINT AS sep_sales,
+        |  sum(CASE WHEN d_moy = 10 THEN p ELSE 0 END)::BIGINT AS oct_sales,
+        |  sum(CASE WHEN d_moy = 11 THEN p ELSE 0 END)::BIGINT AS nov_sales,
+        |  sum(CASE WHEN d_moy = 12 THEN p ELSE 0 END)::BIGINT AS dec_sales
+        |FROM (
+        |  SELECT ws_warehouse_sk AS wh_sk, ws_ship_mode_sk AS sm_sk,
+        |    ws_sold_date_sk AS sold_sk, ws_ext_sales_price_c AS p FROM web_sales
+        |  UNION ALL
+        |  SELECT cs_warehouse_sk, cs_ship_mode_sk, cs_sold_date_sk,
+        |    cs_ext_sales_price_c FROM catalog_sales)
+        |JOIN ship_mode ON sm_sk = sm_ship_mode_sk
+        |JOIN date_dim ON sold_sk = d_date_sk
+        |JOIN warehouse ON wh_sk = w_warehouse_sk
+        |WHERE sm_carrier IN ('CARRIER1', 'CARRIER2') AND d_year = 2000
+        |GROUP BY w_warehouse_name""".stripMargin),
+    "q_tpcdsgen_q69" -> (G.oracleGenSql +
+      """, dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = 2000 AND d_qoy = 1),
+        |st AS (SELECT DISTINCT ss_customer_sk FROM store_sales
+        |       JOIN dd ON ss_sold_date_sk = d_date_sk),
+        |wb AS (SELECT DISTINCT ws_bill_customer_sk FROM web_sales
+        |       JOIN dd ON ws_sold_date_sk = d_date_sk),
+        |ct AS (SELECT DISTINCT cs_customer_sk FROM catalog_sales
+        |       JOIN dd ON cs_sold_date_sk = d_date_sk)
+        |SELECT (c_birth_year // 10) * 10 AS birth_decade, count(*) AS cnt
+        |FROM st
+        |JOIN customer ON ss_customer_sk = c_customer_sk
+        |WHERE NOT EXISTS (SELECT 1 FROM wb WHERE ws_bill_customer_sk = ss_customer_sk)
+        |  AND NOT EXISTS (SELECT 1 FROM ct WHERE cs_customer_sk = ss_customer_sk)
+        |GROUP BY 1""".stripMargin),
     "q_tpcdsgen_q22" -> (G.oracleGenSql +
       """SELECT i_category, i_brand,
         |  sum(inv_quantity_on_hand)::DOUBLE / count(*) AS qoh
