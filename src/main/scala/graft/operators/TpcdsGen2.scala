@@ -705,7 +705,136 @@ object TpcdsGen2 {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Distinct customer key set for one channel-year — the q38/q87
+    * building block; only keys ever cross the wire. */
+  private def custSet(s: SparkSession, dir: String, year: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year") === year))
+    (G.storeSales(s, n).join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .select(col("ss_customer_sk").as("c_sk")).distinct(),
+     G.catalogSales(s, n).join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .select(col("cs_customer_sk").as("c_sk")).distinct(),
+     G.webSales(s, n).join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .select(col("ws_bill_customer_sk").as("c_sk")).distinct())
+  }
+
+  /** TPC-DS q38: customers active on ALL three channels in one year —
+    * INTERSECT of the three distinct key sets, one count out.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val (st, ct, wb) = custSet(s, dir, 2000)
+    st.intersect(ct).intersect(wb).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** TPC-DS q87: store customers on NEITHER other channel in one year
+    * — the EXCEPT chain over the same key sets.
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val (st, ct, wb) = custSet(s, dir, 2000)
+    st.except(ct).except(wb).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** TPC-DS q31: zip bands where web revenue grew FASTER than store
+    * revenue across consecutive 2000 quarters — each channel collapses
+    * to (zip, qoy) grain with the quarter pivot as conditional sums
+    * (one pass per channel), and both growth comparisons cross-
+    * multiply exact integers on the 100-row joined frame.
+    */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s)
+      .where(col("d_year") === 2000 && col("d_qoy").between(1, 3)))
+    val cust = broadcast(G.customer(s))
+    def quarters(df: DataFrame, dateK: String, custK: String, ext: String,
+        p: String): DataFrame =
+      df.join(dd, col(dateK) === col("d_date_sk"))
+        .join(cust, col(custK) === col("c_customer_sk"))
+        .groupBy(col("c_zip").as(s"${p}_zip"))
+        .agg(
+          sum(when(col("d_qoy") === 1, col(ext)).otherwise(0L)).as(s"${p}1"),
+          sum(when(col("d_qoy") === 2, col(ext)).otherwise(0L)).as(s"${p}2"),
+          sum(when(col("d_qoy") === 3, col(ext)).otherwise(0L)).as(s"${p}3"))
+    val ss = quarters(G.storeSales(s, n), "ss_sold_date_sk", "ss_customer_sk",
+      "ss_ext_sales_price_c", "ss")
+    val ws = quarters(G.webSales(s, n), "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_ext_sales_price_c", "ws")
+    ss.join(ws, col("ss_zip") === col("ws_zip"))
+      .where(col("ss1") > 0 && col("ss2") > 0 && col("ws1") > 0 && col("ws2") > 0 &&
+        col("ws2") * col("ss1") > col("ss2") * col("ws1") &&
+        col("ws3") * col("ss2") > col("ss3") * col("ws2"))
+      .select(col("ss_zip").as("zip"), col("ss1"), col("ss2"), col("ss3"),
+        col("ws1"), col("ws2"), col("ws3"))
+  }
+
+  /** TPC-DS q75: brands in one category whose net unit sales (returns
+    * subtracted) DECLINED more than 10% year over year (item grain; brand grain is 5 stationary rows on this schema) — every channel
+    * nets its returns on the order key, the union collapses to
+    * (year, brand, item) grain, and the decline cut is curr·10 < prev·9 in
+    * exact integers on the brand-sized self-join.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year").isin(1999, 2000)))
+    val it = broadcast(G.item(s).where(col("i_category_id") === 4))
+    def net(sales: DataFrame, dateK: String, itemK: String, qty: String,
+        orderK: String, rets: DataFrame, retOrder: String, retItem: String,
+        retQty: String): DataFrame =
+      sales
+        .join(rets.select(col(retOrder), col(retItem), col(retQty)),
+          col(orderK) === col(retOrder) && col(itemK) === col(retItem), "left")
+        .join(dd, col(dateK) === col("d_date_sk"))
+        .join(it, col(itemK) === col("i_item_sk"))
+        .select(col("d_year"), col("i_brand_id"), col("i_item_sk").as("item"),
+          (col(qty) - coalesce(col(retQty), lit(0L))).as("net_qty"))
+    val legs = Seq(
+      net(G.storeSales(s, n), "ss_sold_date_sk", "ss_item_sk", "ss_quantity",
+        "ss_ticket_number", G.storeReturns(s, n), "sr_ticket_number", "sr_item_sk",
+        "sr_return_quantity"),
+      net(G.catalogSales(s, n), "cs_sold_date_sk", "cs_item_sk", "cs_quantity",
+        "cs_order_number", G.catalogReturns(s, n), "cr_order_number", "cr_item_sk",
+        "cr_return_quantity"),
+      net(G.webSales(s, n), "ws_sold_date_sk", "ws_item_sk", "ws_quantity",
+        "ws_order_number", G.webReturns(s, n), "wr_order_number", "wr_item_sk",
+        "wr_return_quantity"))
+    val byYear = legs.reduce(_ unionAll _)
+      .groupBy(col("d_year"), col("i_brand_id"), col("item"))
+      .agg(sum(col("net_qty")).as("net_cnt"))
+    val prev = byYear.where(col("d_year") === 1999)
+      .select(col("i_brand_id").as("brand_p"), col("item").as("item_p"),
+        col("net_cnt").as("prev_cnt"))
+    val curr = byYear.where(col("d_year") === 2000)
+      .select(col("item").as("item_c"), col("net_cnt").as("curr_cnt"))
+    prev.join(curr, col("item_p") === col("item_c"))
+      .where(col("prev_cnt") > 0 && col("curr_cnt") * 10 < col("prev_cnt") * 9)
+      .select(col("brand_p").as("i_brand_id"), col("item_p").as("item"),
+        col("prev_cnt"), col("curr_cnt"),
+        (col("curr_cnt") - col("prev_cnt")).as("sales_cnt_diff"))
+  }
+
+  /** TPC-DS q18: catalog quantity/price/discount averages rolled up
+    * the (birth-decade, zip) hierarchy — exact integer sums divided
+    * once per rollup cell.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    G.catalogSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1998)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.customer(s)), col("cs_customer_sk") === col("c_customer_sk"))
+      .withColumn("birth_decade", expr("(c_birth_year div 10) * 10"))
+      .rollup(col("birth_decade"), col("c_zip"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("cs_quantity")).cast("double") / count(lit(1))).as("agg1"),
+        (sum(col("cs_sales_price_c")).cast("double") / count(lit(1))).as("agg2"),
+        (sum(col("cs_ext_discount_amt_c")).cast("double") / count(lit(1))).as("agg3"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q38" -> (q38 _),
+    "q_tpcdsgen_q87" -> (q87 _),
+    "q_tpcdsgen_q31" -> (q31 _),
+    "q_tpcdsgen_q75" -> (q75 _),
+    "q_tpcdsgen_q18" -> (q18 _),
     "q_tpcdsgen_q49" -> (q49 _),
     "q_tpcdsgen_q63" -> (q63 _),
     "q_tpcdsgen_q66" -> (q66 _),
@@ -755,7 +884,98 @@ object TpcdsGen2 {
        |  WHERE $dateCond GROUP BY 1)
        |""".stripMargin
 
+  /** Shared distinct-customer-set CTE text for q38/q87. */
+  private def custSetCte(year: Int): String =
+    s""", dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = $year),
+       |st AS (SELECT DISTINCT ss_customer_sk AS c_sk FROM store_sales
+       |       JOIN dd ON ss_sold_date_sk = d_date_sk),
+       |ct AS (SELECT DISTINCT cs_customer_sk AS c_sk FROM catalog_sales
+       |       JOIN dd ON cs_sold_date_sk = d_date_sk),
+       |wb AS (SELECT DISTINCT ws_bill_customer_sk AS c_sk FROM web_sales
+       |       JOIN dd ON ws_sold_date_sk = d_date_sk)
+       |""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q38" -> (G.oracleGenSql + custSetCte(2000) +
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT c_sk FROM st INTERSECT SELECT c_sk FROM ct
+        |  INTERSECT SELECT c_sk FROM wb)""".stripMargin),
+    "q_tpcdsgen_q87" -> (G.oracleGenSql + custSetCte(2000) +
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT c_sk FROM st EXCEPT SELECT c_sk FROM ct
+        |  EXCEPT SELECT c_sk FROM wb)""".stripMargin),
+    "q_tpcdsgen_q31" -> (G.oracleGenSql +
+      """, ssq AS (
+        |  SELECT c_zip AS zip,
+        |    sum(CASE WHEN d_qoy = 1 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss1,
+        |    sum(CASE WHEN d_qoy = 2 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss2,
+        |    sum(CASE WHEN d_qoy = 3 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss3
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN customer ON ss_customer_sk = c_customer_sk
+        |  WHERE d_year = 2000 AND d_qoy BETWEEN 1 AND 3
+        |  GROUP BY 1),
+        |wsq AS (
+        |  SELECT c_zip AS zip,
+        |    sum(CASE WHEN d_qoy = 1 THEN ws_ext_sales_price_c ELSE 0 END)::BIGINT AS ws1,
+        |    sum(CASE WHEN d_qoy = 2 THEN ws_ext_sales_price_c ELSE 0 END)::BIGINT AS ws2,
+        |    sum(CASE WHEN d_qoy = 3 THEN ws_ext_sales_price_c ELSE 0 END)::BIGINT AS ws3
+        |  FROM web_sales
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  JOIN customer ON ws_bill_customer_sk = c_customer_sk
+        |  WHERE d_year = 2000 AND d_qoy BETWEEN 1 AND 3
+        |  GROUP BY 1)
+        |SELECT ssq.zip, ss1, ss2, ss3, ws1, ws2, ws3
+        |FROM ssq JOIN wsq ON ssq.zip = wsq.zip
+        |WHERE ss1 > 0 AND ss2 > 0 AND ws1 > 0 AND ws2 > 0
+        |  AND ws2 * ss1 > ss2 * ws1 AND ws3 * ss2 > ss3 * ws2""".stripMargin),
+    "q_tpcdsgen_q75" -> (G.oracleGenSql +
+      """, nets AS (
+        |  SELECT d_year, i_brand_id, i_item_sk AS item,
+        |    ss_quantity - coalesce(sr_return_quantity, 0) AS net_qty
+        |  FROM store_sales
+        |  LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year IN (1999, 2000) AND i_category_id = 4
+        |  UNION ALL
+        |  SELECT d_year, i_brand_id, i_item_sk,
+        |    cs_quantity - coalesce(cr_return_quantity, 0)
+        |  FROM catalog_sales
+        |  LEFT JOIN catalog_returns ON cs_order_number = cr_order_number
+        |    AND cs_item_sk = cr_item_sk
+        |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  JOIN item ON cs_item_sk = i_item_sk
+        |  WHERE d_year IN (1999, 2000) AND i_category_id = 4
+        |  UNION ALL
+        |  SELECT d_year, i_brand_id, i_item_sk,
+        |    ws_quantity - coalesce(wr_return_quantity, 0)
+        |  FROM web_sales
+        |  LEFT JOIN web_returns ON ws_order_number = wr_order_number
+        |    AND ws_item_sk = wr_item_sk
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  JOIN item ON ws_item_sk = i_item_sk
+        |  WHERE d_year IN (1999, 2000) AND i_category_id = 4),
+        |by_year AS (
+        |  SELECT d_year, i_brand_id, item, sum(net_qty)::BIGINT AS net_cnt
+        |  FROM nets GROUP BY 1, 2, 3)
+        |SELECT p.i_brand_id, p.item, p.net_cnt AS prev_cnt, c.net_cnt AS curr_cnt,
+        |  c.net_cnt - p.net_cnt AS sales_cnt_diff
+        |FROM by_year p
+        |JOIN by_year c ON p.item = c.item
+        |WHERE p.d_year = 1999 AND c.d_year = 2000
+        |  AND p.net_cnt > 0 AND c.net_cnt * 10 < p.net_cnt * 9""".stripMargin),
+    "q_tpcdsgen_q18" -> (G.oracleGenSql +
+      """SELECT (c_birth_year // 10) * 10 AS birth_decade, c_zip, count(*) AS n,
+        |  sum(cs_quantity)::DOUBLE / count(*) AS agg1,
+        |  sum(cs_sales_price_c)::DOUBLE / count(*) AS agg2,
+        |  sum(cs_ext_discount_amt_c)::DOUBLE / count(*) AS agg3
+        |FROM catalog_sales
+        |JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |JOIN customer ON cs_customer_sk = c_customer_sk
+        |WHERE d_year = 1998
+        |GROUP BY ROLLUP ((c_birth_year // 10) * 10, c_zip)""".stripMargin),
     "q_tpcdsgen_q49" -> (G.oracleGenSql +
       """, rates AS (
         |  SELECT 'store' AS channel, ss_item_sk AS item,
