@@ -829,7 +829,125 @@ object TpcdsGen2 {
         (sum(col("cs_sales_price_c")).cast("double") / count(lit(1))).as("agg2"),
         (sum(col("cs_ext_discount_amt_c")).cast("double") / count(lit(1))).as("agg3"))
 
+  /** TPC-DS q12 (web) / q20 (catalog): per-item revenue share within
+    * its class for a category slice — q98's share window on the other
+    * two channels; the window runs over the item-sized aggregate and
+    * the ratio is integer ppm.
+    */
+  private def shareWithinClass(fact: DataFrame, dateK: String, itemK: String,
+      ext: String, s: SparkSession, cats: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    fact
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999 && col("d_moy") === 2)),
+        col(dateK) === col("d_date_sk"))
+      .join(broadcast(G.item(s).where(col("i_category_id").isin(cats: _*))),
+        col(itemK) === col("i_item_sk"))
+      .groupBy(col("i_item_sk"), col("i_class"))
+      .agg(sum(col(ext)).as("itemrevenue"))
+      .withColumn("revenueratio_ppm",
+        expr("itemrevenue * 1000000 div sum(itemrevenue) over (partition by i_class)"))
+  }
+
+  def q12(s: SparkSession, dir: String): DataFrame =
+    shareWithinClass(G.webSales(s, G.nSales(s, dir)), "ws_sold_date_sk",
+      "ws_item_sk", "ws_ext_sales_price_c", s, Seq(1L, 4L, 8L))
+
+  def q20(s: SparkSession, dir: String): DataFrame =
+    shareWithinClass(G.catalogSales(s, G.nSales(s, dir)), "cs_sold_date_sk",
+      "cs_item_sk", "cs_ext_sales_price_c", s, Seq(2L, 5L, 9L))
+
+  /** TPC-DS q36: gross-margin rollup over (category, class) with the
+    * published rank-within-parent — margins in integer ppm, the rank
+    * window partitioned by (hierarchy level, parent) over the rollup-
+    * sized frame only.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2001)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"))
+      .agg(
+        sum(col("ss_net_profit_c")).as("profit_c"),
+        sum(col("ss_ext_sales_price_c")).as("sales_c"),
+        (grouping(col("i_category")) + grouping(col("i_class"))).as("lochierarchy"))
+      .withColumn("gross_margin_ppm", expr("profit_c * 1000000 div sales_c"))
+      .withColumn("rank_within_parent", rank().over(
+        Window.partitionBy(col("lochierarchy"),
+            when(col("lochierarchy") === 0, col("i_category")))
+          .orderBy(col("gross_margin_ppm").asc)))
+      .select(col("i_category"), col("i_class"), col("lochierarchy"),
+        col("gross_margin_ppm"), col("rank_within_parent"))
+  }
+
+  /** TPC-DS q28: list-price average / count / DISTINCT count inside
+    * six quantity bands — one scan, six conditional aggregate triples
+    * (Catalyst's RewriteDistinctAggregates expands the multi-distinct
+    * into one Expand pass; the published text is six cross-joined
+    * subqueries, i.e. six scans).
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val bands = Seq((1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30))
+    val aggs = bands.zipWithIndex.flatMap { case ((lo, hi), i) =>
+      val in = col("ss_quantity").between(lo, hi)
+      Seq(
+        (sum(when(in, col("ss_list_price_c"))).cast("double") /
+          sum(when(in, 1L).otherwise(0L))).as(s"b${i + 1}_lp"),
+        sum(when(in, 1L).otherwise(0L)).as(s"b${i + 1}_cnt"),
+        countDistinct(when(in, col("ss_list_price_c"))).as(s"b${i + 1}_cntd"))
+    }
+    G.storeSales(s, G.nSales(s, dir)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** TPC-DS q48: total quantity sold under the published disjunction
+    * of (birth cohort × price band) arms — one conditional scan.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .where(
+        (col("c_birth_year").between(1930, 1949) &&
+          col("ss_sales_price_c").between(5000, 10000)) ||
+        (col("c_birth_year").between(1950, 1969) &&
+          col("ss_sales_price_c").between(100, 5000)) ||
+        (col("c_birth_year").between(1970, 1989) &&
+          col("ss_sales_price_c").between(3000, 8000)))
+      .agg(sum(col("ss_quantity")).as("total_quantity"))
+
+  /** TPC-DS q47: brand months straying >10% from the yearly monthly
+    * mean, reported with the neighboring months' revenue (lag/lead
+    * over the brand-month aggregate) — deviation cut in exact
+    * integers, windows ordered by the unique month key.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBrand = Window.partitionBy(col("i_brand_id"))
+    val byMoy = byBrand.orderBy(col("d_moy"))
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2000)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_brand_id"), col("d_moy"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_sales"))
+      .withColumn("yearly_sum", sum(col("sum_sales")).over(byBrand))
+      .withColumn("n_months", count(lit(1)).over(byBrand))
+      .withColumn("psum", lag(col("sum_sales"), 1).over(byMoy))
+      .withColumn("nsum", lead(col("sum_sales"), 1).over(byMoy))
+      .where(col("psum").isNotNull && col("nsum").isNotNull &&
+        abs(col("sum_sales") * col("n_months") - col("yearly_sum")) * 10 >
+          col("yearly_sum"))
+      .select(col("i_brand_id"), col("d_moy"), col("sum_sales"), col("psum"),
+        col("nsum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q12" -> (q12 _),
+    "q_tpcdsgen_q20" -> (q20 _),
+    "q_tpcdsgen_q36" -> (q36 _),
+    "q_tpcdsgen_q28" -> (q28 _),
+    "q_tpcdsgen_q48" -> (q48 _),
+    "q_tpcdsgen_q47" -> (q47 _),
     "q_tpcdsgen_q38" -> (q38 _),
     "q_tpcdsgen_q87" -> (q87 _),
     "q_tpcdsgen_q31" -> (q31 _),
@@ -895,7 +1013,77 @@ object TpcdsGen2 {
        |       JOIN dd ON ws_sold_date_sk = d_date_sk)
        |""".stripMargin
 
+  private def shareWithinClassSql(fact: String, dateK: String, itemK: String,
+      ext: String, cats: String): String =
+    s""", agg AS (
+       |  SELECT i_item_sk, i_class, sum($ext)::BIGINT AS itemrevenue
+       |  FROM $fact
+       |  JOIN date_dim ON $dateK = d_date_sk
+       |  JOIN item ON $itemK = i_item_sk
+       |  WHERE d_year = 1999 AND d_moy = 2 AND i_category_id IN ($cats)
+       |  GROUP BY 1, 2)
+       |SELECT i_item_sk, i_class, itemrevenue,
+       |  (itemrevenue * 1000000 // sum(itemrevenue) OVER (PARTITION BY i_class))::BIGINT
+       |    AS revenueratio_ppm
+       |FROM agg""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q12" -> (G.oracleGenSql + shareWithinClassSql("web_sales",
+      "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price_c", "1, 4, 8")),
+    "q_tpcdsgen_q20" -> (G.oracleGenSql + shareWithinClassSql("catalog_sales",
+      "cs_sold_date_sk", "cs_item_sk", "cs_ext_sales_price_c", "2, 5, 9")),
+    "q_tpcdsgen_q36" -> (G.oracleGenSql +
+      """, agg AS (
+        |  SELECT i_category, i_class,
+        |    grouping(i_category) + grouping(i_class) AS lochierarchy,
+        |    sum(ss_net_profit_c)::BIGINT * 1000000 //
+        |      sum(ss_ext_sales_price_c)::BIGINT AS gross_margin_ppm
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year = 2001
+        |  GROUP BY ROLLUP (i_category, i_class))
+        |SELECT i_category, i_class, lochierarchy, gross_margin_ppm,
+        |  rank() OVER (PARTITION BY lochierarchy,
+        |      CASE WHEN lochierarchy = 0 THEN i_category END
+        |    ORDER BY gross_margin_ppm ASC) AS rank_within_parent
+        |FROM agg""".stripMargin),
+    "q_tpcdsgen_q28" -> (G.oracleGenSql +
+      "SELECT\n" + (1 to 6).map { i =>
+        val (lo, hi) = (Seq((1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30)))(i - 1)
+        s"""  sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi THEN ss_list_price_c END)::DOUBLE
+           |    / sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi THEN 1 ELSE 0 END) AS b${i}_lp,
+           |  sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi THEN 1 ELSE 0 END)::BIGINT AS b${i}_cnt,
+           |  count(DISTINCT CASE WHEN ss_quantity BETWEEN $lo AND $hi
+           |    THEN ss_list_price_c END) AS b${i}_cntd""".stripMargin
+      }.mkString(",\n") + "\nFROM store_sales"),
+    "q_tpcdsgen_q48" -> (G.oracleGenSql +
+      """SELECT sum(ss_quantity)::BIGINT AS total_quantity
+        |FROM store_sales
+        |JOIN customer ON ss_customer_sk = c_customer_sk
+        |WHERE (c_birth_year BETWEEN 1930 AND 1949
+        |       AND ss_sales_price_c BETWEEN 5000 AND 10000)
+        |   OR (c_birth_year BETWEEN 1950 AND 1969
+        |       AND ss_sales_price_c BETWEEN 100 AND 5000)
+        |   OR (c_birth_year BETWEEN 1970 AND 1989
+        |       AND ss_sales_price_c BETWEEN 3000 AND 8000)""".stripMargin),
+    "q_tpcdsgen_q47" -> (G.oracleGenSql +
+      """, m AS (
+        |  SELECT i_brand_id, d_moy, sum(ss_ext_sales_price_c)::BIGINT AS sum_sales
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year = 2000
+        |  GROUP BY 1, 2)
+        |SELECT i_brand_id, d_moy, sum_sales, psum, nsum
+        |FROM (SELECT *,
+        |        sum(sum_sales) OVER (PARTITION BY i_brand_id)::BIGINT AS yearly_sum,
+        |        count(*) OVER (PARTITION BY i_brand_id) AS n_months,
+        |        lag(sum_sales) OVER (PARTITION BY i_brand_id ORDER BY d_moy) AS psum,
+        |        lead(sum_sales) OVER (PARTITION BY i_brand_id ORDER BY d_moy) AS nsum
+        |      FROM m)
+        |WHERE psum IS NOT NULL AND nsum IS NOT NULL
+        |  AND abs(sum_sales * n_months - yearly_sum) * 10 > yearly_sum""".stripMargin),
     "q_tpcdsgen_q38" -> (G.oracleGenSql + custSetCte(2000) +
       """SELECT count(*) AS cnt FROM (
         |  SELECT c_sk FROM st INTERSECT SELECT c_sk FROM ct
