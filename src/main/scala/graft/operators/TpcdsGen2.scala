@@ -941,7 +941,115 @@ object TpcdsGen2 {
         col("nsum"))
   }
 
+  /** TPC-DS q51: (item, week) points where the WEB channel's running
+    * cumulative revenue has overtaken the store channel's — per-channel
+    * cumulative windows over (item, week) aggregates, FULL OUTER on
+    * the sparse grids, then running-max windows carry each channel's
+    * last seen cumulative across the other channel's weeks. Every
+    * window runs over aggregate grain; facts are scanned once each.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year") === 2000))
+    def cume(fact: DataFrame, itemK: String, dateK: String, ext: String,
+        p: String): DataFrame =
+      fact.join(dd, col(dateK) === col("d_date_sk"))
+        .groupBy(col(itemK).as(s"${p}_item"), col("d_week_seq").as(s"${p}_week"))
+        .agg(sum(col(ext)).as(s"${p}_rev"))
+        .withColumn(s"${p}_cume", sum(col(s"${p}_rev")).over(
+          Window.partitionBy(col(s"${p}_item")).orderBy(col(s"${p}_week"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val web = cume(G.webSales(s, n), "ws_item_sk", "ws_sold_date_sk",
+      "ws_ext_sales_price_c", "web")
+    val st = cume(G.storeSales(s, n), "ss_item_sk", "ss_sold_date_sk",
+      "ss_ext_sales_price_c", "st")
+    val joined = web.join(st,
+        col("web_item") === col("st_item") && col("web_week") === col("st_week"),
+        "full_outer")
+      .select(
+        coalesce(col("web_item"), col("st_item")).as("item_sk"),
+        coalesce(col("web_week"), col("st_week")).as("d_week_seq"),
+        col("web_cume"), col("st_cume"))
+    val carry = Window.partitionBy(col("item_sk")).orderBy(col("d_week_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("web_cumulative", max(col("web_cume")).over(carry))
+      .withColumn("store_cumulative", max(col("st_cume")).over(carry))
+      .where(col("web_cumulative") > col("store_cumulative"))
+      .select(col("item_sk"), col("d_week_seq"), col("store_cumulative"),
+        col("web_cumulative"))
+  }
+
+  /** TPC-DS q4: customers whose catalog AND web spend both grew
+    * faster year-over-year than their store spend — q74's year pivot
+    * run once per channel (one pass each), growth comparisons
+    * cross-multiplied in exact integers on the customer-grain join.
+    */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year").isin(1998, 1999)))
+    def yearPivot(df: DataFrame, dateK: String, custK: String, ext: String,
+        p: String): DataFrame =
+      df.join(dd, col(dateK) === col("d_date_sk"))
+        .groupBy(col(custK).as(s"${p}_cust"))
+        .agg(
+          sum(when(col("d_year") === 1998, col(ext)).otherwise(0L)).as(s"${p}1"),
+          sum(when(col("d_year") === 1999, col(ext)).otherwise(0L)).as(s"${p}2"))
+    val ss = yearPivot(G.storeSales(s, n), "ss_sold_date_sk", "ss_customer_sk",
+      "ss_ext_sales_price_c", "ss")
+    val cs = yearPivot(G.catalogSales(s, n), "cs_sold_date_sk", "cs_customer_sk",
+      "cs_ext_sales_price_c", "cs")
+    val ws = yearPivot(G.webSales(s, n), "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_ext_sales_price_c", "ws")
+    ss.join(cs, col("ss_cust") === col("cs_cust"))
+      .join(ws, col("ss_cust") === col("ws_cust"))
+      .where(col("ss1") > 0 && col("cs1") > 0 && col("ws1") > 0 &&
+        col("cs2") * col("ss1") > col("ss2") * col("cs1") &&
+        col("ws2") * col("ss1") > col("ss2") * col("ws1"))
+      .select(col("ss_cust").as("cust"), col("ss1"), col("ss2"), col("cs1"),
+        col("cs2"), col("ws1"), col("ws2"))
+  }
+
+  /** TPC-DS q14-shape: brands of items that sold on ALL three
+    * channels in 2000 (item-key INTERSECT), reported as each
+    * channel's December revenue over those cross items — the
+    * published iceberg threshold is dropped (documented), the
+    * intersect feeds a broadcast semi-filter onto the channel union.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year") === 2000))
+    def items(df: DataFrame, itemK: String, dateK: String) =
+      df.join(dd, col(dateK) === col("d_date_sk"))
+        .select(col(itemK).as("item_sk")).distinct()
+    val cross = items(G.storeSales(s, n), "ss_item_sk", "ss_sold_date_sk")
+      .intersect(items(G.catalogSales(s, n), "cs_item_sk", "cs_sold_date_sk"))
+      .intersect(items(G.webSales(s, n), "ws_item_sk", "ws_sold_date_sk"))
+    val dec = broadcast(G.dateDim(s)
+      .where(col("d_year") === 2000 && col("d_moy") === 12)
+      .select(col("d_date_sk").as("dec_sk")))
+    val union = G.storeSales(s, n)
+      .select(lit("store").as("channel"), col("ss_item_sk").as("item"),
+        col("ss_sold_date_sk").as("sold_sk"), col("ss_ext_sales_price_c").as("p"))
+      .unionAll(G.catalogSales(s, n)
+        .select(lit("catalog"), col("cs_item_sk"), col("cs_sold_date_sk"),
+          col("cs_ext_sales_price_c")))
+      .unionAll(G.webSales(s, n)
+        .select(lit("web"), col("ws_item_sk"), col("ws_sold_date_sk"),
+          col("ws_ext_sales_price_c")))
+    union
+      .join(dec, col("sold_sk") === col("dec_sk"))
+      .join(cross, col("item") === col("item_sk"), "left_semi")
+      .join(broadcast(G.item(s)), col("item") === col("i_item_sk"))
+      .groupBy(col("channel"), col("i_brand_id"))
+      .agg(sum(col("p")).as("sales_c"), count(lit(1)).as("number_sales"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q51" -> (q51 _),
+    "q_tpcdsgen_q4"  -> (q4 _),
+    "q_tpcdsgen_q14" -> (q14 _),
     "q_tpcdsgen_q12" -> (q12 _),
     "q_tpcdsgen_q20" -> (q20 _),
     "q_tpcdsgen_q36" -> (q36 _),
@@ -1028,6 +1136,85 @@ object TpcdsGen2 {
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q51" -> (G.oracleGenSql +
+      """, web AS (
+        |  SELECT ws_item_sk AS web_item, d_week_seq AS web_week,
+        |    sum(sum(ws_ext_sales_price_c))
+        |      OVER (PARTITION BY ws_item_sk ORDER BY d_week_seq
+        |            ROWS UNBOUNDED PRECEDING)::BIGINT AS web_cume
+        |  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE d_year = 2000 GROUP BY 1, 2),
+        |st AS (
+        |  SELECT ss_item_sk AS st_item, d_week_seq AS st_week,
+        |    sum(sum(ss_ext_sales_price_c))
+        |      OVER (PARTITION BY ss_item_sk ORDER BY d_week_seq
+        |            ROWS UNBOUNDED PRECEDING)::BIGINT AS st_cume
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year = 2000 GROUP BY 1, 2),
+        |joined AS (
+        |  SELECT coalesce(web_item, st_item) AS item_sk,
+        |    coalesce(web_week, st_week) AS d_week_seq, web_cume, st_cume
+        |  FROM web FULL OUTER JOIN st
+        |    ON web_item = st_item AND web_week = st_week)
+        |SELECT item_sk, d_week_seq, store_cumulative, web_cumulative
+        |FROM (
+        |  SELECT item_sk, d_week_seq,
+        |    max(web_cume) OVER (PARTITION BY item_sk ORDER BY d_week_seq
+        |      ROWS UNBOUNDED PRECEDING) AS web_cumulative,
+        |    max(st_cume) OVER (PARTITION BY item_sk ORDER BY d_week_seq
+        |      ROWS UNBOUNDED PRECEDING) AS store_cumulative
+        |  FROM joined)
+        |WHERE web_cumulative > store_cumulative""".stripMargin),
+    "q_tpcdsgen_q4" -> (G.oracleGenSql +
+      """, ssy AS (
+        |  SELECT ss_customer_sk AS cust,
+        |    sum(CASE WHEN d_year = 1998 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss1,
+        |    sum(CASE WHEN d_year = 1999 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss2
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (1998, 1999) GROUP BY 1),
+        |csy AS (
+        |  SELECT cs_customer_sk AS cust,
+        |    sum(CASE WHEN d_year = 1998 THEN cs_ext_sales_price_c ELSE 0 END)::BIGINT AS cs1,
+        |    sum(CASE WHEN d_year = 1999 THEN cs_ext_sales_price_c ELSE 0 END)::BIGINT AS cs2
+        |  FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (1998, 1999) GROUP BY 1),
+        |wsy AS (
+        |  SELECT ws_bill_customer_sk AS cust,
+        |    sum(CASE WHEN d_year = 1998 THEN ws_ext_sales_price_c ELSE 0 END)::BIGINT AS ws1,
+        |    sum(CASE WHEN d_year = 1999 THEN ws_ext_sales_price_c ELSE 0 END)::BIGINT AS ws2
+        |  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (1998, 1999) GROUP BY 1)
+        |SELECT ssy.cust, ss1, ss2, cs1, cs2, ws1, ws2
+        |FROM ssy JOIN csy ON ssy.cust = csy.cust JOIN wsy ON ssy.cust = wsy.cust
+        |WHERE ss1 > 0 AND cs1 > 0 AND ws1 > 0
+        |  AND cs2 * ss1 > ss2 * cs1 AND ws2 * ss1 > ss2 * ws1""".stripMargin),
+    "q_tpcdsgen_q14" -> (G.oracleGenSql +
+      """, dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = 2000),
+        |cross_items AS (
+        |  SELECT DISTINCT ss_item_sk AS item_sk FROM store_sales
+        |    JOIN dd ON ss_sold_date_sk = d_date_sk
+        |  INTERSECT
+        |  SELECT DISTINCT cs_item_sk FROM catalog_sales
+        |    JOIN dd ON cs_sold_date_sk = d_date_sk
+        |  INTERSECT
+        |  SELECT DISTINCT ws_item_sk FROM web_sales
+        |    JOIN dd ON ws_sold_date_sk = d_date_sk)
+        |SELECT channel, i_brand_id, sum(p)::BIGINT AS sales_c,
+        |  count(*) AS number_sales
+        |FROM (
+        |  SELECT 'store' AS channel, ss_item_sk AS item,
+        |    ss_sold_date_sk AS sold_sk, ss_ext_sales_price_c AS p FROM store_sales
+        |  UNION ALL
+        |  SELECT 'catalog', cs_item_sk, cs_sold_date_sk, cs_ext_sales_price_c
+        |  FROM catalog_sales
+        |  UNION ALL
+        |  SELECT 'web', ws_item_sk, ws_sold_date_sk, ws_ext_sales_price_c
+        |  FROM web_sales)
+        |JOIN date_dim ON sold_sk = d_date_sk
+        |JOIN item ON item = i_item_sk
+        |WHERE d_year = 2000 AND d_moy = 12
+        |  AND EXISTS (SELECT 1 FROM cross_items WHERE item_sk = item)
+        |GROUP BY channel, i_brand_id""".stripMargin),
     "q_tpcdsgen_q12" -> (G.oracleGenSql + shareWithinClassSql("web_sales",
       "ws_sold_date_sk", "ws_item_sk", "ws_ext_sales_price_c", "1, 4, 8")),
     "q_tpcdsgen_q20" -> (G.oracleGenSql + shareWithinClassSql("catalog_sales",
