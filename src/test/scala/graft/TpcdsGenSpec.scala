@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{TpcdsGen => G, TpcdsGen2}
+
+/** Generator invariants + plan goldens for the extended deterministic
+  * TPC-DS star schema. The data-level checks pin the cross-table
+  * contracts every real query relies on (returns are subsets of their
+  * sales fact, shipping happens after selling, the inventory grain is
+  * dense and its quantity actually VARIES week-over-week — the r13
+  * stride degeneracy 5000·53 ≡ 0 (mod 1000) made every (warehouse,
+  * item) series constant and silently emptied q39). The plan goldens
+  * pin the one-scan property of the band/pivot queries: the published
+  * TPC-DS texts spell q88/q28/q66 as N cross-joined subqueries, and
+  * the whole point of the conditional-aggregate formulation is that
+  * the fact materializes ONCE.
+  */
+class TpcdsGenSpec extends SparkSpec {
+
+  private val n = 6000L  // |lineitem| at sf0.001
+
+  private def plan(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("store_returns is a subset of store_sales on (ticket, item) with qty <= sold") {
+    val viol = G.storeReturns(spark, n)
+      .join(G.storeSales(spark, n),
+        col("sr_ticket_number") === col("ss_ticket_number") &&
+          col("sr_item_sk") === col("ss_item_sk"), "left")
+      .where(col("ss_ticket_number").isNull ||
+        col("sr_return_quantity") > col("ss_quantity"))
+      .count()
+    assert(viol === 0)
+  }
+
+  test("catalog and web returns join back to exactly one sale each") {
+    val cr = G.catalogReturns(spark, n).join(G.catalogSales(spark, n),
+      col("cr_order_number") === col("cs_order_number")).count()
+    assert(cr === G.catalogReturns(spark, n).count())
+    val wr = G.webReturns(spark, n).join(G.webSales(spark, n),
+      col("wr_order_number") === col("ws_order_number")).count()
+    assert(wr === G.webReturns(spark, n).count())
+  }
+
+  test("ship dates are strictly after sold dates on both shipping channels") {
+    assert(G.catalogSales(spark, n)
+      .where(col("cs_ship_date_sk") <= col("cs_sold_date_sk")).count() === 0)
+    assert(G.webSales(spark, n)
+      .where(col("ws_ship_date_sk") <= col("ws_sold_date_sk")).count() === 0)
+  }
+
+  test("inventory grain is unique on (date, item, warehouse) and quantities vary " +
+      "within a warehouse/item series (the q39 stride-degeneracy guard)") {
+    val inv = G.inventory(spark)
+    assert(inv.count() === G.INV_ROWS)
+    assert(inv.select(col("inv_date_sk"), col("inv_item_sk"), col("inv_warehouse_sk"))
+      .distinct().count() === G.INV_ROWS)
+    // every (warehouse, item) series must see more than one quantity —
+    // with modulus 997 coprime to the 5000-id week stride this holds
+    // for all 5000 series; the old modulus 1000 made ALL of them 1
+    val constSeries = inv.groupBy(col("inv_warehouse_sk"), col("inv_item_sk"))
+      .agg(countDistinct(col("inv_quantity_on_hand")).as("nq"))
+      .where(col("nq") === 1).count()
+    assert(constSeries === 0)
+  }
+
+  test("time and household dims are dense and in range") {
+    val t = G.timeDim(spark)
+    assert(t.count() === 86400)
+    assert(t.where(col("t_hour") < 0 || col("t_hour") > 23 ||
+      col("t_minute") < 0 || col("t_minute") > 59).count() === 0)
+    val hd = G.householdDemographics(spark)
+    assert(hd.count() === G.N_HDEMO)
+    assert(hd.where(col("hd_dep_count") < 0 || col("hd_dep_count") > 9).count() === 0)
+  }
+
+  test("q88's eight time bands materialize the fact ONCE (the published text " +
+      "is eight cross-joined subqueries = eight scans)") {
+    val p = plan(TpcdsGen2.q88(spark, sfDir))
+    // fact + hd dim + time dim = exactly three Range sources
+    val ranges = p.linesIterator.count(_.contains("Arguments: Range ("))
+    assert(ranges === 3, s"expected 3 Range sources (fact, hd, time), got $ranges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q28's six banded distinct-aggregate triples stay one fact scan " +
+      "(multi-distinct rewrites to Expand, not to six subquery scans)") {
+    val p = plan(TpcdsGen2.q28(spark, sfDir))
+    val ranges = p.linesIterator.count(_.contains("Arguments: Range ("))
+    assert(ranges === 1, s"expected the single fact Range, got $ranges:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct should plan through Expand:\n$p")
+  }
+
+  test("q49's rank<=10 cut plans as WindowGroupLimit — no channel sorts item-wide") {
+    val p = plan(TpcdsGen2.q49(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q66's warehouse report is one pass over the channel union: two fact " +
+      "ranges, broadcast dims only") {
+    val p = plan(TpcdsGen2.q66(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), p)
+    val ranges = p.linesIterator.count(_.contains("Arguments: Range ("))
+    // web fact + catalog fact + ship_mode + date + warehouse
+    assert(ranges === 5, s"expected 5 Range sources, got $ranges:\n$p")
+  }
+
+  test("q51's cumulative windows run over (item, week) aggregates, never fact rows") {
+    val p = plan(TpcdsGen2.q51(spark, sfDir))
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val windowIdx = tree.indexWhere(_.contains("Window"))
+    val firstAgg = tree.indexWhere(_.contains("HashAggregate"))
+    assert(windowIdx >= 0 && firstAgg > windowIdx,
+      s"window must consume the aggregated frame:\n$p")
+  }
+
+  test("streaming-shape smoke: the q5 rollup report returns every channel " +
+      "with internally consistent totals") {
+    val rows = TpcdsGen2.q5(spark, sfDir)
+      .where(col("unit_sk").isNull && col("channel").isNotNull)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet === Set("store channel", "catalog channel", "web channel"))
+    // per-channel: profit <= sales (refunds only subtract), returns > 0
+    rows.foreach { case (ch, (sales, returns, profit)) =>
+      assert(returns > 0, ch)
+      assert(profit < sales, ch)
+    }
+  }
+}
