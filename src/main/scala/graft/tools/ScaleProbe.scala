@@ -237,6 +237,13 @@ object ScaleProbe {
       // two-channel (customer,year)-grain pivot join and q97 the
       // key-set full-outer overlap
       "q_tpcdsgen_q3", "q_tpcdsgen_q93", "q_tpcdsgen_q74", "q_tpcdsgen_q97",
+      // round-13b: the band census (one conditional pass, must stay
+      // linear in the fact), the per-channel worst-returns rank
+      // (WindowGroupLimit — wire volume is tasks x 10 per channel),
+      // the cumulative overtake windows (aggregate-grain windows +
+      // full outer), and an inventory query (fixed-size table — its
+      // cost must stay FLAT as the sales fact replicates)
+      "q_tpcdsgen_q88", "q_tpcdsgen_q49", "q_tpcdsgen_q51", "q_tpcdsgen_q21",
       // round-13: HLL rollup (per-group sketches union in a 5-row
       // job — the fact pass must dominate, the union stay constant)
       // and the outer interval join (same hash join as inner, null
