@@ -237,7 +237,9 @@ object TpcdsGen {
         col("ws_bill_customer_sk").as("wr_refunded_customer_sk"),
         (col("ws_order_number") * 3 % col("ws_quantity") + 1).as("wr_return_quantity"),
         ((col("ws_order_number") * 3 % col("ws_quantity") + 1) * col("ws_sales_price_c"))
-          .as("wr_return_amt_c"))
+          .as("wr_return_amt_c"),
+        (col("ws_sold_date_sk") + col("ws_order_number") % 45 + 1)
+          .as("wr_returned_date_sk"))
 
   /** Weekly on-hand snapshots at (date-week × item × warehouse) grain —
     * fixed-size (like dsdgen's inventory, it scales with items×dates,
@@ -397,7 +399,8 @@ object TpcdsGen {
        |    ws_item_sk AS wr_item_sk,
        |    ws_bill_customer_sk AS wr_refunded_customer_sk,
        |    ws_order_number*3 % ws_quantity + 1 AS wr_return_quantity,
-       |    (ws_order_number*3 % ws_quantity + 1) * ws_sales_price_c AS wr_return_amt_c
+       |    (ws_order_number*3 % ws_quantity + 1) * ws_sales_price_c AS wr_return_amt_c,
+       |    ws_sold_date_sk + ws_order_number % 45 + 1 AS wr_returned_date_sk
        |  FROM web_sales WHERE ws_order_number % 11 = 0)
        |""".stripMargin
 

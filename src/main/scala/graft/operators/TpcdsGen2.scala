@@ -1046,7 +1046,149 @@ object TpcdsGen2 {
       .agg(sum(col("p")).as("sales_c"), count(lit(1)).as("number_sales"))
   }
 
+  /** TPC-DS q72: catalog orders at stock-out risk — the week-after
+    * inventory snapshot holds fewer units than the order wants. The
+    * published three-date-dim correlation collapses to an exact
+    * THREE-KEY equi-join (item, warehouse, sold-week+1 = snapshot
+    * week): zero fan-out, no range residual, and the promo/total
+    * split is one conditional aggregate.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val inv = G.inventory(s)
+      .select(col("inv_item_sk"), col("inv_warehouse_sk"),
+        expr("(inv_date_sk - 1) div 7 + 1").as("inv_week"),
+        col("inv_quantity_on_hand"))
+    G.catalogSales(s, G.nSales(s, dir))
+      .join(broadcast(G.promotion(s)), col("cs_promo_sk") === col("p_promo_sk"))
+      .withColumn("sold_week", expr("(cs_sold_date_sk - 1) div 7 + 1"))
+      .join(inv,
+        col("cs_item_sk") === col("inv_item_sk") &&
+          col("cs_warehouse_sk") === col("inv_warehouse_sk") &&
+          col("inv_week") === col("sold_week") + 1)
+      .where(col("inv_quantity_on_hand") < col("cs_quantity"))
+      .join(broadcast(G.warehouse(s)), col("cs_warehouse_sk") === col("w_warehouse_sk"))
+      .groupBy(col("cs_item_sk"), col("w_warehouse_name"))
+      .agg(
+        sum(when(col("p_channel_email") === "Y" || col("p_channel_event") === "Y", 1L)
+          .otherwise(0L)).as("promo"),
+        count(lit(1)).as("total_cnt"))
+  }
+
+  /** TPC-DS q44: the ten best and ten worst store items by average
+    * profit, paired rank-for-rank. Averages floor to integer
+    * per-mille (sum·1000 div cnt) so the ordering is engine-exact,
+    * and row_number breaks residual ties on the item key — both
+    * engines produce the identical pairing.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byItem = G.storeSales(s, G.nSales(s, dir))
+      .groupBy(col("ss_item_sk"))
+      .agg(expr("sum(ss_net_profit_c) * 1000 div count(1)").as("avg_profit_pm"))
+    val best = byItem.withColumn("rnk", row_number().over(
+        Window.orderBy(col("avg_profit_pm").desc, col("ss_item_sk"))))
+      .where(col("rnk") <= 10)
+      .select(col("rnk"), col("ss_item_sk").as("best_performing"))
+    val worst = byItem.withColumn("rnk", row_number().over(
+        Window.orderBy(col("avg_profit_pm").asc, col("ss_item_sk"))))
+      .where(col("rnk") <= 10)
+      .select(col("rnk").as("rnk_w"), col("ss_item_sk").as("worst_performing"))
+    best.join(worst, col("rnk") === col("rnk_w"))
+      .select(col("rnk"), col("best_performing"), col("worst_performing"))
+  }
+
+  /** TPC-DS q91: call-center catalog-return losses by return month
+    * for one birth cohort — the return rides its sale's call center
+    * through the order-key join (returns are the 1/17 probe side).
+    */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    G.catalogReturns(s, n)
+      .join(G.catalogSales(s, n)
+        .select(col("cs_order_number"), col("cs_call_center_sk")),
+        col("cr_order_number") === col("cs_order_number"))
+      .join(broadcast(G.callCenter(s)),
+        col("cs_call_center_sk") === col("cc_call_center_sk"))
+      .join(broadcast(G.customer(s).where(col("c_birth_year") < 1940)),
+        col("cr_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2000)),
+        col("cr_returned_date_sk") === col("d_date_sk"))
+      .groupBy(col("cc_name"), col("d_moy"))
+      .agg(sum(col("cr_return_amt_c")).as("returns_loss_c"))
+  }
+
+  /** TPC-DS q81: customers whose catalog-return total exceeds 1.2×
+    * their zip's average — q1's decorrelation on the catalog channel
+    * with the customer zip as the locale; the cut stays exact
+    * integers (5·total·cnt > 6·sum).
+    */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val ctr = G.catalogReturns(s, G.nSales(s, dir))
+      .join(broadcast(G.customer(s)), col("cr_customer_sk") === col("c_customer_sk"))
+      .groupBy(col("cr_customer_sk").as("ctr_customer_sk"), col("c_zip"))
+      .agg(sum(col("cr_return_amt_c")).as("ctr_total_return"))
+    val perZip = ctr.groupBy(col("c_zip").as("z"))
+      .agg(sum(col("ctr_total_return")).as("z_sum"), count(lit(1)).as("z_cnt"))
+    ctr.join(broadcast(perZip), col("c_zip") === col("z"))
+      .where(col("ctr_total_return") * col("z_cnt") * 5 > col("z_sum") * 6)
+      .select(col("ctr_customer_sk"), col("c_zip"), col("ctr_total_return"))
+  }
+
+  /** TPC-DS q83: items returned on ALL three channels in one year —
+    * per-channel item-grain return quantities joined on the item key,
+    * each channel's share of the item's total in integer ppm.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year") === 2000)
+      .select(col("d_date_sk")))
+    def chan(df: DataFrame, itemK: String, dateK: String, qty: String,
+        p: String): DataFrame =
+      df.join(dd, col(dateK) === col("d_date_sk"))
+        .groupBy(col(itemK).as(s"${p}_item"))
+        .agg(sum(col(qty)).as(s"${p}_qty"))
+    val sr = chan(G.storeReturns(s, n), "sr_item_sk", "sr_returned_date_sk",
+      "sr_return_quantity", "sr")
+    val cr = chan(G.catalogReturns(s, n), "cr_item_sk", "cr_returned_date_sk",
+      "cr_return_quantity", "cr")
+    val wr = chan(G.webReturns(s, n), "wr_item_sk", "wr_returned_date_sk",
+      "wr_return_quantity", "wr")
+    sr.join(cr, col("sr_item") === col("cr_item"))
+      .join(wr, col("sr_item") === col("wr_item"))
+      .withColumn("total", col("sr_qty") + col("cr_qty") + col("wr_qty"))
+      .select(col("sr_item").as("item"), col("sr_qty"), col("cr_qty"), col("wr_qty"),
+        expr("sr_qty * 1000000 div total").as("sr_share_ppm"),
+        expr("cr_qty * 1000000 div total").as("cr_share_ppm"),
+        expr("wr_qty * 1000000 div total").as("wr_share_ppm"))
+  }
+
+  /** TPC-DS q9: five quantity-band statistics where each reported
+    * value PICKS between two averages on a count threshold — the
+    * published five correlated subquery triples fused into one
+    * conditional scan; averages divide exact sums once.
+    */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val bands = Seq((1, 20), (21, 40), (41, 60), (61, 80), (81, 100))
+    val aggs = bands.zipWithIndex.map { case ((lo, hi), i) =>
+      val in = col("ss_quantity").between(lo, hi)
+      when(sum(when(in, 1L).otherwise(0L)) > 5000,
+        sum(when(in, col("ss_ext_sales_price_c"))).cast("double") /
+          sum(when(in, 1L).otherwise(0L)))
+        .otherwise(
+          sum(when(in, col("ss_net_profit_c"))).cast("double") /
+            sum(when(in, 1L).otherwise(0L)))
+        .as(s"bucket${i + 1}")
+    }
+    G.storeSales(s, G.nSales(s, dir)).agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q72" -> (q72 _),
+    "q_tpcdsgen_q44" -> (q44 _),
+    "q_tpcdsgen_q91" -> (q91 _),
+    "q_tpcdsgen_q81" -> (q81 _),
+    "q_tpcdsgen_q83" -> (q83 _),
+    "q_tpcdsgen_q9"  -> (q9 _),
     "q_tpcdsgen_q51" -> (q51 _),
     "q_tpcdsgen_q4"  -> (q4 _),
     "q_tpcdsgen_q14" -> (q14 _),
@@ -1136,6 +1278,83 @@ object TpcdsGen2 {
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q72" -> (G.oracleGenSql +
+      """SELECT cs_item_sk, w_warehouse_name,
+        |  sum(CASE WHEN p_channel_email = 'Y' OR p_channel_event = 'Y'
+        |      THEN 1 ELSE 0 END)::BIGINT AS promo,
+        |  count(*) AS total_cnt
+        |FROM catalog_sales
+        |JOIN promotion ON cs_promo_sk = p_promo_sk
+        |JOIN inventory ON cs_item_sk = inv_item_sk
+        |  AND cs_warehouse_sk = inv_warehouse_sk
+        |  AND (inv_date_sk - 1) // 7 + 1 = (cs_sold_date_sk - 1) // 7 + 2
+        |JOIN warehouse ON cs_warehouse_sk = w_warehouse_sk
+        |WHERE inv_quantity_on_hand < cs_quantity
+        |GROUP BY cs_item_sk, w_warehouse_name""".stripMargin),
+    "q_tpcdsgen_q44" -> (G.oracleGenSql +
+      """, by_item AS (
+        |  SELECT ss_item_sk, sum(ss_net_profit_c)::BIGINT * 1000 // count(*)
+        |    AS avg_profit_pm
+        |  FROM store_sales GROUP BY 1),
+        |best AS (
+        |  SELECT row_number() OVER (ORDER BY avg_profit_pm DESC, ss_item_sk) AS rnk,
+        |    ss_item_sk AS best_performing
+        |  FROM by_item),
+        |worst AS (
+        |  SELECT row_number() OVER (ORDER BY avg_profit_pm ASC, ss_item_sk) AS rnk,
+        |    ss_item_sk AS worst_performing
+        |  FROM by_item)
+        |SELECT best.rnk, best_performing, worst_performing
+        |FROM best JOIN worst ON best.rnk = worst.rnk
+        |WHERE best.rnk <= 10""".stripMargin),
+    "q_tpcdsgen_q91" -> (G.oracleGenSql +
+      """SELECT cc_name, d_moy, sum(cr_return_amt_c)::BIGINT AS returns_loss_c
+        |FROM catalog_returns
+        |JOIN catalog_sales ON cr_order_number = cs_order_number
+        |JOIN call_center ON cs_call_center_sk = cc_call_center_sk
+        |JOIN customer ON cr_customer_sk = c_customer_sk
+        |JOIN date_dim ON cr_returned_date_sk = d_date_sk
+        |WHERE c_birth_year < 1940 AND d_year = 2000
+        |GROUP BY cc_name, d_moy""".stripMargin),
+    "q_tpcdsgen_q81" -> (G.oracleGenSql +
+      """, ctr AS (
+        |  SELECT cr_customer_sk AS ctr_customer_sk, c_zip,
+        |    sum(cr_return_amt_c)::BIGINT AS ctr_total_return
+        |  FROM catalog_returns
+        |  JOIN customer ON cr_customer_sk = c_customer_sk
+        |  GROUP BY 1, 2),
+        |per_zip AS (
+        |  SELECT c_zip AS z, sum(ctr_total_return)::BIGINT AS z_sum,
+        |    count(*) AS z_cnt
+        |  FROM ctr GROUP BY 1)
+        |SELECT ctr_customer_sk, c_zip, ctr_total_return
+        |FROM ctr JOIN per_zip ON c_zip = z
+        |WHERE ctr_total_return * z_cnt * 5 > z_sum * 6""".stripMargin),
+    "q_tpcdsgen_q83" -> (G.oracleGenSql +
+      """, dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = 2000),
+        |sr AS (SELECT sr_item_sk AS item, sum(sr_return_quantity)::BIGINT AS sr_qty
+        |       FROM store_returns JOIN dd ON sr_returned_date_sk = d_date_sk GROUP BY 1),
+        |cr AS (SELECT cr_item_sk AS item, sum(cr_return_quantity)::BIGINT AS cr_qty
+        |       FROM catalog_returns JOIN dd ON cr_returned_date_sk = d_date_sk GROUP BY 1),
+        |wr AS (SELECT wr_item_sk AS item, sum(wr_return_quantity)::BIGINT AS wr_qty
+        |       FROM web_returns JOIN dd ON wr_returned_date_sk = d_date_sk GROUP BY 1)
+        |SELECT sr.item, sr_qty, cr_qty, wr_qty,
+        |  sr_qty * 1000000 // (sr_qty + cr_qty + wr_qty) AS sr_share_ppm,
+        |  cr_qty * 1000000 // (sr_qty + cr_qty + wr_qty) AS cr_share_ppm,
+        |  wr_qty * 1000000 // (sr_qty + cr_qty + wr_qty) AS wr_share_ppm
+        |FROM sr JOIN cr ON sr.item = cr.item JOIN wr ON sr.item = wr.item""".stripMargin),
+    "q_tpcdsgen_q9" -> (G.oracleGenSql +
+      "SELECT\n" + (1 to 5).map { i =>
+        val (lo, hi) = (Seq((1, 20), (21, 40), (41, 60), (61, 80), (81, 100)))(i - 1)
+        s"""  CASE WHEN sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi THEN 1 ELSE 0 END) > 5000
+           |    THEN sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi
+           |             THEN ss_ext_sales_price_c END)::DOUBLE
+           |      / sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi THEN 1 ELSE 0 END)
+           |    ELSE sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi
+           |             THEN ss_net_profit_c END)::DOUBLE
+           |      / sum(CASE WHEN ss_quantity BETWEEN $lo AND $hi THEN 1 ELSE 0 END)
+           |  END AS bucket$i""".stripMargin
+      }.mkString(",\n") + "\nFROM store_sales"),
     "q_tpcdsgen_q51" -> (G.oracleGenSql +
       """, web AS (
         |  SELECT ws_item_sk AS web_item, d_week_seq AS web_week,
