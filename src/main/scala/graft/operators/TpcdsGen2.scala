@@ -1182,7 +1182,187 @@ object TpcdsGen2 {
     G.storeSales(s, G.nSales(s, dir)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** TPC-DS q77: per-channel per-unit sales vs returns report — the
+    * store leg FULL OUTER joins unit-grain sales and returns
+    * aggregates, the catalog leg cross-joins its single-row returns
+    * total (the published shape — catalog returns carry no call
+    * center), the web leg recovers the site through the order key;
+    * one ROLLUP on the unioned unit-grain frames.
+    */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val ssA = G.storeSales(s, n).groupBy(col("ss_store_sk").as("unit_sk"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sales_c"),
+        sum(col("ss_net_profit_c")).as("profit_c"))
+    val srA = G.storeReturns(s, n).groupBy(col("sr_store_sk").as("r_unit"))
+      .agg(sum(col("sr_return_amt_c")).as("returns_c"))
+    val store = ssA.join(srA, col("unit_sk") === col("r_unit"), "full_outer")
+      .select(lit("store channel").as("channel"),
+        coalesce(col("unit_sk"), col("r_unit")).as("unit_sk"),
+        coalesce(col("sales_c"), lit(0L)).as("sales_c"),
+        coalesce(col("returns_c"), lit(0L)).as("returns_c"),
+        (coalesce(col("profit_c"), lit(0L)) - coalesce(col("returns_c"), lit(0L)))
+          .as("profit_c"))
+    val csA = G.catalogSales(s, n).groupBy(col("cs_call_center_sk").as("unit_sk"))
+      .agg(sum(col("cs_ext_sales_price_c")).as("sales_c"),
+        sum(col("cs_net_profit_c")).as("profit_c"))
+    val crTot = G.catalogReturns(s, n)
+      .agg(sum(col("cr_return_amt_c")).as("returns_c"))
+    val cat = csA.crossJoin(broadcast(crTot))
+      .select(lit("catalog channel").as("channel"), col("unit_sk"),
+        col("sales_c"), col("returns_c"),
+        (col("profit_c") - col("returns_c")).as("profit_c"))
+    val wsA = G.webSales(s, n).groupBy(col("ws_web_site_sk").as("unit_sk"))
+      .agg(sum(col("ws_ext_sales_price_c")).as("sales_c"),
+        sum(col("ws_net_profit_c")).as("profit_c"))
+    val wrA = G.webReturns(s, n)
+      .join(G.webSales(s, n).select(col("ws_order_number"), col("ws_web_site_sk")),
+        col("wr_order_number") === col("ws_order_number"))
+      .groupBy(col("ws_web_site_sk").as("r_unit"))
+      .agg(sum(col("wr_return_amt_c")).as("returns_c"))
+    val web = wsA.join(wrA, col("unit_sk") === col("r_unit"), "full_outer")
+      .select(lit("web channel").as("channel"),
+        coalesce(col("unit_sk"), col("r_unit")).as("unit_sk"),
+        coalesce(col("sales_c"), lit(0L)).as("sales_c"),
+        coalesce(col("returns_c"), lit(0L)).as("returns_c"),
+        (coalesce(col("profit_c"), lit(0L)) - coalesce(col("returns_c"), lit(0L)))
+          .as("profit_c"))
+    store.unionAll(cat).unionAll(web)
+      .rollup(col("channel"), col("unit_sk"))
+      .agg(sum(col("sales_c")).as("sales_c"), sum(col("returns_c")).as("returns_c"),
+        sum(col("profit_c")).as("profit_c"))
+  }
+
+  /** TPC-DS q80: the promo-filtered channel report with returns
+    * netted PER ROW (sales LEFT JOIN returns on the order/item key,
+    * unlike q5's union legs and q77's unit-grain outer joins), one
+    * ROLLUP over the three netted channels.
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year") === 2000 && col("d_moy") === 10)
+      .select(col("d_date_sk")))
+    val noPromo = broadcast(G.promotion(s).where(col("p_channel_event") === "N")
+      .select(col("p_promo_sk")))
+    val store = G.storeSales(s, n)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(noPromo, col("ss_promo_sk") === col("p_promo_sk"))
+      .join(G.storeReturns(s, n)
+        .select(col("sr_ticket_number"), col("sr_item_sk"), col("sr_return_amt_c")),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"), "left")
+      .select(lit("store channel").as("channel"), col("ss_store_sk").as("unit_sk"),
+        col("ss_ext_sales_price_c").as("sales_c"),
+        coalesce(col("sr_return_amt_c"), lit(0L)).as("returns_c"),
+        (col("ss_net_profit_c") - coalesce(col("sr_return_amt_c"), lit(0L)))
+          .as("profit_c"))
+    val cat = G.catalogSales(s, n)
+      .join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(noPromo, col("cs_promo_sk") === col("p_promo_sk"))
+      .join(G.catalogReturns(s, n)
+        .select(col("cr_order_number"), col("cr_return_amt_c")),
+        col("cs_order_number") === col("cr_order_number"), "left")
+      .select(lit("catalog channel").as("channel"),
+        col("cs_call_center_sk").as("unit_sk"),
+        col("cs_ext_sales_price_c").as("sales_c"),
+        coalesce(col("cr_return_amt_c"), lit(0L)).as("returns_c"),
+        (col("cs_net_profit_c") - coalesce(col("cr_return_amt_c"), lit(0L)))
+          .as("profit_c"))
+    val web = G.webSales(s, n)
+      .join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(G.webReturns(s, n)
+        .select(col("wr_order_number"), col("wr_return_amt_c")),
+        col("ws_order_number") === col("wr_order_number"), "left")
+      .select(lit("web channel").as("channel"), col("ws_web_site_sk").as("unit_sk"),
+        col("ws_ext_sales_price_c").as("sales_c"),
+        coalesce(col("wr_return_amt_c"), lit(0L)).as("returns_c"),
+        (col("ws_net_profit_c") - coalesce(col("wr_return_amt_c"), lit(0L)))
+          .as("profit_c"))
+    store.unionAll(cat).unionAll(web)
+      .rollup(col("channel"), col("unit_sk"))
+      .agg(sum(col("sales_c")).as("sales_c"), sum(col("returns_c")).as("returns_c"),
+        sum(col("profit_c")).as("profit_c"))
+  }
+
+  /** TPC-DS q67: top revenue rows per category over the deep
+    * (category, class, brand) ROLLUP — the rank partitions by
+    * category (each rollup level ranks alongside its leaves, q67's
+    * contract) over the rollup-sized frame; rank ≤ 5.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2000)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"), col("i_brand"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sumsales"))
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("i_category")).orderBy(col("sumsales").desc)))
+      .where(col("rk") <= 5)
+  }
+
+  /** TPC-DS q35: customers with a store purchase AND a purchase on at
+    * least one other channel in the year, counted per birth decade —
+    * one semi join onto the store key set, the other-channel
+    * condition as a semi against the union of the two key sets.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val (st, ct, wb) = custSet(s, dir, 2000)
+    st
+      .join(ct.unionAll(wb).distinct().withColumnRenamed("c_sk", "o_sk"),
+        col("c_sk") === col("o_sk"), "left_semi")
+      .join(broadcast(G.customer(s)), col("c_sk") === col("c_customer_sk"))
+      .groupBy(expr("(c_birth_year div 10) * 10").as("birth_decade"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** TPC-DS q95-shape: web orders shipped on a BUSY (site, ship-date)
+    * pair — at this schema's one-row-per-order grain the published
+    * "exists another order from the same site" becomes a pair-count
+    * ≥ 2 semi filter computed on the aggregated pair frame — and
+    * never returned; count + net profit out.
+    */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val ws = G.webSales(s, n)
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999)),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+    val busy = ws.groupBy(col("ws_web_site_sk").as("b_site"),
+        col("ws_ship_date_sk").as("b_date"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .select(col("b_site"), col("b_date"))
+    ws
+      .join(busy, col("ws_web_site_sk") === col("b_site") &&
+        col("ws_ship_date_sk") === col("b_date"), "left_semi")
+      .join(G.webReturns(s, n), col("ws_order_number") === col("wr_order_number"),
+        "left_anti")
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("ws_net_profit_c")).as("total_net_profit_c"))
+  }
+
+  /** TPC-DS q41-shape: items of manufacturers with a deep cheap line in
+    * the target categories (>= 3 items under the price band) — a pure dim query: the manufact
+    * census aggregates the 1000-row item dim and semi-filters it.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val it = G.item(s).where(col("i_category_id").isin(1L, 2L) &&
+      col("i_current_price_c") <= 2500)
+    val deep = it.groupBy(col("i_manufact_id").as("m_id"))
+      .agg(count(lit(1)).as("n_items"))
+      .where(col("n_items") >= 3)
+    it.join(broadcast(deep), col("i_manufact_id") === col("m_id"), "left_semi")
+      .select(col("i_item_sk"), col("i_manufact_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q77" -> (q77 _),
+    "q_tpcdsgen_q80" -> (q80 _),
+    "q_tpcdsgen_q67" -> (q67 _),
+    "q_tpcdsgen_q35" -> (q35 _),
+    "q_tpcdsgen_q95" -> (q95 _),
+    "q_tpcdsgen_q41" -> (q41 _),
     "q_tpcdsgen_q72" -> (q72 _),
     "q_tpcdsgen_q44" -> (q44 _),
     "q_tpcdsgen_q91" -> (q91 _),
@@ -1278,6 +1458,118 @@ object TpcdsGen2 {
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q77" -> (G.oracleGenSql +
+      """, ss_a AS (
+        |  SELECT ss_store_sk AS unit_sk, sum(ss_ext_sales_price_c)::BIGINT AS sales_c,
+        |    sum(ss_net_profit_c)::BIGINT AS profit_c
+        |  FROM store_sales GROUP BY 1),
+        |sr_a AS (
+        |  SELECT sr_store_sk AS r_unit, sum(sr_return_amt_c)::BIGINT AS returns_c
+        |  FROM store_returns GROUP BY 1),
+        |cs_a AS (
+        |  SELECT cs_call_center_sk AS unit_sk, sum(cs_ext_sales_price_c)::BIGINT AS sales_c,
+        |    sum(cs_net_profit_c)::BIGINT AS profit_c
+        |  FROM catalog_sales GROUP BY 1),
+        |cr_t AS (SELECT sum(cr_return_amt_c)::BIGINT AS returns_c FROM catalog_returns),
+        |ws_a AS (
+        |  SELECT ws_web_site_sk AS unit_sk, sum(ws_ext_sales_price_c)::BIGINT AS sales_c,
+        |    sum(ws_net_profit_c)::BIGINT AS profit_c
+        |  FROM web_sales GROUP BY 1),
+        |wr_a AS (
+        |  SELECT ws_web_site_sk AS r_unit, sum(wr_return_amt_c)::BIGINT AS returns_c
+        |  FROM web_returns JOIN web_sales ON wr_order_number = ws_order_number
+        |  GROUP BY 1),
+        |legs AS (
+        |  SELECT 'store channel' AS channel, coalesce(unit_sk, r_unit) AS unit_sk,
+        |    coalesce(sales_c, 0) AS sales_c, coalesce(returns_c, 0) AS returns_c,
+        |    coalesce(profit_c, 0) - coalesce(returns_c, 0) AS profit_c
+        |  FROM ss_a FULL OUTER JOIN sr_a ON unit_sk = r_unit
+        |  UNION ALL
+        |  SELECT 'catalog channel', unit_sk, sales_c, returns_c, profit_c - returns_c
+        |  FROM cs_a CROSS JOIN cr_t
+        |  UNION ALL
+        |  SELECT 'web channel', coalesce(unit_sk, r_unit),
+        |    coalesce(sales_c, 0), coalesce(returns_c, 0),
+        |    coalesce(profit_c, 0) - coalesce(returns_c, 0)
+        |  FROM ws_a FULL OUTER JOIN wr_a ON unit_sk = r_unit)
+        |SELECT channel, unit_sk, sum(sales_c)::BIGINT AS sales_c,
+        |  sum(returns_c)::BIGINT AS returns_c, sum(profit_c)::BIGINT AS profit_c
+        |FROM legs GROUP BY ROLLUP (channel, unit_sk)""".stripMargin),
+    "q_tpcdsgen_q80" -> (G.oracleGenSql +
+      """, dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = 2000 AND d_moy = 10),
+        |np AS (SELECT p_promo_sk FROM promotion WHERE p_channel_event = 'N'),
+        |legs AS (
+        |  SELECT 'store channel' AS channel, ss_store_sk AS unit_sk,
+        |    ss_ext_sales_price_c AS sales_c,
+        |    coalesce(sr_return_amt_c, 0) AS returns_c,
+        |    ss_net_profit_c - coalesce(sr_return_amt_c, 0) AS profit_c
+        |  FROM store_sales
+        |  JOIN dd ON ss_sold_date_sk = d_date_sk
+        |  JOIN np ON ss_promo_sk = p_promo_sk
+        |  LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  UNION ALL
+        |  SELECT 'catalog channel', cs_call_center_sk, cs_ext_sales_price_c,
+        |    coalesce(cr_return_amt_c, 0),
+        |    cs_net_profit_c - coalesce(cr_return_amt_c, 0)
+        |  FROM catalog_sales
+        |  JOIN dd ON cs_sold_date_sk = d_date_sk
+        |  JOIN np ON cs_promo_sk = p_promo_sk
+        |  LEFT JOIN catalog_returns ON cs_order_number = cr_order_number
+        |  UNION ALL
+        |  SELECT 'web channel', ws_web_site_sk, ws_ext_sales_price_c,
+        |    coalesce(wr_return_amt_c, 0),
+        |    ws_net_profit_c - coalesce(wr_return_amt_c, 0)
+        |  FROM web_sales
+        |  JOIN dd ON ws_sold_date_sk = d_date_sk
+        |  LEFT JOIN web_returns ON ws_order_number = wr_order_number)
+        |SELECT channel, unit_sk, sum(sales_c)::BIGINT AS sales_c,
+        |  sum(returns_c)::BIGINT AS returns_c, sum(profit_c)::BIGINT AS profit_c
+        |FROM legs GROUP BY ROLLUP (channel, unit_sk)""".stripMargin),
+    "q_tpcdsgen_q67" -> (G.oracleGenSql +
+      """, agg AS (
+        |  SELECT i_category, i_class, i_brand,
+        |    sum(ss_ext_sales_price_c)::BIGINT AS sumsales
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year = 2000
+        |  GROUP BY ROLLUP (i_category, i_class, i_brand))
+        |SELECT i_category, i_class, i_brand, sumsales, rk
+        |FROM (SELECT *, rank() OVER (PARTITION BY i_category
+        |        ORDER BY sumsales DESC) AS rk FROM agg)
+        |WHERE rk <= 5""".stripMargin),
+    "q_tpcdsgen_q35" -> (G.oracleGenSql + custSetCte(2000) +
+      """SELECT (c_birth_year // 10) * 10 AS birth_decade, count(*) AS cnt
+        |FROM st
+        |JOIN customer ON c_sk = c_customer_sk
+        |WHERE EXISTS (SELECT 1 FROM ct WHERE ct.c_sk = st.c_sk)
+        |   OR EXISTS (SELECT 1 FROM wb WHERE wb.c_sk = st.c_sk)
+        |GROUP BY 1""".stripMargin),
+    "q_tpcdsgen_q95" -> (G.oracleGenSql +
+      """, ws AS (
+        |  SELECT ws_order_number, ws_web_site_sk, ws_ship_date_sk, ws_net_profit_c
+        |  FROM web_sales
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE d_year = 1999),
+        |busy AS (
+        |  SELECT ws_web_site_sk AS b_site, ws_ship_date_sk AS b_date
+        |  FROM ws GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT count(*) AS order_count,
+        |  sum(ws_net_profit_c)::BIGINT AS total_net_profit_c
+        |FROM ws
+        |WHERE EXISTS (SELECT 1 FROM busy
+        |              WHERE b_site = ws_web_site_sk AND b_date = ws_ship_date_sk)
+        |  AND NOT EXISTS (SELECT 1 FROM web_returns
+        |                  WHERE wr_order_number = ws_order_number)""".stripMargin),
+    "q_tpcdsgen_q41" -> (G.oracleGenSql +
+      """SELECT i_item_sk, i_manufact_id
+        |FROM item
+        |WHERE i_category_id IN (1, 2) AND i_current_price_c <= 2500
+        |  AND i_manufact_id IN (
+        |    SELECT i_manufact_id FROM item
+        |    WHERE i_category_id IN (1, 2) AND i_current_price_c <= 2500
+        |    GROUP BY 1 HAVING count(*) >= 3)""".stripMargin),
     "q_tpcdsgen_q72" -> (G.oracleGenSql +
       """SELECT cs_item_sk, w_warehouse_name,
         |  sum(CASE WHEN p_channel_email = 'Y' OR p_channel_event = 'Y'
