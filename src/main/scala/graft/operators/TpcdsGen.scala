@@ -25,11 +25,14 @@ import graft.Tables
   * move it; dimensions stay fixed-size (the star-schema contract that
   * makes every dim join a broadcast).
   *
-  * Query texts follow the published TPC-DS shapes on this schema:
-  * q3 (brand revenue by year for one manufacturer), q42 (category
-  * revenue one month), q52 (brand revenue one month), q55 (brand
-  * revenue for one manager), q7 (per-item averages under promo +
-  * demographic filters), q93 (per-customer net spend after returns).
+  * The schema covers three sales channels (store / catalog / web,
+  * each with its returns fact), weekly inventory snapshots at
+  * (item × warehouse) grain, and the full dim ring (date with
+  * dow/week/quarter, item, customer+zip, store, promotion,
+  * household_demographics, time, warehouse, ship_mode, call_center,
+  * web_site). This object holds the first 14 published query texts;
+  * [[TpcdsGen2]] carries the other 57 (71 real TPC-DS queries total,
+  * every one hash-checked against DuckDB regenerating these tables).
   * Money stays integer CENTS everywhere so no engine ever rounds.
   */
 object TpcdsGen {
