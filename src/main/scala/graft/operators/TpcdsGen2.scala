@@ -1356,7 +1356,170 @@ object TpcdsGen2 {
       .select(col("i_item_sk"), col("i_manufact_id"))
   }
 
+  /** TPC-DS q19: brand revenue for one manufacturer band, one month,
+    * restricted to out-of-area shoppers (the published "customer zip
+    * differs from store zip" on this schema's closed-form zips).
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999 && col("d_moy") === 11)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s).where(col("i_manufact_id").between(30, 60))),
+        col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .where(col("c_customer_sk") * 29 % 100 >= 50)
+      .groupBy(col("i_brand_id"), col("i_brand"), col("i_manufact_id"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("ext_price"))
+
+  /** TPC-DS q13: average quantity / price under the published
+    * disjunction of demographic × price-band arms, reported as exact
+    * sums over one conditional scan (q48's cousin with averages).
+    */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.householdDemographics(s)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .where(
+        (col("hd_dep_count") === 3 && col("ss_sales_price_c").between(7000, 9900) &&
+          col("c_birth_year").between(1940, 1959)) ||
+        (col("hd_dep_count") === 1 && col("ss_sales_price_c").between(4000, 7000) &&
+          col("c_birth_year").between(1960, 1979)) ||
+        (col("hd_dep_count") === 0 && col("ss_sales_price_c").between(100, 4000) &&
+          col("c_birth_year").between(1980, 1999)))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("ss_quantity")).cast("double") / count(lit(1))).as("avg_quantity"),
+        (sum(col("ss_sales_price_c")).cast("double") / count(lit(1))).as("avg_sales_price"),
+        sum(col("ss_ext_sales_price_c")).as("total_ext_c"))
+
+  /** TPC-DS q27: store per-item averages rolled up the (state, item)
+    * hierarchy for one cohort — the store twin of q18/q26's rollup
+    * averages.
+    */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.customer(s).where(col("c_birth_year").between(1940, 1969))),
+        col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .rollup(col("s_state"), col("ss_item_sk"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("ss_quantity")).cast("double") / count(lit(1))).as("agg1"),
+        (sum(col("ss_list_price_c")).cast("double") / count(lit(1))).as("agg2"),
+        (sum(col("ss_sales_price_c")).cast("double") / count(lit(1))).as("agg3"))
+
+  /** TPC-DS q30: customers whose WEB-return total exceeds 1.2× their
+    * zip's average — q81's decorrelation on the web channel.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val ctr = G.webReturns(s, G.nSales(s, dir))
+      .join(broadcast(G.customer(s)),
+        col("wr_refunded_customer_sk") === col("c_customer_sk"))
+      .groupBy(col("wr_refunded_customer_sk").as("ctr_customer_sk"), col("c_zip"))
+      .agg(sum(col("wr_return_amt_c")).as("ctr_total_return"))
+    val perZip = ctr.groupBy(col("c_zip").as("z"))
+      .agg(sum(col("ctr_total_return")).as("z_sum"), count(lit(1)).as("z_cnt"))
+    ctr.join(broadcast(perZip), col("c_zip") === col("z"))
+      .where(col("ctr_total_return") * col("z_cnt") * 5 > col("z_sum") * 6)
+      .select(col("ctr_customer_sk"), col("c_zip"), col("ctr_total_return"))
+  }
+
+  /** TPC-DS q53: manufacturer QUARTERLY revenue straying >10% from the
+    * yearly quarterly mean — q63's deviation algebra one level up the
+    * calendar hierarchy.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2000)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_manufact_id"), col("d_qoy"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_sales"))
+      .withColumn("yearly_sum", sum(col("sum_sales")).over(
+        Window.partitionBy(col("i_manufact_id"))))
+      .withColumn("n_q", count(lit(1)).over(Window.partitionBy(col("i_manufact_id"))))
+      .where(abs(col("sum_sales") * col("n_q") - col("yearly_sum")) * 10 >
+        col("yearly_sum"))
+      .select(col("i_manufact_id"), col("d_qoy"), col("sum_sales"), col("yearly_sum"))
+  }
+
+  /** TPC-DS q57: q47's lag/lead deviation family on the CATALOG
+    * channel at call-center grain.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCc = Window.partitionBy(col("cs_call_center_sk"), col("i_brand_id"))
+    val byMoy = byCc.orderBy(col("d_moy"))
+    G.catalogSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999)),
+        col("cs_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("cs_item_sk") === col("i_item_sk"))
+      .groupBy(col("cs_call_center_sk"), col("i_brand_id"), col("d_moy"))
+      .agg(sum(col("cs_ext_sales_price_c")).as("sum_sales"))
+      .withColumn("yearly_sum", sum(col("sum_sales")).over(byCc))
+      .withColumn("n_months", count(lit(1)).over(byCc))
+      .withColumn("psum", lag(col("sum_sales"), 1).over(byMoy))
+      .withColumn("nsum", lead(col("sum_sales"), 1).over(byMoy))
+      .where(col("psum").isNotNull && col("nsum").isNotNull &&
+        abs(col("sum_sales") * col("n_months") - col("yearly_sum")) * 10 >
+          col("yearly_sum"))
+      .select(col("cs_call_center_sk"), col("i_brand_id"), col("d_moy"),
+        col("sum_sales"), col("psum"), col("nsum"))
+  }
+
+  /** TPC-DS q70: state revenue rank within the (state, store)
+    * rollup — q36's rank-within-parent on the geography hierarchy.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .rollup(col("s_state"), col("s_store_sk"))
+      .agg(sum(col("ss_net_profit_c")).as("total_sum"),
+        (grouping(col("s_state")) + grouping(col("s_store_sk"))).as("lochierarchy"))
+      .withColumn("rank_within_parent", rank().over(
+        Window.partitionBy(col("lochierarchy"),
+            when(col("lochierarchy") === 0, col("s_state")))
+          .orderBy(col("total_sum").desc)))
+      .select(col("s_state"), col("s_store_sk"), col("lochierarchy"),
+        col("total_sum"), col("rank_within_parent"))
+  }
+
+  /** TPC-DS q86: q36/q70's rollup rank on the WEB channel's
+    * (category, class) hierarchy.
+    */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    G.webSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 2001)),
+        col("ws_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("ws_item_sk") === col("i_item_sk"))
+      .rollup(col("i_category"), col("i_class"))
+      .agg(sum(col("ws_net_profit_c")).as("total_sum"),
+        (grouping(col("i_category")) + grouping(col("i_class"))).as("lochierarchy"))
+      .withColumn("rank_within_parent", rank().over(
+        Window.partitionBy(col("lochierarchy"),
+            when(col("lochierarchy") === 0, col("i_category")))
+          .orderBy(col("total_sum").desc)))
+      .select(col("i_category"), col("i_class"), col("lochierarchy"),
+        col("total_sum"), col("rank_within_parent"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q19" -> (q19 _),
+    "q_tpcdsgen_q13" -> (q13 _),
+    "q_tpcdsgen_q27" -> (q27 _),
+    "q_tpcdsgen_q30" -> (q30 _),
+    "q_tpcdsgen_q53" -> (q53 _),
+    "q_tpcdsgen_q57" -> (q57 _),
+    "q_tpcdsgen_q70" -> (q70 _),
+    "q_tpcdsgen_q86" -> (q86 _),
     "q_tpcdsgen_q77" -> (q77 _),
     "q_tpcdsgen_q80" -> (q80 _),
     "q_tpcdsgen_q67" -> (q67 _),
@@ -1458,6 +1621,121 @@ object TpcdsGen2 {
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q19" -> (G.oracleGenSql +
+      """SELECT i_brand_id, i_brand, i_manufact_id,
+        |  sum(ss_ext_sales_price_c)::BIGINT AS ext_price
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN item ON ss_item_sk = i_item_sk
+        |JOIN customer ON ss_customer_sk = c_customer_sk
+        |WHERE d_year = 1999 AND d_moy = 11
+        |  AND i_manufact_id BETWEEN 30 AND 60
+        |  AND c_customer_sk * 29 % 100 >= 50
+        |GROUP BY i_brand_id, i_brand, i_manufact_id""".stripMargin),
+    "q_tpcdsgen_q13" -> (G.oracleGenSql +
+      """SELECT count(*) AS n,
+        |  sum(ss_quantity)::DOUBLE / count(*) AS avg_quantity,
+        |  sum(ss_sales_price_c)::DOUBLE / count(*) AS avg_sales_price,
+        |  sum(ss_ext_sales_price_c)::BIGINT AS total_ext_c
+        |FROM store_sales
+        |JOIN customer ON ss_customer_sk = c_customer_sk
+        |JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+        |WHERE (hd_dep_count = 3 AND ss_sales_price_c BETWEEN 7000 AND 9900
+        |       AND c_birth_year BETWEEN 1940 AND 1959)
+        |   OR (hd_dep_count = 1 AND ss_sales_price_c BETWEEN 4000 AND 7000
+        |       AND c_birth_year BETWEEN 1960 AND 1979)
+        |   OR (hd_dep_count = 0 AND ss_sales_price_c BETWEEN 100 AND 4000
+        |       AND c_birth_year BETWEEN 1980 AND 1999)""".stripMargin),
+    "q_tpcdsgen_q27" -> (G.oracleGenSql +
+      """SELECT s_state, ss_item_sk, count(*) AS n,
+        |  sum(ss_quantity)::DOUBLE / count(*) AS agg1,
+        |  sum(ss_list_price_c)::DOUBLE / count(*) AS agg2,
+        |  sum(ss_sales_price_c)::DOUBLE / count(*) AS agg3
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN customer ON ss_customer_sk = c_customer_sk
+        |JOIN store ON ss_store_sk = s_store_sk
+        |WHERE d_year = 1998 AND c_birth_year BETWEEN 1940 AND 1969
+        |GROUP BY ROLLUP (s_state, ss_item_sk)""".stripMargin),
+    "q_tpcdsgen_q30" -> (G.oracleGenSql +
+      """, ctr AS (
+        |  SELECT wr_refunded_customer_sk AS ctr_customer_sk, c_zip,
+        |    sum(wr_return_amt_c)::BIGINT AS ctr_total_return
+        |  FROM web_returns
+        |  JOIN customer ON wr_refunded_customer_sk = c_customer_sk
+        |  GROUP BY 1, 2),
+        |per_zip AS (
+        |  SELECT c_zip AS z, sum(ctr_total_return)::BIGINT AS z_sum,
+        |    count(*) AS z_cnt
+        |  FROM ctr GROUP BY 1)
+        |SELECT ctr_customer_sk, c_zip, ctr_total_return
+        |FROM ctr JOIN per_zip ON c_zip = z
+        |WHERE ctr_total_return * z_cnt * 5 > z_sum * 6""".stripMargin),
+    "q_tpcdsgen_q53" -> (G.oracleGenSql +
+      """, m AS (
+        |  SELECT i_manufact_id, d_qoy, sum(ss_ext_sales_price_c)::BIGINT AS sum_sales
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year = 2000
+        |  GROUP BY 1, 2)
+        |SELECT i_manufact_id, d_qoy, sum_sales, yearly_sum
+        |FROM (SELECT *,
+        |        sum(sum_sales) OVER (PARTITION BY i_manufact_id)::BIGINT AS yearly_sum,
+        |        count(*) OVER (PARTITION BY i_manufact_id) AS n_q
+        |      FROM m)
+        |WHERE abs(sum_sales * n_q - yearly_sum) * 10 > yearly_sum""".stripMargin),
+    "q_tpcdsgen_q57" -> (G.oracleGenSql +
+      """, m AS (
+        |  SELECT cs_call_center_sk, i_brand_id, d_moy,
+        |    sum(cs_ext_sales_price_c)::BIGINT AS sum_sales
+        |  FROM catalog_sales
+        |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  JOIN item ON cs_item_sk = i_item_sk
+        |  WHERE d_year = 1999
+        |  GROUP BY 1, 2, 3)
+        |SELECT cs_call_center_sk, i_brand_id, d_moy, sum_sales, psum, nsum
+        |FROM (SELECT *,
+        |        sum(sum_sales) OVER (PARTITION BY cs_call_center_sk, i_brand_id)::BIGINT
+        |          AS yearly_sum,
+        |        count(*) OVER (PARTITION BY cs_call_center_sk, i_brand_id) AS n_months,
+        |        lag(sum_sales) OVER (PARTITION BY cs_call_center_sk, i_brand_id
+        |          ORDER BY d_moy) AS psum,
+        |        lead(sum_sales) OVER (PARTITION BY cs_call_center_sk, i_brand_id
+        |          ORDER BY d_moy) AS nsum
+        |      FROM m)
+        |WHERE psum IS NOT NULL AND nsum IS NOT NULL
+        |  AND abs(sum_sales * n_months - yearly_sum) * 10 > yearly_sum""".stripMargin),
+    "q_tpcdsgen_q70" -> (G.oracleGenSql +
+      """, agg AS (
+        |  SELECT s_state, s_store_sk,
+        |    grouping(s_state) + grouping(s_store_sk) AS lochierarchy,
+        |    sum(ss_net_profit_c)::BIGINT AS total_sum
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN store ON ss_store_sk = s_store_sk
+        |  WHERE d_year = 1999
+        |  GROUP BY ROLLUP (s_state, s_store_sk))
+        |SELECT s_state, s_store_sk, lochierarchy, total_sum,
+        |  rank() OVER (PARTITION BY lochierarchy,
+        |      CASE WHEN lochierarchy = 0 THEN s_state END
+        |    ORDER BY total_sum DESC) AS rank_within_parent
+        |FROM agg""".stripMargin),
+    "q_tpcdsgen_q86" -> (G.oracleGenSql +
+      """, agg AS (
+        |  SELECT i_category, i_class,
+        |    grouping(i_category) + grouping(i_class) AS lochierarchy,
+        |    sum(ws_net_profit_c)::BIGINT AS total_sum
+        |  FROM web_sales
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  JOIN item ON ws_item_sk = i_item_sk
+        |  WHERE d_year = 2001
+        |  GROUP BY ROLLUP (i_category, i_class))
+        |SELECT i_category, i_class, lochierarchy, total_sum,
+        |  rank() OVER (PARTITION BY lochierarchy,
+        |      CASE WHEN lochierarchy = 0 THEN i_category END
+        |    ORDER BY total_sum DESC) AS rank_within_parent
+        |FROM agg""".stripMargin),
     "q_tpcdsgen_q77" -> (G.oracleGenSql +
       """, ss_a AS (
         |  SELECT ss_store_sk AS unit_sk, sum(ss_ext_sales_price_c)::BIGINT AS sales_c,
