@@ -118,6 +118,25 @@ class TpcdsGenSpec extends SparkSpec {
       s"window must consume the aggregated frame:\n$p")
   }
 
+  test("q72's inventory correlation is a pure equi-join — no nested loop, " +
+      "no cartesian, no range residual fan-out") {
+    val p = plan(TpcdsGen2.q72(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the three-key (item, warehouse, week) join must stay hash/merge:\n$p")
+  }
+
+  test("q77's FULL OUTER legs join unit-grain aggregates, never fact vs fact") {
+    val p = plan(TpcdsGen2.q77(spark, sfDir))
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val outerIdx = tree.indexWhere(_.contains("FullOuter"))
+    assert(outerIdx >= 0, p)
+    // above every full-outer join sits an aggregate on each input —
+    // check the subtree below the first full outer contains aggregates
+    val below = tree.drop(outerIdx)
+    assert(below.count(_.contains("HashAggregate")) >= 2,
+      s"full outer must consume aggregated unit-grain frames:\n$p")
+  }
+
   test("streaming-shape smoke: the q5 rollup report returns every channel " +
       "with internally consistent totals") {
     val rows = TpcdsGen2.q5(spark, sfDir)
