@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin for the generated-TPC-DS star aggregate — the same
+  * discipline as the Misra–Gries / Count–Min / drift stores
+  * (graft.text.FrequencyOps): a micro-batch pipeline folds each
+  * batch's PARTIAL star aggregate into a driver-side mergeable store,
+  * and the store's final readout equals the batch query bit-for-bit.
+  * The reference runs its TPC-DS gate on the batch planner but every
+  * exec node it exercises is stream-first
+  * (flink-table/flink-table-planner/.../stream/StreamExecGroupAggregate
+  * .java); this twin shows the same star query incrementalizing on
+  * Spark Structured Streaming with nothing but partial-agg merges.
+  *
+  * Scale shape: each micro-batch collapses to (year, brand) grain
+  * BEFORE anything reaches the driver — the store only ever receives
+  * dim-bounded summaries (≤ |years|×|brands| rows per batch, 200
+  * here), never sales rows, so the fold is O(dims) per batch at ANY
+  * fact volume. Replay-guarded like MgStore: a retried batchId is a
+  * no-op, so foreachBatch's at-least-once contract still yields
+  * exactly-once totals.
+  */
+object TpcdsStream {
+
+  /** Mergeable (group-key → sum) store with a per-batch high-water
+    * replay guard. Thread-confined to the streaming query's
+    * foreachBatch callback thread. */
+  final class StarStore {
+    private var seenBatch = -1L
+    private val sums = scala.collection.mutable.Map.empty[(Int, Long, String), Long]
+
+    /** Fold one micro-batch's partial (d_year, i_brand_id, i_brand,
+      * sum) rows. Rows at or below the high-water batchId are replays
+      * of an already-folded batch and are skipped. */
+    def fold(partials: Array[(Int, Long, String, Long)], batchId: Long): Unit = {
+      if (batchId <= seenBatch) return
+      seenBatch = batchId
+      partials.foreach { case (y, bid, b, s) =>
+        val k = (y, bid, b)
+        sums(k) = sums.getOrElse(k, 0L) + s
+      }
+    }
+
+    def toRows: Seq[(Int, Long, String, Long)] =
+      sums.toSeq.map { case ((y, bid, b), s) => (y, bid, b, s) }.sortBy(r => (r._1, r._2))
+  }
+
+  /** The q3 star aggregate over one micro-batch of ticket ids — the
+    * per-batch pipeline: expand the closed-form columns map-only,
+    * broadcast-join the two fixed-size dims, collapse to (year,
+    * brand) grain. Returns the dim-bounded partial frame. */
+  def q3Partial(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
+    ids.select(col(ids.columns.head).as("ss_ticket_number"))
+      .select(
+        col("ss_ticket_number"),
+        (col("ss_ticket_number") * 131 % TpcdsGen.N_DATES + 1).as("ss_sold_date_sk"),
+        (col("ss_ticket_number") * 137 % TpcdsGen.N_ITEMS + 1).as("ss_item_sk"),
+        (col("ss_ticket_number") * 3 % 100 + 1).as("ss_quantity"),
+        (col("ss_ticket_number") * 149 % 9900 + 100).as("ss_sales_price_c"))
+      .withColumn("ss_ext_sales_price_c", col("ss_quantity") * col("ss_sales_price_c"))
+      .join(broadcast(TpcdsGen.dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(TpcdsGen.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .where(col("i_manufact_id") === 28 && col("d_moy") === 11)
+      .groupBy(col("d_year"), col("i_brand_id"), col("i_brand"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_agg"))
+  }
+
+  /** Collect one partial frame into the store's fold format. */
+  def collectPartial(df: DataFrame): Array[(Int, Long, String, Long)] =
+    df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+}

@@ -137,6 +137,40 @@ class TpcdsGenSpec extends SparkSpec {
       s"full outer must consume aggregated unit-grain frames:\n$p")
   }
 
+  test("streaming star twin: q3 folded over micro-batches equals the batch " +
+      "query, and a replayed batchId is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TpcdsStream
+    import spark.implicits._
+    // ids arrive out of order across three uneven micro-batches
+    val store = new TpcdsStream.StarStore
+    val input = MemoryStream[Long](97, spark, None)
+    val q = input.toDS().writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Long], id: Long) =>
+        val partial = TpcdsStream.collectPartial(TpcdsStream.q3Partial(df.toDF()))
+        store.fold(partial, id)
+        // at-least-once replay of the SAME batchId must be a no-op
+        store.fold(partial, id)
+        ()
+      }.start()
+    try {
+      Seq(4001L to 6000L, 1L to 1500L, 1501L to 4000L).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = G.storeSales(spark, n)
+      .join(broadcast(G.dateDim(spark)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(spark)), col("ss_item_sk") === col("i_item_sk"))
+      .where(col("i_manufact_id") === 28 && col("d_moy") === 11)
+      .groupBy(col("d_year"), col("i_brand_id"), col("i_brand"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_agg"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(batch.nonEmpty)
+    assert(store.toRows === batch)
+  }
+
   test("streaming-shape smoke: the q5 rollup report returns every channel " +
       "with internally consistent totals") {
     val rows = TpcdsGen2.q5(spark, sfDir)
