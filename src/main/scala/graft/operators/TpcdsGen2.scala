@@ -1511,7 +1511,90 @@ object TpcdsGen2 {
         col("total_sum"), col("rank_within_parent"))
   }
 
+  /** TPC-DS q23: catalog+web revenue from BEST customers buying
+    * FREQUENT items in one month. Both thresholds decorrelate to
+    * one-row (sum, count) scalars broadcast back, and both cuts are
+    * cross-multiplied exact integers (count·2·C > 3·S for 1.5× the
+    * mean item frequency, spend·10·C > 11·S for 1.1× the mean
+    * customer spend); the measured month's facts cross the pipeline
+    * once through two key-set semi joins into a single-row aggregate.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd98_00 = broadcast(G.dateDim(s).where(col("d_year") <= 2000)
+      .select(col("d_date_sk"), col("d_moy")))
+    // frequent: December item counts over 1998–2000, >1.5x the mean
+    val decCounts = G.storeSales(s, n)
+      .join(dd98_00, col("ss_sold_date_sk") === col("d_date_sk"))
+      .where(col("d_moy") === 12)
+      .groupBy(col("ss_item_sk").as("fi_item"))
+      .agg(count(lit(1)).as("icnt"))
+    val iStats = decCounts.agg(sum(col("icnt")).as("i_sum"), count(lit(1)).as("i_cnt"))
+    val frequent = decCounts.crossJoin(broadcast(iStats))
+      .where(col("icnt") * 2 * col("i_cnt") > col("i_sum") * 3)
+      .select(col("fi_item"))
+    // best: store spend over 1998–2000, >1.1x the mean
+    val spend = G.storeSales(s, n)
+      .join(dd98_00.select(col("d_date_sk").as("sd_sk")),
+        col("ss_sold_date_sk") === col("sd_sk"))
+      .groupBy(col("ss_customer_sk").as("bc_cust"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("cspend"))
+    val cStats = spend.agg(sum(col("cspend")).as("c_sum"), count(lit(1)).as("c_cnt"))
+    val best = spend.crossJoin(broadcast(cStats))
+      .where(col("cspend") * 10 * col("c_cnt") > col("c_sum") * 11)
+      .select(col("bc_cust"))
+    val dm = broadcast(G.dateDim(s).where(col("d_year") === 2000 && col("d_moy") === 1)
+      .select(col("d_date_sk").as("m_sk")))
+    val measured = G.catalogSales(s, n)
+      .join(dm, col("cs_sold_date_sk") === col("m_sk"))
+      .select(col("cs_item_sk").as("item"), col("cs_customer_sk").as("cust"),
+        col("cs_ext_sales_price_c").as("p"))
+      .unionAll(G.webSales(s, n)
+        .join(dm, col("ws_sold_date_sk") === col("m_sk"))
+        .select(col("ws_item_sk"), col("ws_bill_customer_sk"),
+          col("ws_ext_sales_price_c")))
+    measured
+      .join(frequent, col("item") === col("fi_item"), "left_semi")
+      .join(best, col("cust") === col("bc_cust"), "left_semi")
+      .agg(sum(col("p")).as("total_sales_c"), count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-DS q54: the first-purchase cohort histogram — customers
+    * whose FIRST category-3 catalog/web purchase lands in 1998-03,
+    * their store revenue over the following quarter bucketed in
+    * $5000 bands (exact integer cents, the band boundary can never
+    * flap on a float).
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val it3 = broadcast(G.item(s).where(col("i_category_id") === 3)
+      .select(col("i_item_sk")))
+    val firstBuy = G.catalogSales(s, n)
+      .select(col("cs_item_sk").as("item"), col("cs_customer_sk").as("cust"),
+        col("cs_sold_date_sk").as("sold_sk"))
+      .unionAll(G.webSales(s, n)
+        .select(col("ws_item_sk"), col("ws_bill_customer_sk"), col("ws_sold_date_sk")))
+      .join(it3, col("item") === col("i_item_sk"), "left_semi")
+      .groupBy(col("cust"))
+      .agg(min(col("sold_sk")).as("first_sk"))
+    // 1998-03 on this calendar: (d-1)%365 // 31 == 2 and year 1998
+    val cohort = firstBuy.where(col("first_sk").between(63, 93))
+      .select(col("cust"))
+    val q2 = broadcast(G.dateDim(s)
+      .where(col("d_year") === 1998 && col("d_moy").between(4, 6))
+      .select(col("d_date_sk")))
+    G.storeSales(s, n)
+      .join(q2, col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(cohort, col("ss_customer_sk") === col("cust"), "left_semi")
+      .groupBy(col("ss_customer_sk"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("revenue_c"))
+      .groupBy(expr("revenue_c div 500000").as("segment"))
+      .agg(count(lit(1)).as("num_customers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q23" -> (q23 _),
+    "q_tpcdsgen_q54" -> (q54 _),
     "q_tpcdsgen_q19" -> (q19 _),
     "q_tpcdsgen_q13" -> (q13 _),
     "q_tpcdsgen_q27" -> (q27 _),
@@ -1621,6 +1704,56 @@ object TpcdsGen2 {
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q23" -> (G.oracleGenSql +
+      """, dec_counts AS (
+        |  SELECT ss_item_sk AS fi_item, count(*) AS icnt
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year <= 2000 AND d_moy = 12 GROUP BY 1),
+        |i_stats AS (SELECT sum(icnt)::BIGINT AS i_sum, count(*) AS i_cnt FROM dec_counts),
+        |frequent AS (
+        |  SELECT fi_item FROM dec_counts, i_stats
+        |  WHERE icnt * 2 * i_cnt > i_sum * 3),
+        |spend AS (
+        |  SELECT ss_customer_sk AS bc_cust, sum(ss_ext_sales_price_c)::BIGINT AS cspend
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year <= 2000 GROUP BY 1),
+        |c_stats AS (SELECT sum(cspend)::BIGINT AS c_sum, count(*) AS c_cnt FROM spend),
+        |best AS (
+        |  SELECT bc_cust FROM spend, c_stats
+        |  WHERE cspend * 10 * c_cnt > c_sum * 11),
+        |dm AS (SELECT d_date_sk FROM date_dim WHERE d_year = 2000 AND d_moy = 1),
+        |measured AS (
+        |  SELECT cs_item_sk AS item, cs_customer_sk AS cust,
+        |    cs_ext_sales_price_c AS p
+        |  FROM catalog_sales JOIN dm ON cs_sold_date_sk = d_date_sk
+        |  UNION ALL
+        |  SELECT ws_item_sk, ws_bill_customer_sk, ws_ext_sales_price_c
+        |  FROM web_sales JOIN dm ON ws_sold_date_sk = d_date_sk)
+        |SELECT sum(p)::BIGINT AS total_sales_c, count(*) AS n_rows
+        |FROM measured
+        |WHERE EXISTS (SELECT 1 FROM frequent WHERE fi_item = item)
+        |  AND EXISTS (SELECT 1 FROM best WHERE bc_cust = cust)""".stripMargin),
+    "q_tpcdsgen_q54" -> (G.oracleGenSql +
+      """, first_buy AS (
+        |  SELECT cust, min(sold_sk) AS first_sk FROM (
+        |    SELECT cs_item_sk AS item_k, cs_customer_sk AS cust,
+        |      cs_sold_date_sk AS sold_sk FROM catalog_sales
+        |    UNION ALL
+        |    SELECT ws_item_sk, ws_bill_customer_sk, ws_sold_date_sk FROM web_sales)
+        |  WHERE EXISTS (SELECT 1 FROM item
+        |                WHERE i_item_sk = item_k AND i_category_id = 3)
+        |  GROUP BY 1),
+        |cohort AS (SELECT cust FROM first_buy WHERE first_sk BETWEEN 63 AND 93),
+        |q2 AS (SELECT d_date_sk FROM date_dim
+        |       WHERE d_year = 1998 AND d_moy BETWEEN 4 AND 6),
+        |rev AS (
+        |  SELECT ss_customer_sk, sum(ss_ext_sales_price_c)::BIGINT AS revenue_c
+        |  FROM store_sales
+        |  JOIN q2 ON ss_sold_date_sk = d_date_sk
+        |  WHERE EXISTS (SELECT 1 FROM cohort WHERE cust = ss_customer_sk)
+        |  GROUP BY 1)
+        |SELECT revenue_c // 500000 AS segment, count(*) AS num_customers
+        |FROM rev GROUP BY 1""".stripMargin),
     "q_tpcdsgen_q19" -> (G.oracleGenSql +
       """SELECT i_brand_id, i_brand, i_manufact_id,
         |  sum(ss_ext_sales_price_c)::BIGINT AS ext_price
