@@ -1592,7 +1592,72 @@ object TpcdsGen2 {
       .agg(count(lit(1)).as("num_customers"))
   }
 
+  /** TPC-DS q11: the store-vs-web YoY growth comparison (q74's shape
+    * on the web channel, q4 without the catalog leg) — year pivots as
+    * conditional sums, growth cross-multiplied exact integers.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).where(col("d_year").isin(2000, 2001)))
+    def yearPivot(df: DataFrame, dateK: String, custK: String, ext: String,
+        p: String): DataFrame =
+      df.join(dd, col(dateK) === col("d_date_sk"))
+        .groupBy(col(custK).as(s"${p}_cust"))
+        .agg(
+          sum(when(col("d_year") === 2000, col(ext)).otherwise(0L)).as(s"${p}1"),
+          sum(when(col("d_year") === 2001, col(ext)).otherwise(0L)).as(s"${p}2"))
+    val ss = yearPivot(G.storeSales(s, n), "ss_sold_date_sk", "ss_customer_sk",
+      "ss_ext_sales_price_c", "ss")
+    val ws = yearPivot(G.webSales(s, n), "ws_sold_date_sk", "ws_bill_customer_sk",
+      "ws_ext_sales_price_c", "ws")
+    ss.join(ws, col("ss_cust") === col("ws_cust"))
+      .where(col("ss1") > 0 && col("ws1") > 0 &&
+        col("ws2") * col("ss1") > col("ss2") * col("ws1"))
+      .select(col("ss_cust").as("cust"), col("ss1"), col("ss2"), col("ws1"), col("ws2"))
+  }
+
+  /** TPC-DS q56: the q33/q60 three-channel rollup keyed by item CLASS
+    * slice (the published color filter has no closed-form analog;
+    * class is the same dim-attribute-slice shape).
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val dd = G.dateDim(s).where(col("d_year") === 2001 && col("d_moy") === 2)
+    val it = broadcast(G.item(s).where(col("i_class_id").isin(3L, 11L, 19L)))
+    channelItemRev(s, dir, dd)
+      .map(_.join(it, col("item_sk") === col("i_item_sk"))
+        .select(col("i_item_sk").as("item"), col("rev")))
+      .reduce(_ unionAll _)
+      .groupBy(col("item"))
+      .agg(sum(col("rev")).as("total_sales_c"))
+  }
+
+  /** TPC-DS q89: (category, brand, store) months straying >10% from
+    * that group's yearly monthly mean — q47/q63's deviation algebra
+    * at the three-way grain the published text uses.
+    */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGrp = Window.partitionBy(col("i_category_id"), col("i_brand_id"),
+      col("ss_store_sk"))
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(col("d_year") === 1999)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .groupBy(col("i_category_id"), col("i_brand_id"), col("ss_store_sk"),
+        col("d_moy"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("sum_sales"))
+      .withColumn("yearly_sum", sum(col("sum_sales")).over(byGrp))
+      .withColumn("n_months", count(lit(1)).over(byGrp))
+      .where(abs(col("sum_sales") * col("n_months") - col("yearly_sum")) * 10 >
+        col("yearly_sum"))
+      .select(col("i_category_id"), col("i_brand_id"), col("ss_store_sk"),
+        col("d_moy"), col("sum_sales"), col("yearly_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q11" -> (q11 _),
+    "q_tpcdsgen_q56" -> (q56 _),
+    "q_tpcdsgen_q89" -> (q89 _),
     "q_tpcdsgen_q23" -> (q23 _),
     "q_tpcdsgen_q54" -> (q54 _),
     "q_tpcdsgen_q19" -> (q19 _),
@@ -1704,6 +1769,44 @@ object TpcdsGen2 {
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q11" -> (G.oracleGenSql +
+      """, ssy AS (
+        |  SELECT ss_customer_sk AS cust,
+        |    sum(CASE WHEN d_year = 2000 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss1,
+        |    sum(CASE WHEN d_year = 2001 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS ss2
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (2000, 2001) GROUP BY 1),
+        |wsy AS (
+        |  SELECT ws_bill_customer_sk AS cust,
+        |    sum(CASE WHEN d_year = 2000 THEN ws_ext_sales_price_c ELSE 0 END)::BIGINT AS ws1,
+        |    sum(CASE WHEN d_year = 2001 THEN ws_ext_sales_price_c ELSE 0 END)::BIGINT AS ws2
+        |  FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE d_year IN (2000, 2001) GROUP BY 1)
+        |SELECT ssy.cust, ss1, ss2, ws1, ws2
+        |FROM ssy JOIN wsy ON ssy.cust = wsy.cust
+        |WHERE ss1 > 0 AND ws1 > 0 AND ws2 * ss1 > ss2 * ws1""".stripMargin),
+    "q_tpcdsgen_q56" -> (G.oracleGenSql + channelRevCte("d_year = 2001 AND d_moy = 2") +
+      """SELECT i_item_sk AS item, sum(rev)::BIGINT AS total_sales_c
+        |FROM chan JOIN item ON item_sk = i_item_sk
+        |WHERE i_class_id IN (3, 11, 19)
+        |GROUP BY i_item_sk""".stripMargin),
+    "q_tpcdsgen_q89" -> (G.oracleGenSql +
+      """, m AS (
+        |  SELECT i_category_id, i_brand_id, ss_store_sk, d_moy,
+        |    sum(ss_ext_sales_price_c)::BIGINT AS sum_sales
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE d_year = 1999
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT i_category_id, i_brand_id, ss_store_sk, d_moy, sum_sales, yearly_sum
+        |FROM (SELECT *,
+        |        sum(sum_sales) OVER (PARTITION BY i_category_id, i_brand_id,
+        |          ss_store_sk)::BIGINT AS yearly_sum,
+        |        count(*) OVER (PARTITION BY i_category_id, i_brand_id, ss_store_sk)
+        |          AS n_months
+        |      FROM m)
+        |WHERE abs(sum_sales * n_months - yearly_sum) * 10 > yearly_sum""".stripMargin),
     "q_tpcdsgen_q23" -> (G.oracleGenSql +
       """, dec_counts AS (
         |  SELECT ss_item_sk AS fi_item, count(*) AS icnt
