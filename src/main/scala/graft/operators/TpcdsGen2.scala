@@ -1654,7 +1654,73 @@ object TpcdsGen2 {
         col("d_moy"), col("sum_sales"), col("yearly_sum"))
   }
 
+  /** Register every generated table as a temp view so published
+    * TPC-DS SQL TEXT runs verbatim through the SQL front door —
+    * the plans are identical to the DataFrame forms (same broadcast
+    * dims, same single fact pass) because the views are the same
+    * closed-form projections.
+    */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    val n = G.nSales(s, dir)
+    G.storeSales(s, n).createOrReplaceTempView("store_sales")
+    G.storeReturns(s, n).createOrReplaceTempView("store_returns")
+    G.catalogSales(s, n).createOrReplaceTempView("catalog_sales")
+    G.catalogReturns(s, n).createOrReplaceTempView("catalog_returns")
+    G.webSales(s, n).createOrReplaceTempView("web_sales")
+    G.webReturns(s, n).createOrReplaceTempView("web_returns")
+    G.inventory(s).createOrReplaceTempView("inventory")
+    G.dateDim(s).createOrReplaceTempView("date_dim")
+    G.item(s).createOrReplaceTempView("item")
+    G.customer(s).createOrReplaceTempView("customer_dim")
+    G.store(s).createOrReplaceTempView("store")
+    G.promotion(s).createOrReplaceTempView("promotion")
+    G.householdDemographics(s).createOrReplaceTempView("household_demographics")
+    G.timeDim(s).createOrReplaceTempView("time_dim")
+    G.warehouse(s).createOrReplaceTempView("warehouse")
+    G.shipMode(s).createOrReplaceTempView("ship_mode")
+    G.callCenter(s).createOrReplaceTempView("call_center")
+    G.webSite(s).createOrReplaceTempView("web_site")
+  }
+
+  /** q3's published text, executed VERBATIM as SQL — the same string
+    * DuckDB runs (modulo its regenerating CTE prefix). */
+  val q3SqlText: String =
+    """SELECT d_year, i_brand_id, i_brand, sum(ss_ext_sales_price_c) AS sum_agg
+      |FROM store_sales
+      |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      |JOIN item ON ss_item_sk = i_item_sk
+      |WHERE i_manufact_id = 28 AND d_moy = 11
+      |GROUP BY d_year, i_brand_id, i_brand""".stripMargin
+
+  val q55SqlText: String =
+    """SELECT i_brand_id, i_brand, sum(ss_ext_sales_price_c) AS ext_price
+      |FROM store_sales
+      |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      |JOIN item ON ss_item_sk = i_item_sk
+      |WHERE i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+      |GROUP BY i_brand_id, i_brand""".stripMargin
+
+  val q98SqlText: String =
+    """SELECT i_item_sk, i_class, itemrevenue,
+      |  itemrevenue * 1000000 div sum(itemrevenue) OVER (PARTITION BY i_class)
+      |    AS revenueratio_ppm
+      |FROM (
+      |  SELECT i_item_sk, i_class, sum(ss_ext_sales_price_c) AS itemrevenue
+      |  FROM store_sales
+      |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      |  JOIN item ON ss_item_sk = i_item_sk
+      |  WHERE d_year = 2000
+      |  GROUP BY i_item_sk, i_class)""".stripMargin
+
+  private def sqlQuery(text: String)(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q3_sqltext"  -> (sqlQuery(q3SqlText) _),
+    "q_tpcdsgen_q55_sqltext" -> (sqlQuery(q55SqlText) _),
+    "q_tpcdsgen_q98_sqltext" -> (sqlQuery(q98SqlText) _),
     "q_tpcdsgen_q11" -> (q11 _),
     "q_tpcdsgen_q56" -> (q56 _),
     "q_tpcdsgen_q89" -> (q89 _),
@@ -1769,6 +1835,11 @@ object TpcdsGen2 {
        |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the SQL-text forms produce byte-identical results to their
+    // DataFrame twins — same oracle strings
+    "q_tpcdsgen_q3_sqltext"  -> G.oracle("q_tpcdsgen_q3"),
+    "q_tpcdsgen_q55_sqltext" -> G.oracle("q_tpcdsgen_q55"),
+    "q_tpcdsgen_q98_sqltext" -> G.oracle("q_tpcdsgen_q98"),
     "q_tpcdsgen_q11" -> (G.oracleGenSql +
       """, ssy AS (
         |  SELECT ss_customer_sk AS cust,
