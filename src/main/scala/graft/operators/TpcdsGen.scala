@@ -47,12 +47,97 @@ object TpcdsGen {
   val N_SHIPMODES = 20L
   val N_CC = 6L
   val N_WEBSITES = 20L
+  val N_ADDR = 499L     // prime: ca_city/ca_zip residues decouple from
+                        // every customer/ticket mixer (mod-40 city
+                        // matches occur at the ~1/40 natural rate
+                        // instead of never — the r13 q61 lesson)
+  val N_IB = 20L        // income bands, 10k-wide
+  val N_REASONS = 36L
   val INV_WEEKS = 209L                       // weekly snapshots, 1..1457
   val INV_ROWS = INV_WEEKS * N_ITEMS * N_WH  // 1,045,000 — fixed-size
 
-  /** store_sales row count — scales with the host corpus. */
+  /** store_sales line count — scales with the host corpus. Cached per
+    * (session, dir): it is only a parquet metadata count, but the
+    * battery constructs ~100 generator queries per run and each used
+    * to re-issue the count action (r13 advisory). */
+  private val nSalesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
   private[operators] def nSales(s: SparkSession, dir: String): Long =
-    Tables.load(s, dir, "lineitem").count()
+    nSalesCache.computeIfAbsent((s, dir),
+      _ => Tables.load(s, dir, "lineitem").count()).longValue()
+
+  // ---- multi-line ticket structure (r14) ---------------------------
+  //
+  // store_sales is a BASKET fact: line ids stay dense 1..n (zero id
+  // waste, |store_sales| = |lineitem| exactly), and every block of 65
+  // consecutive lines folds into 11 tickets with sizes
+  // [1,2,3,4,5,2,4,3,5,16,20] — nine small baskets (the published
+  // q73 `cnt BETWEEN 1 AND 5` band) and two large ones (the published
+  // q34 `cnt BETWEEN 15 AND 20` band). Ticket-level attributes (date,
+  // time, customer, store, hdemo, address) are closed forms of the
+  // ticket number; line-level attributes (item, quantity, prices,
+  // promo) stay closed forms of the line id, so (ticket, item) is
+  // unique (137·k mod 1000 ≠ 0 for 0 < k < 20 consecutive lines).
+  // The ticket cycle length 11 is coprime to every ticket-mixer
+  // modulus (1461, 2000, 12, 720, 499), so basket size never couples
+  // to any dimension attribute.
+
+  val BASKET_SIZES: Vector[Int] = Vector(1, 2, 3, 4, 5, 2, 4, 3, 5, 16, 20)
+  val BASKET_CUM: Vector[Int] = BASKET_SIZES.scanLeft(0)(_ + _) // last = 65
+  val BLOCK_LINES: Int = BASKET_CUM.last                        // 65
+  val BLOCK_TICKETS: Int = BASKET_SIZES.size                    // 11
+
+  /** CASE mapping the 0-based slot within a block to the 0-based
+    * ticket index — valid SQL in both Spark and DuckDB. */
+  private def slotToTicket(r: String): String =
+    BASKET_CUM.tail.init.zipWithIndex
+      .map { case (c, i) => s"WHEN $r < $c THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${BLOCK_TICKETS - 1} END")
+
+  /** Ticket number from a line id; `intDiv` is `div` (Spark) or `//`
+    * (DuckDB) — the ONE dialect difference in the closed forms. */
+  private def ticketExpr(intDiv: String): String =
+    s"((id - 1) $intDiv $BLOCK_LINES) * $BLOCK_TICKETS + " +
+      s"(${slotToTicket(s"((id - 1) % $BLOCK_LINES)")}) + 1"
+
+  /** store_sales closed forms — (column, sql); the sql references
+    * `id` (line) and `tk` (ticket) and is the SINGLE source of truth:
+    * the same strings expand in Spark (`expr`) and in the DuckDB
+    * oracle CTE, so the two engines cannot drift. */
+  private val SS_COLS: Seq[(String, String)] = Seq(
+    "ss_ticket_number"     -> "tk",
+    "ss_sold_date_sk"      -> s"tk*131 % $N_DATES + 1",
+    "ss_sold_time_sk"      -> "tk*173 % 86400",
+    "ss_item_sk"           -> s"id*137 % $N_ITEMS + 1",
+    "ss_customer_sk"       -> s"tk*139 % $N_CUSTS + 1",
+    "ss_hdemo_sk"          -> s"tk*29 % $N_HDEMO + 1",
+    "ss_addr_sk"           -> s"CASE WHEN tk % 53 = 0 THEN NULL ELSE tk*37 % $N_ADDR + 1 END",
+    "ss_store_sk"          -> s"tk*7 % $N_STORES + 1",
+    "ss_promo_sk"          -> s"id*11 % $N_PROMOS + 1",
+    "ss_quantity"          -> "id*3 % 100 + 1",
+    "ss_list_price_c"      -> "id*151 % 9900 + 100",
+    "ss_sales_price_c"     -> "id*149 % 9900 + 100",
+    "ss_wholesale_cost_c"  -> "id*163 % 5000 + 50",
+    "ss_coupon_amt_c"      -> "id*31 % 500",
+    "ss_ext_sales_price_c" -> "(id*3 % 100 + 1) * (id*149 % 9900 + 100)",
+    "ss_ext_list_price_c"  -> "(id*3 % 100 + 1) * (id*151 % 9900 + 100)",
+    "ss_ext_tax_c"         -> "id*41 % 900",
+    "ss_net_paid_c"        -> "(id*3 % 100 + 1) * (id*149 % 9900 + 100) - id*31 % 500",
+    "ss_net_profit_c"      ->
+      "(id*3 % 100 + 1) * (id*149 % 9900 + 100) - (id*3 % 100 + 1) * (id*163 % 5000 + 50)")
+
+  /** store_returns closed forms over the internal (id, tk, ss_*)
+    * frame — every 13th LINE returns part of its quantity, 1–60 days
+    * after the sale, priced at its sales price. */
+  private val SR_COLS: Seq[(String, String)] = Seq(
+    "sr_ticket_number"    -> "ss_ticket_number",
+    "sr_item_sk"          -> "ss_item_sk",
+    "sr_customer_sk"      -> "ss_customer_sk",
+    "sr_store_sk"         -> "ss_store_sk",
+    "sr_reason_sk"        -> s"id*7 % $N_REASONS + 1",
+    "sr_return_quantity"  -> "id*5 % ss_quantity + 1",
+    "sr_return_amt_c"     -> "(id*5 % ss_quantity + 1) * ss_sales_price_c",
+    "sr_returned_date_sk" -> "ss_sold_date_sk + id % 60 + 1")
 
   // ---- generators (map-only projections over a dense id) ----------
 
@@ -62,6 +147,7 @@ object TpcdsGen {
       // floor-div, not Column./ (which is double division)
       (lit(1998) + floor((col("d_date_sk") - 1) / 365)).cast("int").as("d_year"),
       (floor(((col("d_date_sk") - 1) % 365) / 31) + 1).cast("int").as("d_moy"),
+      expr("((d_date_sk - 1) % 365) % 31 + 1").cast("int").as("d_dom"),
       ((col("d_date_sk") - 1) % 7).as("d_dow"),
       expr("""CASE (d_date_sk - 1) % 7
               WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
@@ -81,20 +167,53 @@ object TpcdsGen {
       concat(lit("Class#"), col("i_item_sk") * 23 % 25 + 1).as("i_class"),
       (col("i_item_sk") * 13 % 100 + 1).as("i_manufact_id"),
       (col("i_item_sk") * 17 % 40 + 1).as("i_manager_id"),
-      (col("i_item_sk") * 19 % 9900 + 100).as("i_current_price_c"))
+      (col("i_item_sk") * 19 % 9900 + 100).as("i_current_price_c"),
+      concat(lit("C"), col("i_item_sk") * 3 % 16).as("i_color"),
+      concat(lit("Sz"), col("i_item_sk") * 5 % 7).as("i_size"),
+      concat(lit("Item"), col("i_item_sk")).as("i_product_name"))
 
   def customer(s: SparkSession): DataFrame =
     s.range(1, N_CUSTS + 1).toDF("c_customer_sk").select(
       col("c_customer_sk"),
       (lit(1920) + col("c_customer_sk") * 3 % 80).cast("int").as("c_birth_year"),
-      concat(lit("Z"), col("c_customer_sk") * 29 % 100).as("c_zip"))
+      concat(lit("Z"), col("c_customer_sk") * 29 % 100).as("c_zip"),
+      concat(lit("First"), col("c_customer_sk") * 13 % 97).as("c_first_name"),
+      concat(lit("Last"), col("c_customer_sk") * 7 % 89).as("c_last_name"),
+      concat(lit("Sal"), col("c_customer_sk") % 6).as("c_salutation"),
+      when(col("c_customer_sk") % 3 === 0, "N").otherwise("Y")
+        .as("c_preferred_cust_flag"),
+      (col("c_customer_sk") * 17 % N_ADDR + 1).as("c_current_addr_sk"),
+      (col("c_customer_sk") * 23 % N_HDEMO + 1).as("c_current_hdemo_sk"),
+      (col("c_customer_sk") * 5 % 12 + 1).as("c_birth_month"),
+      concat(lit("Country"), col("c_customer_sk") * 31 % 12).as("c_birth_country"))
+
+  def customerAddress(s: SparkSession): DataFrame =
+    s.range(1, N_ADDR + 1).toDF("ca_address_sk").select(
+      col("ca_address_sk"),
+      concat(lit("City"), col("ca_address_sk") * 7 % 40).as("ca_city"),
+      concat(lit("County"), col("ca_address_sk") * 11 % 25).as("ca_county"),
+      concat(lit("ST"), col("ca_address_sk") * 3 % 10).as("ca_state"),
+      concat(lit("Z"), col("ca_address_sk") * 29 % 100).as("ca_zip"),
+      concat(lit("Country"), col("ca_address_sk") % 12).as("ca_country"))
+
+  def incomeBand(s: SparkSession): DataFrame =
+    s.range(1, N_IB + 1).toDF("ib_income_band_sk").select(
+      col("ib_income_band_sk"),
+      ((col("ib_income_band_sk") - 1) * 10000).as("ib_lower_bound"),
+      (col("ib_income_band_sk") * 10000 - 1).as("ib_upper_bound"))
+
+  def reason(s: SparkSession): DataFrame =
+    s.range(1, N_REASONS + 1).toDF("r_reason_sk").select(
+      col("r_reason_sk"),
+      concat(lit("Reason"), col("r_reason_sk")).as("r_reason_desc"))
 
   def householdDemographics(s: SparkSession): DataFrame =
     s.range(1, N_HDEMO + 1).toDF("hd_demo_sk").select(
       col("hd_demo_sk"),
       (col("hd_demo_sk") % 10).as("hd_dep_count"),
       (col("hd_demo_sk") % 5).as("hd_vehicle_count"),
-      concat(lit("P"), col("hd_demo_sk") % 3).as("hd_buy_potential"))
+      concat(lit("P"), col("hd_demo_sk") % 3).as("hd_buy_potential"),
+      (col("hd_demo_sk") * 13 % N_IB + 1).as("hd_income_band_sk"))
 
   def timeDim(s: SparkSession): DataFrame =
     s.range(0, 86400).toDF("t_time_sk").select(
@@ -127,7 +246,12 @@ object TpcdsGen {
   def store(s: SparkSession): DataFrame =
     s.range(1, N_STORES + 1).toDF("s_store_sk").select(
       col("s_store_sk"),
-      concat(lit("ST"), col("s_store_sk") % 5).as("s_state"))
+      concat(lit("ST"), col("s_store_sk") % 5).as("s_state"),
+      concat(lit("Store"), col("s_store_sk")).as("s_store_name"),
+      concat(lit("City"), col("s_store_sk") * 9 % 40).as("s_city"),
+      concat(lit("Z"), col("s_store_sk") * 53 % 100).as("s_zip"),
+      (lit(150) + col("s_store_sk") * 29 % 200).as("s_number_employees"),
+      (col("s_store_sk") % 4 + 1).as("s_market_id"))
 
   def promotion(s: SparkSession): DataFrame =
     s.range(1, N_PROMOS + 1).toDF("p_promo_sk").select(
@@ -135,41 +259,32 @@ object TpcdsGen {
       when(col("p_promo_sk") % 2 === 0, "Y").otherwise("N").as("p_channel_email"),
       when(col("p_promo_sk") % 3 === 0, "Y").otherwise("N").as("p_channel_event"))
 
-  def storeSales(s: SparkSession, n: Long): DataFrame =
-    s.range(1, n + 1).toDF("ss_ticket_number").select(
-      col("ss_ticket_number"),
-      (col("ss_ticket_number") * 131 % N_DATES + 1).as("ss_sold_date_sk"),
-      (col("ss_ticket_number") * 137 % N_ITEMS + 1).as("ss_item_sk"),
-      (col("ss_ticket_number") * 139 % N_CUSTS + 1).as("ss_customer_sk"),
-      (col("ss_ticket_number") * 7 % N_STORES + 1).as("ss_store_sk"),
-      (col("ss_ticket_number") * 11 % N_PROMOS + 1).as("ss_promo_sk"),
-      (col("ss_ticket_number") * 3 % 100 + 1).as("ss_quantity"),
-      (col("ss_ticket_number") * 151 % 9900 + 100).as("ss_list_price_c"),
-      (col("ss_ticket_number") * 149 % 9900 + 100).as("ss_sales_price_c"),
-      (col("ss_ticket_number") * 173 % 86400).as("ss_sold_time_sk"),
-      (col("ss_ticket_number") * 29 % N_HDEMO + 1).as("ss_hdemo_sk"),
-      (col("ss_ticket_number") * 163 % 5000 + 50).as("ss_wholesale_cost_c"))
-      .withColumn("ss_ext_sales_price_c", col("ss_quantity") * col("ss_sales_price_c"))
-      .withColumn("ss_net_profit_c",
-        col("ss_ext_sales_price_c") - col("ss_quantity") * col("ss_wholesale_cost_c"))
+  /** Internal store_sales frame: line id + ticket + every published
+    * column — the shared expansion behind [[storeSales]],
+    * [[storeReturns]] and the streaming twin's per-batch pipeline
+    * ([[TpcdsStream.q3Partial]] — one source of truth for the
+    * mixers, per the r13 advisory). */
+  private[operators] def ssBase(ids: DataFrame): DataFrame = {
+    val base = ids.select(col(ids.columns.head).cast("bigint").as("id"))
+      .withColumn("tk", expr(ticketExpr("div")))
+    base.select(col("id") +: col("tk") +:
+      SS_COLS.map { case (c, e) => expr(e).as(c) }: _*)
+  }
 
-  /** Every 13th ticket returns part of its quantity, 1–60 days after
-    * the sale. */
+  /** Expand store_sales from an arbitrary frame of line ids — the
+    * streaming twin micro-batches through this. */
+  def storeSalesFromIds(ids: DataFrame): DataFrame =
+    ssBase(ids).drop("id", "tk")
+
+  def storeSales(s: SparkSession, n: Long): DataFrame =
+    storeSalesFromIds(s.range(1, n + 1).toDF("id"))
+
+  /** Every 13th line returns part of its quantity, 1–60 days after
+    * the sale, priced at its sales price. */
   def storeReturns(s: SparkSession, n: Long): DataFrame =
-    storeSales(s, n)
-      .where(col("ss_ticket_number") % 13 === 0)
-      .select(
-        col("ss_ticket_number").as("sr_ticket_number"),
-        col("ss_item_sk").as("sr_item_sk"),
-        col("ss_customer_sk").as("sr_customer_sk"),
-        col("ss_store_sk").as("sr_store_sk"),
-        col("ss_sold_date_sk"),
-        (col("ss_ticket_number") * 5 % col("ss_quantity") + 1).as("sr_return_quantity"))
-      .withColumn("sr_return_amt_c",
-        col("sr_return_quantity") * (col("sr_ticket_number") * 149 % 9900 + 100))
-      .withColumn("sr_returned_date_sk",
-        col("ss_sold_date_sk") + col("sr_ticket_number") % 60 + 1)
-      .drop("ss_sold_date_sk")
+    ssBase(s.range(1, n + 1).toDF("id"))
+      .where(col("id") % 13 === 0)
+      .select(SR_COLS.map { case (c, e) => expr(e).as(c) }: _*)
 
   /** The second sales channel — half store volume, its own key
     * mixers, so channel overlaps are non-trivial. */
@@ -187,7 +302,13 @@ object TpcdsGen {
       (col("cs_order_number") * 47 % N_CC + 1).as("cs_call_center_sk"),
       (col("cs_order_number") * 11 % N_PROMOS + 1).as("cs_promo_sk"),
       (col("cs_order_number") * 59 % 5000).as("cs_ext_discount_amt_c"),
-      (col("cs_order_number") * 193 % 5000 + 50).as("cs_wholesale_cost_c"))
+      (col("cs_order_number") * 193 % 5000 + 50).as("cs_wholesale_cost_c"),
+      when(col("cs_order_number") % 37 === 0, lit(null))
+        .otherwise(col("cs_order_number") * 97 % N_ADDR + 1).as("cs_ship_addr_sk"))
+      // ship dates run up to sold + 92, PAST the 1461-row date_dim
+      // domain — they are lag operands (q62/q99 band on ship - sold),
+      // never date_dim join keys; a query joining date_dim on the
+      // SHIP date would silently drop late-calendar rows
       .withColumn("cs_ship_date_sk",
         col("cs_sold_date_sk") + col("cs_order_number") % 90 + 2)
       .withColumn("cs_ext_sales_price_c", col("cs_quantity") * col("cs_sales_price_c"))
@@ -223,7 +344,12 @@ object TpcdsGen {
       (col("ws_order_number") * 7 % 100 + 1).as("ws_quantity"),
       (col("ws_order_number") * 167 % 9900 + 100).as("ws_sales_price_c"),
       (col("ws_order_number") * 61 % 5000).as("ws_ext_discount_amt_c"),
-      (col("ws_order_number") * 179 % 5000 + 50).as("ws_wholesale_cost_c"))
+      (col("ws_order_number") * 179 % 5000 + 50).as("ws_wholesale_cost_c"),
+      when(col("ws_order_number") % 43 === 0, lit(null))
+        .otherwise(col("ws_order_number") * 147 % N_CUSTS + 1)
+        .as("ws_ship_customer_sk"))
+      // ship dates run up to sold + 122 — see the catalog_sales note:
+      // lag operands only, never date_dim join keys
       .withColumn("ws_ship_date_sk",
         col("ws_sold_date_sk") + col("ws_order_number") % 120 + 2)
       .withColumn("ws_ext_sales_price_c", col("ws_quantity") * col("ws_sales_price_c"))
@@ -238,6 +364,7 @@ object TpcdsGen {
         col("ws_order_number").as("wr_order_number"),
         col("ws_item_sk").as("wr_item_sk"),
         col("ws_bill_customer_sk").as("wr_refunded_customer_sk"),
+        (col("ws_order_number") * 7 % N_REASONS + 1).as("wr_reason_sk"),
         (col("ws_order_number") * 3 % col("ws_quantity") + 1).as("wr_return_quantity"),
         ((col("ws_order_number") * 3 % col("ws_quantity") + 1) * col("ws_sales_price_c"))
           .as("wr_return_amt_c"),
@@ -265,6 +392,7 @@ object TpcdsGen {
        |  SELECT id AS d_date_sk,
        |    (1998 + (id-1) // 365)::INT AS d_year,
        |    (((id-1) % 365) // 31 + 1)::INT AS d_moy,
+       |    (((id-1) % 365) % 31 + 1)::INT AS d_dom,
        |    (id-1) % 7 AS d_dow,
        |    CASE (id-1) % 7
        |      WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
@@ -275,8 +403,24 @@ object TpcdsGen {
        |  FROM (SELECT unnest(range(1, ${N_DATES + 1})) AS id)),
        |household_demographics AS (
        |  SELECT id AS hd_demo_sk, id % 10 AS hd_dep_count,
-       |    id % 5 AS hd_vehicle_count, 'P' || (id % 3) AS hd_buy_potential
+       |    id % 5 AS hd_vehicle_count, 'P' || (id % 3) AS hd_buy_potential,
+       |    id*13 % $N_IB + 1 AS hd_income_band_sk
        |  FROM (SELECT unnest(range(1, ${N_HDEMO + 1})) AS id)),
+       |customer_address AS (
+       |  SELECT id AS ca_address_sk,
+       |    'City' || (id*7 % 40) AS ca_city,
+       |    'County' || (id*11 % 25) AS ca_county,
+       |    'ST' || (id*3 % 10) AS ca_state,
+       |    'Z' || (id*29 % 100) AS ca_zip,
+       |    'Country' || (id % 12) AS ca_country
+       |  FROM (SELECT unnest(range(1, ${N_ADDR + 1})) AS id)),
+       |income_band AS (
+       |  SELECT id AS ib_income_band_sk, (id-1)*10000 AS ib_lower_bound,
+       |    id*10000 - 1 AS ib_upper_bound
+       |  FROM (SELECT unnest(range(1, ${N_IB + 1})) AS id)),
+       |reason AS (
+       |  SELECT id AS r_reason_sk, 'Reason' || id AS r_reason_desc
+       |  FROM (SELECT unnest(range(1, ${N_REASONS + 1})) AS id)),
        |time_dim AS (
        |  SELECT id AS t_time_sk, id // 3600 AS t_hour, (id % 3600) // 60 AS t_minute
        |  FROM (SELECT unnest(range(0, 86400)) AS id)),
@@ -310,47 +454,49 @@ object TpcdsGen {
        |    'Class#' || (id*23 % 25 + 1) AS i_class,
        |    id*13 % 100 + 1 AS i_manufact_id,
        |    id*17 % 40 + 1 AS i_manager_id,
-       |    id*19 % 9900 + 100 AS i_current_price_c
+       |    id*19 % 9900 + 100 AS i_current_price_c,
+       |    'C' || (id*3 % 16) AS i_color,
+       |    'Sz' || (id*5 % 7) AS i_size,
+       |    'Item' || id AS i_product_name
        |  FROM (SELECT unnest(range(1, ${N_ITEMS + 1})) AS id)),
        |customer AS (
        |  SELECT id AS c_customer_sk, (1920 + id*3 % 80)::INT AS c_birth_year,
-       |    'Z' || (id*29 % 100) AS c_zip
+       |    'Z' || (id*29 % 100) AS c_zip,
+       |    'First' || (id*13 % 97) AS c_first_name,
+       |    'Last' || (id*7 % 89) AS c_last_name,
+       |    'Sal' || (id % 6) AS c_salutation,
+       |    CASE WHEN id % 3 = 0 THEN 'N' ELSE 'Y' END AS c_preferred_cust_flag,
+       |    id*17 % $N_ADDR + 1 AS c_current_addr_sk,
+       |    id*23 % $N_HDEMO + 1 AS c_current_hdemo_sk,
+       |    id*5 % 12 + 1 AS c_birth_month,
+       |    'Country' || (id*31 % 12) AS c_birth_country
        |  FROM (SELECT unnest(range(1, ${N_CUSTS + 1})) AS id)),
        |store AS (
-       |  SELECT id AS s_store_sk, 'ST' || (id % 5) AS s_state
+       |  SELECT id AS s_store_sk, 'ST' || (id % 5) AS s_state,
+       |    'Store' || id AS s_store_name,
+       |    'City' || (id*9 % 40) AS s_city,
+       |    'Z' || (id*53 % 100) AS s_zip,
+       |    150 + id*29 % 200 AS s_number_employees,
+       |    id % 4 + 1 AS s_market_id
        |  FROM (SELECT unnest(range(1, ${N_STORES + 1})) AS id)),
        |promotion AS (
        |  SELECT id AS p_promo_sk,
        |    CASE WHEN id % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
        |    CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
        |  FROM (SELECT unnest(range(1, ${N_PROMOS + 1})) AS id)),
+       |ss_cols AS (
+       |  SELECT id, ${ticketExpr("//")} AS tk FROM ids),
+       |ss_full AS (
+       |  SELECT id, tk,
+       |    ${SS_COLS.map { case (c, e) => s"$e AS $c" }.mkString(",\n       |    ")}
+       |  FROM ss_cols),
        |store_sales AS (
-       |  SELECT id AS ss_ticket_number,
-       |    id*131 % $N_DATES + 1 AS ss_sold_date_sk,
-       |    id*137 % $N_ITEMS + 1 AS ss_item_sk,
-       |    id*139 % $N_CUSTS + 1 AS ss_customer_sk,
-       |    id*7 % $N_STORES + 1 AS ss_store_sk,
-       |    id*11 % $N_PROMOS + 1 AS ss_promo_sk,
-       |    id*3 % 100 + 1 AS ss_quantity,
-       |    id*151 % 9900 + 100 AS ss_list_price_c,
-       |    id*149 % 9900 + 100 AS ss_sales_price_c,
-       |    id*173 % 86400 AS ss_sold_time_sk,
-       |    id*29 % $N_HDEMO + 1 AS ss_hdemo_sk,
-       |    id*163 % 5000 + 50 AS ss_wholesale_cost_c,
-       |    (id*3 % 100 + 1) * (id*149 % 9900 + 100) AS ss_ext_sales_price_c,
-       |    (id*3 % 100 + 1) * (id*149 % 9900 + 100)
-       |      - (id*3 % 100 + 1) * (id*163 % 5000 + 50) AS ss_net_profit_c
-       |  FROM ids),
+       |  SELECT ${SS_COLS.map(_._1).mkString(", ")}
+       |  FROM ss_full),
        |store_returns AS (
-       |  SELECT ss_ticket_number AS sr_ticket_number,
-       |    ss_item_sk AS sr_item_sk,
-       |    ss_customer_sk AS sr_customer_sk,
-       |    ss_store_sk AS sr_store_sk,
-       |    ss_ticket_number*5 % ss_quantity + 1 AS sr_return_quantity,
-       |    (ss_ticket_number*5 % ss_quantity + 1) * (ss_ticket_number*149 % 9900 + 100)
-       |      AS sr_return_amt_c,
-       |    ss_sold_date_sk + ss_ticket_number % 60 + 1 AS sr_returned_date_sk
-       |  FROM store_sales WHERE ss_ticket_number % 13 = 0),
+       |  SELECT
+       |    ${SR_COLS.map { case (c, e) => s"$e AS $c" }.mkString(",\n       |    ")}
+       |  FROM ss_full WHERE id % 13 = 0),
        |catalog_sales AS (
        |  SELECT id AS cs_order_number,
        |    id*127 % $N_DATES + 1 AS cs_sold_date_sk,
@@ -365,6 +511,8 @@ object TpcdsGen {
        |    id*11 % $N_PROMOS + 1 AS cs_promo_sk,
        |    id*59 % 5000 AS cs_ext_discount_amt_c,
        |    id*193 % 5000 + 50 AS cs_wholesale_cost_c,
+       |    CASE WHEN id % 37 = 0 THEN NULL ELSE id*97 % $N_ADDR + 1 END
+       |      AS cs_ship_addr_sk,
        |    id*127 % $N_DATES + 1 + id % 90 + 2 AS cs_ship_date_sk,
        |    (id*5 % 100 + 1) * (id*157 % 9900 + 100) AS cs_ext_sales_price_c,
        |    (id*5 % 100 + 1) * (id*157 % 9900 + 100)
@@ -392,6 +540,8 @@ object TpcdsGen {
        |    id*167 % 9900 + 100 AS ws_sales_price_c,
        |    id*61 % 5000 AS ws_ext_discount_amt_c,
        |    id*179 % 5000 + 50 AS ws_wholesale_cost_c,
+       |    CASE WHEN id % 43 = 0 THEN NULL ELSE id*147 % $N_CUSTS + 1 END
+       |      AS ws_ship_customer_sk,
        |    id*113 % $N_DATES + 1 + id % 120 + 2 AS ws_ship_date_sk,
        |    (id*7 % 100 + 1) * (id*167 % 9900 + 100) AS ws_ext_sales_price_c,
        |    (id*7 % 100 + 1) * (id*167 % 9900 + 100)
@@ -401,6 +551,7 @@ object TpcdsGen {
        |  SELECT ws_order_number AS wr_order_number,
        |    ws_item_sk AS wr_item_sk,
        |    ws_bill_customer_sk AS wr_refunded_customer_sk,
+       |    ws_order_number*7 % $N_REASONS + 1 AS wr_reason_sk,
        |    ws_order_number*3 % ws_quantity + 1 AS wr_return_quantity,
        |    (ws_order_number*3 % ws_quantity + 1) * ws_sales_price_c AS wr_return_amt_c,
        |    ws_sold_date_sk + ws_order_number % 45 + 1 AS wr_returned_date_sk

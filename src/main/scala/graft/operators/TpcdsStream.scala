@@ -47,20 +47,17 @@ object TpcdsStream {
       sums.toSeq.map { case ((y, bid, b), s) => (y, bid, b, s) }.sortBy(r => (r._1, r._2))
   }
 
-  /** The q3 star aggregate over one micro-batch of ticket ids — the
-    * per-batch pipeline: expand the closed-form columns map-only,
+  /** The q3 star aggregate over one micro-batch of LINE ids — the
+    * per-batch pipeline: expand the closed-form columns map-only
+    * through [[TpcdsGen.storeSalesFromIds]] (the SAME expansion the
+    * batch generator uses — one source of truth for the mixers, so
+    * the twin cannot silently diverge if the closed forms change),
     * broadcast-join the two fixed-size dims, collapse to (year,
     * brand) grain. Returns the dim-bounded partial frame. */
   def q3Partial(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
-    ids.select(col(ids.columns.head).as("ss_ticket_number"))
-      .select(
-        col("ss_ticket_number"),
-        (col("ss_ticket_number") * 131 % TpcdsGen.N_DATES + 1).as("ss_sold_date_sk"),
-        (col("ss_ticket_number") * 137 % TpcdsGen.N_ITEMS + 1).as("ss_item_sk"),
-        (col("ss_ticket_number") * 3 % 100 + 1).as("ss_quantity"),
-        (col("ss_ticket_number") * 149 % 9900 + 100).as("ss_sales_price_c"))
-      .withColumn("ss_ext_sales_price_c", col("ss_quantity") * col("ss_sales_price_c"))
+    TpcdsGen.storeSalesFromIds(ids)
+      .select(col("ss_sold_date_sk"), col("ss_item_sk"), col("ss_ext_sales_price_c"))
       .join(broadcast(TpcdsGen.dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(TpcdsGen.item(s)), col("ss_item_sk") === col("i_item_sk"))
       .where(col("i_manufact_id") === 28 && col("d_moy") === 11)
