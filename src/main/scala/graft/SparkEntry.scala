@@ -20,7 +20,7 @@ object SparkEntry {
     BatchQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
       MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++
-      TpcdsGen.queries ++ TpcdsGen2.queries ++
+      TpcdsGen.queries ++ TpcdsGen2.queries ++ TpcdsGen3.queries ++
       LayoutQueries.queries ++ EventAnalytics.queries ++ Profiler.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.text.SelectionQueries.queries ++ graft.text.FrequencyOps.queries ++
@@ -36,7 +36,7 @@ object SparkEntry {
     BatchQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
       MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++
-      TpcdsGen.oracle ++ TpcdsGen2.oracle ++
+      TpcdsGen.oracle ++ TpcdsGen2.oracle ++ TpcdsGen3.oracle ++
       LayoutQueries.oracle ++ EventAnalytics.oracle ++ Profiler.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.text.SelectionQueries.oracle ++ graft.text.FrequencyOps.oracle ++

@@ -1,0 +1,642 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{TpcdsGen => G}
+
+/** The last block of REAL TPC-DS query texts over the deterministic
+  * generator — the 13 queries that needed the r14 schema extensions:
+  * the five BASKET queries (q34/q46/q68/q73/q79 — multi-line tickets,
+  * closed in the r14 re-grain), the customer-name/address family
+  * (q8/q10/q24), the income-band/reason dims (q84/q85), NULL-channel
+  * census (q76) and the sale→return→repurchase stat twins (q17/q25).
+  * Together with [[TpcdsGen]]/[[TpcdsGen2]] this closes the
+  * reference's own e2e battery (flink-end-to-end-tests/
+  * flink-tpcds-test/.../TpcdsTestProgram.java:76-85) minus the two
+  * declared-out texts documented in COVERAGE.md.
+  *
+  * Declared adaptations shared by this file (COVERAGE.md lists them):
+  * demographic predicates run on household_demographics via
+  * c_current_hdemo_sk (the generator carries no separate
+  * customer_demographics dim — the established q7/q26 pattern);
+  * money thresholds are exact integer cents; averages are exact
+  * integer sums divided ONCE (bit-identical doubles across engines);
+  * variance-style outputs emit (n, Σx, Σx²) exact integers — the q39
+  * discipline — instead of engine-rounded stddevs.
+  */
+object TpcdsGen3 {
+
+  /** TPC-DS q34: customers with 15–20-line tickets around month
+    * boundaries (dom 1–3 or 25–28) in high-dependency households.
+    * The per-ticket count collapses at (ticket, customer) grain with
+    * every dim broadcast (all filters are ticket-level attributes,
+    * so counts are whole basket sizes — the 16/20-line baskets
+    * qualify); the published dep/vehicle > 1.2 ratio cut runs as
+    * exact integers (dep·5 > veh·6).
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val dn = G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(
+        (col("d_dom").between(1, 3) || col("d_dom").between(25, 28)) &&
+          col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.store(s).where(col("s_state").isin("ST1", "ST2", "ST3"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.householdDemographics(s).where(
+        col("hd_buy_potential") === "P1" && col("hd_vehicle_count") > 0 &&
+          col("hd_dep_count") * 5 > col("hd_vehicle_count") * 6)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt").between(15, 20))
+    dn.join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .select(col("c_last_name"), col("c_first_name"), col("c_salutation"),
+        col("c_preferred_cust_flag"), col("ss_ticket_number"), col("cnt"))
+  }
+
+  /** TPC-DS q73: the small-basket twin of q34 — 1–5-line tickets on
+    * the first two days of a month. */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    val dn = G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(
+        col("d_dom").between(1, 2) && col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.store(s).where(col("s_state").isin("ST1", "ST2"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.householdDemographics(s).where(
+        col("hd_buy_potential").isin("P1", "P2") && col("hd_vehicle_count") > 0 &&
+          col("hd_dep_count") > col("hd_vehicle_count"))),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt").between(1, 5))
+    dn.join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .select(col("c_last_name"), col("c_first_name"), col("c_salutation"),
+        col("c_preferred_cust_flag"), col("ss_ticket_number"), col("cnt"))
+  }
+
+  /** TPC-DS q46: per-ticket coupon/profit totals for weekend
+    * shopping trips in listed store cities, for customers who bought
+    * AWAY from their home city — the bought-city address joins at
+    * ticket grain, the current-city join back on the customer dim,
+    * and the `<>` residual is the published cross-city filter (the
+    * prime N_ADDR keeps city residues decoupled, so same-city
+    * matches occur at the natural 1/40 rate — a vacuity the r13
+    * degeneracy lessons call out).
+    */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val dn = G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(
+        col("d_dow").isin(6, 0) && col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.store(s).where(
+        col("s_city").isin("City9", "City18", "City27", "City36", "City5"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.householdDemographics(s).where(
+        col("hd_dep_count") === 4 || col("hd_vehicle_count") === 3)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(G.customerAddress(s)), col("ss_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
+        col("ca_city").as("bought_city"))
+      .agg(sum(col("ss_coupon_amt_c")).as("amt"),
+        sum(col("ss_net_profit_c")).as("profit"))
+    dn.join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.customerAddress(s)),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .where(col("ca_city") =!= col("bought_city"))
+      .select(col("c_last_name"), col("c_first_name"), col("ca_city"),
+        col("bought_city"), col("ss_ticket_number"), col("amt"), col("profit"))
+  }
+
+  /** TPC-DS q68: the month-start twin of q46 — extended price / tax /
+    * list totals per ticket in two store cities. */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val dn = G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(
+        col("d_dom").between(1, 2) && col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.store(s).where(col("s_city").isin("City9", "City18"))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.householdDemographics(s).where(
+        col("hd_dep_count") === 4 || col("hd_vehicle_count") === 3)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(G.customerAddress(s)), col("ss_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"),
+        col("ca_city").as("bought_city"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("extended_price"),
+        sum(col("ss_ext_list_price_c")).as("list_price"),
+        sum(col("ss_ext_tax_c")).as("extended_tax"))
+    dn.join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.customerAddress(s)),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .where(col("ca_city") =!= col("bought_city"))
+      .select(col("c_last_name"), col("c_first_name"), col("ca_city"),
+        col("bought_city"), col("ss_ticket_number"), col("extended_price"),
+        col("extended_tax"), col("list_price"))
+  }
+
+  /** TPC-DS q79: per-ticket coupon/profit for Monday shopping at
+    * mid-size stores (employee band 200–295 — 7 of 12 stores, a
+    * working filter) by high-dependency households. */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val ms = G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s).where(
+        col("d_dow") === 1 && col("d_year").isin(1998, 1999, 2000))),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.store(s)
+        .where(col("s_number_employees").between(200, 295))),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.householdDemographics(s).where(
+        col("hd_dep_count") === 6 || col("hd_vehicle_count") > 2)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy(col("ss_ticket_number"), col("ss_customer_sk"), col("s_city"))
+      .agg(sum(col("ss_coupon_amt_c")).as("amt"),
+        sum(col("ss_net_profit_c")).as("profit"))
+    ms.join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .select(col("c_last_name"), col("c_first_name"), col("s_city"),
+        col("ss_ticket_number"), col("amt"), col("profit"))
+  }
+
+  /** TPC-DS q8: store net profit for stores whose zip is both in the
+    * published literal list AND among zips with more than 13
+    * preferred customers — the count rule is a dim-sized aggregate
+    * over customer⋈address, intersected with the literal list, then
+    * broadcast onto the store dim before the fact join ever runs
+    * (the fact sees ONE broadcast hash join). Each rule does real
+    * work: the literal list drops two count-qualified zips, the
+    * count rule drops four listed ones.
+    */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val litZips = Seq("Z6", "Z65", "Z53", "Z24", "Z77", "Z36")
+    val qualified = G.customer(s).where(col("c_preferred_cust_flag") === "Y")
+      .join(broadcast(G.customerAddress(s)),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .groupBy(col("ca_zip")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 13 && col("ca_zip").isin(litZips: _*))
+      .select(col("ca_zip"))
+    val stores = G.store(s)
+      .join(broadcast(qualified), col("s_zip") === col("ca_zip"), "left_semi")
+    G.storeSales(s, G.nSales(s, dir))
+      .join(broadcast(G.dateDim(s)
+        .where(col("d_qoy") === 2 && col("d_year") === 1998)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(stores), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("s_store_name"))
+      .agg(sum(col("ss_net_profit_c")).as("profit_c"))
+  }
+
+  /** TPC-DS q10: demographic profile counts for customers in five
+    * counties who bought in-store early 2000 AND on at least one
+    * shipping channel — the three purchaser sets collapse to
+    * DISTINCT customer keys (≤ |customer| rows) before any join, so
+    * the semi/anti structure broadcasts key sets, never fact rows.
+    * Demographics come from c_current_hdemo_sk (declared cd→hd
+    * adaptation).
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s)
+      .where(col("d_year") === 2000 && col("d_moy").between(1, 4)))
+    val ssCust = G.storeSales(s, n)
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .select(col("ss_customer_sk").as("k")).distinct()
+    val wsCust = G.webSales(s, n)
+      .join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .select(col("ws_bill_customer_sk").as("k")).distinct()
+    val csCust = G.catalogSales(s, n)
+      .join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .select(col("cs_customer_sk").as("k")).distinct()
+    G.customer(s)
+      .join(broadcast(G.customerAddress(s).where(col("ca_county").isin(
+        "County3", "County7", "County11", "County15", "County19"))),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(ssCust), col("c_customer_sk") === col("k"), "left_semi")
+      .join(broadcast(wsCust.union(csCust).distinct()),
+        col("c_customer_sk") === col("k"), "left_semi")
+      .join(broadcast(G.householdDemographics(s)),
+        col("c_current_hdemo_sk") === col("hd_demo_sk"))
+      .groupBy(col("hd_dep_count"), col("hd_vehicle_count"), col("hd_buy_potential"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** TPC-DS q24: net-paid totals per (customer, store) for returned
+    * items of one color at market-2 stores, for customers born in a
+    * different country than their current address — kept above 5% of
+    * the average via cross-multiplied exact integers (paid·20·n_all >
+    * sum_all). The published s_zip = ca_zip locality clause is
+    * dropped as a declared adaptation: dsdgen correlates customer
+    * addresses with store neighborhoods, these closed forms do not,
+    * so the clause would be a 1% blind random sample; likewise the
+    * published upper(ca_country) comparison is case-normalized
+    * (dsdgen stores birth countries uppercased, this generator does
+    * not — with upper() the filter would be vacuously always-true).
+    */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val ssales = G.storeSales(s, n)
+      .join(G.storeReturns(s, n),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"))
+      .join(broadcast(G.store(s).where(col("s_market_id") === 2)),
+        col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.item(s)), col("ss_item_sk") === col("i_item_sk"))
+      .join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.customerAddress(s)),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .where(col("c_birth_country") =!= col("ca_country"))
+      .groupBy(col("c_last_name"), col("c_first_name"), col("s_store_name"),
+        col("i_color"))
+      .agg(sum(col("ss_net_paid_c")).as("netpaid"))
+    val tot = ssales.agg(sum(col("netpaid")).as("sum_all"),
+      count(lit(1)).as("n_all"))
+    ssales.where(col("i_color") === "C3")
+      .groupBy(col("c_last_name"), col("c_first_name"), col("s_store_name"))
+      .agg(sum(col("netpaid")).as("paid"))
+      .join(broadcast(tot),
+        col("paid") * 20 * col("n_all") > col("sum_all"))
+      .select(col("c_last_name"), col("c_first_name"), col("s_store_name"),
+        col("paid"))
+  }
+
+  /** TPC-DS q84: named customers in two cities whose household income
+    * band lies in the published bounds and who have returned a store
+    * purchase — every join is dim⋈dim except the final DISTINCT
+    * semi-join against return customer keys. */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val retCust = G.storeReturns(s, G.nSales(s, dir))
+      .select(col("sr_customer_sk")).distinct()
+    G.customer(s)
+      .join(broadcast(G.customerAddress(s)
+        .where(col("ca_city").isin("City5", "City9"))),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(G.householdDemographics(s)),
+        col("c_current_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(G.incomeBand(s).where(
+        col("ib_lower_bound") >= 40000 && col("ib_upper_bound") <= 89999)),
+        col("hd_income_band_sk") === col("ib_income_band_sk"))
+      .join(broadcast(retCust), col("c_customer_sk") === col("sr_customer_sk"),
+        "left_semi")
+      .select(col("c_customer_sk"),
+        concat(col("c_last_name"), lit(", "), col("c_first_name"))
+          .as("customername"))
+  }
+
+  /** TPC-DS q85: per-reason return statistics for web returns under
+    * the published disjunctive demographic×price and state×profit
+    * band predicates (cd→hd adaptation; states/prices in this
+    * schema's closed-form domains). Averages are exact sums divided
+    * once. */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    G.webSales(s, n)
+      .join(G.webReturns(s, n),
+        col("ws_order_number") === col("wr_order_number") &&
+          col("ws_item_sk") === col("wr_item_sk"))
+      .join(broadcast(G.customer(s)),
+        col("wr_refunded_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.householdDemographics(s)),
+        col("c_current_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(G.customerAddress(s)),
+        col("c_current_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(G.reason(s)), col("wr_reason_sk") === col("r_reason_sk"))
+      .where(
+        ((col("hd_dep_count") <= 3 && col("ws_sales_price_c").between(5000, 7000)) ||
+          (col("hd_dep_count").between(4, 6) &&
+            col("ws_sales_price_c").between(2000, 4500)) ||
+          (col("hd_dep_count") >= 7 && col("ws_sales_price_c") >= 7500)) &&
+        ((col("ca_state").isin("ST1", "ST3", "ST5") && col("ws_net_profit_c") >= 10000) ||
+          (col("ca_state").isin("ST2", "ST4") &&
+            col("ws_net_profit_c").between(-50000, 250000)) ||
+          (col("ca_state").isin("ST6", "ST7", "ST8") &&
+            col("ws_net_profit_c") <= 100000)))
+      .groupBy(col("r_reason_desc"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("ws_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("wr_return_amt_c")).cast("double") / count(lit(1))).as("avg_refund_c"))
+  }
+
+  /** TPC-DS q76: sales rows whose channel-specific surrogate key is
+    * NULL, counted per (channel, year, quarter, category) — three
+    * conditional scans unioned, each filter a partition-prunable
+    * IS NULL on a generated stripe. */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val it = broadcast(G.item(s).select(col("i_item_sk"), col("i_category")))
+    val dd = broadcast(G.dateDim(s)
+      .select(col("d_date_sk"), col("d_year"), col("d_qoy")))
+    def leg(df: DataFrame, channel: String, colName: String, dateK: String,
+        itemK: String, ext: String): DataFrame =
+      df.join(dd, col(dateK) === col("d_date_sk"))
+        .join(it, col(itemK) === col("i_item_sk"))
+        .select(lit(channel).as("channel"), lit(colName).as("col_name"),
+          col("d_year"), col("d_qoy"), col("i_category"),
+          col(ext).as("ext_sales_price_c"))
+    val store = leg(G.storeSales(s, n).where(col("ss_addr_sk").isNull),
+      "store", "ss_addr_sk", "ss_sold_date_sk", "ss_item_sk", "ss_ext_sales_price_c")
+    val web = leg(G.webSales(s, n).where(col("ws_ship_customer_sk").isNull),
+      "web", "ws_ship_customer_sk", "ws_sold_date_sk", "ws_item_sk",
+      "ws_ext_sales_price_c")
+    val cat = leg(G.catalogSales(s, n).where(col("cs_ship_addr_sk").isNull),
+      "catalog", "cs_ship_addr_sk", "cs_sold_date_sk", "cs_item_sk",
+      "cs_ext_sales_price_c")
+    store.union(web).union(cat)
+      .groupBy(col("channel"), col("col_name"), col("d_year"), col("d_qoy"),
+        col("i_category"))
+      .agg(count(lit(1)).as("sales_cnt"),
+        sum(col("ext_sales_price_c")).as("sales_amt_c"))
+  }
+
+  /** The shared q17/q25 chain: a store sale that was RETURNED and a
+    * catalog purchase by the same customer after the return (the
+    * q29 customer-keyed adaptation — the published item+customer key
+    * is vacuously sparse on independent channel mixers). */
+  private def chain(s: SparkSession, dir: String, saleCond: org.apache.spark.sql.Column,
+      csYears: Seq[Int]): DataFrame = {
+    val n = G.nSales(s, dir)
+    val sale = G.storeSales(s, n)
+      .join(broadcast(G.dateDim(s).where(saleCond)),
+        col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(G.storeReturns(s, n),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"))
+    val cs = G.catalogSales(s, n)
+      .join(broadcast(G.dateDim(s).where(col("d_year").isin(csYears: _*))
+        .select(col("d_date_sk").as("cd_sk"))),
+        col("cs_sold_date_sk") === col("cd_sk"))
+      .select(col("cs_customer_sk"), col("cs_quantity"), col("cs_sold_date_sk"),
+        col("cs_net_profit_c"))
+    sale.join(cs, col("sr_customer_sk") === col("cs_customer_sk") &&
+      col("cs_sold_date_sk") > col("sr_returned_date_sk"))
+  }
+
+  /** TPC-DS q17: quantity statistics over the sale→return→repurchase
+    * chain per store state — count, exact sum and exact sum of
+    * squares for each leg's quantity (the q39 discipline: stddev is
+    * derivable from (n, Σx, Σx²), and the integers hash identically
+    * on both engines where a rounded stdev would not).
+    */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    chain(s, dir, col("d_year") === 2000 && col("d_qoy") === 1, Seq(2000))
+      .join(broadcast(G.store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("s_state"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("ss_quantity")).as("ss_qty_sum"),
+        sum(col("ss_quantity") * col("ss_quantity")).as("ss_qty_sumsq"),
+        sum(col("sr_return_quantity")).as("sr_qty_sum"),
+        sum(col("sr_return_quantity") * col("sr_return_quantity")).as("sr_qty_sumsq"),
+        sum(col("cs_quantity")).as("cs_qty_sum"),
+        sum(col("cs_quantity") * col("cs_quantity")).as("cs_qty_sumsq"))
+
+  /** TPC-DS q25: profit totals over the same chain per (item, store)
+    * — the sale's net profit, the return amount booked as loss, the
+    * repurchase's catalog profit, all exact integer cents. */
+  def q25(s: SparkSession, dir: String): DataFrame =
+    chain(s, dir, col("d_year") === 2001 && col("d_moy").between(4, 6),
+      Seq(2001))
+      .join(broadcast(G.store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .groupBy(col("ss_item_sk"), col("s_store_name"))
+      .agg(sum(col("ss_net_profit_c")).as("store_sales_profit"),
+        sum(col("sr_return_amt_c")).as("store_returns_loss"),
+        sum(col("cs_net_profit_c")).as("catalog_sales_profit"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q34" -> (q34 _),
+    "q_tpcdsgen_q73" -> (q73 _),
+    "q_tpcdsgen_q46" -> (q46 _),
+    "q_tpcdsgen_q68" -> (q68 _),
+    "q_tpcdsgen_q79" -> (q79 _),
+    "q_tpcdsgen_q8"  -> (q8 _),
+    "q_tpcdsgen_q10" -> (q10 _),
+    "q_tpcdsgen_q24" -> (q24 _),
+    "q_tpcdsgen_q84" -> (q84 _),
+    "q_tpcdsgen_q85" -> (q85 _),
+    "q_tpcdsgen_q76" -> (q76 _),
+    "q_tpcdsgen_q17" -> (q17 _),
+    "q_tpcdsgen_q25" -> (q25 _))
+
+  private def basketOracle(dateCond: String, storeCond: String, hdCond: String,
+      cntCond: String): String =
+    G.oracleGenSql +
+      s""", dn AS (
+         |  SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+         |  FROM store_sales
+         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  JOIN store ON ss_store_sk = s_store_sk
+         |  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+         |  WHERE ($dateCond) AND ($storeCond) AND ($hdCond)
+         |  GROUP BY 1, 2)
+         |SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+         |  ss_ticket_number, cnt
+         |FROM dn JOIN customer ON ss_customer_sk = c_customer_sk
+         |WHERE $cntCond""".stripMargin
+
+  private def cityOracle(dateCond: String, cityCond: String,
+      measures: String, outMeasures: String): String =
+    G.oracleGenSql +
+      s""", dn AS (
+         |  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+         |    $measures
+         |  FROM store_sales
+         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  JOIN store ON ss_store_sk = s_store_sk
+         |  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+         |  JOIN customer_address ON ss_addr_sk = ca_address_sk
+         |  WHERE ($dateCond) AND ($cityCond)
+         |    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+         |  GROUP BY 1, 2, 3)
+         |SELECT c_last_name, c_first_name, ca_city, bought_city,
+         |  ss_ticket_number, $outMeasures
+         |FROM dn
+         |JOIN customer ON ss_customer_sk = c_customer_sk
+         |JOIN customer_address ON c_current_addr_sk = ca_address_sk
+         |WHERE ca_city <> bought_city""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q34" -> basketOracle(
+      "(d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28) AND d_year IN (1998, 1999, 2000)",
+      "s_state IN ('ST1', 'ST2', 'ST3')",
+      "hd_buy_potential = 'P1' AND hd_vehicle_count > 0 AND hd_dep_count * 5 > hd_vehicle_count * 6",
+      "cnt BETWEEN 15 AND 20"),
+    "q_tpcdsgen_q73" -> basketOracle(
+      "d_dom BETWEEN 1 AND 2 AND d_year IN (1998, 1999, 2000)",
+      "s_state IN ('ST1', 'ST2')",
+      "hd_buy_potential IN ('P1', 'P2') AND hd_vehicle_count > 0 AND hd_dep_count > hd_vehicle_count",
+      "cnt BETWEEN 1 AND 5"),
+    "q_tpcdsgen_q46" -> cityOracle(
+      "d_dow IN (6, 0) AND d_year IN (1998, 1999, 2000)",
+      "s_city IN ('City9', 'City18', 'City27', 'City36', 'City5')",
+      "sum(ss_coupon_amt_c)::BIGINT AS amt, sum(ss_net_profit_c)::BIGINT AS profit",
+      "amt, profit"),
+    "q_tpcdsgen_q68" -> cityOracle(
+      "d_dom BETWEEN 1 AND 2 AND d_year IN (1998, 1999, 2000)",
+      "s_city IN ('City9', 'City18')",
+      "sum(ss_ext_sales_price_c)::BIGINT AS extended_price, " +
+        "sum(ss_ext_list_price_c)::BIGINT AS list_price, " +
+        "sum(ss_ext_tax_c)::BIGINT AS extended_tax",
+      "extended_price, extended_tax, list_price"),
+    "q_tpcdsgen_q79" -> (G.oracleGenSql +
+      """, ms AS (
+        |  SELECT ss_ticket_number, ss_customer_sk, s_city,
+        |    sum(ss_coupon_amt_c)::BIGINT AS amt,
+        |    sum(ss_net_profit_c)::BIGINT AS profit
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN store ON ss_store_sk = s_store_sk
+        |  JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+        |  WHERE d_dow = 1 AND d_year IN (1998, 1999, 2000)
+        |    AND s_number_employees BETWEEN 200 AND 295
+        |    AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+        |  GROUP BY 1, 2, 3)
+        |SELECT c_last_name, c_first_name, s_city, ss_ticket_number, amt, profit
+        |FROM ms JOIN customer ON ss_customer_sk = c_customer_sk""".stripMargin),
+    "q_tpcdsgen_q8" -> (G.oracleGenSql +
+      """, qualified AS (
+        |  SELECT ca_zip FROM customer
+        |  JOIN customer_address ON c_current_addr_sk = ca_address_sk
+        |  WHERE c_preferred_cust_flag = 'Y'
+        |  GROUP BY ca_zip
+        |  HAVING count(*) > 13
+        |    AND ca_zip IN ('Z6', 'Z65', 'Z53', 'Z24', 'Z77', 'Z36'))
+        |SELECT s_store_name, sum(ss_net_profit_c)::BIGINT AS profit_c
+        |FROM store_sales
+        |JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |JOIN store ON ss_store_sk = s_store_sk
+        |WHERE d_qoy = 2 AND d_year = 1998
+        |  AND s_zip IN (SELECT ca_zip FROM qualified)
+        |GROUP BY s_store_name""".stripMargin),
+    "q_tpcdsgen_q10" -> (G.oracleGenSql +
+      """, dd AS (SELECT d_date_sk FROM date_dim
+        |        WHERE d_year = 2000 AND d_moy BETWEEN 1 AND 4),
+        |ssc AS (SELECT DISTINCT ss_customer_sk AS k FROM store_sales
+        |        JOIN dd ON ss_sold_date_sk = d_date_sk),
+        |wcc AS (SELECT DISTINCT ws_bill_customer_sk AS k FROM web_sales
+        |        JOIN dd ON ws_sold_date_sk = d_date_sk
+        |        UNION
+        |        SELECT DISTINCT cs_customer_sk FROM catalog_sales
+        |        JOIN dd ON cs_sold_date_sk = d_date_sk)
+        |SELECT hd_dep_count, hd_vehicle_count, hd_buy_potential, count(*) AS cnt
+        |FROM customer
+        |JOIN customer_address ON c_current_addr_sk = ca_address_sk
+        |JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
+        |WHERE ca_county IN ('County3', 'County7', 'County11', 'County15', 'County19')
+        |  AND c_customer_sk IN (SELECT k FROM ssc)
+        |  AND c_customer_sk IN (SELECT k FROM wcc)
+        |GROUP BY 1, 2, 3""".stripMargin),
+    "q_tpcdsgen_q24" -> (G.oracleGenSql +
+      """, ssales AS (
+        |  SELECT c_last_name, c_first_name, s_store_name, i_color,
+        |    sum(ss_net_paid_c)::BIGINT AS netpaid
+        |  FROM store_sales
+        |  JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  JOIN store ON ss_store_sk = s_store_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  JOIN customer ON ss_customer_sk = c_customer_sk
+        |  JOIN customer_address ON c_current_addr_sk = ca_address_sk
+        |  WHERE s_market_id = 2 AND c_birth_country <> ca_country
+        |  GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT sum(netpaid)::BIGINT AS sum_all, count(*) AS n_all FROM ssales)
+        |SELECT c_last_name, c_first_name, s_store_name,
+        |  sum(netpaid)::BIGINT AS paid
+        |FROM ssales, tot
+        |WHERE i_color = 'C3'
+        |GROUP BY c_last_name, c_first_name, s_store_name, sum_all, n_all
+        |HAVING sum(netpaid) * 20 * n_all > sum_all""".stripMargin),
+    "q_tpcdsgen_q84" -> (G.oracleGenSql +
+      """SELECT DISTINCT c_customer_sk,
+        |  c_last_name || ', ' || c_first_name AS customername
+        |FROM customer
+        |JOIN customer_address ON c_current_addr_sk = ca_address_sk
+        |JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
+        |JOIN income_band ON hd_income_band_sk = ib_income_band_sk
+        |WHERE ca_city IN ('City5', 'City9')
+        |  AND ib_lower_bound >= 40000 AND ib_upper_bound <= 89999
+        |  AND c_customer_sk IN (SELECT sr_customer_sk FROM store_returns)""".stripMargin),
+    "q_tpcdsgen_q85" -> (G.oracleGenSql +
+      """SELECT r_reason_desc, count(*) AS n,
+        |  sum(ws_quantity)::DOUBLE / count(*) AS avg_qty,
+        |  sum(wr_return_amt_c)::DOUBLE / count(*) AS avg_refund_c
+        |FROM web_sales
+        |JOIN web_returns ON ws_order_number = wr_order_number
+        |  AND ws_item_sk = wr_item_sk
+        |JOIN customer ON wr_refunded_customer_sk = c_customer_sk
+        |JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
+        |JOIN customer_address ON c_current_addr_sk = ca_address_sk
+        |JOIN reason ON wr_reason_sk = r_reason_sk
+        |WHERE ((hd_dep_count <= 3 AND ws_sales_price_c BETWEEN 5000 AND 7000)
+        |    OR (hd_dep_count BETWEEN 4 AND 6 AND ws_sales_price_c BETWEEN 2000 AND 4500)
+        |    OR (hd_dep_count >= 7 AND ws_sales_price_c >= 7500))
+        |  AND ((ca_state IN ('ST1', 'ST3', 'ST5') AND ws_net_profit_c >= 10000)
+        |    OR (ca_state IN ('ST2', 'ST4') AND ws_net_profit_c BETWEEN -50000 AND 250000)
+        |    OR (ca_state IN ('ST6', 'ST7', 'ST8') AND ws_net_profit_c <= 100000))
+        |GROUP BY r_reason_desc""".stripMargin),
+    "q_tpcdsgen_q76" -> (G.oracleGenSql +
+      """SELECT channel, col_name, d_year, d_qoy, i_category,
+        |  count(*) AS sales_cnt, sum(ext_sales_price_c)::BIGINT AS sales_amt_c
+        |FROM (
+        |  SELECT 'store' AS channel, 'ss_addr_sk' AS col_name, d_year, d_qoy,
+        |    i_category, ss_ext_sales_price_c AS ext_sales_price_c
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE ss_addr_sk IS NULL
+        |  UNION ALL
+        |  SELECT 'web', 'ws_ship_customer_sk', d_year, d_qoy, i_category,
+        |    ws_ext_sales_price_c
+        |  FROM web_sales
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  JOIN item ON ws_item_sk = i_item_sk
+        |  WHERE ws_ship_customer_sk IS NULL
+        |  UNION ALL
+        |  SELECT 'catalog', 'cs_ship_addr_sk', d_year, d_qoy, i_category,
+        |    cs_ext_sales_price_c
+        |  FROM catalog_sales
+        |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  JOIN item ON cs_item_sk = i_item_sk
+        |  WHERE cs_ship_addr_sk IS NULL)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin),
+    "q_tpcdsgen_q17" -> (G.oracleGenSql +
+      """, chain AS (
+        |  SELECT ss_store_sk, ss_quantity, sr_return_quantity, cs_quantity
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  JOIN (SELECT cs_customer_sk, cs_quantity, cs_sold_date_sk
+        |        FROM catalog_sales
+        |        JOIN date_dim dd2 ON cs_sold_date_sk = dd2.d_date_sk
+        |        WHERE dd2.d_year = 2000) cs
+        |    ON sr_customer_sk = cs_customer_sk
+        |    AND cs_sold_date_sk > sr_returned_date_sk
+        |  WHERE d_year = 2000 AND d_qoy = 1)
+        |SELECT s_state, count(*) AS cnt,
+        |  sum(ss_quantity)::BIGINT AS ss_qty_sum,
+        |  sum(ss_quantity * ss_quantity)::BIGINT AS ss_qty_sumsq,
+        |  sum(sr_return_quantity)::BIGINT AS sr_qty_sum,
+        |  sum(sr_return_quantity * sr_return_quantity)::BIGINT AS sr_qty_sumsq,
+        |  sum(cs_quantity)::BIGINT AS cs_qty_sum,
+        |  sum(cs_quantity * cs_quantity)::BIGINT AS cs_qty_sumsq
+        |FROM chain JOIN store ON ss_store_sk = s_store_sk
+        |GROUP BY s_state""".stripMargin),
+    "q_tpcdsgen_q25" -> (G.oracleGenSql +
+      """, chain AS (
+        |  SELECT ss_store_sk, ss_item_sk, ss_net_profit_c, sr_return_amt_c,
+        |    cs_net_profit_c
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  JOIN (SELECT cs_customer_sk, cs_net_profit_c, cs_sold_date_sk
+        |        FROM catalog_sales
+        |        JOIN date_dim dd2 ON cs_sold_date_sk = dd2.d_date_sk
+        |        WHERE dd2.d_year = 2001) cs
+        |    ON sr_customer_sk = cs_customer_sk
+        |    AND cs_sold_date_sk > sr_returned_date_sk
+        |  WHERE d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+        |SELECT ss_item_sk, s_store_name,
+        |  sum(ss_net_profit_c)::BIGINT AS store_sales_profit,
+        |  sum(sr_return_amt_c)::BIGINT AS store_returns_loss,
+        |  sum(cs_net_profit_c)::BIGINT AS catalog_sales_profit
+        |FROM chain JOIN store ON ss_store_sk = s_store_sk
+        |GROUP BY 1, 2""".stripMargin))
+}
