@@ -399,7 +399,136 @@ object TpcdsGen3 {
         sum(col("sr_return_amt_c")).as("store_returns_loss"),
         sum(col("cs_net_profit_c")).as("catalog_sales_profit"))
 
+  /** TPC-DS q64: items RESOLD the year after a returned sale — the
+    * cross_sales CTE binds the full dim ring (store, customer, both
+    * household demographics with their income bands, both addresses,
+    * promotion, item) around a ss⋈sr pair restricted to catalog
+    * items whose sales exceed twice their refunds (cs_ui — 431 of
+    * 1000 items, a working cut), then self-joins at (item, year)
+    * grain for 1999 vs 2000 with the published cnt2 <= cnt1
+    * retention cut (non-vacuous at this grain: counts run 1–4; at
+    * the published street-address grain every closed-form cell is a
+    * singleton and the cut would pass everything). hd buy-potential
+    * mismatch stands in for the cd marital mismatch (declared cd→hd
+    * adaptation). Both cross_sales sides are item-sized aggregates;
+    * every dim join broadcasts.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val csUi = G.catalogSales(s, n)
+      .join(G.catalogReturns(s, n), col("cs_order_number") === col("cr_order_number"))
+      .groupBy(col("cs_item_sk"))
+      .agg(sum(col("cs_ext_sales_price_c")).as("sale"),
+        sum(col("cr_return_amt_c")).as("refund"))
+      .where(col("sale") > col("refund") * 2)
+      .select(col("cs_item_sk"))
+    val hd2 = G.householdDemographics(s).select(
+      col("hd_demo_sk").as("hd2_sk"), col("hd_buy_potential").as("hd2_pot"),
+      col("hd_income_band_sk").as("hd2_ib"))
+    val ad2 = G.customerAddress(s).select(col("ca_address_sk").as("ad2_sk"))
+    val ib2 = G.incomeBand(s).select(col("ib_income_band_sk").as("ib2_sk"))
+    val crossSales = G.storeSales(s, n)
+      .join(G.storeReturns(s, n),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"))
+      .join(broadcast(csUi), col("ss_item_sk") === col("cs_item_sk"), "left_semi")
+      .join(broadcast(G.dateDim(s)), col("ss_sold_date_sk") === col("d_date_sk"))
+      .join(broadcast(G.store(s)), col("ss_store_sk") === col("s_store_sk"))
+      .join(broadcast(G.customer(s)), col("ss_customer_sk") === col("c_customer_sk"))
+      .join(broadcast(G.householdDemographics(s)),
+        col("ss_hdemo_sk") === col("hd_demo_sk"))
+      .join(broadcast(G.incomeBand(s)),
+        col("hd_income_band_sk") === col("ib_income_band_sk"))
+      .join(broadcast(hd2), col("c_current_hdemo_sk") === col("hd2_sk"))
+      .join(broadcast(ib2), col("hd2_ib") === col("ib2_sk"))
+      .join(broadcast(G.customerAddress(s)),
+        col("ss_addr_sk") === col("ca_address_sk"))
+      .join(broadcast(ad2), col("c_current_addr_sk") === col("ad2_sk"))
+      .join(broadcast(G.promotion(s)), col("ss_promo_sk") === col("p_promo_sk"))
+      .join(broadcast(G.item(s).where(
+        col("i_color").isin("C1", "C3", "C5", "C6", "C8", "C9", "C12", "C14") &&
+          col("i_current_price_c").between(2000, 9000))),
+        col("ss_item_sk") === col("i_item_sk"))
+      .where(col("hd_buy_potential") =!= col("hd2_pot"))
+      .groupBy(col("i_product_name").as("product_name"),
+        col("i_item_sk").as("item_sk"), col("d_year").as("syear"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("ss_wholesale_cost_c")).as("s1"),
+        sum(col("ss_ext_list_price_c")).as("s2"),
+        sum(col("ss_coupon_amt_c")).as("s3"))
+    val cs1 = crossSales.where(col("syear") === 1999)
+    val cs2 = crossSales.where(col("syear") === 2000).select(
+      col("item_sk").as("item_sk2"), col("cnt").as("cnt2"),
+      col("s1").as("t1"), col("s2").as("t2"), col("s3").as("t3"))
+    cs1.join(cs2, col("item_sk") === col("item_sk2") && col("cnt2") <= col("cnt"))
+      .select(col("product_name"), col("item_sk"), col("cnt"), col("cnt2"),
+        col("s1"), col("s2"), col("s3"), col("t1"), col("t2"), col("t3"))
+  }
+
+  /** TPC-DS q78: store-channel quantity/cost/price totals at
+    * (year, item, customer) grain for UNRETURNED sales, next to the
+    * same customer-item totals on the other two channels, keeping
+    * rows with any cross-channel activity — three channel aggregates
+    * (each fact LEFT-ANTI its returns on the order/ticket+item key
+    * BEFORE aggregating), then two LEFT JOINs on the aggregated
+    * frames; the store/other ratio is integer ppm floor-div.
+    */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val n = G.nSales(s, dir)
+    val dd = broadcast(G.dateDim(s).select(col("d_date_sk"), col("d_year")))
+    val ss = G.storeSales(s, n)
+      .join(G.storeReturns(s, n).select(
+        col("sr_ticket_number"), col("sr_item_sk")),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"), "left_anti")
+      .join(dd, col("ss_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("d_year").as("ss_sold_year"), col("ss_item_sk"),
+        col("ss_customer_sk"))
+      .agg(sum(col("ss_quantity")).as("ss_qty"),
+        sum(col("ss_wholesale_cost_c")).as("ss_wc"),
+        sum(col("ss_sales_price_c")).as("ss_sp"))
+    val ws = G.webSales(s, n)
+      .join(G.webReturns(s, n).select(col("wr_order_number")),
+        col("ws_order_number") === col("wr_order_number"), "left_anti")
+      .join(dd, col("ws_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("d_year").as("wy"), col("ws_item_sk").as("wi"),
+        col("ws_bill_customer_sk").as("wc"))
+      .agg(sum(col("ws_quantity")).as("ws_qty"),
+        sum(col("ws_wholesale_cost_c")).as("ws_wc"),
+        sum(col("ws_sales_price_c")).as("ws_sp"))
+    val cs = G.catalogSales(s, n)
+      .join(G.catalogReturns(s, n).select(col("cr_order_number")),
+        col("cs_order_number") === col("cr_order_number"), "left_anti")
+      .join(dd, col("cs_sold_date_sk") === col("d_date_sk"))
+      .groupBy(col("d_year").as("cy"), col("cs_item_sk").as("ci"),
+        col("cs_customer_sk").as("cc"))
+      .agg(sum(col("cs_quantity")).as("cs_qty"),
+        sum(col("cs_wholesale_cost_c")).as("cs_wc"),
+        sum(col("cs_sales_price_c")).as("cs_sp"))
+    ss.where(col("ss_sold_year") === 2000)
+      .join(ws, col("ss_sold_year") === col("wy") &&
+        col("ss_item_sk") === col("wi") && col("ss_customer_sk") === col("wc"),
+        "left")
+      .join(cs, col("ss_sold_year") === col("cy") &&
+        col("ss_item_sk") === col("ci") && col("ss_customer_sk") === col("cc"),
+        "left")
+      .where(coalesce(col("ws_qty"), lit(0L)) > 0 ||
+        coalesce(col("cs_qty"), lit(0L)) > 0)
+      .select(col("ss_item_sk"), col("ss_customer_sk"),
+        expr("ss_qty * 1000000 div greatest(coalesce(ws_qty, 0) + coalesce(cs_qty, 0), 1)")
+          .as("ratio_ppm"),
+        col("ss_qty"), col("ss_wc"), col("ss_sp"),
+        (coalesce(col("ws_qty"), lit(0L)) + coalesce(col("cs_qty"), lit(0L)))
+          .as("other_chan_qty"),
+        (coalesce(col("ws_wc"), lit(0L)) + coalesce(col("cs_wc"), lit(0L)))
+          .as("other_chan_wholesale_cost"),
+        (coalesce(col("ws_sp"), lit(0L)) + coalesce(col("cs_sp"), lit(0L)))
+          .as("other_chan_sales_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpcdsgen_q64" -> (q64 _),
+    "q_tpcdsgen_q78" -> (q78 _),
     "q_tpcdsgen_q34" -> (q34 _),
     "q_tpcdsgen_q73" -> (q73 _),
     "q_tpcdsgen_q46" -> (q46 _),
@@ -452,6 +581,86 @@ object TpcdsGen3 {
          |WHERE ca_city <> bought_city""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tpcdsgen_q64" -> (G.oracleGenSql +
+      """, cs_ui AS (
+        |  SELECT cs_item_sk
+        |  FROM catalog_sales
+        |  JOIN catalog_returns ON cs_order_number = cr_order_number
+        |  GROUP BY cs_item_sk
+        |  HAVING sum(cs_ext_sales_price_c) > sum(cr_return_amt_c) * 2),
+        |cross_sales AS (
+        |  SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+        |    d_year AS syear, count(*) AS cnt,
+        |    sum(ss_wholesale_cost_c)::BIGINT AS s1,
+        |    sum(ss_ext_list_price_c)::BIGINT AS s2,
+        |    sum(ss_coupon_amt_c)::BIGINT AS s3
+        |  FROM store_sales
+        |  JOIN store_returns ON ss_ticket_number = sr_ticket_number
+        |    AND ss_item_sk = sr_item_sk
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  JOIN store ON ss_store_sk = s_store_sk
+        |  JOIN customer ON ss_customer_sk = c_customer_sk
+        |  JOIN household_demographics hd1 ON ss_hdemo_sk = hd1.hd_demo_sk
+        |  JOIN income_band ib1 ON hd1.hd_income_band_sk = ib1.ib_income_band_sk
+        |  JOIN household_demographics hd2 ON c_current_hdemo_sk = hd2.hd_demo_sk
+        |  JOIN income_band ib2 ON hd2.hd_income_band_sk = ib2.ib_income_band_sk
+        |  JOIN customer_address ad1 ON ss_addr_sk = ad1.ca_address_sk
+        |  JOIN customer_address ad2 ON c_current_addr_sk = ad2.ca_address_sk
+        |  JOIN promotion ON ss_promo_sk = p_promo_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |  WHERE ss_item_sk IN (SELECT cs_item_sk FROM cs_ui)
+        |    AND i_color IN ('C1', 'C3', 'C5', 'C6', 'C8', 'C9', 'C12', 'C14')
+        |    AND i_current_price_c BETWEEN 2000 AND 9000
+        |    AND hd1.hd_buy_potential <> hd2.hd_buy_potential
+        |  GROUP BY 1, 2, 3)
+        |SELECT cs1.product_name, cs1.item_sk, cs1.cnt, cs2.cnt AS cnt2,
+        |  cs1.s1, cs1.s2, cs1.s3, cs2.s1 AS t1, cs2.s2 AS t2, cs2.s3 AS t3
+        |FROM cross_sales cs1
+        |JOIN cross_sales cs2 ON cs1.item_sk = cs2.item_sk
+        |WHERE cs1.syear = 1999 AND cs2.syear = 2000 AND cs2.cnt <= cs1.cnt""".stripMargin),
+    "q_tpcdsgen_q78" -> (G.oracleGenSql +
+      """, ss AS (
+        |  SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+        |    sum(ss_quantity)::BIGINT AS ss_qty,
+        |    sum(ss_wholesale_cost_c)::BIGINT AS ss_wc,
+        |    sum(ss_sales_price_c)::BIGINT AS ss_sp
+        |  FROM store_sales
+        |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE NOT EXISTS (SELECT 1 FROM store_returns
+        |    WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk)
+        |  GROUP BY 1, 2, 3),
+        |ws AS (
+        |  SELECT d_year AS wy, ws_item_sk AS wi, ws_bill_customer_sk AS wc,
+        |    sum(ws_quantity)::BIGINT AS ws_qty,
+        |    sum(ws_wholesale_cost_c)::BIGINT AS ws_wc,
+        |    sum(ws_sales_price_c)::BIGINT AS ws_sp
+        |  FROM web_sales
+        |  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |  WHERE NOT EXISTS (SELECT 1 FROM web_returns
+        |    WHERE ws_order_number = wr_order_number)
+        |  GROUP BY 1, 2, 3),
+        |cs AS (
+        |  SELECT d_year AS cy, cs_item_sk AS ci, cs_customer_sk AS cc,
+        |    sum(cs_quantity)::BIGINT AS cs_qty,
+        |    sum(cs_wholesale_cost_c)::BIGINT AS cs_wc,
+        |    sum(cs_sales_price_c)::BIGINT AS cs_sp
+        |  FROM catalog_sales
+        |  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |  WHERE NOT EXISTS (SELECT 1 FROM catalog_returns
+        |    WHERE cs_order_number = cr_order_number)
+        |  GROUP BY 1, 2, 3)
+        |SELECT ss_item_sk, ss_customer_sk,
+        |  (ss_qty * 1000000 // greatest(coalesce(ws_qty, 0) + coalesce(cs_qty, 0), 1))::BIGINT
+        |    AS ratio_ppm,
+        |  ss_qty, ss_wc, ss_sp,
+        |  (coalesce(ws_qty, 0) + coalesce(cs_qty, 0))::BIGINT AS other_chan_qty,
+        |  (coalesce(ws_wc, 0) + coalesce(cs_wc, 0))::BIGINT AS other_chan_wholesale_cost,
+        |  (coalesce(ws_sp, 0) + coalesce(cs_sp, 0))::BIGINT AS other_chan_sales_price
+        |FROM ss
+        |LEFT JOIN ws ON ss_sold_year = wy AND ss_item_sk = wi AND ss_customer_sk = wc
+        |LEFT JOIN cs ON ss_sold_year = cy AND ss_item_sk = ci AND ss_customer_sk = cc
+        |WHERE ss_sold_year = 2000
+        |  AND (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)""".stripMargin),
     "q_tpcdsgen_q34" -> basketOracle(
       "(d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28) AND d_year IN (1998, 1999, 2000)",
       "s_state IN ('ST1', 'ST2', 'ST3')",
