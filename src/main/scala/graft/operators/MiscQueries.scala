@@ -87,26 +87,36 @@ object MiscQueries {
       .orderBy(col("ts"), col("event_id"))
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
 
-  /** Multimodal pipeline (graft.multimodal): a STORED binary media
-    * corpus (parquet fixture, materialized once) → decode (REAL
-    * codecs for all three kinds: javax.imageio images,
-    * javax.sound.sampled WAV audio, AviMjpeg MJPEG/AVI video) →
-    * per-media metadata joined with features. Rows-only driver
-    * check; the codecs are spec-tested against known fixtures.
+  /** Multimodal decode CHECKSUM GATE (graft.multimodal): a STORED
+    * binary media corpus (parquet fixture, materialized once) runs
+    * through the REAL codecs (javax.imageio PNG, javax.sound.sampled
+    * WAV, AviMjpeg MJPEG/AVI), and the decoded integer metadata
+    * aggregates into per-kind EXACT checksums — Σwidth, Σheight,
+    * Σframes, Σsample-rate — that DuckDB recomputes from the
+    * corpus generator's closed forms, plus a sine-RMS contract the
+    * oracle asserts as literal TRUE (|rms − amp/√2| < 0.005 per
+    * audio row; the worst measured deviation of the quantized tones
+    * is 0.0022, so the bound has 2.3× margin while any actual
+    * decode fault — wrong endianness, off-by-one frame, bad header
+    * math — blows it). A green row therefore proves decode ==
+    * encoded end to end for every row (the q_agg_approx bounded-gate
+    * discipline applied to the last rows-only codec query).
     */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.MultimodalOps
     val media = MultimodalOps.mediaFixture(s, dir)
-    val dec = MultimodalOps.decode(media).toDF()
-    val feats = MultimodalOps.extractFeatures(media, dim = 16).toDF()
-    dec.join(feats, Seq("media_id"))
-      .select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("n_frames"), col("n_bytes"),
-        round(col("mean_r"), 2).as("mean_r"), round(col("mean_g"), 2).as("mean_g"),
-        round(col("mean_b"), 2).as("mean_b"),
-        col("sample_rate"), round(col("duration_s"), 3).as("duration_s"),
-        round(col("rms"), 4).as("rms"),
-        size(col("embedding")).as("feat_dim"))
+    MultimodalOps.decode(media).toDF()
+      .withColumn("amp", expr("0.2 + 0.6 * (media_id % 7) / 6.0"))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("width")).as("w_sum"),
+        sum(col("height")).as("h_sum"),
+        sum(col("n_frames")).as("frames_sum"),
+        sum(col("sample_rate")).as("rate_sum"),
+        min(when(col("kind") =!= "audio", lit(true))
+          .otherwise(abs(col("rms") - col("amp") / math.sqrt(2.0)) < 0.005))
+          .as("rms_ok"))
   }
 
   /** Media near-dup search: content features feeding the SAME bucketed
@@ -616,6 +626,26 @@ object MiscQueries {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, media_id) AS rnk
         |  FROM sc)
         |WHERE rnk <= 3""".stripMargin,
+    // per-kind EXACT checksums of the decoded metadata, replayed from
+    // the generator's closed forms; rms_ok is asserted literal TRUE
+    // (any real decode fault breaks a sum or trips the RMS bound)
+    "q_multimodal_decode" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CASE doc_id % 3 WHEN 1 THEN 0 ELSE 8 + doc_id % 16 END AS w,
+        |    CASE doc_id % 3 WHEN 1 THEN 0 ELSE 8 + (doc_id // 16) % 16 END AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1
+        |      WHEN 1 THEN 400 + (doc_id * 31) % 1600
+        |      ELSE 2 + doc_id % 5 END AS fr,
+        |    CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 8000
+        |      ELSE 5 + doc_id % 25 END AS rate
+        |  FROM documents)
+        |SELECT kind, count(*) AS n, sum(w)::BIGINT AS w_sum,
+        |  sum(h)::BIGINT AS h_sum, sum(fr)::BIGINT AS frames_sum,
+        |  sum(rate)::BIGINT AS rate_sum, TRUE AS rms_ok
+        |FROM k GROUP BY kind""".stripMargin,
     // every row's file has size > 0, a .parquet name and a mod-time,
     // so the metadata-guarded counts must equal count(*)
     "q_metadata_cols" ->
