@@ -279,12 +279,18 @@ object TpcdsGen {
   def storeSales(s: SparkSession, n: Long): DataFrame =
     storeSalesFromIds(s.range(1, n + 1).toDF("id"))
 
+  /** Expand store_returns from an arbitrary frame of line ids (the
+    * non-returning lines drop out) — the streaming returns twin
+    * micro-batches through this. */
+  def storeReturnsFromIds(ids: DataFrame): DataFrame =
+    ssBase(ids)
+      .where(col("id") % 13 === 0)
+      .select(SR_COLS.map { case (c, e) => expr(e).as(c) }: _*)
+
   /** Every 13th line returns part of its quantity, 1–60 days after
     * the sale, priced at its sales price. */
   def storeReturns(s: SparkSession, n: Long): DataFrame =
-    ssBase(s.range(1, n + 1).toDF("id"))
-      .where(col("id") % 13 === 0)
-      .select(SR_COLS.map { case (c, e) => expr(e).as(c) }: _*)
+    storeReturnsFromIds(s.range(1, n + 1).toDF("id"))
 
   /** The second sales channel — half store volume, its own key
     * mixers, so channel overlaps are non-trivial. */

@@ -69,4 +69,66 @@ object TpcdsStream {
   def collectPartial(df: DataFrame): Array[(Int, Long, String, Long)] =
     df.collect().map(r =>
       (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  // ---- q93 returns twin: late returns RETRACT net spend -----------
+
+  /** Per-customer net-spend store for the streaming q93 twin. Returns
+    * arrive 1–60 days AFTER their sale by construction, so in a
+    * stream they land in LATER micro-batches — and a correct
+    * incremental q93 must then revise the customer's already-emitted
+    * total downward. The store keeps the upsert changelog it emits:
+    * every touched customer retracts its previous total (-U) and
+    * asserts the new one (+U) — the reference's retract-stream
+    * contract (StreamExecGroupAggregate emitting UPDATE_BEFORE/
+    * UPDATE_AFTER) — so a downstream consumer never double-counts.
+    * Replay-guarded like [[StarStore]]: a retried batchId is a no-op.
+    * Driver state is (customer → long) plus the changelog, bounded by
+    * |customer| — dim-sized at any fact volume, because each batch
+    * collapses to (customer, delta) grain BEFORE collection.
+    */
+  final class NetSpendStore {
+    private var seenBatch = -1L
+    private val net = scala.collection.mutable.Map.empty[Long, Long]
+    private val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Byte)]
+
+    /** Fold one micro-batch's (customer, delta) rows. Emits -U (kind
+      * 1) for a customer's previous total and +U (kind 2) for the
+      * new one into the changelog. */
+    def fold(deltas: Array[(Long, Long)], batchId: Long): Unit = {
+      if (batchId <= seenBatch) return
+      seenBatch = batchId
+      deltas.foreach { case (cust, delta) =>
+        val old = net.get(cust)
+        val next = old.getOrElse(0L) + delta
+        old.foreach(o => log += ((batchId, cust, o, 1: Byte)))
+        net(cust) = next
+        log += ((batchId, cust, next, 2: Byte))
+      }
+    }
+
+    /** (batchId, customer, value, kind 1=-U/2=+U) in emission order. */
+    def changelog: Seq[(Long, Long, Long, Byte)] = log.toSeq
+
+    def toRows: Seq[(Long, Long)] = net.toSeq.sortBy(_._1)
+  }
+
+  /** One micro-batch's q93 delta frame: sale lines contribute
+    * quantity×price, return lines subtract their return amount
+    * (priced at the line's sales price by construction, so
+    * sales − returns is EXACTLY the batch query's
+    * (qty − coalesce(ret, 0))×price), collapsed to (customer, delta)
+    * grain map-side — the driver only ever sees dim-bounded rows. */
+  def q93Partial(saleIds: DataFrame, returnIds: DataFrame): DataFrame = {
+    val sales = TpcdsGen.storeSalesFromIds(saleIds)
+      .select(col("ss_customer_sk").as("cust"),
+        (col("ss_quantity") * col("ss_sales_price_c")).as("delta"))
+    val rets = TpcdsGen.storeReturnsFromIds(returnIds)
+      .select(col("sr_customer_sk").as("cust"),
+        (-col("sr_return_amt_c")).as("delta"))
+    sales.union(rets).groupBy(col("cust")).agg(sum(col("delta")).as("delta"))
+  }
+
+  /** Collect one delta frame into [[NetSpendStore.fold]] format. */
+  def collectDeltas(df: DataFrame): Array[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)))
 }

@@ -171,6 +171,53 @@ class TpcdsGenSpec extends SparkSpec {
     assert(store.toRows === batch)
   }
 
+  test("streaming returns twin: a return arriving in a LATER micro-batch " +
+      "retracts the customer's net spend, and the folded store equals batch q93") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TpcdsStream
+    import spark.implicits._
+    val store = new TpcdsStream.NetSpendStore
+    // events are (line id, isReturn): sales stream in two batches,
+    // each batch's returns arrive one batch AFTER its sales
+    val input = MemoryStream[(Long, Boolean)](101, spark, None)
+    val q = input.toDS().writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[(Long, Boolean)], id: Long) =>
+        val sales = df.filter(!_._2).map(_._1).toDF("id")
+        val rets = df.filter(_._2).map(_._1).toDF("id")
+        val deltas = TpcdsStream.collectDeltas(TpcdsStream.q93Partial(sales, rets))
+        store.fold(deltas, id)
+        store.fold(deltas, id) // at-least-once replay must be a no-op
+        ()
+      }.start()
+    try {
+      val b1sales = (1L to 3000L).map((_, false))
+      val b2 = (3001L to 6000L).map((_, false)) ++
+        (1L to 3000L).filter(_ % 13 == 0).map((_, true))
+      val b3 = (3001L to 6000L).filter(_ % 13 == 0).map((_, true))
+      Seq(b1sales, b2, b3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = G.storeSales(spark, n)
+      .join(G.storeReturns(spark, n),
+        col("ss_ticket_number") === col("sr_ticket_number") &&
+          col("ss_item_sk") === col("sr_item_sk"), "left")
+      .groupBy(col("ss_customer_sk"))
+      .agg(sum((col("ss_quantity") - coalesce(col("sr_return_quantity"), lit(0L)))
+        * col("ss_sales_price_c")).as("sumsales"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(batch.nonEmpty)
+    assert(store.toRows === batch)
+    // the retraction is REAL: some customer emitted -U(old) then
+    // +U(new) with new < old in a return-bearing batch
+    val retracted = store.changelog.sliding(2).exists {
+      case Seq((b1, c1, old, 1), (b2, c2, nw, 2)) =>
+        b1 >= 2 && b1 == b2 && c1 == c2 && nw < old
+      case _ => false
+    }
+    assert(retracted, "expected at least one -U/+U pair revising a total downward")
+  }
+
   test("streaming-shape smoke: the q5 rollup report returns every channel " +
       "with internally consistent totals") {
     val rows = TpcdsGen2.q5(spark, sfDir)
