@@ -248,7 +248,16 @@ object ScaleProbe {
       // job — the fact pass must dominate, the union stay constant)
       // and the outer interval join (same hash join as inner, null
       // padding must not change the shuffle shape)
-      "q_agg_hll_rollup", "q_interval_join_left")
+      "q_agg_hll_rollup", "q_interval_join_left",
+      // round-14: the basket re-grain — q34's per-ticket count
+      // collapses at ticket grain (shuffle keyed on tickets, every
+      // dim broadcast — must track the fact scan), q64 binds the
+      // full dim ring around the returns join then self-joins
+      // item-sized aggregates (the dim broadcasts must stay flat as
+      // the fact replicates), q78 anti-joins each channel's returns
+      // before three (year,item,customer)-grain aggregates meet in
+      // two sort-merge joins — three fact passes, linear each
+      "q_tpcdsgen_q34", "q_tpcdsgen_q64", "q_tpcdsgen_q78")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+

@@ -37,6 +37,38 @@ class TpcdsGenSpec extends SparkSpec {
     assert(viol === 0)
   }
 
+  test("basket grain invariants: ticket sizes follow the declared block cycle, " +
+      "(ticket, item) is unique, and ticket-level attributes are constant per ticket") {
+    val ss = G.storeSales(spark, n)
+    val sizes = ss.groupBy(col("ss_ticket_number")).agg(count(lit(1)).as("sz"))
+    // every size must come from the declared cycle (the tail block of
+    // a non-multiple-of-65 corpus may truncate its last tickets, so
+    // smaller sizes can appear — but never larger than the declared
+    // maximum, and the two published q34 band sizes must be present)
+    assert(sizes.where(col("sz") > G.BASKET_SIZES.max).count() === 0)
+    val present = sizes.select(col("sz")).distinct().collect().map(_.getLong(0)).toSet
+    assert(Set(16L, 20L).subsetOf(present), s"q34 band sizes missing from $present")
+    assert(present.intersect(Set(1L, 2L, 3L, 4L, 5L)).nonEmpty)
+    // (ticket, item) unique — the q93/q24/q64 join key contract
+    assert(ss.select(col("ss_ticket_number"), col("ss_item_sk")).distinct().count()
+      === ss.count())
+    // ticket-level attributes never vary within a ticket
+    val varying = ss.groupBy(col("ss_ticket_number"))
+      .agg(countDistinct(col("ss_customer_sk")).as("nc"),
+        countDistinct(col("ss_sold_date_sk")).as("nd"),
+        countDistinct(col("ss_store_sk")).as("ns"),
+        countDistinct(col("ss_hdemo_sk")).as("nh"))
+      .where(col("nc") > 1 || col("nd") > 1 || col("ns") > 1 || col("nh") > 1)
+    assert(varying.count() === 0)
+  }
+
+  test("q34's basket count collapses at ticket grain with every dim broadcast — " +
+      "no sort-merge join anywhere in the plan") {
+    val p = plan(graft.operators.TpcdsGen3.q34(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("catalog and web returns join back to exactly one sale each") {
     val cr = G.catalogReturns(spark, n).join(G.catalogSales(spark, n),
       col("cr_order_number") === col("cs_order_number")).count()
