@@ -430,6 +430,18 @@ object ScaleProbe {
       w.println("corpus); the moment table broadcasts back, so growth is the")
       w.println("component stream read twice.")
       w.println()
+      w.println("Round-14 family notes (the basket re-grain): q_tpcdsgen_q34's only")
+      w.println("exchange is the (ticket, customer)-grain count - tickets are fact/6")
+      w.println("by construction and every filter is a broadcast-dim attribute, so the")
+      w.println("row must track the fact scan. q_tpcdsgen_q64 gates the returns pair")
+      w.println("with an item-sized semi-join and binds twelve broadcast dims; its")
+      w.println("year-pair self-join runs on (item, year) aggregates, so the fact")
+      w.println("passes dominate and dim cost stays FLAT as the fact replicates.")
+      w.println("q_tpcdsgen_q78 is three linear channel passes (returns anti-joined as")
+      w.println("key sets before aggregating) meeting in two aggregate-grain joins -")
+      w.println("near-linear, with output growing as cross-channel (customer, item)")
+      w.println("coincidences do.")
+      w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
       queries.foreach { case (q, mk0) =>
