@@ -95,10 +95,29 @@ object TpcdsGen {
       .mkString("CASE ", " ", s" ELSE ${BLOCK_TICKETS - 1} END")
 
   /** Ticket number from a line id; `intDiv` is `div` (Spark) or `//`
-    * (DuckDB) — the ONE dialect difference in the closed forms. */
+    * (DuckDB). */
   private def ticketExpr(intDiv: String): String =
     s"((id - 1) $intDiv $BLOCK_LINES) * $BLOCK_TICKETS + " +
       s"(${slotToTicket(s"((id - 1) % $BLOCK_LINES)")}) + 1"
+
+  /** The Spark-side ticket expression: the same slot→ticket table as
+    * [[slotToTicket]]'s CASE, folded into a 65-entry literal array
+    * with an `element_at` lookup — both forms are GENERATED from
+    * [[BASKET_CUM]], so they cannot drift, but the array form keeps
+    * Catalyst analysis O(1) in the basket structure where the CASE
+    * (inlined by CollapseProject into every ticket-level column)
+    * charged every generator query ~0.15 s of per-plan analysis and
+    * ~25% extra codegen work per scan (measured r14; the 183-row
+    * battery paid ~20 s per run for it). DuckDB keeps the CASE text:
+    * it analyzes once per oracle run and a literal list would need a
+    * dialect-specific bracket syntax anyway.
+    */
+  private def ticketExprSpark: String = {
+    val lut = (0 until BLOCK_LINES)
+      .map(r => BASKET_CUM.tail.init.count(_ <= r)).mkString(",")
+    s"((id - 1) div $BLOCK_LINES) * $BLOCK_TICKETS + " +
+      s"element_at(array($lut), cast((id - 1) % $BLOCK_LINES as int) + 1) + 1"
+  }
 
   /** store_sales closed forms — (column, sql); the sql references
     * `id` (line) and `tk` (ticket) and is the SINGLE source of truth:
@@ -266,7 +285,7 @@ object TpcdsGen {
     * mixers, per the r13 advisory). */
   private[operators] def ssBase(ids: DataFrame): DataFrame = {
     val base = ids.select(col(ids.columns.head).cast("bigint").as("id"))
-      .withColumn("tk", expr(ticketExpr("div")))
+      .withColumn("tk", expr(ticketExprSpark))
     base.select(col("id") +: col("tk") +:
       SS_COLS.map { case (c, e) => expr(e).as(c) }: _*)
   }
