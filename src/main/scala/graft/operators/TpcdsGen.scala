@@ -96,7 +96,7 @@ object TpcdsGen {
 
   /** Ticket number from a line id; `intDiv` is `div` (Spark) or `//`
     * (DuckDB). */
-  private def ticketExpr(intDiv: String): String =
+  private[graft] def ticketExpr(intDiv: String): String =
     s"((id - 1) $intDiv $BLOCK_LINES) * $BLOCK_TICKETS + " +
       s"(${slotToTicket(s"((id - 1) % $BLOCK_LINES)")}) + 1"
 
@@ -112,7 +112,7 @@ object TpcdsGen {
     * it analyzes once per oracle run and a literal list would need a
     * dialect-specific bracket syntax anyway.
     */
-  private def ticketExprSpark: String = {
+  private[graft] def ticketExprSpark: String = {
     val lut = (0 until BLOCK_LINES)
       .map(r => BASKET_CUM.tail.init.count(_ <= r)).mkString(",")
     s"((id - 1) div $BLOCK_LINES) * $BLOCK_TICKETS + " +

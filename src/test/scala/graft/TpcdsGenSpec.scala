@@ -37,6 +37,17 @@ class TpcdsGenSpec extends SparkSpec {
     assert(viol === 0)
   }
 
+  test("the Spark array-lookup ticket form equals the CASE form (the DuckDB " +
+      "reference text) on every slot of every block") {
+    // both strings are generated from BASKET_CUM; this differential
+    // pins them equal over 100 whole blocks so a future edit to one
+    // side cannot silently diverge from the other
+    val diff = spark.range(1, 6501).toDF("id")
+      .selectExpr(s"(${G.ticketExprSpark}) AS a", s"(${G.ticketExpr("div")}) AS b")
+      .where(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
   test("basket grain invariants: ticket sizes follow the declared block cycle, " +
       "(ticket, item) is unique, and ticket-level attributes are constant per ticket") {
     val ss = G.storeSales(spark, n)
