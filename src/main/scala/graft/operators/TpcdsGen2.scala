@@ -1667,9 +1667,21 @@ object TpcdsGen2 {
     * (the driver and Bench both run queries sequentially); the
     * regenerated views are identical on every call, so a re-run is
     * idempotent, but a CONCURRENT query on the same session could
-    * observe a mid-replacement view.
+    * observe a mid-replacement view. Registration is cached per
+    * (session, dir) — the 99-query text battery calls this once per
+    * pass, and the 18 catalog writes + plan derivations are pure
+    * overhead after the first (weak keys: sessions are not retained).
     */
+  private val registeredViews = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
   def registerViews(s: SparkSession, dir: String): Unit = {
+    if (dir == registeredViews.get(s)) return
+    registerViewsAlways(s, dir)
+    registeredViews.put(s, dir)
+  }
+
+  private def registerViewsAlways(s: SparkSession, dir: String): Unit = {
     val n = G.nSales(s, dir)
     G.storeSales(s, n).createOrReplaceTempView("store_sales")
     G.storeReturns(s, n).createOrReplaceTempView("store_returns")
