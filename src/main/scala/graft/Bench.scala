@@ -103,6 +103,17 @@ object Bench {
     val names = {
       val all = SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.isEmpty || only.contains(n))
+        // the machine-derived *_sqltext rows compile to the IDENTICAL
+        // plans as their DataFrame twins (TpcdsSqlText translates the
+        // shared oracle body), so timing them doubles the generator
+        // battery for zero signal while the extra ~500 plan
+        // compilations degrade the shared JVM for every later query
+        // (measured r14: +10% on untouched families). They stay in
+        // Verify — correctness is their job; the twins carry the
+        // timing. The 3 hand-written *_sqltext rows stay benched.
+        .filterNot(n => n.endsWith("_sqltext") &&
+          !Set("q_tpcdsgen_q3_sqltext", "q_tpcdsgen_q55_sqltext",
+            "q_tpcdsgen_q98_sqltext").contains(n))
       val hl = headline.filter(all.contains)
       hl ++ all.filterNot(hl.toSet)
     }
