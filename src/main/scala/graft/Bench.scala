@@ -82,12 +82,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM warmup (JIT, codegen compiler, parquet footers) — uncounted
+    // JVM warmup (JIT, codegen compiler, parquet footers, TPC-DS star
+    // materialization) — uncounted. One query was not enough: four
+    // consecutive rounds (r11 graphs, r13 minhash, r14 pagerank/
+    // minhash) billed phantom 3-5x "regressions" to headline queries
+    // that merely ran on a cold JIT — iterative multi-job queries pay
+    // the un-warmed JVM hardest (r14 measured pagerank 9.90 s cold vs
+    // 2.78 s warm, same code). The warm-up set covers each engine
+    // path the headline exercises: a parquet scan+agg, a generated-
+    // star query (also triggers the one-time star parquet write +
+    // checksum validation so no timed query pays it), an iterative
+    // multi-job graph fixpoint, and a banded-join dedup.
     locally {
       val s = root.newSession()
       graft.plans.GraftExtensions.install(s)
       Tables.registerAll(s, sfDir)
-      try timed(s, "q1_agg") catch { case _: Throwable => () }
+      Seq("q1_agg", "q_tpcdsgen_q3", "q_graph_pagerank", "q_dedup_minhash")
+        .foreach(n => try timed(s, n) catch { case _: Throwable => () })
+      s.sqlContext.clearCache()
+      root.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
     }
 
     // Optional trailing args restrict the run (local iteration);
@@ -111,7 +125,9 @@ object Bench {
         // (measured r14: +10% on untouched families). They stay in
         // Verify — correctness is their job; the twins carry the
         // timing. The 3 hand-written *_sqltext rows stay benched.
-        .filterNot(n => n.endsWith("_sqltext") &&
+        // The skip applies only to the FULL battery — an explicitly
+        // requested sqltext query (local iteration) always runs.
+        .filterNot(n => only.isEmpty && n.endsWith("_sqltext") &&
           !Set("q_tpcdsgen_q3_sqltext", "q_tpcdsgen_q55_sqltext",
             "q_tpcdsgen_q98_sqltext").contains(n))
       val hl = headline.filter(all.contains)
@@ -121,7 +137,12 @@ object Bench {
       val s = root.newSession()
       graft.plans.GraftExtensions.install(s)
       Tables.registerAll(s, sfDir)
-      val ts = (1 to passes).flatMap { _ =>
+      // Headline queries get median-of-3 minimum even when the driver
+      // dials passes down to 1: those are the round-over-round
+      // comparison numbers, and a single cold pass is what produced
+      // the r14 phantom regressions.
+      val nPasses = if (headline.contains(n)) math.max(passes, 3) else passes
+      val ts = (1 to nPasses).flatMap { _ =>
         try Some(timed(s, n))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $n failed: ${e.getMessage}")

@@ -56,14 +56,17 @@ object TpcdsGen {
   val INV_WEEKS = 209L                       // weekly snapshots, 1..1457
   val INV_ROWS = INV_WEEKS * N_ITEMS * N_WH  // 1,045,000 — fixed-size
 
-  /** store_sales line count — scales with the host corpus. Cached per
-    * (session, dir): it is only a parquet metadata count, but the
-    * battery constructs ~100 generator queries per run and each used
-    * to re-issue the count action (r13 advisory). */
+  /** store_sales line count — scales with the host corpus. Cached by
+    * DIR alone (r14 advisory): the count is a property of the data,
+    * not the session, so keying by session both retained every
+    * benchmark session forever AND missed across the fresh-session-
+    * per-query batteries. A dir's parquet is never rewritten within a
+    * run (the test corpus is driver-generated, read-only), so no
+    * mtime invalidation is needed. */
   private val nSalesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[operators] def nSales(s: SparkSession, dir: String): Long =
-    nSalesCache.computeIfAbsent((s, dir),
+    nSalesCache.computeIfAbsent(dir,
       _ => Tables.load(s, dir, "lineitem").count()).longValue()
 
   // ---- multi-line ticket structure (r14) ---------------------------

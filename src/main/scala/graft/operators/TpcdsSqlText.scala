@@ -36,12 +36,22 @@ object TpcdsSqlText {
       .filter { case (k, _) => k.startsWith("q_tpcdsgen_") && !k.endsWith("_sqltext") }
 
   /** The Spark-executable text for a battery query: the shared SQL
-    * body with the two dialect rewrites applied. */
+    * body with the two dialect rewrites applied. The rewrites are
+    * TEXTUAL over the whole body, so any quoted string literal
+    * containing a rewritten token would be silently corrupted into a
+    * query that still runs but diverges from the oracle (r14
+    * advisory) — the require below turns that silent drift into a
+    * loud failure at translation time. */
   def sparkText(name: String): String = {
     val full = base(name)
     val prefix = TpcdsGen.oracleGenSql
     require(full.startsWith(prefix), s"$name oracle does not start with the gen prefix")
     val body = full.stripPrefix(prefix).trim
+    val quoted = "'[^']*'".r.findAllIn(body)
+    require(!quoted.exists(l => l.contains("//") || l.contains("customer")),
+      s"$name: a quoted literal contains a dialect-rewrite token ('//' or " +
+        "'customer') — the blind textual rewrite would corrupt it; rename " +
+        "the literal or make the rewrite quote-aware")
     val standalone =
       if (body.startsWith(",")) "WITH " + body.drop(1).trim
       else body
@@ -52,7 +62,9 @@ object TpcdsSqlText {
 
   private def run(name: String)(s: SparkSession, dir: String): DataFrame = {
     TpcdsGen2.registerViews(s, dir)
-    s.sql(sparkText(name))
+    // Through the front door — the pre-parser (SET/DDL/hint handling)
+    // is a no-op on standard SQL text, and routing here proves it.
+    graft.sql.GraftSql.sql(s, sparkText(name))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
