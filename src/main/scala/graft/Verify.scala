@@ -29,6 +29,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Materialize the generated TPC-DS star for this sf (a no-op when
+    // the checksum-gated scratch parquet already verifies) BEFORE the
+    // oracle dump, so the dumped prefix always points at real files —
+    // even when a trailing-args subset skipped every generator query.
+    try graft.operators.TpcdsGen2.registerViews(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] tpcds star materialization failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

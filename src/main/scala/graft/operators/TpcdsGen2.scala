@@ -1858,7 +1858,7 @@ object TpcdsGen2 {
        |    AS revenueratio_ppm
        |FROM agg""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
     // the SQL-text forms produce byte-identical results to their
     // DataFrame twins — same oracle strings
     "q_tpcdsgen_q3_sqltext"  -> G.oracle("q_tpcdsgen_q3"),

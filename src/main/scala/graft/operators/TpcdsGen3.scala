@@ -580,7 +580,7 @@ object TpcdsGen3 {
          |JOIN customer_address ON c_current_addr_sk = ca_address_sk
          |WHERE ca_city <> bought_city""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
     "q_tpcdsgen_q64" -> (G.oracleGenSql +
       """, cs_ui AS (
         |  SELECT cs_item_sk

@@ -72,7 +72,7 @@ object TpcdsSqlText {
       s"${name}_sqltext" -> (run(name) _)
     }.toMap
 
-  val oracle: Map[String, String] =
+  def oracle: Map[String, String] =
     base.filterNot { case (k, _) => handWritten(k) }
       .map { case (name, sql) => s"${name}_sqltext" -> sql }
 }

@@ -123,13 +123,12 @@ class PlanSpec extends SparkSpec {
     // would mean the stats/threshold wiring broke
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // the fact id range materializes exactly once (q64's r12 lesson:
-    // a second fact pass is the expensive regression to guard)
-    val factRanges = p.linesIterator.count(l =>
-      l.contains("Arguments: Range (1,") && !l.contains("1462") &&
-        !l.contains("1001") && !l.contains("2001)") && !l.contains("13)") &&
-        !l.contains("31)"))
-    assert(factRanges === 1, s"expected exactly one fact Range, got $factRanges:\n$p")
+    // the fact scans exactly once (q64's r12 lesson: a second fact
+    // pass is the expensive regression to guard) — since r15 the star
+    // is materialized parquet, so the source is a file scan
+    val factScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("store_sales"))
+    assert(factScans === 1, s"expected exactly one fact scan, got $factScans:\n$p")
   }
 
   test("generated TPC-DS q98's share window runs over the item-sized " +

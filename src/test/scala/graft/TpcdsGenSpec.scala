@@ -73,6 +73,31 @@ class TpcdsGenSpec extends SparkSpec {
     assert(varying.count() === 0)
   }
 
+  test("the materialized star parquet equals the closed-form expansion — " +
+      "file content cannot drift from the generator definition") {
+    val file = G.storeSales(spark, n)
+    val gen = G.storeSalesFromIds(spark.range(1, n + 1).toDF("id"))
+    assert(file.count() === n)
+    assert(file.exceptAll(gen).count() === 0)
+    assert(gen.exceptAll(file).count() === 0)
+  }
+
+  test("the star checksum gate regenerates a corrupted directory instead of " +
+      "serving silent wrong answers") {
+    import graft.operators.TpcdsStar
+    val n2 = 1300L
+    val before = G.storeSales(spark, n2).count()
+    assert(before === n2)
+    // corrupt one data file on disk, then force the gate to re-run
+    val dir = java.nio.file.Paths.get(TpcdsStar.factsDir(n2), "store_sales.parquet")
+    val part = java.nio.file.Files.list(dir)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.write(part, Array[Byte](0, 1, 2, 3))
+    TpcdsStar.forgetValidation()
+    val after = G.storeSales(spark, n2).count()
+    assert(after === n2, "the gate must have re-materialized the corrupted star")
+  }
+
   test("q34's basket count collapses at ticket grain with every dim broadcast — " +
       "no sort-merge join anywhere in the plan") {
     val p = plan(graft.operators.TpcdsGen3.q34(spark, sfDir))
@@ -124,17 +149,18 @@ class TpcdsGenSpec extends SparkSpec {
   test("q88's eight time bands materialize the fact ONCE (the published text " +
       "is eight cross-joined subqueries = eight scans)") {
     val p = plan(TpcdsGen2.q88(spark, sfDir))
-    // fact + hd dim + time dim = exactly three Range sources
-    val ranges = p.linesIterator.count(_.contains("Arguments: Range ("))
-    assert(ranges === 3, s"expected 3 Range sources (fact, hd, time), got $ranges:\n$p")
+    // fact + hd dim + time dim = exactly three sources (parquet scans
+    // of the materialized star since r15)
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans === 3, s"expected 3 scans (fact, hd, time), got $scans:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q28's six banded distinct-aggregate triples stay one fact scan " +
       "(multi-distinct rewrites to Expand, not to six subquery scans)") {
     val p = plan(TpcdsGen2.q28(spark, sfDir))
-    val ranges = p.linesIterator.count(_.contains("Arguments: Range ("))
-    assert(ranges === 1, s"expected the single fact Range, got $ranges:\n$p")
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans === 1, s"expected the single fact scan, got $scans:\n$p")
     assert(p.contains("Expand"), s"multi-distinct should plan through Expand:\n$p")
   }
 
@@ -147,9 +173,9 @@ class TpcdsGenSpec extends SparkSpec {
       "ranges, broadcast dims only") {
     val p = plan(TpcdsGen2.q66(spark, sfDir))
     assert(!p.contains("SortMergeJoin"), p)
-    val ranges = p.linesIterator.count(_.contains("Arguments: Range ("))
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
     // web fact + catalog fact + ship_mode + date + warehouse
-    assert(ranges === 5, s"expected 5 Range sources, got $ranges:\n$p")
+    assert(scans === 5, s"expected 5 scans, got $scans:\n$p")
   }
 
   test("q51's cumulative windows run over (item, week) aggregates, never fact rows") {
