@@ -47,11 +47,13 @@ object TpcdsSqlText {
     val prefix = TpcdsGen.oracleGenSql
     require(full.startsWith(prefix), s"$name oracle does not start with the gen prefix")
     val body = full.stripPrefix(prefix).trim
+    val bareCustomer = "\\bcustomer\\b".r
     val quoted = "'[^']*'".r.findAllIn(body)
-    require(!quoted.exists(l => l.contains("//") || l.contains("customer")),
+    require(!quoted.exists(l =>
+        l.contains("//") || bareCustomer.findFirstIn(l).isDefined),
       s"$name: a quoted literal contains a dialect-rewrite token ('//' or " +
-        "'customer') — the blind textual rewrite would corrupt it; rename " +
-        "the literal or make the rewrite quote-aware")
+        "bare 'customer') — the blind textual rewrite would corrupt it; " +
+        "rename the literal or make the rewrite quote-aware")
     val standalone =
       if (body.startsWith(",")) "WITH " + body.drop(1).trim
       else body
