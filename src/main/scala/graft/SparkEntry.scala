@@ -21,7 +21,8 @@ object SparkEntry {
       WindowQueries.queries ++ CalcSetQueries.queries ++ TvfQueries.queries ++
       MiscQueries.queries ++ TpchQueries.queries ++ TpcdsQueries.queries ++
       TpcdsGen.queries ++ TpcdsGen2.queries ++ TpcdsGen3.queries ++
-      TpcdsSqlText.queries ++ StreamOracleQueries.queries ++
+      TpcdsSqlText.queries ++ TpcdsPublished.queries ++
+      StreamOracleQueries.queries ++
       LayoutQueries.queries ++ EventAnalytics.queries ++ Profiler.queries ++
       graft.functions.FunctionQueries.queries ++ graft.text.TextQueries.queries ++
       graft.text.SelectionQueries.queries ++ graft.text.FrequencyOps.queries ++
@@ -38,7 +39,8 @@ object SparkEntry {
       WindowQueries.oracle ++ CalcSetQueries.oracle ++ TvfQueries.oracle ++
       MiscQueries.oracle ++ TpchQueries.oracle ++ TpcdsQueries.oracle ++
       TpcdsGen.oracle ++ TpcdsGen2.oracle ++ TpcdsGen3.oracle ++
-      TpcdsSqlText.oracle ++ StreamOracleQueries.oracle ++
+      TpcdsSqlText.oracle ++ TpcdsPublished.oracle ++
+      StreamOracleQueries.oracle ++
       LayoutQueries.oracle ++ EventAnalytics.oracle ++ Profiler.oracle ++
       graft.functions.FunctionQueries.oracle ++ graft.text.TextQueries.oracle ++
       graft.text.SelectionQueries.oracle ++ graft.text.FrequencyOps.oracle ++

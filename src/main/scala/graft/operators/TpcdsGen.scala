@@ -37,7 +37,10 @@ import graft.Tables
   */
 object TpcdsGen {
 
-  val N_DATES = 1461L  // four "years", 1998..2001
+  val N_DATES = 1825L  // five 365-day "years", 1998..2002 (5²·73 —
+                       // coprime to the basket cycle 11 and to every
+                       // date mixer 131/127/113; the fifth year backs
+                       // the published year+1 comparisons, q2-style)
   val N_ITEMS = 1000L
   val N_CUSTS = 2000L
   val N_STORES = 12L
@@ -53,6 +56,12 @@ object TpcdsGen {
                         // instead of never — the r13 q61 lesson)
   val N_IB = 20L        // income bands, 10k-wide
   val N_REASONS = 36L
+  val N_CD = 700L       // customer_demographics: the 2×5×7×10 cross
+                        // product of gender × marital × education ×
+                        // dep_count, so every published (g, m, e)
+                        // filter combination exists by construction
+  val N_WP = 60L        // web_page
+  val N_CP = 100L       // catalog_page
   val INV_WEEKS = 209L                       // weekly snapshots, 1..1457
   val INV_ROWS = INV_WEEKS * N_ITEMS * N_WH  // 1,045,000 — fixed-size
 
@@ -82,7 +91,7 @@ object TpcdsGen {
   // promo) stay closed forms of the line id, so (ticket, item) is
   // unique (137·k mod 1000 ≠ 0 for 0 < k < 20 consecutive lines).
   // The ticket cycle length 11 is coprime to every ticket-mixer
-  // modulus (1461, 2000, 12, 720, 499), so basket size never couples
+  // modulus (1825, 2000, 12, 720, 700, 499), so basket size never couples
   // to any dimension attribute.
 
   val BASKET_SIZES: Vector[Int] = Vector(1, 2, 3, 4, 5, 2, 4, 3, 5, 16, 20)
@@ -146,7 +155,10 @@ object TpcdsGen {
     "ss_ext_tax_c"         -> "id*41 % 900",
     "ss_net_paid_c"        -> "(id*3 % 100 + 1) * (id*149 % 9900 + 100) - id*31 % 500",
     "ss_net_profit_c"      ->
-      "(id*3 % 100 + 1) * (id*149 % 9900 + 100) - (id*3 % 100 + 1) * (id*163 % 5000 + 50)")
+      "(id*3 % 100 + 1) * (id*149 % 9900 + 100) - (id*3 % 100 + 1) * (id*163 % 5000 + 50)",
+    "ss_cdemo_sk"          -> s"tk*41 % $N_CD + 1",
+    "ss_ext_discount_amt_c" -> "id*29 % 1000",
+    "ss_ext_wholesale_cost_c" -> "(id*3 % 100 + 1) * (id*163 % 5000 + 50)")
 
   /** store_returns closed forms over the internal (id, tk, ss_*)
     * frame — every 13th LINE returns part of its quantity, 1–60 days
@@ -159,127 +171,256 @@ object TpcdsGen {
     "sr_reason_sk"        -> s"id*7 % $N_REASONS + 1",
     "sr_return_quantity"  -> "id*5 % ss_quantity + 1",
     "sr_return_amt_c"     -> "(id*5 % ss_quantity + 1) * ss_sales_price_c",
-    "sr_returned_date_sk" -> "ss_sold_date_sk + id % 60 + 1")
+    "sr_returned_date_sk" -> "ss_sold_date_sk + id % 60 + 1",
+    "sr_cdemo_sk"         -> s"id*41 % $N_CD + 1",
+    "sr_net_loss_c"       -> "id*53 % 3000 + 10")
 
-  // ---- generators (map-only projections over a dense id) ----------
+  // ---- engine-neutral dim closed forms (r15) -----------------------
+  //
+  // Every dimension is ONE table of (column, sql) closed forms over a
+  // dense `id`, shared VERBATIM by three consumers: the Spark star
+  // writer, the legacy DuckDB regeneration prefix (both machine-
+  // rendered from the same strings, so they cannot drift), and the
+  // star-directory signature (a form edit re-materializes
+  // automatically). `#div#` expands per engine (`div` / `//`); the
+  // only genuinely dual-spelled column is d_date's calendar add.
+  // Value domains use the PUBLISHED TPC-DS vocabulary (real states,
+  // cities, colors, categories, demographic levels, carriers…) so the
+  // published query{N}.sql filter literals hit at their natural
+  // rates — the unlock for running published texts near-verbatim.
 
-  def genDateDim(s: SparkSession): DataFrame =
-    s.range(1, N_DATES + 1).toDF("d_date_sk").select(
-      col("d_date_sk"),
-      // floor-div, not Column./ (which is double division)
-      (lit(1998) + floor((col("d_date_sk") - 1) / 365)).cast("int").as("d_year"),
-      (floor(((col("d_date_sk") - 1) % 365) / 31) + 1).cast("int").as("d_moy"),
-      expr("((d_date_sk - 1) % 365) % 31 + 1").cast("int").as("d_dom"),
-      ((col("d_date_sk") - 1) % 7).as("d_dow"),
-      expr("""CASE (d_date_sk - 1) % 7
-              WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
-              WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
-              ELSE 'Saturday' END""").as("d_day_name"),
-      expr("(d_date_sk - 1) div 7 + 1").as("d_week_seq"),
-      expr("((d_date_sk - 1) % 365) div 31 div 3 + 1").as("d_qoy"))
+  final case class Col(name: String, spark: String, duck: String)
+  private def cc(name: String, sql: String): Col = Col(name, sql, sql)
 
-  def genItem(s: SparkSession): DataFrame =
-    s.range(1, N_ITEMS + 1).toDF("i_item_sk").select(
-      col("i_item_sk"),
-      (col("i_item_sk") * 7 % 50 + 1).as("i_brand_id"),
-      concat(lit("Brand#"), col("i_item_sk") * 7 % 50 + 1).as("i_brand"),
-      (col("i_item_sk") * 11 % 10 + 1).as("i_category_id"),
-      concat(lit("Category#"), col("i_item_sk") * 11 % 10 + 1).as("i_category"),
-      (col("i_item_sk") * 23 % 25 + 1).as("i_class_id"),
-      concat(lit("Class#"), col("i_item_sk") * 23 % 25 + 1).as("i_class"),
-      (col("i_item_sk") * 13 % 100 + 1).as("i_manufact_id"),
-      (col("i_item_sk") * 17 % 40 + 1).as("i_manager_id"),
-      (col("i_item_sk") * 19 % 9900 + 100).as("i_current_price_c"),
-      concat(lit("C"), col("i_item_sk") * 3 % 16).as("i_color"),
-      concat(lit("Sz"), col("i_item_sk") * 5 % 7).as("i_size"),
-      concat(lit("Item"), col("i_item_sk")).as("i_product_name"))
+  final case class DimDef(table: String, lo: Long, hi: Long, cols: Seq[Col])
 
-  def genCustomer(s: SparkSession): DataFrame =
-    s.range(1, N_CUSTS + 1).toDF("c_customer_sk").select(
-      col("c_customer_sk"),
-      (lit(1920) + col("c_customer_sk") * 3 % 80).cast("int").as("c_birth_year"),
-      concat(lit("Z"), col("c_customer_sk") * 29 % 100).as("c_zip"),
-      concat(lit("First"), col("c_customer_sk") * 13 % 97).as("c_first_name"),
-      concat(lit("Last"), col("c_customer_sk") * 7 % 89).as("c_last_name"),
-      concat(lit("Sal"), col("c_customer_sk") % 6).as("c_salutation"),
-      when(col("c_customer_sk") % 3 === 0, "N").otherwise("Y")
-        .as("c_preferred_cust_flag"),
-      (col("c_customer_sk") * 17 % N_ADDR + 1).as("c_current_addr_sk"),
-      (col("c_customer_sk") * 23 % N_HDEMO + 1).as("c_current_hdemo_sk"),
-      (col("c_customer_sk") * 5 % 12 + 1).as("c_birth_month"),
-      concat(lit("Country"), col("c_customer_sk") * 31 % 12).as("c_birth_country"))
+  /** Engine-neutral k-way CASE decode of a 0-based selector. */
+  private def lut(sel: String, names: Seq[String]): String =
+    names.init.zipWithIndex.map { case (v, i) => s"WHEN $i THEN '$v'" }
+      .mkString(s"CASE ($sel) ", " ", s" ELSE '${names.last}' END")
 
-  def genCustomerAddress(s: SparkSession): DataFrame =
-    s.range(1, N_ADDR + 1).toDF("ca_address_sk").select(
-      col("ca_address_sk"),
-      concat(lit("City"), col("ca_address_sk") * 7 % 40).as("ca_city"),
-      concat(lit("County"), col("ca_address_sk") * 11 % 25).as("ca_county"),
-      concat(lit("ST"), col("ca_address_sk") * 3 % 10).as("ca_state"),
-      concat(lit("Z"), col("ca_address_sk") * 29 % 100).as("ca_zip"),
-      concat(lit("Country"), col("ca_address_sk") % 12).as("ca_country"))
+  val STATES: Vector[String] =
+    Vector("TN", "KY", "GA", "AL", "SC", "VA", "NC", "OH", "TX", "FL")
+  val CITIES: Vector[String] = Vector(
+    "Oakland", "Bethel", "Clinton", "Greenville", "Springdale",
+    "Pleasant Hill", "Centerville", "Salem", "Lakeview", "Fairview",
+    "Riverside", "Shiloh", "Union", "Wildwood", "Antioch", "Concord",
+    "Georgetown", "Marion", "Midway", "Enterprise", "Friendship",
+    "Glendale", "Golden", "Highland", "Jackson", "Kingston", "Lebanon",
+    "Liberty", "Lincoln", "Macedonia", "Maple Grove", "Mount Olive",
+    "Mount Pleasant", "New Hope", "Oak Grove", "Oak Ridge", "Plainview",
+    "Red Hill", "Sulphur Springs", "Woodville")
+  val COUNTIES: Vector[String] = Vector(
+    "Williamson County", "Franklin Parish", "Bronx County",
+    "Orange County", "Ziebach County", "Walker County", "Daviess County",
+    "Barrow County", "Rush County", "Toole County", "Jefferson County",
+    "Dona Ana County", "La Porte County", "Fairfield County",
+    "Gage County", "Greene County", "Huron County", "Jackson County",
+    "Kandiyohi County", "Lea County", "Luce County", "Mesa County",
+    "Mobile County", "Pennington County", "Perry County")
+  val COLORS: Vector[String] = Vector(
+    "pale", "chiffon", "purple", "burlywood", "indian", "spring",
+    "floral", "medium", "light", "cyan", "navy", "firebrick", "dirty",
+    "antique", "shiny", "azure")
+  val CATEGORIES: Vector[String] = Vector(
+    "Books", "Children", "Electronics", "Home", "Jewelry", "Men",
+    "Music", "Shoes", "Sports", "Women")
+  val CLASSES: Vector[String] = Vector(
+    "personal", "portable", "reference", "self-help", "accessories",
+    "birdal", "classical", "computers", "dresses", "football",
+    "fragrances", "maternity", "pants", "shirts", "stereo", "fiction",
+    "romance", "mystery", "entertainments", "estate", "business",
+    "parenting", "history", "consignment", "travel")
+  val SIZES: Vector[String] = Vector(
+    "petite", "small", "medium", "large", "extra large", "N/A", "economy")
+  val UNITS: Vector[String] = Vector(
+    "Each", "Pallet", "Gross", "N/A", "Unknown", "Bunch", "Ounce", "Oz",
+    "Bundle", "Ton")
+  val SM_TYPES: Vector[String] = Vector(
+    "EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY")
+  val SM_CARRIERS: Vector[String] = Vector(
+    "DHL", "BARIAN", "UPS", "FEDEX", "AIRBORNE", "USPS", "ALLIANCE",
+    "LATVIAN", "TBS", "ZHOU")
+  val BUY_POTENTIAL: Vector[String] = Vector(">10000", "1001-5000", "Unknown")
+  val MARITAL: Vector[String] = Vector("M", "S", "D", "W", "U")
+  val EDUCATION: Vector[String] = Vector(
+    "Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
+    "Advanced Degree", "Unknown")
+  val CREDIT: Vector[String] = Vector("Good", "High Risk", "Low Risk", "Unknown")
 
-  def genIncomeBand(s: SparkSession): DataFrame =
-    s.range(1, N_IB + 1).toDF("ib_income_band_sk").select(
-      col("ib_income_band_sk"),
-      ((col("ib_income_band_sk") - 1) * 10000).as("ib_lower_bound"),
-      (col("ib_income_band_sk") * 10000 - 1).as("ib_upper_bound"))
+  /** 5-digit zip render of a 0..99 residue (the residue structure is
+    * what cross-table zip joins rely on; only the rendering changed
+    * from the pre-r15 'Z##' form). */
+  private def zip5(residue: String): String = s"'' || (10000 + ($residue) * 899)"
 
-  def genReason(s: SparkSession): DataFrame =
-    s.range(1, N_REASONS + 1).toDF("r_reason_sk").select(
-      col("r_reason_sk"),
-      concat(lit("Reason"), col("r_reason_sk")).as("r_reason_desc"))
+  private def dimOf(table: String, lo: Long, hi: Long)(cols: (String, String)*): DimDef =
+    DimDef(table, lo, hi, cols.map { case (n, e) => cc(n, e) })
 
-  def genHouseholdDemographics(s: SparkSession): DataFrame =
-    s.range(1, N_HDEMO + 1).toDF("hd_demo_sk").select(
-      col("hd_demo_sk"),
-      (col("hd_demo_sk") % 10).as("hd_dep_count"),
-      (col("hd_demo_sk") % 5).as("hd_vehicle_count"),
-      concat(lit("P"), col("hd_demo_sk") % 3).as("hd_buy_potential"),
-      (col("hd_demo_sk") * 13 % N_IB + 1).as("hd_income_band_sk"))
-
-  def genTimeDim(s: SparkSession): DataFrame =
-    s.range(0, 86400).toDF("t_time_sk").select(
-      col("t_time_sk"),
-      expr("t_time_sk div 3600").as("t_hour"),
-      expr("(t_time_sk % 3600) div 60").as("t_minute"))
-
-  def genWarehouse(s: SparkSession): DataFrame =
-    s.range(1, N_WH + 1).toDF("w_warehouse_sk").select(
-      col("w_warehouse_sk"),
-      concat(lit("WH"), col("w_warehouse_sk")).as("w_warehouse_name"),
-      concat(lit("ST"), col("w_warehouse_sk") % 5).as("w_state"))
-
-  def genShipMode(s: SparkSession): DataFrame =
-    s.range(1, N_SHIPMODES + 1).toDF("sm_ship_mode_sk").select(
-      col("sm_ship_mode_sk"),
-      concat(lit("TYPE"), col("sm_ship_mode_sk") % 6).as("sm_type"),
-      concat(lit("CARRIER"), col("sm_ship_mode_sk") % 10).as("sm_carrier"))
-
-  def genCallCenter(s: SparkSession): DataFrame =
-    s.range(1, N_CC + 1).toDF("cc_call_center_sk").select(
-      col("cc_call_center_sk"),
-      concat(lit("CC"), col("cc_call_center_sk")).as("cc_name"))
-
-  def genWebSite(s: SparkSession): DataFrame =
-    s.range(1, N_WEBSITES + 1).toDF("web_site_sk").select(
-      col("web_site_sk"),
-      concat(lit("SITE"), col("web_site_sk") % 8).as("web_name"))
-
-  def genStore(s: SparkSession): DataFrame =
-    s.range(1, N_STORES + 1).toDF("s_store_sk").select(
-      col("s_store_sk"),
-      concat(lit("ST"), col("s_store_sk") % 5).as("s_state"),
-      concat(lit("Store"), col("s_store_sk")).as("s_store_name"),
-      concat(lit("City"), col("s_store_sk") * 9 % 40).as("s_city"),
-      concat(lit("Z"), col("s_store_sk") * 53 % 100).as("s_zip"),
-      (lit(150) + col("s_store_sk") * 29 % 200).as("s_number_employees"),
-      (col("s_store_sk") % 4 + 1).as("s_market_id"))
-
-  def genPromotion(s: SparkSession): DataFrame =
-    s.range(1, N_PROMOS + 1).toDF("p_promo_sk").select(
-      col("p_promo_sk"),
-      when(col("p_promo_sk") % 2 === 0, "Y").otherwise("N").as("p_channel_email"),
-      when(col("p_promo_sk") % 3 === 0, "Y").otherwise("N").as("p_channel_event"))
+  val DIM_DEFS: Seq[DimDef] = Seq(
+    DimDef("date_dim", 1, N_DATES + 1, Seq(
+      cc("d_date_sk", "id"),
+      cc("d_year", "cast(1998 + (id-1) #div# 365 as int)"),
+      cc("d_moy", "cast(((id-1) % 365) #div# 31 + 1 as int)"),
+      cc("d_dom", "cast(((id-1) % 365) % 31 + 1 as int)"),
+      cc("d_dow", "(id-1) % 7"),
+      cc("d_day_name", lut("(id-1) % 7",
+        Seq("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+          "Friday", "Saturday"))),
+      cc("d_week_seq", "(id-1) #div# 7 + 1"),
+      cc("d_qoy", "((id-1) % 365) #div# 31 #div# 3 + 1"),
+      Col("d_date", "date_add(DATE '1998-01-01', cast(id-1 as int))",
+        "DATE '1998-01-01' + cast(id-1 as int)"),
+      cc("d_month_seq", "1176 + ((id-1) #div# 365) * 12 + ((id-1) % 365) #div# 31"),
+      cc("d_quarter_name",
+        "(1998 + (id-1) #div# 365) || 'Q' || (((id-1) % 365) #div# 31 #div# 3 + 1)"))),
+    dimOf("item", 1, N_ITEMS + 1)(
+      "i_item_sk" -> "id",
+      "i_brand_id" -> "id*7 % 50 + 1",
+      "i_brand" -> "'Brand#' || (id*7 % 50 + 1)",
+      "i_category_id" -> "id*11 % 10 + 1",
+      "i_category" -> lut("id*11 % 10", CATEGORIES),
+      "i_class_id" -> "id*23 % 25 + 1",
+      "i_class" -> lut("id*23 % 25", CLASSES),
+      "i_manufact_id" -> "id*13 % 1000 + 1",
+      "i_manufact" -> "'manufact' || (id*13 % 1000 + 1)",
+      "i_manager_id" -> "id*17 % 40 + 1",
+      "i_current_price_c" -> "id*19 % 9999 + 1",
+      "i_wholesale_cost_c" -> "id*29 % 5000 + 50",
+      "i_color" -> lut("id*3 % 16", COLORS),
+      "i_size" -> lut("id*5 % 7", SIZES),
+      "i_units" -> lut("id % 10", UNITS),
+      "i_product_name" -> "'Item' || id",
+      "i_item_id" -> "'I' || id",
+      "i_item_desc" -> "'Description ' || (id*7 % 997)"),
+    dimOf("customer", 1, N_CUSTS + 1)(
+      "c_customer_sk" -> "id",
+      "c_birth_year" -> "cast(1920 + id*3 % 80 as int)",
+      "c_zip" -> zip5("id*29 % 100"),
+      "c_first_name" -> "'First' || (id*13 % 97)",
+      "c_last_name" -> "'Last' || (id*7 % 89)",
+      "c_salutation" -> "'Sal' || (id % 6)",
+      "c_preferred_cust_flag" -> "CASE WHEN id % 3 = 0 THEN 'N' ELSE 'Y' END",
+      "c_current_addr_sk" -> s"id*17 % $N_ADDR + 1",
+      "c_current_hdemo_sk" -> s"id*23 % $N_HDEMO + 1",
+      "c_birth_month" -> "id*5 % 12 + 1",
+      "c_birth_country" -> "'Country' || (id*31 % 12)",
+      "c_customer_id" -> "'C' || id",
+      "c_email_address" -> "'c' || id || '@example.com'",
+      "c_login" -> "'login' || id",
+      "c_current_cdemo_sk" -> s"id*11 % $N_CD + 1",
+      "c_birth_day" -> "id*7 % 28 + 1",
+      "c_last_review_date_sk" -> s"id*3 % $N_DATES + 1"),
+    dimOf("customer_address", 1, N_ADDR + 1)(
+      "ca_address_sk" -> "id",
+      "ca_city" -> lut("id*7 % 40", CITIES),
+      "ca_county" -> lut("id*11 % 25", COUNTIES),
+      "ca_state" -> lut("id*3 % 10", STATES),
+      "ca_zip" -> zip5("id*29 % 100"),
+      "ca_country" -> "'Country' || (id % 12)",
+      "ca_gmt_offset" -> "-5 - (id % 4)",
+      "ca_street_number" -> "'' || (id % 1000 + 1)",
+      "ca_street_name" -> "'Street' || (id*3 % 100)",
+      "ca_street_type" -> lut("id % 5", Seq("Street", "Ave", "Blvd", "Way", "Ct")),
+      "ca_suite_number" -> "'Suite ' || (id % 100)",
+      "ca_location_type" -> lut("id % 3", Seq("apartment", "condo", "single family"))),
+    dimOf("income_band", 1, N_IB + 1)(
+      "ib_income_band_sk" -> "id",
+      "ib_lower_bound" -> "(id-1) * 10000",
+      "ib_upper_bound" -> "id * 10000 - 1"),
+    dimOf("reason", 1, N_REASONS + 1)(
+      "r_reason_sk" -> "id",
+      "r_reason_desc" -> "'reason ' || id"),
+    dimOf("household_demographics", 1, N_HDEMO + 1)(
+      "hd_demo_sk" -> "id",
+      "hd_dep_count" -> "id % 10",
+      "hd_vehicle_count" -> "id % 5",
+      "hd_buy_potential" -> lut("id % 3", BUY_POTENTIAL),
+      "hd_income_band_sk" -> s"id*13 % $N_IB + 1"),
+    dimOf("customer_demographics", 1, N_CD + 1)(
+      "cd_demo_sk" -> "id",
+      "cd_gender" -> "CASE WHEN id % 2 = 0 THEN 'M' ELSE 'F' END",
+      "cd_marital_status" -> lut("(id #div# 2) % 5", MARITAL),
+      "cd_education_status" -> lut("(id #div# 10) % 7", EDUCATION),
+      "cd_dep_count" -> "(id #div# 70) % 10",
+      "cd_purchase_estimate" -> "(id*500) % 10000 + 500",
+      "cd_credit_rating" -> lut("(id*3) % 4", CREDIT),
+      "cd_dep_employed_count" -> "(id*7) % 7",
+      "cd_dep_college_count" -> "(id*11) % 7"),
+    dimOf("time_dim", 0, 86400)(
+      "t_time_sk" -> "id",
+      "t_hour" -> "id #div# 3600",
+      "t_minute" -> "(id % 3600) #div# 60",
+      "t_second" -> "id % 60",
+      "t_time" -> "id",
+      "t_am_pm" -> "CASE WHEN id < 43200 THEN 'AM' ELSE 'PM' END",
+      "t_meal_time" ->
+        ("CASE WHEN id #div# 3600 >= 6 AND id #div# 3600 < 9 THEN 'breakfast' " +
+          "WHEN id #div# 3600 >= 17 AND id #div# 3600 < 20 THEN 'dinner' " +
+          "ELSE NULL END")),
+    dimOf("warehouse", 1, N_WH + 1)(
+      "w_warehouse_sk" -> "id",
+      "w_warehouse_name" -> "'WH' || id",
+      "w_state" -> lut("id % 5", STATES.take(5)),
+      "w_warehouse_sq_ft" -> "id*7919 % 90000 + 10000",
+      "w_city" -> lut("id*3 % 40", CITIES),
+      "w_county" -> lut("id % 8", COUNTIES.take(8)),
+      "w_country" -> "'United States'"),
+    dimOf("ship_mode", 1, N_SHIPMODES + 1)(
+      "sm_ship_mode_sk" -> "id",
+      "sm_type" -> lut("id % 6", SM_TYPES),
+      "sm_carrier" -> lut("id % 10", SM_CARRIERS)),
+    dimOf("call_center", 1, N_CC + 1)(
+      "cc_call_center_sk" -> "id",
+      "cc_name" -> "'CC' || id",
+      "cc_call_center_id" -> "'CCID' || id",
+      "cc_county" -> lut("id % 8", COUNTIES.take(8)),
+      "cc_manager" -> "'Manager' || (id % 4)"),
+    dimOf("web_site", 1, N_WEBSITES + 1)(
+      "web_site_sk" -> "id",
+      "web_name" -> "'SITE' || (id % 8)",
+      "web_site_id" -> "'WEB' || id",
+      "web_company_name" -> lut("id % 6",
+        Seq("pri", "able", "ese", "anti", "cally", "ought"))),
+    dimOf("store", 1, N_STORES + 1)(
+      "s_store_sk" -> "id",
+      "s_state" -> lut("id % 5", STATES.take(5)),
+      "s_store_name" -> "'Store' || id",
+      "s_city" -> lut("id*9 % 40", CITIES),
+      "s_zip" -> zip5("id*53 % 100"),
+      "s_number_employees" -> "150 + id*29 % 200",
+      "s_market_id" -> "id % 4 + 1",
+      "s_store_id" -> "'S' || id",
+      "s_county" -> lut("id % 8", COUNTIES.take(8)),
+      "s_company_name" -> "'Unknown'",
+      "s_company_id" -> "1",
+      "s_gmt_offset" -> "-5",
+      "s_street_number" -> "'' || (id % 1000 + 1)",
+      "s_street_name" -> "'Street' || (id*3 % 100)",
+      "s_street_type" -> "'Street'",
+      "s_suite_number" -> "'Suite ' || (id % 100)"),
+    dimOf("promotion", 1, N_PROMOS + 1)(
+      "p_promo_sk" -> "id",
+      "p_channel_email" -> "CASE WHEN id % 2 = 0 THEN 'Y' ELSE 'N' END",
+      "p_channel_event" -> "CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END",
+      "p_channel_tv" -> "CASE WHEN id % 5 = 0 THEN 'Y' ELSE 'N' END",
+      "p_channel_dmail" -> "CASE WHEN id % 7 = 0 THEN 'Y' ELSE 'N' END",
+      "p_promo_name" -> "'promo' || (id % 10)"),
+    dimOf("web_page", 1, N_WP + 1)(
+      "wp_web_page_sk" -> "id",
+      "wp_char_count" -> "id*97 % 5000 + 100",
+      "wp_link_count" -> "id % 25 + 2",
+      "wp_url" -> "'http://www.foo.com'",
+      "wp_type" -> lut("id % 4", Seq("ad", "dynamic", "protected", "order"))),
+    dimOf("catalog_page", 1, N_CP + 1)(
+      "cp_catalog_page_sk" -> "id",
+      "cp_catalog_page_id" -> "'CP' || id",
+      "cp_catalog_number" -> "id % 20 + 1",
+      "cp_catalog_page_number" -> "id"),
+    dimOf("inventory", 1, INV_ROWS + 1)(
+      "inv_date_sk" -> s"((id-1) #div# ${N_ITEMS * N_WH}) * 7 + 1",
+      "inv_item_sk" -> s"((id-1) #div# $N_WH) % $N_ITEMS + 1",
+      "inv_warehouse_sk" -> s"(id-1) % $N_WH + 1",
+      "inv_quantity_on_hand" -> "id*53 % 997"))
 
   /** Internal store_sales frame: line id + ticket + every published
     * column — the shared expansion behind [[storeSales]],
@@ -355,26 +496,20 @@ object TpcdsGen {
   def store(s: SparkSession): DataFrame = TpcdsStar.dim(s, "store")
   def promotion(s: SparkSession): DataFrame = TpcdsStar.dim(s, "promotion")
   def inventory(s: SparkSession): DataFrame = TpcdsStar.dim(s, "inventory")
+  def customerDemographics(s: SparkSession): DataFrame =
+    TpcdsStar.dim(s, "customer_demographics")
+  def webPage(s: SparkSession): DataFrame = TpcdsStar.dim(s, "web_page")
+  def catalogPage(s: SparkSession): DataFrame = TpcdsStar.dim(s, "catalog_page")
 
-  /** Closed-form generator dispatch for [[TpcdsStar]]'s writer. */
-  private[operators] def genDim(s: SparkSession, name: String): DataFrame =
-    name match {
-      case "date_dim" => genDateDim(s)
-      case "item" => genItem(s)
-      case "customer" => genCustomer(s)
-      case "customer_address" => genCustomerAddress(s)
-      case "income_band" => genIncomeBand(s)
-      case "reason" => genReason(s)
-      case "household_demographics" => genHouseholdDemographics(s)
-      case "time_dim" => genTimeDim(s)
-      case "warehouse" => genWarehouse(s)
-      case "ship_mode" => genShipMode(s)
-      case "call_center" => genCallCenter(s)
-      case "web_site" => genWebSite(s)
-      case "store" => genStore(s)
-      case "promotion" => genPromotion(s)
-      case "inventory" => genInventory(s)
-    }
+  /** Closed-form generator dispatch for [[TpcdsStar]]'s writer —
+    * dims render straight from [[DIM_DEFS]]. */
+  private[operators] def genDim(s: SparkSession, name: String): DataFrame = {
+    val d = DIM_DEFS.find(_.table == name)
+      .getOrElse(sys.error(s"unknown dim $name"))
+    s.range(d.lo, d.hi).toDF("id")
+      .select(d.cols.map(c0 =>
+        expr(c0.spark.replace("#div#", "div")).as(c0.name)): _*)
+  }
 
   private[operators] def genFact(s: SparkSession, name: String, n: Long): DataFrame =
     name match {
@@ -387,110 +522,157 @@ object TpcdsGen {
     }
 
   /** String-typed closed forms feeding [[TpcdsStar]]'s directory
-    * signature — a mixer edit here re-materializes automatically;
-    * Scala-typed generator edits bump TpcdsStar.GEN_VERSION. */
+    * signatures — any form edit re-materializes automatically. */
   private[operators] def factGenSignature: Seq[String] =
-    ticketExprSpark +: (SS_COLS ++ SR_COLS).map { case (c, e) => s"$c=$e" }
+    ticketExprSpark +:
+      (SS_COLS ++ SR_COLS ++ CS_COLS ++ CR_COLS ++ WS_COLS ++ WR_COLS)
+        .map { case (c0, e) => s"$c0=$e" }
   private[operators] def dimGenSignature: Seq[String] =
-    Seq(N_DATES, N_ITEMS, N_CUSTS, N_STORES, N_PROMOS, N_HDEMO, N_WH,
-      N_SHIPMODES, N_CC, N_WEBSITES, N_ADDR, N_IB, N_REASONS, INV_ROWS)
-      .map(_.toString)
+    DIM_DEFS.flatMap(d =>
+      s"${d.table}[${d.lo},${d.hi})" +:
+        d.cols.map(c0 => s"${c0.name}=${c0.spark}|${c0.duck}"))
 
-  /** The second sales channel — half store volume, its own key
-    * mixers, so channel overlaps are non-trivial. */
+  // ---- the two shipping channels: closed forms over the order id ---
+  // ship dates run past the sold date by up to ~3 months, BEYOND the
+  // date_dim domain tail — they are lag operands (q62/q99 band on
+  // ship - sold), never date_dim join keys; a query joining date_dim
+  // on the SHIP date would silently drop late-calendar rows.
+
+  /** catalog_sales closed forms over the dense order id (`id`) —
+    * half store volume, its own key mixers, so channel overlaps are
+    * non-trivial. */
+  private val CS_COLS: Seq[(String, String)] = Seq(
+    "cs_order_number"       -> "id",
+    "cs_sold_date_sk"       -> s"id*127 % $N_DATES + 1",
+    "cs_item_sk"            -> s"id*133 % $N_ITEMS + 1",
+    "cs_customer_sk"        -> s"id*141 % $N_CUSTS + 1",
+    "cs_quantity"           -> "id*5 % 100 + 1",
+    "cs_sales_price_c"      -> "id*157 % 9900 + 100",
+    "cs_sold_time_sk"       -> "id*191 % 86400",
+    "cs_warehouse_sk"       -> s"id*31 % $N_WH + 1",
+    "cs_ship_mode_sk"       -> s"id*43 % $N_SHIPMODES + 1",
+    "cs_call_center_sk"     -> s"id*47 % $N_CC + 1",
+    "cs_promo_sk"           -> s"id*11 % $N_PROMOS + 1",
+    "cs_ext_discount_amt_c" -> "id*59 % 5000",
+    "cs_wholesale_cost_c"   -> "id*193 % 5000 + 50",
+    "cs_ship_addr_sk"       ->
+      s"CASE WHEN id % 37 = 0 THEN NULL ELSE id*97 % $N_ADDR + 1 END",
+    "cs_ship_date_sk"       -> s"id*127 % $N_DATES + 1 + id % 90 + 2",
+    "cs_ext_sales_price_c"  -> "(id*5 % 100 + 1) * (id*157 % 9900 + 100)",
+    "cs_net_profit_c"       ->
+      "(id*5 % 100 + 1) * (id*157 % 9900 + 100) - (id*5 % 100 + 1) * (id*193 % 5000 + 50)",
+    "cs_bill_cdemo_sk"      -> s"id*61 % $N_CD + 1",
+    "cs_bill_hdemo_sk"      -> s"id*29 % $N_HDEMO + 1",
+    "cs_bill_addr_sk"       ->
+      s"CASE WHEN id % 41 = 0 THEN NULL ELSE id*73 % $N_ADDR + 1 END",
+    "cs_ship_customer_sk"   -> s"id*89 % $N_CUSTS + 1",
+    "cs_list_price_c"       -> "id*151 % 9900 + 100",
+    "cs_ext_list_price_c"   -> "(id*5 % 100 + 1) * (id*151 % 9900 + 100)",
+    "cs_ext_wholesale_cost_c" -> "(id*5 % 100 + 1) * (id*193 % 5000 + 50)",
+    "cs_coupon_amt_c"       -> "id*37 % 500",
+    "cs_net_paid_c"         -> "(id*5 % 100 + 1) * (id*157 % 9900 + 100) - id*37 % 500",
+    "cs_net_paid_inc_tax_c" ->
+      "(id*5 % 100 + 1) * (id*157 % 9900 + 100) - id*37 % 500 + id*43 % 900",
+    "cs_ext_ship_cost_c"    -> "id*67 % 2000",
+    "cs_ext_tax_c"          -> "id*43 % 900",
+    "cs_catalog_page_sk"    -> s"id*17 % $N_CP + 1")
+
+  /** catalog_returns closed forms over the catalog_sales frame —
+    * every 17th order returns part of its quantity. */
+  private val CR_COLS: Seq[(String, String)] = Seq(
+    "cr_order_number"       -> "cs_order_number",
+    "cr_item_sk"            -> "cs_item_sk",
+    "cr_customer_sk"        -> "cs_customer_sk",
+    "cr_return_quantity"    -> "cs_order_number*5 % cs_quantity + 1",
+    "cr_return_amt_c"       -> "(cs_order_number*5 % cs_quantity + 1) * cs_sales_price_c",
+    "cr_returned_date_sk"   -> "cs_sold_date_sk + cs_order_number % 60 + 1",
+    "cr_returning_customer_sk" -> s"cs_order_number*91 % $N_CUSTS + 1",
+    "cr_returning_addr_sk"  -> s"cs_order_number*37 % $N_ADDR + 1",
+    "cr_call_center_sk"     -> "cs_call_center_sk",
+    "cr_catalog_page_sk"    -> "cs_catalog_page_sk",
+    "cr_reason_sk"          -> s"cs_order_number*7 % $N_REASONS + 1",
+    "cr_net_loss_c"         -> "cs_order_number*59 % 3000 + 10",
+    "cr_refunded_cash_c"    -> "cs_order_number*29 % 2000",
+    "cr_return_amt_inc_tax_c" ->
+      "(cs_order_number*5 % cs_quantity + 1) * cs_sales_price_c + cs_order_number % 97")
+
+  /** web_sales closed forms over the dense order id — quarter store
+    * volume, its own mixers. */
+  private val WS_COLS: Seq[(String, String)] = Seq(
+    "ws_order_number"       -> "id",
+    "ws_sold_date_sk"       -> s"id*113 % $N_DATES + 1",
+    "ws_sold_time_sk"       -> "id*181 % 86400",
+    "ws_item_sk"            -> s"id*119 % $N_ITEMS + 1",
+    "ws_bill_customer_sk"   -> s"id*143 % $N_CUSTS + 1",
+    "ws_hdemo_sk"           -> s"id*23 % $N_HDEMO + 1",
+    "ws_warehouse_sk"       -> s"id*31 % $N_WH + 1",
+    "ws_ship_mode_sk"       -> s"id*41 % $N_SHIPMODES + 1",
+    "ws_web_site_sk"        -> s"id*37 % $N_WEBSITES + 1",
+    "ws_quantity"           -> "id*7 % 100 + 1",
+    "ws_sales_price_c"      -> "id*167 % 9900 + 100",
+    "ws_ext_discount_amt_c" -> "id*61 % 5000",
+    "ws_wholesale_cost_c"   -> "id*179 % 5000 + 50",
+    "ws_ship_customer_sk"   ->
+      s"CASE WHEN id % 43 = 0 THEN NULL ELSE id*147 % $N_CUSTS + 1 END",
+    "ws_ship_date_sk"       -> s"id*113 % $N_DATES + 1 + id % 120 + 2",
+    "ws_ext_sales_price_c"  -> "(id*7 % 100 + 1) * (id*167 % 9900 + 100)",
+    "ws_net_profit_c"       ->
+      "(id*7 % 100 + 1) * (id*167 % 9900 + 100) - (id*7 % 100 + 1) * (id*179 % 5000 + 50)",
+    "ws_bill_cdemo_sk"      -> s"id*79 % $N_CD + 1",
+    "ws_bill_addr_sk"       ->
+      s"CASE WHEN id % 47 = 0 THEN NULL ELSE id*53 % $N_ADDR + 1 END",
+    "ws_ship_addr_sk"       -> s"id*59 % $N_ADDR + 1",
+    "ws_ship_hdemo_sk"      -> s"id*67 % $N_HDEMO + 1",
+    "ws_ship_cdemo_sk"      -> s"id*83 % $N_CD + 1",
+    "ws_web_page_sk"        -> s"id*13 % $N_WP + 1",
+    "ws_promo_sk"           -> s"id*11 % $N_PROMOS + 1",
+    "ws_list_price_c"       -> "id*151 % 9900 + 100",
+    "ws_ext_list_price_c"   -> "(id*7 % 100 + 1) * (id*151 % 9900 + 100)",
+    "ws_ext_wholesale_cost_c" -> "(id*7 % 100 + 1) * (id*179 % 5000 + 50)",
+    "ws_ext_ship_cost_c"    -> "id*71 % 2000",
+    "ws_ext_tax_c"          -> "id*47 % 900",
+    "ws_coupon_amt_c"       -> "id*31 % 500",
+    "ws_net_paid_c"         -> "(id*7 % 100 + 1) * (id*167 % 9900 + 100) - id*31 % 500",
+    "ws_net_paid_inc_tax_c" ->
+      "(id*7 % 100 + 1) * (id*167 % 9900 + 100) - id*31 % 500 + id*47 % 900")
+
+  /** web_returns closed forms over the web_sales frame — every 11th
+    * order returns part of its quantity. */
+  private val WR_COLS: Seq[(String, String)] = Seq(
+    "wr_order_number"       -> "ws_order_number",
+    "wr_item_sk"            -> "ws_item_sk",
+    "wr_refunded_customer_sk" -> "ws_bill_customer_sk",
+    "wr_reason_sk"          -> s"ws_order_number*7 % $N_REASONS + 1",
+    "wr_return_quantity"    -> "ws_order_number*3 % ws_quantity + 1",
+    "wr_return_amt_c"       -> "(ws_order_number*3 % ws_quantity + 1) * ws_sales_price_c",
+    "wr_returned_date_sk"   -> "ws_sold_date_sk + ws_order_number % 45 + 1",
+    "wr_returning_customer_sk" -> s"ws_order_number*47 % $N_CUSTS + 1",
+    "wr_refunded_addr_sk"   -> s"ws_order_number*51 % $N_ADDR + 1",
+    "wr_returning_addr_sk"  -> s"ws_order_number*43 % $N_ADDR + 1",
+    "wr_refunded_cdemo_sk"  -> s"ws_order_number*53 % $N_CD + 1",
+    "wr_returning_cdemo_sk" -> s"ws_order_number*57 % $N_CD + 1",
+    "wr_web_page_sk"        -> s"ws_order_number*13 % $N_WP + 1",
+    "wr_fee_c"              -> "ws_order_number % 100 + 1",
+    "wr_refunded_cash_c"    -> "ws_order_number*29 % 2000",
+    "wr_net_loss_c"         -> "ws_order_number*61 % 3000 + 10")
+
   def genCatalogSales(s: SparkSession, n: Long): DataFrame =
-    s.range(1, n / 2 + 1).toDF("cs_order_number").select(
-      col("cs_order_number"),
-      (col("cs_order_number") * 127 % N_DATES + 1).as("cs_sold_date_sk"),
-      (col("cs_order_number") * 133 % N_ITEMS + 1).as("cs_item_sk"),
-      (col("cs_order_number") * 141 % N_CUSTS + 1).as("cs_customer_sk"),
-      (col("cs_order_number") * 5 % 100 + 1).as("cs_quantity"),
-      (col("cs_order_number") * 157 % 9900 + 100).as("cs_sales_price_c"),
-      (col("cs_order_number") * 191 % 86400).as("cs_sold_time_sk"),
-      (col("cs_order_number") * 31 % N_WH + 1).as("cs_warehouse_sk"),
-      (col("cs_order_number") * 43 % N_SHIPMODES + 1).as("cs_ship_mode_sk"),
-      (col("cs_order_number") * 47 % N_CC + 1).as("cs_call_center_sk"),
-      (col("cs_order_number") * 11 % N_PROMOS + 1).as("cs_promo_sk"),
-      (col("cs_order_number") * 59 % 5000).as("cs_ext_discount_amt_c"),
-      (col("cs_order_number") * 193 % 5000 + 50).as("cs_wholesale_cost_c"),
-      when(col("cs_order_number") % 37 === 0, lit(null))
-        .otherwise(col("cs_order_number") * 97 % N_ADDR + 1).as("cs_ship_addr_sk"))
-      // ship dates run up to sold + 92, PAST the 1461-row date_dim
-      // domain — they are lag operands (q62/q99 band on ship - sold),
-      // never date_dim join keys; a query joining date_dim on the
-      // SHIP date would silently drop late-calendar rows
-      .withColumn("cs_ship_date_sk",
-        col("cs_sold_date_sk") + col("cs_order_number") % 90 + 2)
-      .withColumn("cs_ext_sales_price_c", col("cs_quantity") * col("cs_sales_price_c"))
-      .withColumn("cs_net_profit_c",
-        col("cs_ext_sales_price_c") - col("cs_quantity") * col("cs_wholesale_cost_c"))
+    s.range(1, n / 2 + 1).toDF("id")
+      .select(CS_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
 
-  /** Every 17th catalog order returns part of its quantity. */
   private[operators] def genCatalogReturns(s: SparkSession, n: Long): DataFrame =
     genCatalogSales(s, n)
       .where(col("cs_order_number") % 17 === 0)
-      .select(
-        col("cs_order_number").as("cr_order_number"),
-        col("cs_item_sk").as("cr_item_sk"),
-        col("cs_customer_sk").as("cr_customer_sk"),
-        (col("cs_order_number") * 5 % col("cs_quantity") + 1).as("cr_return_quantity"),
-        ((col("cs_order_number") * 5 % col("cs_quantity") + 1) * col("cs_sales_price_c"))
-          .as("cr_return_amt_c"),
-        (col("cs_sold_date_sk") + col("cs_order_number") % 60 + 1)
-          .as("cr_returned_date_sk"))
+      .select(CR_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
 
-  /** The third sales channel — quarter store volume, its own mixers. */
   def genWebSales(s: SparkSession, n: Long): DataFrame =
-    s.range(1, n / 4 + 1).toDF("ws_order_number").select(
-      col("ws_order_number"),
-      (col("ws_order_number") * 113 % N_DATES + 1).as("ws_sold_date_sk"),
-      (col("ws_order_number") * 181 % 86400).as("ws_sold_time_sk"),
-      (col("ws_order_number") * 119 % N_ITEMS + 1).as("ws_item_sk"),
-      (col("ws_order_number") * 143 % N_CUSTS + 1).as("ws_bill_customer_sk"),
-      (col("ws_order_number") * 23 % N_HDEMO + 1).as("ws_hdemo_sk"),
-      (col("ws_order_number") * 31 % N_WH + 1).as("ws_warehouse_sk"),
-      (col("ws_order_number") * 41 % N_SHIPMODES + 1).as("ws_ship_mode_sk"),
-      (col("ws_order_number") * 37 % N_WEBSITES + 1).as("ws_web_site_sk"),
-      (col("ws_order_number") * 7 % 100 + 1).as("ws_quantity"),
-      (col("ws_order_number") * 167 % 9900 + 100).as("ws_sales_price_c"),
-      (col("ws_order_number") * 61 % 5000).as("ws_ext_discount_amt_c"),
-      (col("ws_order_number") * 179 % 5000 + 50).as("ws_wholesale_cost_c"),
-      when(col("ws_order_number") % 43 === 0, lit(null))
-        .otherwise(col("ws_order_number") * 147 % N_CUSTS + 1)
-        .as("ws_ship_customer_sk"))
-      // ship dates run up to sold + 122 — see the catalog_sales note:
-      // lag operands only, never date_dim join keys
-      .withColumn("ws_ship_date_sk",
-        col("ws_sold_date_sk") + col("ws_order_number") % 120 + 2)
-      .withColumn("ws_ext_sales_price_c", col("ws_quantity") * col("ws_sales_price_c"))
-      .withColumn("ws_net_profit_c",
-        col("ws_ext_sales_price_c") - col("ws_quantity") * col("ws_wholesale_cost_c"))
+    s.range(1, n / 4 + 1).toDF("id")
+      .select(WS_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
 
-  /** Every 11th web order returns part of its quantity. */
   private[operators] def genWebReturns(s: SparkSession, n: Long): DataFrame =
     genWebSales(s, n)
       .where(col("ws_order_number") % 11 === 0)
-      .select(
-        col("ws_order_number").as("wr_order_number"),
-        col("ws_item_sk").as("wr_item_sk"),
-        col("ws_bill_customer_sk").as("wr_refunded_customer_sk"),
-        (col("ws_order_number") * 7 % N_REASONS + 1).as("wr_reason_sk"),
-        (col("ws_order_number") * 3 % col("ws_quantity") + 1).as("wr_return_quantity"),
-        ((col("ws_order_number") * 3 % col("ws_quantity") + 1) * col("ws_sales_price_c"))
-          .as("wr_return_amt_c"),
-        (col("ws_sold_date_sk") + col("ws_order_number") % 45 + 1)
-          .as("wr_returned_date_sk"))
-
-  /** Weekly on-hand snapshots at (date-week × item × warehouse) grain —
-    * fixed-size (like dsdgen's inventory, it scales with items×dates,
-    * not with sales), generated map-only from one dense composite id.
-    */
-  def genInventory(s: SparkSession): DataFrame =
-    s.range(1, INV_ROWS + 1).toDF("inv_id").select(
-      expr(s"((inv_id - 1) div ${N_ITEMS * N_WH}) * 7 + 1").as("inv_date_sk"),
-      expr(s"((inv_id - 1) div $N_WH) % $N_ITEMS + 1").as("inv_item_sk"),
-      expr(s"(inv_id - 1) % $N_WH + 1").as("inv_warehouse_sk"),
-      (col("inv_id") * 53 % 997).as("inv_quantity_on_hand"))
+      .select(WR_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
 
   /** The shared DuckDB CTE prefix — every query's oracle SQL starts
     * with this. Since r15 it reads the checksum-gated parquet star
@@ -506,178 +688,31 @@ object TpcdsGen {
   def oracleGenSql: String =
     TpcdsStar.oraclePrefix.getOrElse(legacyOracleGenSql)
 
-  private[operators] def legacyOracleGenSql: String =
-    s"""WITH ids AS (
-       |  SELECT unnest(range(1, (SELECT count(*)+1 FROM lineitem)::BIGINT)) AS id),
-       |date_dim AS (
-       |  SELECT id AS d_date_sk,
-       |    (1998 + (id-1) // 365)::INT AS d_year,
-       |    (((id-1) % 365) // 31 + 1)::INT AS d_moy,
-       |    (((id-1) % 365) % 31 + 1)::INT AS d_dom,
-       |    (id-1) % 7 AS d_dow,
-       |    CASE (id-1) % 7
-       |      WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
-       |      WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
-       |      ELSE 'Saturday' END AS d_day_name,
-       |    (id-1) // 7 + 1 AS d_week_seq,
-       |    ((id-1) % 365) // 31 // 3 + 1 AS d_qoy
-       |  FROM (SELECT unnest(range(1, ${N_DATES + 1})) AS id)),
-       |household_demographics AS (
-       |  SELECT id AS hd_demo_sk, id % 10 AS hd_dep_count,
-       |    id % 5 AS hd_vehicle_count, 'P' || (id % 3) AS hd_buy_potential,
-       |    id*13 % $N_IB + 1 AS hd_income_band_sk
-       |  FROM (SELECT unnest(range(1, ${N_HDEMO + 1})) AS id)),
-       |customer_address AS (
-       |  SELECT id AS ca_address_sk,
-       |    'City' || (id*7 % 40) AS ca_city,
-       |    'County' || (id*11 % 25) AS ca_county,
-       |    'ST' || (id*3 % 10) AS ca_state,
-       |    'Z' || (id*29 % 100) AS ca_zip,
-       |    'Country' || (id % 12) AS ca_country
-       |  FROM (SELECT unnest(range(1, ${N_ADDR + 1})) AS id)),
-       |income_band AS (
-       |  SELECT id AS ib_income_band_sk, (id-1)*10000 AS ib_lower_bound,
-       |    id*10000 - 1 AS ib_upper_bound
-       |  FROM (SELECT unnest(range(1, ${N_IB + 1})) AS id)),
-       |reason AS (
-       |  SELECT id AS r_reason_sk, 'Reason' || id AS r_reason_desc
-       |  FROM (SELECT unnest(range(1, ${N_REASONS + 1})) AS id)),
-       |time_dim AS (
-       |  SELECT id AS t_time_sk, id // 3600 AS t_hour, (id % 3600) // 60 AS t_minute
-       |  FROM (SELECT unnest(range(0, 86400)) AS id)),
-       |warehouse AS (
-       |  SELECT id AS w_warehouse_sk, 'WH' || id AS w_warehouse_name,
-       |    'ST' || (id % 5) AS w_state
-       |  FROM (SELECT unnest(range(1, ${N_WH + 1})) AS id)),
-       |ship_mode AS (
-       |  SELECT id AS sm_ship_mode_sk, 'TYPE' || (id % 6) AS sm_type,
-       |    'CARRIER' || (id % 10) AS sm_carrier
-       |  FROM (SELECT unnest(range(1, ${N_SHIPMODES + 1})) AS id)),
-       |call_center AS (
-       |  SELECT id AS cc_call_center_sk, 'CC' || id AS cc_name
-       |  FROM (SELECT unnest(range(1, ${N_CC + 1})) AS id)),
-       |web_site AS (
-       |  SELECT id AS web_site_sk, 'SITE' || (id % 8) AS web_name
-       |  FROM (SELECT unnest(range(1, ${N_WEBSITES + 1})) AS id)),
-       |inventory AS (
-       |  SELECT ((id-1) // ${N_ITEMS * N_WH}) * 7 + 1 AS inv_date_sk,
-       |    ((id-1) // $N_WH) % $N_ITEMS + 1 AS inv_item_sk,
-       |    (id-1) % $N_WH + 1 AS inv_warehouse_sk,
-       |    id*53 % 997 AS inv_quantity_on_hand
-       |  FROM (SELECT unnest(range(1, ${INV_ROWS + 1})) AS id)),
-       |item AS (
-       |  SELECT id AS i_item_sk,
-       |    id*7 % 50 + 1 AS i_brand_id,
-       |    'Brand#' || (id*7 % 50 + 1) AS i_brand,
-       |    id*11 % 10 + 1 AS i_category_id,
-       |    'Category#' || (id*11 % 10 + 1) AS i_category,
-       |    id*23 % 25 + 1 AS i_class_id,
-       |    'Class#' || (id*23 % 25 + 1) AS i_class,
-       |    id*13 % 100 + 1 AS i_manufact_id,
-       |    id*17 % 40 + 1 AS i_manager_id,
-       |    id*19 % 9900 + 100 AS i_current_price_c,
-       |    'C' || (id*3 % 16) AS i_color,
-       |    'Sz' || (id*5 % 7) AS i_size,
-       |    'Item' || id AS i_product_name
-       |  FROM (SELECT unnest(range(1, ${N_ITEMS + 1})) AS id)),
-       |customer AS (
-       |  SELECT id AS c_customer_sk, (1920 + id*3 % 80)::INT AS c_birth_year,
-       |    'Z' || (id*29 % 100) AS c_zip,
-       |    'First' || (id*13 % 97) AS c_first_name,
-       |    'Last' || (id*7 % 89) AS c_last_name,
-       |    'Sal' || (id % 6) AS c_salutation,
-       |    CASE WHEN id % 3 = 0 THEN 'N' ELSE 'Y' END AS c_preferred_cust_flag,
-       |    id*17 % $N_ADDR + 1 AS c_current_addr_sk,
-       |    id*23 % $N_HDEMO + 1 AS c_current_hdemo_sk,
-       |    id*5 % 12 + 1 AS c_birth_month,
-       |    'Country' || (id*31 % 12) AS c_birth_country
-       |  FROM (SELECT unnest(range(1, ${N_CUSTS + 1})) AS id)),
-       |store AS (
-       |  SELECT id AS s_store_sk, 'ST' || (id % 5) AS s_state,
-       |    'Store' || id AS s_store_name,
-       |    'City' || (id*9 % 40) AS s_city,
-       |    'Z' || (id*53 % 100) AS s_zip,
-       |    150 + id*29 % 200 AS s_number_employees,
-       |    id % 4 + 1 AS s_market_id
-       |  FROM (SELECT unnest(range(1, ${N_STORES + 1})) AS id)),
-       |promotion AS (
-       |  SELECT id AS p_promo_sk,
-       |    CASE WHEN id % 2 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
-       |    CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
-       |  FROM (SELECT unnest(range(1, ${N_PROMOS + 1})) AS id)),
-       |ss_cols AS (
-       |  SELECT id, ${ticketExpr("//")} AS tk FROM ids),
-       |ss_full AS (
-       |  SELECT id, tk,
-       |    ${SS_COLS.map { case (c, e) => s"$e AS $c" }.mkString(",\n       |    ")}
-       |  FROM ss_cols),
-       |store_sales AS (
-       |  SELECT ${SS_COLS.map(_._1).mkString(", ")}
-       |  FROM ss_full),
-       |store_returns AS (
-       |  SELECT
-       |    ${SR_COLS.map { case (c, e) => s"$e AS $c" }.mkString(",\n       |    ")}
-       |  FROM ss_full WHERE id % 13 = 0),
-       |catalog_sales AS (
-       |  SELECT id AS cs_order_number,
-       |    id*127 % $N_DATES + 1 AS cs_sold_date_sk,
-       |    id*133 % $N_ITEMS + 1 AS cs_item_sk,
-       |    id*141 % $N_CUSTS + 1 AS cs_customer_sk,
-       |    id*5 % 100 + 1 AS cs_quantity,
-       |    id*157 % 9900 + 100 AS cs_sales_price_c,
-       |    id*191 % 86400 AS cs_sold_time_sk,
-       |    id*31 % $N_WH + 1 AS cs_warehouse_sk,
-       |    id*43 % $N_SHIPMODES + 1 AS cs_ship_mode_sk,
-       |    id*47 % $N_CC + 1 AS cs_call_center_sk,
-       |    id*11 % $N_PROMOS + 1 AS cs_promo_sk,
-       |    id*59 % 5000 AS cs_ext_discount_amt_c,
-       |    id*193 % 5000 + 50 AS cs_wholesale_cost_c,
-       |    CASE WHEN id % 37 = 0 THEN NULL ELSE id*97 % $N_ADDR + 1 END
-       |      AS cs_ship_addr_sk,
-       |    id*127 % $N_DATES + 1 + id % 90 + 2 AS cs_ship_date_sk,
-       |    (id*5 % 100 + 1) * (id*157 % 9900 + 100) AS cs_ext_sales_price_c,
-       |    (id*5 % 100 + 1) * (id*157 % 9900 + 100)
-       |      - (id*5 % 100 + 1) * (id*193 % 5000 + 50) AS cs_net_profit_c
-       |  FROM (SELECT unnest(range(1, (SELECT count(*)//2+1 FROM lineitem)::BIGINT)) AS id)),
-       |catalog_returns AS (
-       |  SELECT cs_order_number AS cr_order_number,
-       |    cs_item_sk AS cr_item_sk,
-       |    cs_customer_sk AS cr_customer_sk,
-       |    cs_order_number*5 % cs_quantity + 1 AS cr_return_quantity,
-       |    (cs_order_number*5 % cs_quantity + 1) * cs_sales_price_c AS cr_return_amt_c,
-       |    cs_sold_date_sk + cs_order_number % 60 + 1 AS cr_returned_date_sk
-       |  FROM catalog_sales WHERE cs_order_number % 17 = 0),
-       |web_sales AS (
-       |  SELECT id AS ws_order_number,
-       |    id*113 % $N_DATES + 1 AS ws_sold_date_sk,
-       |    id*181 % 86400 AS ws_sold_time_sk,
-       |    id*119 % $N_ITEMS + 1 AS ws_item_sk,
-       |    id*143 % $N_CUSTS + 1 AS ws_bill_customer_sk,
-       |    id*23 % $N_HDEMO + 1 AS ws_hdemo_sk,
-       |    id*31 % $N_WH + 1 AS ws_warehouse_sk,
-       |    id*41 % $N_SHIPMODES + 1 AS ws_ship_mode_sk,
-       |    id*37 % $N_WEBSITES + 1 AS ws_web_site_sk,
-       |    id*7 % 100 + 1 AS ws_quantity,
-       |    id*167 % 9900 + 100 AS ws_sales_price_c,
-       |    id*61 % 5000 AS ws_ext_discount_amt_c,
-       |    id*179 % 5000 + 50 AS ws_wholesale_cost_c,
-       |    CASE WHEN id % 43 = 0 THEN NULL ELSE id*147 % $N_CUSTS + 1 END
-       |      AS ws_ship_customer_sk,
-       |    id*113 % $N_DATES + 1 + id % 120 + 2 AS ws_ship_date_sk,
-       |    (id*7 % 100 + 1) * (id*167 % 9900 + 100) AS ws_ext_sales_price_c,
-       |    (id*7 % 100 + 1) * (id*167 % 9900 + 100)
-       |      - (id*7 % 100 + 1) * (id*179 % 5000 + 50) AS ws_net_profit_c
-       |  FROM (SELECT unnest(range(1, (SELECT count(*)//4+1 FROM lineitem)::BIGINT)) AS id)),
-       |web_returns AS (
-       |  SELECT ws_order_number AS wr_order_number,
-       |    ws_item_sk AS wr_item_sk,
-       |    ws_bill_customer_sk AS wr_refunded_customer_sk,
-       |    ws_order_number*7 % $N_REASONS + 1 AS wr_reason_sk,
-       |    ws_order_number*3 % ws_quantity + 1 AS wr_return_quantity,
-       |    (ws_order_number*3 % ws_quantity + 1) * ws_sales_price_c AS wr_return_amt_c,
-       |    ws_sold_date_sk + ws_order_number % 45 + 1 AS wr_returned_date_sk
-       |  FROM web_sales WHERE ws_order_number % 11 = 0)
-       |""".stripMargin
+  private def duckExpr(e: String): String = e.replace("#div#", "//")
+
+  private def dimCte(d: DimDef): String = {
+    val cols = d.cols.map(c0 => s"    ${duckExpr(c0.duck)} AS ${c0.name}")
+      .mkString(",\n")
+    s"${d.table} AS (\n  SELECT\n$cols\n  FROM (SELECT unnest(range(${d.lo}, ${d.hi})) AS id))"
+  }
+
+  private def factColsSql(cols: Seq[(String, String)]): String =
+    cols.map { case (c0, e) => s"    ${duckExpr(e)} AS $c0" }.mkString(",\n")
+
+  private[operators] def legacyOracleGenSql: String = {
+    val parts = Seq(
+      "ids AS (\n  SELECT unnest(range(1, (SELECT count(*)+1 FROM lineitem)::BIGINT)) AS id)",
+      s"ss_cols AS (\n  SELECT id, ${ticketExpr("//")} AS tk FROM ids)",
+      s"ss_full AS (\n  SELECT id, tk,\n${factColsSql(SS_COLS)}\n  FROM ss_cols)",
+      s"store_sales AS (\n  SELECT ${SS_COLS.map(_._1).mkString(", ")}\n  FROM ss_full)",
+      s"store_returns AS (\n  SELECT\n${factColsSql(SR_COLS)}\n  FROM ss_full WHERE id % 13 = 0)") ++
+      DIM_DEFS.map(dimCte) ++ Seq(
+      s"catalog_sales AS (\n  SELECT\n${factColsSql(CS_COLS)}\n  FROM (SELECT unnest(range(1, (SELECT count(*)//2+1 FROM lineitem)::BIGINT)) AS id))",
+      s"catalog_returns AS (\n  SELECT\n${factColsSql(CR_COLS)}\n  FROM catalog_sales WHERE cs_order_number % 17 = 0)",
+      s"web_sales AS (\n  SELECT\n${factColsSql(WS_COLS)}\n  FROM (SELECT unnest(range(1, (SELECT count(*)//4+1 FROM lineitem)::BIGINT)) AS id))",
+      s"web_returns AS (\n  SELECT\n${factColsSql(WR_COLS)}\n  FROM web_sales WHERE ws_order_number % 11 = 0)")
+    "WITH " + parts.mkString(",\n") + "\n"
+  }
 
   // ---- the queries (real TPC-DS texts on this schema) --------------
 
@@ -778,7 +813,7 @@ object TpcdsGen {
     ctr
       .join(broadcast(perStore), col("ctr_store_sk") === col("st_sk"))
       .where(col("ctr_total_return") * col("st_cnt") * 5 > col("st_sum") * 6)
-      .join(broadcast(store(s).where(col("s_state") === "ST2")),
+      .join(broadcast(store(s).where(col("s_state") === "GA")),
         col("ctr_store_sk") === col("s_store_sk"))
       .select(col("ctr_customer_sk"), col("ctr_store_sk"), col("ctr_total_return"))
   }
@@ -986,14 +1021,14 @@ object TpcdsGen {
         |      THEN 1 ELSE 0 END)::BIGINT AS both_channels
         |FROM ssc FULL OUTER JOIN csc ON ss_customer_sk = cs_customer_sk""".stripMargin),
     "q_tpcdsgen_q50" -> (oracleGenSql +
-      """SELECT sr_store_sk,
+      s"""SELECT sr_store_sk,
         |  sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)::BIGINT AS d30,
         |  sum(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0 END)::BIGINT
         |    AS d31_60,
         |  sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END)::BIGINT AS d60plus,
         |  count(*) AS n_returns
         |FROM (SELECT sr_store_sk,
-        |        sr_returned_date_sk - (sr_ticket_number*131 % 1461 + 1) AS lag_days
+        |        sr_returned_date_sk - (sr_ticket_number*131 % ${N_DATES} + 1) AS lag_days
         |      FROM store_returns)
         |GROUP BY sr_store_sk""".stripMargin),
     "q_tpcdsgen_q59" -> (oracleGenSql +
@@ -1019,7 +1054,7 @@ object TpcdsGen {
         |FROM ctr
         |JOIN per_store ON ctr_store_sk = st_sk
         |JOIN store ON ctr_store_sk = s_store_sk
-        |WHERE ctr_total_return * st_cnt * 5 > st_sum * 6 AND s_state = 'ST2'""".stripMargin),
+        |WHERE ctr_total_return * st_cnt * 5 > st_sum * 6 AND s_state = 'GA'""".stripMargin),
     "q_tpcdsgen_q6" -> (oracleGenSql +
       """, cat_stats AS (
         |  SELECT i_category_id AS cat_id, sum(i_current_price_c)::BIGINT AS cat_sum,

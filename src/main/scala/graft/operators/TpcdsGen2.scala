@@ -77,7 +77,7 @@ object TpcdsGen2 {
       .join(broadcast(G.timeDim(s)
         .where(col("t_hour") === 20 && col("t_minute") >= 30)),
         col("ss_sold_time_sk") === col("t_time_sk"))
-      .join(broadcast(G.store(s).where(col("s_state") === "ST2")),
+      .join(broadcast(G.store(s).where(col("s_state") === "GA")),
         col("ss_store_sk") === col("s_store_sk"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -195,7 +195,7 @@ object TpcdsGen2 {
       .join(broadcast(G.dateDim(s).where(col("d_year") === 1999)),
         col("ws_sold_date_sk") === col("d_date_sk"))
       .where(col("ws_ship_date_sk") - col("ws_sold_date_sk") <= 60)
-      .join(broadcast(G.warehouse(s).where(col("w_state") === "ST2")),
+      .join(broadcast(G.warehouse(s).where(col("w_state") === "GA")),
         col("ws_warehouse_sk") === col("w_warehouse_sk"))
       .join(G.webReturns(s, n), col("ws_order_number") === col("wr_order_number"),
         "left_anti")
@@ -251,7 +251,7 @@ object TpcdsGen2 {
         col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(G.item(s).where(col("i_category_id") === 10)),
         col("ss_item_sk") === col("i_item_sk"))
-      .join(broadcast(G.store(s).where(col("s_state") === "ST1")),
+      .join(broadcast(G.store(s).where(col("s_state") === "KY")),
         col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(G.promotion(s)), col("ss_promo_sk") === col("p_promo_sk"))
       .agg(
@@ -666,7 +666,7 @@ object TpcdsGen2 {
   def q66(s: SparkSession, dir: String): DataFrame = {
     val n = G.nSales(s, dir)
     val carriers = broadcast(G.shipMode(s)
-      .where(col("sm_carrier").isin("CARRIER1", "CARRIER2")))
+      .where(col("sm_carrier").isin("BARIAN", "UPS")))
     val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep",
       "oct", "nov", "dec")
     G.webSales(s, n)
@@ -1704,6 +1704,9 @@ object TpcdsGen2 {
     G.shipMode(s).createOrReplaceTempView("ship_mode")
     G.callCenter(s).createOrReplaceTempView("call_center")
     G.webSite(s).createOrReplaceTempView("web_site")
+    G.customerDemographics(s).createOrReplaceTempView("customer_demographics")
+    G.webPage(s).createOrReplaceTempView("web_page")
+    G.catalogPage(s).createOrReplaceTempView("catalog_page")
   }
 
   /** q3's published text, executed VERBATIM as SQL — the same string
@@ -2533,7 +2536,7 @@ object TpcdsGen2 {
         |JOIN ship_mode ON sm_sk = sm_ship_mode_sk
         |JOIN date_dim ON sold_sk = d_date_sk
         |JOIN warehouse ON wh_sk = w_warehouse_sk
-        |WHERE sm_carrier IN ('CARRIER1', 'CARRIER2') AND d_year = 2000
+        |WHERE sm_carrier IN ('BARIAN', 'UPS') AND d_year = 2000
         |GROUP BY w_warehouse_name""".stripMargin),
     "q_tpcdsgen_q69" -> (G.oracleGenSql +
       """, dd AS (SELECT d_date_sk FROM date_dim WHERE d_year = 2000 AND d_qoy = 1),
@@ -2803,7 +2806,7 @@ object TpcdsGen2 {
         |JOIN date_dim ON ws_sold_date_sk = d_date_sk
         |JOIN warehouse ON ws_warehouse_sk = w_warehouse_sk
         |WHERE d_year = 1999 AND ws_ship_date_sk - ws_sold_date_sk <= 60
-        |  AND w_state = 'ST2'
+        |  AND w_state = 'GA'
         |  AND NOT EXISTS (SELECT 1 FROM web_returns
         |                  WHERE wr_order_number = ws_order_number)""".stripMargin),
     "q_tpcdsgen_q16" -> (G.oracleGenSql +
@@ -2840,7 +2843,7 @@ object TpcdsGen2 {
         |  JOIN store ON ss_store_sk = s_store_sk
         |  JOIN promotion ON ss_promo_sk = p_promo_sk
         |  WHERE d_year = 1998 AND d_moy = 11 AND i_category_id = 10
-        |    AND s_state = 'ST1')""".stripMargin),
+        |    AND s_state = 'KY')""".stripMargin),
     "q_tpcdsgen_q43" -> (G.oracleGenSql +
       """SELECT s_store_sk, s_state,
         |  sum(CASE WHEN d_dow = 0 THEN ss_ext_sales_price_c ELSE 0 END)::BIGINT AS sun_sales,
@@ -2876,7 +2879,7 @@ object TpcdsGen2 {
         |JOIN time_dim ON ss_sold_time_sk = t_time_sk
         |JOIN store ON ss_store_sk = s_store_sk
         |WHERE hd_dep_count = 7 AND t_hour = 20 AND t_minute >= 30
-        |  AND s_state = 'ST2'""".stripMargin),
+        |  AND s_state = 'GA'""".stripMargin),
     "q_tpcdsgen_q90" -> (G.oracleGenSql +
       """SELECT am_count, pm_count, am_count * 1000000 // pm_count AS am_pm_ratio_ppm
         |FROM (

@@ -40,10 +40,10 @@ object TpcdsGen3 {
         (col("d_dom").between(1, 3) || col("d_dom").between(25, 28)) &&
           col("d_year").isin(1998, 1999, 2000))),
         col("ss_sold_date_sk") === col("d_date_sk"))
-      .join(broadcast(G.store(s).where(col("s_state").isin("ST1", "ST2", "ST3"))),
+      .join(broadcast(G.store(s).where(col("s_state").isin("KY", "GA", "AL"))),
         col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(G.householdDemographics(s).where(
-        col("hd_buy_potential") === "P1" && col("hd_vehicle_count") > 0 &&
+        col("hd_buy_potential") === "1001-5000" && col("hd_vehicle_count") > 0 &&
           col("hd_dep_count") * 5 > col("hd_vehicle_count") * 6)),
         col("ss_hdemo_sk") === col("hd_demo_sk"))
       .groupBy(col("ss_ticket_number"), col("ss_customer_sk"))
@@ -61,10 +61,10 @@ object TpcdsGen3 {
       .join(broadcast(G.dateDim(s).where(
         col("d_dom").between(1, 2) && col("d_year").isin(1998, 1999, 2000))),
         col("ss_sold_date_sk") === col("d_date_sk"))
-      .join(broadcast(G.store(s).where(col("s_state").isin("ST1", "ST2"))),
+      .join(broadcast(G.store(s).where(col("s_state").isin("KY", "GA"))),
         col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(G.householdDemographics(s).where(
-        col("hd_buy_potential").isin("P1", "P2") && col("hd_vehicle_count") > 0 &&
+        col("hd_buy_potential").isin("1001-5000", "Unknown") && col("hd_vehicle_count") > 0 &&
           col("hd_dep_count") > col("hd_vehicle_count"))),
         col("ss_hdemo_sk") === col("hd_demo_sk"))
       .groupBy(col("ss_ticket_number"), col("ss_customer_sk"))
@@ -90,7 +90,7 @@ object TpcdsGen3 {
         col("d_dow").isin(6, 0) && col("d_year").isin(1998, 1999, 2000))),
         col("ss_sold_date_sk") === col("d_date_sk"))
       .join(broadcast(G.store(s).where(
-        col("s_city").isin("City9", "City18", "City27", "City36", "City5"))),
+        col("s_city").isin("Fairview", "Midway", "Liberty", "Plainview", "Pleasant Hill"))),
         col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(G.householdDemographics(s).where(
         col("hd_dep_count") === 4 || col("hd_vehicle_count") === 3)),
@@ -115,7 +115,7 @@ object TpcdsGen3 {
       .join(broadcast(G.dateDim(s).where(
         col("d_dom").between(1, 2) && col("d_year").isin(1998, 1999, 2000))),
         col("ss_sold_date_sk") === col("d_date_sk"))
-      .join(broadcast(G.store(s).where(col("s_city").isin("City9", "City18"))),
+      .join(broadcast(G.store(s).where(col("s_city").isin("Fairview", "Midway"))),
         col("ss_store_sk") === col("s_store_sk"))
       .join(broadcast(G.householdDemographics(s).where(
         col("hd_dep_count") === 4 || col("hd_vehicle_count") === 3)),
@@ -167,7 +167,7 @@ object TpcdsGen3 {
     * count rule drops four listed ones.
     */
   def q8(s: SparkSession, dir: String): DataFrame = {
-    val litZips = Seq("Z6", "Z65", "Z53", "Z24", "Z77", "Z36")
+    val litZips = Seq("15394", "68435", "57647", "31576", "79223", "42364")
     val qualified = G.customer(s).where(col("c_preferred_cust_flag") === "Y")
       .join(broadcast(G.customerAddress(s)),
         col("c_current_addr_sk") === col("ca_address_sk"))
@@ -249,7 +249,7 @@ object TpcdsGen3 {
       .agg(sum(col("ss_net_paid_c")).as("netpaid"))
     val tot = ssales.agg(sum(col("netpaid")).as("sum_all"),
       count(lit(1)).as("n_all"))
-    ssales.where(col("i_color") === "C3")
+    ssales.where(col("i_color") === "burlywood")
       .groupBy(col("c_last_name"), col("c_first_name"), col("s_store_name"))
       .agg(sum(col("netpaid")).as("paid"))
       .join(broadcast(tot),
@@ -267,7 +267,7 @@ object TpcdsGen3 {
       .select(col("sr_customer_sk")).distinct()
     G.customer(s)
       .join(broadcast(G.customerAddress(s)
-        .where(col("ca_city").isin("City5", "City9"))),
+        .where(col("ca_city").isin("Pleasant Hill", "Fairview"))),
         col("c_current_addr_sk") === col("ca_address_sk"))
       .join(broadcast(G.householdDemographics(s)),
         col("c_current_hdemo_sk") === col("hd_demo_sk"))
@@ -304,10 +304,10 @@ object TpcdsGen3 {
           (col("hd_dep_count").between(4, 6) &&
             col("ws_sales_price_c").between(2000, 4500)) ||
           (col("hd_dep_count") >= 7 && col("ws_sales_price_c") >= 7500)) &&
-        ((col("ca_state").isin("ST1", "ST3", "ST5") && col("ws_net_profit_c") >= 10000) ||
-          (col("ca_state").isin("ST2", "ST4") &&
+        ((col("ca_state").isin("KY", "AL", "VA") && col("ws_net_profit_c") >= 10000) ||
+          (col("ca_state").isin("GA", "SC") &&
             col("ws_net_profit_c").between(-50000, 250000)) ||
-          (col("ca_state").isin("ST6", "ST7", "ST8") &&
+          (col("ca_state").isin("NC", "OH", "TX") &&
             col("ws_net_profit_c") <= 100000)))
       .groupBy(col("r_reason_desc"))
       .agg(count(lit(1)).as("n"),
@@ -446,7 +446,7 @@ object TpcdsGen3 {
       .join(broadcast(ad2), col("c_current_addr_sk") === col("ad2_sk"))
       .join(broadcast(G.promotion(s)), col("ss_promo_sk") === col("p_promo_sk"))
       .join(broadcast(G.item(s).where(
-        col("i_color").isin("C1", "C3", "C5", "C6", "C8", "C9", "C12", "C14") &&
+        col("i_color").isin("chiffon", "burlywood", "spring", "floral", "light", "cyan", "dirty", "shiny") &&
           col("i_current_price_c").between(2000, 9000))),
         col("ss_item_sk") === col("i_item_sk"))
       .where(col("hd_buy_potential") =!= col("hd2_pot"))
@@ -609,7 +609,7 @@ object TpcdsGen3 {
         |  JOIN promotion ON ss_promo_sk = p_promo_sk
         |  JOIN item ON ss_item_sk = i_item_sk
         |  WHERE ss_item_sk IN (SELECT cs_item_sk FROM cs_ui)
-        |    AND i_color IN ('C1', 'C3', 'C5', 'C6', 'C8', 'C9', 'C12', 'C14')
+        |    AND i_color IN ('chiffon', 'burlywood', 'spring', 'floral', 'light', 'cyan', 'dirty', 'shiny')
         |    AND i_current_price_c BETWEEN 2000 AND 9000
         |    AND hd1.hd_buy_potential <> hd2.hd_buy_potential
         |  GROUP BY 1, 2, 3)
@@ -663,22 +663,22 @@ object TpcdsGen3 {
         |  AND (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)""".stripMargin),
     "q_tpcdsgen_q34" -> basketOracle(
       "(d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28) AND d_year IN (1998, 1999, 2000)",
-      "s_state IN ('ST1', 'ST2', 'ST3')",
-      "hd_buy_potential = 'P1' AND hd_vehicle_count > 0 AND hd_dep_count * 5 > hd_vehicle_count * 6",
+      "s_state IN ('KY', 'GA', 'AL')",
+      "hd_buy_potential = '1001-5000' AND hd_vehicle_count > 0 AND hd_dep_count * 5 > hd_vehicle_count * 6",
       "cnt BETWEEN 15 AND 20"),
     "q_tpcdsgen_q73" -> basketOracle(
       "d_dom BETWEEN 1 AND 2 AND d_year IN (1998, 1999, 2000)",
-      "s_state IN ('ST1', 'ST2')",
-      "hd_buy_potential IN ('P1', 'P2') AND hd_vehicle_count > 0 AND hd_dep_count > hd_vehicle_count",
+      "s_state IN ('KY', 'GA')",
+      "hd_buy_potential IN ('1001-5000', 'Unknown') AND hd_vehicle_count > 0 AND hd_dep_count > hd_vehicle_count",
       "cnt BETWEEN 1 AND 5"),
     "q_tpcdsgen_q46" -> cityOracle(
       "d_dow IN (6, 0) AND d_year IN (1998, 1999, 2000)",
-      "s_city IN ('City9', 'City18', 'City27', 'City36', 'City5')",
+      "s_city IN ('Fairview', 'Midway', 'Liberty', 'Plainview', 'Pleasant Hill')",
       "sum(ss_coupon_amt_c)::BIGINT AS amt, sum(ss_net_profit_c)::BIGINT AS profit",
       "amt, profit"),
     "q_tpcdsgen_q68" -> cityOracle(
       "d_dom BETWEEN 1 AND 2 AND d_year IN (1998, 1999, 2000)",
-      "s_city IN ('City9', 'City18')",
+      "s_city IN ('Fairview', 'Midway')",
       "sum(ss_ext_sales_price_c)::BIGINT AS extended_price, " +
         "sum(ss_ext_list_price_c)::BIGINT AS list_price, " +
         "sum(ss_ext_tax_c)::BIGINT AS extended_tax",
@@ -705,7 +705,7 @@ object TpcdsGen3 {
         |  WHERE c_preferred_cust_flag = 'Y'
         |  GROUP BY ca_zip
         |  HAVING count(*) > 13
-        |    AND ca_zip IN ('Z6', 'Z65', 'Z53', 'Z24', 'Z77', 'Z36'))
+        |    AND ca_zip IN ('15394', '68435', '57647', '31576', '79223', '42364'))
         |SELECT s_store_name, sum(ss_net_profit_c)::BIGINT AS profit_c
         |FROM store_sales
         |JOIN date_dim ON ss_sold_date_sk = d_date_sk
@@ -748,7 +748,7 @@ object TpcdsGen3 {
         |SELECT c_last_name, c_first_name, s_store_name,
         |  sum(netpaid)::BIGINT AS paid
         |FROM ssales, tot
-        |WHERE i_color = 'C3'
+        |WHERE i_color = 'burlywood'
         |GROUP BY c_last_name, c_first_name, s_store_name, sum_all, n_all
         |HAVING sum(netpaid) * 20 * n_all > sum_all""".stripMargin),
     "q_tpcdsgen_q84" -> (G.oracleGenSql +
@@ -758,7 +758,7 @@ object TpcdsGen3 {
         |JOIN customer_address ON c_current_addr_sk = ca_address_sk
         |JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
         |JOIN income_band ON hd_income_band_sk = ib_income_band_sk
-        |WHERE ca_city IN ('City5', 'City9')
+        |WHERE ca_city IN ('Pleasant Hill', 'Fairview')
         |  AND ib_lower_bound >= 40000 AND ib_upper_bound <= 89999
         |  AND c_customer_sk IN (SELECT sr_customer_sk FROM store_returns)""".stripMargin),
     "q_tpcdsgen_q85" -> (G.oracleGenSql +
@@ -775,9 +775,9 @@ object TpcdsGen3 {
         |WHERE ((hd_dep_count <= 3 AND ws_sales_price_c BETWEEN 5000 AND 7000)
         |    OR (hd_dep_count BETWEEN 4 AND 6 AND ws_sales_price_c BETWEEN 2000 AND 4500)
         |    OR (hd_dep_count >= 7 AND ws_sales_price_c >= 7500))
-        |  AND ((ca_state IN ('ST1', 'ST3', 'ST5') AND ws_net_profit_c >= 10000)
-        |    OR (ca_state IN ('ST2', 'ST4') AND ws_net_profit_c BETWEEN -50000 AND 250000)
-        |    OR (ca_state IN ('ST6', 'ST7', 'ST8') AND ws_net_profit_c <= 100000))
+        |  AND ((ca_state IN ('KY', 'AL', 'VA') AND ws_net_profit_c >= 10000)
+        |    OR (ca_state IN ('GA', 'SC') AND ws_net_profit_c BETWEEN -50000 AND 250000)
+        |    OR (ca_state IN ('NC', 'OH', 'TX') AND ws_net_profit_c <= 100000))
         |GROUP BY r_reason_desc""".stripMargin),
     "q_tpcdsgen_q76" -> (G.oracleGenSql +
       """SELECT channel, col_name, d_year, d_qoy, i_category,

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Run PUBLISHED TPC-DS query texts — the public benchmark spec files
+  * under resources/tpcds, the same instantiations the reference's e2e
+  * gate executes (flink-end-to-end-tests/flink-tpcds-test/.../
+  * TpcdsTestProgram.java:76-85) — near-verbatim on BOTH engines over
+  * the generated star: Spark runs the text through the SQL front door
+  * against the registered views, and the DuckDB oracle runs the SAME
+  * text composed onto the star's file-reading CTE prefix. The only
+  * transformations are the mechanical substitution table below,
+  * applied uniformly to every query (never per-query structural
+  * edits); the per-query classification lives in COVERAGE.md.
+  *
+  *  - money columns carry integer CENTS here and are suffixed `_c` —
+  *    a pure global rename. Dollar-valued literals in published
+  *    predicates then select against cents values, so selectivity
+  *    shifts and a few queries return empty at these domains;
+  *    COVERAGE.md flags each (they still run and hash-match — the
+  *    adapted `q_tpcdsgen_*` twins keep the non-degenerate gate).
+  *  - `cs_bill_customer_sk` → `cs_customer_sk` (key-name alias).
+  *  - `customer` → `customer_dim` on the SPARK side only (the TPC-H
+  *    table owns the bare name in shared sessions; the DuckDB prefix
+  *    defines `customer` directly).
+  *  - backtick-quoted identifiers (the Flink/Spark dialect the files
+  *    target) → double-quoted for DuckDB.
+  *  - `+ N days` (template interval shorthand) → `+ INTERVAL N DAYS`,
+  *    which parses in both engines.
+  *  - result-type canonicalization: integer SUMs surface as floats on
+  *    the DuckDB side of the driver's pandas compare (HUGEINT) but as
+  *    longs from Spark, so [[castSumColumns]] casts exactly those
+  *    output columns to double — detected from the ANALYZED PLAN, not
+  *    curated per query. The reference's own gate normalizes result
+  *    text the same way before diffing (TpcdsResultComparator).
+  */
+object TpcdsPublished {
+
+  /** Published money columns (dollars in the spec) → the generator's
+    * integer-cents columns. Word-bounded pure renames. */
+  private val MONEY: Seq[String] = Seq(
+    "ss_ext_sales_price", "ss_list_price", "ss_sales_price",
+    "ss_wholesale_cost", "ss_coupon_amt", "ss_net_paid", "ss_net_profit",
+    "ss_ext_list_price", "ss_ext_tax", "ss_ext_discount_amt",
+    "ss_ext_wholesale_cost",
+    "sr_return_amt", "sr_net_loss",
+    "cs_sales_price", "cs_ext_discount_amt", "cs_wholesale_cost",
+    "cs_ext_sales_price", "cs_net_profit", "cs_list_price",
+    "cs_ext_list_price", "cs_ext_wholesale_cost", "cs_coupon_amt",
+    "cs_net_paid", "cs_net_paid_inc_tax", "cs_ext_ship_cost", "cs_ext_tax",
+    "cr_net_loss", "cr_refunded_cash", "cr_return_amt_inc_tax",
+    "ws_sales_price", "ws_ext_discount_amt", "ws_wholesale_cost",
+    "ws_ext_sales_price", "ws_net_profit", "ws_list_price",
+    "ws_ext_list_price", "ws_ext_wholesale_cost", "ws_ext_ship_cost",
+    "ws_ext_tax", "ws_coupon_amt", "ws_net_paid", "ws_net_paid_inc_tax",
+    "wr_return_amt", "wr_net_loss", "wr_fee", "wr_refunded_cash",
+    "i_current_price", "i_wholesale_cost")
+
+  private val RENAMES: Seq[(String, String)] =
+    MONEY.map(m => m -> s"${m}_c") ++ Seq(
+      "cr_return_amount" -> "cr_return_amt_c",
+      "cs_bill_customer_sk" -> "cs_customer_sk")
+
+  /** Query-file keys runnable on both engines at these domains — the
+    * curated include list (multi-part queries keep their a/b file
+    * split). Excluded and why, per COVERAGE.md: q58/q72 (DuckDB
+    * rejects the published text's ambiguous column references), q64
+    * (DuckDB rejects its correlated aggregate as a lateral). */
+  val INCLUDED: Seq[String] = Seq(
+    "1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11", "12", "13",
+    "14a", "14b", "15", "16", "17", "18", "19", "20", "21", "22", "23a",
+    "23b", "24a", "24b", "25", "26", "27", "28", "29", "30", "31", "32",
+    "33", "34", "35", "36", "37", "38", "39a", "39b", "40", "41", "42",
+    "43", "44", "45", "46", "47", "48", "49", "50", "51", "52", "53",
+    "54", "55", "56", "57", "59", "60", "61", "62", "63", "65", "66",
+    "67", "68", "69", "70", "71", "73", "74", "75", "76", "77", "78",
+    "79", "80", "81", "82", "83", "84", "85", "86", "87", "88", "89",
+    "90", "91", "92", "93", "94", "95", "96", "97", "98", "99")
+
+  private def resourceText(key: String): String = {
+    val in = getClass.getResourceAsStream(s"/tpcds/query$key.sql")
+    require(in != null, s"missing resource tpcds/query$key.sql")
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** The published text after the uniform mechanical substitutions
+    * (comments stripped, trailing `;` dropped, money renames, interval
+    * shorthand) — still one text for both engines. */
+  def publishedText(key: String): String = {
+    var t = resourceText(key).replaceAll("--[^\n]*", "").trim
+      .stripSuffix(";").trim
+    RENAMES.foreach { case (k, v) => t = t.replaceAll(s"\\b$k\\b", v) }
+    t.replaceAll("([+-])\\s*(\\d+)\\s+days\\b", "$1 INTERVAL $2 DAYS")
+  }
+
+  private val bareCustomer = "\\bcustomer\\b".r
+
+  def sparkSql(key: String): String = {
+    val t = publishedText(key)
+    val quoted = "'[^']*'".r.findAllIn(t)
+    require(!quoted.exists(l => bareCustomer.findFirstIn(l).isDefined),
+      s"query$key: quoted literal contains bare 'customer' — rewrite unsafe")
+    bareCustomer.replaceAllIn(t, "customer_dim")
+  }
+
+  def duckSql(key: String): String = {
+    val body = publishedText(key).replace("`", "\"")
+    val prefix = TpcdsGen.oracleGenSql
+    // the prefix is itself a complete WITH list; a published text that
+    // opens with its own WITH continues that list
+    if (body.toLowerCase.startsWith("with"))
+      prefix + "," + body.drop(4).trim
+    else prefix + body
+  }
+
+  /** Cast to double exactly the LongType output columns derived from
+    * an integer SUM (transitively through aliases) — the columns the
+    * DuckDB side of the compare surfaces as floats. */
+  private[operators] def castSumColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    import org.apache.spark.sql.types.LongType
+    val plan = df.queryExecution.analyzed
+    val defs = scala.collection.mutable.Map.empty[Long, Expression]
+    plan.foreach(node => node.expressions.foreach(_.foreach {
+      case a: Alias => defs(a.exprId.id) = a.child
+      case _ => ()
+    }))
+    def hasSum(e: Expression, seen: Set[Long]): Boolean =
+      e.exists {
+        case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[Sum]
+        case _ => false
+      } || e.collect { case at: Attribute => at }.exists(at =>
+        !seen(at.exprId.id) &&
+          defs.get(at.exprId.id).exists(hasSum(_, seen + at.exprId.id)))
+    val toCast = plan.output
+      .filter(o => o.dataType == LongType &&
+        defs.get(o.exprId.id).exists(hasSum(_, Set(o.exprId.id))))
+      .map(_.name).toSet
+    if (toCast.isEmpty) df
+    else df.select(df.columns.map(c0 =>
+      if (toCast(c0)) col(c0).cast("double").as(c0) else col(c0)): _*)
+  }
+
+  private def run(key: String)(s: SparkSession, dir: String): DataFrame = {
+    TpcdsGen2.registerViews(s, dir)
+    castSumColumns(graft.sql.GraftSql.sql(s, sparkSql(key)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    INCLUDED.map(k => s"q_tpcdsgen_q${k}_published" -> (run(k) _)).toMap
+
+  def oracle: Map[String, String] =
+    INCLUDED.map(k => s"q_tpcdsgen_q${k}_published" -> duckSql(k)).toMap
+}

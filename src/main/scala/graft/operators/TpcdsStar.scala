@@ -48,9 +48,9 @@ object TpcdsStar {
     * the TPC-H table owns the bare name in shared sessions). */
   val DIMS: Seq[String] = Seq(
     "date_dim", "item", "customer", "customer_address", "income_band",
-    "reason", "household_demographics", "time_dim", "warehouse",
-    "ship_mode", "call_center", "web_site", "store", "promotion",
-    "inventory")
+    "reason", "household_demographics", "customer_demographics",
+    "time_dim", "warehouse", "ship_mode", "call_center", "web_site",
+    "store", "promotion", "web_page", "catalog_page", "inventory")
 
   /** Fact tables — sized by the host corpus (|store_sales| = n). */
   val FACTS: Seq[String] = Seq(
@@ -59,7 +59,7 @@ object TpcdsStar {
 
   /** Bump on ANY generator change not captured by the string-typed
     * closed forms (dim projections, channel mixers live as Scala). */
-  private val GEN_VERSION = "r15.1"
+  private val GEN_VERSION = "r15.2"
 
   private def root: String =
     sys.env.getOrElse("SPARK_GRAFT_STAR_DIR",
