@@ -66,17 +66,22 @@ object TpcdsPublished {
     * curated include list (multi-part queries keep their a/b file
     * split). Excluded and why, per COVERAGE.md: q58/q72 (DuckDB
     * rejects the published text's ambiguous column references), q64
-    * (DuckDB rejects its correlated aggregate as a lateral). */
+    * (DuckDB rejects its correlated aggregate as a lateral),
+    * q39a/q39b (the published text emits TWO unaliased `cov` columns —
+    * the by-name compare requires unique names), q90 (the am/pm ratio
+    * divides by an empty denominator at these domains — ANSI Spark
+    * raises where DuckDB does not). The adapted `q_tpcdsgen_*` twins
+    * keep all five under the gate. */
   val INCLUDED: Seq[String] = Seq(
     "1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11", "12", "13",
     "14a", "14b", "15", "16", "17", "18", "19", "20", "21", "22", "23a",
     "23b", "24a", "24b", "25", "26", "27", "28", "29", "30", "31", "32",
-    "33", "34", "35", "36", "37", "38", "39a", "39b", "40", "41", "42",
+    "33", "34", "35", "36", "37", "38", "40", "41", "42",
     "43", "44", "45", "46", "47", "48", "49", "50", "51", "52", "53",
     "54", "55", "56", "57", "59", "60", "61", "62", "63", "65", "66",
     "67", "68", "69", "70", "71", "73", "74", "75", "76", "77", "78",
     "79", "80", "81", "82", "83", "84", "85", "86", "87", "88", "89",
-    "90", "91", "92", "93", "94", "95", "96", "97", "98", "99")
+    "91", "92", "93", "94", "95", "96", "97", "98", "99")
 
   private def resourceText(key: String): String = {
     val in = getClass.getResourceAsStream(s"/tpcds/query$key.sql")
@@ -105,7 +110,7 @@ object TpcdsPublished {
   }
 
   def duckSql(key: String): String = {
-    val body = publishedText(key).replace("`", "\"")
+    val body = nullsFirst(publishedText(key).replace("`", "\""))
     val prefix = TpcdsGen.oracleGenSql
     // the prefix is itself a complete WITH list; a published text that
     // opens with its own WITH continues that list
@@ -114,19 +119,109 @@ object TpcdsPublished {
     else prefix + body
   }
 
-  /** Cast to double exactly the LongType output columns derived from
-    * an integer SUM (transitively through aliases) — the columns the
-    * DuckDB side of the compare surfaces as floats. */
-  private[operators] def castSumColumns(df: DataFrame): DataFrame = {
+  /** Make the FINAL (top-level) ORDER BY's null placement explicit on
+    * the DuckDB side: Spark sorts ASC with NULLS FIRST by default,
+    * DuckDB with NULLS LAST — at a LIMIT cut over ROLLUP grouping
+    * columns the two engines would otherwise keep different rows.
+    * (DESC agrees — NULLS LAST both — so desc items are untouched;
+    * the text itself is unchanged for Spark.) */
+  private[operators] def nullsFirst(sql: String): String = {
+    val lower = sql.toLowerCase
+    // last top-level (paren-depth-0) "order by"
+    var depth = 0
+    var at = -1
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && lower.startsWith("order by", i) => at = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (at < 0) return sql
+    val head = sql.substring(0, at)
+    val tail = sql.substring(at + "order by".length)
+    // the item list ends at a top-level LIMIT or at end-of-text
+    var d2 = 0
+    var end = tail.length
+    var j = 0
+    val tl = tail.toLowerCase
+    while (j < tail.length && end == tail.length) {
+      tail.charAt(j) match {
+        case '(' => d2 += 1
+        case ')' => d2 -= 1
+        case _ if d2 == 0 && tl.startsWith("limit", j) &&
+          (j == 0 || !tail.charAt(j - 1).isLetterOrDigit) => end = j
+        case _ => ()
+      }
+      j += 1
+    }
+    val (items, rest) = (tail.substring(0, end), tail.substring(end))
+    // split items on depth-0 commas
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d3 = 0
+    var last = 0
+    items.zipWithIndex.foreach { case (ch, k) =>
+      ch match {
+        case '(' => d3 += 1
+        case ')' => d3 -= 1
+        case ',' if d3 == 0 => parts += items.substring(last, k); last = k + 1
+        case _ => ()
+      }
+    }
+    parts += items.substring(last)
+    val fixed = parts.map { p =>
+      val t = p.trim.toLowerCase
+      if (t.isEmpty || t.endsWith(" desc") || t == "desc" ||
+        t.contains("nulls ")) p
+      else p.replaceAll("\\s+$", "") + " NULLS FIRST "
+    }
+    head + "order by" + fixed.mkString(",") + rest
+  }
+
+  /** Canonicalize result TYPES and auto-generated NAMES to what the
+    * DuckDB side of the compare surfaces:
+    *  - LongType columns derived from an integer SUM (transitively
+    *    through aliases) → double (DuckDB HUGEINT → pandas float);
+    *  - every DecimalType column → double (Spark 4's ANSI avg over
+    *    integrals yields DECIMAL; DuckDB decimals land as floats);
+    *  - the unaliased `count(*)` column name → DuckDB's spelling
+    *    (`count(1)` vs `count_star()` — the engines auto-name it
+    *    differently and the driver compares by name).
+    * The published TEXT is untouched — this is the same normalize-
+    * before-compare the reference applies (TpcdsResultComparator). */
+  private[graft] def castSumColumns(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.catalyst.plans.logical.{CTERelationDef, CTERelationRef}
+    import org.apache.spark.sql.types.{DateType, DecimalType, LongType}
     val plan = df.queryExecution.analyzed
     val defs = scala.collection.mutable.Map.empty[Long, Expression]
     plan.foreach(node => node.expressions.foreach(_.foreach {
       case a: Alias => defs(a.exprId.id) = a.child
       case _ => ()
     }))
+    // CTE references mint fresh exprIds per reference — link each
+    // ref output back to its definition's output so the sum hunt can
+    // cross WITH boundaries
+    val cteOut = scala.collection.mutable.Map.empty[Long, Seq[Attribute]]
+    plan.foreach {
+      case d: CTERelationDef => cteOut(d.id) = d.child.output
+      case _ => ()
+    }
+    plan.foreach {
+      case r: CTERelationRef =>
+        cteOut.get(r.cteId).foreach(defOut =>
+          r.output.zip(defOut).foreach { case (ro, dr) =>
+            // the first reference SHARES exprIds with the definition —
+            // never overwrite an Alias entry with a self-reference
+            if (!defs.contains(ro.exprId.id) && ro.exprId != dr.exprId)
+              defs(ro.exprId.id) = dr
+          })
+      case _ => ()
+    }
     def hasSum(e: Expression, seen: Set[Long]): Boolean =
       e.exists {
         case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[Sum]
@@ -135,12 +230,19 @@ object TpcdsPublished {
         !seen(at.exprId.id) &&
           defs.get(at.exprId.id).exists(hasSum(_, seen + at.exprId.id)))
     val toCast = plan.output
-      .filter(o => o.dataType == LongType &&
-        defs.get(o.exprId.id).exists(hasSum(_, Set(o.exprId.id))))
+      .filter(o => o.dataType.isInstanceOf[DecimalType] ||
+        (o.dataType == LongType &&
+          defs.get(o.exprId.id).exists(hasSum(_, Set(o.exprId.id)))))
       .map(_.name).toSet
-    if (toCast.isEmpty) df
-    else df.select(df.columns.map(c0 =>
-      if (toCast(c0)) col(c0).cast("double").as(c0) else col(c0)): _*)
+    // DATE surfaces as datetime on the DuckDB/pandas side — align
+    val toTs = plan.output.filter(_.dataType == DateType).map(_.name).toSet
+    df.select(df.columns.map { c0 =>
+      val base =
+        if (toCast(c0)) col(c0).cast("double")
+        else if (toTs(c0)) col(c0).cast("timestamp")
+        else col(c0)
+      base.as(if (c0 == "count(1)") "count_star()" else c0)
+    }: _*)
   }
 
   private def run(key: String)(s: SparkSession, dir: String): DataFrame = {
