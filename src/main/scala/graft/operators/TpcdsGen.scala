@@ -209,7 +209,7 @@ object TpcdsGen {
     "Glendale", "Golden", "Highland", "Jackson", "Kingston", "Lebanon",
     "Liberty", "Lincoln", "Macedonia", "Maple Grove", "Mount Olive",
     "Mount Pleasant", "New Hope", "Oak Grove", "Oak Ridge", "Plainview",
-    "Red Hill", "Sulphur Springs", "Woodville")
+    "Red Hill", "Sulphur Springs", "Edgewood")
   val COUNTIES: Vector[String] = Vector(
     "Williamson County", "Franklin Parish", "Bronx County",
     "Orange County", "Ziebach County", "Walker County", "Daviess County",
@@ -220,8 +220,15 @@ object TpcdsGen {
     "Mobile County", "Pennington County", "Perry County")
   val COLORS: Vector[String] = Vector(
     "pale", "chiffon", "purple", "burlywood", "indian", "spring",
-    "floral", "medium", "light", "cyan", "navy", "firebrick", "dirty",
-    "antique", "shiny", "azure")
+    "floral", "medium", "light", "cyan", "slate", "blanched", "dirty",
+    "antique", "shiny", "burnished")
+  /** 50 brands, indexed by i_brand_id − 1; the first eight carry the
+    * published q53/q63 filter names. */
+  val BRANDS: Vector[String] =
+    Vector("scholaramalgamalg #14", "scholaramalgamalg #7",
+      "exportiunivamalg #9", "scholaramalgamalg #9", "amalgimporto #1",
+      "edu packscholar #1", "exportiimporto #1", "importoamalg #1") ++
+      Vector.tabulate(42)(i => s"Brand#${i + 9}")
   val CATEGORIES: Vector[String] = Vector(
     "Books", "Children", "Electronics", "Home", "Jewelry", "Men",
     "Music", "Shoes", "Sports", "Women")
@@ -276,7 +283,7 @@ object TpcdsGen {
     dimOf("item", 1, N_ITEMS + 1)(
       "i_item_sk" -> "id",
       "i_brand_id" -> "id*7 % 50 + 1",
-      "i_brand" -> "'Brand#' || (id*7 % 50 + 1)",
+      "i_brand" -> lut("id*7 % 50", BRANDS),
       "i_category_id" -> "id*11 % 10 + 1",
       "i_category" -> lut("id*11 % 10", CATEGORIES),
       "i_class_id" -> "id*23 % 25 + 1",
