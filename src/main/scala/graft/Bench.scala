@@ -130,6 +130,14 @@ object Bench {
         .filterNot(n => only.isEmpty && n.endsWith("_sqltext") &&
           !Set("q_tpcdsgen_q3_sqltext", "q_tpcdsgen_q55_sqltext",
             "q_tpcdsgen_q98_sqltext").contains(n))
+        // Same rationale for the 97 published-text rows (r15): they
+        // are CORRECTNESS rows — near-identical star plans over the
+        // same materialized files as their adapted twins, which carry
+        // the timing signal. Three representative published rows stay
+        // benched so the text path itself has a timing row.
+        .filterNot(n => only.isEmpty && n.endsWith("_published") &&
+          !Set("q_tpcdsgen_q3_published", "q_tpcdsgen_q4_published",
+            "q_tpcdsgen_q67_published").contains(n))
       val hl = headline.filter(all.contains)
       hl ++ all.filterNot(hl.toSet)
     }

@@ -257,7 +257,9 @@ object ScaleProbe {
       // the fact replicates), q78 anti-joins each channel's returns
       // before three (year,item,customer)-grain aggregates meet in
       // two sort-merge joins — three fact passes, linear each
-      "q_tpcdsgen_q34", "q_tpcdsgen_q64", "q_tpcdsgen_q78")
+      "q_tpcdsgen_q34", "q_tpcdsgen_q64", "q_tpcdsgen_q78",
+      // round-15: the per-ticket city report joins the x64 knee probe
+      "q_tpcdsgen_q46")
     val queries: Seq[(String, (SparkSession, String, Int) => DataFrame)] =
       entryQueries.map(q => q -> ((s: SparkSession, d: String, _: Int) =>
         graft.SparkEntry.queries(q)(s, d))) :+
@@ -444,13 +446,43 @@ object ScaleProbe {
       w.println()
       w.println("| query | t x1 | t x4 | t x16 | t16/t1 |")
       w.println("|---|---|---|---|---|")
+      val measured = scala.collection.mutable.Map.empty[String, (Double, Double)]
       queries.foreach { case (q, mk0) =>
         val t1 = run(mk0, dirs(1), 1)
         val t4 = run(mk0, dirs(4), 4)
         val t16 = run(mk0, dirs(16), 16)
+        measured(q) = (t1, t16)
         w.println(f"| $q | $t1%.2f s | $t4%.2f s | $t16%.2f s | ${t16 / t1}%.1f |")
         w.flush()
         println(f"PROBE $q%-20s x1=$t1%.2f x4=$t4%.2f x16=$t16%.2f ratio=${t16 / t1}%.1f")
+      }
+
+      // r15: x64 KNEE probe — the re-grained basket family (q34/q46/
+      // q64/q78, fact-scan-bound with broadcast dim rings) and the
+      // worst verify-family ratio (q_dedup_fuzzy, output-bound banded
+      // Levenshtein) get one more 4x step to confirm no knee appears
+      // past x16: t64/t16 at or below ~4 = still (sub)linear.
+      val x64qs = Seq("q_tpcdsgen_q34", "q_tpcdsgen_q46", "q_tpcdsgen_q64",
+        "q_tpcdsgen_q78", "q_dedup_fuzzy")
+      buildScaled(spark, sfDir, 64, "/tmp/graft_scale/x64")
+      w.println()
+      w.println("## x64 knee probe (round 15)")
+      w.println()
+      w.println("One more 4x step for the basket family and the worst verify-family")
+      w.println("row. t64/t16 at or below ~4 = linear continues; the fuzzy row stays")
+      w.println("output-bound (replica cliques grow true pairs ~N^2 — see its x16 note).")
+      w.println()
+      w.println("| query | t x1 | t x16 | t x64 | t64/t16 | t64/t1 |")
+      w.println("|---|---|---|---|---|---|")
+      x64qs.foreach { q =>
+        val mk0 = (s: SparkSession, d: String, _: Int) =>
+          graft.SparkEntry.queries(q)(s, d)
+        val t64 = run(mk0, "/tmp/graft_scale/x64", 64)
+        val (t1, t16) = measured(q)
+        w.println(f"| $q | $t1%.2f s | $t16%.2f s | $t64%.2f s | " +
+          f"${t64 / t16}%.1f | ${t64 / t1}%.1f |")
+        w.flush()
+        println(f"PROBE64 $q%-20s x64=$t64%.2f r64/16=${t64 / t16}%.1f")
       }
     } finally w.close()
     println(s"wrote $out")
