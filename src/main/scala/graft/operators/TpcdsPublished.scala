@@ -125,7 +125,7 @@ object TpcdsPublished {
     * columns the two engines would otherwise keep different rows.
     * (DESC agrees — NULLS LAST both — so desc items are untouched;
     * the text itself is unchanged for Spark.) */
-  private[operators] def nullsFirst(sql: String): String = {
+  private[graft] def nullsFirst(sql: String): String = {
     val lower = sql.toLowerCase
     // last top-level (paren-depth-0) "order by"
     var depth = 0
