@@ -545,14 +545,47 @@ object TpcdsGen {
   // ship - sold), never date_dim join keys; a query joining date_dim
   // on the SHIP date would silently drop late-calendar rows.
 
+  // ---- the repurchase stripe (r15) ---------------------------------
+  //
+  // Every 10th catalog order REPURCHASES a store return: it copies the
+  // (customer, item) of store LINE 13·id (a returning line whenever
+  // 13·id lands inside the store fact) and is dated shortly after that
+  // line's return. Without the stripe the published sale→return→
+  // repurchase chains (q17/q25/q29) are vacuous — independent channel
+  // mixers multiply the three-way (customer, item, window) joint
+  // selectivity to ~0 — which is dsdgen's lesson too: real cross-
+  // channel behavior is correlated, not independent. The stripe's
+  // closed forms reuse the store mixers verbatim (substituting 13·id
+  // for the line id), so the chain is exact by construction and both
+  // engines derive it from the same strings.
+
+  /** The store ticket expression evaluated at line 13·id — engine-
+    * split on `#div#` like the dim forms. */
+  private def tk13: String =
+    "(" + ticketExpr("#div#").replaceAll("\\bid\\b", "(id*13)") + ")"
+
+  /** Store line 13·id's return date: sold + lag (the SR closed form
+    * at that line). */
+  private def ret13: String =
+    s"($tk13*131 % $N_DATES + 1) + ((id*13) % 60 + 1)"
+
   /** catalog_sales closed forms over the dense order id (`id`) —
-    * half store volume, its own key mixers, so channel overlaps are
-    * non-trivial. */
+    * half store volume, its own key mixers (plus the repurchase
+    * stripe above), so channel overlaps are non-trivial. */
   private val CS_COLS: Seq[(String, String)] = Seq(
     "cs_order_number"       -> "id",
-    "cs_sold_date_sk"       -> s"id*127 % $N_DATES + 1",
-    "cs_item_sk"            -> s"id*133 % $N_ITEMS + 1",
-    "cs_customer_sk"        -> s"id*141 % $N_CUSTS + 1",
+    // stripe orders land 1–30 days after their return, wrapped into
+    // the calendar domain (wrapped rows simply fail the chain's
+    // date-order filters — a sliver of the 10% stripe)
+    "cs_sold_date_sk"       ->
+      (s"CASE WHEN id % 10 = 0 THEN ($ret13 + id % 30) % $N_DATES + 1 " +
+        s"ELSE id*127 % $N_DATES + 1 END"),
+    "cs_item_sk"            ->
+      (s"CASE WHEN id % 10 = 0 THEN (id*13)*137 % $N_ITEMS + 1 " +
+        s"ELSE id*133 % $N_ITEMS + 1 END"),
+    "cs_customer_sk"        ->
+      (s"CASE WHEN id % 10 = 0 THEN $tk13*139 % $N_CUSTS + 1 " +
+        s"ELSE id*141 % $N_CUSTS + 1 END"),
     "cs_quantity"           -> "id*5 % 100 + 1",
     "cs_sales_price_c"      -> "id*157 % 9900 + 100",
     "cs_sold_time_sk"       -> "id*191 % 86400",
@@ -564,7 +597,11 @@ object TpcdsGen {
     "cs_wholesale_cost_c"   -> "id*193 % 5000 + 50",
     "cs_ship_addr_sk"       ->
       s"CASE WHEN id % 37 = 0 THEN NULL ELSE id*97 % $N_ADDR + 1 END",
-    "cs_ship_date_sk"       -> s"id*127 % $N_DATES + 1 + id % 90 + 2",
+    // ship = sold + lag, following the stripe CASE so shipping stays
+    // strictly after selling on every order
+    "cs_ship_date_sk"       ->
+      (s"(CASE WHEN id % 10 = 0 THEN ($ret13 + id % 30) % $N_DATES + 1 " +
+        s"ELSE id*127 % $N_DATES + 1 END) + id % 90 + 2"),
     "cs_ext_sales_price_c"  -> "(id*5 % 100 + 1) * (id*157 % 9900 + 100)",
     "cs_net_profit_c"       ->
       "(id*5 % 100 + 1) * (id*157 % 9900 + 100) - (id*5 % 100 + 1) * (id*193 % 5000 + 50)",
@@ -665,7 +702,8 @@ object TpcdsGen {
 
   def genCatalogSales(s: SparkSession, n: Long): DataFrame =
     s.range(1, n / 2 + 1).toDF("id")
-      .select(CS_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
+      .select(CS_COLS.map { case (c0, e) =>
+        expr(e.replace("#div#", "div")).as(c0) }: _*)
 
   private[operators] def genCatalogReturns(s: SparkSession, n: Long): DataFrame =
     genCatalogSales(s, n)
