@@ -293,6 +293,14 @@ object TpcdsGen {
       "i_manager_id" -> "id*17 % 40 + 1",
       "i_current_price_c" -> "id*19 % 9999 + 1",
       "i_wholesale_cost_c" -> "id*29 % 5000 + 50",
+      // dollar-valued twins of the two item prices: the published
+      // texts FILTER these against dollar literals (q21/q37/q82's
+      // `between 0.99 and 1.49` style), which select ~nothing against
+      // integer cents; both engines derive the identical double from
+      // the same integer, and the published rows only filter/avg them
+      // (never order-dependent sums)
+      "i_current_price_d" -> "(id*19 % 9999 + 1) / 100.0",
+      "i_wholesale_cost_d" -> "(id*29 % 5000 + 50) / 100.0",
       "i_color" -> lut("id*3 % 16", COLORS),
       "i_size" -> lut("id*5 % 7", SIZES),
       "i_units" -> lut("id % 10", UNITS),
