@@ -286,8 +286,13 @@ object TpcdsGen {
       "i_brand" -> lut("id*7 % 50", BRANDS),
       "i_category_id" -> "id*11 % 10 + 1",
       "i_category" -> lut("id*11 % 10", CATEGORIES),
-      "i_class_id" -> "id*23 % 25 + 1",
-      "i_class" -> lut("id*23 % 25", CLASSES),
+      // class selector on (id div 10): a multiplicative mixer mod 25
+      // shares factor 5 with the category's mod 10, making some
+      // (category, class) pairs arithmetically IMPOSSIBLE — q54's
+      // ('Women', 'maternity') filter was provably empty. div-10
+      // decouples the residues so every pair occurs.
+      "i_class_id" -> "(id #div# 10) % 25 + 1",
+      "i_class" -> lut("(id #div# 10) % 25", CLASSES),
       "i_manufact_id" -> "id*13 % 1000 + 1",
       "i_manufact" -> "'manufact' || (id*13 % 1000 + 1)",
       "i_manager_id" -> "id*17 % 40 + 1",
