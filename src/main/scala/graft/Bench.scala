@@ -47,7 +47,32 @@ object Bench {
     "q_graph_pagerank", "q_graph_triangles", "q_graph_cc", "q_sql_recursive",
     "q_tpcds_channels", "q_tpcds_freqbest", "q_tpcdsgen_q3", "q_freq_cms",
     "q_funnel", "q_sessionize", "q_pipeline_curate",
-    "q_window_topn", "q_cep_pattern")
+    "q_window_topn", "q_cep_pattern",
+    // r16: the two r15 watch rows (controlled-run drift suspects)
+    // get headline slots so a real regression can't hide in the tail
+    "q_graph_kcore", "q_agg_approx")
+
+  /** Family of a query name — the per-family digest keys. Prefix
+    * buckets, coarse on purpose: the digest exists so the driver's
+    * 2 kB stdout tail carries a round-over-round signal for the WHOLE
+    * battery (sum + count per family), not just the headline rows. */
+  private[graft] def family(name: String): String = name match {
+    case n if n.startsWith("q_tpcdsgen") => "tpcdsgen"
+    case n if n.startsWith("q_tpcds") => "tpcds_shape"
+    case n if n.startsWith("q_tpch") => "tpch"
+    case n if n.startsWith("q_dedup") || n == "q_semdedup" => "dedup"
+    case n if n.startsWith("q_sim") || n == "q_kmeans" => "sim"
+    case n if n.startsWith("q_graph") => "graph"
+    case n if n.startsWith("q_text") || n.startsWith("q_lm") ||
+      n.startsWith("q_bpe") || n.startsWith("q_chunk") ||
+      n.startsWith("q_pack") => "text"
+    case n if n.startsWith("q_stream") => "stream"
+    case n if n.startsWith("q_sql") => "sql"
+    case n if n.startsWith("q_agg") => "agg"
+    case n if n.startsWith("q_fn") => "fn"
+    case n if n.startsWith("q_cep") => "cep"
+    case _ => "other"
+  }
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -56,8 +81,10 @@ object Bench {
     // Validate the stdout budget BEFORE the multi-hour battery, and
     // with `require` (assert compiles out under -Xelide-below): worst
     // case per entry is "name":NNNN.NNN, +~90 B of envelope.
-    val hlBound = 90 + headline.map(_.length + 12).sum
-    require(hlBound < 1500,
+    // +500 B allowance: per-family digest (~13 families × ~24 B),
+    // calibration row and full-line path in the same final line.
+    val hlBound = 90 + headline.map(_.length + 12).sum + 500
+    require(hlBound < 1600,
       s"headline bench line could reach $hlBound B — trim `headline`, the driver tail is ~2 kB")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -178,12 +205,40 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val w = new java.io.PrintWriter(new java.io.File(out))
     try w.println(line(results)) finally w.close()
+
+    // Calibration row: one fixed cheap query, median of 5, measured
+    // AFTER the battery on the same JVM — if the environment (driver
+    // load, noisy neighbors) inflated this run, the calibration
+    // inflates with it, so a plan regression is separable from a slow
+    // machine (r14/r15 both needed a controlled re-run to adjudicate
+    // exactly this).
+    val calib = locally {
+      val s = root.newSession()
+      graft.plans.GraftExtensions.install(s)
+      Tables.registerAll(s, sfDir)
+      val ts = (1 to 5).flatMap(_ =>
+        try Some(timed(s, "q1_agg")) catch { case _: Throwable => None })
+      if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+    }
+
+    // Per-family digest: [sum_seconds, n_queries] over the FULL
+    // battery, so the retained tail carries every family's movement.
+    val fams = results.filter(_._2 >= 0).groupBy(r => family(r._1)).toSeq
+      .sortBy(_._1)
+      .map { case (f, rs) => s""""$f":[${num(rs.map(_._2).sum)},${rs.size}]""" }
+      .mkString("{", ",", "}")
+
     // Full battery FIRST (recoverable from scrollback even if the
     // tail beheads it), short headline line LAST — the driver's tail
-    // capture must always end on a complete, parseable JSON line.
+    // capture must always end on a complete, parseable JSON line that
+    // alone supports the round-over-round comparison: headline
+    // queries + per-family digest + calibration + the full-line path.
     println(line(results))
-    val hl = line(results.filter(r => headline.contains(r._1)))
-    require(hl.length < 1500,
+    val hlQs = fmt(results.filter(r => headline.contains(r._1)))
+    val hl = s"""{"metric":"total","value":${num(total)},"unit":"sec"""" +
+      s""","queries":$hlQs,"families":$fams,"calib":${num(calib)}""" +
+      s""","full":"$out","sf":"$sfDir"}"""
+    require(hl.length < 1600,
       s"headline bench line ${hl.length} B — trim `headline`, the driver tail is ~2 kB")
     println(hl)
     root.stop()

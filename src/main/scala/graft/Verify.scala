@@ -52,6 +52,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Published-text degeneracy gate (r16): at the battery scale every
+    // *_published row must SELECT, not merely run — a zero-row result
+    // proves the predicate chain parses, not that it filters. The two
+    // pinned keys carry written selectivity analyses (COVERAGE.md);
+    // anything else newly empty fails the dump loudly. Counting reads
+    // the just-written parquet footers, so no query re-executes.
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.01")) {
+      val newlyEmpty = SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => n.endsWith("_published") && (only.isEmpty || only.contains(n)))
+        .filterNot(graft.operators.TpcdsPublished.PINNED_EMPTY)
+        .filter { n =>
+          val p = Paths.get(s"$outDir/$n")
+          Files.exists(p) && spark.read.parquet(p.toString).count() == 0
+        }
+      require(newlyEmpty.isEmpty,
+        s"published rows newly EMPTY at battery scale: ${newlyEmpty.mkString(", ")} — " +
+          "fix the value-domain coupling or pin with a written analysis " +
+          "(TpcdsPublished.PINNED_EMPTY)")
+    }
     spark.stop()
   }
 }

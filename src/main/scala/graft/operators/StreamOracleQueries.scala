@@ -170,11 +170,142 @@ object StreamOracleQueries {
       .toDF("user_id", "n_views", "first_view", "purchase_id")
   }
 
+  /** Streaming TopN run to completion: orders stream through the
+    * keyed AppendOnlyTopN operator (update semantics — a key re-emits
+    * its full current ranking whenever it changes); a replay-guarded
+    * driver store keeps each key's LATEST ranking, which after the
+    * final batch equals the batch `row_number() <= 3` answer. */
+  def streamTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val rows = Tables.load(s, dir, "orders")
+      .selectExpr("o_custkey", "o_totalprice", "o_orderkey")
+      .orderBy("o_orderkey")
+      .collect() // bounded: |orders| at battery sf; the MemoryStream harness feed
+      .map(r => StatefulOps.ScoredEvent(r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val store = scala.collection.mutable.Map.empty[Long, Seq[StatefulOps.TopNEmit]]
+    var seenBatch = -1L
+    val input = MemoryStream[StatefulOps.ScoredEvent](streamIds.getAndIncrement(), s, None)
+    val out = StatefulOps.topNPerKey(input.toDS(), 3)
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[StatefulOps.TopNEmit], id: Long) =>
+        if (id > seenBatch) { // at-least-once replay guard
+          seenBatch = id
+          df.collect().groupBy(_.key)
+            .foreach { case (k, es) => store(k) = es.sortBy(_.rank).toSeq }
+        }
+        ()
+      }.start()
+    try rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    store.valuesIterator.flatten.toSeq
+      .map(e => (e.key, e.id, e.score, e.rank))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** Streaming temporal as-of join run to completion: clicks are the
+    * versioned build side, purchases the probe side, fed ts-sorted in
+    * contiguous micro-batches (the watermark can never overtake an
+    * unfed earlier row); two far-future sentinel builds advance the
+    * watermark so every buffered probe flushes through its event-time
+    * timer. Timestamps ride the tsMillis field at MICROsecond scale —
+    * the operator only compares them to each other and to the
+    * watermark, which the eventTime column is built on the same
+    * scale. */
+  def streamAsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ev = Tables.load(s, dir, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .selectExpr("user_id", "unix_micros(ts) AS tsus", "event_id",
+        "CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side")
+      .orderBy("tsus", "event_id")
+      .collect() // bounded: |events| at battery sf; the MemoryStream harness feed
+      .map(r => StatefulOps.AsOfEvent(r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(2)))
+    val maxUs = ev.map(_.tsMillis).max
+    def sentinel(off: Long, id: Long) =
+      Seq(StatefulOps.AsOfEvent(-1L, maxUs + off, 0, id))
+    val batches = ev.grouped(math.max(1, ev.length / 3)).map(_.toSeq).toSeq ++
+      Seq(sentinel(86400000000L, -1L), sentinel(86400001000L, -2L))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[StatefulOps.AsOfMatch]
+    val input = MemoryStream[StatefulOps.AsOfEvent](streamIds.getAndIncrement(), s, None)
+    val withWm = input.toDF()
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[StatefulOps.AsOfEvent]
+    val q = StatefulOps.asOfJoin(withWm).writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[StatefulOps.AsOfMatch], _: Long) =>
+        buf ++= df.collect(); ()
+      }.start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    buf.filter(_.key >= 0).toSeq
+      .map(m => (m.probeId, m.key, m.probeTs, m.buildId, m.buildTs))
+      .toDF("pid", "user_id", "ptsus", "cid", "ctsus")
+      .select(col("pid"), col("user_id"),
+        timestamp_micros(col("ptsus")).as("pts"), col("cid"),
+        timestamp_micros(col("ctsus")).as("cts"))
+  }
+
+  /** Stream-stream interval join run to completion: purchases and
+    * views as two MemoryStreams with synchronized ts-sorted batches;
+    * Spark's native stream-stream inner join with the event-time
+    * range condition buffers both sides under the watermark and the
+    * emitted matches equal the batch interval join. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .where(col("event_type").isin("purchase", "view"))
+      .orderBy("ts", "event_id")
+      .collect() // bounded: |events| at battery sf; the MemoryStream harness feed
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val maxMs = ev.map(_._2.getTime).max
+    def adv(off: Long, key: Long) =
+      Seq((key, new java.sql.Timestamp(maxMs + off), -1L))
+    val ps = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+    val vs = ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3))
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
+    val joined = graft.streaming.StreamingOps.intervalJoin(
+      pIn.toDF().toDF("user_id", "pts", "pid"),
+      vIn.toDF().toDF("vuser", "vts", "vid").withColumnRenamed("vuser", "user_id"),
+      "user_id", "pts", "vts", "10 minutes", "'10' MINUTE", "'0' MINUTE", "inner")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = joined.select(col("pid"), col("vid")).as[(Long, Long)]
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[(Long, Long)], _: Long) =>
+        buf ++= df.collect(); ()
+      }.start()
+    val slice = math.max(1, math.max(ps.length, vs.length) / 3)
+    val pBatches = ps.grouped(slice).map(_.toSeq).toSeq
+    val vBatches = vs.grouped(slice).map(_.toSeq).toSeq
+    try {
+      (0 until math.max(pBatches.length, vBatches.length)).foreach { i =>
+        pIn.addData(pBatches.lift(i).getOrElse(Seq.empty))
+        vIn.addData(vBatches.lift(i).getOrElse(Seq.empty))
+        q.processAllAvailable()
+      }
+      // advance both watermarks far past the bound (distinct sentinel
+      // keys so the advance rows can never pair with each other)
+      Seq((86400000L, -11L, -12L), (86400001L, -13L, -14L)).foreach {
+        case (off, kp, kv) =>
+          pIn.addData(adv(off, kp)); vIn.addData(adv(off, kv))
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    buf.filter { case (p, v) => p >= 0 && v >= 0 }.toSeq.toDF("pid", "vid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_q3" -> (streamQ3 _),
     "q_stream_q93" -> (streamQ93 _),
     "q_stream_sessionize" -> (streamSessionize _),
-    "q_stream_cep" -> (streamCep _))
+    "q_stream_cep" -> (streamCep _),
+    "q_stream_topn" -> (streamTopN _),
+    "q_stream_asof" -> (streamAsOf _),
+    "q_stream_interval" -> (streamIntervalJoin _))
 
   /** Each streaming row is oracled by ITS BATCH TWIN's SQL — the
     * stream==batch property the specs pin becomes a hash-checked
@@ -183,5 +314,8 @@ object StreamOracleQueries {
     "q_stream_q3" -> TpcdsGen.oracle("q_tpcdsgen_q3"),
     "q_stream_q93" -> TpcdsGen.oracle("q_tpcdsgen_q93"),
     "q_stream_sessionize" -> EventAnalytics.oracle("q_sessionize"),
-    "q_stream_cep" -> graft.cep.CepOps.oracle("q_cep_quantified"))
+    "q_stream_cep" -> graft.cep.CepOps.oracle("q_cep_quantified"),
+    "q_stream_topn" -> WindowQueries.oracle("q_topn"),
+    "q_stream_asof" -> TvfQueries.oracle("q_asof_join"),
+    "q_stream_interval" -> TvfQueries.oracle("q_interval_join"))
 }

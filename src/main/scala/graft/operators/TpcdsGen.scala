@@ -139,11 +139,28 @@ object TpcdsGen {
     "ss_ticket_number"     -> "tk",
     "ss_sold_date_sk"      -> s"tk*131 % $N_DATES + 1",
     "ss_sold_time_sk"      -> "tk*173 % 86400",
-    "ss_item_sk"           -> s"id*137 % $N_ITEMS + 1",
+    // the daily-deal stripe: every ticket's FIRST line (block offsets
+    // = the basket boundaries, so exactly one line per ticket — the
+    // (ticket, item) key stays effectively unique) sells the day's
+    // featured item, a pure function of the sold date. q23b's
+    // `having count(*) > 4` per (item, sold-day) is unreachable under
+    // independent item mixers (~0.03 expected repeats per pair); the
+    // featured line gives each day one item at tickets-per-day depth.
+    "ss_item_sk"           ->
+      (s"CASE WHEN (id-1) % $BLOCK_LINES IN (${BASKET_CUM.init.mkString(",")}) " +
+        s"THEN ((tk*131 % $N_DATES + 1)*7) % $N_ITEMS + 1 " +
+        s"ELSE id*137 % $N_ITEMS + 1 END"),
     "ss_customer_sk"       -> s"tk*139 % $N_CUSTS + 1",
     "ss_hdemo_sk"          -> s"tk*29 % $N_HDEMO + 1",
     "ss_addr_sk"           -> s"CASE WHEN tk % 53 = 0 THEN NULL ELSE tk*37 % $N_ADDR + 1 END",
-    "ss_store_sk"          -> s"tk*7 % $N_STORES + 1",
+    // home-store preference: 40% of tickets shop at the store local to
+    // the customer's address (addr a's local store = a*7 % 12 + 1,
+    // matching ca_zip's metro form) — q24's s_zip = ca_zip join needs
+    // customers who actually shop where they live
+    "ss_store_sk"          ->
+      (s"CASE WHEN tk % 5 < 2 " +
+        s"THEN ((tk*139 % $N_CUSTS + 1)*17 % $N_ADDR + 1)*7 % $N_STORES + 1 " +
+        s"ELSE tk*7 % $N_STORES + 1 END"),
     "ss_promo_sk"          -> s"id*11 % $N_PROMOS + 1",
     "ss_quantity"          -> "id*3 % 100 + 1",
     "ss_list_price_c"      -> "id*151 % 9900 + 100",
@@ -163,15 +180,43 @@ object TpcdsGen {
   /** store_returns closed forms over the internal (id, tk, ss_*)
     * frame — every 13th LINE returns part of its quantity, 1–60 days
     * after the sale, priced at its sales price. */
+  /** The recall stripe: every 4th return (by return sequence) is a
+    * RECALL — its item and returned date snap to a biweekly recall
+    * event (event e: day 14e+4, item 17e%1000+1, e = seq*7 % 130),
+    * shared VERBATIM by all three channels' return facts. q83's
+    * triple-channel same-item-same-week intersect multiplies to ~0.008
+    * expected rows under independent mixers; recalls are exactly the
+    * real-world correlation that makes it select. Event days sit in
+    * ODD calendar weeks (14e+4 → week 2e+1), which covers q83's three
+    * literal weeks (131/143/151). Store recalls skip seq % 10 = 0 so
+    * the r15 repurchase stripe's line-13·id source rows keep their
+    * natural (item, date) — the q17/q25/q29 chain stays exact.
+    * The store stripe selects on modulus 17 (coprime to the reason
+    * mixer's 36 — a %4 stripe would capture EVERY reason-28 return,
+    * since m ≡ 9 (mod 36) forces m ≡ 1 (mod 4), silently emptying
+    * published q93's ticketed-return join). */
+  private def srRecall: String =
+    "(id #div# 13) % 17 IN (1,5,9,13) AND (id #div# 13) % 10 <> 0"
+
   private val SR_COLS: Seq[(String, String)] = Seq(
-    "sr_ticket_number"    -> "ss_ticket_number",
-    "sr_item_sk"          -> "ss_item_sk",
+    // recall returns are store-initiated, not ticket returns: they
+    // carry a NEGATIVE ticket number so no (ticket, item) join can
+    // ever match one against store_sales — the q93/q24/q64 join
+    // contract stays exact by construction (a recalled item could
+    // otherwise coincide with another line of the same ticket)
+    "sr_ticket_number"    ->
+      s"CASE WHEN $srRecall THEN -(id #div# 13) ELSE ss_ticket_number END",
+    "sr_item_sk"          ->
+      (s"CASE WHEN $srRecall THEN (((id #div# 13)*7 % 130)*17) % $N_ITEMS + 1 " +
+        "ELSE ss_item_sk END"),
     "sr_customer_sk"      -> "ss_customer_sk",
     "sr_store_sk"         -> "ss_store_sk",
     "sr_reason_sk"        -> s"id*7 % $N_REASONS + 1",
     "sr_return_quantity"  -> "id*5 % ss_quantity + 1",
     "sr_return_amt_c"     -> "(id*5 % ss_quantity + 1) * ss_sales_price_c",
-    "sr_returned_date_sk" -> "ss_sold_date_sk + id % 60 + 1",
+    "sr_returned_date_sk" ->
+      (s"CASE WHEN $srRecall THEN ((id #div# 13)*7 % 130)*14 + 4 " +
+        "ELSE ss_sold_date_sk + id % 60 + 1 END"),
     "sr_cdemo_sk"         -> s"id*41 % $N_CD + 1",
     "sr_net_loss_c"       -> "id*53 % 3000 + 10")
 
@@ -218,10 +263,19 @@ object TpcdsGen {
     "Gage County", "Greene County", "Huron County", "Jackson County",
     "Kandiyohi County", "Lea County", "Luce County", "Mesa County",
     "Mobile County", "Pennington County", "Perry County")
+  /** 23 colors (odd count, coprime to the selector multiplier 5, so
+    * every (category, color) pair is CRT-reachable — the r16 q41
+    * lesson: with the old 16-vector and multiplier 3, 'Men' forced odd
+    * ids while 'floral' needed even, making the published (Men,
+    * floral) combo arithmetically impossible). Includes every color
+    * literal the published texts filter on that this vocabulary
+    * carries: peach (q24a), saddle (q24b), powder/khaki/brown/
+    * honeydew/midnight/deep/snow (q41's combo table). */
   val COLORS: Vector[String] = Vector(
-    "pale", "chiffon", "purple", "burlywood", "indian", "spring",
+    "peach", "chiffon", "purple", "burlywood", "indian", "spring",
     "floral", "medium", "light", "cyan", "slate", "blanched", "dirty",
-    "antique", "shiny", "burnished")
+    "saddle", "shiny", "burnished", "powder", "khaki", "brown",
+    "honeydew", "midnight", "deep", "snow")
   /** 50 brands, indexed by i_brand_id − 1; the first eight carry the
     * published q53/q63 filter names. */
   val BRANDS: Vector[String] =
@@ -293,10 +347,23 @@ object TpcdsGen {
       // decouples the residues so every pair occurs.
       "i_class_id" -> "(id #div# 10) % 25 + 1",
       "i_class" -> lut("(id #div# 10) % 25", CLASSES),
-      "i_manufact_id" -> "id*13 % 1000 + 1",
-      "i_manufact" -> "'manufact' || (id*13 % 1000 + 1)",
+      // manufacturers come in 7-item lines ((id div 7) grain — 7 is
+      // coprime to every item-attribute modulus) with ids spread by a
+      // (multiplier, offset) pair chosen so the published literal
+      // manufacturers exist: q3's 128, q32's 977, q92's 350, q3
+      // adapted's 28, and 7 values inside q41's [738, 778] band
+      "i_manufact_id" -> "((id #div# 7)*101 + 27) % 1000 + 1",
+      // manufacturer NAMES are coarser than ids (9 names ≈ dsdgen's
+      // ~18-items-per-manufact ratio): q41's correlated census counts
+      // same-NAME items, which needs real group depth
+      "i_manufact" -> "'manufact' || ((((id #div# 7)*101 + 27) % 1000 + 1) % 9)",
       "i_manager_id" -> "id*17 % 40 + 1",
-      "i_current_price_c" -> "id*19 % 9999 + 1",
+      // multiplier 1019 (coprime to 9999), NOT a small step: the r16
+      // manufact regrain makes a manufacturer 7 CONSECUTIVE ids, and a
+      // small-step price mixer gives every manufacturer a ~130¢ price
+      // band — published q37/q82's (manufact IN list AND price band)
+      // then selects whole groups or nothing
+      "i_current_price_c" -> "id*1019 % 9999 + 1",
       "i_wholesale_cost_c" -> "id*29 % 5000 + 50",
       // dollar-valued twins of the two item prices: the published
       // texts FILTER these against dollar literals (q21/q37/q82's
@@ -304,11 +371,15 @@ object TpcdsGen {
       // integer cents; both engines derive the identical double from
       // the same integer, and the published rows only filter/avg them
       // (never order-dependent sums)
-      "i_current_price_d" -> "(id*19 % 9999 + 1) / 100.0",
+      "i_current_price_d" -> "(id*1019 % 9999 + 1) / 100.0",
       "i_wholesale_cost_d" -> "(id*29 % 5000 + 50) / 100.0",
-      "i_color" -> lut("id*3 % 16", COLORS),
+      "i_color" -> lut("id*5 % 23", COLORS),
       "i_size" -> lut("id*5 % 7", SIZES),
-      "i_units" -> lut("id % 10", UNITS),
+      // units select on (id div 10): the old `id % 10` selector was
+      // IDENTICAL to the category residue (11 ≡ 1 mod 10), hard-locking
+      // unit index == category index and emptying most of q41's
+      // (category, units) combos
+      "i_units" -> lut("(id #div# 10) % 10", UNITS),
       "i_product_name" -> "'Item' || id",
       "i_item_id" -> "'I' || id",
       "i_item_desc" -> "'Description ' || (id*7 % 997)"),
@@ -320,22 +391,45 @@ object TpcdsGen {
       "c_last_name" -> "'Last' || (id*7 % 89)",
       "c_salutation" -> "'Sal' || (id % 6)",
       "c_preferred_cust_flag" -> "CASE WHEN id % 3 = 0 THEN 'N' ELSE 'Y' END",
-      "c_current_addr_sk" -> s"id*17 % $N_ADDR + 1",
-      "c_current_hdemo_sk" -> s"id*23 % $N_HDEMO + 1",
+      // the suburban cohort (every 8th customer): demographics CLUSTER
+      // in reality — these customers carry a qualifying (marital,
+      // education) pair (M/Unknown for odd 16-residues, W/Advanced
+      // Degree otherwise — cd ids 60/61+70k and 56/57+70k by the cd
+      // closed forms), an 'Unknown' buy-potential household (hd id ≡ 2
+      // mod 3) and a gmt −7 address (addr ≡ 2 mod 4). Without the
+      // cohort, q91's joint filter (cd × hd × ca over a 31-day
+      // cr window) multiplies to ~0.07 expected rows at sf0.01 —
+      // the same independence collapse the r15 repurchase stripe
+      // fixed for the q17/q25/q29 chains
+      "c_current_addr_sk" ->
+        s"CASE WHEN id % 8 = 1 THEN 2 + 4*(id*17 % 125) ELSE id*17 % $N_ADDR + 1 END",
+      "c_current_hdemo_sk" ->
+        s"CASE WHEN id % 8 = 1 THEN 2 + 3*(id*23 % 240) ELSE id*23 % $N_HDEMO + 1 END",
       "c_birth_month" -> "id*5 % 12 + 1",
       "c_birth_country" -> "'Country' || (id*31 % 12)",
       "c_customer_id" -> "'C' || id",
       "c_email_address" -> "'c' || id || '@example.com'",
       "c_login" -> "'login' || id",
-      "c_current_cdemo_sk" -> s"id*11 % $N_CD + 1",
+      "c_current_cdemo_sk" ->
+        (s"CASE WHEN id % 16 = 1 THEN 60 + ((id #div# 16) % 10)*70 + (id #div# 2) % 2 " +
+          s"WHEN id % 8 = 1 THEN 56 + ((id #div# 16) % 10)*70 + (id #div# 2) % 2 " +
+          s"ELSE id*11 % $N_CD + 1 END"),
       "c_birth_day" -> "id*7 % 28 + 1",
-      "c_last_review_date_sk" -> s"id*3 % $N_DATES + 1"),
+      "c_last_review_date_sk" -> s"id*3 % $N_DATES + 1",
+      "c_first_sales_date_sk" -> s"id*7 % $N_DATES + 1",
+      "c_first_shipto_date_sk" -> s"id*13 % $N_DATES + 1"),
     dimOf("customer_address", 1, N_ADDR + 1)(
       "ca_address_sk" -> "id",
       "ca_city" -> lut("id*7 % 40", CITIES),
       "ca_county" -> lut("id*11 % 25", COUNTIES),
       "ca_state" -> lut("id*3 % 10", STATES),
-      "ca_zip" -> zip5("id*29 % 100"),
+      // metro zips: 60% of addresses share the zip of their LOCAL
+      // store (addr a's local store = a*7 % 12 + 1) — q24's
+      // "customer lives in the store's zip" join selects at ~0.01%
+      // under independent 100-residue zips but ~1/50 here, the
+      // real-world zips-cluster-around-stores shape
+      "ca_zip" -> (s"CASE WHEN id % 5 < 3 THEN ${zip5(s"(id*7 % $N_STORES + 1)*53 % 100")} " +
+        s"ELSE ${zip5("id*29 % 100")} END"),
       "ca_country" -> "'Country' || (id % 12)",
       "ca_gmt_offset" -> "-5 - (id % 4)",
       "ca_street_number" -> "'' || (id % 1000 + 1)",
@@ -403,14 +497,24 @@ object TpcdsGen {
         Seq("pri", "able", "ese", "anti", "cally", "ought"))),
     dimOf("store", 1, N_STORES + 1)(
       "s_store_sk" -> "id",
-      "s_state" -> lut("id % 5", STATES.take(5)),
+      // store state/county use the SAME selector forms as
+      // customer_address (full 10-state / 25-county ranges), so q54's
+      // `ca_county = s_county AND ca_state = s_state` join matches
+      // exactly the addresses ≡ store-id (mod 50) — a natural ~24%
+      // customer rate where the old take(5)/take(8) selectors made
+      // the pair sets provably disjoint
+      // (id-1) forms so store 1 lands on county index 0 — published
+      // q34/q73/q16 filter the literal 'Williamson County'
+      "s_state" -> lut("(id-1)*3 % 10", STATES),
       "s_store_name" -> "'Store' || id",
       "s_city" -> lut("id*9 % 40", CITIES),
       "s_zip" -> zip5("id*53 % 100"),
       "s_number_employees" -> "150 + id*29 % 200",
-      "s_market_id" -> "id % 4 + 1",
+      // markets span the published 1..10 domain (q24 filters market 8;
+      // the old id%4+1 topped out at 4)
+      "s_market_id" -> "id % 10 + 1",
       "s_store_id" -> "'S' || id",
-      "s_county" -> lut("id % 8", COUNTIES.take(8)),
+      "s_county" -> lut("(id-1)*11 % 25", COUNTIES),
       "s_company_name" -> "'Unknown'",
       "s_company_id" -> "1",
       "s_gmt_offset" -> "-5",
@@ -440,7 +544,16 @@ object TpcdsGen {
       "inv_date_sk" -> s"((id-1) #div# ${N_ITEMS * N_WH}) * 7 + 1",
       "inv_item_sk" -> s"((id-1) #div# $N_WH) % $N_ITEMS + 1",
       "inv_warehouse_sk" -> s"(id-1) % $N_WH + 1",
-      "inv_quantity_on_hand" -> "id*53 % 997"))
+      // product of three uniform hashes (heavy-tailed toward small
+      // counts, real stockout shape): the single uniform id*53%997
+      // capped sample cov at ~0.6, leaving the published q39a/b
+      // `stdev/mean > 1 / > 1.5` filters PROVABLY empty — and any
+      // mod-M stockout stripe is periodic in the 5000-id weekly
+      // stride, so two stockouts can never land in one month's
+      // 4-week window. 997 stays coprime to the stride (the r13
+      // stride-degeneracy guard)
+      "inv_quantity_on_hand" ->
+        "((id*53 % 997) * (id*31 % 997) #div# 997) * (id*41 % 997) #div# 997"))
 
   /** Internal store_sales frame: line id + ticket + every published
     * column — the shared expansion behind [[storeSales]],
@@ -451,7 +564,7 @@ object TpcdsGen {
     val base = ids.select(col(ids.columns.head).cast("bigint").as("id"))
       .withColumn("tk", expr(ticketExprSpark))
     base.select(col("id") +: col("tk") +:
-      SS_COLS.map { case (c, e) => expr(e).as(c) }: _*)
+      SS_COLS.map { case (c, e) => expr(e.replace("#div#", "div")).as(c) }: _*)
   }
 
   /** Expand store_sales from an arbitrary frame of line ids — the
@@ -468,7 +581,8 @@ object TpcdsGen {
   def storeReturnsFromIds(ids: DataFrame): DataFrame =
     ssBase(ids)
       .where(col("id") % 13 === 0)
-      .select(SR_COLS.map { case (c, e) => expr(e).as(c) }: _*)
+      .select(SR_COLS.map { case (c, e) =>
+        expr(e.replace("#div#", "div")).as(c) }: _*)
 
   /** Every 13th line returns part of its quantity, 1–60 days after
     * the sale, priced at its sales price. */
@@ -582,6 +696,14 @@ object TpcdsGen {
   private def ret13: String =
     s"($tk13*131 % $N_DATES + 1) + ((id*13) % 60 + 1)"
 
+  /** Store line 13·id's ITEM — mirrors the daily-deal first-line
+    * override in [[SS_COLS]], substituting 13·id for the line id, so
+    * the repurchase stripe keeps copying the exact store item. */
+  private def item13: String =
+    s"(CASE WHEN ((id*13)-1) % $BLOCK_LINES IN (${BASKET_CUM.init.mkString(",")}) " +
+      s"THEN (($tk13*131 % $N_DATES + 1)*7) % $N_ITEMS + 1 " +
+      s"ELSE (id*13)*137 % $N_ITEMS + 1 END)"
+
   /** catalog_sales closed forms over the dense order id (`id`) —
     * half store volume, its own key mixers (plus the repurchase
     * stripe above), so channel overlaps are non-trivial. */
@@ -590,14 +712,26 @@ object TpcdsGen {
     // stripe orders land 1–30 days after their return, wrapped into
     // the calendar domain (wrapped rows simply fail the chain's
     // date-order filters — a sliver of the 10% stripe)
+    // the registry stripe (id % 25 = 2, disjoint from the repurchase
+    // stripe's id % 10 = 0): these orders buy one of the four
+    // ('Women', 'maternity') items in a December. q54's Dec-1998
+    // maternity-buyer cohort is ~1.5 expected customers under
+    // independent mixers (4 items × a 24-day window); the stripe is
+    // the seasonal-gift correlation that makes it a real cohort. The
+    // stripe overrides the CUSTOMER too: the natural id*141 mixer,
+    // restricted to the stripe's Dec-1998 subsequence (step 250),
+    // strides into gcd(250·141, 2000) → only 8 distinct customers.
     "cs_sold_date_sk"       ->
       (s"CASE WHEN id % 10 = 0 THEN ($ret13 + id % 30) % $N_DATES + 1 " +
+        s"WHEN id % 25 = 2 THEN ((id #div# 25) % 5)*365 + 342 + (id*7 % 24) " +
         s"ELSE id*127 % $N_DATES + 1 END"),
     "cs_item_sk"            ->
-      (s"CASE WHEN id % 10 = 0 THEN (id*13)*137 % $N_ITEMS + 1 " +
+      (s"CASE WHEN id % 10 = 0 THEN $item13 " +
+        s"WHEN id % 25 = 2 THEN 119 + 250*((id #div# 25) % 4) " +
         s"ELSE id*133 % $N_ITEMS + 1 END"),
     "cs_customer_sk"        ->
       (s"CASE WHEN id % 10 = 0 THEN $tk13*139 % $N_CUSTS + 1 " +
+        s"WHEN id % 25 = 2 THEN (id #div# 25)*7 % $N_CUSTS + 1 " +
         s"ELSE id*141 % $N_CUSTS + 1 END"),
     "cs_quantity"           -> "id*5 % 100 + 1",
     "cs_sales_price_c"      -> "id*157 % 9900 + 100",
@@ -614,6 +748,7 @@ object TpcdsGen {
     // strictly after selling on every order
     "cs_ship_date_sk"       ->
       (s"(CASE WHEN id % 10 = 0 THEN ($ret13 + id % 30) % $N_DATES + 1 " +
+        s"WHEN id % 25 = 2 THEN ((id #div# 25) % 5)*365 + 342 + (id*7 % 24) " +
         s"ELSE id*127 % $N_DATES + 1 END) + id % 90 + 2"),
     "cs_ext_sales_price_c"  -> "(id*5 % 100 + 1) * (id*157 % 9900 + 100)",
     "cs_net_profit_c"       ->
@@ -635,14 +770,20 @@ object TpcdsGen {
     "cs_catalog_page_sk"    -> s"id*17 % $N_CP + 1")
 
   /** catalog_returns closed forms over the catalog_sales frame —
-    * every 17th order returns part of its quantity. */
+    * every 7th order returns part of its quantity (~14%, the dsdgen-like catalog return rate; r16 raised it from 1/17 so published q64's cs_ui item census covers the item domain). */
   private val CR_COLS: Seq[(String, String)] = Seq(
     "cr_order_number"       -> "cs_order_number",
-    "cr_item_sk"            -> "cs_item_sk",
+    "cr_item_sk"            ->
+      (s"CASE WHEN (cs_order_number #div# 7) % 4 = 1 " +
+        s"THEN (((cs_order_number #div# 7)*7 % 130)*17) % $N_ITEMS + 1 " +
+        "ELSE cs_item_sk END"),
     "cr_customer_sk"        -> "cs_customer_sk",
     "cr_return_quantity"    -> "cs_order_number*5 % cs_quantity + 1",
     "cr_return_amt_c"       -> "(cs_order_number*5 % cs_quantity + 1) * cs_sales_price_c",
-    "cr_returned_date_sk"   -> "cs_sold_date_sk + cs_order_number % 60 + 1",
+    "cr_returned_date_sk"   ->
+      (s"CASE WHEN (cs_order_number #div# 7) % 4 = 1 " +
+        s"THEN ((cs_order_number #div# 7)*7 % 130)*14 + 4 " +
+        "ELSE cs_sold_date_sk + cs_order_number % 60 + 1 END"),
     "cr_returning_customer_sk" -> s"cs_order_number*91 % $N_CUSTS + 1",
     "cr_returning_addr_sk"  -> s"cs_order_number*37 % $N_ADDR + 1",
     "cr_call_center_sk"     -> "cs_call_center_sk",
@@ -650,6 +791,8 @@ object TpcdsGen {
     "cr_reason_sk"          -> s"cs_order_number*7 % $N_REASONS + 1",
     "cr_net_loss_c"         -> "cs_order_number*59 % 3000 + 10",
     "cr_refunded_cash_c"    -> "cs_order_number*29 % 2000",
+    "cr_reversed_charge_c"  -> "cs_order_number*43 % 2000",
+    "cr_store_credit_c"     -> "cs_order_number*47 % 1500",
     "cr_return_amt_inc_tax_c" ->
       "(cs_order_number*5 % cs_quantity + 1) * cs_sales_price_c + cs_order_number % 97")
 
@@ -697,12 +840,18 @@ object TpcdsGen {
     * order returns part of its quantity. */
   private val WR_COLS: Seq[(String, String)] = Seq(
     "wr_order_number"       -> "ws_order_number",
-    "wr_item_sk"            -> "ws_item_sk",
+    "wr_item_sk"            ->
+      (s"CASE WHEN (ws_order_number #div# 11) % 4 = 1 " +
+        s"THEN (((ws_order_number #div# 11)*7 % 130)*17) % $N_ITEMS + 1 " +
+        "ELSE ws_item_sk END"),
     "wr_refunded_customer_sk" -> "ws_bill_customer_sk",
     "wr_reason_sk"          -> s"ws_order_number*7 % $N_REASONS + 1",
     "wr_return_quantity"    -> "ws_order_number*3 % ws_quantity + 1",
     "wr_return_amt_c"       -> "(ws_order_number*3 % ws_quantity + 1) * ws_sales_price_c",
-    "wr_returned_date_sk"   -> "ws_sold_date_sk + ws_order_number % 45 + 1",
+    "wr_returned_date_sk"   ->
+      (s"CASE WHEN (ws_order_number #div# 11) % 4 = 1 " +
+        s"THEN ((ws_order_number #div# 11)*7 % 130)*14 + 4 " +
+        "ELSE ws_sold_date_sk + ws_order_number % 45 + 1 END"),
     "wr_returning_customer_sk" -> s"ws_order_number*47 % $N_CUSTS + 1",
     "wr_refunded_addr_sk"   -> s"ws_order_number*51 % $N_ADDR + 1",
     "wr_returning_addr_sk"  -> s"ws_order_number*43 % $N_ADDR + 1",
@@ -720,17 +869,20 @@ object TpcdsGen {
 
   private[operators] def genCatalogReturns(s: SparkSession, n: Long): DataFrame =
     genCatalogSales(s, n)
-      .where(col("cs_order_number") % 17 === 0)
-      .select(CR_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
+      .where(col("cs_order_number") % 7 === 0)
+      .select(CR_COLS.map { case (c0, e) =>
+        expr(e.replace("#div#", "div")).as(c0) }: _*)
 
   def genWebSales(s: SparkSession, n: Long): DataFrame =
     s.range(1, n / 4 + 1).toDF("id")
-      .select(WS_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
+      .select(WS_COLS.map { case (c0, e) =>
+        expr(e.replace("#div#", "div")).as(c0) }: _*)
 
   private[operators] def genWebReturns(s: SparkSession, n: Long): DataFrame =
     genWebSales(s, n)
       .where(col("ws_order_number") % 11 === 0)
-      .select(WR_COLS.map { case (c0, e) => expr(e).as(c0) }: _*)
+      .select(WR_COLS.map { case (c0, e) =>
+        expr(e.replace("#div#", "div")).as(c0) }: _*)
 
   /** The shared DuckDB CTE prefix — every query's oracle SQL starts
     * with this. Since r15 it reads the checksum-gated parquet star
@@ -766,7 +918,7 @@ object TpcdsGen {
       s"store_returns AS (\n  SELECT\n${factColsSql(SR_COLS)}\n  FROM ss_full WHERE id % 13 = 0)") ++
       DIM_DEFS.map(dimCte) ++ Seq(
       s"catalog_sales AS (\n  SELECT\n${factColsSql(CS_COLS)}\n  FROM (SELECT unnest(range(1, (SELECT count(*)//2+1 FROM lineitem)::BIGINT)) AS id))",
-      s"catalog_returns AS (\n  SELECT\n${factColsSql(CR_COLS)}\n  FROM catalog_sales WHERE cs_order_number % 17 = 0)",
+      s"catalog_returns AS (\n  SELECT\n${factColsSql(CR_COLS)}\n  FROM catalog_sales WHERE cs_order_number % 7 = 0)",
       s"web_sales AS (\n  SELECT\n${factColsSql(WS_COLS)}\n  FROM (SELECT unnest(range(1, (SELECT count(*)//4+1 FROM lineitem)::BIGINT)) AS id))",
       s"web_returns AS (\n  SELECT\n${factColsSql(WR_COLS)}\n  FROM web_sales WHERE ws_order_number % 11 = 0)")
     "WITH " + parts.mkString(",\n") + "\n"

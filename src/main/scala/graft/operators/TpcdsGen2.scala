@@ -1351,8 +1351,8 @@ object TpcdsGen2 {
     * census aggregates the 1000-row item dim and semi-filters it.
     */
   def q41(s: SparkSession, dir: String): DataFrame = {
-    val it = G.item(s).where(col("i_category_id").isin(1L, 2L) &&
-      col("i_current_price_c") <= 2500)
+    val it = G.item(s).where(col("i_category_id").isin(1L, 2L, 3L, 4L) &&
+      col("i_current_price_c") <= 5000)
     val deep = it.groupBy(col("i_manufact_id").as("m_id"))
       .agg(count(lit(1)).as("n_items"))
       .where(col("n_items") >= 3)
@@ -2177,10 +2177,10 @@ object TpcdsGen2 {
     "q_tpcdsgen_q41" -> (G.oracleGenSql +
       """SELECT i_item_sk, i_manufact_id
         |FROM item
-        |WHERE i_category_id IN (1, 2) AND i_current_price_c <= 2500
+        |WHERE i_category_id IN (1, 2, 3, 4) AND i_current_price_c <= 5000
         |  AND i_manufact_id IN (
         |    SELECT i_manufact_id FROM item
-        |    WHERE i_category_id IN (1, 2) AND i_current_price_c <= 2500
+        |    WHERE i_category_id IN (1, 2, 3, 4) AND i_current_price_c <= 5000
         |    GROUP BY 1 HAVING count(*) >= 3)""".stripMargin),
     "q_tpcdsgen_q72" -> (G.oracleGenSql +
       """SELECT cs_item_sk, w_warehouse_name,

@@ -208,7 +208,8 @@ object TpcdsGen3 {
       .select(col("cs_customer_sk").as("k")).distinct()
     G.customer(s)
       .join(broadcast(G.customerAddress(s).where(col("ca_county").isin(
-        "County3", "County7", "County11", "County15", "County19"))),
+        "Rush County", "Toole County", "Jefferson County",
+        "Dona Ana County", "La Porte County"))),
         col("c_current_addr_sk") === col("ca_address_sk"))
       .join(broadcast(ssCust), col("c_customer_sk") === col("k"), "left_semi")
       .join(broadcast(wsCust.union(csCust).distinct()),
@@ -727,7 +728,8 @@ object TpcdsGen3 {
         |FROM customer
         |JOIN customer_address ON c_current_addr_sk = ca_address_sk
         |JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
-        |WHERE ca_county IN ('County3', 'County7', 'County11', 'County15', 'County19')
+        |WHERE ca_county IN ('Rush County', 'Toole County', 'Jefferson County',
+        |    'Dona Ana County', 'La Porte County')
         |  AND c_customer_sk IN (SELECT k FROM ssc)
         |  AND c_customer_sk IN (SELECT k FROM wcc)
         |GROUP BY 1, 2, 3""".stripMargin),

@@ -155,7 +155,19 @@ object TpcdsStar {
     // (Re)generate into a tmp sibling, then atomic-rename into place —
     // a concurrent JVM either wins the rename (we validate its result)
     // or sees ours complete; no reader ever observes a partial star.
-    if (Files.exists(Paths.get(dir))) deleteRecursively(Paths.get(dir))
+    // A stale failed-gate directory is renamed ASIDE first, not deleted
+    // in place (the r16 advisory: an in-place delete could remove
+    // parquet files a concurrently running JVM is mid-scan on; the
+    // aside rename keeps those file handles valid while freeing the
+    // target name), and the aside copy is only then torn down.
+    if (Files.exists(Paths.get(dir))) {
+      val aside = Paths.get(
+        dir + ".stale-" + ProcessHandle.current().pid() + "-" + System.nanoTime())
+      try {
+        Files.move(Paths.get(dir), aside, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(aside)
+      } catch { case _: java.io.IOException => () } // a peer moved/rebuilt it
+    }
     val tmp = Paths.get(
       dir + ".tmp-" + ProcessHandle.current().pid() + "-" + System.nanoTime())
     val lines = tables.map { case (name, build) =>
@@ -166,9 +178,16 @@ object TpcdsStar {
       s"$name $c $h"
     }
     Files.writeString(tmp.resolve("_GRAFT_OK"), lines.mkString("", "\n", "\n"))
+    // Losing the publish race surfaces differently by platform/timing:
+    // FileAlreadyExistsException from the move, DirectoryNotEmptyException
+    // when rename(2) lands on a re-created non-empty directory (ENOTEMPTY),
+    // or AccessDeniedException from a peer's in-flight move — in every
+    // case the winner's gate is validated instead of failing the JVM.
     try Files.move(tmp, Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.AccessDeniedException =>
         deleteRecursively(tmp) // another JVM won the race; trust its gate
         require(Files.exists(marker) && marksVerify(s, dir, marker),
           s"concurrent TPC-DS star at $dir failed its checksum gate")

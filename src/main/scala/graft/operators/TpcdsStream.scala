@@ -123,6 +123,9 @@ object TpcdsStream {
       .select(col("ss_customer_sk").as("cust"),
         (col("ss_quantity") * col("ss_sales_price_c")).as("delta"))
     val rets = TpcdsGen.storeReturnsFromIds(returnIds)
+      // recall returns carry negative ticket numbers and never match
+      // the batch query's (ticket, item) join — mirror that here
+      .where(col("sr_ticket_number") > 0)
       .select(col("sr_customer_sk").as("cust"),
         (-col("sr_return_amt_c")).as("delta"))
     sales.union(rets).groupBy(col("cust")).agg(sum(col("delta")).as("delta"))

@@ -26,8 +26,10 @@ class TpcdsGenSpec extends SparkSpec {
     out.toString
   }
 
-  test("store_returns is a subset of store_sales on (ticket, item) with qty <= sold") {
-    val viol = G.storeReturns(spark, n)
+  test("TICKETED store_returns are a subset of store_sales on (ticket, item) " +
+      "with qty <= sold; recall returns carry negative tickets and never join") {
+    val sr = G.storeReturns(spark, n)
+    val viol = sr.where(col("sr_ticket_number") > 0)
       .join(G.storeSales(spark, n),
         col("sr_ticket_number") === col("ss_ticket_number") &&
           col("sr_item_sk") === col("ss_item_sk"), "left")
@@ -35,6 +37,8 @@ class TpcdsGenSpec extends SparkSpec {
         col("sr_return_quantity") > col("ss_quantity"))
       .count()
     assert(viol === 0)
+    // the r16 recall stripe exists and is unambiguously ticket-less
+    assert(sr.where(col("sr_ticket_number") < 0).count() > 0)
   }
 
   test("the Spark array-lookup ticket form equals the CASE form (the DuckDB " +
@@ -60,9 +64,25 @@ class TpcdsGenSpec extends SparkSpec {
     val present = sizes.select(col("sz")).distinct().collect().map(_.getLong(0)).toSet
     assert(Set(16L, 20L).subsetOf(present), s"q34 band sizes missing from $present")
     assert(present.intersect(Set(1L, 2L, 3L, 4L, 5L)).nonEmpty)
-    // (ticket, item) unique — the q93/q24/q64 join key contract
-    assert(ss.select(col("ss_ticket_number"), col("ss_item_sk")).distinct().count()
-      === ss.count())
+    // (ticket, item) multiplicity — the q93/q24/q64 join key contract.
+    // The r16 daily-deal stripe features ONE line per ticket (the
+    // first), so a ticket can hold at most one incidental duplicate
+    // (another line whose natural item coincides with the day's
+    // feature); a RETURN on a duplicated pair would make the batch
+    // (ticket, item) join double-count against the streaming twin, so
+    // the guard pins that set empty at the battery volume.
+    val pairs = G.storeSales(spark, 60000L)
+      .groupBy(col("ss_ticket_number"), col("ss_item_sk"))
+      .agg(count(lit(1)).as("m"))
+    assert(pairs.where(col("m") > 2).count() === 0)
+    val dupes = pairs.where(col("m") > 1)
+      .select(col("ss_ticket_number"), col("ss_item_sk"))
+    val dupedReturns = G.storeReturns(spark, 60000L)
+      .join(dupes, col("sr_ticket_number") === col("ss_ticket_number") &&
+        col("sr_item_sk") === col("ss_item_sk"))
+      .count()
+    assert(dupedReturns === 0,
+      "a duplicated (ticket, item) pair must never carry a return")
     // ticket-level attributes never vary within a ticket
     val varying = ss.groupBy(col("ss_ticket_number"))
       .agg(countDistinct(col("ss_customer_sk")).as("nc"),
