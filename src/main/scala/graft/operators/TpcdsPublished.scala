@@ -69,14 +69,15 @@ object TpcdsPublished {
 
   /** Query-file keys runnable on both engines at these domains — the
     * curated include list (multi-part queries keep their a/b file
-    * split). Excluded and why, per COVERAGE.md: q58/q72 (DuckDB
-    * rejects the published text's ambiguous column references), q64
-    * (DuckDB rejects its correlated aggregate as a lateral),
-    * q39a/q39b (the published text emits TWO unaliased `cov` columns —
-    * the by-name compare requires unique names), q90 (the am/pm ratio
-    * divides by an empty denominator at these domains — ANSI Spark
-    * raises where DuckDB does not). The adapted `q_tpcdsgen_*` twins
-    * keep all five under the gate. */
+    * split), 100 of 103 files since r16 (q39a/b joined via the
+    * positional duplicate-name dedup, q64 via the four added schema
+    * columns). Still excluded, per COVERAGE.md's infeasibility notes:
+    * q58/q72 (DuckDB rejects the published texts' ambiguous column
+    * references that Spark resolves by first binding — an oracle-side
+    * fix would be a structural edit) and q90 (ANSI Spark raises
+    * DIVIDE_BY_ZERO on the empty pm denominator where DuckDB yields
+    * NULL). The adapted `q_tpcdsgen_*` twins keep all three under the
+    * gate. */
   val INCLUDED: Seq[String] = Seq(
     "1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11", "12", "13",
     "14a", "14b", "15", "16", "17", "18", "19", "20", "21", "22", "23a",

@@ -484,6 +484,53 @@ object ScaleProbe {
         w.flush()
         println(f"PROBE64 $q%-20s x64=$t64%.2f r64/16=${t64 / t16}%.1f")
       }
+      // r16: the star WRITE path — the one-time materialization
+      // (map-only closed-form generation + parquet write + checksum)
+      // and the checksum-gate RE-READ every later JVM pays. Both are
+      // timed at x1/x16/x64 fact volumes so the materialization's own
+      // scaling is pinned like every query's: the write is a zero-
+      // shuffle projection over spark.range (must scale with rows),
+      // the gate re-read is one count+xxhash64 pass per table.
+      w.println()
+      w.println("## TPC-DS star write path (round 16)")
+      w.println()
+      w.println("ensure = clean-build materialization of all six facts (generate +")
+      w.println("write + checksum + atomic publish); regate = the checksum re-read a")
+      w.println("fresh JVM pays against an already-published star. Both map-only /")
+      w.println("single-pass — near-linear t64/t16 x4-step ratios are the expectation.")
+      w.println()
+      w.println("| volume | |store_sales| | ensure | regate |")
+      w.println("|---|---|---|---|")
+      import graft.operators.{TpcdsGen, TpcdsStar}
+      def nukeStar(n: Long): Unit = {
+        val p = java.nio.file.Paths.get(TpcdsStar.factsDir(n))
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      val starRows = Seq(1, 16, 64).map { m =>
+        val sess = spark.newSession()
+        val n = Tables.load(sess, dirs.getOrElse(m, s"/tmp/graft_scale/x$m"), "lineitem").count()
+        nukeStar(n)
+        TpcdsStar.forgetValidation()
+        val t0 = System.nanoTime()
+        TpcdsStar.ensureFacts(sess, n)
+        val ensure = (System.nanoTime() - t0) / 1e9
+        TpcdsStar.forgetValidation()
+        val t1 = System.nanoTime()
+        TpcdsStar.ensureFacts(sess, n)
+        val regate = (System.nanoTime() - t1) / 1e9
+        w.println(f"| x$m | $n%,d | $ensure%.2f s | $regate%.2f s |")
+        w.flush()
+        println(f"PROBESTAR x$m n=$n ensure=$ensure%.2f regate=$regate%.2f")
+        (m, ensure, regate)
+      }
+      val (_, e16, g16) = starRows(1)
+      val (_, e64, g64) = starRows(2)
+      w.println()
+      w.println(f"t64/t16: ensure ${e64 / e16}%.1f, regate ${g64 / g16}%.1f " +
+        "(a 4x volume step; at or below ~4 = linear).")
     } finally w.close()
     println(s"wrote $out")
     spark.stop()
