@@ -115,22 +115,25 @@ object TpcdsPublished {
   def publishedText(key: String): String = {
     var t = resourceText(key).replaceAll("--[^\n]*", "").trim
       .stripSuffix(";").trim
-    // guard BEFORE rewriting (the r16 advisory): the comment strip,
-    // word-bounded renames, interval rewrite and the nullsFirst
-    // paren-depth scanner are not quote-aware — they are safe for
-    // every current resource (verified: no literal contains '--',
-    // parens, 'order by', or a rename key), and this require keeps a
-    // future added/edited file from being silently corrupted into a
-    // runnable-but-divergent query.
+    guardLiterals(key, t)
+    RENAMES.foreach { case (k, v) => t = t.replaceAll(s"\\b$k\\b", v) }
+    t.replaceAll("([+-])\\s*(\\d+)\\s+days\\b", "$1 INTERVAL $2 DAYS")
+  }
+
+  /** Guard BEFORE rewriting (the r16 advisory): the comment strip,
+    * word-bounded renames, interval rewrite and the nullsFirst
+    * paren-depth scanner are not quote-aware — they are safe for
+    * every current resource (verified: no literal contains '--',
+    * parens, 'order by', or a rename key), and this require keeps a
+    * future added/edited file from being silently corrupted into a
+    * runnable-but-divergent query. */
+  private[graft] def guardLiterals(key: String, t: String): Unit =
     "'[^']*'".r.findAllIn(t).foreach { lit =>
       require(!lit.contains("--") && !lit.contains("(") && !lit.contains(")") &&
         !"(?i)order by".r.findFirstIn(lit).isDefined &&
         !RENAMES.exists { case (k, _) => s"\\b$k\\b".r.findFirstIn(lit).isDefined },
         s"query$key: quoted literal $lit would be corrupted by the mechanical rewrites")
     }
-    RENAMES.foreach { case (k, v) => t = t.replaceAll(s"\\b$k\\b", v) }
-    t.replaceAll("([+-])\\s*(\\d+)\\s+days\\b", "$1 INTERVAL $2 DAYS")
-  }
 
   private val bareCustomer = "\\bcustomer\\b".r
 

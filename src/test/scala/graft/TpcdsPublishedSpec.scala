@@ -57,4 +57,47 @@ class TpcdsPublishedSpec extends SparkSpec {
       assert(t.nonEmpty && !t.contains("`customer`"), k)
     }
   }
+
+  test("dedupNames renames repeated output columns positionally the way " +
+      "DuckDB's pandas layer does (cov, cov_1, ...) and leaves unique " +
+      "frames untouched") {
+    val df = spark.sql("select 1 as cov, 2 as cov, 3 as mean, 4 as cov")
+    assert(TpcdsPublished.dedupNames(df).columns.toSeq ===
+      Seq("cov", "cov_1", "mean", "cov_2"))
+    val unique = spark.sql("select 1 as a, 2 as b")
+    assert(TpcdsPublished.dedupNames(unique) eq unique)
+  }
+
+  test("truncIntCasts wraps only int casts, balanced through nesting, " +
+      "leaving other casts alone — DuckDB rounds cast(double as int) " +
+      "where Spark truncates") {
+    assert(TpcdsPublished.truncIntCasts("cast((revenue/50) as int) as segment")
+      === "cast(trunc((revenue/50)) as int) as segment")
+    // nested parens inside the cast body survive the depth scan
+    assert(TpcdsPublished.truncIntCasts("cast(((a+b)/(c-d)) as integer)")
+      === "cast(trunc(((a+b)/(c-d))) as int)")
+    // non-int casts and bare words untouched
+    val s = "cast(x as decimal(7, 2)) + broadcast(y)"
+    assert(TpcdsPublished.truncIntCasts(s) === s)
+  }
+
+  test("the quoted-literal guard rejects texts whose literals would be " +
+      "corrupted by the mechanical rewrites, and passes clean ones") {
+    TpcdsPublished.guardLiterals("ok", "select 'TN', 'Williamson County' from t")
+    for (bad <- Seq(
+      "select * from t where c = 'ss_net_paid'",      // rename key
+      "select * from t where c = 'a -- b'",           // comment marker
+      "select * from t where c = 'f(x)'",             // paren
+      "select * from t where c = 'no ORDER BY here'")) // scanner keyword
+      assertThrows[IllegalArgumentException](
+        TpcdsPublished.guardLiterals("bad", bad))
+  }
+
+  test("PINNED_EMPTY names exactly the two analyzed rows and every pinned " +
+      "key is an included battery row") {
+    assert(TpcdsPublished.PINNED_EMPTY ===
+      Set("q_tpcdsgen_q64_published", "q_tpcdsgen_q85_published"))
+    val keys = TpcdsPublished.queries.keySet
+    TpcdsPublished.PINNED_EMPTY.foreach(k => assert(keys.contains(k), k))
+  }
 }
