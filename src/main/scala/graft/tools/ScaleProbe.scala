@@ -499,7 +499,7 @@ object ScaleProbe {
       w.println("fresh JVM pays against an already-published star. Both map-only /")
       w.println("single-pass — near-linear t64/t16 x4-step ratios are the expectation.")
       w.println()
-      w.println("| volume | |store_sales| | ensure | regate |")
+      w.println("| volume | store_sales rows | ensure | regate |")
       w.println("|---|---|---|---|")
       import graft.operators.{TpcdsGen, TpcdsStar}
       def nukeStar(n: Long): Unit = {
