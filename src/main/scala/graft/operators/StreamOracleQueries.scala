@@ -298,6 +298,48 @@ object StreamOracleQueries {
     buf.filter { case (p, v) => p >= 0 && v >= 0 }.toSeq.toDF("pid", "vid")
   }
 
+  /** The keyed streaming funnel run to completion: events feed the
+    * O(1)-per-key running-min state machine ts-sorted (the documented
+    * arrival contract for the first-touch anchor); a replay-guarded
+    * driver map keeps each user's deepest emitted stage, and the final
+    * histogram over ALL fed users (never-emitting users are depth 0,
+    * exactly the batch per_user rows with no qualifying step) equals
+    * the batch three-layer window funnel. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.StatefulOps
+    val ev = Tables.load(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS tsus", "event_id", "event_type")
+      .orderBy("tsus", "event_id")
+      .collect() // bounded: |events| at battery sf; the MemoryStream harness feed
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val users = ev.map(_._1).distinct
+    val stages = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val feed = ev.flatMap { case (u, ts, t) =>
+      stages.get(t).map(StatefulOps.FunnelEvent(u, ts, _))
+    }
+    val depth = scala.collection.mutable.Map.empty[Long, Int]
+    var seenBatch = -1L
+    val input = MemoryStream[StatefulOps.FunnelEvent](streamIds.getAndIncrement(), s, None)
+    val out = StatefulOps.funnelStream(input.toDS(), 86400000000L)
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[StatefulOps.FunnelEmit], id: Long) =>
+        if (id > seenBatch) { // at-least-once replay guard
+          seenBatch = id
+          df.collect().foreach(e =>
+            depth(e.userId) = math.max(depth.getOrElse(e.userId, 0), e.depth))
+        }
+        ()
+      }.start()
+    try feed.grouped(math.max(1, feed.length / 3)).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    users.map(u => depth.getOrElse(u, 0))
+      .groupBy(identity).toSeq
+      .map { case (d, us) => (d, us.length.toLong) }
+      .toDF("depth", "users")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_q3" -> (streamQ3 _),
     "q_stream_q93" -> (streamQ93 _),
@@ -305,7 +347,8 @@ object StreamOracleQueries {
     "q_stream_cep" -> (streamCep _),
     "q_stream_topn" -> (streamTopN _),
     "q_stream_asof" -> (streamAsOf _),
-    "q_stream_interval" -> (streamIntervalJoin _))
+    "q_stream_interval" -> (streamIntervalJoin _),
+    "q_stream_funnel" -> (streamFunnel _))
 
   /** Each streaming row is oracled by ITS BATCH TWIN's SQL — the
     * stream==batch property the specs pin becomes a hash-checked
@@ -317,5 +360,6 @@ object StreamOracleQueries {
     "q_stream_cep" -> graft.cep.CepOps.oracle("q_cep_quantified"),
     "q_stream_topn" -> WindowQueries.oracle("q_topn"),
     "q_stream_asof" -> TvfQueries.oracle("q_asof_join"),
-    "q_stream_interval" -> TvfQueries.oracle("q_interval_join"))
+    "q_stream_interval" -> TvfQueries.oracle("q_interval_join"),
+    "q_stream_funnel" -> EventAnalytics.oracle("q_funnel"))
 }
