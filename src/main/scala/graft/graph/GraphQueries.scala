@@ -204,10 +204,14 @@ object GraphQueries {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
+    // (ok, a, b) is already unique here — `li` is distinct on (ok, sk)
+    // and the a<b self-join emits each order's supplier pair once — so
+    // no dedup pass: the old `.distinct()` was a full extra exchange
+    // of the pair stream for nothing (guide §2.4's "distinct on data
+    // that is already unique").
     li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
       .select(col("x.ok").as("ok"), col("x.sk").as("a"), col("y.sk").as("b"))
-      .distinct()
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("a"), col("b"))

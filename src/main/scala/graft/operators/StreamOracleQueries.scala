@@ -28,6 +28,32 @@ object StreamOracleQueries {
 
   private val streamIds = new java.util.concurrent.atomic.AtomicInteger(7100)
 
+  /** Run `body` (a whole stream-to-completion harness) with the
+    * session's shuffle parallelism sized to the BOUNDED feed instead
+    * of the session default. Stateful micro-batch operators pay a
+    * fixed per-batch floor of (shuffle partitions × stateful ops)
+    * state-store tasks + delta files + commits, and these harness
+    * feeds are |events|-bounded — at the battery's 32 session
+    * partitions that floor costs ~10× the actual fold work per batch
+    * (measured r16: q_stream_interval 7.4 s → the state tasks, not
+    * the join). One partition per ~64k fed rows keeps every batch's
+    * state tasks busy; at production (Kafka) scale rows/64k exceeds
+    * any session default and this clamp is a no-op, so the setting
+    * stays scale-adaptive, not local-tuned. Override with
+    * spark.graft.stream.statePartitions. Restored in finally — the
+    * session is shared with whatever query runs next (Verify runs the
+    * whole battery on one session).
+    */
+  private def withFeedSizedState[T](s: SparkSession, nRows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    val parts = s.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.max(1L, math.min(old.toLong, nRows / 65536L + 1L)).toInt)
+    s.conf.set(key, parts.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** q3 star aggregate streamed over three uneven, out-of-order
     * micro-batches of line ids; the replay-guarded StarStore folds
     * dim-bounded partials and its readout IS the query result. */
@@ -35,17 +61,19 @@ object StreamOracleQueries {
     import s.implicits._
     val n = TpcdsGen.nSales(s, dir)
     val store = new TpcdsStream.StarStore
-    val input = MemoryStream[Long](streamIds.getAndIncrement(), s, None)
-    val q = input.toDS().writeStream.outputMode("append")
-      .foreachBatch { (df: Dataset[Long], id: Long) =>
-        store.fold(TpcdsStream.collectPartial(TpcdsStream.q3Partial(df.toDF())), id)
-        ()
-      }.start()
-    try {
-      val third = n / 3
-      Seq(2 * third + 1 to n, 1L to third, third + 1 to 2 * third)
-        .foreach { b => input.addData(b); q.processAllAvailable() }
-    } finally q.stop()
+    withFeedSizedState(s, n) {
+      val input = MemoryStream[Long](streamIds.getAndIncrement(), s, None)
+      val q = input.toDS().writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[Long], id: Long) =>
+          store.fold(TpcdsStream.collectPartial(TpcdsStream.q3Partial(df.toDF())), id)
+          ()
+        }.start()
+      try {
+        val third = n / 3
+        Seq(2 * third + 1 to n, 1L to third, third + 1 to 2 * third)
+          .foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
     store.toRows.toDF("d_year", "i_brand_id", "i_brand", "sum_agg")
   }
 
@@ -57,22 +85,24 @@ object StreamOracleQueries {
     import s.implicits._
     val n = TpcdsGen.nSales(s, dir)
     val store = new TpcdsStream.NetSpendStore
-    val input = MemoryStream[(Long, Boolean)](streamIds.getAndIncrement(), s, None)
-    val q = input.toDS().writeStream.outputMode("append")
-      .foreachBatch { (df: Dataset[(Long, Boolean)], id: Long) =>
-        val sales = df.filter(!_._2).map(_._1).toDF("id")
-        val rets = df.filter(_._2).map(_._1).toDF("id")
-        store.fold(TpcdsStream.collectDeltas(TpcdsStream.q93Partial(sales, rets)), id)
-        ()
-      }.start()
-    try {
-      val half = n / 2
-      val b1 = (1L to half).map((_, false))
-      val b2 = (half + 1 to n).map((_, false)) ++
-        (1L to half).filter(_ % 13 == 0).map((_, true))
-      val b3 = (half + 1 to n).filter(_ % 13 == 0).map((_, true))
-      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
-    } finally q.stop()
+    withFeedSizedState(s, n) {
+      val input = MemoryStream[(Long, Boolean)](streamIds.getAndIncrement(), s, None)
+      val q = input.toDS().writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[(Long, Boolean)], id: Long) =>
+          val sales = df.filter(!_._2).map(_._1).toDF("id")
+          val rets = df.filter(_._2).map(_._1).toDF("id")
+          store.fold(TpcdsStream.collectDeltas(TpcdsStream.q93Partial(sales, rets)), id)
+          ()
+        }.start()
+      try {
+        val half = n / 2
+        val b1 = (1L to half).map((_, false))
+        val b2 = (half + 1 to n).map((_, false)) ++
+          (1L to half).filter(_ % 13 == 0).map((_, true))
+        val b3 = (half + 1 to n).filter(_ % 13 == 0).map((_, true))
+        Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
     store.toRows.toDF("ss_customer_sk", "sumsales")
   }
 
@@ -99,18 +129,20 @@ object StreamOracleQueries {
       Seq(sentinel(86400000L, -1L), sentinel(86400001L, -2L))
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[graft.streaming.SessionizeStream.SessionRow]
-    val input =
-      MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
-    val out = graft.streaming.SessionizeStream.sessionize(
-      input.toDF().toDF("user_id", "ts", "event_id"),
-      gapMinutes = 30, lateness = "10 minutes")
-    val q = out.writeStream.outputMode("append")
-      .foreachBatch {
-        (df: Dataset[graft.streaming.SessionizeStream.SessionRow], _: Long) =>
-          buf ++= df.collect(); ()
-      }.start()
-    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    withFeedSizedState(s, ev.length.toLong) {
+      val input =
+        MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
+      val out = graft.streaming.SessionizeStream.sessionize(
+        input.toDF().toDF("user_id", "ts", "event_id"),
+        gapMinutes = 30, lateness = "10 minutes")
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch {
+          (df: Dataset[graft.streaming.SessionizeStream.SessionRow], _: Long) =>
+            buf ++= df.collect(); ()
+        }.start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
     buf.filter(_.user_id >= 0).toSeq
       .toDF("user_id", "session_seq", "n_events", "duration_sec")
   }
@@ -147,25 +179,27 @@ object StreamOracleQueries {
     val pat = Nfa.Cat[Ev](List(
       Nfa.Rep(Nfa.Sym[Ev]("V", _.event_type == "view"), 1, Int.MaxValue),
       Nfa.Sym[Ev]("P", _.event_type == "purchase")))
-    val input = MemoryStream[Ev](streamIds.getAndIncrement(), s, None)
-    val withWm = input.toDF()
-      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
-      .withWatermark("eventTime", "10 seconds")
-      .as[Ev]
-    val out = CepOps.matchPatternStream(withWm,
-      (e: Ev) => e.user_id, (e: Ev) => (e.tsMicros, e.event_id),
-      (e: Ev) => e.tsMicros / 1000L, pat) { (k: Long, m: Nfa.PatMatch[Ev]) =>
-      val vs = m.caps("V")
-      CepOps.ViewRunMatch(k, vs.length.toLong, vs.head.event_id,
-        m.caps("P").head.event_id)
-    }
     val buf = scala.collection.mutable.ArrayBuffer.empty[CepOps.ViewRunMatch]
-    val q = out.writeStream.outputMode("append")
-      .foreachBatch { (df: Dataset[CepOps.ViewRunMatch], _: Long) =>
-        buf ++= df.collect(); ()
-      }.start()
-    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    withFeedSizedState(s, ev.length.toLong) {
+      val input = MemoryStream[Ev](streamIds.getAndIncrement(), s, None)
+      val withWm = input.toDF()
+        .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+        .withWatermark("eventTime", "10 seconds")
+        .as[Ev]
+      val out = CepOps.matchPatternStream(withWm,
+        (e: Ev) => e.user_id, (e: Ev) => (e.tsMicros, e.event_id),
+        (e: Ev) => e.tsMicros / 1000L, pat) { (k: Long, m: Nfa.PatMatch[Ev]) =>
+        val vs = m.caps("V")
+        CepOps.ViewRunMatch(k, vs.length.toLong, vs.head.event_id,
+          m.caps("P").head.event_id)
+      }
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[CepOps.ViewRunMatch], _: Long) =>
+          buf ++= df.collect(); ()
+        }.start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
     buf.filter(_.user_id >= 0).toSeq
       .toDF("user_id", "n_views", "first_view", "purchase_id")
   }
@@ -185,20 +219,22 @@ object StreamOracleQueries {
       .map(r => StatefulOps.ScoredEvent(r.getLong(0), r.getDouble(1), r.getLong(2)))
     val store = scala.collection.mutable.Map.empty[Long, Seq[StatefulOps.TopNEmit]]
     var seenBatch = -1L
-    val input = MemoryStream[StatefulOps.ScoredEvent](streamIds.getAndIncrement(), s, None)
-    val out = StatefulOps.topNPerKey(input.toDS(), 3)
-    val q = out.writeStream.outputMode("append")
-      .foreachBatch { (df: Dataset[StatefulOps.TopNEmit], id: Long) =>
-        if (id > seenBatch) { // at-least-once replay guard
-          seenBatch = id
-          df.collect().groupBy(_.key)
-            .foreach { case (k, es) => store(k) = es.sortBy(_.rank).toSeq }
-        }
-        ()
-      }.start()
-    try rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
-      input.addData(b.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    withFeedSizedState(s, rows.length.toLong) {
+      val input = MemoryStream[StatefulOps.ScoredEvent](streamIds.getAndIncrement(), s, None)
+      val out = StatefulOps.topNPerKey(input.toDS(), 3)
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[StatefulOps.TopNEmit], id: Long) =>
+          if (id > seenBatch) { // at-least-once replay guard
+            seenBatch = id
+            df.collect().groupBy(_.key)
+              .foreach { case (k, es) => store(k) = es.sortBy(_.rank).toSeq }
+          }
+          ()
+        }.start()
+      try rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
     store.valuesIterator.flatten.toSeq
       .map(e => (e.key, e.id, e.score, e.rank))
       .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
@@ -229,17 +265,19 @@ object StreamOracleQueries {
     val batches = ev.grouped(math.max(1, ev.length / 3)).map(_.toSeq).toSeq ++
       Seq(sentinel(86400000000L, -1L), sentinel(86400001000L, -2L))
     val buf = scala.collection.mutable.ArrayBuffer.empty[StatefulOps.AsOfMatch]
-    val input = MemoryStream[StatefulOps.AsOfEvent](streamIds.getAndIncrement(), s, None)
-    val withWm = input.toDF()
-      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
-      .withWatermark("eventTime", "0 seconds")
-      .as[StatefulOps.AsOfEvent]
-    val q = StatefulOps.asOfJoin(withWm).writeStream.outputMode("append")
-      .foreachBatch { (df: Dataset[StatefulOps.AsOfMatch], _: Long) =>
-        buf ++= df.collect(); ()
-      }.start()
-    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    withFeedSizedState(s, ev.length.toLong) {
+      val input = MemoryStream[StatefulOps.AsOfEvent](streamIds.getAndIncrement(), s, None)
+      val withWm = input.toDF()
+        .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+        .withWatermark("eventTime", "0 seconds")
+        .as[StatefulOps.AsOfEvent]
+      val q = StatefulOps.asOfJoin(withWm).writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[StatefulOps.AsOfMatch], _: Long) =>
+          buf ++= df.collect(); ()
+        }.start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
     buf.filter(_.key >= 0).toSeq
       .map(m => (m.probeId, m.key, m.probeTs, m.buildId, m.buildTs))
       .toDF("pid", "user_id", "ptsus", "cid", "ctsus")
@@ -266,35 +304,37 @@ object StreamOracleQueries {
       Seq((key, new java.sql.Timestamp(maxMs + off), -1L))
     val ps = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
     val vs = ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3))
-    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
-    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
-    val joined = graft.streaming.StreamingOps.intervalJoin(
-      pIn.toDF().toDF("user_id", "pts", "pid"),
-      vIn.toDF().toDF("vuser", "vts", "vid").withColumnRenamed("vuser", "user_id"),
-      "user_id", "pts", "vts", "10 minutes", "'10' MINUTE", "'0' MINUTE", "inner")
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    val q = joined.select(col("pid"), col("vid")).as[(Long, Long)]
-      .writeStream.outputMode("append")
-      .foreachBatch { (df: Dataset[(Long, Long)], _: Long) =>
-        buf ++= df.collect(); ()
-      }.start()
-    val slice = math.max(1, math.max(ps.length, vs.length) / 3)
-    val pBatches = ps.grouped(slice).map(_.toSeq).toSeq
-    val vBatches = vs.grouped(slice).map(_.toSeq).toSeq
-    try {
-      (0 until math.max(pBatches.length, vBatches.length)).foreach { i =>
-        pIn.addData(pBatches.lift(i).getOrElse(Seq.empty))
-        vIn.addData(vBatches.lift(i).getOrElse(Seq.empty))
-        q.processAllAvailable()
-      }
-      // advance both watermarks far past the bound (distinct sentinel
-      // keys so the advance rows can never pair with each other)
-      Seq((86400000L, -11L, -12L), (86400001L, -13L, -14L)).foreach {
-        case (off, kp, kv) =>
-          pIn.addData(adv(off, kp)); vIn.addData(adv(off, kv))
+    withFeedSizedState(s, ev.length.toLong) {
+      val pIn = MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
+      val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)](streamIds.getAndIncrement(), s, None)
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        pIn.toDF().toDF("user_id", "pts", "pid"),
+        vIn.toDF().toDF("vuser", "vts", "vid").withColumnRenamed("vuser", "user_id"),
+        "user_id", "pts", "vts", "10 minutes", "'10' MINUTE", "'0' MINUTE", "inner")
+      val q = joined.select(col("pid"), col("vid")).as[(Long, Long)]
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[(Long, Long)], _: Long) =>
+          buf ++= df.collect(); ()
+        }.start()
+      val slice = math.max(1, math.max(ps.length, vs.length) / 3)
+      val pBatches = ps.grouped(slice).map(_.toSeq).toSeq
+      val vBatches = vs.grouped(slice).map(_.toSeq).toSeq
+      try {
+        (0 until math.max(pBatches.length, vBatches.length)).foreach { i =>
+          pIn.addData(pBatches.lift(i).getOrElse(Seq.empty))
+          vIn.addData(vBatches.lift(i).getOrElse(Seq.empty))
           q.processAllAvailable()
-      }
-    } finally q.stop()
+        }
+        // advance both watermarks far past the bound (distinct sentinel
+        // keys so the advance rows can never pair with each other)
+        Seq((86400000L, -11L, -12L), (86400001L, -13L, -14L)).foreach {
+          case (off, kp, kv) =>
+            pIn.addData(adv(off, kp)); vIn.addData(adv(off, kv))
+            q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     buf.filter { case (p, v) => p >= 0 && v >= 0 }.toSeq.toDF("pid", "vid")
   }
 
@@ -320,20 +360,22 @@ object StreamOracleQueries {
     }
     val depth = scala.collection.mutable.Map.empty[Long, Int]
     var seenBatch = -1L
-    val input = MemoryStream[StatefulOps.FunnelEvent](streamIds.getAndIncrement(), s, None)
-    val out = StatefulOps.funnelStream(input.toDS(), 86400000000L)
-    val q = out.writeStream.outputMode("append")
-      .foreachBatch { (df: Dataset[StatefulOps.FunnelEmit], id: Long) =>
-        if (id > seenBatch) { // at-least-once replay guard
-          seenBatch = id
-          df.collect().foreach(e =>
-            depth(e.userId) = math.max(depth.getOrElse(e.userId, 0), e.depth))
-        }
-        ()
-      }.start()
-    try feed.grouped(math.max(1, feed.length / 3)).foreach { b =>
-      input.addData(b.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    withFeedSizedState(s, feed.length.toLong) {
+      val input = MemoryStream[StatefulOps.FunnelEvent](streamIds.getAndIncrement(), s, None)
+      val out = StatefulOps.funnelStream(input.toDS(), 86400000000L)
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[StatefulOps.FunnelEmit], id: Long) =>
+          if (id > seenBatch) { // at-least-once replay guard
+            seenBatch = id
+            df.collect().foreach(e =>
+              depth(e.userId) = math.max(depth.getOrElse(e.userId, 0), e.depth))
+          }
+          ()
+        }.start()
+      try feed.grouped(math.max(1, feed.length / 3)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
     users.map(u => depth.getOrElse(u, 0))
       .groupBy(identity).toSeq
       .map { case (d, us) => (d, us.length.toLong) }
