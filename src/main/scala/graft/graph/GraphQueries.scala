@@ -166,8 +166,13 @@ object GraphQueries {
     val ed = persistOnce(e.join(deg, Seq("src")))
     val nodes = persistOnce(deg.select(col("src").as("node")))
     // 1-row scalar seed; Number-generic so int/bigint src columns both
-    // satisfy the any-edge-frame contract
-    val seed = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
+    // satisfy the any-edge-frame contract. Read it off the PERSISTED
+    // ed (the join keeps every e row, so min(src) is identical): the
+    // seed action then materializes the cache the main job reuses —
+    // reading it off bare `e` paid one full un-cached edge-derivation
+    // pass before the loop (r16 measured ppr 1.9x pagerank on the
+    // same loop shape; this was the difference).
+    val seed = ed.agg(min(col("src"))).head().getAs[Number](0).longValue()
     var r = nodes.withColumn("rank",
       when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)))
     for (_ <- 1 to iters) {
@@ -369,7 +374,11 @@ object GraphQueries {
     // unpersist before the final action would just disable the cache,
     // not free it — nothing has materialized yet); an open-ended
     // sweep must use [[ssspFixpointOnEdges]], which materializes
-    // eagerly and unpersists behind itself.
+    // eagerly and unpersists behind itself. (r16 A/B: eager per-round
+    // localCheckpoint rounds measured 1.6x SLOWER at sf0.1 — the
+    // 378-node lazy plan is analysis-heavy but the cache makes its
+    // runtime right, and 6 extra materialization jobs cost more.
+    // Deliberately kept lazy.)
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist"))
     for (_ <- 1 to maxHops) {

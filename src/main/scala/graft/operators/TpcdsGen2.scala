@@ -426,32 +426,38 @@ object TpcdsGen2 {
   def q2(s: SparkSession, dir: String): DataFrame = {
     val n = G.nSales(s, dir)
     val dd = broadcast(G.dateDim(s))
+    // ONE pass over the union: fold both years onto the same 52-row
+    // week-in-year grain with per-(dow, half) conditional sums. The
+    // earlier form aggregated the SAME union twice (y1/y2 filters on
+    // one `wk` frame — Catalyst does not share the subtree, so the
+    // plan scanned catalog+web FULLY twice and sort-merge self-joined;
+    // r16 measured 2.1 s) — the YoY self-join collapses into the
+    // aggregate, 2 fact scans → 1, the join's week-presence semantics
+    // carried by max-flags per half.
+    val dows = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
     val wk = G.catalogSales(s, n)
       .select(col("cs_sold_date_sk").as("sold_sk"), col("cs_ext_sales_price_c").as("p"))
       .unionAll(G.webSales(s, n)
         .select(col("ws_sold_date_sk").as("sold_sk"), col("ws_ext_sales_price_c").as("p")))
       .join(dd, col("sold_sk") === col("d_date_sk"))
-      .groupBy(col("d_week_seq"))
+      .where(col("d_week_seq") <= 104)
+      .withColumn("wk", when(col("d_week_seq") <= 52, col("d_week_seq"))
+        .otherwise(col("d_week_seq") - 52))
+      .groupBy(col("wk"))
       .agg(
-        sum(when(col("d_dow") === 0, col("p")).otherwise(0L)).as("sun_sales"),
-        sum(when(col("d_dow") === 1, col("p")).otherwise(0L)).as("mon_sales"),
-        sum(when(col("d_dow") === 2, col("p")).otherwise(0L)).as("tue_sales"),
-        sum(when(col("d_dow") === 3, col("p")).otherwise(0L)).as("wed_sales"),
-        sum(when(col("d_dow") === 4, col("p")).otherwise(0L)).as("thu_sales"),
-        sum(when(col("d_dow") === 5, col("p")).otherwise(0L)).as("fri_sales"),
-        sum(when(col("d_dow") === 6, col("p")).otherwise(0L)).as("sat_sales"))
-    val y1 = wk.where(col("d_week_seq") <= 52)
-    val y2 = wk.where(col("d_week_seq") > 52 && col("d_week_seq") <= 104)
-      .select(col("d_week_seq").as("wk2") +: Seq("sun", "mon", "tue", "wed", "thu",
-        "fri", "sat").map(d => col(s"${d}_sales").as(s"${d}2")): _*)
-    val joined = y1.join(y2, col("d_week_seq") === col("wk2") - 52)
-    Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
-      .foldLeft(joined) { (df, d) =>
+        max(when(col("d_week_seq") <= 52, 1).otherwise(0)).as("has1"),
+        dows.zipWithIndex.flatMap { case (d, i) => Seq(
+          sum(when(col("d_week_seq") <= 52 && col("d_dow") === i, col("p"))
+            .otherwise(0L)).as(s"${d}_sales"),
+          sum(when(col("d_week_seq") > 52 && col("d_dow") === i, col("p"))
+            .otherwise(0L)).as(s"${d}2"))
+        } :+ max(when(col("d_week_seq") > 52, 1).otherwise(0)).as("has2"): _*)
+    dows
+      .foldLeft(wk.where(col("has1") === 1 && col("has2") === 1)) { (df, d) =>
         df.withColumn(s"${d}_ratio_ppm",
           expr(s"${d}_sales * 1000000 div nullif(${d}2, 0)"))
       }
-      .select(col("d_week_seq") +: Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
-        .map(d => col(s"${d}_ratio_ppm")): _*)
+      .select(col("wk").as("d_week_seq") +: dows.map(d => col(s"${d}_ratio_ppm")): _*)
   }
 
   /** TPC-DS q71: brand revenue in the breakfast (7–8h) and dinner
@@ -1022,17 +1028,19 @@ object TpcdsGen2 {
     * intersect feeds a broadcast semi-filter onto the channel union.
     */
   def q14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = G.nSales(s, dir)
-    val dd = broadcast(G.dateDim(s).where(col("d_year") === 2000))
-    def items(df: DataFrame, itemK: String, dateK: String) =
-      df.join(dd, col(dateK) === col("d_date_sk"))
-        .select(col(itemK).as("item_sk")).distinct()
-    val cross = items(G.storeSales(s, n), "ss_item_sk", "ss_sold_date_sk")
-      .intersect(items(G.catalogSales(s, n), "cs_item_sk", "cs_sold_date_sk"))
-      .intersect(items(G.webSales(s, n), "ws_item_sk", "ws_sold_date_sk"))
-    val dec = broadcast(G.dateDim(s)
-      .where(col("d_year") === 2000 && col("d_moy") === 12)
-      .select(col("d_date_sk").as("dec_sk")))
+    val dd = broadcast(G.dateDim(s).where(col("d_year") === 2000)
+      .select(col("d_date_sk"), col("d_moy")))
+    // ONE scan per channel (was two: the per-channel year-2000
+    // DISTINCT item sets for the INTERSECT, then the December union
+    // again — 6 fact scans + 2 intersect shuffles; r16 measured
+    // 2.4 s): fold presence AND December revenue into one
+    // (item, channel) aggregate over the year-2000 join — a row's
+    // existence IS the channel-presence bit the intersect computed —
+    // then keep items whose channel count is 3 via one window over
+    // the item-bounded aggregate. dec_n > 0 drops the (item, channel)
+    // groups the December join used to drop.
     val union = G.storeSales(s, n)
       .select(lit("store").as("channel"), col("ss_item_sk").as("item"),
         col("ss_sold_date_sk").as("sold_sk"), col("ss_ext_sales_price_c").as("p"))
@@ -1042,12 +1050,17 @@ object TpcdsGen2 {
       .unionAll(G.webSales(s, n)
         .select(lit("web"), col("ws_item_sk"), col("ws_sold_date_sk"),
           col("ws_ext_sales_price_c")))
-    union
-      .join(dec, col("sold_sk") === col("dec_sk"))
-      .join(cross, col("item") === col("item_sk"), "left_semi")
+    val perItemCh = union
+      .join(dd, col("sold_sk") === col("d_date_sk"))
+      .groupBy(col("item"), col("channel"))
+      .agg(sum(when(col("d_moy") === 12, col("p")).otherwise(0L)).as("dec_p"),
+        sum(when(col("d_moy") === 12, 1L).otherwise(0L)).as("dec_n"))
+    perItemCh
+      .withColumn("nch", count(lit(1)).over(Window.partitionBy(col("item"))))
+      .where(col("nch") === 3 && col("dec_n") > 0)
       .join(broadcast(G.item(s)), col("item") === col("i_item_sk"))
       .groupBy(col("channel"), col("i_brand_id"))
-      .agg(sum(col("p")).as("sales_c"), count(lit(1)).as("number_sales"))
+      .agg(sum(col("dec_p")).as("sales_c"), sum(col("dec_n")).as("number_sales"))
   }
 
   /** TPC-DS q72: catalog orders at stock-out risk — the week-after
@@ -1528,6 +1541,11 @@ object TpcdsGen2 {
     val dd98_00 = broadcast(G.dateDim(s).where(col("d_year") <= 2000)
       .select(col("d_date_sk"), col("d_moy")))
     // frequent: December item counts over 1998–2000, >1.5x the mean
+    // (r16 A/B: localCheckpoint-ing decCounts/spend to deduplicate
+    // their two-consumer subtrees measured FLAT at sf0.1 — the
+    // duplicate scan+aggregate is page-cache-cheap here — so the
+    // simpler lazy form stays; at a scale where the duplicate fact
+    // scan hurts, materializing these dim-bounded frames is the fix.)
     val decCounts = G.storeSales(s, n)
       .join(dd98_00, col("ss_sold_date_sk") === col("d_date_sk"))
       .where(col("d_moy") === 12)
