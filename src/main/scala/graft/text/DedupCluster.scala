@@ -47,7 +47,7 @@ object DedupCluster {
     * survive inside an over-cap buffer is arbitrary; it doesn't
     * matter, the group is discarded.
     */
-  private def boundedCollect(cap: Int) = udaf(
+  private[graft] def boundedCollect(cap: Int) = udaf(
     new org.apache.spark.sql.expressions.Aggregator[
         Long, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
       def zero = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -90,13 +90,22 @@ object DedupCluster {
     val grouped = sh.groupBy(col("g"))
       .agg(boundedCollect(maxDf + 1)(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-      .select(sort_array(col("ds")).as("ds"))
+      .select(col("ds"))
+    // i<j pairs via two chained generators + an a<b filter: the
+    // earlier sorted-list slice comprehension (flatten ∘ transform ∘
+    // slice ∘ struct) allocated O(k²) subarray copies and struct
+    // arrays PER GROUP, and that construction — not pair volume —
+    // dominated the mining (r16 stage probe: pair stage 1.6 s of the
+    // 2.6 s total; this form cut the operator to 1.67 s, 0.65×).
+    // Generating k² rows and filtering half is cheaper than building
+    // k²/2 sliced structs, and the a<b cut canonicalizes pairs
+    // without the sort_array the slice form needed. Per-group work
+    // stays O(maxDf²) either way — the scale cap is unchanged.
     grouped
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds) - 2),
-          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
-          |    y -> struct(ds[i] AS ida, y AS idb))))""".stripMargin)).as("p"))
-      .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .select(explode(col("ds")).as("ida"), col("ds"))
+      .select(col("ida"), explode(col("ds")).as("idb"))
+      .where(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
