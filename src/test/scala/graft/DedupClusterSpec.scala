@@ -30,6 +30,35 @@ class DedupClusterSpec extends SparkSpec {
     assert(Set(7L, 3L, 9L, 2L).forall(m(_) == 2L))
   }
 
+  test("pair stage emits each a<b pair exactly once with exact shared counts") {
+    // r16: pairs come from two chained explodes + an a<b filter (the
+    // sliced-struct comprehension was the mining bottleneck) — pin
+    // that the k>2 group yields every unordered pair once, counts are
+    // exact, and the output is a<b canonical.
+    val shared = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((5L, shared), (1L, shared), (9L, shared))
+      .toDF("doc_id", "text")
+    val edges = DedupCluster.sharedShingleEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 38 distinct 3-gram shingles shared by every pair; 3 docs -> 3
+    // pairs, each emitted once, ida < idb
+    assert(edges.length == 3)
+    assert(edges.map(e => (e._1, e._2)).toSet == Set((1L, 5L), (1L, 9L), (5L, 9L)))
+    assert(edges.forall(_._3 == 38L))
+  }
+
+  test("below-minShared overlap and over-maxDf stop-shingles yield no edges") {
+    // two docs sharing exactly TWO distinct shingles (< minShared=3)
+    val a = "a1 a2 a3 c1 c2 c3 c4 a4 a5 a6"
+    val b = "b1 b2 b3 c1 c2 c3 c4 b4 b5 b6"
+    // sixty docs sharing ONE phrase (df=60 > maxDf=50): the capped
+    // collector must drop the group wholesale, not emit a truncated one
+    val crowd = (0 until 60).map(i =>
+      (100L + i, s"u${i}a u${i}b common alpha beta u${i}c u${i}d"))
+    val docs = (Seq((1L, a), (2L, b)) ++ crowd).toDF("doc_id", "text")
+    assert(DedupCluster.sharedShingleEdges(docs).count() == 0L)
+  }
+
   test("shared-shingle mining finds planted near-dups and skips unrelated docs") {
     val base = (0 until 40).map(i => s"tok$i").mkString(" ")
     val nearDup = base.replace("tok20", "CHANGED")
