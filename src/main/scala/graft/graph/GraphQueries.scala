@@ -445,20 +445,24 @@ object GraphQueries {
 
   /** Core over any distinct (src, dst) undirected edge frame. */
   def labelPropOnEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = persistOnce(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     // Linear label chain (one consumer per round) — same one-job
-    // shape as pageRankOnEdges, no per-round actions.
+    // shape as pageRankOnEdges, no per-round actions. The per-round
+    // argmax ("most frequent label, ties to the smallest") is a
+    // struct-min AGGREGATE, not a rank window: min over (-cnt, label)
+    // is exactly (cnt desc, label asc) rank 1, partial-aggregates
+    // map-side, and skips the per-round partition SORT the
+    // row_number() formulation paid (r16, guide §4: prefer
+    // aggregates over windows in loops).
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val byNbr = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst").as("n"), col("label")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("n")).orderBy(desc("cnt"), asc("label"))
       labels = byNbr
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("n").as("node"), col("label"))
+        .groupBy(col("n"))
+        .agg(min(struct((col("cnt") * -1).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("n").as("node"), col("m.l").as("label"))
     }
     labels
   }

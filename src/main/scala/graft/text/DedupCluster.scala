@@ -220,18 +220,33 @@ object DedupCluster {
     * kept), so the downstream filter is `is_kept = 1`.
     */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(s, dir, "documents")
     val comps = connectedComponents(sharedShingleEdges(docs))
     val scored = graft.text.SelectionQueries.qualityFlags(docs)
       .select(col("doc_id"), col("logit"))
-    val w = Window.partitionBy(col("comp"))
-      .orderBy(col("logit").desc, col("doc_id"))
-    docs.select(col("doc_id"))
+    // Per-cluster argmax WITHOUT the corpus-wide window: the old
+    // comp-partitioned row_number() sorted EVERY doc (singletons are
+    // 1-row partitions, but they still ride the sort shuffle);
+    // clusters only exist for docs the mining emitted, so the argmax
+    // is a struct-min aggregate over the CLUSTERED slice — min over
+    // (-logit, doc_id) is exactly (logit desc, doc_id asc) rank 1 —
+    // and unclustered docs are is_kept=1 by definition. The winner
+    // table is dup-bounded (one row per multi-doc cluster), the
+    // corpus crosses the wire for the label join only — no sort
+    // anywhere (r16, guide §4/§2.3).
+    val labeled = docs.select(col("doc_id"))
       .join(comps, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .select(col("doc_id"), col("comp"))
       .join(scored, Seq("doc_id"))
-      .withColumn("is_kept", (row_number().over(w) === 1).cast("int"))
-      .select(col("doc_id"), col("comp"), col("logit"), col("is_kept"))
+    val best = labeled.where(col("comp").isNotNull)
+      .groupBy(col("comp"))
+      .agg(min(struct((col("logit") * -1.0d).as("nl"), col("doc_id").as("d"))).as("m"))
+      .select(col("comp"), col("m.d").as("best_doc"))
+    labeled
+      .join(best, Seq("comp"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("logit"),
+        when(col("comp").isNull, lit(1))
+          .otherwise((col("doc_id") === col("best_doc")).cast("int")).as("is_kept"))
   }
 }
