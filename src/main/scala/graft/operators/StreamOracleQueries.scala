@@ -34,10 +34,14 @@ object StreamOracleQueries {
     * fixed per-batch floor of (shuffle partitions × stateful ops)
     * state-store tasks + delta files + commits, and these harness
     * feeds are |events|-bounded — at the battery's 32 session
-    * partitions that floor costs ~10× the actual fold work per batch
-    * (measured r16: q_stream_interval 7.4 s → the state tasks, not
-    * the join). One partition per ~64k fed rows keeps every batch's
-    * state tasks busy; at production (Kafka) scale rows/64k exceeds
+    * partitions that floor costs a multiple of the actual fold work
+    * per batch (r16 same-position A/B: the 8 rows 60.8 s → 25.6 s
+    * isolated, where the floor compounds with cold streaming-stack
+    * JIT; inside a fully-warmed battery the floor is smaller and the
+    * clamp measures flat-to-mildly-better, never worse —
+    * OPTIMIZATION_r16.md "honesty note"). One partition per ~64k fed
+    * rows keeps every batch's state tasks busy; at production (Kafka)
+    * scale rows/64k exceeds
     * any session default and this clamp is a no-op, so the setting
     * stays scale-adaptive, not local-tuned. Override with
     * spark.graft.stream.statePartitions. Restored in finally — the
