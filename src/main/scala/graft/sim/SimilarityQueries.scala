@@ -21,6 +21,14 @@ object SimilarityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** persist() only if this canonical plan isn't already cached — a
+    * repeated invocation (bench passes share one session) would
+    * otherwise re-register the same plan and warn.
+    */
+  private def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.persist()
+
   /** Brute-force cosine top-k: every 50th vector is a query; top-5
     * neighbors (excluding self) per query by exact cosine scan.
     */
@@ -273,7 +281,6 @@ object SimilarityQueries {
     val meanE = aggregate(col(embCol), lit(0.0d),
       (acc, x) => acc + x.cast("double")) / size(col(embCol)).cast("double")
     val emb = corpus.select(col(idCol), col(embCol))
-      .withColumn("__he", transform(col(embCol), x => (x.cast("double") - meanE).cast("float")))
     // adaptive width needs only the ORDER OF MAGNITUDE of the corpus
     // size — at 100 TB pass `knownRows` from catalog stats (ANALYZE
     // TABLE rowCount) instead of paying a counting pass; the fallback
@@ -283,17 +290,35 @@ object SimilarityQueries {
     // buckets and silently lose near-dup recall.)
     val nBits = nBitsOpt.getOrElse(adaptiveLshBits(
       knownRows.getOrElse(corpus.select(col(idCol)).count())))
-    val indexed = emb.select(col(idCol), col(embCol),
+    // KEYS-ONLY blocking (r17, guide §2.3 "shuffle keys and metadata
+    // instead of payloads"): the bucket self-join only has to DECIDE
+    // which id pairs are candidates, so only (id, tbl, bkt) rows ride
+    // the blocking shuffles — ~20 B/row instead of the 64-float
+    // embedding the r16 plan carried through BOTH join sides AND the
+    // pair-dedup exchange. The key frame persists, so the corpus scan
+    // + centering + `tables`-way bucket hashing run ONCE (the r16 plan
+    // ran that whole map subtree once per join side); the cache is
+    // keys-not-payloads small (~4 rows × 20 B per vector), which is
+    // what makes it affordable at 100 TB where caching the embeddings
+    // themselves would not be.
+    val keys = persistOnce(emb
+      .withColumn("__he", transform(col(embCol), x => (x.cast("double") - meanE).cast("float")))
+      .select(col(idCol),
         explode(array((0 until tables).map(tb =>
           struct(lit(tb).as("tbl"), F.lshBucket(col("__he"), nBits, tb).as("bkt"))): _*)).as("e"))
-      .select(col(idCol), col(embCol), col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
-    val a = indexed.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
-      col("tbl"), col("bkt"))
-    val b = indexed.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
-      col("tbl"), col("bkt"))
-    a.join(b, Seq("tbl", "bkt"))
+      .select(col(idCol), col("e.tbl").as("tbl"), col("e.bkt").as("bkt")))
+    val cand = keys.select(col(idCol).as("id_a"), col("tbl"), col("bkt"))
+      .join(keys.select(col(idCol).as("id_b"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+    // re-attach the embeddings by id for the exact-cosine check: two
+    // equi joins against the raw (id, embedding) projection — the
+    // payload crosses the wire once per side, for candidate rows only
+    cand
+      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         F.cosineSimilarity(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= threshold)
