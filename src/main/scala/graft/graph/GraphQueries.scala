@@ -32,6 +32,30 @@ object GraphQueries {
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
     else df.persist()
 
+  /** Run `body` with `spark.sql.shuffle.partitions` clamped to the
+    * graph's own size — the iterative loops' parallelism dial (r17,
+    * guide §2.2). Every loop round is 1–2 shuffles over ≤|E| rows, and
+    * a graph of a few hundred thousand edges scheduled across a
+    * 32-partition session spends its wall-clock on empty tasks times
+    * rounds (the driver's r16 scaling data: the clamped CC loop ran at
+    * ratio 0.99 while the unclamped pagerank loop ran at 0.25 — 32
+    * cores LOSING to 8). Same 500k-rows-per-partition dial as
+    * [[graft.text.DedupCluster.connectedComponents]]: at web scale
+    * rows/500k exceeds any session default and the clamp is a no-op by
+    * construction — scale-adaptive, not local-tuned. The conf is
+    * mutated and restored around an EAGER body (each loop materializes
+    * its result inside via localCheckpoint), which assumes the
+    * sequential-battery execution model every harness here uses; a
+    * concurrent caller would race the save/restore.
+    */
+  private def withGraphSizedShuffle[T](spark: SparkSession, nRows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val session = spark.conf.get(key)
+    val parts = math.max(1L, math.min(session.toLong, nRows / 500000L + 1L))
+    spark.conf.set(key, parts.toString)
+    try body finally spark.conf.set(key, session)
+  }
+
   /** Distinct customer–supplier edges; node ids 2*custkey / 2*suppkey+1. */
   private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -91,19 +115,27 @@ object GraphQueries {
   def kcoreOnEdges(e0: DataFrame, k: Int = 3, rounds: Int = 6): DataFrame = {
     var e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      val next = e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
+    // count over the just-checkpointed rows (cheap) sizes the peel
+    // rounds' shuffles to the graph, not the session (r17, §2.2);
+    // the peel only ever SHRINKS e, so the initial count bounds
+    // every round
+    val nEdges = e.count()
+    withGraphSizedShuffle(e.sparkSession, nEdges) {
+      for (_ <- 1 to rounds) {
+        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("node"))
+        val next = e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        e.unpersist()
+        e = next
+      }
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"), col("deg"))
         .localCheckpoint(true)
-      e.unpersist()
-      e = next
     }
-    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= k)
-      .select(col("src").as("node"), col("deg"))
   }
 
   /** Fixed-iteration PageRank (Page et al. 1999; d = 0.85, 5 rounds,
@@ -129,21 +161,30 @@ object GraphQueries {
     // (each round's output has exactly one consumer), so the whole
     // fixed-iteration loop plans as ONE job — 2 exchanges per round,
     // no per-round scheduling floor. ed/nodes are multiply-consumed
-    // and cache on first materialization inside that job. An
-    // open-ended fixpoint loop would switch to the DedupCluster
-    // per-round-checkpoint discipline instead.
+    // and cache on first materialization. An open-ended fixpoint loop
+    // would switch to the DedupCluster per-round-checkpoint discipline
+    // instead.
     val ed = persistOnce(e.join(deg, Seq("src")))
-    val nodes = persistOnce(deg.select(col("src").as("node")))
-    var r = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
-      val contrib = ed.join(r, ed("src") === r("node"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1 - d) + lit(d) * coalesce(col("cs"), lit(0.0))).as("rank"))
+    // The count both SIZES the loop's parallelism and materializes the
+    // cache the loop reuses (the r16 ppr seed lesson — the loop job
+    // then starts from cached edges instead of re-deriving them); the
+    // loop chain stays one job, run eagerly inside the clamp via
+    // localCheckpoint so the graph-sized partitioning actually governs
+    // its shuffles (r17, guide §2.2 — see withGraphSizedShuffle).
+    val nEdges = ed.count()
+    withGraphSizedShuffle(ed.sparkSession, nEdges) {
+      val nodes = persistOnce(deg.select(col("src").as("node")))
+      var r = nodes.withColumn("rank", lit(1.0))
+      for (_ <- 1 to iters) {
+        val contrib = ed.join(r, ed("src") === r("node"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+        r = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1 - d) + lit(d) * coalesce(col("cs"), lit(0.0))).as("rank"))
+      }
+      r.select(col("node"), col("rank")).localCheckpoint(true)
     }
-    r.select(col("node"), col("rank"))
   }
 
   /** Personalized PageRank (the random-walk-with-restart variant:
@@ -164,27 +205,32 @@ object GraphQueries {
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = persistOnce(e.join(deg, Seq("src")))
-    val nodes = persistOnce(deg.select(col("src").as("node")))
     // 1-row scalar seed; Number-generic so int/bigint src columns both
     // satisfy the any-edge-frame contract. Read it off the PERSISTED
     // ed (the join keeps every e row, so min(src) is identical): the
     // seed action then materializes the cache the main job reuses —
     // reading it off bare `e` paid one full un-cached edge-derivation
     // pass before the loop (r16 measured ppr 1.9x pagerank on the
-    // same loop shape; this was the difference).
-    val seed = ed.agg(min(col("src"))).head().getAs[Number](0).longValue()
-    var r = nodes.withColumn("rank",
-      when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)))
-    for (_ <- 1 to iters) {
-      val contrib = ed.join(r, ed("src") === r("node"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (when(col("node") === seed, lit(1 - d)).otherwise(lit(0.0)) +
-            lit(d) * coalesce(col("cs"), lit(0.0))).as("rank"))
+    // same loop shape; this was the difference). The same action also
+    // counts the edges for the loop-parallelism clamp (r17, §2.2).
+    val seedRow = ed.agg(min(col("src")), count(lit(1))).head()
+    val seed = seedRow.getAs[Number](0).longValue()
+    val nEdges = seedRow.getLong(1)
+    withGraphSizedShuffle(ed.sparkSession, nEdges) {
+      val nodes = persistOnce(deg.select(col("src").as("node")))
+      var r = nodes.withColumn("rank",
+        when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)))
+      for (_ <- 1 to iters) {
+        val contrib = ed.join(r, ed("src") === r("node"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+        r = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("node") === seed, lit(1 - d)).otherwise(lit(0.0)) +
+              lit(d) * coalesce(col("cs"), lit(0.0))).as("rank"))
+      }
+      r.select(col("node"), col("rank")).localCheckpoint(true)
     }
-    r.select(col("node"), col("rank"))
   }
 
   /** Triangle count on the supplier co-purchase graph (suppliers
@@ -325,24 +371,30 @@ object GraphQueries {
   /** Core over any distinct directed (src, dst) edge frame. */
   def hitsOnEdges(e0: DataFrame, iters: Int = 3): DataFrame = {
     val e = persistOnce(e0)
-    var hub = e.select(col("src").as("node")).distinct().withColumn("h", lit(1.0))
-    var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      auth = e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-        .withColumnRenamed("dst", "node")
-      hub = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("a")).as("h"))
-        .withColumnRenamed("src", "node")
+    // materializes the edge cache the loop reuses + sizes the loop's
+    // shuffles (r17, §2.2)
+    val nEdges = e.count()
+    withGraphSizedShuffle(e.sparkSession, nEdges) {
+      var hub = e.select(col("src").as("node")).distinct().withColumn("h", lit(1.0))
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        auth = e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .withColumnRenamed("dst", "node")
+        hub = e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .withColumnRenamed("src", "node")
+      }
+      val hn = hub.persist()
+      val an = auth.persist()
+      val hsum = hn.agg(sum(col("h")).as("s"))
+      val asum = an.agg(sum(col("a")).as("s"))
+      hn.crossJoin(broadcast(hsum))
+        .select(lit("hub").as("side"), col("node"), (col("h") / col("s")).as("score"))
+        .union(an.crossJoin(broadcast(asum))
+          .select(lit("auth").as("side"), col("node"), (col("a") / col("s")).as("score")))
+        .localCheckpoint(true)
     }
-    val hn = hub.persist()
-    val an = auth.persist()
-    val hsum = hn.agg(sum(col("h")).as("s"))
-    val asum = an.agg(sum(col("a")).as("s"))
-    hn.crossJoin(broadcast(hsum))
-      .select(lit("hub").as("side"), col("node"), (col("h") / col("s")).as("score"))
-      .union(an.crossJoin(broadcast(asum))
-        .select(lit("auth").as("side"), col("node"), (col("a") / col("s")).as("score")))
   }
 
   /** Bounded-hop single-source shortest paths (the Gelly
@@ -363,32 +415,38 @@ object GraphQueries {
   def ssspOnEdges(e0: DataFrame, maxHops: Int = 6): DataFrame = {
     val e = persistOnce(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
     // 1-row scalar: the deterministic source seed, not a data collect;
-    // Number-generic so int/bigint src columns both work
-    val source = e.agg(min(col("src"))).head().getAs[Number](0).longValue()
+    // Number-generic so int/bigint src columns both work. The same
+    // action counts the edges for the loop clamp and materializes the
+    // edge cache the loop reuses (r17, §2.2).
+    val seedRow = e.agg(min(col("src")), count(lit(1))).head()
+    val source = seedRow.getAs[Number](0).longValue()
+    val nEdges = seedRow.getLong(1)
     // Each round's dist feeds TWO consumers (the relax join and the
     // union) — the lazy per-round persist makes both read one cached
     // copy inside the single final job; without it recompute doubles
     // per round. No per-round count(): the loop still plans as ONE
-    // job with 2 exchanges per round instead of maxHops jobs. The
-    // cached frames are BOUNDED at maxHops by construction (an
-    // unpersist before the final action would just disable the cache,
-    // not free it — nothing has materialized yet); an open-ended
+    // job with 2 exchanges per round instead of maxHops jobs (the
+    // final localCheckpoint is that one job, run inside the clamp so
+    // the graph-sized partitioning governs its shuffles). The cached
+    // frames are BOUNDED at maxHops by construction; an open-ended
     // sweep must use [[ssspFixpointOnEdges]], which materializes
-    // eagerly and unpersists behind itself. (r16 A/B: eager per-round
+    // eagerly and unpersists behind itself. (r16 A/B: eager PER-ROUND
     // localCheckpoint rounds measured 1.6x SLOWER at sf0.1 — the
     // 378-node lazy plan is analysis-heavy but the cache makes its
     // runtime right, and 6 extra materialization jobs cost more.
     // Deliberately kept lazy.)
-    var dist = e.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0).as("dist"))
-    for (_ <- 1 to maxHops) {
-      val relaxed = e.join(dist, e("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .persist()
+    withGraphSizedShuffle(e.sparkSession, nEdges) {
+      var dist = e.sparkSession.range(1)
+        .select(lit(source).as("node"), lit(0).as("dist"))
+      for (_ <- 1 to maxHops) {
+        val relaxed = e.join(dist, e("src") === dist("node"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .persist()
+      }
+      dist.localCheckpoint(true)
     }
-    dist
   }
 
   /** Unbounded-diameter SSSP run to a FIXPOINT — the variant the
@@ -453,18 +511,23 @@ object GraphQueries {
     // is exactly (cnt desc, label asc) rank 1, partial-aggregates
     // map-side, and skips the per-round partition SORT the
     // row_number() formulation paid (r16, guide §4: prefer
-    // aggregates over windows in loops).
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
-      val byNbr = e.join(labels, e("src") === labels("node"))
-        .groupBy(col("dst").as("n"), col("label")).agg(count(lit(1)).as("cnt"))
-      labels = byNbr
-        .groupBy(col("n"))
-        .agg(min(struct((col("cnt") * -1).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("n").as("node"), col("m.l").as("label"))
+    // aggregates over windows in loops). The count materializes the
+    // edge cache the loop reuses and sizes the loop's parallelism
+    // (r17, §2.2 — see withGraphSizedShuffle).
+    val nEdges = e.count()
+    withGraphSizedShuffle(e.sparkSession, nEdges) {
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to iters) {
+        val byNbr = e.join(labels, e("src") === labels("node"))
+          .groupBy(col("dst").as("n"), col("label")).agg(count(lit(1)).as("cnt"))
+        labels = byNbr
+          .groupBy(col("n"))
+          .agg(min(struct((col("cnt") * -1).as("nc"), col("label").as("l"))).as("m"))
+          .select(col("n").as("node"), col("m.l").as("label"))
+      }
+      labels.localCheckpoint(true)
     }
-    labels
   }
 
   // Unrolled PageRank rounds for the DuckDB oracle (same fixed-point
@@ -599,19 +662,26 @@ object GraphQueries {
     // lineitem self-join per hop took the query from ~1 s of edge
     // build to ~10 s at sf0.1 (measured) — the checkpoint truncates
     // the lineage so every round rescans the bounded edge table only
-    edges.localCheckpoint().createOrReplaceTempView("copurchase_ed")
-    s.sql(
-      s"""WITH RECURSIVE e AS (
-         |  SELECT a AS src, b AS dst FROM copurchase_ed
-         |  UNION ALL
-         |  SELECT b, a FROM copurchase_ed),
-         |seed AS (SELECT min(src) AS node FROM e),
-         |reach(node, d) AS (
-         |  SELECT node, 0 FROM seed
-         |  UNION ALL
-         |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
-         |  WHERE r.d < $maxHops)
-         |SELECT node, min(d) AS dist FROM reach GROUP BY node""".stripMargin)
+    val ed = edges.localCheckpoint()
+    ed.createOrReplaceTempView("copurchase_ed")
+    // the recursion is a per-hop edge join: run it at graph-sized
+    // parallelism like the other loops (r17, §2.2), materialized
+    // inside the clamp
+    withGraphSizedShuffle(s, ed.count()) {
+      s.sql(
+        s"""WITH RECURSIVE e AS (
+           |  SELECT a AS src, b AS dst FROM copurchase_ed
+           |  UNION ALL
+           |  SELECT b, a FROM copurchase_ed),
+           |seed AS (SELECT min(src) AS node FROM e),
+           |reach(node, d) AS (
+           |  SELECT node, 0 FROM seed
+           |  UNION ALL
+           |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+           |  WHERE r.d < $maxHops)
+           |SELECT node, min(d) AS dist FROM reach GROUP BY node""".stripMargin)
+        .localCheckpoint(true)
+    }
   }
 
   private def recBfsOracle(maxHops: Int): String =

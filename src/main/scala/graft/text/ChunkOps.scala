@@ -233,35 +233,49 @@ object ChunkOps {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(w, ''), x -> x <> '')").as("sym"), col("freq"))
       .persist()
-    vocab.count() // materialize: iterations start from the cached vocab
-    val merges = ArrayBuffer[(Int, String, String, Long)]()
-    var done = false
-    for (r <- 1 to nMerges if !done) {
-      // 1-row scalar argmax over the bounded vocab — not a data collect
-      val best = vocab
-        .filter(size(col("sym")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(sym) - 2), i -> struct(sym[i] AS l, sym[i + 1] AS r))"))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("pf"))
-        .orderBy(desc("pf"), asc("l"), asc("r"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val (l, rr, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, l, rr, pf))
-        val merged = vocab
-          .withColumn("sym", expr(spliceSql(l, rr)))
-          .persist()
-        merged.count() // pin this round; then drop the previous lineage
-        vocab.unpersist()
-        vocab = merged
+    // materialize: iterations start from the cached vocab; the count
+    // also sizes the merge loop's parallelism (r17, guide §2.2 — the
+    // same input-derived clamp as the graph loops): each round is one
+    // pair-count aggregate + an argmax over the BOUNDED vocab, and a
+    // ~30k-word vocab scheduled across a 32-partition session pays
+    // (rounds × ops × empty tasks) of pure floor. ~64k vocab rows per
+    // partition; at a corpus whose vocab exceeds that the clamp is a
+    // no-op by construction.
+    val nVocab = vocab.count()
+    val confKey = "spark.sql.shuffle.partitions"
+    val sessionParts = s.conf.get(confKey)
+    val parts = math.max(1L, math.min(sessionParts.toLong, nVocab / 65536L + 1L))
+    s.conf.set(confKey, parts.toString)
+    try {
+      val merges = ArrayBuffer[(Int, String, String, Long)]()
+      var done = false
+      for (r <- 1 to nMerges if !done) {
+        // 1-row scalar argmax over the bounded vocab — not a data collect
+        val best = vocab
+          .filter(size(col("sym")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(sym) - 2), i -> struct(sym[i] AS l, sym[i + 1] AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("pf"))
+          .orderBy(desc("pf"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (l, rr, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r, l, rr, pf))
+          val merged = vocab
+            .withColumn("sym", expr(spliceSql(l, rr)))
+            .persist()
+          merged.count() // pin this round; then drop the previous lineage
+          vocab.unpersist()
+          vocab = merged
+        }
       }
-    }
-    vocab.unpersist()
-    import s.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+      vocab.unpersist()
+      import s.implicits._
+      merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+    } finally s.conf.set(confKey, sessionParts)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
