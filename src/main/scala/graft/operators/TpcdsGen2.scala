@@ -779,9 +779,11 @@ object TpcdsGen2 {
 
   /** TPC-DS q75: brands in one category whose net unit sales (returns
     * subtracted) DECLINED more than 10% year over year (item grain; brand grain is 5 stationary rows on this schema) — every channel
-    * nets its returns on the order key, the union collapses to
-    * (year, brand, item) grain, and the decline cut is curr·10 < prev·9 in
-    * exact integers on the brand-sized self-join.
+    * nets its returns on the order key, the union collapses to item
+    * grain in ONE pass (per-year conditional sums — r17 folded the
+    * former year self-join, which evaluated the 6-fact-scan union
+    * twice), and the decline cut is curr·10 < prev·9 in exact
+    * integers.
     */
   def q75(s: SparkSession, dir: String): DataFrame = {
     val n = G.nSales(s, dir)
@@ -807,17 +809,26 @@ object TpcdsGen2 {
       net(G.webSales(s, n), "ws_sold_date_sk", "ws_item_sk", "ws_quantity",
         "ws_order_number", G.webReturns(s, n), "wr_order_number", "wr_item_sk",
         "wr_return_quantity"))
-    val byYear = legs.reduce(_ unionAll _)
-      .groupBy(col("d_year"), col("i_brand_id"), col("item"))
-      .agg(sum(col("net_qty")).as("net_cnt"))
-    val prev = byYear.where(col("d_year") === 1999)
-      .select(col("i_brand_id").as("brand_p"), col("item").as("item_p"),
-        col("net_cnt").as("prev_cnt"))
-    val curr = byYear.where(col("d_year") === 2000)
-      .select(col("item").as("item_c"), col("net_cnt").as("curr_cnt"))
-    prev.join(curr, col("item_p") === col("item_c"))
-      .where(col("prev_cnt") > 0 && col("curr_cnt") * 10 < col("prev_cnt") * 9)
-      .select(col("brand_p").as("i_brand_id"), col("item_p").as("item"),
+    // YoY pivot folded into ONE pass (r17 — the q2/q14 treatment,
+    // guide §2.4/§1.2): the r16 plan evaluated the whole 6-fact-scan
+    // union TWICE (Catalyst does not share the two-consumer byYear
+    // aggregate between the prev/curr branches) and sort-merge-joined
+    // the copies. One item-grain aggregate with per-year conditional
+    // sums replaces the self-join: i_brand_id is functionally
+    // dependent on item (a dim attribute), a conditional sum is NULL
+    // exactly when the year had no rows (the inner join's presence
+    // semantics — prev_cnt > 0 subsumes the 1999 side, the explicit
+    // isNotNull reproduces the 2000 side), so the fold emits exactly
+    // the joined rows.
+    val byItem = legs.reduce(_ unionAll _)
+      .groupBy(col("item"))
+      .agg(max(col("i_brand_id")).as("i_brand_id"),
+        sum(when(col("d_year") === 1999, col("net_qty"))).as("prev_cnt"),
+        sum(when(col("d_year") === 2000, col("net_qty"))).as("curr_cnt"))
+    byItem
+      .where(col("curr_cnt").isNotNull &&
+        col("prev_cnt") > 0 && col("curr_cnt") * 10 < col("prev_cnt") * 9)
+      .select(col("i_brand_id"), col("item"),
         col("prev_cnt"), col("curr_cnt"),
         (col("curr_cnt") - col("prev_cnt")).as("sales_cnt_diff"))
   }
@@ -1536,31 +1547,46 @@ object TpcdsGen2 {
     * customer spend); the measured month's facts cross the pipeline
     * once through two key-set semi joins into a single-row aggregate.
     */
+  /** Above this store_sales row count the two-consumer threshold
+    * aggregates in [[q23]] materialize once (localCheckpoint) instead
+    * of re-deriving their fact subtree per consumer. r16 A/B measured
+    * the materialization FLAT at sf0.1 (0.6M rows — the duplicate
+    * scan+aggregate is page-cache-cheap), so the gate stays lazy
+    * there; at x16 probe volume (9.6M) and beyond, the duplicate fact
+    * pass is real I/O while the materialized frames are dim-bounded
+    * (≤ |items| / ≤ |customers| rows) — the classic §5 "cache only
+    * when recomputing costs more" trade, decided by the input size
+    * the query already reads for its generators.
+    */
+  val Q23MatRows = 5000000L
+
   def q23(s: SparkSession, dir: String): DataFrame = {
     val n = G.nSales(s, dir)
+    // size-gated subtree dedup (r17; closes the r16 deferral note);
+    // `spark.graft.q23.matRows` overrides the gate (probe A/Bs flip
+    // it; production tunes it to its own I/O-vs-memory point)
+    val matRows = s.conf.getOption("spark.graft.q23.matRows")
+      .map(_.toLong).getOrElse(Q23MatRows)
+    def shared(df: DataFrame): DataFrame =
+      if (n >= matRows) df.localCheckpoint(true) else df
     val dd98_00 = broadcast(G.dateDim(s).where(col("d_year") <= 2000)
       .select(col("d_date_sk"), col("d_moy")))
     // frequent: December item counts over 1998–2000, >1.5x the mean
-    // (r16 A/B: localCheckpoint-ing decCounts/spend to deduplicate
-    // their two-consumer subtrees measured FLAT at sf0.1 — the
-    // duplicate scan+aggregate is page-cache-cheap here — so the
-    // simpler lazy form stays; at a scale where the duplicate fact
-    // scan hurts, materializing these dim-bounded frames is the fix.)
-    val decCounts = G.storeSales(s, n)
+    val decCounts = shared(G.storeSales(s, n)
       .join(dd98_00, col("ss_sold_date_sk") === col("d_date_sk"))
       .where(col("d_moy") === 12)
       .groupBy(col("ss_item_sk").as("fi_item"))
-      .agg(count(lit(1)).as("icnt"))
+      .agg(count(lit(1)).as("icnt")))
     val iStats = decCounts.agg(sum(col("icnt")).as("i_sum"), count(lit(1)).as("i_cnt"))
     val frequent = decCounts.crossJoin(broadcast(iStats))
       .where(col("icnt") * 2 * col("i_cnt") > col("i_sum") * 3)
       .select(col("fi_item"))
     // best: store spend over 1998–2000, >1.1x the mean
-    val spend = G.storeSales(s, n)
+    val spend = shared(G.storeSales(s, n)
       .join(dd98_00.select(col("d_date_sk").as("sd_sk")),
         col("ss_sold_date_sk") === col("sd_sk"))
       .groupBy(col("ss_customer_sk").as("bc_cust"))
-      .agg(sum(col("ss_ext_sales_price_c")).as("cspend"))
+      .agg(sum(col("ss_ext_sales_price_c")).as("cspend")))
     val cStats = spend.agg(sum(col("cspend")).as("c_sum"), count(lit(1)).as("c_cnt"))
     val best = spend.crossJoin(broadcast(cStats))
       .where(col("cspend") * 10 * col("c_cnt") > col("c_sum") * 11)

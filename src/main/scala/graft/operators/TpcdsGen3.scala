@@ -405,8 +405,10 @@ object TpcdsGen3 {
     * household demographics with their income bands, both addresses,
     * promotion, item) around a ss⋈sr pair restricted to catalog
     * items whose sales exceed twice their refunds (cs_ui — 431 of
-    * 1000 items, a working cut), then self-joins at (item, year)
-    * grain for 1999 vs 2000 with the published cnt2 <= cnt1
+    * 1000 items, a working cut), then pivots 1999 vs 2000 at item
+    * grain in ONE pass (per-year conditional aggregates — r17 folded
+    * the former (item, year) self-join, which evaluated the whole
+    * cross_sales subtree twice) with the published cnt2 <= cnt1
     * retention cut (non-vacuous at this grain: counts run 1–4; at
     * the published street-address grain every closed-form cell is a
     * singleton and the cut would pass everything). hd buy-potential
@@ -451,17 +453,28 @@ object TpcdsGen3 {
           col("i_current_price_c").between(2000, 9000))),
         col("ss_item_sk") === col("i_item_sk"))
       .where(col("hd_buy_potential") =!= col("hd2_pot"))
+      // year-pair pivot folded into ONE pass (r17 — the q2/q14
+      // treatment, §2.4): the r16 plan evaluated the whole cross_sales
+      // subtree (ss⋈sr fact-fact join + 12 broadcast dims + the
+      // aggregate) TWICE, once per year branch. The pre-filter to the
+      // two compared years is exactly what the old cs1/cs2 year cuts
+      // kept; per-year conditional aggregates + count-presence flags
+      // reproduce the inner self-join (cnt is count(*) per (item,
+      // year), so presence ≡ cnt > 0); product_name is functionally
+      // dependent on item_sk (a dim attribute).
+      .where(col("d_year").isin(1999, 2000))
       .groupBy(col("i_product_name").as("product_name"),
-        col("i_item_sk").as("item_sk"), col("d_year").as("syear"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("ss_wholesale_cost_c")).as("s1"),
-        sum(col("ss_ext_list_price_c")).as("s2"),
-        sum(col("ss_coupon_amt_c")).as("s3"))
-    val cs1 = crossSales.where(col("syear") === 1999)
-    val cs2 = crossSales.where(col("syear") === 2000).select(
-      col("item_sk").as("item_sk2"), col("cnt").as("cnt2"),
-      col("s1").as("t1"), col("s2").as("t2"), col("s3").as("t3"))
-    cs1.join(cs2, col("item_sk") === col("item_sk2") && col("cnt2") <= col("cnt"))
+        col("i_item_sk").as("item_sk"))
+      .agg(count(when(col("d_year") === 1999, lit(1))).as("cnt"),
+        sum(when(col("d_year") === 1999, col("ss_wholesale_cost_c"))).as("s1"),
+        sum(when(col("d_year") === 1999, col("ss_ext_list_price_c"))).as("s2"),
+        sum(when(col("d_year") === 1999, col("ss_coupon_amt_c"))).as("s3"),
+        count(when(col("d_year") === 2000, lit(1))).as("cnt2"),
+        sum(when(col("d_year") === 2000, col("ss_wholesale_cost_c"))).as("t1"),
+        sum(when(col("d_year") === 2000, col("ss_ext_list_price_c"))).as("t2"),
+        sum(when(col("d_year") === 2000, col("ss_coupon_amt_c"))).as("t3"))
+    crossSales
+      .where(col("cnt") > 0 && col("cnt2") > 0 && col("cnt2") <= col("cnt"))
       .select(col("product_name"), col("item_sk"), col("cnt"), col("cnt2"),
         col("s1"), col("s2"), col("s3"), col("t1"), col("t2"), col("t3"))
   }
