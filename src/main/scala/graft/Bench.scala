@@ -175,8 +175,17 @@ object Bench {
       // Headline queries get median-of-3 minimum even when the driver
       // dials passes down to 1: those are the round-over-round
       // comparison numbers, and a single cold pass is what produced
-      // the r14 phantom regressions.
-      val nPasses = if (headline.contains(n)) math.max(passes, 3) else passes
+      // the r14 phantom regressions. The four known-noisy iterative
+      // rows (r16 verdict: identical code measured over a ±50% band,
+      // manufacturing two phantom regressions) get median-of-5 so
+      // their medians stop riding per-JVM scheduling noise —
+      // additions only, the timed region is untouched.
+      val noisy = Set("q_dedup_cc", "q_graph_kcore", "q_dedup_minhash",
+        "q_graph_pagerank")
+      val nPasses =
+        if (noisy.contains(n)) math.max(passes, 5)
+        else if (headline.contains(n)) math.max(passes, 3)
+        else passes
       val ts = (1 to nPasses).flatMap { _ =>
         try Some(timed(s, n))
         catch { case e: Throwable =>

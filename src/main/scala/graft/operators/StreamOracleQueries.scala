@@ -48,6 +48,14 @@ object StreamOracleQueries {
     * session is shared with whatever query runs next (Verify runs the
     * whole battery on one session).
     */
+  /** Sequential-battery assumption (ADVICE r16): the session conf is
+    * mutated for the duration of `body` and restored in finally —
+    * safe because every harness here (Bench/Verify/tests) runs
+    * queries sequentially on its session; a concurrent caller would
+    * race the save/restore. Nesting with the identical save/restore
+    * pattern in DedupCluster.connectedComponents composes because the
+    * inner restore reinstates the outer clamp.
+    */
   private def withFeedSizedState[T](s: SparkSession, nRows: Long)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)

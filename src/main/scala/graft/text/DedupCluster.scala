@@ -78,15 +78,22 @@ object DedupCluster {
     * distinct + df-join + self-join shape paid four — and candidate
     * volume stays <= |shingles|·maxDf²/2, never corpus-quadratic.
     */
-  def sharedShingleEdges(docs: DataFrame, n: Int = 3, maxDf: Int = 50,
-                         minShared: Int = 3): DataFrame = {
-    val sh = docs
+  /** The per-doc distinct word-n-gram stream — factored out so the
+    * stage profiler ([[graft.tools.StageProbe]]) times the REAL
+    * sub-plan instead of a drifting copy (ADVICE r16).
+    */
+  private[graft] def shingleStream(docs: DataFrame, n: Int): DataFrame =
+    docs
       .withColumn("l", split(col("text"), " "))
       .filter(size(col("l")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"""transform(sequence(0, size(l) - $n),
            |  i -> concat_ws(' ', ${(0 until n).map(j => s"l[i+$j]").mkString(", ")}))"""
           .stripMargin))).as("g"))
+
+  def sharedShingleEdges(docs: DataFrame, n: Int = 3, maxDf: Int = 50,
+                         minShared: Int = 3): DataFrame = {
+    val sh = shingleStream(docs, n)
     val grouped = sh.groupBy(col("g"))
       .agg(boundedCollect(maxDf + 1)(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
@@ -213,11 +220,14 @@ object DedupCluster {
     * keep the HIGHEST-QUALITY member (here the quality-classifier
     * logit; ties to the lowest doc_id), not an arbitrary canonical.
     * Composition of three operators already in the engine: candidate
-    * mining → CC closure → per-cluster argmax via one
-    * comp-partitioned window over the labeled corpus (singleton
-    * clusters are one-row partitions — the shuffle carries each doc
-    * once, no corpus sort). Every doc reports (cluster, quality,
-    * kept), so the downstream filter is `is_kept = 1`.
+    * mining → CC closure → per-cluster argmax as a struct-min
+    * AGGREGATE over the CLUSTERED slice only (min over (-logit,
+    * doc_id) ≡ rank 1 of (logit desc, doc_id asc)), joined back;
+    * docs outside any cluster (comp null) are is_kept = 1 by
+    * definition and never touch the argmax. No window, no sort —
+    * the corpus crosses the wire for the label join only. Every doc
+    * reports (cluster, quality, kept), so the downstream filter is
+    * `is_kept = 1`.
     */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -238,9 +248,12 @@ object DedupCluster {
       .join(comps, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), col("comp"))
       .join(scored, Seq("doc_id"))
+    // -logit stays in LONG: logit is an exact bigint precisely so the
+    // ordering is bit-identical, and a double negation would lose
+    // exactness past 2^53 (ADVICE r16)
     val best = labeled.where(col("comp").isNotNull)
       .groupBy(col("comp"))
-      .agg(min(struct((col("logit") * -1.0d).as("nl"), col("doc_id").as("d"))).as("m"))
+      .agg(min(struct((col("logit") * -1L).as("nl"), col("doc_id").as("d"))).as("m"))
       .select(col("comp"), col("m.d").as("best_doc"))
     labeled
       .join(best, Seq("comp"), "left")

@@ -33,7 +33,7 @@ object ScaleProbe {
     "nation" -> Nil,
     "region" -> Nil)
 
-  private def buildScaled(spark: SparkSession, srcDir: String, m: Int, dest: String): Unit = {
+  private[tools] def buildScaled(spark: SparkSession, srcDir: String, m: Int, dest: String): Unit = {
     // cache marker encodes the SOURCE dir, so switching inputs rebuilds.
     // A rebuild for a DIFFERENT source must drop the other source's
     // marker, or alternating probes would serve each other stale data

@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Scratch stage-level profiler for the dedup mining path (r16
   * optimization round) — times each sub-plan of sharedShingleEdges
-  * with the noop sink. Not part of the battery.
+  * with the noop sink. Not part of the battery. The shingle stream
+  * comes from the REAL operator ([[graft.text.DedupCluster
+  * .shingleStream]]), so the probe cannot drift from the code it
+  * profiles (ADVICE r16); sfDir is an argument, defaulting to the
+  * battery SF.
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
@@ -27,13 +31,7 @@ object StageProbe {
       }
       println(f"PROBE $name ${ts.sorted.apply(1)}%.3f s (min ${ts.min}%.3f)")
     }
-    val sh = docs
-      .withColumn("l", split(col("text"), " "))
-      .filter(size(col("l")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""transform(sequence(0, size(l) - $n),
-           |  i -> concat_ws(' ', ${(0 until n).map(j => s"l[i+$j]").mkString(", ")}))"""
-          .stripMargin))).as("g"))
+    val sh = graft.text.DedupCluster.shingleStream(docs, n)
     timed("A_shingle_stream")(sh)
     timed("B_shingle_stream_hashed")(sh.select(col("doc_id"), xxhash64(col("g")).as("g")))
     val grouped = sh.groupBy(col("g"))
