@@ -83,31 +83,16 @@ object MinHashDedup {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    // KEYS-ONLY banding (r17, guide §2.3 "shuffle keys and metadata
-    // instead of payloads"): the (band, band_hash) self-join only
-    // DECIDES which id pairs are candidates, so only (band, band_hash,
-    // id) rows ride the blocking shuffles — the r16 plan carried the
-    // k-long signature array (~300 B) through both join sides and the
-    // pair-dedup exchange, ~10x the bytes for the same decision. The
-    // signature table persists (|docs| rows — it is the index a
-    // deployment materializes anyway) and the estimate re-attaches
-    // both signatures by id for the candidate rows only.
-    val sigs0 = signatures(docs, idCol, textCol, k)
-    // persist only if not already cached (bench passes share a session)
-    val sigs =
-      if (sigs0.storageLevel != org.apache.spark.storage.StorageLevel.NONE) sigs0
-      else sigs0.persist()
-    val keys = banded(sigs, idCol, k, bands)
-      .select(col(idCol), col("band"), col("band_hash"))
-    val cand = keys.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-      .join(keys.select(col(idCol).as("id_b"), col("band"), col("band_hash")),
-        Seq("band", "band_hash"))
+    val sigs = signatures(docs, idCol, textCol, k)
+    val banded0 = banded(sigs, idCol, k, bands)
+    val a = banded0.select(col("band"), col("band_hash"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded0.select(col("band"), col("band_hash"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair may collide in several bands
-    cand
-      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
       .filter(col("est_jaccard") >= threshold)
