@@ -185,6 +185,52 @@ object ChunkOps {
   /** Left-to-right non-overlapping merge of the pair (l, r) in the
     * `sym` array, as one SQL fold — shared by learn and encode.
     */
+  /** The splice fold as a Column — exposed for the r17 tokenizer A/B
+    * probe ([[graft.tools.BpeProbe]]) so it times the real expression.
+    */
+  private[graft] def spliceExpr(l: String, r: String): org.apache.spark.sql.Column =
+    expr(spliceSql(l, r))
+
+  /** Greedy left-to-right non-overlapping application of the whole
+    * merge table to one word — the imperative twin of [[spliceSql]]
+    * (one pass per merge, identical fold semantics; splitting is by
+    * code point, matching Spark's `split(w, '')`). The r17 A/B
+    * (tools/BpeProbe, sf0.1) measured this init-once tokenizer 1.2×
+    * faster than the 8 chained interpreted `aggregate` HOFs on the
+    * encode sub-plan, with 0 disagreements corpus-wide; the
+    * codegen-surface tradeoff is nil because the HOF folds were
+    * already interpreted, and the UDF runs only on the DISTINCT-word
+    * vocab, never the corpus stream. ChunkOpsSpec pins fold ≡ udf on
+    * adversarial fixtures (adjacent merges, cascades, non-ASCII).
+    */
+  private[graft] def applyMerges(w: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (out.nonEmpty && out.last == l && syms(i) == r)
+            out(out.length - 1) = l + r
+          else out += syms(i)
+          i += 1
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
   private def spliceSql(l: String, r: String): String = {
     def sqlLit(v: String) =
       "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -212,11 +258,12 @@ object ChunkOps {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .distinct()
-      .withColumn("sym", expr("filter(split(w, ''), x -> x <> '')"))
-    val tokenized = merges.foldLeft(vocab0) { case (v, (l, r)) =>
-      v.withColumn("sym", expr(spliceSql(l, r)))
-    }
-    val wordSyms = tokenized.select(col("w"), size(col("sym")).as("n_sym"))
+    // init-once Scala tokenizer over the DISTINCT-word vocab (r17;
+    // see [[applyMerges]] — measured 1.2× vs the chained interpreted
+    // folds, identical output). The merge table (≤ nMerges tiny
+    // pairs) ships in the task closure.
+    val tokUdf = udf((w: String) => applyMerges(w, merges).length)
+    val wordSyms = vocab0.select(col("w"), tokUdf(col("w")).as("n_sym"))
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)

@@ -195,6 +195,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(raw.getLong(2) == 8L)
   }
 
+  test("BPE scala tokenizer matches the expression splice fold symbol-for-symbol") {
+    // r17: bpeEncode switched from 8 chained aggregate-HOF folds to the
+    // init-once applyMerges tokenizer — this pins the two semantics
+    // equal on the adversarial shapes: adjacent matches (greedy
+    // non-overlap), cascading merges (merged symbol feeds a later
+    // merge), no-op merges, and a non-ASCII (surrogate-pair) word.
+    val merges = Seq(("a", "a"), ("aa", "b"), ("x", "y"), ("m", "er"))
+    val words = Seq("aaaa", "aaaab", "aab", "baaab", "xyxy", "mmer",
+      "q", "ab", "𝄞a𝄞", "banana")
+    val wdf = words.map(Tuple1(_)).toDF("w")
+      .withColumn("sym", expr("filter(split(w, ''), x -> x <> '')"))
+    val folded = merges.foldLeft(wdf) { case (v, (l, r)) =>
+      v.withColumn("sym", ChunkOps.spliceExpr(l, r))
+    }.collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      assert(ChunkOps.applyMerges(w, merges).toList == folded(w),
+        s"tokenizer diverged on '$w'")
+    }
+    // hand-checked anchors: greedy non-overlap and the cascade
+    assert(ChunkOps.applyMerges("aaaa", merges).toList == List("aa", "aa"))
+    assert(ChunkOps.applyMerges("aab", merges).toList == List("aab"))
+  }
+
   test("curation funnel is monotone: each stage keeps a subset of the previous") {
     val rows = graft.text.SelectionQueries.pipelineCurate(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
